@@ -1,0 +1,1066 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators._
+
+/** Query catalog: one named query per operator in SURVEY.md §2 plus the
+  * large-scale training-data extensions (dedup / similarity / text
+  * analysis). Each query runs the operator through the Mapper pipeline API
+  * over the driver-generated parquet tables and carries an equivalent
+  * DuckDB SQL oracle with IDENTICAL output column names.
+  *
+  * Engine-parity rules applied throughout (so Spark and DuckDB results
+  * hash-match bit-for-bit):
+  *   - every query ends in a total ORDER BY over deterministic keys;
+  *   - float outputs are either per-row rounded to integers before any
+  *     cross-row aggregation (order-independent exact sums) or emitted as
+  *     `floor(x * 10^k)` scaled BIGINTs (same input double => same output
+  *     integer on both engines);
+  *   - double folds (dot products etc.) are sequential left-folds on both
+  *     sides, so the IEEE result is bit-identical;
+  *   - DuckDB lambda indexes are 1-based, Spark's are 0-based — oracles
+  *     account for the shift.
+  */
+object Queries {
+
+  final case class Q(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String]
+  )
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Compose mappers then apply — avoids the Pipeline varargs/implicit
+    * ambiguity at call sites. */
+  private def pipe(ms: Mapper*)(df: DataFrame): DataFrame =
+    ms.foldLeft(df)((d, m) => m(d))
+
+  /** documents with a whitespace-token `words` column (ws splitter). */
+  private def docWords(s: SparkSession, dir: String): DataFrame =
+    pipe(
+      RenameFields(Map("text" -> "words"), removeRest = false),
+      TextToWords(Seq("words"), Splitters.Ws)
+    )(T(s, dir, "documents"))
+
+  /** DuckDB equivalent of the ws splitter on documents.text. */
+  private val W =
+    "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
+
+  /** documents keeping `text` plus a derived ws-token `words` column. */
+  private def docTextWords(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .withColumn("words", Splitters.toColumn(col("text"), Splitters.Ws))
+
+  /** documents with `ids` = per-word lengths (array<bigint>) — the
+    * stand-in "token id" sequence used by the sequence operators. */
+  private def docIds(s: SparkSession, dir: String): DataFrame =
+    docWords(s, dir).withColumn(
+      "ids",
+      transform(col("words"), w => length(w).cast(LongType))
+    )
+
+  private val IDS = s"list_transform($W, w -> length(w))"
+
+  /** `ids` chunked into sequences of 4 (array<array<bigint>>) — the
+    * list-of-sequences shape used by the multiseq operators. */
+  private def docSeqs(s: SparkSession, dir: String): DataFrame =
+    docIds(s, dir).withColumn(
+      "seqs",
+      transform(
+        sequence(lit(0L), floor((size(col("ids")) - 1) / 4).cast(LongType)),
+        k => slice(col("ids"), (k * 4 + 1).cast(IntegerType), lit(4))
+      )
+    )
+
+  private val SEQS =
+    s"list_transform(generate_series(0, CAST(floor((len($IDS) - 1) / 4.0) AS BIGINT)), " +
+      s"k -> list_slice($IDS, CAST(k*4+1 AS BIGINT), CAST(k*4+4 AS BIGINT)))"
+
+  // ------------------------------------------------------------------
+  // Relational demo (capabilities Spark provides natively, SURVEY §2.10)
+  // ------------------------------------------------------------------
+
+  private val qAgg = Q(
+    "q00_agg",
+    (s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(round(col("l_quantity")).cast(LongType)).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast(LongType))
+            .as("sum_price_cents"),
+          count(lit(1)).as("n")
+        )
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    )
+  )
+
+  private val qJoin = Q(
+    "q01_join",
+    (s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val ord = T(s, dir, "orders")
+      val cust = T(s, dir, "customer")
+      // dim tables broadcast — no shuffle of the fact table beyond the agg
+      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast(LongType)).as("revenue_cents"),
+          countDistinct(col("o_orderkey")).as("n_orders")
+        )
+        .orderBy("c_mktsegment")
+    },
+    Some(
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    )
+  )
+
+  private val qWindow = Q(
+    "q02_window",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      T(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          col("rn").cast(LongType).as("rn")
+        )
+        .orderBy("o_custkey", "rn")
+    },
+    Some(
+      """SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+    )
+  )
+
+  // ------------------------------------------------------------------
+  // Field ops (SURVEY §2.2)
+  // ------------------------------------------------------------------
+
+  private val qChangeFields = Q(
+    "q10_change_fields",
+    (s, dir) =>
+      pipe(
+        ChangeFields(keepFields = Seq("l_orderkey", "l_linenumber", "l_quantity")),
+        operators.Filter("l_quantity", ">", 45.0)
+      )(T(s, dir, "lineitem")).orderBy("l_orderkey", "l_linenumber", "l_quantity"),
+    Some(
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 45.0 ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin
+    )
+  )
+
+  private val qRenameFields = Q(
+    "q11_rename_fields",
+    (s, dir) =>
+      RenameFields(
+        Map("o_orderkey" -> "order_id", "o_totalprice" -> "total"),
+        removeRest = true
+      )(T(s, dir, "orders")).orderBy("order_id"),
+    Some(
+      "SELECT o_orderkey AS order_id, o_totalprice AS total FROM orders ORDER BY order_id"
+    )
+  )
+
+  private val qMakeField = Q(
+    "q12_make_field",
+    (s, dir) =>
+      MakeField("flag", 1L, shapeLike = Some("words"))(docWords(s, dir))
+        .select("doc_id", "flag")
+        .orderBy("doc_id"),
+    Some(
+      s"SELECT doc_id, list_transform($W, w -> CAST(1 AS BIGINT)) AS flag " +
+        "FROM documents ORDER BY doc_id"
+    )
+  )
+
+  private val qGlom = Q(
+    "q13_glom",
+    (s, dir) =>
+      Glom(Map("meta_lang" -> "meta.lang", "meta_src" -> "meta.source"))(
+        T(s, dir, "documents")
+          .withColumn("meta", struct(col("lang"), col("source")))
+      ).select("doc_id", "meta_lang", "meta_src").orderBy("doc_id"),
+    Some(
+      "SELECT doc_id, lang AS meta_lang, source AS meta_src FROM documents ORDER BY doc_id"
+    )
+  )
+
+  private val qCast = Q(
+    "q14_cast",
+    (s, dir) =>
+      Cast(Map("l_quantity" -> "int", "l_orderkey" -> "str"))(
+        T(s, dir, "lineitem")
+      ).select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity"),
+    Some(
+      """SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey, l_linenumber,
+        |  CAST(TRUNC(l_quantity) AS BIGINT) AS l_quantity
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin
+    )
+  )
+
+  private val qBinarizer = Q(
+    "q15_binarizer",
+    (s, dir) =>
+      Binarizer("o_totalprice", 200000.0)(T(s, dir, "orders"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+    Some(
+      """SELECT o_orderkey,
+        |  CAST(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END AS BIGINT) AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin
+    )
+  )
+
+  private val qLookup = Q(
+    "q16_lookup",
+    (s, dir) =>
+      Lookup(
+        "l_returnflag",
+        Map("A" -> "accepted", "N" -> "none", "R" -> "returned")
+      )(T(s, dir, "lineitem"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+    Some(
+      """SELECT CASE l_returnflag WHEN 'A' THEN 'accepted' WHEN 'N' THEN 'none'
+        |  WHEN 'R' THEN 'returned' END AS l_returnflag, COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+    )
+  )
+
+  private val qOneHot = Q(
+    "q17_onehot",
+    (s, dir) =>
+      OneHot(5, "cls")(
+        T(s, dir, "customer").withColumn("cls", col("c_nationkey") % 5)
+      ).select("c_custkey", "cls").orderBy("c_custkey"),
+    Some(
+      """SELECT c_custkey, list_transform(generate_series(0, 4),
+        |  i -> CAST(CASE WHEN i = c_nationkey % 5 THEN 1 ELSE 0 END AS BIGINT)) AS cls
+        |FROM customer ORDER BY c_custkey""".stripMargin
+    )
+  )
+
+  private val qEnumerate = Q(
+    "q18_enumerate",
+    (s, dir) =>
+      EnumerateField("l_returnflag", Some("flag_id"))(T(s, dir, "lineitem"))
+        .select("l_returnflag", "flag_id")
+        .distinct()
+        .orderBy("l_returnflag"),
+    Some(
+      """SELECT DISTINCT l_returnflag,
+        |  CAST(DENSE_RANK() OVER (ORDER BY l_returnflag) - 1 AS BIGINT) AS flag_id
+        |FROM lineitem ORDER BY l_returnflag""".stripMargin
+    )
+  )
+
+  // ------------------------------------------------------------------
+  // Filters (SURVEY §2.3) — recursive-ALL over arrays
+  // ------------------------------------------------------------------
+
+  private val qFilterForall = Q(
+    "q20_filter_forall",
+    (s, dir) =>
+      operators.Filter("words", "!=", "the")(docWords(s, dir))
+        .select("doc_id")
+        .orderBy("doc_id"),
+    Some(
+      s"SELECT doc_id FROM documents WHERE COALESCE(list_bool_and(" +
+        s"list_transform($W, w -> w <> 'the')), TRUE) ORDER BY doc_id"
+    )
+  )
+
+  // ------------------------------------------------------------------
+  // Reshaping (SURVEY §2.4)
+  // ------------------------------------------------------------------
+
+  private val qFlatten = Q(
+    "q21_flatten",
+    (s, dir) =>
+      Flatten(Seq("nested"))(
+        T(s, dir, "documents").withColumn(
+          "nested",
+          array(array(array(col("lang"))), array(array(col("source"))))
+        )
+      ).select("doc_id", "nested").orderBy("doc_id"),
+    Some(
+      "SELECT doc_id, flatten(flatten([[[lang]], [[source]]])) AS nested " +
+        "FROM documents ORDER BY doc_id"
+    )
+  )
+
+  private val qUnpacking = Q(
+    "q22_unpacking",
+    (s, dir) =>
+      Unpacking(
+        fieldsToUnpack = Some(Seq("w", "wl")),
+        ignoredBehavior = Some("repeat")
+      )(
+        docWords(s, dir)
+          .withColumn("w", col("words"))
+          .withColumn("wl", transform(col("words"), x => length(x).cast(LongType)))
+          .select("doc_id", "w", "wl")
+      ).orderBy("doc_id", "w"),
+    Some(
+      s"""SELECT doc_id, unnest($W) AS w,
+         |  unnest(list_transform($W, w -> length(w))) AS wl
+         |FROM documents ORDER BY doc_id, w""".stripMargin
+    )
+  )
+
+  private val qStrider = Q(
+    "q23_strider",
+    (s, dir) =>
+      SingleSequenceStrider(Seq("words"), maxLength = 10, stride = Some(5))(
+        docWords(s, dir)
+      ).select(
+          col("doc_id"),
+          array_join(col("words"), " ").as("win")
+        )
+        .orderBy("doc_id", "win"),
+    Some(
+      s"""WITH d AS (SELECT doc_id, $W AS words, len($W) AS n FROM documents)
+         |SELECT doc_id, array_to_string(win, ' ') AS win FROM (
+         |  SELECT doc_id, unnest(CASE WHEN n < 10 THEN [words]
+         |    ELSE list_transform(generate_series(0, n - 10, 5),
+         |         o -> list_slice(words, o + 1, o + 10)) END) AS win
+         |  FROM d) t
+         |ORDER BY doc_id, win""".stripMargin
+    )
+  )
+
+  private val qFixedBatch = Q(
+    "q24_fixed_batch",
+    (s, dir) =>
+      pipe(
+        ChangeFields(keepFields = Seq("c_custkey", "c_mktsegment")),
+        FixedBatchSize(100, keepLast = true, orderBy = Seq("c_custkey"))
+      )(T(s, dir, "customer"))
+        .withColumn("first", element_at(col("c_custkey"), 1))
+        .orderBy("first"),
+    Some(
+      """WITH r AS (SELECT c_custkey, c_mktsegment,
+        |    row_number() OVER (ORDER BY c_custkey) - 1 AS rn FROM customer)
+        |SELECT list(c_custkey ORDER BY rn) AS c_custkey,
+        |       list(c_mktsegment ORDER BY rn) AS c_mktsegment,
+        |       min(c_custkey) AS first
+        |FROM r GROUP BY rn // 100 ORDER BY first""".stripMargin
+    )
+  )
+
+  // ------------------------------------------------------------------
+  // Text ops (SURVEY §2.6)
+  // ------------------------------------------------------------------
+
+  private val qWordsPlus = Q(
+    "q30_text_to_words",
+    (s, dir) =>
+      TextToWords(Seq("text"), Splitters.Plus)(T(s, dir, "documents"))
+        .select(col("doc_id"), col("text").as("words"))
+        .orderBy("doc_id"),
+    Some(
+      "SELECT doc_id, regexp_extract_all(text, '\\w+|[^\\w\\s]+') AS words " +
+        "FROM documents ORDER BY doc_id"
+    )
+  )
+
+  private val qWordsToText = Q(
+    "q31_words_to_text",
+    (s, dir) =>
+      pipe(
+        TextToWords(Seq("text"), Splitters.Ws),
+        WordsToText(Seq("text"), "|")
+      )(T(s, dir, "documents"))
+        .select(col("doc_id"), col("text").as("joined"))
+        .orderBy("doc_id"),
+    Some(
+      s"SELECT doc_id, array_to_string($W, '|') AS joined FROM documents ORDER BY doc_id"
+    )
+  )
+
+  private val qValidUnicode = Q(
+    "q32_valid_unicode",
+    (s, dir) =>
+      ValidUnicode(Seq("words"), Seq("Lu", "Nd"), "_")(
+        docWords(s, dir)
+      ).select("doc_id", "words").orderBy("doc_id"),
+    Some(
+      s"""SELECT doc_id, list_transform($W,
+         |  t -> CASE WHEN regexp_matches(t, '^(?:\\p{Lu}|\\p{Nd})*$$') THEN '_' ELSE t END) AS words
+         |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  // ------------------------------------------------------------------
+  // Prompting (SURVEY §2.7)
+  // ------------------------------------------------------------------
+
+  private val qFillTextPrompt = Q(
+    "q40_fill_text_prompt",
+    (s, dir) =>
+      FillTextPrompt("doc {doc_id} [{lang}]: {text}", "prompt")(
+        T(s, dir, "documents")
+      ).select("doc_id", "prompt").orderBy("doc_id"),
+    Some(
+      """SELECT doc_id, 'doc ' || CAST(doc_id AS VARCHAR) || ' [' || lang || ']: ' || text AS prompt
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  private val qFillEncodedPrompt = Q(
+    "q41_fill_encoded_prompt",
+    (s, dir) =>
+      FillEncodedPrompt(
+        template = "{ids} end",
+        tokenizeLiteral =
+          lit => lit.trim.split("\\s+").filter(_.nonEmpty).map(_.length.toLong).toSeq,
+        bosTokenIds = Seq(1L),
+        eosTokenIds = Seq(2L)
+      )(docIds(s, dir))
+        .select("doc_id", "input_ids", "attention_mask")
+        .orderBy("doc_id"),
+    Some(
+      s"""SELECT doc_id,
+         |  [CAST(1 AS BIGINT)] || $IDS || [CAST(3 AS BIGINT), CAST(2 AS BIGINT)] AS input_ids,
+         |  list_transform([CAST(1 AS BIGINT)] || $IDS || [CAST(3 AS BIGINT), CAST(2 AS BIGINT)],
+         |    x -> CAST(1 AS BIGINT)) AS attention_mask
+         |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  // ------------------------------------------------------------------
+  // Sequence ops (SURVEY §2.5)
+  // ------------------------------------------------------------------
+
+  private val qTruncateSingle = Q(
+    "q50_truncate_single",
+    (s, dir) =>
+      TruncateSingleField(Map("words" -> 5, "source" -> 4))(docWords(s, dir))
+        .select("doc_id", "words", "source")
+        .orderBy("doc_id"),
+    Some(
+      s"""SELECT doc_id, list_slice($W, 1, 5) AS words,
+         |  substring(source, 1, 4) AS source
+         |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  private val qPadding = Q(
+    "q51_padding",
+    (s, dir) =>
+      pipe(
+        TruncateSingleField(Map("ids" -> 12)),
+        operators.Padding(12, 0L, Seq("ids"))
+      )(docIds(s, dir)).select("doc_id", "ids").orderBy("doc_id"),
+    Some(
+      s"""SELECT doc_id, list_slice($IDS, 1, 12) ||
+         |  list_transform(range(12 - len(list_slice($IDS, 1, 12))), x -> CAST(0 AS BIGINT)) AS ids
+         |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  private val qTruncateMultiUniform = Q(
+    "q52_truncate_multi_uniform",
+    (s, dir) =>
+      TruncateMultipleFields(
+        fieldsToTruncate = Seq("a_ids", "b_ids"),
+        maxLength = 30,
+        strategy = "uniform"
+      )(
+        docIds(s, dir)
+          .withColumn("a_ids", col("ids"))
+          .withColumn("b_ids", slice(col("ids"), 1, 20))
+          .select("doc_id", "a_ids", "b_ids")
+      ).orderBy("doc_id"),
+    Some(
+      s"""WITH d AS (SELECT doc_id, $IDS AS a, list_slice($IDS, 1, 20) AS b FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN len(a)+len(b) <= 30 THEN a
+         |       ELSE list_slice(a, 1, CAST(FLOOR(len(a) * 30.0 / (len(a)+len(b))) AS BIGINT)) END AS a_ids,
+         |  CASE WHEN len(a)+len(b) <= 30 THEN b
+         |       ELSE list_slice(b, 1, CAST(FLOOR(len(b) * 30.0 / (len(a)+len(b))) AS BIGINT)) END AS b_ids
+         |FROM d ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  private val qTokensSeqPadding = Q(
+    "q60_tokens_seq_padding",
+    (s, dir) =>
+      TokensSequencesPadding(
+        "seqs",
+        SpecialTokens(bos = Seq(101L), sep = Seq(102L), eos = Seq(103L))
+      )(docSeqs(s, dir)).select("doc_id", "seqs").orderBy("doc_id"),
+    Some(
+      s"""SELECT doc_id, list_transform($SEQS, (sq, i) ->
+         |  (CASE WHEN i = 1 THEN [CAST(101 AS BIGINT)] ELSE [] END) || sq ||
+         |  (CASE WHEN i = len($SEQS) THEN [CAST(103 AS BIGINT)] ELSE [CAST(102 AS BIGINT)] END)) AS seqs
+         |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  private val qMakeAttentionMask = Q(
+    "q61_make_attention_mask",
+    (s, dir) =>
+      MakeAttentionMask("seqs", "am")(docSeqs(s, dir))
+        .select("doc_id", "am")
+        .orderBy("doc_id"),
+    Some(
+      s"""SELECT doc_id, list_transform($SEQS, sq ->
+         |  list_transform(sq, x -> CAST(1 AS BIGINT))) AS am
+         |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  private val qTokenTypeIds = Q(
+    "q62_token_type_ids_padding",
+    (s, dir) =>
+      TokenTypeIdsSequencePadding(
+        "seqs",
+        SpecialTokens(bos = Seq(0L), sep = Seq(0L), eos = Seq(0L))
+      )(docSeqs(s, dir)).select("doc_id", "seqs").orderBy("doc_id"),
+    Some(
+      s"""SELECT doc_id, list_transform($SEQS, (sq, i) ->
+         |  [sq[1]] || sq || (CASE WHEN i = len($SEQS) THEN [sq[1]] ELSE [] END)) AS seqs
+         |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  private val qSingleValueToSeq = Q(
+    "q63_single_value_to_seq",
+    (s, dir) =>
+      SingleValueToSequence("labels", "seqs", strategy = "first")(
+        docSeqs(s, dir)
+          .withColumn("labels", transform(col("seqs"), sq => element_at(sq, 1)))
+      ).select("doc_id", "labels").orderBy("doc_id"),
+    Some(
+      s"""WITH d AS (SELECT doc_id, $SEQS AS seqs FROM documents)
+         |SELECT doc_id, list_transform(seqs, (sq, i) ->
+         |  [sq[1]] || list_transform(range(len(seqs[i]) - 1), x -> CAST(-100 AS BIGINT))) AS labels
+         |FROM d ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  private val qSeqConcat = Q(
+    "q64_seq_concat",
+    (s, dir) =>
+      SequencesConcatenate(Some(Seq("seqs")))(docSeqs(s, dir))
+        .select("doc_id", "seqs")
+        .orderBy("doc_id"),
+    Some(
+      s"SELECT doc_id, flatten($SEQS) AS seqs FROM documents ORDER BY doc_id"
+    )
+  )
+
+  private val qLabelsMaskerOne = Q(
+    "q65_labels_masker_one",
+    (s, dir) =>
+      LabelsMasker("labels", strategy = "one")(
+        docIds(s, dir)
+          .withColumn("labels", slice(col("ids"), 1, 6))
+          .select("doc_id", "labels")
+      ).select(
+          col("doc_id"),
+          array_join(col("labels"), ",").as("labels_str")
+        )
+        .orderBy("doc_id", "labels_str"),
+    Some(
+      s"""WITH d AS (SELECT doc_id, list_slice($IDS, 1, 6) AS labels FROM documents),
+         |e AS (SELECT doc_id, labels, unnest(range(len(labels))) AS i FROM d)
+         |SELECT doc_id, array_to_string(list_transform(labels,
+         |  (l, j) -> CASE WHEN j - 1 = i THEN l ELSE CAST(-100 AS BIGINT) END), ',') AS labels_str
+         |FROM e ORDER BY doc_id, labels_str""".stripMargin
+    )
+  )
+
+  // ------------------------------------------------------------------
+  // Mask ops (SURVEY §2.5, masks.py)
+  // ------------------------------------------------------------------
+
+  /** 0/1 mask over words: 1 where the word is longer than 4 chars. */
+  private def docMask(s: SparkSession, dir: String): DataFrame =
+    docWords(s, dir).withColumn(
+      "mask",
+      transform(col("words"), w => when(length(w) > 4, 1L).otherwise(0L))
+    )
+
+  private val MASK =
+    s"list_transform($W, w -> CAST(CASE WHEN length(w) > 4 THEN 1 ELSE 0 END AS BIGINT))"
+
+  private val qIndicesToMask = Q(
+    "q70_indices_to_mask",
+    (s, dir) =>
+      IndicesToMask("mask_out", "words", "locs")(
+        docWords(s, dir)
+          .withColumn("locs", array(lit(0L), lit(2L), lit(4L)))
+      ).select("doc_id", "mask_out").orderBy("doc_id"),
+    Some(
+      s"""SELECT doc_id, list_transform(range(len($W)),
+         |  i -> CAST(CASE WHEN i IN (0, 2, 4) THEN 1 ELSE 0 END AS BIGINT)) AS mask_out
+         |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  private val qRangeToMask = Q(
+    "q71_range_to_mask",
+    (s, dir) =>
+      RangeToMask("mask_out", "words", "locs")(
+        docWords(s, dir)
+          .withColumn(
+            "locs",
+            array(array(lit(1L), lit(3L)), array(lit(5L), lit(8L)))
+          )
+      ).select("doc_id", "mask_out").orderBy("doc_id"),
+    Some(
+      s"""SELECT doc_id, list_transform(range(len($W)),
+         |  i -> CAST(CASE WHEN (1 <= i AND i < 3) OR (5 <= i AND i < 8) THEN 1 ELSE 0 END AS BIGINT)) AS mask_out
+         |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  private val qMaskToIndices = Q(
+    "q72_mask_to_indices",
+    (s, dir) =>
+      MaskToIndices("mask", "locs")(docMask(s, dir))
+        .select("doc_id", "locs")
+        .orderBy("doc_id"),
+    Some(
+      s"""SELECT doc_id, list_filter(range(len($MASK)),
+         |  i -> list_extract($MASK, CAST(i + 1 AS BIGINT)) = 1) AS locs
+         |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  private val qMaskToRange = Q(
+    "q73_mask_to_range",
+    (s, dir) =>
+      MaskToRange("mask", "locs")(docMask(s, dir))
+        .select("doc_id", "locs")
+        .orderBy("doc_id"),
+    Some(
+      s"""WITH m AS (SELECT doc_id, $MASK AS mask FROM documents),
+         |p AS (SELECT doc_id, unnest(list_filter(range(len(mask)),
+         |        i -> list_extract(mask, CAST(i + 1 AS BIGINT)) = 1)) AS i FROM m),
+         |g AS (SELECT doc_id, i, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM p),
+         |runs AS (SELECT doc_id, [min(i), max(i) + 1] AS run, min(i) AS s
+         |         FROM g GROUP BY doc_id, grp)
+         |SELECT m.doc_id, COALESCE(r.locs, []) AS locs FROM m LEFT JOIN
+         |  (SELECT doc_id, list(run ORDER BY s) AS locs FROM runs GROUP BY doc_id) r
+         |  USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  // ------------------------------------------------------------------
+  // Training-data extensions: dedup / similarity / text analysis
+  // ------------------------------------------------------------------
+
+  private val qDedupExact = Q(
+    "q80_dedup_exact",
+    (s, dir) =>
+      T(s, dir, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+        .orderBy("h"),
+    Some(
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, COUNT(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin
+    )
+  )
+
+  private val qDedupDocs = Q(
+    "q81_dedup_docs",
+    (s, dir) => {
+      val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+      T(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Word-3-shingles; md5-based minhash so Spark and DuckDB agree. */
+  private def shinglesCol: Column = {
+    val n = size(col("words"))
+    when(
+      n >= 3,
+      transform(
+        sequence(lit(1), n - 2),
+        i => concat_ws(" ", slice(col("words"), i, lit(3)))
+      )
+    ).otherwise(array(array_join(col("words"), " ")))
+  }
+
+  private val SHINGLES =
+    s"CASE WHEN len($W) >= 3 THEN list_transform(generate_series(1, len($W) - 2), " +
+      s"i -> array_to_string(list_slice($W, i, i + 2), ' ')) " +
+      s"ELSE [array_to_string($W, ' ')] END"
+
+  private def minhashSigCol(k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      j =>
+        array_min(
+          transform(
+            col("shingles"),
+            sh => md5(concat(j.cast(StringType), lit(":"), sh))
+          )
+        )
+    )
+
+  private def minhashSigSql(k: Int): String =
+    s"list_transform(generate_series(0, ${k - 1}), j -> " +
+      s"list_min(list_transform(sh, x -> md5(CAST(j AS VARCHAR) || ':' || x))))"
+
+  private val qMinhashSig = Q(
+    "q82_minhash_sig",
+    (s, dir) =>
+      docWords(s, dir)
+        .withColumn("shingles", shinglesCol)
+        .withColumn("sig", minhashSigCol(8))
+        .select("doc_id", "sig")
+        .orderBy("doc_id"),
+    Some(
+      s"""WITH d AS (SELECT doc_id, $SHINGLES AS sh FROM documents)
+         |SELECT doc_id, ${minhashSigSql(8)} AS sig FROM d ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  private val qMinhashPairs = Q(
+    "q83_minhash_lsh_pairs",
+    (s, dir) => {
+      // LSH banding: 4 bands of 2 minhashes → candidate pairs share a band.
+      val sigs = docWords(s, dir)
+        .withColumn("shingles", shinglesCol)
+        .withColumn("sig", minhashSigCol(8))
+        .select(
+          col("doc_id"),
+          explode(
+            transform(
+              sequence(lit(0), lit(3)),
+              b =>
+                struct(
+                  b.as("band"),
+                  md5(concat_ws("|", slice(col("sig"), b * 2 + 1, lit(2)))).as("bh")
+                )
+            )
+          ).as("bk")
+        )
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      val a = sigs.as("a")
+      val b = sigs.as("b")
+      a.join(
+          b,
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id")
+        )
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+        .orderBy("id_a", "id_b")
+    },
+    Some(
+      s"""WITH d AS (SELECT doc_id, $SHINGLES AS sh FROM documents),
+         |sigs AS (SELECT doc_id, ${minhashSigSql(8)} AS sig FROM d),
+         |bands AS (SELECT doc_id, unnest(list_transform(generate_series(0, 3),
+         |  b -> md5(array_to_string(list_slice(sig, b*2 + 1, b*2 + 2), '|')))) AS bh
+         |  FROM sigs)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b ON a.bh = b.bh AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin
+    )
+  )
+
+  private val qJaccard = Q(
+    "q84_ngram_jaccard",
+    (s, dir) => {
+      val qw = Seq("table", "scan", "fast", "query", "value")
+      val qArr = array(qw.map(lit): _*)
+      docWords(s, dir)
+        .withColumn("uniq", array_distinct(col("words")))
+        .withColumn(
+          "inter",
+          size(filter(col("uniq"), w => array_contains(qArr, w))).cast(LongType)
+        )
+        .withColumn(
+          "uni",
+          (size(col("uniq")) + qw.size).cast(LongType) - col("inter")
+        )
+        .select(
+          col("doc_id"),
+          floor(col("inter").cast(DoubleType) / col("uni").cast(DoubleType) * 1e6)
+            .cast(LongType)
+            .as("jac_f")
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH d AS (SELECT doc_id, list_distinct($W) AS uniq FROM documents),
+         |j AS (SELECT doc_id,
+         |  CAST(len(list_filter(uniq, w -> list_contains(['table','scan','fast','query','value'], w))) AS BIGINT) AS inter,
+         |  CAST(len(uniq) + 5 AS BIGINT) AS base FROM d)
+         |SELECT doc_id, CAST(FLOOR(CAST(inter AS DOUBLE) / CAST(base - inter AS DOUBLE) * 1e6) AS BIGINT) AS jac_f
+         |FROM j ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** 16-bit simhash over words, using md5 nibbles as the per-word hash. */
+  private val qSimhash = Q(
+    "q85_simhash",
+    (s, dir) => {
+      val nibbleOf: (Column, Int) => Column = (w, b) => {
+        val hexChar = substring(md5(w), b / 4 + 1, 1)
+        val nibble = instr(lit("0123456789abcdef"), hexChar) - 1
+        floor(nibble / math.pow(2, b % 4)).cast(LongType) % 2
+      }
+      val bits = (0 until 16).map { b =>
+        val contrib = aggregate(
+          col("words"),
+          lit(0L),
+          (acc, w) => acc + when(nibbleOf(w, b) === 1, 1L).otherwise(-1L)
+        )
+        when(contrib > 0, lit(1L << b)).otherwise(lit(0L))
+      }
+      docWords(s, dir)
+        .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val bitSql = (0 until 16).map { b =>
+        val pos = b / 4 + 1
+        val pw = math.pow(2, b % 4).toInt
+        s"""CASE WHEN list_reduce(list_transform($W, w ->
+           |  CASE WHEN CAST(FLOOR((strpos('0123456789abcdef', substring(md5(w), $pos, 1)) - 1) / $pw) AS BIGINT) % 2 = 1
+           |  THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END), (x, y) -> x + y) > 0
+           |THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin
+      }.mkString(" + ")
+      s"SELECT doc_id, $bitSql AS simhash FROM documents ORDER BY doc_id"
+    }
+  )
+
+  /** Sequential-fold cosine against the vec_id=0 embedding; scaled-floor
+    * output so both engines emit the same integer. */
+  private val qCosineTopk = Q(
+    "q86_cosine_knn",
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
+      val qv = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
+      def dot(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      emb
+        .crossJoin(broadcast(qv))
+        .withColumn(
+          "cos",
+          dot(col("e"), col("qe")) /
+            (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("qe"), col("qe"))))
+        )
+        .select(
+          col("vec_id"),
+          floor(col("cos") * 1e5).cast(LongType).as("cos_f")
+        )
+        .filter(col("cos_f") >= 1000)
+        .orderBy("vec_id")
+    },
+    Some(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |q AS (SELECT e AS qe FROM e WHERE vec_id = 0),
+        |c AS (SELECT vec_id,
+        |  list_reduce(list_transform(generate_series(1, len(e)), i -> e[i] * qe[i]), (x, y) -> x + y) /
+        |  (sqrt(list_reduce(list_transform(generate_series(1, len(e)), i -> e[i] * e[i]), (x, y) -> x + y)) *
+        |   sqrt(list_reduce(list_transform(generate_series(1, len(qe)), i -> qe[i] * qe[i]), (x, y) -> x + y))) AS cos
+        |  FROM e, q)
+        |SELECT vec_id, CAST(FLOOR(cos * 1e5) AS BIGINT) AS cos_f FROM c
+        |WHERE CAST(FLOOR(cos * 1e5) AS BIGINT) >= 1000 ORDER BY vec_id""".stripMargin
+    )
+  )
+
+  private val qLangId = Q(
+    "q87_lang_id",
+    (s, dir) => {
+      val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
+      docWords(s, dir)
+        .withColumn(
+          "hits",
+          size(filter(col("words"), w => array_contains(stop, w))).cast(LongType)
+        )
+        .select(
+          col("doc_id"),
+          floor(
+            col("hits").cast(DoubleType) / size(col("words")).cast(DoubleType) * 1e6
+          ).cast(LongType).as("stop_f"),
+          when(
+            col("hits").cast(DoubleType) / size(col("words")).cast(DoubleType) >= 0.05,
+            lit("en")
+          ).otherwise(lit("unk")).as("pred")
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(len(list_filter($W, w -> list_contains(['the','a','of','and','to'], w))) AS BIGINT) AS hits,
+         |  CAST(len($W) AS BIGINT) AS n FROM documents)
+         |SELECT doc_id, CAST(FLOOR(CAST(hits AS DOUBLE) / CAST(n AS DOUBLE) * 1e6) AS BIGINT) AS stop_f,
+         |  CASE WHEN CAST(hits AS DOUBLE) / CAST(n AS DOUBLE) >= 0.05 THEN 'en' ELSE 'unk' END AS pred
+         |FROM d ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  private val qQuality = Q(
+    "q88_quality_score",
+    (s, dir) =>
+      docTextWords(s, dir)
+        .withColumn("n_words", size(col("words")).cast(LongType))
+        .withColumn(
+          "total_chars",
+          aggregate(col("words"), lit(0L), (acc, w) => acc + length(w))
+        )
+        .select(
+          col("doc_id"),
+          col("n_words"),
+          floor(
+            col("total_chars").cast(DoubleType) / col("n_words").cast(DoubleType) * 1e4
+          ).cast(LongType).as("mean_wlen_f"),
+          length(col("text")).cast(LongType).as("n_chars_m")
+        )
+        .orderBy("doc_id"),
+    Some(
+      s"""WITH d AS (SELECT doc_id, text,
+         |  CAST(len($W) AS BIGINT) AS n_words,
+         |  list_reduce(list_transform($W, w -> CAST(length(w) AS BIGINT)), (x, y) -> x + y) AS total_chars
+         |  FROM documents)
+         |SELECT doc_id, n_words,
+         |  CAST(FLOOR(CAST(total_chars AS DOUBLE) / CAST(n_words AS DOUBLE) * 1e4) AS BIGINT) AS mean_wlen_f,
+         |  CAST(length(text) AS BIGINT) AS n_chars_m
+         |FROM d ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  private val qTokenCount = Q(
+    "q89_token_count",
+    (s, dir) =>
+      docTextWords(s, dir)
+        .select(
+          col("doc_id"),
+          size(col("words")).cast(LongType).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]+"), lit(0)))
+            .cast(LongType).as("bpe_pieces"),
+          aggregate(
+            col("words"),
+            lit(0L),
+            (acc, w) => acc + ceil(length(w).cast(DoubleType) / 4.0).cast(LongType)
+          ).as("subword_est")
+        )
+        .orderBy("doc_id"),
+    Some(
+      s"""SELECT doc_id, CAST(len($W) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]+')) AS BIGINT) AS bpe_pieces,
+         |  list_reduce(list_transform($W, w -> CAST(CEIL(CAST(length(w) AS DOUBLE) / 4.0) AS BIGINT)), (x, y) -> x + y) AS subword_est
+         |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  private val qFingerprint = Q(
+    "q90_doc_fingerprint",
+    (s, dir) =>
+      T(s, dir, "documents")
+        .withColumn(
+          "grams",
+          transform(
+            sequence(lit(1), length(col("text")) - 4),
+            i => col("text").substr(i, lit(5))
+          )
+        )
+        .select(
+          col("doc_id"),
+          array_sort(
+            array_distinct(
+              filter(
+                transform(col("grams"), g => md5(g)),
+                h => substring(h, 1, 1) === "0"
+              )
+            )
+          ).as("fp")
+        )
+        .orderBy("doc_id"),
+    Some(
+      """SELECT doc_id, list_sort(list_distinct(list_filter(
+        |  list_transform(generate_series(1, length(text) - 4), i -> md5(substring(text, CAST(i AS INT), 5))),
+        |  h -> substring(h, 1, 1) = '0'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  // ------------------------------------------------------------------
+
+  val all: Vector[Q] = Vector(
+    qAgg, qJoin, qWindow,
+    qChangeFields, qRenameFields, qMakeField, qGlom, qCast, qBinarizer,
+    qLookup, qOneHot, qEnumerate,
+    qFilterForall,
+    qFlatten, qUnpacking, qStrider, qFixedBatch,
+    qWordsPlus, qWordsToText, qValidUnicode,
+    qFillTextPrompt, qFillEncodedPrompt,
+    qTruncateSingle, qPadding, qTruncateMultiUniform,
+    qTokensSeqPadding, qMakeAttentionMask, qTokenTypeIds, qSingleValueToSeq,
+    qSeqConcat, qLabelsMaskerOne,
+    qIndicesToMask, qRangeToMask, qMaskToIndices, qMaskToRange,
+    qDedupExact, qDedupDocs, qMinhashSig, qMinhashPairs, qJaccard, qSimhash,
+    qCosineTopk, qLangId, qQuality, qTokenCount, qFingerprint
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Flagship pipeline (smashed README/examples/squad.py shape, re-expressed
+    * Spark-first): split → stride → join back → prompt. */
+  def entry(spark: SparkSession): DataFrame = {
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    pipe(
+      RenameFields(Map("text" -> "words")),
+      TextToWords(Seq("words"), Splitters.Ws),
+      SingleSequenceStrider(Seq("words"), maxLength = 32, stride = Some(16)),
+      WordsToText(Seq("words")),
+      FillTextPrompt("[{lang}] {words}", "prompt"),
+      ChangeFields(keepFields = Seq("doc_id", "prompt"))
+    )(df)
+  }
+}

@@ -111,9 +111,10 @@ final case class EnumerateField(
             .withColumnRenamed("__graft_enum_id", dest)
         else joined.withColumnRenamed("__graft_enum_id", dest)
       // restore original column order (+ dest appended if new)
-      val cols = df.columns.filter(c => dest == c || c != fieldToEnumerate)
       val ordered =
-        if (cols.contains(dest)) cols.toSeq else cols.toSeq :+ dest
+        if (df.columns.contains(dest) || dest == fieldToEnumerate)
+          df.columns.toSeq
+        else df.columns.toSeq :+ dest
       out.select(ordered.map(col): _*)
     } else {
       val schema = StructType(

@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Runs `graft.Verify` (Spark) at the given SF dir, then executes each
+oracle_sql entry in DuckDB over the same parquet tables and compares
+results: column names (sorted), row counts, and values (rows sorted, exact
+for non-floats, tiny tolerance for floats).
+
+Usage: python3 tools/verify_local.py [sfdir] [--skip-spark] [name ...]
+"""
+import json
+import math
+import subprocess
+import sys
+from pathlib import Path
+
+import duckdb
+import pyarrow.parquet as pq
+
+SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/root/testdata/sf0.01"
+OUT = Path("/tmp/graft_verify")
+ONLY = [a for a in sys.argv[2:] if not a.startswith("-")]
+SKIP_SPARK = "--skip-spark" in sys.argv
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def run_spark():
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}']
+    env = {"SPARK_GRAFT_CPUS": "8", "PATH": "/usr/bin:/bin:/usr/local/bin"}
+    import os
+    e = dict(os.environ)
+    e.update(env)
+    r = subprocess.run(cmd, capture_output=True, text=True, env=e, cwd="/root/repo")
+    if r.returncode != 0:
+        print(r.stdout[-4000:])
+        print(r.stderr[-4000:])
+        sys.exit("spark verify failed")
+    for line in r.stdout.splitlines():
+        if "[verify]" in line:
+            print(line)
+
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm(x)) for k, x in v.items()))
+    if isinstance(v, tuple):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main():
+    if not SKIP_SPARK:
+        run_spark()
+    oracle = json.loads((OUT / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    names = ONLY or sorted(oracle.keys())
+    n_pass = n_fail = 0
+    for name in names:
+        sql = oracle.get(name)
+        resdir = OUT / name
+        if not resdir.exists():
+            print(f"FAIL {name}: no spark result")
+            n_fail += 1
+            continue
+        spark_tbl = pq.read_table(str(resdir))
+        try:
+            duck_tbl = con.execute(sql).fetch_arrow_table()
+        except Exception as exc:
+            print(f"FAIL {name}: duckdb error: {str(exc).splitlines()[0]}")
+            n_fail += 1
+            continue
+        s_cols = sorted(spark_tbl.column_names)
+        d_cols = sorted(duck_tbl.column_names)
+        if s_cols != d_cols:
+            print(f"FAIL {name}: columns spark={s_cols} duck={d_cols}")
+            n_fail += 1
+            continue
+        s_rows = [tuple(norm(r[c]) for c in s_cols) for r in spark_tbl.to_pylist()]
+        d_rows = [tuple(norm(r[c]) for c in d_cols) for r in duck_tbl.to_pylist()]
+        if len(s_rows) != len(d_rows):
+            print(f"FAIL {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
+            n_fail += 1
+            continue
+        if sorted(map(repr, s_rows)) != sorted(map(repr, d_rows)):
+            diff = [
+                (a, b)
+                for a, b in zip(sorted(map(repr, s_rows)), sorted(map(repr, d_rows)))
+                if a != b
+            ]
+            print(f"FAIL {name}: {len(diff)} differing rows; first: ")
+            print("  spark:", diff[0][0][:300])
+            print("  duck :", diff[0][1][:300])
+            n_fail += 1
+            continue
+        ordered = s_rows == d_rows
+        print(f"PASS {name}: {len(s_rows)} rows" + ("" if ordered else " (order differs!)"))
+        n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail / {len(names)} checked")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
