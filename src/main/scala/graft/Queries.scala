@@ -1026,6 +1026,497 @@ object Queries {
   )
 
   // ------------------------------------------------------------------
+  // Contrib ops (SURVEY §2.6 contrib)
+  // ------------------------------------------------------------------
+
+  private val qUniqueAnswer = Q(
+    "q33_unique_answer",
+    (s, dir) =>
+      UniqueAnswer("words")(docWords(s, dir))
+        .select("doc_id", "words")
+        .orderBy("doc_id"),
+    Some(
+      s"""SELECT doc_id, list_filter($W, (w, i) -> list_position($W, w) = i) AS words
+         |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  private val qConcatContext = Q(
+    "q34_concat_context",
+    (s, dir) =>
+      ConcatenateContext("context")(
+        T(s, dir, "documents")
+          .withColumn("context", array(col("text"), col("source")))
+      ).select("doc_id", "context").orderBy("doc_id"),
+    Some(
+      "SELECT doc_id, text || ' ' || source || ' ' AS context " +
+        "FROM documents ORDER BY doc_id"
+    )
+  )
+
+  private val qEvidences = Q(
+    "q35_evidences_location",
+    (s, dir) =>
+      AddEvidencesLocation("text", "evidences", "locations")(
+        docTextWords(s, dir).withColumn(
+          "evidences",
+          array(element_at(col("words"), 3), lit("zzz_not_there"))
+        )
+      ).select("doc_id", "locations").orderBy("doc_id"),
+    Some(
+      s"""WITH d AS (SELECT doc_id, text, [list_extract($W, 3), 'zzz_not_there'] AS ev FROM documents)
+         |SELECT doc_id, list_transform(ev, e -> CASE WHEN strpos(text, e) > 0
+         |  THEN [CAST(strpos(text, e) - 1 AS BIGINT), CAST(strpos(text, e) - 1 + length(e) AS BIGINT)]
+         |  ELSE [CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)] END) AS locations
+         |FROM d ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  private val qOneVsOther = Q(
+    "q36_one_vs_other",
+    (s, dir) =>
+      OneVsOtherAnnotator("ann", position = 1)(
+        docIds(s, dir)
+          .withColumn("ann", transform(slice(col("ids"), 1, 5), x => x.cast(DoubleType)))
+      ).select(
+          col("doc_id"),
+          col("preds").cast(LongType).as("preds"),
+          floor(col("label") * 1e6).cast(LongType).as("label_f")
+        )
+        .orderBy("doc_id"),
+    Some(
+      s"""WITH d AS (SELECT doc_id,
+         |  list_transform(list_slice($IDS, 1, 5), x -> CAST(x AS DOUBLE)) AS ann FROM documents),
+         |e AS (SELECT doc_id, ann[2] AS preds,
+         |  list_slice(ann, 1, 1) || list_slice(ann, 3, len(ann)) AS others FROM d)
+         |SELECT doc_id, CAST(preds AS BIGINT) AS preds,
+         |  CAST(FLOOR(list_reduce(others, (x, y) -> x + y) / len(others) * 1e6) AS BIGINT) AS label_f
+         |FROM e ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  // ------------------------------------------------------------------
+  // Templating (SURVEY §2.7) — mini-Jinja
+  // ------------------------------------------------------------------
+
+  private val qJinja = Q(
+    "q37_jinja",
+    (s, dir) =>
+      JinjaMapper(
+        "{{ text | upper }} has {{ words | length }} words|||{{ lang }}"
+      )(docTextWords(s, dir).select("doc_id", "text", "lang", "words"))
+        .select("doc_id", "source", "target")
+        .orderBy("doc_id"),
+    Some(
+      s"""SELECT doc_id,
+         |  upper(text) || ' has ' || CAST(len($W) AS VARCHAR) || ' words' AS source,
+         |  lang AS target
+         |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  private val qFewShot = Q(
+    "q38_fewshot_jinja",
+    (s, dir) =>
+      FewShotJinjaMapper(
+        "{% for s in __shots__ %}Q: {{ s.text }}\n{% endfor %}Q: {{ text }}|||{{ lang }}",
+        numShots = 2,
+        keepLast = false,
+        orderBy = Seq("doc_id")
+      )(T(s, dir, "documents").select("doc_id", "text", "lang"))
+        .select("doc_id", "source", "target")
+        .orderBy("doc_id"),
+    Some(
+      """WITH r AS (SELECT doc_id, text, lang,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS rn FROM documents),
+        |g AS (SELECT rn // 3 AS bid, list(text ORDER BY rn) AS texts,
+        |    list(doc_id ORDER BY rn) AS ids, list(lang ORDER BY rn) AS langs,
+        |    count(*) AS cnt FROM r GROUP BY rn // 3)
+        |SELECT ids[3] AS doc_id,
+        |  array_to_string(list_transform(list_slice(texts, 1, 2), t -> 'Q: ' || t || chr(10)), '')
+        |    || 'Q: ' || texts[3] AS source,
+        |  langs[3] AS target
+        |FROM g WHERE cnt = 3 ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  // ------------------------------------------------------------------
+  // Tokenizer (SURVEY §2.7) — rows-only check (WordPiece is not
+  // SQL-expressible); golden semantics are pinned by ScalaTest specs.
+  // ------------------------------------------------------------------
+
+  private def testVocab: Map[String, Long] = {
+    val specials = Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]")
+    val base = "abcdefghijklmnopqrstuvwxyz".map(_.toString)
+    val cont = base.map("##" + _)
+    val words = Seq("table", "scan", "fast", "query", "value", "the", "spark",
+      "##s", "##er", "##ing")
+    (specials ++ base ++ cont ++ words).zipWithIndex.map {
+      case (t, i) => t -> i.toLong
+    }.toMap
+  }
+
+  private val qTokenize = Q(
+    "q42_tokenize",
+    (s, dir) =>
+      TokenizerMapper(
+        WordPieceTokenizer(testVocab),
+        inputField = "text",
+        maxLength = Some(64),
+        truncation = true,
+        returnLength = true
+      )(T(s, dir, "documents"))
+        .select("doc_id", "input_ids", "attention_mask", "length")
+        .orderBy("doc_id"),
+    None // WordPiece greedy matching: not SQL-expressible; rows-only
+  )
+
+  private val qDecode = Q(
+    "q43_decode_roundtrip",
+    (s, dir) => {
+      val tok = WordPieceTokenizer(testVocab)
+      pipe(
+        TokenizerMapper(tok, "text", addSpecialTokens = false,
+          returnAttentionMask = false),
+        Decoding(tok, Seq("input_ids"), skipSpecialTokens = true)
+      )(T(s, dir, "documents").select("doc_id", "text"))
+        .select(col("doc_id"), col("input_ids").as("decoded"))
+        .orderBy("doc_id")
+    },
+    None // inverse-vocab decode of the tokenizer output; rows-only
+  )
+
+  // ------------------------------------------------------------------
+  // Collator + remaining seq ops
+  // ------------------------------------------------------------------
+
+  private val qCollator = Q(
+    "q44_list_collator",
+    (s, dir) =>
+      pipe(
+        ChangeFields(keepFields = Seq("doc_id", "ids")),
+        FixedBatchSize(50, keepLast = true, orderBy = Seq("doc_id")),
+        ListCollator(Map("ids" -> -1L))
+      )(docIds(s, dir))
+        .withColumn("first", element_at(col("doc_id"), 1))
+        .orderBy("first"),
+    Some(
+      s"""WITH r AS (SELECT doc_id, $IDS AS ids,
+         |    row_number() OVER (ORDER BY doc_id) - 1 AS rn FROM documents),
+         |g AS (SELECT rn // 50 AS bid, list(doc_id ORDER BY rn) AS doc_id,
+         |    list(ids ORDER BY rn) AS ids FROM r GROUP BY rn // 50),
+         |m AS (SELECT bid, doc_id, ids,
+         |    list_max(list_transform(ids, s2 -> len(s2))) AS maxlen FROM g)
+         |SELECT doc_id,
+         |  list_transform(ids, s2 -> s2 || list_transform(range(maxlen - len(s2)),
+         |    x -> CAST(-1 AS BIGINT))) AS ids,
+         |  doc_id[1] AS first
+         |FROM m ORDER BY first""".stripMargin
+    )
+  )
+
+  private val qMultiSeqStrider = Q(
+    "q66_multiseq_strider",
+    (s, dir) =>
+      MultiSequenceStrider(
+        maxStrideCount = 3,
+        lengthReferenceField = "seqs",
+        maxLength = Some(14)
+      )(docSeqs(s, dir).select("doc_id", "seqs"))
+        .select(
+          col("doc_id"),
+          array_join(transform(col("seqs"), sq => array_join(sq, ",")), ";")
+            .as("chunk")
+        )
+        .orderBy("doc_id", "chunk"),
+    None // greedy packing fold; not cleanly SQL-expressible — rows-only
+  )
+
+  private val qLabelsMaskerSample = Q(
+    "q67_labels_masker_sample",
+    (s, dir) =>
+      LabelsMasker("labels", strategy = "sample", sampleProb = Some(0.4))(
+        docIds(s, dir)
+          .withColumn("labels", slice(col("ids"), 1, 8))
+          .select("doc_id", "labels")
+      ).select(
+          col("doc_id"),
+          array_join(col("labels"), ",").as("labels_str")
+        )
+        .orderBy("doc_id", "labels_str"),
+    None // seeded xxhash shuffle; deterministic but engine-specific
+  )
+
+  private val qTruncateMultiLongest = Q(
+    "q53_truncate_multi_longest",
+    (s, dir) =>
+      TruncateMultipleFields(
+        fieldsToTruncate = Seq("a_ids", "b_ids"),
+        maxLength = 30,
+        strategy = "longest"
+      )(
+        docIds(s, dir)
+          .withColumn("a_ids", col("ids"))
+          .withColumn("b_ids", slice(col("ids"), 1, 10))
+          .select("doc_id", "a_ids", "b_ids")
+      ).orderBy("doc_id"),
+    Some(
+      // mirrors TruncateMultipleFields strategy="longest" exactly for 2
+      // fields: target = floor(30/2); redistribute leftover to longer
+      s"""WITH d AS (SELECT doc_id, $IDS AS a, list_slice($IDS, 1, 10) AS b FROM documents),
+         |c AS (SELECT doc_id, a, b, len(a) AS la, len(b) AS lb,
+         |  CAST(FLOOR(30.0 / 2) AS BIGINT) AS tgt FROM d),
+         |e AS (SELECT *,
+         |  CASE WHEN la > tgt THEN la - tgt ELSE 0 END AS longer_a,
+         |  CASE WHEN lb > tgt THEN lb - tgt ELSE 0 END AS longer_b,
+         |  (CASE WHEN la < tgt THEN tgt - la ELSE 0 END +
+         |   CASE WHEN lb < tgt THEN tgt - lb ELSE 0 END) AS savings FROM c),
+         |f AS (SELECT *, 30 - tgt * 2 + savings AS extra,
+         |  longer_a + longer_b AS longer_tot FROM e),
+         |g AS (SELECT *,
+         |  CASE WHEN extra >= longer_tot THEN longer_a
+         |       ELSE CAST(FLOOR(CAST(longer_a AS DOUBLE) * extra / longer_tot) AS BIGINT) END AS red_a,
+         |  CASE WHEN extra >= longer_tot THEN longer_b
+         |       ELSE CAST(FLOOR(CAST(longer_b AS DOUBLE) * extra / longer_tot) AS BIGINT) END AS red_b
+         |  FROM f)
+         |SELECT doc_id,
+         |  CASE WHEN la + lb <= 30 THEN a
+         |       WHEN la > tgt THEN list_slice(a, 1, tgt + red_a) ELSE a END AS a_ids,
+         |  CASE WHEN la + lb <= 30 THEN b
+         |       WHEN lb > tgt THEN list_slice(b, 1, tgt + red_b) ELSE b END AS b_ids
+         |FROM g ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  private val qFixText = Q(
+    "q54_fix_text",
+    (s, dir) =>
+      FixText(Seq("text"))(T(s, dir, "documents"))
+        .select(col("doc_id"), col("text").as("fixed"))
+        .orderBy("doc_id"),
+    // corpus is ASCII + NFC already: FixText must be the identity on it
+    Some("SELECT doc_id, text AS fixed FROM documents ORDER BY doc_id")
+  )
+
+  private val qEnumerateOrder = Q(
+    "q19_enumerate_order",
+    (s, dir) =>
+      EnumerateField("c_custkey", Some("rid"), sameIdForRepeated = false)(
+        T(s, dir, "customer").select("c_custkey").orderBy("c_custkey")
+      ).orderBy("c_custkey"),
+    Some(
+      """SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) - 1 AS rid
+        |FROM customer ORDER BY c_custkey""".stripMargin
+    )
+  )
+
+  // ------------------------------------------------------------------
+  // Caching, combine, multimodal
+  // ------------------------------------------------------------------
+
+  private val qCachedStage = Q(
+    "q55_cached_stage",
+    (s, dir) =>
+      CachedStage.around("/tmp/graft_stage_cache")(
+        TextToWords(Seq("text"), Splitters.Ws),
+        TruncateSingleField(Map("text" -> 5))
+      )(T(s, dir, "documents").select("doc_id", "text"))
+        .select(col("doc_id"), col("text").as("words5"))
+        .orderBy("doc_id"),
+    Some(
+      s"SELECT doc_id, list_slice($W, 1, 5) AS words5 FROM documents ORDER BY doc_id"
+    )
+  )
+
+  private val qCombineConcat = Q(
+    "q56_combine_concatenate",
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      CombineSources
+        .concatenate(
+          Seq(
+            docs.filter(col("lang") === "en").select("doc_id", "text"),
+            docs.filter(col("lang") =!= "en").select("doc_id", "text")
+          )
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, text FROM (
+        |  SELECT doc_id, text FROM documents WHERE lang = 'en'
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE lang <> 'en') t
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  private val qMultimodalDecode = Q(
+    "q57_multimodal_decode",
+    (s, dir) =>
+      DecodeMediaStub("media", "features", targetW = 8, targetH = 8)(
+        T(s, dir, "documents")
+          .withColumn("media", Multimodal.asMedia(col("text").cast(BinaryType),
+            "application/octet-stream"))
+      ).select(
+          col("doc_id"),
+          transform(col("features"), f => f.cast(LongType)).as("feat_i")
+        )
+        .orderBy("doc_id"),
+    Some(
+      // stub decode = byte k of utf8(text) at k = i mod len, as integer
+      """SELECT doc_id, list_transform(range(64),
+        |  i -> CAST(ord(substring(text, CAST(i % length(text) AS INT) + 1, 1)) AS BIGINT)) AS feat_i
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  private val qFrameSample = Q(
+    "q58_frame_sample",
+    (s, dir) =>
+      SampleFramesStub("media", everyMs = 100L)(
+        T(s, dir, "documents")
+          .withColumn(
+            "media",
+            struct(
+              col("text").cast(BinaryType).as("bytes"),
+              lit("video/fake").as("mime"),
+              lit(null).cast(IntegerType).as("width"),
+              lit(null).cast(IntegerType).as("height"),
+              col("n_chars").as("duration_ms")
+            )
+          )
+      ).select("doc_id", "frame_idx").orderBy("doc_id", "frame_idx"),
+    Some(
+      """SELECT doc_id, unnest(generate_series(0, n_chars // 100)) AS frame_idx
+        |FROM documents ORDER BY doc_id, frame_idx""".stripMargin
+    )
+  )
+
+  // ------------------------------------------------------------------
+  // Op-level dedup / similarity (xxhash64 production path)
+  // ------------------------------------------------------------------
+
+  private val qExactDedupOp = Q(
+    "q91_exact_dedup_op",
+    (s, dir) =>
+      ExactDedup("text", "doc_id")(T(s, dir, "documents"))
+        .select("doc_id")
+        .orderBy("doc_id"),
+    Some(
+      // the op groups by xxhash64(text); group identity == text identity
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  private val qNeardupVerified = Q(
+    "q92_neardup_verified_pairs",
+    (s, dir) => {
+      // md5-minhash candidates (q83) + exact word-set jaccard verify
+      val sigs = docWords(s, dir)
+        .withColumn("shingles", shinglesCol)
+        .withColumn("sig", minhashSigCol(8))
+      val banded = sigs.select(
+        col("doc_id"),
+        col("words"),
+        explode(
+          transform(
+            sequence(lit(0), lit(7)),
+            b => md5(concat(b.cast(StringType), lit("#"), element_at(col("sig"), b + 1)))
+          )
+        ).as("bh")
+      )
+      val a = banded.select(col("doc_id").as("id_a"), col("words").as("w_a"), col("bh"))
+      val b = banded.select(col("doc_id").as("id_b"), col("words").as("w_b"), col("bh"))
+      a.join(b, Seq("bh"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "w_a", "w_b")
+        .distinct()
+        .withColumn("ua", array_distinct(col("w_a")))
+        .withColumn("ub", array_distinct(col("w_b")))
+        .withColumn("inter", size(array_intersect(col("ua"), col("ub"))).cast(DoubleType))
+        .withColumn("jac", col("inter") / (size(col("ua")) + size(col("ub")) - col("inter")))
+        .filter(col("jac") >= 0.5)
+        .select(col("id_a"), col("id_b"), floor(col("jac") * 1e6).cast(LongType).as("jac_f"))
+        .orderBy("id_a", "id_b")
+    },
+    Some(
+      s"""WITH d AS (SELECT doc_id, $W AS words, $SHINGLES AS sh FROM documents),
+         |sigs AS (SELECT doc_id, words, ${minhashSigSql(8)} AS sig FROM d),
+         |bands AS (SELECT doc_id, words, unnest(list_transform(generate_series(0, 7),
+         |  b -> md5(CAST(b AS VARCHAR) || '#' || sig[b + 1]))) AS bh FROM sigs),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.words AS w_a, b.words AS w_b
+         |  FROM bands a JOIN bands b ON a.bh = b.bh AND a.doc_id < b.doc_id),
+         |v AS (SELECT id_a, id_b,
+         |    CAST(len(list_filter(list_distinct(w_a), w -> list_contains(list_distinct(w_b), w))) AS DOUBLE) AS inter,
+         |    len(list_distinct(w_a)) + len(list_distinct(w_b)) AS tot FROM cand)
+         |SELECT id_a, id_b, CAST(FLOOR(inter / (tot - inter) * 1e6) AS BIGINT) AS jac_f
+         |FROM v WHERE inter / (tot - inter) >= 0.5 ORDER BY id_a, id_b""".stripMargin
+    )
+  )
+
+  private val qBruteKnn = Q(
+    "q93_brute_knn",
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+      CosineKnn
+        .bruteForce(emb, queries, "embedding", "vec_id", k = 5)
+        .select(
+          col("query_id"),
+          col("corpus_id"),
+          col("rank").cast(LongType).as("rank"),
+          floor(col("cos") * 1e5).cast(LongType).as("cos_f")
+        )
+        .orderBy("query_id", "rank")
+    },
+    Some(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < 3),
+        |c AS (SELECT q.query_id, e.vec_id AS corpus_id,
+        |  list_reduce(list_transform(generate_series(1, len(e.e)), i -> e.e[i] * q.qe[i]), (x, y) -> x + y) /
+        |  (sqrt(list_reduce(list_transform(generate_series(1, len(e.e)), i -> e.e[i] * e.e[i]), (x, y) -> x + y)) *
+        |   sqrt(list_reduce(list_transform(generate_series(1, len(q.qe)), i -> q.qe[i] * q.qe[i]), (x, y) -> x + y))) AS cos
+        |  FROM e, q),
+        |r AS (SELECT query_id, corpus_id, cos,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank FROM c)
+        |SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank,
+        |  CAST(FLOOR(cos * 1e5) AS BIGINT) AS cos_f
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    )
+  )
+
+  private val qAnnLsh = Q(
+    "q94_ann_lsh",
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+      CosineKnn
+        .annTopK(emb, queries, "embedding", "vec_id", k = 5, nPlanes = 4)
+        .select(
+          col("query_id"),
+          col("corpus_id"),
+          col("rank").cast(LongType).as("rank"),
+          floor(col("cos") * 1e5).cast(LongType).as("cos_f")
+        )
+        .orderBy("query_id", "rank")
+    },
+    None // xxhash64-derived hyperplanes: deterministic, engine-specific
+  )
+
+  private val qSimhash64 = Q(
+    "q95_simhash64_op",
+    (s, dir) =>
+      SimHash("words", "simhash")(docWords(s, dir))
+        .select("doc_id", "simhash")
+        .orderBy("doc_id"),
+    None // xxhash64-based production simhash; md5 variant q85 has oracle
+  )
+
+  // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
     qAgg, qJoin, qWindow,
@@ -1040,7 +1531,13 @@ object Queries {
     qSeqConcat, qLabelsMaskerOne,
     qIndicesToMask, qRangeToMask, qMaskToIndices, qMaskToRange,
     qDedupExact, qDedupDocs, qMinhashSig, qMinhashPairs, qJaccard, qSimhash,
-    qCosineTopk, qLangId, qQuality, qTokenCount, qFingerprint
+    qCosineTopk, qLangId, qQuality, qTokenCount, qFingerprint,
+    qUniqueAnswer, qConcatContext, qEvidences, qOneVsOther,
+    qJinja, qFewShot, qTokenize, qDecode, qCollator,
+    qMultiSeqStrider, qLabelsMaskerSample, qTruncateMultiLongest,
+    qFixText, qEnumerateOrder,
+    qCachedStage, qCombineConcat, qMultimodalDecode, qFrameSample,
+    qExactDedupOp, qNeardupVerified, qBruteKnn, qAnnLsh, qSimhash64
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.Mapper
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Collation: ragged → rectangular batches.
+  * Ref: /root/reference/src/smashed/mappers/collators.py.
+  *
+  * Operates on batch rows (the output of [[FixedBatchSize]]): each listed
+  * field is an array-of-sequences; every sequence is padded to the batch
+  * max (or `padToLength` / the next multiple of `padToMultipleOf`).
+  * Depth ≤ 2 covers every reference use (SURVEY §7.3); recursion over
+  * deeper shapes unrolls at plan time from the schema.
+  */
+final case class ListCollator(
+    fieldsPadIds: Map[String, Long],
+    unkFieldsPadId: Option[Long] = None,
+    padToLength: Option[Int] = None,
+    padToMultipleOf: Option[Int] = None,
+    leftPadFields: Seq[String] = Nil
+) extends Mapper {
+  override def inputFields: Seq[String] = fieldsPadIds.keys.toSeq
+  override def outputFields: Seq[String] = fieldsPadIds.keys.toSeq
+
+  private def padIdFor(f: String): Long =
+    fieldsPadIds.getOrElse(
+      f,
+      unkFieldsPadId.getOrElse(
+        throw new IllegalArgumentException(s"No pad id for field $f")
+      )
+    )
+
+  override protected def build(df: DataFrame): DataFrame = {
+    val targets = df.schema.fields
+      .filter(f => fieldsPadIds.contains(f.name) ||
+        (unkFieldsPadId.isDefined && f.dataType.isInstanceOf[ArrayType]))
+      .map(_.name)
+    val outCols = df.columns.toSeq.map { c =>
+      if (targets.contains(c)) padded(df, c).as(c) else col(c)
+    }
+    df.select(outCols: _*)
+  }
+
+  /** target length: max(seq len over batch, padToLength), rounded up to
+    * padToMultipleOf. Ref collators.py:334-421. */
+  private def targetLen(seqs: Column): Column = {
+    val maxLen0 = coalesce(
+      array_max(transform(seqs, s => size(s))),
+      lit(0)
+    )
+    val maxLen = padToLength
+      .map(n => greatest(lit(n), maxLen0))
+      .getOrElse(maxLen0)
+    padToMultipleOf match {
+      case Some(m) => ceil(maxLen.cast(DoubleType) / m).cast(IntegerType) * m
+      case None    => maxLen
+    }
+  }
+
+  private def padded(df: DataFrame, field: String): Column = {
+    val pad = lit(padIdFor(field))
+    val left = leftPadFields.contains(field)
+    df.schema(field).dataType match {
+      // array<array<X>>: a batch of sequences — the standard shape
+      case ArrayType(ArrayType(_, _), _) =>
+        val tl = targetLen(col(field))
+        transform(
+          col(field),
+          s => {
+            val fill = array_repeat(pad, greatest(lit(0), tl - size(s)))
+            if (left) concat(fill, s) else concat(s, fill)
+          }
+        )
+      // array<X>: a single ragged sequence per row — pad to padToLength
+      case ArrayType(_, _) =>
+        val tl0 = padToLength
+          .map(n => lit(n))
+          .getOrElse(size(col(field)))
+        val tl = padToMultipleOf match {
+          case Some(m) => ceil(tl0.cast(DoubleType) / m).cast(IntegerType) * m
+          case None    => tl0
+        }
+        val fill = array_repeat(pad, greatest(lit(0), tl - size(col(field))))
+        if (left) concat(fill, col(field)) else concat(col(field), fill)
+      case other =>
+        throw new IllegalArgumentException(
+          s"ListCollator: field $field has non-array type $other"
+        )
+    }
+  }
+}
+
+object ListCollator {
+  /** Pre-seed pad ids from a tokenizer, mirroring
+    * FromTokenizerListCollatorMapper (collators.py:112-159): input_ids →
+    * pad token id, attention_mask → 0, special_tokens_mask → 1. */
+  def fromTokenizer(
+      tokenizer: GraftTokenizer,
+      extraFieldsPadIds: Map[String, Long] = Map.empty,
+      padToLength: Option[Int] = None,
+      padToMultipleOf: Option[Int] = None,
+      leftPadFields: Seq[String] = Nil
+  ): ListCollator =
+    ListCollator(
+      Map(
+        "input_ids" -> tokenizer.padId,
+        "attention_mask" -> 0L,
+        "special_tokens_mask" -> 1L,
+        "token_type_ids" -> 0L,
+        "labels" -> -100L
+      ) ++ extraFieldsPadIds,
+      padToLength = padToLength,
+      padToMultipleOf = padToMultipleOf,
+      leftPadFields = leftPadFields
+    )
+}

@@ -1,0 +1,386 @@
+package graft.operators
+
+import graft.Mapper
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Large-scale training-data operators: deduplication, similarity search,
+  * text analysis. Beyond the reference's surface (SURVEY §2.10 /
+  * BASELINE.json north_star) — designed 100-TB-first:
+  *
+  *   - every op is a pure DataFrame transform, no driver-side state;
+  *   - dedup joins happen on *hashes/buckets* (bounded-width shuffle keys),
+  *     never on raw text;
+  *   - candidate generation (LSH banding) is linear in rows; quadratic
+  *     work only ever happens within a bucket;
+  *   - `xxhash64` (codegen'd, 8 bytes) is the production hash; the md5
+  *     variants in [[graft.Queries]] exist only for cross-engine oracle
+  *     parity.
+  */
+
+/** Exact dedup: keep one row (smallest `idField`) per distinct value of
+  * `byField`'s hash. One shuffle on a 64-bit key; no raw-text shuffle. */
+final case class ExactDedup(
+    byField: String = "text",
+    idField: String = "doc_id"
+) extends Mapper {
+  override def inputFields: Seq[String] = Seq(byField, idField)
+  override protected def build(df: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(xxhash64(col(byField)))
+      .orderBy(col(idField))
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
+}
+
+object TextShingles {
+  /** Word n-gram shingles of a pre-split `words` column; whole-text
+    * fallback below `n` words. */
+  def shingles(words: Column, n: Int): Column =
+    when(
+      size(words) >= n,
+      transform(
+        sequence(lit(1), size(words) - (n - 1)),
+        i => concat_ws(" ", slice(words, i, lit(n)))
+      )
+    ).otherwise(array(concat_ws(" ", words)))
+}
+
+/** MinHash signature + LSH banding dedup.
+  *
+  * sig[j] = min over shingles of xxhash64(shingle, seed=j); the signature
+  * is split into `bands` bands of `rowsPerBand`; rows sharing any band
+  * hash are duplicate candidates. Pairs are verified with exact Jaccard
+  * over shingle sets (only within buckets — the quadratic step is
+  * bucket-local).
+  *
+  * Output: the input plus `minhash_sig`; `candidatePairs` /`dedup` expose
+  * the downstream steps.
+  */
+final case class MinHashSignature(
+    wordsField: String,
+    shingleSize: Int = 3,
+    numHashes: Int = 16,
+    outputField: String = "minhash_sig"
+) extends Mapper {
+  override def inputFields: Seq[String] = Seq(wordsField)
+  override def outputFields: Seq[String] = Seq(outputField)
+  override protected def build(df: DataFrame): DataFrame =
+    df.withColumn(
+      "__graft_sh",
+      TextShingles.shingles(col(wordsField), shingleSize)
+    ).withColumn(
+        outputField,
+        transform(
+          sequence(lit(0), lit(numHashes - 1)),
+          j => array_min(transform(col("__graft_sh"), sh => xxhash64(sh, j)))
+        )
+      )
+      .drop("__graft_sh")
+}
+
+object MinHashLSH {
+
+  /** Candidate pairs (idA < idB) from banding a minhash signature column.
+    * Linear explode → shuffle on (band, bandHash) → bucket-local join. */
+  def candidatePairs(
+      df: DataFrame,
+      idField: String,
+      sigField: String = "minhash_sig",
+      bands: Int = 4
+  ): DataFrame = {
+    val n = df.schema(sigField).dataType.asInstanceOf[ArrayType]
+    require(n != null, s"$sigField must be an array")
+    val sigLen = df
+      .select(size(col(sigField)))
+      .head()
+      .getInt(0)
+    val rowsPerBand = sigLen / bands
+    val banded = df
+      .select(
+        col(idField).as("__graft_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b =>
+              xxhash64(concat_ws("|", slice(col(sigField), b * rowsPerBand + 1,
+                lit(rowsPerBand))))
+          )
+        ).as(Seq("band", "bh"))
+      )
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(
+        b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.__graft_id") < col("b.__graft_id")
+      )
+      .select(col("a.__graft_id").as("id_a"), col("b.__graft_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Full near-dedup: signature → banding → connected-via-pairs removal
+    * (keep the smallest id of each candidate pair's right side removed).
+    * Single-linkage transitive closure is deliberately NOT computed
+    * distributedly here (iterative); removing every `id_b` of a verified
+    * pair is the standard one-pass approximation used by large corpus
+    * pipelines. */
+  def dedup(
+      df: DataFrame,
+      wordsField: String,
+      idField: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      minJaccard: Double = 0.8
+  ): DataFrame = {
+    val withSig =
+      MinHashSignature(wordsField, shingleSize, numHashes)(df)
+    val pairs = candidatePairs(withSig, idField, "minhash_sig", bands)
+    val shingled = df.select(
+      col(idField).as("__id"),
+      array_distinct(TextShingles.shingles(col(wordsField), shingleSize))
+        .as("__sh")
+    )
+    val verified = pairs
+      .join(shingled.withColumnRenamed("__id", "id_a")
+        .withColumnRenamed("__sh", "sh_a"), Seq("id_a"))
+      .join(shingled.withColumnRenamed("__id", "id_b")
+        .withColumnRenamed("__sh", "sh_b"), Seq("id_b"))
+      .withColumn(
+        "inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
+      )
+      .withColumn(
+        "jac",
+        col("inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      )
+      .filter(col("jac") >= minJaccard)
+    val toDrop = verified.select(col("id_b").as(idField)).distinct()
+    df.join(toDrop, Seq(idField), "left_anti")
+  }
+}
+
+/** 64-bit SimHash over a words column: bit b of the output is the sign of
+  * sum over words of (bit b of xxhash64(word) ? +1 : -1). Near-duplicates
+  * differ in few bits (compare with `bit_count(a ^ b)`). */
+final case class SimHash(
+    wordsField: String,
+    outputField: String = "simhash"
+) extends Mapper {
+  override def inputFields: Seq[String] = Seq(wordsField)
+  override def outputFields: Seq[String] = Seq(outputField)
+  override protected def build(df: DataFrame): DataFrame = {
+    // One aggregate pass: fold words into a 64-long counts array, then
+    // assemble bits. Array-of-counts keeps it a single expression tree
+    // (no 64 separate folds over the data).
+    val counts = aggregate(
+      col(wordsField),
+      array_repeat(lit(0L), 64),
+      (acc, w) => {
+        val h = xxhash64(w)
+        zip_with(
+          acc,
+          sequence(lit(0L), lit(63L)),
+          (c, b) => c + when(call_function("shiftright", h, b.cast(IntegerType)).bitwiseAND(1) === 1, 1L).otherwise(-1L)
+        )
+      }
+    )
+    df.withColumn(
+      outputField,
+      aggregate(
+        zip_with(
+          counts,
+          sequence(lit(0L), lit(63L)),
+          (c, b) => when(c > 0, call_function("shiftleft", lit(1L), b.cast(IntegerType))).otherwise(0L)
+        ),
+        lit(0L),
+        (acc, x) => acc.bitwiseOR(x)
+      )
+    )
+  }
+}
+
+/** Brute-force cosine top-k: every row of `queries` against every row of
+  * `corpus` — the exact baseline. O(|Q|·|C|); use for small Q (the ANN
+  * path below is the scale route). Embeddings are cast to double. */
+object CosineKnn {
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  def bruteForce(
+      corpus: DataFrame,
+      queries: DataFrame,
+      embField: String,
+      idField: String,
+      k: Int
+  ): DataFrame = {
+    val c = corpus.select(
+      col(idField).as("corpus_id"),
+      col(embField).cast(ArrayType(DoubleType)).as("__ce")
+    )
+    val q = queries.select(
+      col(idField).as("query_id"),
+      col(embField).cast(ArrayType(DoubleType)).as("__qe")
+    )
+    val scored = c
+      .crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("__ce"), col("__qe")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cos", "rank")
+  }
+
+  /** Random-hyperplane LSH bucketing: `nPlanes` sign bits = bucket id.
+    * Planes are derived deterministically from a seed via xxhash64 — no
+    * driver-side randomness, no data movement to build the "index".
+    * Candidates = same bucket; quadratic work is bucket-local. At 100 TB
+    * the bucket count (2^nPlanes × multiprobe) keys the one shuffle. */
+  def lshBuckets(
+      df: DataFrame,
+      embField: String,
+      nPlanes: Int = 8,
+      seed: Int = 42
+  ): DataFrame = {
+    val e = col(embField).cast(ArrayType(DoubleType))
+    // plane p, dim i weight = (hash(p, i, seed) mod 2001 - 1000)/1000  ∈ [-1, 1]
+    val bucketBits = transform(
+      sequence(lit(0), lit(nPlanes - 1)),
+      p => {
+        val proj = aggregate(
+          zip_with(
+            e,
+            sequence(lit(0L), size(e).cast(LongType) - 1),
+            (x, i) =>
+              x * ((xxhash64(p.cast(LongType) * 100000 + i, lit(seed)) % 2001)
+                .cast(DoubleType) / 1000.0)
+          ),
+          lit(0.0),
+          (acc, x) => acc + x
+        )
+        when(proj >= 0, 1L).otherwise(0L)
+      }
+    )
+    df.withColumn(
+      "bucket",
+      aggregate(
+        zip_with(
+          bucketBits,
+          sequence(lit(0L), lit(nPlanes - 1L)),
+          (bit, i) => call_function("shiftleft", bit, i.cast(IntegerType))
+        ),
+        lit(0L),
+        (acc, x) => acc.bitwiseOR(x)
+      )
+    )
+  }
+
+  /** ANN top-k via LSH buckets: exact cosine only within the query's
+    * bucket. Recall < 1 by construction; nPlanes trades recall for
+    * bucket size. */
+  def annTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      embField: String,
+      idField: String,
+      k: Int,
+      nPlanes: Int = 8,
+      seed: Int = 42
+  ): DataFrame = {
+    val c = lshBuckets(corpus, embField, nPlanes, seed)
+      .select(
+        col(idField).as("corpus_id"),
+        col(embField).cast(ArrayType(DoubleType)).as("__ce"),
+        col("bucket")
+      )
+    val q = lshBuckets(queries, embField, nPlanes, seed)
+      .select(
+        col(idField).as("query_id"),
+        col(embField).cast(ArrayType(DoubleType)).as("__qe"),
+        col("bucket")
+      )
+    val scored = c
+      .join(q, Seq("bucket"))
+      .withColumn("cos", cosine(col("__ce"), col("__qe")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cos", "rank")
+  }
+}
+
+/** Text analysis: language id (stopword-profile heuristic), quality
+  * scores, token counts, winnowing-style fingerprints — all native
+  * expressions over a pre-split words column. */
+object TextAnalysis {
+
+  /** Tiny built-in stopword profiles; extend per deployment. */
+  val profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "que", "por")
+  )
+
+  /** Per-language stopword hit ratio + argmax prediction. */
+  def langId(words: Column, minScore: Double = 0.05): Column = {
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, stops) =>
+      val stopArr = array(stops.map(lit): _*)
+      struct(
+        (size(filter(words, w => array_contains(stopArr, w)))
+          .cast(DoubleType) / greatest(size(words), lit(1)).cast(DoubleType))
+          .as("score"),
+        lit(lang).as("lang")
+      )
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") >= minScore, best.getField("lang"))
+      .otherwise(lit("unk"))
+  }
+
+  def qualityScores(df: DataFrame, textField: String, wordsField: String): DataFrame =
+    df.withColumn("n_words_q", size(col(wordsField)).cast(LongType))
+      .withColumn(
+        "mean_word_len",
+        aggregate(col(wordsField), lit(0L), (a, w) => a + length(w))
+          .cast(DoubleType) / greatest(size(col(wordsField)), lit(1)).cast(DoubleType)
+      )
+      .withColumn(
+        "alpha_ratio",
+        size(filter(col(wordsField), w => w.rlike("^[A-Za-z]+$")))
+          .cast(DoubleType) / greatest(size(col(wordsField)), lit(1)).cast(DoubleType)
+      )
+      .withColumn(
+        "stopword_ratio",
+        size(filter(col(wordsField),
+          w => array_contains(array(profiles("en").map(lit): _*), w)))
+          .cast(DoubleType) / greatest(size(col(wordsField)), lit(1)).cast(DoubleType)
+      )
+
+  /** Winnowing-lite fingerprint: hash char 5-grams, keep hashes ≡ 0
+    * (mod `keepMod`), sorted distinct — a stable doc sketch whose size
+    * scales with content, not corpus. */
+  def fingerprint(text: Column, gramLen: Int = 5, keepMod: Int = 16): Column =
+    array_sort(
+      array_distinct(
+        filter(
+          transform(
+            sequence(lit(1), greatest(length(text) - (gramLen - 1), lit(1))),
+            i => xxhash64(text.substr(i, lit(gramLen)))
+          ),
+          h => pmod(h, lit(keepMod)) === 0
+        )
+      )
+    )
+}

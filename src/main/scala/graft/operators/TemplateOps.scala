@@ -1,0 +1,407 @@
+package graft.operators
+
+import graft.Mapper
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Mini-Jinja template engine + Jinja mappers.
+  * Ref: /root/reference/src/smashed/mappers/promptsource.py:45-354.
+  *
+  * The supported subset (SURVEY §7.3 / M4): `{{ var }}` substitution with
+  * dotted paths and filters (length, lower, upper, trim, capitalize,
+  * first, last, join("sep")), `{% for x in xs %}…{% endfor %}`,
+  * `{% if cond %}…{% elif %}…{% else %}…{% endif %}` with comparisons
+  * (`== != < <= > >=`) and truthiness, and the reference's `|||`
+  * source/target split (promptsource.py:185-196). Unsupported constructs
+  * raise at parse time (on the driver) with a clear message.
+  *
+  * Templates parse ONCE on the driver into an AST; rows render inside
+  * `mapPartitions` — the same boundary the tokenizer uses.
+  */
+object MiniJinja {
+
+  sealed trait Node
+  final case class Text(s: String) extends Node
+  final case class Output(e: Expr) extends Node
+  final case class For(v: String, seq: Expr, body: List[Node]) extends Node
+  final case class If(branches: List[(Option[Expr], List[Node])]) extends Node
+
+  sealed trait Expr
+  final case class Ref(path: List[String]) extends Expr
+  final case class Lit(v: Any) extends Expr
+  final case class Filtered(e: Expr, filter: String, args: List[Any]) extends Expr
+  final case class Cmp(op: String, l: Expr, r: Expr) extends Expr
+
+  final case class Template(nodes: List[Node]) extends Serializable {
+    /** Variable names referenced at the top level (the reference infers
+      * input fields the same way, promptsource.py:125-153). */
+    def variables: Set[String] = {
+      def exprVars(e: Expr): Set[String] = e match {
+        case Ref(p)            => Set(p.head)
+        case Filtered(e, _, _) => exprVars(e)
+        case Cmp(_, l, r)      => exprVars(l) ++ exprVars(r)
+        case _                 => Set.empty
+      }
+      def walk(ns: List[Node], bound: Set[String]): Set[String] = ns.flatMap {
+        case Text(_)   => Set.empty[String]
+        case Output(e) => exprVars(e) -- bound
+        case For(v, seq, body) =>
+          (exprVars(seq) -- bound) ++ walk(body, bound + v)
+        case If(bs) =>
+          bs.flatMap { case (c, b) =>
+            c.map(exprVars).getOrElse(Set.empty) ++ walk(b, bound)
+          }.toSet -- bound
+      }.toSet
+      walk(nodes, Set.empty)
+    }
+
+    def render(vars: Map[String, Any]): String = {
+      val sb = new StringBuilder
+      renderInto(nodes, vars, sb)
+      sb.result()
+    }
+
+    private def renderInto(
+        ns: List[Node],
+        vars: Map[String, Any],
+        sb: StringBuilder
+    ): Unit = ns.foreach {
+      case Text(s)   => sb.append(s)
+      case Output(e) => sb.append(show(eval(e, vars)))
+      case For(v, seqE, body) =>
+        eval(seqE, vars) match {
+          case s: Seq[_] =>
+            s.foreach(x => renderInto(body, vars + (v -> x), sb))
+          case null => ()
+          case other =>
+            throw new IllegalArgumentException(
+              s"for-loop over non-sequence value: $other"
+            )
+        }
+      case If(branches) =>
+        branches
+          .find { case (cond, _) => cond.forall(c => truthy(eval(c, vars))) }
+          .foreach { case (_, body) => renderInto(body, vars, sb) }
+    }
+
+    private def eval(e: Expr, vars: Map[String, Any]): Any = e match {
+      case Lit(v) => v
+      case Ref(path) =>
+        var cur: Any = vars.getOrElse(path.head, null)
+        path.tail.foreach { seg =>
+          cur = cur match {
+            case null => null
+            case m: Map[_, _] =>
+              m.asInstanceOf[Map[String, Any]].getOrElse(seg, null)
+            case r: Row =>
+              try r.getAs[Any](seg)
+              catch { case _: Exception => null }
+            case _ => null
+          }
+        }
+        cur
+      case Filtered(inner, f, args) =>
+        val v = eval(inner, vars)
+        (f, args) match {
+          case ("length", _) =>
+            v match {
+              case s: Seq[_]  => s.size.toLong
+              case s: String  => s.length.toLong
+              case m: Map[_, _] => m.size.toLong
+              case null       => 0L
+              case other      => throw new IllegalArgumentException(s"length of $other")
+            }
+          case ("lower", _)      => String.valueOf(v).toLowerCase(java.util.Locale.ROOT)
+          case ("upper", _)      => String.valueOf(v).toUpperCase(java.util.Locale.ROOT)
+          case ("trim", _)       => String.valueOf(v).trim
+          case ("capitalize", _) =>
+            val s = String.valueOf(v)
+            if (s.isEmpty) s else s.head.toUpper + s.tail.toLowerCase(java.util.Locale.ROOT)
+          case ("first", _) => v match {
+            case s: Seq[_] => s.headOption.orNull
+            case s: String => if (s.isEmpty) "" else s.substring(0, 1)
+            case other     => other
+          }
+          case ("last", _) => v match {
+            case s: Seq[_] => s.lastOption.orNull
+            case s: String => if (s.isEmpty) "" else s.substring(s.length - 1)
+            case other     => other
+          }
+          case ("join", sep :: Nil) =>
+            v match {
+              case s: Seq[_] => s.map(show).mkString(String.valueOf(sep))
+              case other     => show(other)
+            }
+          case _ =>
+            throw new IllegalArgumentException(s"Unsupported filter: $f($args)")
+        }
+      case Cmp(op, le, re) =>
+        val l = eval(le, vars)
+        val r = eval(re, vars)
+        op match {
+          case "==" => l == r || show(l) == show(r)
+          case "!=" => !(l == r || show(l) == show(r))
+          case _ =>
+            val (ln, rn) = (toNum(l), toNum(r))
+            op match {
+              case "<"  => ln < rn
+              case "<=" => ln <= rn
+              case ">"  => ln > rn
+              case ">=" => ln >= rn
+            }
+        }
+    }
+
+    private def toNum(v: Any): Double = v match {
+      case n: Number => n.doubleValue()
+      case s: String => s.toDouble
+      case other     => throw new IllegalArgumentException(s"not a number: $other")
+    }
+
+    private def truthy(v: Any): Boolean = v match {
+      case null       => false
+      case b: Boolean => b
+      case n: Number  => n.doubleValue() != 0
+      case s: String  => s.nonEmpty
+      case s: Seq[_]  => s.nonEmpty
+      case _          => true
+    }
+
+    private def show(v: Any): String = v match {
+      case null      => ""
+      case d: Double => if (d == d.floor && !d.isInfinite) d.toLong.toString else d.toString
+      case f: Float  => show(f.toDouble)
+      case s: Seq[_] => s.map(show).mkString("[", ", ", "]")
+      case other     => String.valueOf(other)
+    }
+  }
+
+  /** Parse; throws IllegalArgumentException on unsupported constructs. */
+  def parse(template: String): Template = {
+    val tokenPat = "\\{\\{.*?\\}\\}|\\{%.*?%\\}".r
+    var pos = 0
+    val tokens = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    tokenPat.findAllMatchIn(template).foreach { m =>
+      if (m.start > pos) tokens += (("text", template.substring(pos, m.start)))
+      val t = m.matched
+      if (t.startsWith("{{")) tokens += (("output", t.drop(2).dropRight(2).trim))
+      else tokens += (("tag", t.drop(2).dropRight(2).trim))
+      pos = m.end
+    }
+    if (pos < template.length) tokens += (("text", template.substring(pos)))
+
+    val toks = tokens.toList
+    var i = 0
+    def parseNodes(stopTags: Set[String]): (List[Node], Option[String]) = {
+      val out = scala.collection.mutable.ListBuffer.empty[Node]
+      while (i < toks.length) {
+        val (kind, body) = toks(i)
+        kind match {
+          case "text"   => out += Text(body); i += 1
+          case "output" => out += Output(parseExpr(body)); i += 1
+          case "tag" =>
+            val tag = body.split("\\s+").head
+            if (stopTags.contains(tag)) return (out.toList, Some(body))
+            tag match {
+              case "for" =>
+                val m = "^for\\s+(\\w+)\\s+in\\s+(.+)$".r
+                  .findFirstMatchIn(body)
+                  .getOrElse(throw new IllegalArgumentException(s"Bad for: $body"))
+                i += 1
+                val (inner, _) = parseNodes(Set("endfor"))
+                i += 1 // consume endfor
+                out += For(m.group(1), parseExpr(m.group(2)), inner)
+              case "if" =>
+                val branches =
+                  scala.collection.mutable.ListBuffer.empty[(Option[Expr], List[Node])]
+                var cond: Option[Expr] = Some(parseExpr(body.drop(2).trim))
+                i += 1
+                var done = false
+                while (!done) {
+                  val (inner, stop) = parseNodes(Set("elif", "else", "endif"))
+                  branches += ((cond, inner))
+                  stop match {
+                    case Some(s) if s.startsWith("elif") =>
+                      cond = Some(parseExpr(s.drop(4).trim)); i += 1
+                    case Some("else") => cond = None; i += 1
+                    case Some("endif") => i += 1; done = true
+                    case other =>
+                      throw new IllegalArgumentException(s"Unclosed if: $other")
+                  }
+                }
+              case other =>
+                throw new IllegalArgumentException(
+                  s"Unsupported Jinja construct '{% $other %}'. Supported: " +
+                    "{{ var }}, {% for %}, {% if/elif/else %}"
+                )
+            }
+        }
+      }
+      (out.toList, None)
+    }
+    val (nodes, _) = parseNodes(Set.empty)
+    Template(nodes)
+  }
+
+  private def parseExpr(s: String): Expr = {
+    val cmpPat = "(.+?)(==|!=|<=|>=|<|>)(.+)".r
+    s.trim match {
+      case cmpPat(l, op, r) => Cmp(op.trim, parseFiltered(l.trim), parseFiltered(r.trim))
+      case other            => parseFiltered(other)
+    }
+  }
+
+  private def parseFiltered(s: String): Expr = {
+    val parts = splitTop(s, '|').map(_.trim)
+    val base = parseAtom(parts.head)
+    parts.tail.foldLeft(base) { (acc, f) =>
+      val m = "^(\\w+)(?:\\((.*)\\))?$".r
+        .findFirstMatchIn(f)
+        .getOrElse(throw new IllegalArgumentException(s"Bad filter: $f"))
+      val args = Option(m.group(2)).filter(_.nonEmpty)
+        .map(a => splitTop(a, ',').map(x => literal(x.trim)).toList)
+        .getOrElse(Nil)
+      Filtered(acc, m.group(1), args)
+    }
+  }
+
+  private def parseAtom(s: String): Expr =
+    if (s.startsWith("\"") || s.startsWith("'") || s.head.isDigit || s == "true" || s == "false")
+      Lit(literal(s))
+    else Ref(s.split("\\.").toList)
+
+  private def literal(s: String): Any =
+    if (s.startsWith("\"") && s.endsWith("\"")) s.drop(1).dropRight(1)
+    else if (s.startsWith("'") && s.endsWith("'")) s.drop(1).dropRight(1)
+    else if (s == "true") true
+    else if (s == "false") false
+    else if (s.contains('.')) s.toDouble
+    else s.toLong
+
+  /** split on `sep` outside quotes/parens. */
+  private def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    s.foreach { c =>
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') { quote = c; cur += c }
+      else if (c == '(') { depth += 1; cur += c }
+      else if (c == ')') { depth -= 1; cur += c }
+      else if (c == sep && depth == 0) { out += cur.result(); cur.clear() }
+      else cur += c
+    }
+    out += cur.result()
+    out.toSeq
+  }
+
+  /** Spark value → template value (Rows stay Rows; WrappedArray → Seq). */
+  private[operators] def toTemplateValue(v: Any): Any = v match {
+    case s: scala.collection.Seq[_] => s.map(toTemplateValue).toSeq
+    case other                      => other
+  }
+}
+
+/** Render a Jinja template per row; `|||` splits source vs target(s).
+  * Ref: promptsource.py:313-354. */
+final case class JinjaMapper(
+    jinja: String,
+    sourceFieldName: String = "source",
+    targetFieldName: String = "target",
+    returnMultipleTargets: Boolean = false,
+    extraVariables: Map[String, Any] = Map.empty
+) extends Mapper {
+  // parse eagerly on the driver so bad templates fail at pipeline build
+  MiniJinja.parse(jinja)
+
+  override def inputFields: Seq[String] = Nil // inferred from template
+  override def outputFields: Seq[String] =
+    Seq(sourceFieldName, targetFieldName)
+
+  override protected def build(df: DataFrame): DataFrame = {
+    val template = jinja
+    val extra = extraVariables
+    val multi = returnMultipleTargets
+    val cols = df.columns
+    val targetType =
+      if (multi) ArrayType(StringType) else StringType
+    val outSchema = StructType(
+      df.schema.fields ++ Seq(
+        StructField(sourceFieldName, StringType),
+        StructField(targetFieldName, targetType)
+      )
+    )
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      val tpl = MiniJinja.parse(template) // once per partition
+      it.map { row =>
+        val vars = cols.zipWithIndex.map { case (c, i) =>
+          c -> MiniJinja.toTemplateValue(row.get(i))
+        }.toMap ++ extra
+        val rendered = tpl.render(vars)
+        val parts = rendered.split("\\|\\|\\|").map(_.trim)
+        val source = parts.head
+        val targets = parts.tail.toSeq
+        val targetVal: Any =
+          if (multi) targets
+          else targets.headOption.getOrElse("")
+        Row.fromSeq(row.toSeq ++ Seq(source, targetVal))
+      }
+    }(enc)
+  }
+}
+
+/** Few-shot prompting: group `numShots`+1 consecutive rows; the first
+  * `numShots` become `__shots__` context, the last is the query row.
+  * Ref: promptsource.py:357-470. Batching follows FixedBatchSize's
+  * scalable semantics (partition-local by default, `orderBy` for a
+  * deterministic global order — SURVEY §7.3). */
+final case class FewShotJinjaMapper(
+    jinja: String,
+    numShots: Int,
+    sourceFieldName: String = "source",
+    targetFieldName: String = "target",
+    keepLast: Boolean = false,
+    orderBy: Seq[String] = Nil
+) extends Mapper {
+  require(numShots >= 0, "numShots must be >= 0")
+  MiniJinja.parse(jinja)
+
+  override def outputFields: Seq[String] = Seq(sourceFieldName, targetFieldName)
+
+  override protected def build(df: DataFrame): DataFrame = {
+    val groupSize = numShots + 1
+    val batched = FixedBatchSize(groupSize, keepLast = keepLast, orderBy = orderBy)(df)
+    // batched: every column is now an array; shots = rows 0..n-2, query = last
+    val template = jinja
+    val cols = df.columns
+    val outSchema = StructType(
+      df.schema.fields ++ Seq(
+        StructField(sourceFieldName, StringType),
+        StructField(targetFieldName, StringType)
+      )
+    )
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    batched.mapPartitions { it =>
+      val tpl = MiniJinja.parse(template)
+      it.map { row =>
+        val colsVals: Map[String, Seq[Any]] = cols.zipWithIndex.map {
+          case (c, i) =>
+            c -> row.getSeq[Any](i).map(MiniJinja.toTemplateValue)
+        }.toMap
+        val n = colsVals.head._2.size
+        val shots: Seq[Map[String, Any]] =
+          (0 until n - 1).map(k => cols.map(c => c -> colsVals(c)(k)).toMap)
+        val queryVars = cols.map(c => c -> colsVals(c)(n - 1)).toMap
+        val vars = queryVars + ("__shots__" -> shots)
+        val parts = tpl.render(vars).split("\\|\\|\\|").map(_.trim)
+        Row.fromSeq(
+          cols.map(c => colsVals(c)(n - 1)) ++
+            Seq(parts.head, parts.drop(1).headOption.getOrElse(""))
+        )
+      }
+    }(enc)
+  }
+}

