@@ -167,15 +167,26 @@ object CastTypes {
 
 /** Cast listed fields to a target type, recursing into arrays/structs.
   * Ref: mappers/types.py:43-161. Note: Python `int()` truncates toward
-  * zero, which matches Spark's (non-ANSI) fractional→integral cast. */
+  * zero, which matches Spark's (non-ANSI) fractional→integral cast.
+  * Arrays are cast element-wise via `transform` (Spark 4 rejects some
+  * whole-array casts, e.g. array<double>→array<bigint>). */
 final case class Cast(castMap: Map[String, String]) extends Mapper {
   override def inputFields: Seq[String] = castMap.keys.toSeq
   override def outputFields: Seq[String] = castMap.keys.toSeq
+
+  private def recastCol(c: Column, dt: DataType, target: DataType): Column =
+    dt match {
+      case ArrayType(e, _) => transform(c, x => recastCol(x, e, target))
+      case StructType(fs) =>
+        struct(fs.map(f =>
+          recastCol(c.getField(f.name), f.dataType, target).as(f.name)): _*)
+      case _ => c.cast(target)
+    }
+
   override protected def build(df: DataFrame): DataFrame =
     castMap.foldLeft(df) { case (acc, (f, t)) =>
       val target = CastTypes.parse(t)
-      val current = acc.schema(f).dataType
-      acc.withColumn(f, col(f).cast(CastTypes.recast(current, target)))
+      acc.withColumn(f, recastCol(col(f), acc.schema(f).dataType, target))
     }
 }
 

@@ -230,6 +230,7 @@ object MiniJinja {
                       throw new IllegalArgumentException(s"Unclosed if: $other")
                   }
                 }
+                out += If(branches.toList)
               case other =>
                 throw new IllegalArgumentException(
                   s"Unsupported Jinja construct '{% $other %}'. Supported: " +

@@ -1,0 +1,155 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Dedup / similarity / contrib / multimodal / loaders / caching. */
+class DedupContribSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 1
+    (4L, "completely different content about spark query engines at scale")
+  ).toDF("doc_id", "text")
+    .withColumn("words", split(col("text"), " "))
+
+  test("ExactDedup keeps smallest id per text") {
+    val out = ExactDedup("text", "doc_id")(docs)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L))
+  }
+
+  test("MinHash signature identical for identical docs") {
+    val sigs = MinHashSignature("words")(docs)
+      .select("doc_id", "minhash_sig").as[(Long, Seq[Long])]
+      .collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+  }
+
+  test("MinHashLSH candidate pairs find dups, dedup removes them") {
+    val withSig = MinHashSignature("words")(docs)
+    val pairs = MinHashLSH.candidatePairs(withSig, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    val deduped = MinHashLSH.dedup(docs, "words", "doc_id", minJaccard = 0.5)
+    val kept = deduped.select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(2L) && kept.contains(4L))
+  }
+
+  test("SimHash: identical → equal; near-dup closer than unrelated") {
+    val hs = SimHash("words")(docs).select("doc_id", "simhash")
+      .as[(Long, Long)].collect().toMap
+    assert(hs(1L) == hs(2L))
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(dist(hs(1L), hs(3L)) < dist(hs(1L), hs(4L)))
+  }
+
+  test("CosineKnn bruteForce: self is rank 1") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = CosineKnn.bruteForce(emb, emb.filter(col("vec_id") === 0), "embedding", "vec_id", 2)
+    val got = out.select("corpus_id", "rank").as[(Long, Int)].collect().toMap
+    assert(got.find(_._2 == 1).map(_._1).contains(0L) || got(0L) == 1)
+    assert(got(1L) == 2)
+  }
+
+  test("CosineKnn annTopK bucket recall: identical vectors share bucket") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = CosineKnn.annTopK(emb, emb.filter(col("vec_id") === 0),
+      "embedding", "vec_id", k = 3, nPlanes = 4)
+    val ids = out.select("corpus_id").as[Long].collect().toSet
+    assert(ids.contains(0L) && ids.contains(1L))
+  }
+
+  test("TextAnalysis.langId picks the stopword-rich language") {
+    val df = Seq(
+      ("the cat and the dog of the house", "en"),
+      ("der hund und die katze ist nicht da", "de")
+    ).toDF("text", "expect").withColumn("words", split(col("text"), " "))
+    val out = df.withColumn("pred", TextAnalysis.langId(col("words")))
+    assert(out.filter(col("pred") === col("expect")).count() == 2)
+  }
+
+  test("fingerprint stable + content-sensitive") {
+    val df = Seq("abcdefghij klmnop qrstuv", "abcdefghij klmnop qrstuv",
+      "totally other text here!").toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .as[Seq[Long]].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("ConcatenateContext over sections with headers") {
+    val df = Seq((Seq("H1", "H2"), Seq(Seq("p1", "p2"), Seq("p3")))).toDF("h", "context")
+    val out = ConcatenateContext("context", headerField = Some("h"))(df)
+    assert(rows(out.select("context")).head.head == "H1\np1 p2 \nH2\np3 \n")
+  }
+
+  test("AddEvidencesLocation finds spans, -1 when absent") {
+    val df = Seq(("hello world", Seq("world", "mars"))).toDF("context", "evidences")
+    val out = AddEvidencesLocation()(df)
+    assert(
+      rows(out.select("locations")).head.head ==
+        List(List(6L, 11L), List(-1L, -1L))
+    )
+  }
+
+  test("OneVsOtherAnnotator mean of the rest") {
+    val df = Seq(Tuple1(Seq(1.0, 5.0, 3.0))).toDF("annotations")
+    val out = OneVsOtherAnnotator(position = 1)(df)
+    val r = out.select("preds", "label").head()
+    assert(r.getDouble(0) == 5.0 && r.getDouble(1) == 2.0)
+  }
+
+  test("UniqueAnswer preserves first-appearance order") {
+    val df = Seq(Tuple1(Seq("b", "a", "b", "c", "a"))).toDF("answers")
+    assert(rows(UniqueAnswer()(df)).head.head == List("b", "a", "c"))
+  }
+
+  test("DecodeMediaStub: deterministic features from bytes") {
+    val df = Seq("ab").toDF("t")
+      .withColumn("media", Multimodal.asMedia(col("t").cast("binary"), "x"))
+    val out = DecodeMediaStub("media", targetW = 2, targetH = 1)(df)
+    assert(rows(out.select("features")).head.head == List(97.0f, 98.0f))
+  }
+
+  test("CachedStage: second run hits cache, same result") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cache_test").toString
+    val df = Seq(("a b c", 1L)).toDF("text", "id")
+    val stage = CachedStage.around(dir)(TextToWords(Seq("text"), Splitters.Ws))
+    val r1 = rows(stage(df))
+    val r2 = rows(stage(df)) // cache hit
+    assert(r1 == r2 && r1.head.head == List("a", "b", "c"))
+    assert(new java.io.File(dir).listFiles().nonEmpty)
+  }
+
+  test("CsvLoader reads from path rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/a.csv"), "x,y\n1,foo\n2,bar\n")
+    val specs = Seq(s"$tmp/a.csv").toDF("path")
+    val out = CsvLoader("path")(specs)
+    assert(out.count() == 2 && out.columns.toSeq == Seq("x", "y"))
+  }
+
+  test("JsonlLoader reads from path rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/a.jsonl"),
+      """{"x": 1, "y": "foo"}""" + "\n" + """{"x": 2, "y": "bar"}""" + "\n")
+    val out = JsonlLoader("path")(Seq(s"$tmp/a.jsonl").toDF("path"))
+    assert(out.count() == 2)
+  }
+
+  test("CombineSources.concatenate unions by name") {
+    val a = Seq((1L, "x")).toDF("id", "v")
+    val b = Seq((2L, "y")).toDF("id", "v")
+    assert(CombineSources.concatenate(Seq(a, b)).count() == 2)
+  }
+}

@@ -1,0 +1,146 @@
+package graft
+
+import graft.operators._
+
+/** Sequence padding / truncation / mask golden cases
+  * (reference tests/test_masks.py:11-59, mappers/multiseq.py,
+  * mappers/prompting.py:151-310). */
+class SeqMaskSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val specials = SpecialTokens(Seq(101L), Seq(102L), Seq(103L))
+
+  test("TokensSequencesPadding: bos first, sep between, eos last") {
+    val df = Seq(Tuple1(Seq(Seq(1L, 2L), Seq(3L), Seq(4L, 5L)))).toDF("input_ids")
+    val out = TokensSequencesPadding("input_ids", specials)(df)
+    assert(
+      rows(out).head.head == List(
+        List(101L, 1L, 2L, 102L),
+        List(3L, 102L),
+        List(4L, 5L, 103L)
+      )
+    )
+  }
+
+  test("AttentionMaskSequencePadding pads with ones") {
+    val df = Seq(Tuple1(Seq(Seq(1L, 1L), Seq(1L)))).toDF("attention_mask")
+    val out = AttentionMaskSequencePadding("attention_mask", specials)(df)
+    assert(
+      rows(out).head.head == List(List(1L, 1L, 1L, 1L), List(1L, 1L))
+    )
+  }
+
+  test("TokenTypeIdsSequencePadding uses first symbol, suffix only last") {
+    val df = Seq(Tuple1(Seq(Seq(0L, 0L), Seq(1L, 1L)))).toDF("token_type_ids")
+    val out = TokenTypeIdsSequencePadding("token_type_ids", specials)(df)
+    assert(
+      rows(out).head.head == List(List(0L, 0L, 0L), List(1L, 1L, 1L, 1L))
+    )
+  }
+
+  test("MakeAttentionMask ones shaped like input") {
+    val df = Seq(Tuple1(Seq(Seq(9L, 9L, 9L), Seq(9L)))).toDF("input_ids")
+    val out = MakeAttentionMask()(df)
+    assert(
+      rows(out.select("attention_mask")).head.head ==
+        List(List(1L, 1L, 1L), List(1L))
+    )
+  }
+
+  test("SingleValueToSequence strategies") {
+    val df = Seq((Seq(7L, 8L), Seq(Seq(0L, 0L, 0L), Seq(0L, 0L)))).toDF("y", "input_ids")
+    def run(s: String) =
+      rows(SingleValueToSequence("y", "input_ids", s)(df).select("y")).head.head
+    assert(run("first") == List(List(7L, -100L, -100L), List(8L, -100L)))
+    assert(run("last") == List(List(-100L, -100L, 7L), List(-100L, 8L)))
+    assert(run("all") == List(List(7L, 7L, 7L), List(8L, 8L)))
+  }
+
+  test("Padding pads right, errors when too long") {
+    val df = Seq(Tuple1(Seq(1L, 2L))).toDF("x")
+    assert(
+      rows(operators.Padding(4, 0L, Seq("x"))(df)) ==
+        Seq(Seq(List(1L, 2L, 0L, 0L)))
+    )
+    val tooLong = Seq(Tuple1(Seq(1L, 2L, 3L, 4L, 5L))).toDF("x")
+    intercept[Exception] {
+      operators.Padding(4, 0L, Seq("x"))(tooLong).collect()
+    }
+  }
+
+  test("TruncateMultipleFields uniform: proportional floor") {
+    // reference prompting.py:217-232: lens 8,4 budget 6 → floor(8*6/12)=4, floor(4*6/12)=2
+    val df = Seq((Seq.fill(8)(1L), Seq.fill(4)(2L))).toDF("a", "b")
+    val out = TruncateMultipleFields(Seq("a", "b"), maxLength = 6, strategy = "uniform")(df)
+    val r = rows(out).head
+    assert(r(0).asInstanceOf[List[_]].size == 4)
+    assert(r(1).asInstanceOf[List[_]].size == 2)
+  }
+
+  test("TruncateMultipleFields longest: cuts longest, keeps short") {
+    // lens 10,2 budget 8 → target 4; a>target cut to 4+extra, b stays 2
+    // extra = 8 - 8 + (4-2) = 2; longer=[6,0]; red_a = 2 → a → 6? no:
+    // uniform(longer, 2, 6) = floor(6*2/6)=2 → a = 4+2 = 6, b = 2; total 8
+    val df = Seq((Seq.fill(10)(1L), Seq.fill(2)(2L))).toDF("a", "b")
+    val out = TruncateMultipleFields(Seq("a", "b"), maxLength = 8, strategy = "longest")(df)
+    val r = rows(out).head
+    assert(r(0).asInstanceOf[List[_]].size == 6)
+    assert(r(1).asInstanceOf[List[_]].size == 2)
+  }
+
+  test("TruncateMultipleFields is a no-op under budget") {
+    val df = Seq((Seq(1L), Seq(2L))).toDF("a", "b")
+    val out = TruncateMultipleFields(Seq("a", "b"), maxLength = 10)(df)
+    assert(rows(out) == Seq(Seq(List(1L), List(2L))))
+  }
+
+  test("IndicesToMask golden (test_masks.py:11-30 shape)") {
+    val df = Seq((Seq(0L, 2L), Seq("a", "b", "c", "d"))).toDF("locs", "ref")
+    val out = IndicesToMask("mask", "ref", "locs")(df)
+    assert(rows(out.select("mask")).head.head == List(1L, 0L, 1L, 0L))
+  }
+
+  test("RangeToMask golden incl. empty locations") {
+    val df = Seq(
+      (Seq(Seq(1L, 3L)), Seq("a", "b", "c", "d")),
+      (Seq.empty[Seq[Long]], Seq("a", "b"))
+    ).toDF("locs", "ref")
+    val out = RangeToMask("mask", "ref", "locs")(df)
+    assert(
+      rows(out.select("mask")).map(_.head) ==
+        Seq(List(0L, 1L, 1L, 0L), List(0L, 0L))
+    )
+  }
+
+  test("MaskToIndices + enforce single") {
+    val df = Seq(Tuple1(Seq(0L, 1L, 0L, 1L))).toDF("mask")
+    assert(
+      rows(MaskToIndices("mask", "locs")(df).select("locs")).head.head ==
+        List(1L, 3L)
+    )
+    val single = Seq(Tuple1(Seq(0L, 1L, 0L))).toDF("mask")
+    assert(
+      rows(
+        MaskToIndices("mask", "locs", enforceSingleLocation = true)(single)
+          .select("locs")
+      ).head.head == 1L
+    )
+  }
+
+  test("MaskToRange run-length golden (test_masks.py:146-178 semantics)") {
+    val df = Seq(Tuple1(Seq(1L, 1L, 0L, 1L, 0L, 1L, 1L, 1L))).toDF("mask")
+    val out = MaskToRange("mask", "locs")(df)
+    assert(
+      rows(out.select("locs")).head.head ==
+        List(List(0L, 2L), List(3L, 4L), List(5L, 8L))
+    )
+  }
+
+  test("mask roundtrip: indices -> mask -> indices") {
+    val df = Seq((Seq(1L, 3L, 4L), Seq.fill(6)("x"))).toDF("locs", "ref")
+    val out = MaskToIndices("mask", "locs2")(
+      IndicesToMask("mask", "ref", "locs")(df)
+    )
+    assert(rows(out.select("locs2")).head.head == List(1L, 3L, 4L))
+  }
+}

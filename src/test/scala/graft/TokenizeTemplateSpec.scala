@@ -1,0 +1,146 @@
+package graft
+
+import graft.operators._
+
+/** WordPiece + template golden cases
+  * (reference tests/test_tokenize_mappers.py:72-121 semantics, with a
+  * self-contained vocab; promptsource.py subset). */
+class TokenizeTemplateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vocab: Map[String, Long] = Seq(
+    "[PAD]", "[UNK]", "[CLS]", "[SEP]", // 0..3
+    "this", "is", "a", "sentence", ".", "un", "##want", "##ed",
+    "run", "##ning", ","
+  ).zipWithIndex.map { case (t, i) => t -> i.toLong }.toMap
+  private val tok = WordPieceTokenizer(vocab)
+
+  test("wordpiece greedy longest-match with ## continuations") {
+    assert(tok.encode("unwanted running", false).toSeq ==
+      Seq(vocab("un"), vocab("##want"), vocab("##ed"), vocab("run"), vocab("##ning")))
+  }
+
+  test("unknown word becomes single UNK") {
+    assert(tok.encode("xyzzy", false).toSeq == Seq(vocab("[UNK]")))
+  }
+
+  test("punctuation split + lowercase + specials") {
+    val ids = tok.encode("This is a sentence.", true).toSeq
+    assert(ids == Seq(vocab("[CLS]"), vocab("this"), vocab("is"), vocab("a"),
+      vocab("sentence"), vocab("."), vocab("[SEP]")))
+  }
+
+  test("decode round trip matches reference golden shape") {
+    // mirrors the reference's decoded-string assertion
+    // (tests/test_tokenize_mappers.py:76-121)
+    val ids = tok.encode("this is a sentence.", true)
+    assert(tok.decode(ids.toSeq, skipSpecialTokens = false) ==
+      "[CLS] this is a sentence . [SEP]")
+    assert(tok.decode(ids.toSeq, skipSpecialTokens = true) ==
+      "this is a sentence .")
+    assert(tok.decode(tok.encode("unwanted running", false).toSeq, true) ==
+      "unwanted running")
+  }
+
+  test("TokenizerMapper truncation counts specials like HF") {
+    val df = Seq("this is a sentence .").toDF("text")
+    val out = TokenizerMapper(tok, "text", maxLength = Some(4), truncation = true)(df)
+    val ids = out.select("input_ids").as[Seq[Long]].head()
+    assert(ids.size == 4)
+    assert(ids.head == vocab("[CLS]") && ids.last == vocab("[SEP]"))
+  }
+
+  test("EncodeFields offsets are word-granular char spans") {
+    val df = Seq("unwanted running").toDF("t")
+    val out = EncodeFields(Seq("t"), tok, fieldsToReturnOffsetMapping = Seq("t"))(df)
+    val offs = rows(out.select("offset_t")).head.head
+    assert(offs == List(List(0L, 8L), List(0L, 8L), List(0L, 8L), List(9L, 16L), List(9L, 16L)))
+  }
+
+  test("MiniJinja: vars, filters, for, if, ||| split") {
+    val t = MiniJinja.parse(
+      "{% for w in ws %}{{ w | upper }},{% endfor %}" +
+        "{% if n > 2 %}big{% elif n == 2 %}two{% else %}small{% endif %}" +
+        "|||{{ label }}"
+    )
+    assert(t.variables == Set("ws", "n", "label"))
+    val out = t.render(Map("ws" -> Seq("a", "b"), "n" -> 2L, "label" -> "yes"))
+    assert(out == "A,B,two|||yes")
+  }
+
+  test("MiniJinja rejects unsupported constructs with clear error") {
+    val e = intercept[IllegalArgumentException](MiniJinja.parse("{% macro x %}"))
+    assert(e.getMessage.contains("macro"))
+  }
+
+  test("JinjaMapper renders source/target per row") {
+    val df = Seq(("hi", "en"), ("yo", "fr")).toDF("text", "lang")
+    val out = JinjaMapper("{{ text | upper }}!|||{{ lang }}")(df)
+      .select("source", "target")
+    assert(rows(out).toSet == Set(Seq("HI!", "en"), Seq("YO!", "fr")))
+  }
+
+  test("FewShotJinja accumulates shots + query") {
+    val df = (1 to 6).map(i => (i.toLong, s"t$i")).toDF("id", "text")
+    val out = FewShotJinjaMapper(
+      "{% for s in __shots__ %}[{{ s.text }}]{% endfor %}{{ text }}",
+      numShots = 2,
+      orderBy = Seq("id")
+    )(df).select("source")
+    assert(
+      rows(out).map(_.head).toSet == Set("[t1][t2]t3", "[t4][t5]t6")
+    )
+  }
+
+  test("FillTextPrompt with {{-style escapes") {
+    val df = Seq(("x", "y")).toDF("a", "b")
+    val out = FillTextPrompt("{{lit}} {a}-{b}", "p")(df)
+    assert(rows(out.select("p")).head.head == "{lit} x-y")
+  }
+}
+
+/** Collator golden cases (reference tests/test_collators.py:22-40 /
+  * FIXTURES.md §2). */
+class CollatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ListCollator pads batch to max length (FIXTURES §2 golden)") {
+    // a lengths 3,2,5 → padded to 5 with -1; b lengths 2,1,1 → padded to 2 with -2
+    val df = Seq(
+      (Seq(Seq(1L, 1L, 1L), Seq(2L, 2L), Seq(3L, 3L, 3L, 3L, 3L)),
+        Seq(Seq(7L, 7L), Seq(8L), Seq(9L)))
+    ).toDF("a", "b")
+    val out = ListCollator(Map("a" -> -1L, "b" -> -2L))(df)
+    val r = rows(out).head
+    assert(r(0) == List(
+      List(1L, 1L, 1L, -1L, -1L), List(2L, 2L, -1L, -1L, -1L),
+      List(3L, 3L, 3L, 3L, 3L)))
+    assert(r(1) == List(List(7L, 7L), List(8L, -2L), List(9L, -2L)))
+  }
+
+  test("padToMultipleOf rounds target length up") {
+    val df = Seq(Tuple1(Seq(Seq(1L, 1L, 1L)))).toDF("a")
+    val out = ListCollator(Map("a" -> 0L), padToMultipleOf = Some(4))(df)
+    assert(rows(out).head.head == List(List(1L, 1L, 1L, 0L)))
+  }
+
+  test("left padding") {
+    val df = Seq(Tuple1(Seq(Seq(1L), Seq(2L, 2L)))).toDF("a")
+    val out = ListCollator(Map("a" -> 0L), leftPadFields = Seq("a"))(df)
+    assert(rows(out).head.head == List(List(0L, 1L), List(2L, 2L)))
+  }
+
+  test("batch pipeline: FixedBatchSize >> ListCollator is rectangular") {
+    val df = Seq(
+      Seq(1L, 1L, 1L), Seq(2L, 2L), Seq(3L, 3L, 3L, 3L, 3L),
+      Seq(4L), Seq(5L, 5L)
+    ).zipWithIndex.map { case (xs, i) => (i.toLong, xs) }.toDF("id", "xs")
+    val out = (FixedBatchSize(3, keepLast = true, orderBy = Seq("id")) >>
+      ListCollator(Map("xs" -> -1L)))(df)
+    val batches = rows(out.select("xs")).map(_.head.asInstanceOf[List[List[Long]]])
+    assert(batches.size == 2)
+    batches.foreach { b =>
+      assert(b.map(_.size).distinct.size == 1) // rectangular
+    }
+  }
+}
