@@ -21,7 +21,10 @@ final case class ListCollator(
     padToMultipleOf: Option[Int] = None,
     leftPadFields: Seq[String] = Nil
 ) extends Mapper {
-  override def inputFields: Seq[String] = fieldsPadIds.keys.toSeq
+  // fieldsPadIds act as per-field defaults applied to whichever fields
+  // are present (the FromTokenizer mixin relies on this, collators.py:
+  // 112-159) — so presence is checked in build, not preflight.
+  override def inputFields: Seq[String] = Nil
   override def outputFields: Seq[String] = fieldsPadIds.keys.toSeq
 
   private def padIdFor(f: String): Long =
@@ -37,6 +40,11 @@ final case class ListCollator(
       .filter(f => fieldsPadIds.contains(f.name) ||
         (unkFieldsPadId.isDefined && f.dataType.isInstanceOf[ArrayType]))
       .map(_.name)
+    require(
+      targets.nonEmpty,
+      s"ListCollator: none of [${fieldsPadIds.keys.mkString(", ")}] present " +
+        s"in schema [${df.columns.mkString(", ")}]"
+    )
     val outCols = df.columns.toSeq.map { c =>
       if (targets.contains(c)) padded(df, c).as(c) else col(c)
     }

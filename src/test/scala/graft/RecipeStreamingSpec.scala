@@ -1,0 +1,119 @@
+package graft
+
+import graft.operators._
+import graft.recipes.Recipes
+import graft.streaming.StreamingPipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Recipes (pipeline factories) + Structured Streaming. */
+class RecipeStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vocab: Map[String, Long] = (
+    Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]", "q", ":", "a", "what", "is",
+      "spark", "fast", "engine", "yes", "no") ++
+      "abcdefghijklmnopqrstuvwxyz".map(_.toString) ++
+      "abcdefghijklmnopqrstuvwxyz".map("##" + _)
+  ).zipWithIndex.map { case (t, i) => t -> i.toLong }.toMap
+  private val tok = WordPieceTokenizer(vocab)
+
+  test("prompting recipe: encode -> truncate -> fill, budget respected") {
+    val df = Seq(("what is spark", "yes")).toDF("question", "answer")
+    val p = Recipes.prompting(
+      tok, "q : {question} a : {answer}",
+      fieldsToTruncate = Seq("question"), maxLength = 12)
+    val out = p(df)
+    val ids = out.select("input_ids").as[Seq[Long]].head()
+    assert(ids.size <= 12)
+    assert(ids.head == vocab("[CLS]") && ids.last == vocab("[SEP]"))
+    val am = out.select("attention_mask").as[Seq[Long]].head()
+    assert(am.size == ids.size && am.forall(_ == 1L))
+  }
+
+  test("jinja recipe end-to-end: source/labels token columns") {
+    val df = Seq(("what is spark", "fast engine")).toDF("q", "a")
+    val p = Recipes.jinja(tok, "{{ q }}?|||{{ a }}")
+    val out = p(df)
+    assert(out.columns.toSeq == Seq("input_ids", "attention_mask", "labels"))
+    val labels = out.select("labels").as[Seq[Long]].head()
+    assert(labels == Seq(vocab("fast"), vocab("engine")))
+  }
+
+  test("collator recipe: rectangular padded batches") {
+    val df = Seq(
+      (1L, Seq(5L, 6L)), (2L, Seq(7L)), (3L, Seq(8L, 9L, 10L)), (4L, Seq(11L))
+    ).toDF("id", "input_ids")
+    val out = Recipes.collator(tok, batchSize = 2, orderBy = Seq("id"))(
+      df.drop("id").withColumn("id", col("input_ids")(0))
+        .select("id", "input_ids")
+    )
+    val batches = out.select("input_ids").as[Seq[Seq[Long]]].collect()
+    batches.foreach(b => assert(b.map(_.size).distinct.size == 1))
+  }
+
+  test("narrow mappers run unchanged on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val pipeline = Pipeline(
+      Vector(
+        RenameFields(Map("value" -> "text")),
+        TextToWords(Seq("text"), Splitters.Ws),
+        MakeField("n", 0L, shapeLike = Some("text"))
+      )
+    )
+    val out = StreamingPipeline(pipeline, mem.toDF())
+    val q = out.writeStream.format("memory").queryName("graft_stream_t1")
+      .outputMode("append").start()
+    mem.addData("a b c", "d e")
+    q.processAllAvailable()
+    val got = spark.sql("SELECT * FROM graft_stream_t1").collect()
+    assert(got.length == 2)
+    assert(got.map(_.getSeq[String](0).size).sorted.toSeq == Seq(2, 3))
+    q.stop()
+  }
+
+  test("order-sensitive stages rejected on streams") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val err = intercept[IllegalArgumentException] {
+      StreamingPipeline(
+        Pipeline(Vector(FixedBatchSize(2, orderBy = Seq("value")))),
+        mem.toDF()
+      )
+    }
+    assert(err.getMessage.contains("order-sensitive"))
+  }
+
+  test("windowed counts with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val out = StreamingPipeline.windowedCounts(
+      mem.toDF().toDF("ts", "k"), "ts", "k")
+    val q = out.writeStream.format("memory").queryName("graft_stream_t2")
+      .outputMode("update").start()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:10")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:30")
+    mem.addData((t0, "x"), (t1, "x"), (t0, "y"))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT k, n FROM graft_stream_t2").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("x" -> 2L, "y" -> 1L))
+    q.stop()
+  }
+
+  test("streaming dedup emits first occurrence per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingPipeline.streamingDedup(mem.toDF().toDF("id", "h"), "h")
+    val q = out.writeStream.format("memory").queryName("graft_stream_t3")
+      .outputMode("append").start()
+    mem.addData((1L, "aa"), (2L, "aa"), (3L, "bb"))
+    q.processAllAvailable()
+    mem.addData((4L, "aa"), (5L, "cc"))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT h FROM graft_stream_t3").collect().map(_.getString(0))
+    assert(got.sorted.toSeq == Seq("aa", "bb", "cc"))
+    q.stop()
+  }
+}
