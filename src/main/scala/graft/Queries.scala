@@ -765,6 +765,8 @@ object Queries {
     "q83_minhash_lsh_pairs",
     (s, dir) => {
       // LSH banding: 4 bands of 2 minhashes → candidate pairs share a band.
+      // The signature pipeline is persisted so the self-join's two legs
+      // don't each recompute 8×|shingles| md5s per doc.
       val sigs = docWords(s, dir)
         .withColumn("shingles", shinglesCol)
         .withColumn("sig", minhashSigCol(8))
@@ -782,6 +784,8 @@ object Queries {
           ).as("bk")
         )
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+        .persist()
+      sigs.count() // materialize once before the self-join
       val a = sigs.as("a")
       val b = sigs.as("b")
       a.join(
@@ -1414,28 +1418,35 @@ object Queries {
   private val qNeardupVerified = Q(
     "q92_neardup_verified_pairs",
     (s, dir) => {
-      // md5-minhash candidates (q83) + exact word-set jaccard verify
+      // md5-minhash candidates (q83-style banding) + exact word-set
+      // jaccard verify. Candidates are deduped on (id_a, id_b) BEFORE the
+      // word arrays are joined back — the wide data never enters the
+      // distinct shuffle (the 100-TB discipline: shuffle keys, not text).
       val sigs = docWords(s, dir)
         .withColumn("shingles", shinglesCol)
         .withColumn("sig", minhashSigCol(8))
-      val banded = sigs.select(
-        col("doc_id"),
-        col("words"),
-        explode(
-          transform(
-            sequence(lit(0), lit(7)),
-            b => md5(concat(b.cast(StringType), lit("#"), element_at(col("sig"), b + 1)))
-          )
-        ).as("bh")
-      )
-      val a = banded.select(col("doc_id").as("id_a"), col("words").as("w_a"), col("bh"))
-      val b = banded.select(col("doc_id").as("id_b"), col("words").as("w_b"), col("bh"))
-      a.join(b, Seq("bh"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "w_a", "w_b")
+      val banded = sigs
+        .select(
+          col("doc_id"),
+          explode(
+            transform(
+              sequence(lit(0), lit(7)),
+              b => md5(concat(b.cast(StringType), lit("#"), element_at(col("sig"), b + 1)))
+            )
+          ).as("bh")
+        )
+        .persist()
+      banded.count()
+      val cand = banded.as("a")
+        .join(banded.as("b"), Seq("bh"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
-        .withColumn("ua", array_distinct(col("w_a")))
-        .withColumn("ub", array_distinct(col("w_b")))
+      val uniqWords = docWords(s, dir)
+        .select(col("doc_id"), array_distinct(col("words")).as("uw"))
+      cand
+        .join(uniqWords.select(col("doc_id").as("id_a"), col("uw").as("ua")), Seq("id_a"))
+        .join(uniqWords.select(col("doc_id").as("id_b"), col("uw").as("ub")), Seq("id_b"))
         .withColumn("inter", size(array_intersect(col("ua"), col("ub"))).cast(DoubleType))
         .withColumn("jac", col("inter") / (size(col("ua")) + size(col("ub")) - col("inter")))
         .filter(col("jac") >= 0.5)
