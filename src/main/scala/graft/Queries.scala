@@ -41,12 +41,24 @@ object Queries {
   private def pipe(ms: Mapper*)(df: DataFrame): DataFrame =
     ms.foldLeft(df)((d, m) => m(d))
 
+  /** documents/embeddings read spread across cores: the driver ships ONE
+    * parquet file per table (single row group → parquet yields a single
+    * split), so without this every expression-heavy doc pipeline (minhash
+    * md5s, tokenize, dot products) runs on one core. One tiny round-robin
+    * shuffle (≈MBs) buys full parallelism; on a real multi-file corpus
+    * the reader already yields enough splits. */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism)
+
   /** documents with a whitespace-token `words` column (ws splitter). */
   private def docWords(s: SparkSession, dir: String): DataFrame =
     pipe(
       RenameFields(Map("text" -> "words"), removeRest = false),
       TextToWords(Seq("words"), Splitters.Ws)
-    )(T(s, dir, "documents"))
+    )(docs(s, dir))
 
   /** DuckDB equivalent of the ws splitter on documents.text. */
   private val W =
@@ -54,7 +66,7 @@ object Queries {
 
   /** documents keeping `text` plus a derived ws-token `words` column. */
   private def docTextWords(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents")
+    docs(s, dir)
       .withColumn("words", Splitters.toColumn(col("text"), Splitters.Ws))
 
   /** documents with `ids` = per-word lengths (array<bigint>) — the
@@ -881,7 +893,7 @@ object Queries {
   private val qCosineTopk = Q(
     "q86_cosine_knn",
     (s, dir) => {
-      val emb = T(s, dir, "embeddings")
+      val emb = embs(s, dir)
         .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
       val qv = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
       def dot(a: Column, b: Column): Column =
@@ -1001,7 +1013,7 @@ object Queries {
   private val qFingerprint = Q(
     "q90_doc_fingerprint",
     (s, dir) =>
-      T(s, dir, "documents")
+      docs(s, dir)
         .withColumn(
           "grams",
           transform(
@@ -1169,7 +1181,7 @@ object Queries {
         maxLength = Some(64),
         truncation = true,
         returnLength = true
-      )(T(s, dir, "documents"))
+      )(docs(s, dir))
         .select("doc_id", "input_ids", "attention_mask", "length")
         .orderBy("doc_id"),
     None // WordPiece greedy matching: not SQL-expressible; rows-only
@@ -1183,7 +1195,7 @@ object Queries {
         TokenizerMapper(tok, "text", addSpecialTokens = false,
           returnAttentionMask = false),
         Decoding(tok, Seq("input_ids"), skipSpecialTokens = true)
-      )(T(s, dir, "documents").select("doc_id", "text"))
+      )(docs(s, dir).select("doc_id", "text"))
         .select(col("doc_id"), col("input_ids").as("decoded"))
         .orderBy("doc_id")
     },
@@ -1358,7 +1370,7 @@ object Queries {
     "q57_multimodal_decode",
     (s, dir) =>
       DecodeMediaStub("media", "features", targetW = 8, targetH = 8)(
-        T(s, dir, "documents")
+        docs(s, dir)
           .withColumn("media", Multimodal.asMedia(col("text").cast(BinaryType),
             "application/octet-stream"))
       ).select(
@@ -1444,6 +1456,7 @@ object Queries {
         .distinct()
       val uniqWords = docWords(s, dir)
         .select(col("doc_id"), array_distinct(col("words")).as("uw"))
+        .persist() // referenced by both join legs
       cand
         .join(uniqWords.select(col("doc_id").as("id_a"), col("uw").as("ua")), Seq("id_a"))
         .join(uniqWords.select(col("doc_id").as("id_b"), col("uw").as("ub")), Seq("id_b"))
@@ -1472,7 +1485,7 @@ object Queries {
   private val qBruteKnn = Q(
     "q93_brute_knn",
     (s, dir) => {
-      val emb = T(s, dir, "embeddings")
+      val emb = embs(s, dir)
       val queries = emb.filter(col("vec_id") < 3)
       CosineKnn
         .bruteForce(emb, queries, "embedding", "vec_id", k = 5)
@@ -1503,7 +1516,7 @@ object Queries {
   private val qAnnLsh = Q(
     "q94_ann_lsh",
     (s, dir) => {
-      val emb = T(s, dir, "embeddings")
+      val emb = embs(s, dir)
       val queries = emb.filter(col("vec_id") < 3)
       CosineKnn
         .annTopK(emb, queries, "embedding", "vec_id", k = 5, nPlanes = 4)
