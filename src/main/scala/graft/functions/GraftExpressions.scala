@@ -1,0 +1,213 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, CodegenFallback}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the three operators SURVEY §7.4 flags
+  * as awkward/slow as higher-order-function trees:
+  *
+  *   - [[CosineSimilarity]]: one-pass dot+norms with real whole-stage
+  *     codegen (`doGenCode`) — the kNN hot path. Produces bit-identical
+  *     results to the sequential-fold formulation (same accumulation
+  *     order), so DuckDB oracle parity is preserved.
+  *   - [[RunLengthRanges]]: mask → [start,end) runs in one linear pass
+  *     (the `aggregate` fold it replaces rebuilt an array per element).
+  *   - [[GreedyPackBreaks]]: greedy sequence-packing break positions for
+  *     MultiSequenceStrider (multiseq.py:377-449 semantics), linear.
+  *
+  * All are row-local scalar expressions — narrow, partition-parallel,
+  * no shuffle implications. Registered for SQL via [[GraftExtensions]]
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`).
+  */
+
+/** cosine(a, b) over array<double>, one pass, codegen'd. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // expects array<double>, array<double> — constructed via the typed
+  // Column wrappers below (AbstractDataType is private[sql] in Spark 4,
+  // so ExpectsInputTypes is not available to third-party packages)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = xs.getDouble(i)
+      val y = ys.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble($i);
+         |  double $y = $b.getDouble($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): CosineSimilarity = copy(left = newLeft, right = newRight)
+}
+
+/** run_length_ranges(mask, fill): positions where mask == fill, grouped
+  * into consecutive [start, end) runs — array<array<long>>. */
+case class RunLengthRanges(left: Expression, right: Expression)
+    extends BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(ArrayType(LongType))
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(maskAny: Any, fillAny: Any): Any = {
+    val mask = maskAny.asInstanceOf[ArrayData]
+    val fill = fillAny.asInstanceOf[Long]
+    val runs = scala.collection.mutable.ArrayBuffer.empty[ArrayData]
+    var runStart = -1L
+    var i = 0
+    val n = mask.numElements()
+    while (i < n) {
+      val hit = !mask.isNullAt(i) && mask.getLong(i) == fill
+      if (hit && runStart < 0) runStart = i.toLong
+      if (!hit && runStart >= 0) {
+        runs += new GenericArrayData(Array(runStart, i.toLong))
+        runStart = -1L
+      }
+      i += 1
+    }
+    if (runStart >= 0) runs += new GenericArrayData(Array(runStart, n.toLong))
+    new GenericArrayData(runs.toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): RunLengthRanges = copy(left = newLeft, right = newRight)
+}
+
+/** greedy_pack_breaks(lengths, maxCount, maxLen): chunk start indices of
+  * the reference's greedy packing scan (multiseq.py:377-449): open a new
+  * chunk when adding the next sequence would exceed maxLen total OR
+  * maxCount sequences. First start is always 0. */
+case class GreedyPackBreaks(
+    first: Expression,
+    second: Expression,
+    third: Expression
+) extends TernaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(lensAny: Any, maxCountAny: Any, maxLenAny: Any): Any = {
+    val lens = lensAny.asInstanceOf[ArrayData]
+    val maxCount = maxCountAny.asInstanceOf[Long]
+    val maxLen = maxLenAny.asInstanceOf[Long]
+    val n = lens.numElements()
+    val starts = scala.collection.mutable.ArrayBuffer(0L)
+    var cnt = 0L
+    var cum = 0L
+    var i = 0
+    while (i < n) {
+      val l = if (lens.isNullAt(i)) 0L else lens.getLong(i)
+      if (i > 0 && (cum + l > maxLen || cnt >= maxCount)) {
+        starts += i.toLong
+        cnt = 1L
+        cum = l
+      } else {
+        cnt += 1
+        cum += l
+      }
+      i += 1
+    }
+    new GenericArrayData(starts.toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression,
+      newSecond: Expression,
+      newThird: Expression
+  ): GreedyPackBreaks =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Column-API wrappers. */
+object functions {
+  def cosine_sim(a: Column, b: Column): Column =
+    toCol(CosineSimilarity(expression(a), expression(b)))
+
+  def run_length_ranges(mask: Column, fill: Column): Column =
+    toCol(RunLengthRanges(expression(mask), expression(fill)))
+
+  def greedy_pack_breaks(lens: Column, maxCount: Column, maxLen: Column): Column =
+    toCol(GreedyPackBreaks(expression(lens), expression(maxCount), expression(maxLen)))
+
+  private def toCol(e: Expression): Column =
+    org.apache.spark.sql.graft.Shim.column(e)
+
+  private def expression(c: Column): Expression =
+    org.apache.spark.sql.graft.Shim.expression(c)
+
+  /** Register the functions on an existing session (tests / notebooks). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "cosine_sim", es => CosineSimilarity(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "run_length_ranges", es => RunLengthRanges(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "greedy_pack_breaks", es => GreedyPackBreaks(es.head, es(1), es(2)), "built-in")
+  }
+}
+
+/** `spark.sql.extensions`-style injection: makes the functions available
+  * in every session of the cluster without per-session registration. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
+        new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+        (es: Seq[Expression]) => CosineSimilarity(es.head, es(1)))
+    )
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("run_length_ranges"),
+        new ExpressionInfo(classOf[RunLengthRanges].getName, "run_length_ranges"),
+        (es: Seq[Expression]) => RunLengthRanges(es.head, es(1)))
+    )
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("greedy_pack_breaks"),
+        new ExpressionInfo(classOf[GreedyPackBreaks].getName, "greedy_pack_breaks"),
+        (es: Seq[Expression]) => GreedyPackBreaks(es.head, es(1), es(2)))
+    )
+  }
+}

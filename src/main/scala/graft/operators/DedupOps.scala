@@ -213,8 +213,10 @@ object CosineKnn {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Native one-pass codegen'd kernel ([[graft.functions.CosineSimilarity]]);
+    * bit-identical to dot/(sqrt·sqrt) of sequential folds. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.functions.functions.cosine_sim(a, b)
 
   def bruteForce(
       corpus: DataFrame,

@@ -118,9 +118,9 @@ final case class MaskToIndices(
 }
 
 /** mask → list of `[start,end)` runs of consecutive fill positions.
-  * Ref: masks.py:146-178 (numpy diff/split). Here: an `aggregate` fold
-  * over the fill indices that either extends the last run or opens a new
-  * one — row-local, linear. */
+  * Ref: masks.py:146-178 (numpy diff/split). Implemented as the native
+  * [[graft.functions.RunLengthRanges]] expression — one linear pass per
+  * row (the `aggregate`-fold formulation rebuilt an array per element). */
 final case class MaskToRange(
     maskFieldName: String,
     locationsFieldName: String,
@@ -131,26 +131,9 @@ final case class MaskToRange(
   override def inputFields: Seq[String] = Seq(maskFieldName)
   override def outputFields: Seq[String] = Seq(locationsFieldName)
   override protected def build(df: DataFrame): DataFrame = {
-    val idxs = filter(
-      SeqUtil.seq0(size(col(maskFieldName))),
-      i => element_at(col(maskFieldName), (i + 1).cast(IntegerType))
-        .cast(LongType) === lit(maskFillValue)
-    )
-    val empty = array().cast(ArrayType(ArrayType(LongType)))
-    val runs = aggregate(
-      idxs,
-      empty,
-      (acc, x) => {
-        val lastEnd = element_at(element_at(acc, -1), 2)
-        val lastStart = element_at(element_at(acc, -1), 1)
-        when(size(acc) === 0 || lastEnd =!= x, concat(acc, array(array(x, x + 1))))
-          .otherwise(
-            concat(
-              slice(acc, lit(1), size(acc) - 1),
-              array(array(lastStart, x + 1))
-            )
-          )
-      }
+    val runs = graft.functions.functions.run_length_ranges(
+      col(maskFieldName).cast(ArrayType(LongType)),
+      lit(maskFillValue)
     )
     val out =
       if (enforceSingleLocation)

@@ -249,10 +249,11 @@ final case class LabelsMasker(
   * sequences AND `maxLength` total tokens (+ extraLengthPerSeq reserved
   * for specials). Ref: multiseq.py:298-449 — a greedy sequential scan.
   *
-  * Implementation: the break positions are computed row-locally with an
-  * `aggregate` fold over sequence lengths (the greedy reset is inherently
-  * sequential but stays inside one row — narrow, parallel across rows),
-  * then `explode` over the resulting [start,end) chunks.
+  * Implementation: break positions come from the native
+  * [[graft.functions.GreedyPackBreaks]] expression (row-local linear
+  * scan — the greedy reset is inherently sequential but stays inside one
+  * row, narrow and parallel across rows), then `explode` over the
+  * resulting [start,end) chunks.
   */
 final case class MultiSequenceStrider(
     maxStrideCount: Int,
@@ -270,30 +271,9 @@ final case class MultiSequenceStrider(
       col(lengthReferenceField),
       s => size(s).cast(LongType) + lit(extraLengthPerSeq.toLong)
     )
-    // fold state: array of chunk-start indices ++ [count_in_chunk, cum_len]
-    // encoded as array<long>: starts..., count, cum
-    val init = array(lit(0L), lit(0L), lit(0L)) // starts=[0], count=0, cum=0
-    val folded = aggregate(
-      transform(lens, (l, i) => struct(l.as("l"), i.cast(LongType).as("i"))),
-      init,
-      (st, x) => {
-        val nStarts = size(st) - 2
-        val cnt = element_at(st, -2)
-        val cum = element_at(st, -1)
-        val l = x.getField("l")
-        val i = x.getField("i")
-        val tooLong = cum + l > lit(maxLen)
-        val tooMany = cnt >= lit(maxStrideCount.toLong)
-        when(
-          tooLong || tooMany,
-          concat(slice(st, lit(1), nStarts), array(i, lit(1L), l))
-        ).otherwise(
-          concat(slice(st, lit(1), nStarts), array(cnt + 1, cum + l))
-        )
-      }
-    )
     val total = size(col(lengthReferenceField)).cast(LongType)
-    val starts = slice(folded, lit(1), size(folded) - 2)
+    val starts = graft.functions.functions.greedy_pack_breaks(
+      lens, lit(maxStrideCount.toLong), lit(maxLen))
     // chunk k = [starts[k], starts[k+1] or total)
     val chunks = transform(
       starts,

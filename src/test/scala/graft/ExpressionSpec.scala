@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.{functions => gf}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression specs (graft.functions). */
+class ExpressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine_sim matches the sequential-fold formulation bitwise") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.5, -0.25, 8.0), Seq(-1.0, 0.125, 2.0))
+    ).toDF("a", "b")
+    def foldDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val out = df.select(
+      gf.cosine_sim(col("a"), col("b")).as("native"),
+      (foldDot(col("a"), col("b")) /
+        (sqrt(foldDot(col("a"), col("a"))) * sqrt(foldDot(col("b"), col("b")))))
+        .as("hof")
+    )
+    out.collect().foreach { r =>
+      assert(
+        java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1))
+      )
+    }
+  }
+
+  test("cosine_sim survives whole-stage codegen (many rows)") {
+    val df = spark.range(1000).select(
+      transform(sequence(lit(0L), lit(15L)), i => (col("id") + i).cast(DoubleType)).as("a"),
+      transform(sequence(lit(0L), lit(15L)), i => (col("id") * 2 + i).cast(DoubleType)).as("b")
+    )
+    val n = df.select(gf.cosine_sim(col("a"), col("b")).as("c"))
+      .filter(col("c") > 0.9).count()
+    assert(n > 0)
+  }
+
+  test("run_length_ranges golden") {
+    val df = Seq(Tuple1(Seq(1L, 1L, 0L, 1L, 0L, 1L, 1L, 1L))).toDF("m")
+    val out = df.select(gf.run_length_ranges(col("m"), lit(1L)).as("r"))
+    assert(rows(out).head.head == List(List(0L, 2L), List(3L, 4L), List(5L, 8L)))
+    val empty = Seq(Tuple1(Seq(0L, 0L))).toDF("m")
+    assert(rows(empty.select(gf.run_length_ranges(col("m"), lit(1L)).as("r")))
+      .head.head == List())
+  }
+
+  test("greedy_pack_breaks golden") {
+    // lens 3,3,3,3 maxLen 7 -> starts [0, 2]
+    val df = Seq(Tuple1(Seq(3L, 3L, 3L, 3L))).toDF("l")
+    assert(
+      rows(df.select(gf.greedy_pack_breaks(col("l"), lit(10L), lit(7L)).as("s")))
+        .head.head == List(0L, 2L)
+    )
+    // count cap: 3 seqs, max 2 per chunk -> [0, 2]
+    assert(
+      rows(Seq(Tuple1(Seq(1L, 1L, 1L))).toDF("l")
+        .select(gf.greedy_pack_breaks(col("l"), lit(2L), lit(100L)).as("s")))
+        .head.head == List(0L, 2L)
+    )
+  }
+
+  test("SQL registration via functions.register") {
+    graft.functions.functions.register(spark)
+    val got = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c, " +
+        "run_length_ranges(array(1L, 0L, 1L), 1L) AS r, " +
+        "greedy_pack_breaks(array(2L, 2L, 2L), 2L, 100L) AS g"
+    ).collect().head
+    assert(got.getDouble(0) == 1.0)
+  }
+}
