@@ -1304,6 +1304,57 @@ object Queries {
     )
   )
 
+  private val qTruncateNested = Q(
+    "q68_truncate_nested",
+    (s, dir) =>
+      TruncateMultipleNestedFields(
+        fieldsToTruncate = Seq("a_seqs", "b_ids"),
+        maxLength = 30,
+        strategy = "uniform"
+      )(
+        docSeqs(s, dir)
+          .withColumn("a_seqs", col("seqs"))
+          .withColumn("b_ids", slice(col("ids"), 1, 10))
+          .select("doc_id", "a_seqs", "b_ids")
+      ).orderBy("doc_id"),
+    Some(
+      s"""WITH d AS (SELECT doc_id, $SEQS AS a, list_slice($IDS, 1, 10) AS b FROM documents),
+         |c AS (SELECT doc_id, a, b, len(flatten(a)) AS la, len(b) AS lb FROM d),
+         |n AS (SELECT doc_id, a, b,
+         |  CASE WHEN la + lb <= 30 THEN la
+         |       ELSE CAST(FLOOR(la * 30.0 / (la + lb)) AS BIGINT) END AS na,
+         |  CASE WHEN la + lb <= 30 THEN lb
+         |       ELSE CAST(FLOOR(lb * 30.0 / (la + lb)) AS BIGINT) END AS nb
+         |  FROM c)
+         |SELECT doc_id,
+         |  list_transform(a, (s2, j) -> list_slice(s2, 1,
+         |    CAST(greatest(0, least(na - len(flatten(list_slice(a, 1, j - 1))), len(s2))) AS BIGINT))) AS a_seqs,
+         |  list_slice(b, 1, CAST(nb AS BIGINT)) AS b_ids
+         |FROM n ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  private val qStriderLocations = Q(
+    "q59_strider_locations",
+    (s, dir) =>
+      SingleSequenceStriderWithLocations(
+        fieldsToStride = Seq("words"),
+        maxLength = 10,
+        fieldWithLocations = "locs",
+        fieldsReplacementMap = Map("lang" -> "masked")
+      )(
+        docWords(s, dir)
+          .withColumn("locs", array(array(lit(0L), lit(5L))))
+          .select("doc_id", "words", "locs", "lang")
+      ).select(
+          col("doc_id"),
+          array_join(col("words"), " ").as("win"),
+          col("lang")
+        )
+        .orderBy("doc_id", "win"),
+    None // cumulative-emitted-length window accounting; rows-only
+  )
+
   private val qFixText = Q(
     "q54_fix_text",
     (s, dir) =>
@@ -1559,6 +1610,7 @@ object Queries {
     qUniqueAnswer, qConcatContext, qEvidences, qOneVsOther,
     qJinja, qFewShot, qTokenize, qDecode, qCollator,
     qMultiSeqStrider, qLabelsMaskerSample, qTruncateMultiLongest,
+    qTruncateNested, qStriderLocations,
     qFixText, qEnumerateOrder,
     qCachedStage, qCombineConcat, qMultimodalDecode, qFrameSample,
     qExactDedupOp, qNeardupVerified, qBruteKnn, qAnnLsh, qSimhash64

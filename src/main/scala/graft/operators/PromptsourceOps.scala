@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.Mapper
+import org.apache.spark.sql.DataFrame
+
+/** Promptsource-style template registry + mapper.
+  * Ref: /root/reference/src/smashed/mappers/promptsource.py:239-310 —
+  * look up a community template by (dataset, subset, template name) and
+  * apply it. The reference reads the promptsource package's YAML store;
+  * our registry is either an in-memory map or a directory of
+  * `<dataset>/<subset>/<name>.jinja` files (driver-side, tiny). */
+final case class TemplateRegistry(templates: Map[(String, String, String), String]) {
+  def lookup(dataset: String, subset: String, name: String): String =
+    templates.getOrElse(
+      (dataset, subset, name),
+      throw new NoSuchElementException(
+        s"No template for dataset=$dataset subset=$subset name=$name; " +
+          s"known: ${templates.keys.take(10).mkString(", ")}"
+      )
+    )
+}
+
+object TemplateRegistry {
+  /** Load every `<dataset>/<subset>/<name>.jinja` under `dir`. */
+  def fromDirectory(dir: String): TemplateRegistry = {
+    val root = new java.io.File(dir)
+    val found = for {
+      ds <- Option(root.listFiles()).getOrElse(Array.empty).toSeq if ds.isDirectory
+      sub <- Option(ds.listFiles()).getOrElse(Array.empty).toSeq if sub.isDirectory
+      f <- Option(sub.listFiles()).getOrElse(Array.empty).toSeq
+      if f.getName.endsWith(".jinja")
+    } yield (
+      (ds.getName, sub.getName, f.getName.stripSuffix(".jinja")),
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    )
+    TemplateRegistry(found.toMap)
+  }
+}
+
+/** Apply a registered template. Delegates to [[JinjaMapper]]. */
+final case class PromptsourceMapper(
+    registry: TemplateRegistry,
+    datasetName: String,
+    subsetName: String = "",
+    templateName: String,
+    sourceFieldName: String = "source",
+    targetFieldName: String = "target"
+) extends Mapper {
+  private val inner = JinjaMapper(
+    registry.lookup(datasetName, subsetName, templateName),
+    sourceFieldName,
+    targetFieldName
+  )
+  override def outputFields: Seq[String] = inner.outputFields
+  override protected def build(df: DataFrame): DataFrame = inner(df)
+}

@@ -331,6 +331,108 @@ final case class Padding(
     }
 }
 
+object TruncateMultipleFields {
+  /** Shared budget arithmetic (prompting.py:217-275), reused by the
+    * nested variant. */
+  def truncatedLens(
+      lens: Seq[Column],
+      maxLen: Column,
+      strategy: String
+  ): Seq[Column] = {
+    val total = lens.reduce(_ + _)
+    def uniform(ls: Seq[Column], budget: Column, tot: Column): Seq[Column] =
+      ls.map(l =>
+        when(budget >= tot, l)
+          .otherwise(floor(l.cast(DoubleType) * budget.cast(DoubleType) / tot.cast(DoubleType)).cast(LongType))
+      )
+    strategy match {
+      case "uniform" => uniform(lens, maxLen, total)
+      case "longest" =>
+        val n = lens.size.toLong
+        val target = floor(maxLen.cast(DoubleType) / n).cast(LongType)
+        val longer = lens.map(l => when(l > target, l - target).otherwise(lit(0L)))
+        val savings = lens
+          .map(l => when(l < target, target - l).otherwise(lit(0L)))
+          .reduce(_ + _)
+        val extra = maxLen - target * n + savings
+        val longerTotal = longer.reduce(_ + _)
+        val redistributed = uniform(longer, extra, longerTotal)
+        lens.zip(redistributed).map { case (l, le) =>
+          when(total <= maxLen, l)
+            .otherwise(when(l > target, target + le).otherwise(l))
+        }
+    }
+  }
+}
+
+/** Budgeted truncation over NESTED (list-of-list) fields: budget on the
+  * FLATTENED length, then rebuild the nesting with each sublist clamped
+  * to what remains of the cut (trailing sublists may become empty —
+  * Python slice semantics of the reference's reconstruct_from_indices,
+  * utils/shape_utils.py:93-118). Ref: prompting.py:313-335. */
+final case class TruncateMultipleNestedFields(
+    fieldsToTruncate: Seq[String],
+    fieldsToPreserve: Seq[String] = Nil,
+    maxLength: Int,
+    lengthPenalty: Int = 0,
+    strategy: String = "longest"
+) extends Mapper {
+  require(fieldsToTruncate.nonEmpty, "fieldsToTruncate must be non-empty")
+  require(Set("longest", "uniform").contains(strategy),
+    s"strategy must be 'longest' or 'uniform', not $strategy")
+  private val truncSorted = fieldsToTruncate.distinct.sorted
+  private val presSorted = fieldsToPreserve.distinct.sorted
+  override def inputFields: Seq[String] = truncSorted ++ presSorted
+  override def outputFields: Seq[String] = truncSorted ++ presSorted
+
+  private def flatLen(df: DataFrame, f: String): Column =
+    df.schema(f).dataType match {
+      case ArrayType(ArrayType(_, _), _) =>
+        aggregate(col(f), lit(0L), (acc, s) => acc + size(s))
+      case _: ArrayType => size(col(f)).cast(LongType)
+      case StringType   => length(col(f)).cast(LongType)
+      case other =>
+        throw new IllegalArgumentException(
+          s"TruncateMultipleNestedFields: $f has unsupported type $other")
+    }
+
+  override protected def build(df: DataFrame): DataFrame = {
+    val lens = truncSorted.map(f => flatLen(df, f))
+    val totalPreserved =
+      presSorted.map(f => flatLen(df, f)).reduceOption(_ + _).getOrElse(lit(0L))
+    val maxLen = lit((maxLength - lengthPenalty).toLong) - totalPreserved
+    val newLens = TruncateMultipleFields.truncatedLens(lens, maxLen, strategy)
+    val newLen: Map[String, Column] = truncSorted.zip(newLens).toMap
+    val outCols = df.columns.toSeq.map { c =>
+      if (newLen.contains(c)) {
+        val budget = greatest(newLen(c), lit(0L))
+        df.schema(c).dataType match {
+          case ArrayType(ArrayType(_, _), _) =>
+            // sublist j keeps clamp(budget - start_j, 0, len_j) items,
+            // where start_j = flattened offset of sublist j
+            transform(
+              col(c),
+              (s, j) => {
+                val startJ = aggregate(
+                  slice(col(c), lit(1), j),
+                  lit(0L),
+                  (acc, x) => acc + size(x)
+                )
+                val keep =
+                  greatest(lit(0L), least(budget - startJ, size(s).cast(LongType)))
+                slice(s, lit(1), keep.cast(IntegerType))
+              }
+            ).as(c)
+          case _: ArrayType =>
+            slice(col(c), lit(1), budget.cast(IntegerType)).as(c)
+          case _ => col(c).substr(lit(1), budget.cast(IntegerType)).as(c)
+        }
+      } else col(c)
+    }
+    df.select(outCols: _*)
+  }
+}
+
 /** data[k][:v] per field→length map. Ref: tokenize.py:334-342. */
 final case class TruncateSingleField(fieldsToTruncate: Map[String, Int])
     extends Mapper {
@@ -391,29 +493,8 @@ final case class TruncateMultipleFields(
     val maxLen = lit((maxLength - lengthPenalty).toLong) - totalPreserved
     val total = lens.reduce(_ + _)
 
-    def uniform(ls: Seq[Column], budget: Column, tot: Column): Seq[Column] =
-      ls.map(l =>
-        when(budget >= tot, l)
-          .otherwise(floor(l.cast(DoubleType) * budget.cast(DoubleType) / tot.cast(DoubleType)).cast(LongType))
-      )
-
-    val truncatedLens: Seq[Column] = strategy match {
-      case "uniform" => uniform(lens, maxLen, total)
-      case "longest" =>
-        val n = lens.size.toLong
-        val target = floor(maxLen.cast(DoubleType) / n).cast(LongType)
-        val longer = lens.map(l => when(l > target, l - target).otherwise(lit(0L)))
-        val savings = lens
-          .map(l => when(l < target, target - l).otherwise(lit(0L)))
-          .reduce(_ + _)
-        val extra = maxLen - target * n + savings
-        val longerTotal = longer.reduce(_ + _)
-        val redistributed = uniform(longer, extra, longerTotal)
-        lens.zip(redistributed).map { case (l, le) =>
-          when(total <= maxLen, l)
-            .otherwise(when(l > target, target + le).otherwise(l))
-        }
-    }
+    val truncatedLens: Seq[Column] =
+      TruncateMultipleFields.truncatedLens(lens, maxLen, strategy)
     // single select: every truncated length references the ORIGINAL
     // columns (sequential withColumn would see already-truncated peers)
     val newLen: Map[String, Column] =
