@@ -171,6 +171,127 @@ object Queries {
     )
   )
 
+  /** events with the TIMESTAMP(NANOS) column (read as long ns via
+    * spark.sql.legacy.parquet.nanosAsLong) converted to a proper µs
+    * timestamp. DuckDB reads the same file natively; epoch_us on both
+    * sides floors ns→µs identically. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  private val qEventWindows = Q(
+    "q03_event_windows",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast(LongType)).as("value_cents")
+        )
+        .select(
+          unix_micros(col("w.start")).as("win_start_us"),
+          col("event_type"),
+          col("n"),
+          col("value_cents")
+        )
+        .orderBy("win_start_us", "event_type"),
+    Some(
+      """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin
+    )
+  )
+
+  private val qSessionize = Q(
+    "q04_sessionize",
+    (s, dir) => {
+      // classic gap-based sessionization: new session when > 30 min idle
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn(
+          "new_sess",
+          when(
+            col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L,
+            1L
+          ).otherwise(0L)
+        )
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("events_in_session"))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          max(col("events_in_session")).as("max_session_len")
+        )
+        .orderBy("user_id")
+    },
+    Some(
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |m AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess FROM g),
+        |sess AS (SELECT user_id,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM m),
+        |per AS (SELECT user_id, sess_id, COUNT(*) AS n FROM sess GROUP BY 1, 2)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(MAX(n) AS BIGINT) AS max_session_len
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
+    )
+  )
+
+  private val qJsonProps = Q(
+    "q05_json_props",
+    (s, dir) =>
+      events(s, dir)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k")
+        )
+        .orderBy("event_id"),
+    Some(
+      """SELECT event_id, json_extract_string(props, '$.k') AS k
+        |FROM events ORDER BY event_id""".stripMargin
+    )
+  )
+
+  /** Custom as-of join vs DuckDB's native ASOF JOIN — each error event
+    * matched to the user's latest click at-or-before it. */
+  private val qAsofJoin = Q(
+    "q06_asof_join",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("value").as("cvalue"))
+      AsOfJoin.backward(errors, clicks, Seq("user_id"), "ts", "cts")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          unix_micros(col("asof_cts")).as("click_ts_us"),
+          round(col("asof_cvalue") * 100).cast(LongType).as("click_value_cents")
+        )
+        .orderBy("event_id")
+    },
+    Some(
+      """SELECT e.event_id AS event_id, e.user_id AS user_id,
+        |  epoch_us(c.ts) AS click_ts_us,
+        |  CAST(ROUND(c.value*100) AS BIGINT) AS click_value_cents
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts
+        |ORDER BY event_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
   // Field ops (SURVEY §2.2)
   // ------------------------------------------------------------------
@@ -1595,6 +1716,7 @@ object Queries {
 
   val all: Vector[Q] = Vector(
     qAgg, qJoin, qWindow,
+    qEventWindows, qSessionize, qJsonProps, qAsofJoin,
     qChangeFields, qRenameFields, qMakeField, qGlom, qCast, qBinarizer,
     qLookup, qOneHot, qEnumerate,
     qFilterForall,

@@ -16,6 +16,9 @@ object Verify {
       // permissive casts / null-on-missing — match them (SURVEY §1.2).
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects;
+      // read as long and convert explicitly (Queries.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
