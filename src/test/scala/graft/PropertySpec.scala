@@ -1,0 +1,140 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY §5 plan): cardinality/shape invariants that
+  * must hold for ANY input, complementing the golden cases.
+  * (scalatestplus bridge is not in the offline cache, so properties
+  * sample ScalaCheck generators directly with fixed seeds.) */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val seqGen: Gen[List[Long]] =
+    Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-5L, 100L)))
+
+  /** Deterministically sample `n` values and run the property on each. */
+  private def forAll[A](g: Gen[A], n: Int = 12)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  test("strider: every window has length <= max; count matches formula") {
+    forAll(Gen.zip(seqGen, Gen.chooseNum(1, 8), Gen.chooseNum(1, 8))) {
+      case (xs: List[Long], maxLen: Int, stride: Int) =>
+        val df = Seq(Tuple1(xs)).toDF("x")
+        val out = SingleSequenceStrider(Seq("x"), maxLen, Some(stride))(df)
+        val wins = out.select("x").as[Seq[Long]].collect()
+        assert(wins.forall(_.size <= maxLen))
+        val expected =
+          if (xs.size < maxLen) 1
+          else (xs.size - maxLen) / stride + 1
+        assert(wins.length == expected)
+        // windows concatenated at stride==maxLen reconstruct a prefix
+        if (stride == maxLen && xs.nonEmpty)
+          assert(wins.flatten.toList == xs.take(wins.map(_.size).sum))
+    }
+  }
+
+  test("truncation never exceeds budget; preserves under-budget inputs") {
+    forAll(Gen.zip(seqGen, seqGen, Gen.chooseNum(1, 60))) {
+      case (a: List[Long], b: List[Long], budget: Int) =>
+        val df = Seq((a, b)).toDF("a", "b")
+        for (strategy <- Seq("uniform", "longest")) {
+          val out = TruncateMultipleFields(Seq("a", "b"), maxLength = budget,
+            strategy = strategy)(df)
+          val r = out.select("a", "b").as[(Seq[Long], Seq[Long])].head()
+          val total = r._1.size + r._2.size
+          if (a.size + b.size <= budget) {
+            assert(r._1 == a && r._2 == b)
+          } else {
+            assert(total <= budget)
+            // truncation only ever takes prefixes
+            assert(r._1 == a.take(r._1.size) && r._2 == b.take(r._2.size))
+          }
+        }
+    }
+  }
+
+  test("pad after truncate yields exactly padToLength") {
+    forAll(Gen.zip(seqGen, Gen.chooseNum(1, 30))) { case (xs: List[Long], n: Int) =>
+      val df = Seq(Tuple1(xs)).toDF("x")
+      val out = (TruncateSingleField(Map("x" -> n)) >>
+        operators.Padding(n, -1L, Seq("x")))(df)
+      val r = out.select("x").as[Seq[Long]].head()
+      assert(r.size == n)
+      assert(r.take(math.min(n, xs.size)) == xs.take(n))
+    }
+  }
+
+  test("collator output is rectangular and content-preserving") {
+    val batchGen = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, seqGen))
+    forAll(batchGen) { (batch: List[List[Long]]) =>
+      val df = Seq(Tuple1(batch)).toDF("xs")
+      val out = ListCollator(Map("xs" -> -7L))(df)
+      val r = out.select("xs").as[Seq[Seq[Long]]].head()
+      val maxLen = batch.map(_.size).max
+      assert(r.forall(_.size == maxLen))
+      r.zip(batch).foreach { case (padded, orig) =>
+        assert(padded.take(orig.size) == orig)
+        assert(padded.drop(orig.size).forall(_ == -7L))
+      }
+    }
+  }
+
+  test("mask roundtrip: indices -> mask -> indices for arbitrary subsets") {
+    forAll(Gen.chooseNum(1, 30).flatMap(n =>
+      Gen.someOf(0 until n).map(sel => (n, sel.toList.sorted)))) {
+      case (n: Int, sel: List[Int]) =>
+        val df = Seq((sel.map(_.toLong), List.fill(n)("x"))).toDF("locs", "ref")
+        val out = MaskToIndices("mask", "locs2")(
+          IndicesToMask("mask", "ref", "locs")(df))
+        assert(out.select("locs2").as[Seq[Long]].head().toList ==
+          sel.map(_.toLong))
+    }
+  }
+
+  test("greedy packing: chunks respect both caps, cover all, in order") {
+    forAll(Gen.zip(seqGen.map(_.map(x => math.max(1L, math.abs(x) % 10 + 1))),
+      Gen.chooseNum(1, 5), Gen.chooseNum(5, 25))) {
+      case (lens: List[Long], maxCount: Int, maxLen: Int) =>
+        whenever(lens.nonEmpty) {
+          val df = Seq(Tuple1(lens)).toDF("l")
+          val starts = df.select(
+            graft.functions.functions.greedy_pack_breaks(
+              col("l"), lit(maxCount.toLong), lit(maxLen.toLong)).as("s"))
+            .as[Seq[Long]].head().toList
+          val bounds = starts :+ lens.size.toLong
+          val chunks = bounds.sliding(2).map(p =>
+            lens.slice(p(0).toInt, p(1).toInt)).toList
+          assert(chunks.flatten == lens)                 // full cover, in order
+          assert(chunks.forall(_.size <= maxCount))      // count cap
+          chunks.foreach { c =>
+            // length cap holds unless a single over-long sequence forces it
+            assert(c.sum <= maxLen || c.size == 1)
+          }
+        }
+    }
+  }
+
+  test("exact dedup: output distinct on key, keeps min id, subset of input") {
+    val docGen = Gen.listOfN(12,
+      Gen.zip(Gen.chooseNum(0L, 100L), Gen.oneOf("aa", "bb", "cc", "dd")))
+    forAll(docGen) { (docsL: List[(Long, String)]) =>
+      whenever(docsL.map(_._1).distinct.size == docsL.size) {
+        val df = docsL.toDF("doc_id", "text")
+        val out = ExactDedup("text", "doc_id")(df)
+          .select("doc_id", "text").as[(Long, String)].collect()
+        val expect = docsL.groupBy(_._2).map { case (t, rs) =>
+          (rs.map(_._1).min, t)
+        }.toSet
+        assert(out.toSet == expect)
+      }
+    }
+  }
+}
