@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sinks + physical-layout helpers.
+  *
+  * The reference's write surface is "upload dir to S3 on success"
+  * (/root/reference/src/smashed/utils/io_utils/closures.py:15-107) —
+  * Spark's committers give that atomicity natively (`df.write` to
+  * `s3a://`). What a 100-TB pipeline additionally needs is LAYOUT
+  * control, which is where these helpers earn their place:
+  *
+  *   - `partitionedParquet`: hive-style partition dirs → partition
+  *     pruning on read;
+  *   - `bucketedTable`: bucket + sort by join key → downstream joins and
+  *     aggregations on that key skip the shuffle entirely (the single
+  *     biggest lever for repeated large-scale joins);
+  *   - `Salting`: explicit skew mitigation when one key dominates.
+  */
+object Sinks {
+
+  def partitionedParquet(
+      df: DataFrame,
+      path: String,
+      partitionBy: Seq[String],
+      mode: String = "overwrite"
+  ): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
+
+  /** Bucketed + sorted managed table: co-locates rows by key so a later
+    * join/groupBy on `bucketBy` is shuffle-free (SortMergeJoin reads the
+    * bucketed layout directly). */
+  def bucketedTable(
+      df: DataFrame,
+      table: String,
+      bucketBy: Seq[String],
+      numBuckets: Int,
+      sortBy: Seq[String] = Nil,
+      mode: String = "overwrite"
+  ): Unit = {
+    var w = df.write.mode(mode).bucketBy(numBuckets, bucketBy.head, bucketBy.tail: _*)
+    if (sortBy.nonEmpty) w = w.sortBy(sortBy.head, sortBy.tail: _*)
+    w.format("parquet").saveAsTable(table)
+  }
+
+  def jsonl(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).json(path)
+
+  def csv(
+      df: DataFrame,
+      path: String,
+      sep: String = ",",
+      header: Boolean = true,
+      mode: String = "overwrite"
+  ): Unit =
+    df.write.mode(mode).option("sep", sep).option("header", header.toString).csv(path)
+}
+
+/** Deterministic salting for skewed keys (SURVEY "skewed keys → salting
+  * or AQE skew-join"). AQE's skew handling covers sort-merge joins at
+  * runtime; explicit salting remains the tool for skewed AGGREGATIONS
+  * and for joins whose skew AQE can't split (e.g. a single massive
+  * key on the build side). */
+object Salting {
+
+  /** Two-phase aggregation for a skewed groupBy: group on (key, salt)
+    * first (spreads the hot key over `factor` reducers), then re-group
+    * on key. `aggs` must be decomposable (sum/count/min/max — the
+    * partial and final agg expressions are supplied by the caller). */
+  def saltedSum(
+      df: DataFrame,
+      key: Seq[String],
+      valueCol: String,
+      factor: Int = 16
+  ): DataFrame = {
+    val salted = df.withColumn(
+      "__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(factor))
+    )
+    salted
+      .groupBy((key.map(col) :+ col("__salt")): _*)
+      .agg(sum(col(valueCol)).as("__partial"))
+      .groupBy(key.map(col): _*)
+      .agg(sum(col("__partial")).as(s"sum_$valueCol"))
+  }
+
+  /** Salted join for a skewed LEFT side against a small-ish right side
+    * that is still too big to broadcast: right rows are replicated
+    * `factor`× (one per salt), left rows pick a deterministic salt, and
+    * the join key becomes (key, salt) — the hot key now lands on
+    * `factor` reducers instead of one. */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: Seq[String],
+      factor: Int = 16,
+      joinType: String = "inner"
+  ): DataFrame = {
+    val saltedLeft = left.withColumn(
+      "__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(factor))
+    )
+    val saltedRight = right.withColumn(
+      "__salt",
+      explode(sequence(lit(0L), lit(factor.toLong - 1)))
+    )
+    saltedLeft
+      .join(saltedRight, key :+ "__salt", joinType)
+      .drop("__salt")
+  }
+}
