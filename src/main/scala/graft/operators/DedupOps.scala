@@ -287,6 +287,52 @@ object CosineKnn {
     )
   }
 
+  /** IVF-style ANN: deterministic "centroids" = a hash-picked corpus
+    * subset (every row whose id hashes into the centroid stratum),
+    * broadcast; every vector is assigned to its nearest centroid
+    * (cluster id), queries probe their own cluster only. One broadcast
+    * + one shuffle on cluster id; cluster sizes ≈ |corpus|/k so the
+    * bucket-local exact search stays bounded. Swap the sampling for real
+    * k-means centroids when an offline training step is available. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      embField: String,
+      idField: String,
+      k: Int,
+      nCentroids: Int = 16
+  ): DataFrame = {
+    val e = col(embField).cast(ArrayType(DoubleType))
+    // stable stratified pick: smallest nCentroids ids by hash
+    val centroids = corpus
+      .select(col(idField).as("cid"), e.as("ce"))
+      .orderBy(xxhash64(col("cid")), col("cid"))
+      .limit(nCentroids)
+    def assign(df: DataFrame, vec: String): DataFrame =
+      df.crossJoin(broadcast(centroids))
+        .withColumn("__sim", cosine(col(vec), col("ce")))
+        .withColumn(
+          "__rk",
+          row_number().over(
+            Window.partitionBy(col(vec)).orderBy(col("__sim").desc, col("cid"))
+          )
+        )
+        .filter(col("__rk") === 1)
+        .withColumn("cluster", col("cid"))
+        .drop("cid", "ce", "__sim", "__rk")
+    val c = assign(
+      corpus.select(col(idField).as("corpus_id"), e.as("__ce")), "__ce")
+    val q = assign(
+      queries.select(col(idField).as("query_id"), e.as("__qe")), "__qe")
+    val scored = c.join(q, Seq("cluster"))
+      .withColumn("cos", cosine(col("__ce"), col("__qe")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cos", "rank")
+  }
+
   /** ANN top-k via LSH buckets: exact cosine only within the query's
     * bucket. Recall < 1 by construction; nPlanes trades recall for
     * bucket size. */

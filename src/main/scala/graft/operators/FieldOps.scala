@@ -82,14 +82,50 @@ final case class MakeField(
 final case class EnumerateField(
     fieldToEnumerate: String,
     destinationField: Option[String] = None,
-    sameIdForRepeated: Boolean = true
+    sameIdForRepeated: Boolean = true,
+    appearanceOrder: Boolean = false
 ) extends Mapper {
   private def dest = destinationField.getOrElse(fieldToEnumerate)
   override def inputFields: Seq[String] = Seq(fieldToEnumerate)
   override def outputFields: Seq[String] = Seq(dest)
   override protected def build(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    if (sameIdForRepeated) {
+    if (sameIdForRepeated && appearanceOrder) {
+      // the reference's exact semantics (fields.py:180-196): ids in order
+      // of FIRST APPEARANCE. Distributed: row index → min index per
+      // value → rank values by that min. Two shuffles, no driver state;
+      // "appearance" is the dataset's partition-then-row order (stable
+      // for a deterministic upstream sort or source).
+      import org.apache.spark.sql.expressions.Window
+      val idxField = "__graft_idx"
+      val schema = StructType(
+        df.schema.fields :+ StructField(idxField, LongType)
+      )
+      val indexed = spark.createDataFrame(
+        df.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+        },
+        schema
+      )
+      val firstSeen = indexed
+        .groupBy(col(fieldToEnumerate))
+        .agg(min(col(idxField)).as("__graft_first"))
+        .withColumn(
+          "__graft_enum_id",
+          row_number().over(Window.orderBy(col("__graft_first"))).cast(LongType) - 1
+        )
+        .drop("__graft_first")
+      val joined = indexed.join(firstSeen, Seq(fieldToEnumerate), "left")
+      val out =
+        if (dest == fieldToEnumerate)
+          joined.drop(fieldToEnumerate).withColumnRenamed("__graft_enum_id", dest)
+        else joined.withColumnRenamed("__graft_enum_id", dest)
+      val ordered =
+        if (df.columns.contains(dest) || dest == fieldToEnumerate)
+          df.columns.toSeq
+        else df.columns.toSeq :+ dest
+      out.orderBy(col(idxField)).select(ordered.map(col): _*)
+    } else if (sameIdForRepeated) {
       // sorted-distinct + zipWithIndex: the sort range-partitions, and
       // zipWithIndex preserves the global order => contiguous ids without
       // ever funnelling the data through one partition.

@@ -129,6 +129,35 @@ class DedupContribSpec extends SparkSpec {
     assert(new java.io.File(dir).listFiles().nonEmpty)
   }
 
+  test("EnumerateField appearance-order matches reference memoization") {
+    val df = Seq("b", "a", "b", "c", "a").toDF("v").coalesce(1)
+    val out = EnumerateField("v", Some("id"), appearanceOrder = true)(df)
+    val got = out.collect().map(r => (r.getString(0), r.getLong(1)))
+    // first-appearance order: b=0, a=1, c=2 (vs value-order a=0,b=1,c=2)
+    assert(got.toSeq == Seq(("b", 0L), ("a", 1L), ("b", 0L), ("c", 2L), ("a", 1L)))
+  }
+
+  test("CosineKnn ivfTopK finds same-cluster neighbors") {
+    val emb = (0L until 20L).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0f, 0.0f) else Seq(0.0f, 1.0f)
+      (i, base.map(_ + (i.toFloat / 1000f)))
+    }.toDF("vec_id", "embedding")
+    val out = CosineKnn.ivfTopK(emb, emb.filter(col("vec_id") === 0),
+      "embedding", "vec_id", k = 5, nCentroids = 2)
+    val ids = out.select("corpus_id").as[Long].collect().toSet
+    assert(ids.contains(0L))           // self always found
+    assert(ids.forall(_ % 2 == 0))     // only the [1,0]-direction cluster
+  }
+
+  test("CsvLoader reads gzip transparently (Hadoop codec)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gz").toString
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$tmp/x.csv.gz"))
+    gz.write("x,y\n1,foo\n2,bar\n3,baz\n".getBytes("UTF-8")); gz.close()
+    val out = CsvLoader("path")(Seq(s"$tmp/x.csv.gz").toDF("path"))
+    assert(out.count() == 3)
+  }
+
   test("CsvLoader reads from path rows") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
     java.nio.file.Files.writeString(
