@@ -864,33 +864,47 @@ object Queries {
       s"i -> array_to_string(list_slice($W, i, i + 2), ' ')) " +
       s"ELSE [array_to_string($W, ' ')] END"
 
-  private def minhashSigCol(k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      j =>
-        array_min(
-          transform(
-            col("shingles"),
-            sh => md5(concat(j.cast(StringType), lit(":"), sh))
-          )
+  /** 8 minhash functions from TWO md5s per shingle: the 32 hex chars of
+    * each digest split into 4 disjoint 8-char (32-bit) windows — md5
+    * bits are independent, so the windows are independent hash values.
+    * 4x fewer digest computations than md5(j || shingle) per j. */
+  private def withMinhashSig(df: DataFrame): DataFrame =
+    df.withColumn("ha", transform(col("shingles"), sh => md5(sh)))
+      .withColumn("hb", transform(col("shingles"), sh => md5(concat(lit("x"), sh))))
+      .withColumn(
+        "sig",
+        transform(
+          sequence(lit(0), lit(7)),
+          j =>
+            array_min(
+              transform(
+                when(j < 4, col("ha")).otherwise(col("hb")),
+                h => h.substr((j % 4) * 8 + 1, lit(8))
+              )
+            )
         )
-    )
+      )
+      .drop("ha", "hb")
 
-  private def minhashSigSql(k: Int): String =
-    s"list_transform(generate_series(0, ${k - 1}), j -> " +
-      s"list_min(list_transform(sh, x -> md5(CAST(j AS VARCHAR) || ':' || x))))"
+  /** DuckDB CTE chain producing (doc_id, words, sig) with the same
+    * two-digest windowed minhash. */
+  private val SIG_CTES =
+    s"""d AS (SELECT doc_id, $W AS words, $SHINGLES AS sh FROM documents),
+       |hh AS (SELECT doc_id, words, list_transform(sh, s -> md5(s)) AS ha,
+       |       list_transform(sh, s -> md5('x' || s)) AS hb FROM d),
+       |sigs AS (SELECT doc_id, words, list_transform(generate_series(0, 7),
+       |  j -> list_min(list_transform(CASE WHEN j < 4 THEN ha ELSE hb END,
+       |       h -> substring(h, CAST((j % 4) * 8 + 1 AS INT), 8)))) AS sig FROM hh)""".stripMargin
 
   private val qMinhashSig = Q(
     "q82_minhash_sig",
     (s, dir) =>
-      docWords(s, dir)
-        .withColumn("shingles", shinglesCol)
-        .withColumn("sig", minhashSigCol(8))
+      withMinhashSig(docWords(s, dir).withColumn("shingles", shinglesCol))
         .select("doc_id", "sig")
         .orderBy("doc_id"),
     Some(
-      s"""WITH d AS (SELECT doc_id, $SHINGLES AS sh FROM documents)
-         |SELECT doc_id, ${minhashSigSql(8)} AS sig FROM d ORDER BY doc_id""".stripMargin
+      s"""WITH $SIG_CTES
+         |SELECT doc_id, sig FROM sigs ORDER BY doc_id""".stripMargin
     )
   )
 
@@ -900,9 +914,8 @@ object Queries {
       // LSH banding: 4 bands of 2 minhashes → candidate pairs share a band.
       // The signature pipeline is persisted so the self-join's two legs
       // don't each recompute 8×|shingles| md5s per doc.
-      val sigs = docWords(s, dir)
-        .withColumn("shingles", shinglesCol)
-        .withColumn("sig", minhashSigCol(8))
+      val sigs = withMinhashSig(
+        docWords(s, dir).withColumn("shingles", shinglesCol))
         .select(
           col("doc_id"),
           explode(
@@ -931,8 +944,7 @@ object Queries {
         .orderBy("id_a", "id_b")
     },
     Some(
-      s"""WITH d AS (SELECT doc_id, $SHINGLES AS sh FROM documents),
-         |sigs AS (SELECT doc_id, ${minhashSigSql(8)} AS sig FROM d),
+      s"""WITH $SIG_CTES,
          |bands AS (SELECT doc_id, unnest(list_transform(generate_series(0, 3),
          |  b -> md5(array_to_string(list_slice(sig, b*2 + 1, b*2 + 2), '|')))) AS bh
          |  FROM sigs)
@@ -1606,16 +1618,15 @@ object Queries {
       // jaccard verify. Candidates are deduped on (id_a, id_b) BEFORE the
       // word arrays are joined back — the wide data never enters the
       // distinct shuffle (the 100-TB discipline: shuffle keys, not text).
-      val sigs = docWords(s, dir)
-        .withColumn("shingles", shinglesCol)
-        .withColumn("sig", minhashSigCol(8))
+      val sigs = withMinhashSig(
+        docWords(s, dir).withColumn("shingles", shinglesCol))
       val banded = sigs
         .select(
           col("doc_id"),
           explode(
             transform(
-              sequence(lit(0), lit(7)),
-              b => md5(concat(b.cast(StringType), lit("#"), element_at(col("sig"), b + 1)))
+              sequence(lit(0), lit(3)),
+              b => md5(concat_ws("|", slice(col("sig"), b * 2 + 1, lit(2))))
             )
           ).as("bh")
         )
@@ -1634,15 +1645,14 @@ object Queries {
         .join(uniqWords.select(col("doc_id").as("id_b"), col("uw").as("ub")), Seq("id_b"))
         .withColumn("inter", size(array_intersect(col("ua"), col("ub"))).cast(DoubleType))
         .withColumn("jac", col("inter") / (size(col("ua")) + size(col("ub")) - col("inter")))
-        .filter(col("jac") >= 0.5)
+        .filter(col("jac") >= 0.3)
         .select(col("id_a"), col("id_b"), floor(col("jac") * 1e6).cast(LongType).as("jac_f"))
         .orderBy("id_a", "id_b")
     },
     Some(
-      s"""WITH d AS (SELECT doc_id, $W AS words, $SHINGLES AS sh FROM documents),
-         |sigs AS (SELECT doc_id, words, ${minhashSigSql(8)} AS sig FROM d),
-         |bands AS (SELECT doc_id, words, unnest(list_transform(generate_series(0, 7),
-         |  b -> md5(CAST(b AS VARCHAR) || '#' || sig[b + 1]))) AS bh FROM sigs),
+      s"""WITH $SIG_CTES,
+         |bands AS (SELECT doc_id, words, unnest(list_transform(generate_series(0, 3),
+         |  b -> md5(array_to_string(list_slice(sig, b*2 + 1, b*2 + 2), '|')))) AS bh FROM sigs),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          |    a.words AS w_a, b.words AS w_b
          |  FROM bands a JOIN bands b ON a.bh = b.bh AND a.doc_id < b.doc_id),
@@ -1650,7 +1660,7 @@ object Queries {
          |    CAST(len(list_filter(list_distinct(w_a), w -> list_contains(list_distinct(w_b), w))) AS DOUBLE) AS inter,
          |    len(list_distinct(w_a)) + len(list_distinct(w_b)) AS tot FROM cand)
          |SELECT id_a, id_b, CAST(FLOOR(inter / (tot - inter) * 1e6) AS BIGINT) AS jac_f
-         |FROM v WHERE inter / (tot - inter) >= 0.5 ORDER BY id_a, id_b""".stripMargin
+         |FROM v WHERE inter / (tot - inter) >= 0.3 ORDER BY id_a, id_b""".stripMargin
     )
   )
 
