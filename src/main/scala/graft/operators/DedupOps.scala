@@ -244,47 +244,32 @@ object CosineKnn {
   }
 
   /** Random-hyperplane LSH bucketing: `nPlanes` sign bits = bucket id.
-    * Planes are derived deterministically from a seed via xxhash64 — no
-    * driver-side randomness, no data movement to build the "index".
-    * Candidates = same bucket; quadratic work is bucket-local. At 100 TB
-    * the bucket count (2^nPlanes × multiprobe) keys the one shuffle. */
+    * Hyperplanes are CONSTANTS — generated once on the driver from the
+    * seed and shipped as literal arrays, so the per-row work is nPlanes
+    * codegen'd dot products (sign of cosine == sign of dot, reusing the
+    * native CosineSimilarity kernel). Candidates = same bucket; the
+    * quadratic work is bucket-local. At 100 TB the bucket count
+    * (2^nPlanes × multiprobe) keys the one shuffle. */
   def lshBuckets(
       df: DataFrame,
       embField: String,
       nPlanes: Int = 8,
-      seed: Int = 42
+      seed: Int = 42,
+      dims: Int = 64
   ): DataFrame = {
     val e = col(embField).cast(ArrayType(DoubleType))
-    // plane p, dim i weight = (hash(p, i, seed) mod 2001 - 1000)/1000  ∈ [-1, 1]
-    val bucketBits = transform(
-      sequence(lit(0), lit(nPlanes - 1)),
-      p => {
-        val proj = aggregate(
-          zip_with(
-            e,
-            sequence(lit(0L), size(e).cast(LongType) - 1),
-            (x, i) =>
-              x * ((xxhash64(p.cast(LongType) * 100000 + i, lit(seed)) % 2001)
-                .cast(DoubleType) / 1000.0)
-          ),
-          lit(0.0),
-          (acc, x) => acc + x
-        )
-        when(proj >= 0, 1L).otherwise(0L)
+    val rng = new java.util.Random(seed)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(nPlanes)(Seq.fill(dims)(rng.nextGaussian()))
+    val bucket = planes.zipWithIndex
+      .map { case (w, p) =>
+        when(
+          graft.functions.functions.cosine_sim(e, typedlit(w)) >= 0,
+          lit(1L << p)
+        ).otherwise(lit(0L))
       }
-    )
-    df.withColumn(
-      "bucket",
-      aggregate(
-        zip_with(
-          bucketBits,
-          sequence(lit(0L), lit(nPlanes - 1L)),
-          (bit, i) => call_function("shiftleft", bit, i.cast(IntegerType))
-        ),
-        lit(0L),
-        (acc, x) => acc.bitwiseOR(x)
-      )
-    )
+      .reduce(_ + _)
+    df.withColumn("bucket", bucket)
   }
 
   /** IVF-style ANN: deterministic "centroids" = a hash-picked corpus
