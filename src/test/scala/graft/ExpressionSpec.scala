@@ -63,6 +63,32 @@ class ExpressionSpec extends SparkSpec {
     )
   }
 
+  test("custom expressions participate in Catalyst constant folding") {
+    // literal inputs => ConstantFolding evaluates the expression at plan
+    // time; the optimized plan carries the folded Literal, proving the
+    // expressions compose with Catalyst's optimizer (SURVEY 7.4: no
+    // custom rules needed).
+    val df = spark.range(1).select(
+      gf.run_length_ranges(
+        typedlit(Seq(1L, 1L, 0L, 1L)), lit(1L)).as("r"),
+      gf.greedy_pack_breaks(
+        typedlit(Seq(2L, 2L, 2L)), lit(2L), lit(100L)).as("g")
+    )
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("run_length_ranges") &&
+      !optimized.contains("greedy_pack_breaks"), optimized)
+    assert(rows(df).head == Seq(List(List(0L, 2L), List(3L, 4L)), List(0L, 2L)))
+  }
+
+  test("WordPieceTokenizer.fromVocabFile reads BERT vocab format") {
+    val f = java.nio.file.Files.createTempFile("graft_vocab", ".txt")
+    java.nio.file.Files.writeString(f,
+      "[PAD]\n[UNK]\n[CLS]\n[SEP]\nhello\n##s\n")
+    val tok = operators.WordPieceTokenizer.fromVocabFile(f.toString)
+    assert(tok.encode("hellos", false).toSeq == Seq(4L, 5L))
+    assert(tok.padId == 0L && tok.bosIds == Seq(2L))
+  }
+
   test("SQL registration via functions.register") {
     graft.functions.functions.register(spark)
     val got = spark.sql(
