@@ -56,15 +56,23 @@ object CombineSources {
     dfs.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
 
   def interleave(dfs: Seq[DataFrame]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tagged = dfs.zipWithIndex.map { case (d, i) =>
-      d.withColumn("__graft_src", lit(i))
-        .withColumn(
-          "__graft_rn",
-          row_number().over(
-            Window.partitionBy(lit(1)).orderBy(monotonically_increasing_id())
-          )
+      val schema = org.apache.spark.sql.types.StructType(
+        d.schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("__graft_src",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("__graft_rn",
+            org.apache.spark.sql.types.LongType)
         )
+      )
+      // per-source row numbers via zipWithIndex — distributed, no
+      // single-partition window funnel
+      d.sparkSession.createDataFrame(
+        d.rdd.zipWithIndex.map { case (r, rn) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(i, rn))
+        },
+        schema
+      )
     }
     tagged
       .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))

@@ -211,9 +211,10 @@ final case class SingleSequenceStriderWithLocations(
   *
   * Spark has no global row order, so two modes (SURVEY.md §7.3):
   *   - `orderBy=Some(cols)`: deterministic batching by the given key —
-  *     batch ids come from a ranged row_number, then one shuffle groups
-  *     batch members (scales: the window is per-partition-range via a
-  *     single global sort, same cost class as any orderBy);
+  *     a range-partitioned global sort + `zipWithIndex` assigns global
+  *     row numbers WITHOUT funnelling all rows through one partition
+  *     (a bare `row_number()` window would), then one shuffle groups
+  *     batch members;
   *   - `orderBy=None`: partition-local batching via `mapPartitions`-style
   *     grouping — zero shuffle, order within a partition.
   * `batchSize <= 0` means "max" (one batch, ordered mode only).
@@ -226,11 +227,20 @@ final case class FixedBatchSize(
   override protected def build(df: DataFrame): DataFrame = {
     val cols = df.columns.toSeq
     if (orderBy.nonEmpty) {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(orderBy.map(col): _*)
       val bs = if (batchSize <= 0) Long.MaxValue else batchSize.toLong
-      val withId = df
-        .withColumn("__graft_rn", row_number().over(w).cast(LongType) - 1)
+      val sorted = df.orderBy(orderBy.map(col): _*)
+      val idSchema = StructType(
+        sorted.schema.fields :+ StructField("__graft_rn", LongType)
+      )
+      // zipWithIndex preserves the range-partitioned sort order, so row
+      // numbers are global WITHOUT a single-partition row_number window
+      val withId = df.sparkSession
+        .createDataFrame(
+          sorted.rdd.zipWithIndex.map { case (r, i) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+          },
+          idSchema
+        )
         .withColumn("__graft_bid", (col("__graft_rn") / bs).cast(LongType))
       val packed = withId
         .groupBy(col("__graft_bid"))
