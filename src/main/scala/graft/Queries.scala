@@ -48,10 +48,12 @@ object Queries {
     * shuffle (≈MBs) buys full parallelism; on a real multi-file corpus
     * the reader already yields enough splits. */
   private def docs(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+    T(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
 
   private def embs(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism)
+    T(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
 
   /** documents with a whitespace-token `words` column (ws splitter). */
   private def docWords(s: SparkSession, dir: String): DataFrame =

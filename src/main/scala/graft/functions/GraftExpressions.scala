@@ -161,8 +161,52 @@ case class GreedyPackBreaks(
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** simhash64(words): 64-bit SimHash of an array<string> in ONE linear
+  * pass — per word one xxhash64 (same `XxHash64Function` as the SQL
+  * builtin, seed 42, so results match the HOF formulation it replaces)
+  * and 64 sign-counter updates. The HOF version allocated a 64-long
+  * array per word per row. */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(wordsAny: Any): Any = {
+    val words = wordsAny.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = words.numElements()
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        val h = XxHash64Function.hash(words.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers. */
 object functions {
+  def simhash64(words: Column): Column =
+    toCol(SimHash64Expr(expression(words)))
+
   def cosine_sim(a: Column, b: Column): Column =
     toCol(CosineSimilarity(expression(a), expression(b)))
 

@@ -175,35 +175,11 @@ final case class SimHash(
 ) extends Mapper {
   override def inputFields: Seq[String] = Seq(wordsField)
   override def outputFields: Seq[String] = Seq(outputField)
-  override protected def build(df: DataFrame): DataFrame = {
-    // One aggregate pass: fold words into a 64-long counts array, then
-    // assemble bits. Array-of-counts keeps it a single expression tree
-    // (no 64 separate folds over the data).
-    val counts = aggregate(
-      col(wordsField),
-      array_repeat(lit(0L), 64),
-      (acc, w) => {
-        val h = xxhash64(w)
-        zip_with(
-          acc,
-          sequence(lit(0L), lit(63L)),
-          (c, b) => c + when(call_function("shiftright", h, b.cast(IntegerType)).bitwiseAND(1) === 1, 1L).otherwise(-1L)
-        )
-      }
-    )
+  override protected def build(df: DataFrame): DataFrame =
     df.withColumn(
       outputField,
-      aggregate(
-        zip_with(
-          counts,
-          sequence(lit(0L), lit(63L)),
-          (c, b) => when(c > 0, call_function("shiftleft", lit(1L), b.cast(IntegerType))).otherwise(0L)
-        ),
-        lit(0L),
-        (acc, x) => acc.bitwiseOR(x)
-      )
+      graft.functions.functions.simhash64(col(wordsField))
     )
-  }
 }
 
 /** Brute-force cosine top-k: every row of `queries` against every row of
