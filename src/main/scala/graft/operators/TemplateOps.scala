@@ -326,10 +326,15 @@ final case class JinjaMapper(
     val extra = extraVariables
     val multi = returnMultipleTargets
     val cols = df.columns
+    // overwrite-in-output semantics (reference merges transform output
+    // over the sample): input columns colliding with source/target are
+    // replaced, not duplicated
+    val keptIdx = cols.indices
+      .filter(i => cols(i) != sourceFieldName && cols(i) != targetFieldName)
     val targetType =
       if (multi) ArrayType(StringType) else StringType
     val outSchema = StructType(
-      df.schema.fields ++ Seq(
+      keptIdx.map(i => df.schema.fields(i)) ++ Seq(
         StructField(sourceFieldName, StringType),
         StructField(targetFieldName, targetType)
       )
@@ -348,7 +353,7 @@ final case class JinjaMapper(
         val targetVal: Any =
           if (multi) targets
           else targets.headOption.getOrElse("")
-        Row.fromSeq(row.toSeq ++ Seq(source, targetVal))
+        Row.fromSeq(keptIdx.map(row.get) ++ Seq(source, targetVal))
       }
     }(enc)
   }
@@ -378,8 +383,10 @@ final case class FewShotJinjaMapper(
     // batched: every column is now an array; shots = rows 0..n-2, query = last
     val template = jinja
     val cols = df.columns
+    val keptIdx = cols.indices
+      .filter(i => cols(i) != sourceFieldName && cols(i) != targetFieldName)
     val outSchema = StructType(
-      df.schema.fields ++ Seq(
+      keptIdx.map(i => df.schema.fields(i)) ++ Seq(
         StructField(sourceFieldName, StringType),
         StructField(targetFieldName, StringType)
       )
@@ -399,7 +406,7 @@ final case class FewShotJinjaMapper(
         val vars = queryVars + ("__shots__" -> shots)
         val parts = tpl.render(vars).split("\\|\\|\\|").map(_.trim)
         Row.fromSeq(
-          cols.map(c => colsVals(c)(n - 1)) ++
+          keptIdx.map(i => colsVals(cols(i))(n - 1)) ++
             Seq(parts.head, parts.drop(1).headOption.getOrElse(""))
         )
       }

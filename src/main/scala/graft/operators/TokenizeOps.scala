@@ -203,7 +203,9 @@ final case class TokenizerMapper(
     truncation: Boolean = false,
     returnAttentionMask: Boolean = true,
     returnSpecialTokensMask: Boolean = false,
-    returnLength: Boolean = false
+    returnLength: Boolean = false,
+    returnOverflowingTokens: Boolean = false,
+    strideOverlap: Int = 0
 ) extends Mapper {
   private def fname(f: String): String =
     outputPrefix.map(p => s"${p}_$f").getOrElse(f)
@@ -213,7 +215,8 @@ final case class TokenizerMapper(
     Seq(fname("input_ids")) ++
       (if (returnAttentionMask) Seq(fname("attention_mask")) else Nil) ++
       (if (returnSpecialTokensMask) Seq(fname("special_tokens_mask")) else Nil) ++
-      (if (returnLength) Seq(fname("length")) else Nil)
+      (if (returnLength) Seq(fname("length")) else Nil) ++
+      (if (returnOverflowingTokens) Seq(fname("overflow_to_sample_mapping")) else Nil)
 
   override protected def build(df: DataFrame): DataFrame = {
     val tok = tokenizer
@@ -235,7 +238,43 @@ final case class TokenizerMapper(
         else kept
       }
     }
-    var out = df.withColumn(fname("input_ids"), encodeUdf(col(inputField)))
+    // HF-style overflow (tokenize.py return_overflowing_tokens): instead
+    // of truncating, emit one row per maxLength-nSpecial window (with
+    // strideOverlap overlap); overflow_to_sample_mapping carries the
+    // source row index within this micro-batch semantics — we use a
+    // window ordinal per input row (0,1,2,…), which is the stable,
+    // distributable analog.
+    val overflowUdf = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val body = tok.encode(text, addSpecialTokens = false)
+        val win = math.max(1, maxLen.getOrElse(Int.MaxValue) - nSpecial)
+        val step = math.max(1, win - strideOverlap)
+        val chunks =
+          if (body.length <= win) Array(body)
+          else (0 to (body.length - win + step - 1) / step)
+            .map(k => body.slice(k * step, math.min(k * step + win, body.length)))
+            .filter(_.nonEmpty)
+            .toArray
+        chunks.map { c =>
+          if (addSpecials) (tok.bosIds ++ c ++ tok.eosIds).toArray else c
+        }
+      }
+    }
+    var out =
+      if (returnOverflowingTokens) {
+        df.withColumn("__graft_chunks", overflowUdf(col(inputField)))
+          .select(
+            col("*"),
+            posexplode(col("__graft_chunks"))
+              .as(Seq(fname("overflow_to_sample_mapping"), fname("input_ids")))
+          )
+          .drop("__graft_chunks")
+          .withColumn(
+            fname("overflow_to_sample_mapping"),
+            col(fname("overflow_to_sample_mapping")).cast(LongType)
+          )
+      } else df.withColumn(fname("input_ids"), encodeUdf(col(inputField)))
     if (returnAttentionMask)
       out = out.withColumn(
         fname("attention_mask"),
