@@ -45,6 +45,52 @@ final case class JsonlLoader(pathsField: String) extends Mapper {
   }
 }
 
+/** Full analog of HuggingFaceDatasetLoaderMapper (loaders.py:37-136):
+  * each input ROW is a dataset spec (format + path(s)); every spec is
+  * loaded with the matching `spark.read` source and the results are
+  * combined by `combineStrategy` ("concatenate" | "interleave").
+  * Spec rows are tiny by contract; the reads they trigger are fully
+  * distributed. */
+final case class DatasetLoader(
+    pathsField: String,
+    formatField: Option[String] = None,
+    defaultFormat: String = "parquet",
+    combineStrategy: String = "concatenate",
+    fieldsToKeep: Option[Seq[String]] = None
+) extends Mapper {
+  require(
+    Set("concatenate", "interleave").contains(combineStrategy),
+    s"combineStrategy must be concatenate|interleave, not $combineStrategy"
+  )
+  override def inputFields: Seq[String] = Seq(pathsField) ++ formatField
+  override protected def build(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val specs: Seq[(String, String)] = df
+      .select(
+        org.apache.spark.sql.functions.col(pathsField).cast("string"),
+        formatField
+          .map(f => org.apache.spark.sql.functions.col(f).cast("string"))
+          .getOrElse(org.apache.spark.sql.functions.lit(defaultFormat))
+      )
+      .collect() // spec rows only
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSeq
+    val loaded = specs.map {
+      case (path, "csv")              => spark.read.option("header", "true").csv(path)
+      case (path, "json" | "jsonl")   => spark.read.json(path)
+      case (path, "parquet")          => spark.read.parquet(path)
+      case (_, other) =>
+        throw new IllegalArgumentException(s"Unsupported format: $other")
+    }
+    val kept = fieldsToKeep match {
+      case Some(fs) => loaded.map(_.select(fs.map(org.apache.spark.sql.functions.col): _*))
+      case None     => loaded
+    }
+    if (combineStrategy == "concatenate") CombineSources.concatenate(kept)
+    else CombineSources.interleave(kept)
+  }
+}
+
 /** Combine N already-loaded datasets like HuggingFaceDatasetLoaderMapper's
   * combine step (loaders.py:37-136):
   *   - "concatenate": all rows of ds1, then ds2, … (`unionByName`);
@@ -69,7 +115,8 @@ object CombineSources {
       // single-partition window funnel
       d.sparkSession.createDataFrame(
         d.rdd.zipWithIndex.map { case (r, rn) =>
-          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(i, rn))
+          // note: Seq(i, rn) would unify Int to Long and break encoding
+          org.apache.spark.sql.Row.fromSeq((r.toSeq :+ i) :+ rn)
         },
         schema
       )

@@ -176,6 +176,22 @@ class DedupContribSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("DatasetLoader loads mixed-format specs and combines") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dsl").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/a.csv"), "id,v\n1,x\n2,y\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/b.jsonl"),
+      "{\"id\": \"3\", \"v\": \"z\"}\n")
+    val specs = Seq((s"$tmp/a.csv", "csv"), (s"$tmp/b.jsonl", "jsonl"))
+      .toDF("path", "fmt")
+    val out = DatasetLoader("path", Some("fmt"), fieldsToKeep = Some(Seq("id", "v")))(specs)
+    assert(out.count() == 3)
+    val inter = DatasetLoader("path", Some("fmt"),
+      combineStrategy = "interleave", fieldsToKeep = Some(Seq("id", "v")))(specs)
+    assert(inter.count() == 3)
+  }
+
   test("CombineSources.concatenate unions by name") {
     val a = Seq((1L, "x")).toDF("id", "v")
     val b = Seq((2L, "y")).toDF("id", "v")
