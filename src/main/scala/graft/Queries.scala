@@ -1756,18 +1756,26 @@ object Queries {
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
-  /** Flagship pipeline (smashed README/examples/squad.py shape, re-expressed
-    * Spark-first): split → stride → join back → prompt. */
+  /** Flagship pipeline: the full training-data shape on sf0.001 —
+    * dedup → quality gate → language id → stride → prompt (the smashed
+    * README/examples/squad.py chain, re-expressed Spark-first, with the
+    * north-star corpus ops in front). */
   def entry(spark: SparkSession): DataFrame = {
     val df = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
-    pipe(
+    val curated = operators.Filter("n_chars", ">", 60)(
+      ExactDedup("text", "doc_id")(df)
+    )
+    val withWords = pipe(
       RenameFields(Map("text" -> "words")),
-      TextToWords(Seq("words"), Splitters.Ws),
+      TextToWords(Seq("words"), Splitters.Ws)
+    )(curated)
+      .withColumn("pred_lang", TextAnalysis.langId(col("words")))
+    pipe(
       SingleSequenceStrider(Seq("words"), maxLength = 32, stride = Some(16)),
       WordsToText(Seq("words")),
-      FillTextPrompt("[{lang}] {words}", "prompt"),
+      FillTextPrompt("[{lang}/{pred_lang}] {words}", "prompt"),
       ChangeFields(keepFields = Seq("doc_id", "prompt"))
-    )(df)
+    )(withWords)
   }
 }

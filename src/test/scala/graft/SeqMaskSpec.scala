@@ -136,6 +136,18 @@ class SeqMaskSpec extends SparkSpec {
     )
   }
 
+  test("ValidUnicode golden (test_tokenize_mappers.py:19-64)") {
+    // "\uf02a" is Co (private use); "\u00ad" is Cf (soft hyphen)
+    val df = Seq(Tuple1(Seq(
+      "This", "example", "has", "bad",
+      "\uf02a", "\uf02a\u00ad", "Modalities\uf02a"
+    ))).toDF("tokens")
+    val out = ValidUnicode(Seq("tokens"),
+      Seq("Cc", "Cf", "Co", "Cs", "Mn", "Zl", "Zp", "Zs"), "[UNK]")(df)
+    assert(rows(out).head.head == List(
+      "This", "example", "has", "bad", "[UNK]", "[UNK]", "Modalities\uf02a"))
+  }
+
   test("mask roundtrip: indices -> mask -> indices") {
     val df = Seq((Seq(1L, 3L, 4L), Seq.fill(6)("x"))).toDF("locs", "ref")
     val out = MaskToIndices("mask", "locs2")(
