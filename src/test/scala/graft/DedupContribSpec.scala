@@ -192,6 +192,20 @@ class DedupContribSpec extends SparkSpec {
     assert(inter.count() == 3)
   }
 
+  test("FixText repairs UTF-8-as-Latin-1 mojibake and entities") {
+    val df = Seq("caf\u00c3\u00a9 &amp; cr\u00c3\u00a8me", "plain text").toDF("text")
+    val out = FixText(Seq("text"))(df).as[String].collect()
+    assert(out(0) == "caf\u00e9 & cr\u00e8me")
+    assert(out(1) == "plain text")
+  }
+
+  test("CombineSources.interleave alternates sources row by row") {
+    val a = Seq("a1", "a2", "a3").toDF("v").coalesce(1)
+    val b = Seq("b1", "b2").toDF("v").coalesce(1)
+    val out = CombineSources.interleave(Seq(a, b)).as[String].collect().toSeq
+    assert(out == Seq("a1", "b1", "a2", "b2", "a3"))
+  }
+
   test("CombineSources.concatenate unions by name") {
     val a = Seq((1L, "x")).toDF("id", "v")
     val b = Seq((2L, "y")).toDF("id", "v")
