@@ -294,6 +294,47 @@ object Queries {
     )
   )
 
+  private val qRollup = Q(
+    "q07_rollup",
+    (s, dir) =>
+      T(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+    Some(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+    )
+  )
+
+  private val qSetOps = Q(
+    "q08_setops",
+    (s, dir) => {
+      val docsT = T(s, dir, "documents")
+      val en = docsT.filter(col("lang") === "en").select("doc_id")
+      val src0 = docsT.filter(col("source") === "src0").select("doc_id")
+      en.except(src0)
+        .union(src0.intersect(en).withColumn("doc_id", -col("doc_id")))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id FROM (
+        |  SELECT doc_id FROM documents WHERE lang = 'en'
+        |  EXCEPT
+        |  SELECT doc_id FROM documents WHERE source = 'src0'
+        |) t
+        |UNION ALL
+        |SELECT -doc_id AS doc_id FROM (
+        |  SELECT doc_id FROM documents WHERE source = 'src0'
+        |  INTERSECT
+        |  SELECT doc_id FROM documents WHERE lang = 'en'
+        |) u
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
   // Field ops (SURVEY §2.2)
   // ------------------------------------------------------------------
@@ -1060,6 +1101,36 @@ object Queries {
     )
   )
 
+  /** All-pairs embedding cosine near-dup (the exact small-scale check;
+    * the LSH/IVF buckets in CosineKnn are the 100-TB path). */
+  private val qEmbedNeardup = Q(
+    "q96_embed_neardup_pairs",
+    (s, dir) => {
+      val emb = embs(s, dir)
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      val a = emb.select(col("vec_id").as("id_a"), col("e").as("ea"))
+      val b = emb.select(col("vec_id").as("id_b"), col("e").as("eb"))
+      a.crossJoin(b)
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", CosineKnn.cosine(col("ea"), col("eb")))
+        .withColumn("cos_f", floor(col("cos") * 1e5).cast(LongType))
+        .filter(col("cos_f") >= 35000)
+        .select("id_a", "id_b", "cos_f")
+        .orderBy("id_a", "id_b")
+    },
+    Some(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_reduce(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i]), (x, y) -> x + y) /
+        |  (sqrt(list_reduce(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * a.e[i]), (x, y) -> x + y)) *
+        |   sqrt(list_reduce(list_transform(generate_series(1, len(b.e)), i -> b.e[i] * b.e[i]), (x, y) -> x + y))) AS cos
+        |  FROM e a, e b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, CAST(FLOOR(cos * 1e5) AS BIGINT) AS cos_f
+        |FROM p WHERE CAST(FLOOR(cos * 1e5) AS BIGINT) >= 35000
+        |ORDER BY id_a, id_b""".stripMargin
+    )
+  )
+
   private val qLangId = Q(
     "q87_lang_id",
     (s, dir) => {
@@ -1728,7 +1799,8 @@ object Queries {
 
   val all: Vector[Q] = Vector(
     qAgg, qJoin, qWindow,
-    qEventWindows, qSessionize, qJsonProps, qAsofJoin,
+    qEventWindows, qSessionize, qJsonProps, qAsofJoin, qRollup, qSetOps,
+    qEmbedNeardup,
     qChangeFields, qRenameFields, qMakeField, qGlom, qCast, qBinarizer,
     qLookup, qOneHot, qEnumerate,
     qFilterForall,
