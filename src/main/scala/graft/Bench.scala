@@ -34,9 +34,11 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      // queries are self-contained; drop any intra-query persists so later
-      // queries aren't taxed by earlier cache residency
+      // queries are self-contained; drop any intra-query persists so
+      // later queries aren't taxed by earlier cache residency or the
+      // garbage they generated
       spark.catalog.clearCache()
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
