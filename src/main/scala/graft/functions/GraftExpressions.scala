@@ -231,6 +231,8 @@ object functions {
       "run_length_ranges", es => RunLengthRanges(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "greedy_pack_breaks", es => GreedyPackBreaks(es.head, es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash64", es => SimHash64Expr(es.head), "built-in")
   }
 }
 
@@ -252,6 +254,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("greedy_pack_breaks"),
         new ExpressionInfo(classOf[GreedyPackBreaks].getName, "greedy_pack_breaks"),
         (es: Seq[Expression]) => GreedyPackBreaks(es.head, es(1), es(2)))
+    )
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+        new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
+        (es: Seq[Expression]) => SimHash64Expr(es.head))
     )
   }
 }
