@@ -24,10 +24,14 @@ final case class CachedStage(cacheDir: String, inner: Mapper) extends Mapper {
 
   override protected def build(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    // dataset fingerprint = hash of the analyzed input plan (stable for
-    // the same source + transforms, mirroring the reference's dataset
-    // fingerprint at cache.py:137-146)
-    val datasetFp = Fingerprint.sha256(df.queryExecution.analyzed.toString())
+    // dataset fingerprint = hash of the analyzed input plan PLUS the
+    // concrete input files (the plan's string form elides scan paths, so
+    // two same-schema datasets would otherwise collide), mirroring the
+    // reference's dataset fingerprint at cache.py:137-146
+    val datasetFp = Fingerprint.sha256(
+      df.queryExecution.analyzed.toString() +
+        "|" + df.inputFiles.sorted.mkString(",")
+    )
     val key = Fingerprint.sha256(datasetFp + ":" + inner.fingerprint)
     val path = s"$cacheDir/$key"
     val fs = org.apache.hadoop.fs.FileSystem.get(
