@@ -295,8 +295,11 @@ object CosineKnn {
   }
 
   /** ANN top-k via LSH buckets: exact cosine only within the query's
-    * bucket. Recall < 1 by construction; nPlanes trades recall for
-    * bucket size. */
+    * probed buckets. `multiProbe` = Hamming radius of additional buckets
+    * probed per query (0 = own bucket only; 1 probes nPlanes+1 buckets —
+    * the standard recall/cost lever, since near-neighbors most often
+    * land one flipped hyperplane away). Corpus rows stay in ONE bucket;
+    * only the (tiny) query side fans out. */
   def annTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -304,7 +307,8 @@ object CosineKnn {
       idField: String,
       k: Int,
       nPlanes: Int = 8,
-      seed: Int = 42
+      seed: Int = 42,
+      multiProbe: Int = 1
   ): DataFrame = {
     val c = lshBuckets(corpus, embField, nPlanes, seed)
       .select(
@@ -312,11 +316,17 @@ object CosineKnn {
         col(embField).cast(ArrayType(DoubleType)).as("__ce"),
         col("bucket")
       )
+    val probes: Column => Column = b => {
+      val hamming1 =
+        if (multiProbe >= 1) (0 until nPlanes).map(p => b.bitwiseXOR(lit(1L << p)))
+        else Nil
+      array((b +: hamming1): _*)
+    }
     val q = lshBuckets(queries, embField, nPlanes, seed)
       .select(
         col(idField).as("query_id"),
         col(embField).cast(ArrayType(DoubleType)).as("__qe"),
-        col("bucket")
+        explode(probes(col("bucket"))).as("bucket")
       )
     val scored = c
       .join(q, Seq("bucket"))
