@@ -14,8 +14,9 @@ import org.apache.spark.sql.types._
   * vocabulary object shipped to executors once per task (Spark closure
   * serialization ~ the reference's pickle-to-HF-worker boundary,
   * /root/reference/src/smashed/base/mappers.py:116-137). Tokenization runs
-  * inside `mapPartitions` so per-partition init is amortized; everything
-  * before/after stays native Catalyst expressions.
+  * in a UDF whose captured tokenizer deserializes once per task — the
+  * same amortization as mapPartitions; everything before/after stays
+  * native Catalyst expressions.
   *
   * The bundled implementation is a faithful WordPiece (BERT-style):
   * basic tokenizer (whitespace split, punctuation split, lowercase,

@@ -63,6 +63,17 @@ class ExpressionSpec extends SparkSpec {
     )
   }
 
+  test("cosine_sim doGenCode really compiles into the stage (no silent fallback)") {
+    import org.apache.spark.sql.execution.debug._
+    val df = spark.range(4).select(
+      transform(sequence(lit(0L), lit(7L)), i => (col("id") + i).cast(DoubleType)).as("a")
+    ).select(gf.cosine_sim(col("a"), col("a")).as("c"))
+    val gen = codegenString(df.queryExecution.executedPlan)
+    // our template's distinctive shape: the fused dot+norm loop
+    assert(gen.contains("Math.sqrt"), gen.take(400))
+    assert(df.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
   test("custom expressions participate in Catalyst constant folding") {
     // literal inputs => ConstantFolding evaluates the expression at plan
     // time; the optimized plan carries the folded Literal, proving the
