@@ -262,8 +262,27 @@ final case class TokenizerMapper(
         }
       }
     }
+    // array<string> input: tokenize each element (the reference's
+    // batched-sentences shape, README.md:33-75) → array<array<bigint>>
+    val encodeManyUdf = udf { (texts: Seq[String]) =>
+      if (texts == null) null
+      else texts.map { t =>
+        val body = tok.encode(t, addSpecialTokens = false)
+        val kept = (maxLen, trunc) match {
+          case (Some(m), true) => body.take(math.max(0, m - nSpecial))
+          case _               => body
+        }
+        if (addSpecials) (tok.bosIds ++ kept ++ tok.eosIds).toArray else kept
+      }
+    }
+    val isArrayInput =
+      df.schema(inputField).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
     var out =
-      if (returnOverflowingTokens) {
+      if (isArrayInput) {
+        require(!returnOverflowingTokens,
+          "returnOverflowingTokens is not defined for array<string> input")
+        df.withColumn(fname("input_ids"), encodeManyUdf(col(inputField)))
+      } else if (returnOverflowingTokens) {
         df.withColumn("__graft_chunks", overflowUdf(col(inputField)))
           .select(
             col("*"),
@@ -279,7 +298,11 @@ final case class TokenizerMapper(
     if (returnAttentionMask)
       out = out.withColumn(
         fname("attention_mask"),
-        transform(col(fname("input_ids")), _ => lit(1L))
+        if (isArrayInput)
+          transform(col(fname("input_ids")),
+            s => transform(s, _ => lit(1L)))
+        else
+          transform(col(fname("input_ids")), _ => lit(1L))
       )
     if (returnSpecialTokensMask) {
       val nBos = tok.bosIds.size
