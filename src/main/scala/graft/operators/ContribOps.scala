@@ -120,6 +120,82 @@ final case class AddEvidencesLocation(
     )
 }
 
+/** Shift CHAR-level evidence spans into TOKEN-level spans using the
+  * offset mapping produced by [[EncodeFields]] on the context field.
+  * Ref: contrib/squad.py:198-262 — the reference bisects the encoder's
+  * (start, end) offsets; here the bisects become counting filters over
+  * the offsets array:
+  *   token start = start offset of the last token whose start ≤ s;
+  *   token end   = end offset of the first token whose end ≥ e.
+  * Spans with start/end ≤ 0 stay -1 (absent evidence). */
+final case class ShiftEvidenceLocations(
+    offsetsField: String,
+    locationField: String = "locations"
+) extends Mapper {
+  override def inputFields: Seq[String] = Seq(offsetsField, locationField)
+  override def outputFields: Seq[String] = Seq(locationField)
+  override protected def build(df: DataFrame): DataFrame = {
+    val offs = col(offsetsField)
+    df.withColumn(
+      locationField,
+      transform(
+        col(locationField),
+        loc => {
+          val s = element_at(loc, 1)
+          val e = element_at(loc, 2)
+          val posR = size(filter(offs, o => element_at(o, 1) <= s)) // bisect_right
+          val posL = size(filter(offs, o => element_at(o, 2) < e))  // bisect_left
+          val newStart =
+            when(s > 0, element_at(element_at(offs, posR), 1)).otherwise(lit(-1L))
+          val newEnd =
+            when(e > 0, element_at(element_at(offs, posL + 1), 2)).otherwise(lit(-1L))
+          array(newStart, newEnd)
+        }
+      )
+    )
+  }
+}
+
+/** Convenience wrapper: stride context + locations (+ extra fields)
+  * together. Ref: contrib/squad.py:265-284 (a field-union shim over
+  * SingleSequenceStrider). */
+object StriderWithEvidenceLocation {
+  def apply(
+      maxLength: Int,
+      contextField: String = "context",
+      locationField: String = "locations",
+      fieldsToStride: Seq[String] = Nil,
+      stride: Option[Int] = None,
+      keepLast: Boolean = false
+  ): SingleSequenceStrider =
+    SingleSequenceStrider(
+      (Set(contextField, locationField) ++ fieldsToStride).toSeq.sorted,
+      maxLength,
+      stride,
+      keepLast
+    )
+}
+
+/** When a window contains NO evidence (location mask sums to 0), replace
+  * the target labels with a canned encoded prompt (e.g. the token ids of
+  * "no evidence"). Ref: contrib/squad.py:286-316. */
+final case class ReplaceIfNoEvidence(
+    locationField: String = "locations",
+    targetField: String = "labels",
+    replacementIds: Seq[Long]
+) extends Mapper {
+  override def inputFields: Seq[String] = Seq(locationField, targetField)
+  override def outputFields: Seq[String] = Seq(targetField)
+  override protected def build(df: DataFrame): DataFrame = {
+    val locSum = aggregate(col(locationField), lit(0L), (a, x) => a + x)
+    df.withColumn(
+      targetField,
+      when(locSum > 0, col(targetField))
+        .otherwise(SeqUtil.litArray(replacementIds))
+    )
+  }
+}
+
 /** Split an annotations array: position `pos` → `preds`, mean of the rest
   * → `label`. Ref: contrib/sse.py:5-38. */
 final case class OneVsOtherAnnotator(

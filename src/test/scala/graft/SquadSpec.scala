@@ -49,6 +49,37 @@ class SquadSpec extends SparkSpec {
     assert(locs(1) == List(-1L, -1L))
   }
 
+  test("char evidence spans shift to token spans via encoder offsets") {
+    val vocab = (Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]") ++
+      Seq("spark", "is", "fast", ".") ++
+      "abcdefghijklmnopqrstuvwxyz".map(_.toString) ++
+      "abcdefghijklmnopqrstuvwxyz".map("##" + _))
+      .zipWithIndex.map { case (t, i) => t -> i.toLong }.toMap
+    val tok = WordPieceTokenizer(vocab)
+    //               0123456789012
+    val df = Seq(("spark is fast", Seq(Seq(9L, 13L), Seq(-1L, -1L))))
+      .toDF("context", "locations")
+    val out = Pipeline(
+      Vector(
+        EncodeFields(Seq("context"), tok, fieldsToReturnOffsetMapping = Seq("context")),
+        ShiftEvidenceLocations("offset_context", "locations")
+      )
+    )(df)
+    val locs = rows(out.select("locations")).head.head.asInstanceOf[List[List[Long]]]
+    assert(locs(0) == List(9L, 13L)) // aligns with the token's char span
+    assert(locs(1) == List(-1L, -1L))
+  }
+
+  test("ReplaceIfNoEvidence swaps labels only when mask is empty") {
+    val df = Seq(
+      (Seq(0L, 1L, 0L), Seq(7L, 8L)),
+      (Seq(0L, 0L, 0L), Seq(7L, 8L))
+    ).toDF("locations", "labels")
+    val out = ReplaceIfNoEvidence("locations", "labels", Seq(99L))(df)
+    assert(rows(out.select("labels")).map(_.head) ==
+      Seq(List(7L, 8L), List(99L)))
+  }
+
   test("evidence spans -> mask over context words") {
     val prepared = Pipeline(
       Vector(
