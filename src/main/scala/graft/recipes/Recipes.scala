@@ -96,6 +96,46 @@ object Recipes {
     Pipeline(chain)
   }
 
+  /** SQuAD-style prompting recipe (contrib/squad.py:318-456 shape):
+    * concatenate sectioned context → locate evidences (char spans) →
+    * encode context with offsets → shift spans to token space → mask →
+    * stride context+mask windows → swap labels when a window lost its
+    * evidence → fill the encoded prompt. */
+  def squadPrompting(
+      tokenizer: GraftTokenizer,
+      template: String = "{context}",
+      contextField: String = "context",
+      evidencesField: String = "evidences",
+      answerField: String = "answer",
+      maxContextLength: Int = 384,
+      stride: Option[Int] = None,
+      noEvidenceLabel: String = "no evidence"
+  ): Pipeline = {
+    val noEvidenceIds =
+      tokenizer.encode(noEvidenceLabel, addSpecialTokens = false).toSeq
+    Pipeline(
+      Vector(
+        ConcatenateContext(contextField),
+        AddEvidencesLocation(contextField, evidencesField, "locations"),
+        EncodeFields(Seq(contextField, answerField), tokenizer,
+          fieldsToReturnOffsetMapping = Seq(contextField)),
+        RenameFields(Map(answerField -> "labels")),
+        ShiftEvidenceLocations(s"offset_$contextField", "locations"),
+        RangeToMask("locations", contextField, "locations"),
+        StriderWithEvidenceLocation(
+          maxContextLength, contextField, "locations", stride = stride),
+        ReplaceIfNoEvidence("locations", "labels", noEvidenceIds),
+        FillEncodedPrompt(
+          template = template,
+          tokenizeLiteral =
+            s => tokenizer.encode(s, addSpecialTokens = false).toSeq,
+          bosTokenIds = tokenizer.bosIds,
+          eosTokenIds = tokenizer.eosIds
+        )
+      )
+    )
+  }
+
   /** Collation recipe: batch → pad to rectangle with tokenizer-derived
     * pad ids. Ref: /root/reference/src/smashed/recipes/collators.py:139-167
     * (tensor-ness is a format detail; see operators.MlHandoff). */

@@ -52,6 +52,23 @@ class RecipeStreamingSpec extends SparkSpec {
     batches.foreach(b => assert(b.map(_.size).distinct.size == 1))
   }
 
+  test("squad prompting recipe end-to-end") {
+    val sq = Seq(
+      (Seq("spark is fast and good", "it runs on clusters"),
+        Seq("fast"), "yes"),
+      (Seq("totally unrelated text here", "nothing to see"),
+        Seq("zzz absent"), "no")
+    ).toDF("context", "evidences", "answer")
+    val p = Recipes.squadPrompting(tok, template = "q : {context}",
+      maxContextLength = 32)
+    val out = p(sq)
+    assert(out.count() >= 2)
+    val cols = out.columns.toSet
+    assert(cols.contains("input_ids") && cols.contains("labels"))
+    val ids = out.select("input_ids").as[Seq[Long]].collect()
+    ids.foreach { s => assert(s.head == tok.bosIds.head && s.last == tok.eosIds.head) }
+  }
+
   test("narrow mappers run unchanged on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
