@@ -119,6 +119,31 @@ class RecipeStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming pipeline writes parquet with checkpointing") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    val out = StreamingPipeline(
+      Pipeline(Vector(
+        RenameFields(Map("value" -> "text")),
+        TextToWords(Seq("text"), Splitters.Ws)
+      )),
+      mem.toDF()
+    )
+    val q = out.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    mem.addData("a b", "c d e")
+    q.processAllAvailable()
+    mem.addData("f")
+    q.processAllAvailable()
+    q.stop()
+    val read = spark.read.parquet(outDir)
+    assert(read.count() == 3)
+    assert(read.schema("text").dataType.typeName == "array")
+  }
+
   test("streaming dedup emits first occurrence per key") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
