@@ -110,6 +110,15 @@ final case class WordPieceTokenizer(
     nfd.filter(ch => Character.getType(ch) != Character.NON_SPACING_MARK)
   }
 
+  /** Two tries (word-initial and "##"-continuation pieces) make the
+    * greedy longest-match scan O(L) probes per position with ZERO
+    * substring allocation — the hot path of the one irreducible UDF.
+    * Built lazily per JVM (@transient) after closure deserialization. */
+  @transient private lazy val rootTrie: WordPieceTokenizer.TrieNode =
+    WordPieceTokenizer.buildTrie(vocab, continuation = false)
+  @transient private lazy val contTrie: WordPieceTokenizer.TrieNode =
+    WordPieceTokenizer.buildTrie(vocab, continuation = true)
+
   /** Greedy longest-match-first WordPiece split of one word. */
   private def wordpiece(word: String): Array[Long] = {
     if (word.length > maxInputCharsPerWord) return Array(unkId)
@@ -117,18 +126,18 @@ final case class WordPieceTokenizer(
     var start = 0
     val n = word.length
     while (start < n) {
-      var end = n
+      var node = if (start == 0) rootTrie else contTrie
+      var i = start
       var found = -1L
-      while (end > start && found < 0) {
-        val sub = (if (start > 0) "##" else "") + word.substring(start, end)
-        vocab.get(sub) match {
-          case Some(id) => found = id
-          case None     => end -= 1
-        }
+      var foundEnd = -1
+      while (i < n && node != null) {
+        node = node.child(word.charAt(i))
+        i += 1
+        if (node != null && node.id >= 0) { found = node.id; foundEnd = i }
       }
       if (found < 0) return Array(unkId) // whole word becomes UNK
       pieces += found
-      start = end
+      start = foundEnd
     }
     pieces.toArray
   }
@@ -175,6 +184,51 @@ final case class WordPieceTokenizer(
 }
 
 object WordPieceTokenizer {
+
+  /** Sparse char trie; `id` >= 0 marks a vocab piece ending here. */
+  final class TrieNode {
+    var id: Long = -1L
+    private var keys: Array[Char] = Array.empty
+    private var kids: Array[TrieNode] = Array.empty
+    def child(c: Char): TrieNode = {
+      var i = 0
+      while (i < keys.length) {
+        if (keys(i) == c) return kids(i)
+        i += 1
+      }
+      null
+    }
+    def childOrAdd(c: Char): TrieNode = {
+      val existing = child(c)
+      if (existing != null) existing
+      else {
+        val n = new TrieNode
+        keys = keys :+ c
+        kids = kids :+ n
+        n
+      }
+    }
+  }
+
+  private[operators] def buildTrie(
+      vocab: Map[String, Long],
+      continuation: Boolean
+  ): TrieNode = {
+    val root = new TrieNode
+    vocab.foreach { case (tok, id) =>
+      val isCont = tok.startsWith("##")
+      if (isCont == continuation) {
+        val body = if (isCont) tok.drop(2) else tok
+        if (body.nonEmpty) {
+          var node = root
+          body.foreach(c => node = node.childOrAdd(c))
+          node.id = id
+        }
+      }
+    }
+    root
+  }
+
   /** Build from a BERT-format vocab.txt (one token per line, id = line
     * number) — the public file format, no HF code involved. */
   def fromVocabFile(path: String, lowercase: Boolean = true): WordPieceTokenizer = {
