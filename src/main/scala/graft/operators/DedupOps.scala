@@ -164,6 +164,101 @@ object MinHashLSH {
     val toDrop = verified.select(col("id_b").as(idField)).distinct()
     df.join(toDrop, Seq(idField), "left_anti")
   }
+
+  /** Cluster-exact dedup: verified pairs → connected components → keep
+    * ONE row (the minimum id) per duplicate cluster. Unlike the one-pass
+    * `dedup`, transitive duplicates (a~b, b~c but a≁c) collapse to a
+    * single survivor. */
+  def dedupClusters(
+      df: DataFrame,
+      wordsField: String,
+      idField: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      minJaccard: Double = 0.8,
+      maxIter: Int = 20
+  ): DataFrame = {
+    val withSig = MinHashSignature(wordsField, shingleSize, numHashes)(df)
+    val pairs = candidatePairs(withSig, idField, "minhash_sig", bands)
+    val shingled = df.select(
+      col(idField).as("__id"),
+      array_distinct(TextShingles.shingles(col(wordsField), shingleSize)).as("__sh")
+    )
+    val verified = pairs
+      .join(shingled.withColumnRenamed("__id", "id_a")
+        .withColumnRenamed("__sh", "sh_a"), Seq("id_a"))
+      .join(shingled.withColumnRenamed("__id", "id_b")
+        .withColumnRenamed("__sh", "sh_b"), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .withColumn("jac",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jac") >= minJaccard)
+      .select("id_a", "id_b")
+    val comps = ConnectedComponents.components(verified, maxIter = maxIter)
+    // drop every clustered row that is not its cluster's minimum
+    val losers = comps.filter(col("id") =!= col("comp"))
+      .select(col("id").as(idField))
+    df.join(losers, Seq(idField), "left_anti")
+  }
+}
+
+/** Distributed connected components over candidate-pair edges:
+  * iterative min-label propagation (labels(v) ← min over neighbors),
+  * converging in O(graph diameter) rounds. Each round is two shuffles
+  * (join + groupBy); `localCheckpoint` truncates the lineage so plans
+  * stay bounded. The driver only coordinates the loop — all data stays
+  * distributed. Duplicate clusters in corpus dedup are shallow (near-dup
+  * groups), so the iteration cap is generous, not load-bearing. */
+object ConnectedComponents {
+
+  /** pairs (idA, idB) as undirected edges → (id, comp) with comp = the
+    * minimum id reachable from `id`. Only vertices that appear in pairs
+    * are returned. */
+  def components(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 20
+  ): DataFrame = {
+    val edges = pairs
+      .select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(min(col("ncomp")).as("ncomp"))
+        .withColumnRenamed("src", "id")
+      val newLabels = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(
+          col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")
+        )
+        .localCheckpoint()
+      val changed = newLabels
+        .join(labels.withColumnRenamed("comp", "oldComp"), Seq("id"))
+        .filter(col("comp") =!= col("oldComp"))
+        .limit(1)
+        .count()
+      labels = newLabels
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }
 
 /** 64-bit SimHash over a words column: bit b of the output is the sign of

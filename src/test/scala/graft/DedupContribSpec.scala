@@ -38,6 +38,34 @@ class DedupContribSpec extends SparkSpec {
     assert(kept.contains(1L) && !kept.contains(2L) && kept.contains(4L))
   }
 
+  test("ConnectedComponents: chains collapse, islands stay apart") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = ConnectedComponents.components(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comps(_) == 1L))
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+  }
+
+  test("dedupClusters keeps one survivor per transitive cluster") {
+    // base = 20 words; doc2 changes word 10, doc3 changes words 10+5:
+    // jaccard(1,2) ≈ jaccard(2,3) ≈ 0.71 (≥ 0.6) but jaccard(1,3) ≈ 0.5
+    // (< 0.6) — only TRANSITIVITY via components collapses all three
+    val base = (1 to 20).map(i => s"w$i").toArray
+    def doc(changes: Map[Int, String]) =
+      base.zipWithIndex.map { case (w, i) => changes.getOrElse(i, w) }.mkString(" ")
+    val chain = Seq(
+      (1L, doc(Map.empty)),
+      (2L, doc(Map(9 -> "AAA"))),
+      (3L, doc(Map(9 -> "AAA", 4 -> "BBB"))),
+      (9L, "completely different text with other words entirely here now")
+    ).toDF("doc_id", "text").withColumn("words", split(col("text"), " "))
+    val kept = MinHashLSH.dedupClusters(chain, "words", "doc_id",
+      bands = 8, minJaccard = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && kept.contains(9L))
+    assert(!kept.contains(2L) && !kept.contains(3L), kept.toString)
+  }
+
   test("SimHash: identical → equal; near-dup closer than unrelated") {
     val hs = SimHash("words")(docs).select("doc_id", "simhash")
       .as[(Long, Long)].collect().toMap
