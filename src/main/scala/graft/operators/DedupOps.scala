@@ -343,27 +343,80 @@ object CosineKnn {
     df.withColumn("bucket", bucket)
   }
 
-  /** IVF-style ANN: deterministic "centroids" = a hash-picked corpus
-    * subset (every row whose id hashes into the centroid stratum),
-    * broadcast; every vector is assigned to its nearest centroid
-    * (cluster id), queries probe their own cluster only. One broadcast
-    * + one shuffle on cluster id; cluster sizes ≈ |corpus|/k so the
-    * bucket-local exact search stays bounded. Swap the sampling for real
-    * k-means centroids when an offline training step is available. */
+  /** Distributed k-means (Lloyd) centroid training for IVF: init =
+    * hash-stratified corpus pick; each round broadcasts the (k × dim)
+    * centroids, assigns every vector to its nearest, and recomputes the
+    * element-wise means via a posexplode → (cluster, dim) average → one
+    * linear pass + one shuffle per round. Centroids stay tiny; the
+    * corpus never funnels anywhere. */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      embField: String,
+      idField: String,
+      k: Int,
+      iters: Int = 2
+  ): DataFrame = {
+    val e = col(embField).cast(ArrayType(DoubleType))
+    var centroids = corpus
+      .select(col(idField).as("cid"), e.as("ce"))
+      .orderBy(xxhash64(col("cid")), col("cid"))
+      .limit(k)
+      .localCheckpoint()
+    val vecs = corpus.select(col(idField).as("__vid"), e.as("__ve"))
+    var it = 0
+    while (it < iters) {
+      val assigned = vecs
+        .crossJoin(broadcast(centroids))
+        .withColumn("__sim", cosine(col("__ve"), col("ce")))
+        .withColumn(
+          "__rk",
+          row_number().over(
+            Window.partitionBy(col("__vid")).orderBy(col("__sim").desc, col("cid"))
+          )
+        )
+        .filter(col("__rk") === 1)
+        .select(col("cid"), col("__ve"))
+      centroids = assigned
+        .select(col("cid"), posexplode(col("__ve")).as(Seq("__pos", "__v")))
+        .groupBy("cid", "__pos")
+        .agg(avg(col("__v")).as("__m"))
+        .groupBy("cid")
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__m")))),
+            s => s.getField("__m")
+          ).as("ce")
+        )
+        .localCheckpoint()
+      it += 1
+    }
+    centroids
+  }
+
+  /** IVF-style ANN: deterministic centroids — hash-stratified pick,
+    * optionally refined with [[kmeansCentroids]] Lloyd rounds
+    * (`trainIters > 0`) — broadcast; every vector is assigned to its
+    * nearest centroid (cluster id), queries probe their own cluster
+    * only. One broadcast + one shuffle on cluster id; cluster sizes ≈
+    * |corpus|/k so the bucket-local exact search stays bounded. */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
       embField: String,
       idField: String,
       k: Int,
-      nCentroids: Int = 16
+      nCentroids: Int = 16,
+      trainIters: Int = 0
   ): DataFrame = {
     val e = col(embField).cast(ArrayType(DoubleType))
-    // stable stratified pick: smallest nCentroids ids by hash
-    val centroids = corpus
-      .select(col(idField).as("cid"), e.as("ce"))
-      .orderBy(xxhash64(col("cid")), col("cid"))
-      .limit(nCentroids)
+    val centroids =
+      if (trainIters > 0)
+        kmeansCentroids(corpus, embField, idField, nCentroids, trainIters)
+      else
+        corpus
+          .select(col(idField).as("cid"), e.as("ce"))
+          .orderBy(xxhash64(col("cid")), col("cid"))
+          .limit(nCentroids)
     def assign(df: DataFrame, vec: String): DataFrame =
       df.crossJoin(broadcast(centroids))
         .withColumn("__sim", cosine(col(vec), col("ce")))

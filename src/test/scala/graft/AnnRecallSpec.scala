@@ -36,6 +36,27 @@ class AnnRecallSpec extends SparkSpec {
     lsh.foreach { case (q, got) => assert(got.contains(q)) }
   }
 
+  test("k-means centroids separate two blobs; trained IVF finds neighbors") {
+    import org.apache.spark.sql.functions._
+    // two clean blobs along +x and +y
+    val blobs = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) Seq(10.0f, 0.0f) else Seq(0.0f, 10.0f)
+      (i, base.map(_ + (i % 7).toFloat / 10f))
+    }.toDF("vec_id", "embedding")
+    val cents = graft.operators.CosineKnn
+      .kmeansCentroids(blobs, "embedding", "vec_id", k = 2, iters = 2)
+      .select("ce").as[Seq[Double]].collect()
+    assert(cents.length == 2)
+    // one centroid per blob direction
+    val dirs = cents.map(c => if (c(0) > c(1)) "x" else "y").toSet
+    assert(dirs == Set("x", "y"))
+    val out = graft.operators.CosineKnn.ivfTopK(blobs,
+      blobs.filter(col("vec_id") === 0), "embedding", "vec_id",
+      k = 5, nCentroids = 2, trainIters = 2)
+    val ids = out.select("corpus_id").as[Long].collect().toSet
+    assert(ids.contains(0L) && ids.forall(_ % 2 == 0)) // same-blob only
+  }
+
   test("IVF ANN recall@10 beats random; self always found") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = topkMap(CosineKnn.bruteForce(emb, queries, "embedding", "vec_id", 10))
