@@ -1786,6 +1786,16 @@ object Queries {
     None // xxhash64-derived hyperplanes: deterministic, engine-specific
   )
 
+  private val qDedupClusters = Q(
+    "q97_dedup_clusters_op",
+    (s, dir) =>
+      MinHashLSH
+        .dedupClusters(docWords(s, dir), "words", "doc_id", minJaccard = 0.5)
+        .select("doc_id")
+        .orderBy("doc_id"),
+    None // xxhash64 signatures + iterative components; rows-only
+  )
+
   private val qSimhash64 = Q(
     "q95_simhash64_op",
     (s, dir) =>
@@ -1819,7 +1829,8 @@ object Queries {
     qTruncateNested, qStriderLocations,
     qFixText, qEnumerateOrder,
     qCachedStage, qCombineConcat, qMultimodalDecode, qFrameSample,
-    qExactDedupOp, qNeardupVerified, qBruteKnn, qAnnLsh, qSimhash64
+    qExactDedupOp, qNeardupVerified, qBruteKnn, qAnnLsh, qSimhash64,
+    qDedupClusters
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -112,6 +112,8 @@ object MinHashLSH {
           )
         ).as(Seq("band", "bh"))
       )
+      .persist()
+    banded.count() // materialize once; both self-join legs read the cache
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(
@@ -222,15 +224,25 @@ object ConnectedComponents {
       idB: String = "id_b",
       maxIter: Int = 20
   ): DataFrame = {
-    val edges = pairs
-      .select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // materialize the (possibly expensive) pair subtree ONCE before the
+    // symmetric union references it twice
+    val p = pairs.select(col(idA).as("a"), col(idB).as("b")).localCheckpoint()
+    val edges = p
+      .select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .persist()
+    // adapt loop parallelism to graph size: per-round scheduling cost
+    // dominates tiny graphs, data volume dominates huge ones
+    val edgeCount = edges.count()
+    val loopParts = math.max(1, math.min(
+      pairs.sparkSession.sparkContext.defaultParallelism,
+      (edgeCount / 100000L).toInt + 1))
     var labels = edges
       .select(col("src").as("id"))
       .distinct()
       .withColumn("comp", col("id"))
+      .repartition(loopParts)
       .localCheckpoint()
     var i = 0
     var converged = false
@@ -240,12 +252,25 @@ object ConnectedComponents {
         .groupBy(col("src"))
         .agg(min(col("ncomp")).as("ncomp"))
         .withColumnRenamed("src", "id")
-      val newLabels = labels
+      val propagated = labels
         .join(neighborMin, Seq("id"), "left")
         .select(
           col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")
         )
+      // path halving: also adopt the label OF the label — chains
+      // converge in O(log diameter) rounds instead of O(diameter)
+      val newLabels = propagated
+        .join(
+          propagated.select(col("id").as("comp"), col("comp").as("comp2")),
+          Seq("comp"),
+          "left"
+        )
+        .select(
+          col("id"),
+          least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp")
+        )
+        .repartition(loopParts)
         .localCheckpoint()
       val changed = newLabels
         .join(labels.withColumnRenamed("comp", "oldComp"), Seq("id"))
