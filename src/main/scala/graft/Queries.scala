@@ -41,6 +41,21 @@ object Queries {
   private def pipe(ms: Mapper*)(df: DataFrame): DataFrame =
     ms.foldLeft(df)((d, m) => m(d))
 
+  /** Canonical serialization of an array-typed output column.
+    *
+    * The driver's correctness compare loads both results into pandas and
+    * sorts rows with `DataFrame.sort_values`, which cannot hash numpy
+    * arrays — an array-typed output column makes the whole query
+    * unscoreable (round-2 lesson: 29 queries err'd this way). So every
+    * query's FINAL projection serializes array columns to compact JSON
+    * strings. Spark's Jackson writer and DuckDB's yyjson emit byte-equal
+    * compact JSON for integer / string / nested-list payloads: no spaces,
+    * raw UTF-8, `null` for null elements, `[]` for empty. Oracles wrap
+    * the same columns in `to_json(...)::VARCHAR`. Avoid doubles inside
+    * serialized arrays (float formatting differs across engines) — the
+    * catalog already scales floats to BIGINT before output. */
+  private def J(name: String): Column = to_json(col(name)).as(name)
+
   /** documents/embeddings read spread across cores: the driver ships ONE
     * parquet file per table (single row group → parquet yields a single
     * split), so without this every expression-heavy doc pipeline (minhash
@@ -368,10 +383,10 @@ object Queries {
     "q12_make_field",
     (s, dir) =>
       MakeField("flag", 1L, shapeLike = Some("words"))(docWords(s, dir))
-        .select("doc_id", "flag")
+        .select(col("doc_id"), J("flag"))
         .orderBy("doc_id"),
     Some(
-      s"SELECT doc_id, list_transform($W, w -> CAST(1 AS BIGINT)) AS flag " +
+      s"SELECT doc_id, to_json(list_transform($W, w -> CAST(1 AS BIGINT)))::VARCHAR AS flag " +
         "FROM documents ORDER BY doc_id"
     )
   )
@@ -437,10 +452,10 @@ object Queries {
     (s, dir) =>
       OneHot(5, "cls")(
         T(s, dir, "customer").withColumn("cls", col("c_nationkey") % 5)
-      ).select("c_custkey", "cls").orderBy("c_custkey"),
+      ).select(col("c_custkey"), J("cls")).orderBy("c_custkey"),
     Some(
-      """SELECT c_custkey, list_transform(generate_series(0, 4),
-        |  i -> CAST(CASE WHEN i = c_nationkey % 5 THEN 1 ELSE 0 END AS BIGINT)) AS cls
+      """SELECT c_custkey, to_json(list_transform(generate_series(0, 4),
+        |  i -> CAST(CASE WHEN i = c_nationkey % 5 THEN 1 ELSE 0 END AS BIGINT)))::VARCHAR AS cls
         |FROM customer ORDER BY c_custkey""".stripMargin
     )
   )
@@ -487,9 +502,9 @@ object Queries {
           "nested",
           array(array(array(col("lang"))), array(array(col("source"))))
         )
-      ).select("doc_id", "nested").orderBy("doc_id"),
+      ).select(col("doc_id"), J("nested")).orderBy("doc_id"),
     Some(
-      "SELECT doc_id, flatten(flatten([[[lang]], [[source]]])) AS nested " +
+      "SELECT doc_id, to_json(flatten(flatten([[[lang]], [[source]]])))::VARCHAR AS nested " +
         "FROM documents ORDER BY doc_id"
     )
   )
@@ -542,12 +557,13 @@ object Queries {
         FixedBatchSize(100, keepLast = true, orderBy = Seq("c_custkey"))
       )(T(s, dir, "customer"))
         .withColumn("first", element_at(col("c_custkey"), 1))
+        .select(J("c_custkey"), J("c_mktsegment"), col("first"))
         .orderBy("first"),
     Some(
       """WITH r AS (SELECT c_custkey, c_mktsegment,
         |    row_number() OVER (ORDER BY c_custkey) - 1 AS rn FROM customer)
-        |SELECT list(c_custkey ORDER BY rn) AS c_custkey,
-        |       list(c_mktsegment ORDER BY rn) AS c_mktsegment,
+        |SELECT to_json(list(c_custkey ORDER BY rn))::VARCHAR AS c_custkey,
+        |       to_json(list(c_mktsegment ORDER BY rn))::VARCHAR AS c_mktsegment,
         |       min(c_custkey) AS first
         |FROM r GROUP BY rn // 100 ORDER BY first""".stripMargin
     )
@@ -561,10 +577,10 @@ object Queries {
     "q30_text_to_words",
     (s, dir) =>
       TextToWords(Seq("text"), Splitters.Plus)(T(s, dir, "documents"))
-        .select(col("doc_id"), col("text").as("words"))
+        .select(col("doc_id"), to_json(col("text")).as("words"))
         .orderBy("doc_id"),
     Some(
-      "SELECT doc_id, regexp_extract_all(text, '\\w+|[^\\w\\s]+') AS words " +
+      "SELECT doc_id, to_json(regexp_extract_all(text, '\\w+|[^\\w\\s]+'))::VARCHAR AS words " +
         "FROM documents ORDER BY doc_id"
     )
   )
@@ -588,10 +604,10 @@ object Queries {
     (s, dir) =>
       ValidUnicode(Seq("words"), Seq("Lu", "Nd"), "_")(
         docWords(s, dir)
-      ).select("doc_id", "words").orderBy("doc_id"),
+      ).select(col("doc_id"), J("words")).orderBy("doc_id"),
     Some(
-      s"""SELECT doc_id, list_transform($W,
-         |  t -> CASE WHEN regexp_matches(t, '^(?:\\p{Lu}|\\p{Nd})*$$') THEN '_' ELSE t END) AS words
+      s"""SELECT doc_id, to_json(list_transform($W,
+         |  t -> CASE WHEN regexp_matches(t, '^(?:\\p{Lu}|\\p{Nd})*$$') THEN '_' ELSE t END))::VARCHAR AS words
          |FROM documents ORDER BY doc_id""".stripMargin
     )
   )
@@ -622,13 +638,13 @@ object Queries {
         bosTokenIds = Seq(1L),
         eosTokenIds = Seq(2L)
       )(docIds(s, dir))
-        .select("doc_id", "input_ids", "attention_mask")
+        .select(col("doc_id"), J("input_ids"), J("attention_mask"))
         .orderBy("doc_id"),
     Some(
       s"""SELECT doc_id,
-         |  [CAST(1 AS BIGINT)] || $IDS || [CAST(3 AS BIGINT), CAST(2 AS BIGINT)] AS input_ids,
-         |  list_transform([CAST(1 AS BIGINT)] || $IDS || [CAST(3 AS BIGINT), CAST(2 AS BIGINT)],
-         |    x -> CAST(1 AS BIGINT)) AS attention_mask
+         |  to_json([CAST(1 AS BIGINT)] || $IDS || [CAST(3 AS BIGINT), CAST(2 AS BIGINT)])::VARCHAR AS input_ids,
+         |  to_json(list_transform([CAST(1 AS BIGINT)] || $IDS || [CAST(3 AS BIGINT), CAST(2 AS BIGINT)],
+         |    x -> CAST(1 AS BIGINT)))::VARCHAR AS attention_mask
          |FROM documents ORDER BY doc_id""".stripMargin
     )
   )
@@ -641,10 +657,10 @@ object Queries {
     "q50_truncate_single",
     (s, dir) =>
       TruncateSingleField(Map("words" -> 5, "source" -> 4))(docWords(s, dir))
-        .select("doc_id", "words", "source")
+        .select(col("doc_id"), J("words"), col("source"))
         .orderBy("doc_id"),
     Some(
-      s"""SELECT doc_id, list_slice($W, 1, 5) AS words,
+      s"""SELECT doc_id, to_json(list_slice($W, 1, 5))::VARCHAR AS words,
          |  substring(source, 1, 4) AS source
          |FROM documents ORDER BY doc_id""".stripMargin
     )
@@ -656,10 +672,10 @@ object Queries {
       pipe(
         TruncateSingleField(Map("ids" -> 12)),
         operators.Padding(12, 0L, Seq("ids"))
-      )(docIds(s, dir)).select("doc_id", "ids").orderBy("doc_id"),
+      )(docIds(s, dir)).select(col("doc_id"), J("ids")).orderBy("doc_id"),
     Some(
-      s"""SELECT doc_id, list_slice($IDS, 1, 12) ||
-         |  list_transform(range(12 - len(list_slice($IDS, 1, 12))), x -> CAST(0 AS BIGINT)) AS ids
+      s"""SELECT doc_id, to_json(list_slice($IDS, 1, 12) ||
+         |  list_transform(range(12 - len(list_slice($IDS, 1, 12))), x -> CAST(0 AS BIGINT)))::VARCHAR AS ids
          |FROM documents ORDER BY doc_id""".stripMargin
     )
   )
@@ -676,14 +692,14 @@ object Queries {
           .withColumn("a_ids", col("ids"))
           .withColumn("b_ids", slice(col("ids"), 1, 20))
           .select("doc_id", "a_ids", "b_ids")
-      ).orderBy("doc_id"),
+      ).select(col("doc_id"), J("a_ids"), J("b_ids")).orderBy("doc_id"),
     Some(
       s"""WITH d AS (SELECT doc_id, $IDS AS a, list_slice($IDS, 1, 20) AS b FROM documents)
          |SELECT doc_id,
-         |  CASE WHEN len(a)+len(b) <= 30 THEN a
-         |       ELSE list_slice(a, 1, CAST(FLOOR(len(a) * 30.0 / (len(a)+len(b))) AS BIGINT)) END AS a_ids,
-         |  CASE WHEN len(a)+len(b) <= 30 THEN b
-         |       ELSE list_slice(b, 1, CAST(FLOOR(len(b) * 30.0 / (len(a)+len(b))) AS BIGINT)) END AS b_ids
+         |  to_json(CASE WHEN len(a)+len(b) <= 30 THEN a
+         |       ELSE list_slice(a, 1, CAST(FLOOR(len(a) * 30.0 / (len(a)+len(b))) AS BIGINT)) END)::VARCHAR AS a_ids,
+         |  to_json(CASE WHEN len(a)+len(b) <= 30 THEN b
+         |       ELSE list_slice(b, 1, CAST(FLOOR(len(b) * 30.0 / (len(a)+len(b))) AS BIGINT)) END)::VARCHAR AS b_ids
          |FROM d ORDER BY doc_id""".stripMargin
     )
   )
@@ -694,11 +710,11 @@ object Queries {
       TokensSequencesPadding(
         "seqs",
         SpecialTokens(bos = Seq(101L), sep = Seq(102L), eos = Seq(103L))
-      )(docSeqs(s, dir)).select("doc_id", "seqs").orderBy("doc_id"),
+      )(docSeqs(s, dir)).select(col("doc_id"), J("seqs")).orderBy("doc_id"),
     Some(
-      s"""SELECT doc_id, list_transform($SEQS, (sq, i) ->
+      s"""SELECT doc_id, to_json(list_transform($SEQS, (sq, i) ->
          |  (CASE WHEN i = 1 THEN [CAST(101 AS BIGINT)] ELSE [] END) || sq ||
-         |  (CASE WHEN i = len($SEQS) THEN [CAST(103 AS BIGINT)] ELSE [CAST(102 AS BIGINT)] END)) AS seqs
+         |  (CASE WHEN i = len($SEQS) THEN [CAST(103 AS BIGINT)] ELSE [CAST(102 AS BIGINT)] END)))::VARCHAR AS seqs
          |FROM documents ORDER BY doc_id""".stripMargin
     )
   )
@@ -707,11 +723,11 @@ object Queries {
     "q61_make_attention_mask",
     (s, dir) =>
       MakeAttentionMask("seqs", "am")(docSeqs(s, dir))
-        .select("doc_id", "am")
+        .select(col("doc_id"), J("am"))
         .orderBy("doc_id"),
     Some(
-      s"""SELECT doc_id, list_transform($SEQS, sq ->
-         |  list_transform(sq, x -> CAST(1 AS BIGINT))) AS am
+      s"""SELECT doc_id, to_json(list_transform($SEQS, sq ->
+         |  list_transform(sq, x -> CAST(1 AS BIGINT))))::VARCHAR AS am
          |FROM documents ORDER BY doc_id""".stripMargin
     )
   )
@@ -722,10 +738,10 @@ object Queries {
       TokenTypeIdsSequencePadding(
         "seqs",
         SpecialTokens(bos = Seq(0L), sep = Seq(0L), eos = Seq(0L))
-      )(docSeqs(s, dir)).select("doc_id", "seqs").orderBy("doc_id"),
+      )(docSeqs(s, dir)).select(col("doc_id"), J("seqs")).orderBy("doc_id"),
     Some(
-      s"""SELECT doc_id, list_transform($SEQS, (sq, i) ->
-         |  [sq[1]] || sq || (CASE WHEN i = len($SEQS) THEN [sq[1]] ELSE [] END)) AS seqs
+      s"""SELECT doc_id, to_json(list_transform($SEQS, (sq, i) ->
+         |  [sq[1]] || sq || (CASE WHEN i = len($SEQS) THEN [sq[1]] ELSE [] END)))::VARCHAR AS seqs
          |FROM documents ORDER BY doc_id""".stripMargin
     )
   )
@@ -736,11 +752,11 @@ object Queries {
       SingleValueToSequence("labels", "seqs", strategy = "first")(
         docSeqs(s, dir)
           .withColumn("labels", transform(col("seqs"), sq => element_at(sq, 1)))
-      ).select("doc_id", "labels").orderBy("doc_id"),
+      ).select(col("doc_id"), J("labels")).orderBy("doc_id"),
     Some(
       s"""WITH d AS (SELECT doc_id, $SEQS AS seqs FROM documents)
-         |SELECT doc_id, list_transform(seqs, (sq, i) ->
-         |  [sq[1]] || list_transform(range(len(seqs[i]) - 1), x -> CAST(-100 AS BIGINT))) AS labels
+         |SELECT doc_id, to_json(list_transform(seqs, (sq, i) ->
+         |  [sq[1]] || list_transform(range(len(seqs[i]) - 1), x -> CAST(-100 AS BIGINT))))::VARCHAR AS labels
          |FROM d ORDER BY doc_id""".stripMargin
     )
   )
@@ -749,10 +765,10 @@ object Queries {
     "q64_seq_concat",
     (s, dir) =>
       SequencesConcatenate(Some(Seq("seqs")))(docSeqs(s, dir))
-        .select("doc_id", "seqs")
+        .select(col("doc_id"), J("seqs"))
         .orderBy("doc_id"),
     Some(
-      s"SELECT doc_id, flatten($SEQS) AS seqs FROM documents ORDER BY doc_id"
+      s"SELECT doc_id, to_json(flatten($SEQS))::VARCHAR AS seqs FROM documents ORDER BY doc_id"
     )
   )
 
@@ -797,10 +813,10 @@ object Queries {
       IndicesToMask("mask_out", "words", "locs")(
         docWords(s, dir)
           .withColumn("locs", array(lit(0L), lit(2L), lit(4L)))
-      ).select("doc_id", "mask_out").orderBy("doc_id"),
+      ).select(col("doc_id"), J("mask_out")).orderBy("doc_id"),
     Some(
-      s"""SELECT doc_id, list_transform(range(len($W)),
-         |  i -> CAST(CASE WHEN i IN (0, 2, 4) THEN 1 ELSE 0 END AS BIGINT)) AS mask_out
+      s"""SELECT doc_id, to_json(list_transform(range(len($W)),
+         |  i -> CAST(CASE WHEN i IN (0, 2, 4) THEN 1 ELSE 0 END AS BIGINT)))::VARCHAR AS mask_out
          |FROM documents ORDER BY doc_id""".stripMargin
     )
   )
@@ -814,10 +830,10 @@ object Queries {
             "locs",
             array(array(lit(1L), lit(3L)), array(lit(5L), lit(8L)))
           )
-      ).select("doc_id", "mask_out").orderBy("doc_id"),
+      ).select(col("doc_id"), J("mask_out")).orderBy("doc_id"),
     Some(
-      s"""SELECT doc_id, list_transform(range(len($W)),
-         |  i -> CAST(CASE WHEN (1 <= i AND i < 3) OR (5 <= i AND i < 8) THEN 1 ELSE 0 END AS BIGINT)) AS mask_out
+      s"""SELECT doc_id, to_json(list_transform(range(len($W)),
+         |  i -> CAST(CASE WHEN (1 <= i AND i < 3) OR (5 <= i AND i < 8) THEN 1 ELSE 0 END AS BIGINT)))::VARCHAR AS mask_out
          |FROM documents ORDER BY doc_id""".stripMargin
     )
   )
@@ -826,11 +842,11 @@ object Queries {
     "q72_mask_to_indices",
     (s, dir) =>
       MaskToIndices("mask", "locs")(docMask(s, dir))
-        .select("doc_id", "locs")
+        .select(col("doc_id"), J("locs"))
         .orderBy("doc_id"),
     Some(
-      s"""SELECT doc_id, list_filter(range(len($MASK)),
-         |  i -> list_extract($MASK, CAST(i + 1 AS BIGINT)) = 1) AS locs
+      s"""SELECT doc_id, to_json(list_filter(range(len($MASK)),
+         |  i -> list_extract($MASK, CAST(i + 1 AS BIGINT)) = 1))::VARCHAR AS locs
          |FROM documents ORDER BY doc_id""".stripMargin
     )
   )
@@ -839,7 +855,7 @@ object Queries {
     "q73_mask_to_range",
     (s, dir) =>
       MaskToRange("mask", "locs")(docMask(s, dir))
-        .select("doc_id", "locs")
+        .select(col("doc_id"), J("locs"))
         .orderBy("doc_id"),
     Some(
       s"""WITH m AS (SELECT doc_id, $MASK AS mask FROM documents),
@@ -848,7 +864,7 @@ object Queries {
          |g AS (SELECT doc_id, i, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM p),
          |runs AS (SELECT doc_id, [min(i), max(i) + 1] AS run, min(i) AS s
          |         FROM g GROUP BY doc_id, grp)
-         |SELECT m.doc_id, COALESCE(r.locs, []) AS locs FROM m LEFT JOIN
+         |SELECT m.doc_id, to_json(COALESCE(r.locs, []))::VARCHAR AS locs FROM m LEFT JOIN
          |  (SELECT doc_id, list(run ORDER BY s) AS locs FROM runs GROUP BY doc_id) r
          |  USING (doc_id)
          |ORDER BY doc_id""".stripMargin
@@ -943,11 +959,11 @@ object Queries {
     "q82_minhash_sig",
     (s, dir) =>
       withMinhashSig(docWords(s, dir).withColumn("shingles", shinglesCol))
-        .select("doc_id", "sig")
+        .select(col("doc_id"), J("sig"))
         .orderBy("doc_id"),
     Some(
       s"""WITH $SIG_CTES
-         |SELECT doc_id, sig FROM sigs ORDER BY doc_id""".stripMargin
+         |SELECT doc_id, to_json(sig)::VARCHAR AS sig FROM sigs ORDER BY doc_id""".stripMargin
     )
   )
 
@@ -1229,20 +1245,22 @@ object Queries {
         )
         .select(
           col("doc_id"),
-          array_sort(
-            array_distinct(
-              filter(
-                transform(col("grams"), g => md5(g)),
-                h => substring(h, 1, 1) === "0"
+          to_json(
+            array_sort(
+              array_distinct(
+                filter(
+                  transform(col("grams"), g => md5(g)),
+                  h => substring(h, 1, 1) === "0"
+                )
               )
             )
           ).as("fp")
         )
         .orderBy("doc_id"),
     Some(
-      """SELECT doc_id, list_sort(list_distinct(list_filter(
+      """SELECT doc_id, to_json(list_sort(list_distinct(list_filter(
         |  list_transform(generate_series(1, length(text) - 4), i -> md5(substring(text, CAST(i AS INT), 5))),
-        |  h -> substring(h, 1, 1) = '0'))) AS fp
+        |  h -> substring(h, 1, 1) = '0'))))::VARCHAR AS fp
         |FROM documents ORDER BY doc_id""".stripMargin
     )
   )
@@ -1255,10 +1273,10 @@ object Queries {
     "q33_unique_answer",
     (s, dir) =>
       UniqueAnswer("words")(docWords(s, dir))
-        .select("doc_id", "words")
+        .select(col("doc_id"), J("words"))
         .orderBy("doc_id"),
     Some(
-      s"""SELECT doc_id, list_filter($W, (w, i) -> list_position($W, w) = i) AS words
+      s"""SELECT doc_id, to_json(list_filter($W, (w, i) -> list_position($W, w) = i))::VARCHAR AS words
          |FROM documents ORDER BY doc_id""".stripMargin
     )
   )
@@ -1284,12 +1302,12 @@ object Queries {
           "evidences",
           array(element_at(col("words"), 3), lit("zzz_not_there"))
         )
-      ).select("doc_id", "locations").orderBy("doc_id"),
+      ).select(col("doc_id"), J("locations")).orderBy("doc_id"),
     Some(
       s"""WITH d AS (SELECT doc_id, text, [list_extract($W, 3), 'zzz_not_there'] AS ev FROM documents)
-         |SELECT doc_id, list_transform(ev, e -> CASE WHEN strpos(text, e) > 0
+         |SELECT doc_id, to_json(list_transform(ev, e -> CASE WHEN strpos(text, e) > 0
          |  THEN [CAST(strpos(text, e) - 1 AS BIGINT), CAST(strpos(text, e) - 1 + length(e) AS BIGINT)]
-         |  ELSE [CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)] END) AS locations
+         |  ELSE [CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)] END))::VARCHAR AS locations
          |FROM d ORDER BY doc_id""".stripMargin
     )
   )
@@ -1388,7 +1406,7 @@ object Queries {
         truncation = true,
         returnLength = true
       )(docs(s, dir))
-        .select("doc_id", "input_ids", "attention_mask", "length")
+        .select(col("doc_id"), J("input_ids"), J("attention_mask"), col("length"))
         .orderBy("doc_id"),
     None // WordPiece greedy matching: not SQL-expressible; rows-only
   )
@@ -1421,6 +1439,7 @@ object Queries {
         ListCollator(Map("ids" -> -1L))
       )(docIds(s, dir))
         .withColumn("first", element_at(col("doc_id"), 1))
+        .select(J("doc_id"), J("ids"), col("first"))
         .orderBy("first"),
     Some(
       s"""WITH r AS (SELECT doc_id, $IDS AS ids,
@@ -1429,9 +1448,9 @@ object Queries {
          |    list(ids ORDER BY rn) AS ids FROM r GROUP BY rn // 50),
          |m AS (SELECT bid, doc_id, ids,
          |    list_max(list_transform(ids, s2 -> len(s2))) AS maxlen FROM g)
-         |SELECT doc_id,
-         |  list_transform(ids, s2 -> s2 || list_transform(range(maxlen - len(s2)),
-         |    x -> CAST(-1 AS BIGINT))) AS ids,
+         |SELECT to_json(doc_id)::VARCHAR AS doc_id,
+         |  to_json(list_transform(ids, s2 -> s2 || list_transform(range(maxlen - len(s2)),
+         |    x -> CAST(-1 AS BIGINT))))::VARCHAR AS ids,
          |  doc_id[1] AS first
          |FROM m ORDER BY first""".stripMargin
     )
@@ -1481,7 +1500,7 @@ object Queries {
           .withColumn("a_ids", col("ids"))
           .withColumn("b_ids", slice(col("ids"), 1, 10))
           .select("doc_id", "a_ids", "b_ids")
-      ).orderBy("doc_id"),
+      ).select(col("doc_id"), J("a_ids"), J("b_ids")).orderBy("doc_id"),
     Some(
       // mirrors TruncateMultipleFields strategy="longest" exactly for 2
       // fields: target = floor(30/2); redistribute leftover to longer
@@ -1502,10 +1521,10 @@ object Queries {
          |       ELSE CAST(FLOOR(CAST(longer_b AS DOUBLE) * extra / longer_tot) AS BIGINT) END AS red_b
          |  FROM f)
          |SELECT doc_id,
-         |  CASE WHEN la + lb <= 30 THEN a
-         |       WHEN la > tgt THEN list_slice(a, 1, tgt + red_a) ELSE a END AS a_ids,
-         |  CASE WHEN la + lb <= 30 THEN b
-         |       WHEN lb > tgt THEN list_slice(b, 1, tgt + red_b) ELSE b END AS b_ids
+         |  to_json(CASE WHEN la + lb <= 30 THEN a
+         |       WHEN la > tgt THEN list_slice(a, 1, tgt + red_a) ELSE a END)::VARCHAR AS a_ids,
+         |  to_json(CASE WHEN la + lb <= 30 THEN b
+         |       WHEN lb > tgt THEN list_slice(b, 1, tgt + red_b) ELSE b END)::VARCHAR AS b_ids
          |FROM g ORDER BY doc_id""".stripMargin
     )
   )
@@ -1522,7 +1541,7 @@ object Queries {
           .withColumn("a_seqs", col("seqs"))
           .withColumn("b_ids", slice(col("ids"), 1, 10))
           .select("doc_id", "a_seqs", "b_ids")
-      ).orderBy("doc_id"),
+      ).select(col("doc_id"), J("a_seqs"), J("b_ids")).orderBy("doc_id"),
     Some(
       s"""WITH d AS (SELECT doc_id, $SEQS AS a, list_slice($IDS, 1, 10) AS b FROM documents),
          |c AS (SELECT doc_id, a, b, len(flatten(a)) AS la, len(b) AS lb FROM d),
@@ -1533,9 +1552,9 @@ object Queries {
          |       ELSE CAST(FLOOR(lb * 30.0 / (la + lb)) AS BIGINT) END AS nb
          |  FROM c)
          |SELECT doc_id,
-         |  list_transform(a, (s2, j) -> list_slice(s2, 1,
-         |    CAST(greatest(0, least(na - len(flatten(list_slice(a, 1, j - 1))), len(s2))) AS BIGINT))) AS a_seqs,
-         |  list_slice(b, 1, CAST(nb AS BIGINT)) AS b_ids
+         |  to_json(list_transform(a, (s2, j) -> list_slice(s2, 1,
+         |    CAST(greatest(0, least(na - len(flatten(list_slice(a, 1, j - 1))), len(s2))) AS BIGINT))))::VARCHAR AS a_seqs,
+         |  to_json(list_slice(b, 1, CAST(nb AS BIGINT)))::VARCHAR AS b_ids
          |FROM n ORDER BY doc_id""".stripMargin
     )
   )
@@ -1594,10 +1613,10 @@ object Queries {
         TextToWords(Seq("text"), Splitters.Ws),
         TruncateSingleField(Map("text" -> 5))
       )(T(s, dir, "documents").select("doc_id", "text"))
-        .select(col("doc_id"), col("text").as("words5"))
+        .select(col("doc_id"), to_json(col("text")).as("words5"))
         .orderBy("doc_id"),
     Some(
-      s"SELECT doc_id, list_slice($W, 1, 5) AS words5 FROM documents ORDER BY doc_id"
+      s"SELECT doc_id, to_json(list_slice($W, 1, 5))::VARCHAR AS words5 FROM documents ORDER BY doc_id"
     )
   )
 
@@ -1632,13 +1651,13 @@ object Queries {
             "application/octet-stream"))
       ).select(
           col("doc_id"),
-          transform(col("features"), f => f.cast(LongType)).as("feat_i")
+          to_json(transform(col("features"), f => f.cast(LongType))).as("feat_i")
         )
         .orderBy("doc_id"),
     Some(
       // stub decode = byte k of utf8(text) at k = i mod len, as integer
-      """SELECT doc_id, list_transform(range(64),
-        |  i -> CAST(ord(substring(text, CAST(i % length(text) AS INT) + 1, 1)) AS BIGINT)) AS feat_i
+      """SELECT doc_id, to_json(list_transform(range(64),
+        |  i -> CAST(ord(substring(text, CAST(i % length(text) AS INT) + 1, 1)) AS BIGINT)))::VARCHAR AS feat_i
         |FROM documents ORDER BY doc_id""".stripMargin
     )
   )

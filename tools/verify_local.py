@@ -15,6 +15,7 @@ import sys
 from pathlib import Path
 
 import duckdb
+import pandas as pd
 import pyarrow.parquet as pq
 
 SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/root/testdata/sf0.01"
@@ -43,14 +44,21 @@ def run_spark():
 
 def norm(v):
     if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"  # the driver's hash treats NaN==NaN; so do we
         return round(v, 9)
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, norm(x)) for k, x in v.items()))
-    if isinstance(v, tuple):
-        return tuple(norm(x) for x in v)
     return v
+
+
+def pandas_sorted(tbl):
+    """Replicate the driver's compare path: pandas frame, columns sorted by
+    name, rows sorted with DataFrame.sort_values. This CRASHES on array-typed
+    columns (unhashable numpy.ndarray) exactly like the driver does — queries
+    must serialize arrays to strings in their final projection."""
+    df = tbl.to_pandas()
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
 
 
 def main():
@@ -84,25 +92,28 @@ def main():
             print(f"FAIL {name}: columns spark={s_cols} duck={d_cols}")
             n_fail += 1
             continue
-        s_rows = [tuple(norm(r[c]) for c in s_cols) for r in spark_tbl.to_pylist()]
-        d_rows = [tuple(norm(r[c]) for c in d_cols) for r in duck_tbl.to_pylist()]
-        if len(s_rows) != len(d_rows):
-            print(f"FAIL {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
+        try:
+            s_df = pandas_sorted(spark_tbl)
+            d_df = pandas_sorted(duck_tbl)
+        except Exception as exc:
+            print(f"FAIL {name}: pandas sort err (driver would err too): {str(exc).splitlines()[0]}")
             n_fail += 1
             continue
-        if sorted(map(repr, s_rows)) != sorted(map(repr, d_rows)):
-            diff = [
-                (a, b)
-                for a, b in zip(sorted(map(repr, s_rows)), sorted(map(repr, d_rows)))
-                if a != b
-            ]
+        if len(s_df) != len(d_df):
+            print(f"FAIL {name}: rows spark={len(s_df)} duck={len(d_df)}")
+            n_fail += 1
+            continue
+        s_rows = [tuple(norm(v) for v in r) for r in s_df.itertuples(index=False, name=None)]
+        d_rows = [tuple(norm(v) for v in r) for r in d_df.itertuples(index=False, name=None)]
+        if s_rows != d_rows:
+            diff = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
             print(f"FAIL {name}: {len(diff)} differing rows; first: ")
-            print("  spark:", diff[0][0][:300])
-            print("  duck :", diff[0][1][:300])
+            if diff:
+                print("  spark:", repr(diff[0][0])[:300])
+                print("  duck :", repr(diff[0][1])[:300])
             n_fail += 1
             continue
-        ordered = s_rows == d_rows
-        print(f"PASS {name}: {len(s_rows)} rows" + ("" if ordered else " (order differs!)"))
+        print(f"PASS {name}: {len(s_rows)} rows")
         n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail / {len(names)} checked")
     sys.exit(1 if n_fail else 0)
