@@ -37,7 +37,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    if (xs.numElements() != ys.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_sim: dimension mismatch ${xs.numElements()} vs ${ys.numElements()}")
+    val n = xs.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -63,7 +66,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "cosine_sim: dimension mismatch " + $a.numElements() + " vs " + $b.numElements());
+         |}
+         |int $n = $a.numElements();
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = $a.getDouble($i);

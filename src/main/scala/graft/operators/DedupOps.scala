@@ -20,20 +20,32 @@ import org.apache.spark.sql.types._
   *     parity.
   */
 
-/** Exact dedup: keep one row (smallest `idField`) per distinct value of
-  * `byField`'s hash. One shuffle on a 64-bit key; no raw-text shuffle. */
+/** Exact dedup: keep one row (smallest `idField`) per distinct VALUE of
+  * `byField`. One shuffle on a 64-bit key; no raw-text shuffle — but the
+  * hash is only the BUCKETING key, never the identity: within each hash
+  * bucket rows are sorted by (value, id) and a row survives iff its value
+  * differs from the previous row's, so two distinct texts colliding in
+  * xxhash64 (expected at billions of rows by the birthday bound) both
+  * keep their min-id survivor instead of one being silently dropped.
+  *
+  * `bucketHash` is the bucketing function (production default xxhash64);
+  * tests override it with a deliberately colliding function to prove the
+  * in-bucket equality check carries correctness alone. */
 final case class ExactDedup(
     byField: String = "text",
-    idField: String = "doc_id"
+    idField: String = "doc_id",
+    bucketHash: Column => Column = c => xxhash64(c)
 ) extends Mapper {
   override def inputFields: Seq[String] = Seq(byField, idField)
   override protected def build(df: DataFrame): DataFrame = {
     val w = Window
-      .partitionBy(xxhash64(col(byField)))
-      .orderBy(col(idField))
-    df.withColumn("__graft_rn", row_number().over(w))
-      .filter(col("__graft_rn") === 1)
-      .drop("__graft_rn")
+      .partitionBy(bucketHash(col(byField)))
+      .orderBy(col(byField), col(idField))
+    df.withColumn("__graft_prev", lag(col(byField), 1).over(w))
+      // null-safe inequality: the first row of a bucket and the first row
+      // of each distinct-value run survive; repeated NULL values dedup too
+      .filter(!(col("__graft_prev") <=> col(byField)))
+      .drop("__graft_prev")
   }
 }
 
