@@ -41,10 +41,21 @@ object Bench {
       System.gc()
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // the driver keeps only the last ~2000 chars of output, so the JSON
+    // line must stay well under that: short keys (the unique qNN prefix)
+    // and 3-decimal values instead of full query names + full doubles
+    def fmt(v: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val shortNames = results.map { case (k, _) => k.takeWhile(_ != '_') }
+    val useShort = shortNames.distinct.size == results.size
+    val qs = results
+      .zip(shortNames)
+      .map { case ((k, v), s) =>
+        "\"" + (if (useShort) s else k) + "\":" + fmt(v)
+      }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1793,7 +1793,8 @@ object Queries {
       val emb = embs(s, dir)
       val queries = emb.filter(col("vec_id") < 3)
       CosineKnn
-        .annTopK(emb, queries, "embedding", "vec_id", k = 5, nPlanes = 4)
+        .annTopK(emb, queries, "embedding", "vec_id", k = 5, nPlanes = 4,
+          dims = 64)
         .select(
           col("query_id"),
           col("corpus_id"),

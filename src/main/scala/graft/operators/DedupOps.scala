@@ -42,10 +42,14 @@ final case class ExactDedup(
       .partitionBy(bucketHash(col(byField)))
       .orderBy(col(byField), col(idField))
     df.withColumn("__graft_prev", lag(col(byField), 1).over(w))
-      // null-safe inequality: the first row of a bucket and the first row
-      // of each distinct-value run survive; repeated NULL values dedup too
-      .filter(!(col("__graft_prev") <=> col(byField)))
-      .drop("__graft_prev")
+      .withColumn("__graft_rn", row_number().over(w))
+      // a bucket's first row must be kept EXPLICITLY: lag() is NULL there,
+      // and if byField itself is NULL the null-safe <=> would call the
+      // first row of the NULL run a duplicate of the non-existent previous
+      // row and drop the whole run. Later rows survive iff their value
+      // differs (null-safely) from the previous row's.
+      .filter(col("__graft_rn") === 1 || !(col("__graft_prev") <=> col(byField)))
+      .drop("__graft_prev", "__graft_rn")
   }
 }
 
@@ -103,14 +107,13 @@ object MinHashLSH {
       df: DataFrame,
       idField: String,
       sigField: String = "minhash_sig",
-      bands: Int = 4
+      bands: Int = 4,
+      sigLen: Int = 16
   ): DataFrame = {
-    val n = df.schema(sigField).dataType.asInstanceOf[ArrayType]
-    require(n != null, s"$sigField must be an array")
-    val sigLen = df
-      .select(size(col(sigField)))
-      .head()
-      .getInt(0)
+    require(df.schema(sigField).dataType.isInstanceOf[ArrayType],
+      s"$sigField must be an array")
+    // sigLen is caller-known (== numHashes of the signature step); taking
+    // it as a parameter avoids a whole Spark job just to probe one row
     val rowsPerBand = sigLen / bands
     val banded = df
       .select(
@@ -154,7 +157,7 @@ object MinHashLSH {
   ): DataFrame = {
     val withSig =
       MinHashSignature(wordsField, shingleSize, numHashes)(df)
-    val pairs = candidatePairs(withSig, idField, "minhash_sig", bands)
+    val pairs = candidatePairs(withSig, idField, "minhash_sig", bands, numHashes)
     val shingled = df.select(
       col(idField).as("__id"),
       array_distinct(TextShingles.shingles(col(wordsField), shingleSize))
@@ -194,7 +197,7 @@ object MinHashLSH {
       maxIter: Int = 20
   ): DataFrame = {
     val withSig = MinHashSignature(wordsField, shingleSize, numHashes)(df)
-    val pairs = candidatePairs(withSig, idField, "minhash_sig", bands)
+    val pairs = candidatePairs(withSig, idField, "minhash_sig", bands, numHashes)
     val shingled = df.select(
       col(idField).as("__id"),
       array_distinct(TextShingles.shingles(col(wordsField), shingleSize)).as("__sh")
@@ -264,10 +267,14 @@ object ConnectedComponents {
         .groupBy(col("src"))
         .agg(min(col("ncomp")).as("ncomp"))
         .withColumnRenamed("src", "id")
+      // carry the pre-round label through the passes so convergence is a
+      // cheap aggregate over the (already materialized) checkpoint instead
+      // of an extra join + count job per round
       val propagated = labels
         .join(neighborMin, Seq("id"), "left")
         .select(
           col("id"),
+          col("comp").as("oldComp"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")
         )
       // path halving: also adopt the label OF the label — chains
@@ -280,16 +287,16 @@ object ConnectedComponents {
         )
         .select(
           col("id"),
+          col("oldComp"),
           least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp")
         )
         .repartition(loopParts)
         .localCheckpoint()
       val changed = newLabels
-        .join(labels.withColumnRenamed("comp", "oldComp"), Seq("id"))
-        .filter(col("comp") =!= col("oldComp"))
-        .limit(1)
-        .count()
-      labels = newLabels
+        .agg(coalesce(sum(when(col("comp") =!= col("oldComp"), 1L)), lit(0L)))
+        .head()
+        .getLong(0)
+      labels = newLabels.drop("oldComp")
       converged = changed == 0
       i += 1
     }
@@ -493,9 +500,17 @@ object CosineKnn {
       k: Int,
       nPlanes: Int = 8,
       seed: Int = 42,
-      multiProbe: Int = 1
+      multiProbe: Int = 1,
+      dims: Int = -1
   ): DataFrame = {
-    val c = lshBuckets(corpus, embField, nPlanes, seed)
+    // dims must match the embedding width: cosine_sim is strict about
+    // dimension mismatch, so the hyperplane length is caller-visible.
+    // Pass it when known (skips a probe job); dims <= 0 infers it from
+    // the first corpus row.
+    val d =
+      if (dims > 0) dims
+      else corpus.select(size(col(embField))).head().getInt(0)
+    val c = lshBuckets(corpus, embField, nPlanes, seed, d)
       .select(
         col(idField).as("corpus_id"),
         col(embField).cast(ArrayType(DoubleType)).as("__ce"),
@@ -507,7 +522,7 @@ object CosineKnn {
         else Nil
       array((b +: hamming1): _*)
     }
-    val q = lshBuckets(queries, embField, nPlanes, seed)
+    val q = lshBuckets(queries, embField, nPlanes, seed, d)
       .select(
         col(idField).as("query_id"),
         col(embField).cast(ArrayType(DoubleType)).as("__qe"),

@@ -20,6 +20,28 @@ class DedupContribSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L))
   }
 
+  test("ExactDedup keeps one survivor per NULL run (lag at bucket head)") {
+    val df = Seq(
+      (1L, Option.empty[String]),
+      (2L, Option.empty[String]),
+      (3L, Some("kept")),
+      (4L, Some("kept"))
+    ).toDF("doc_id", "text")
+    val out = ExactDedup("text", "doc_id")(df)
+    // min-id survivor of the NULL run AND of the "kept" run both remain
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("ExactDedup: colliding bucket hash still keeps distinct values") {
+    // force EVERY row into one bucket: correctness must come entirely
+    // from the in-bucket value comparison, not the hash
+    val df = Seq(
+      (1L, "alpha"), (2L, "alpha"), (3L, "beta"), (4L, "gamma")
+    ).toDF("doc_id", "text")
+    val out = ExactDedup("text", "doc_id", bucketHash = _ => lit(0L))(df)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L))
+  }
+
   test("MinHash signature identical for identical docs") {
     val sigs = MinHashSignature("words")(docs)
       .select("doc_id", "minhash_sig").as[(Long, Seq[Long])]
