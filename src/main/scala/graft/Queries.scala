@@ -1117,32 +1117,70 @@ object Queries {
     )
   )
 
-  /** All-pairs embedding cosine near-dup (the exact small-scale check;
-    * the LSH/IVF buckets in CosineKnn are the 100-TB path). */
+  /** Embedding near-dup pairs via LSH-bucketed candidates + exact cosine
+    * verify — the 100-TB shape: candidate generation is a bucket-keyed
+    * equi-join (no corpus×corpus cartesian; exact all-pairs at any real
+    * scale is O(n²) and is only ever a small-sample audit, available via
+    * [[CosineKnn.bruteForce]]). Buckets are the sign bits of the first 4
+    * dimensions (axis-aligned hyperplanes — deterministic arithmetic both
+    * engines evaluate identically, unlike seeded random planes) with
+    * Hamming-radius-1 multiprobe; the corpus side stays in ONE bucket,
+    * only the probe side fans out ×5. The oracle replicates the exact
+    * same bucketing, so recall is by-construction identical. */
   private val qEmbedNeardup = Q(
     "q96_embed_neardup_pairs",
     (s, dir) => {
       val emb = embs(s, dir)
         .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
-      val a = emb.select(col("vec_id").as("id_a"), col("e").as("ea"))
-      val b = emb.select(col("vec_id").as("id_b"), col("e").as("eb"))
-      a.crossJoin(b)
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("cos", CosineKnn.cosine(col("ea"), col("eb")))
+      val bucketOf: Column => Column = e =>
+        (0 until 4)
+          .map(i => when(e.getItem(i) >= 0, lit(1 << i)).otherwise(lit(0)))
+          .reduce(_ + _)
+      val base = emb.withColumn("bucket", bucketOf(col("e")))
+      val masks = lit(0) +: (0 until 4).map(i => lit(1 << i))
+      // carry the (512-byte) embeddings through the bucket join and score
+      // inline: the verify filter then runs map-side on the join output and
+      // only the few surviving pairs pay the multiprobe de-duplication
+      val probes = base.select(
+        col("vec_id"),
+        col("e"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(m)): _*)).as("bucket")
+      )
+      base
+        .as("a")
+        .join(
+          probes.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id")
+        )
+        .withColumn("cos", CosineKnn.cosine(col("a.e"), col("b.e")))
         .withColumn("cos_f", floor(col("cos") * 1e5).cast(LongType))
         .filter(col("cos_f") >= 35000)
-        .select("id_a", "id_b", "cos_f")
+        .select(
+          col("a.vec_id").as("id_a"),
+          col("b.vec_id").as("id_b"),
+          col("cos_f")
+        )
+        .distinct()
         .orderBy("id_a", "id_b")
     },
     Some(
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  list_reduce(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i]), (x, y) -> x + y) /
-        |  (sqrt(list_reduce(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * a.e[i]), (x, y) -> x + y)) *
-        |   sqrt(list_reduce(list_transform(generate_series(1, len(b.e)), i -> b.e[i] * b.e[i]), (x, y) -> x + y))) AS cos
-        |  FROM e a, e b WHERE a.vec_id < b.vec_id)
+        |b AS (SELECT vec_id, e,
+        |  (CASE WHEN e[1] >= 0 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN e[2] >= 0 THEN 2 ELSE 0 END)
+        |  + (CASE WHEN e[3] >= 0 THEN 4 ELSE 0 END)
+        |  + (CASE WHEN e[4] >= 0 THEN 8 ELSE 0 END) AS bucket FROM e),
+        |m AS (SELECT unnest([0, 1, 2, 4, 8]) AS m),
+        |p AS (SELECT vec_id, xor(bucket, m) AS bucket FROM b, m),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, p.vec_id AS id_b
+        |  FROM b a JOIN p ON a.bucket = p.bucket AND a.vec_id < p.vec_id),
+        |s AS (SELECT id_a, id_b,
+        |  list_reduce(list_transform(generate_series(1, len(ea.e)), i -> ea.e[i] * eb.e[i]), (x, y) -> x + y) /
+        |  (sqrt(list_reduce(list_transform(generate_series(1, len(ea.e)), i -> ea.e[i] * ea.e[i]), (x, y) -> x + y)) *
+        |   sqrt(list_reduce(list_transform(generate_series(1, len(eb.e)), i -> eb.e[i] * eb.e[i]), (x, y) -> x + y))) AS cos
+        |  FROM cand JOIN e ea ON cand.id_a = ea.vec_id JOIN e eb ON cand.id_b = eb.vec_id)
         |SELECT id_a, id_b, CAST(FLOOR(cos * 1e5) AS BIGINT) AS cos_f
-        |FROM p WHERE CAST(FLOOR(cos * 1e5) AS BIGINT) >= 35000
+        |FROM s WHERE CAST(FLOOR(cos * 1e5) AS BIGINT) >= 35000
         |ORDER BY id_a, id_b""".stripMargin
     )
   )

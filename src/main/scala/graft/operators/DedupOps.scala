@@ -232,16 +232,31 @@ object ConnectedComponents {
 
   /** pairs (idA, idB) as undirected edges → (id, comp) with comp = the
     * minimum id reachable from `id`. Only vertices that appear in pairs
-    * are returned. */
+    * are returned.
+    *
+    * Adaptive execution: below `localThreshold` edges the graph is
+    * union-found on the driver in one pass — a near-dup edge set is
+    * orders of magnitude smaller than its corpus, and for small graphs
+    * the distributed loop's per-round job scheduling dwarfs the actual
+    * work. Above the threshold (billions of docs → possibly billions of
+    * edges) the distributed min-label propagation below runs; it never
+    * funnels data to the driver. */
   def components(
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
-      maxIter: Int = 20
+      maxIter: Int = 20,
+      localThreshold: Long = 2000000L
   ): DataFrame = {
     // materialize the (possibly expensive) pair subtree ONCE before the
     // symmetric union references it twice
     val p = pairs.select(col(idA).as("a"), col(idB).as("b")).localCheckpoint()
+    val idType = p.schema("a").dataType
+    val pairCount = p.count()
+    if (pairCount <= localThreshold &&
+        (idType == LongType || idType == IntegerType)) {
+      return localComponents(p, idType)
+    }
     val edges = p
       .select(col("a").as("src"), col("b").as("dst"))
       .union(p.select(col("b").as("src"), col("a").as("dst")))
@@ -302,6 +317,44 @@ object ConnectedComponents {
     }
     edges.unpersist()
     labels
+  }
+
+  /** Driver-side union-find (path compression) for small edge sets —
+    * the adaptive fast path of [[components]]. One collect, zero loop
+    * jobs; returns the same (id, comp = min reachable id) schema. */
+  private def localComponents(
+      p: DataFrame,
+      idType: org.apache.spark.sql.types.DataType
+  ): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val es = p
+      .select(col("a").cast(LongType), col("b").cast(LongType))
+      .as[(Long, Long)]
+      .collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) parent(ra) = rb
+    }
+    val minOf = scala.collection.mutable.HashMap.empty[Long, Long]
+    parent.keysIterator.foreach { v =>
+      val r = find(v)
+      if (v < minOf.getOrElse(r, Long.MaxValue)) minOf(r) = v
+    }
+    parent.keysIterator
+      .map(v => (v, minOf(find(v))))
+      .toSeq
+      .toDF("id", "comp")
+      .select(col("id").cast(idType).as("id"), col("comp").cast(idType).as("comp"))
   }
 }
 

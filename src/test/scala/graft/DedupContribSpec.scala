@@ -68,6 +68,17 @@ class DedupContribSpec extends SparkSpec {
     assert(comps(10L) == 10L && comps(11L) == 10L)
   }
 
+  test("ConnectedComponents: distributed loop matches local union-find") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L),
+      (21L, 22L), (22L, 23L), (5L, 23L)).toDF("id_a", "id_b")
+    val dist = ConnectedComponents.components(pairs, localThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    val local = ConnectedComponents.components(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == local)
+    assert(local(23L) == 5L && local(4L) == 1L)
+  }
+
   test("dedupClusters keeps one survivor per transitive cluster") {
     // base = 20 words; doc2 changes word 10, doc3 changes words 10+5:
     // jaccard(1,2) ≈ jaccard(2,3) ≈ 0.71 (≥ 0.6) but jaccard(1,3) ≈ 0.5
