@@ -33,8 +33,35 @@ trait GraftTokenizer extends Serializable {
   /** id → token string (inverse vocab). */
   def decode(ids: Seq[Long], skipSpecialTokens: Boolean): String
 
+  /** Subword pieces of `text` with per-piece char spans (id, start, end),
+    * no specials. Offsets are SUBWORD-granular: each continuation piece
+    * covers only its own characters (tokenize.py:84-229 offset_mapping). */
+  def encodePieces(text: String): Array[(Long, Int, Int)]
+
   /** (token ids, per-token (startChar, endChar) offsets), no specials. */
-  def encodeWithOffsets(text: String): (Array[Long], Array[(Int, Int)])
+  def encodeWithOffsets(text: String): (Array[Long], Array[(Int, Int)]) = {
+    val p = encodePieces(text)
+    (p.map(_._1), p.map(t => (t._2, t._3)))
+  }
+
+  /** `is_split_into_words` encoding: each element of `words` is one word;
+    * all pieces concatenate into ONE sequence. Returns (ids, word index
+    * per id, per-piece char span RELATIVE to its word) — the reference's
+    * word_ids / offset_mapping semantics under is_split_into_words
+    * (tokenize.py:95,102-103,193-224). */
+  def encodeWords(words: Seq[String]): (Array[Long], Array[Int], Array[(Int, Int)]) = {
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val wids = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val offs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var wi = 0
+    words.foreach { w =>
+      encodePieces(w).foreach { case (id, s, e) =>
+        ids += id; wids += wi; offs += ((s, e))
+      }
+      wi += 1
+    }
+    (ids.toArray, wids.toArray, offs.toArray)
+  }
 
   def bosIds: Seq[Long] // e.g. [CLS]
   def eosIds: Seq[Long] // e.g. [SEP]
@@ -103,11 +130,29 @@ final case class WordPieceTokenizer(
     asciiPunct || unicodePunct
   }
 
-  private def normalize(w: String): String = {
-    val lower = if (lowercase) w.toLowerCase(java.util.Locale.ROOT) else w
-    // strip accents (NFD then drop combining marks), as bert-uncased does
-    val nfd = java.text.Normalizer.normalize(lower, java.text.Normalizer.Form.NFD)
-    nfd.filter(ch => Character.getType(ch) != Character.NON_SPACING_MARK)
+  /** Per-char lowercase + NFD accent-strip (as bert-uncased does) with an
+    * index map back to the original word: normalized char i originates
+    * from original char map(i). Per-char lowercasing keeps the map exact
+    * (whole-string toLowerCase may change length for a few code points). */
+  private def normalizeWithMap(w: String): (String, Array[Int]) = {
+    val sb = new java.lang.StringBuilder(w.length)
+    val map = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < w.length) {
+      val c = if (lowercase) Character.toLowerCase(w.charAt(i)) else w.charAt(i)
+      val nfd = java.text.Normalizer
+        .normalize(String.valueOf(c), java.text.Normalizer.Form.NFD)
+      var j = 0
+      while (j < nfd.length) {
+        val ch = nfd.charAt(j)
+        if (Character.getType(ch) != Character.NON_SPACING_MARK) {
+          sb.append(ch); map += i
+        }
+        j += 1
+      }
+      i += 1
+    }
+    (sb.toString, map.toArray)
   }
 
   /** Two tries (word-initial and "##"-continuation pieces) make the
@@ -119,12 +164,14 @@ final case class WordPieceTokenizer(
   @transient private lazy val contTrie: WordPieceTokenizer.TrieNode =
     WordPieceTokenizer.buildTrie(vocab, continuation = true)
 
-  /** Greedy longest-match-first WordPiece split of one word. */
-  private def wordpiece(word: String): Array[Long] = {
-    if (word.length > maxInputCharsPerWord) return Array(unkId)
-    val pieces = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var start = 0
+  /** Greedy longest-match-first WordPiece split of one (normalized) word,
+    * with the char bounds of each piece within the word. */
+  private def wordpieceBounds(word: String): Array[(Long, Int, Int)] = {
     val n = word.length
+    if (n == 0) return Array.empty
+    if (n > maxInputCharsPerWord) return Array((unkId, 0, n))
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+    var start = 0
     while (start < n) {
       var node = if (start == 0) rootTrie else contTrie
       var i = start
@@ -135,32 +182,30 @@ final case class WordPieceTokenizer(
         i += 1
         if (node != null && node.id >= 0) { found = node.id; foundEnd = i }
       }
-      if (found < 0) return Array(unkId) // whole word becomes UNK
-      pieces += found
+      if (found < 0) return Array((unkId, 0, n)) // whole word becomes UNK
+      pieces += ((found, start, foundEnd))
       start = foundEnd
     }
     pieces.toArray
   }
 
-  override def encode(text: String, addSpecialTokens: Boolean): Array[Long] = {
-    val body = basicTokenize(text).flatMap { case (w, _, _) =>
-      if (specialTokens.contains(w)) Array(vocab(w))
-      else wordpiece(normalize(w))
+  override def encodePieces(text: String): Array[(Long, Int, Int)] =
+    basicTokenize(text).flatMap { case (w, s, e) =>
+      if (specialTokens.contains(w)) Array((vocab(w), s, e))
+      else {
+        val (norm, map) = normalizeWithMap(w)
+        // map piece bounds from normalized space back to original chars
+        wordpieceBounds(norm).map { case (id, a, b) =>
+          val so = if (a < map.length) s + map(a) else e
+          val eo = if (b > 0 && b - 1 < map.length) s + map(b - 1) + 1 else e
+          (id, so, eo)
+        }
+      }
     }
-    if (addSpecialTokens) clsId +: body :+ sepId else body
-  }
 
-  override def encodeWithOffsets(text: String): (Array[Long], Array[(Int, Int)]) = {
-    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val offs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-    basicTokenize(text).foreach { case (w, s, e) =>
-      val pieces = wordpiece(normalize(w))
-      // char offsets are word-granular for subword pieces (reference's
-      // offset_mapping is finer; word-level is what EncodeFieldsMapper
-      // consumers align on)
-      pieces.foreach { id => ids += id; offs += ((s, e)) }
-    }
-    (ids.toArray, offs.toArray)
+  override def encode(text: String, addSpecialTokens: Boolean): Array[Long] = {
+    val body = encodePieces(text).map(_._1)
+    if (addSpecialTokens) clsId +: body :+ sepId else body
   }
 
   override def decode(ids: Seq[Long], skipSpecialTokens: Boolean): String = {
@@ -179,7 +224,13 @@ final case class WordPieceTokenizer(
         sb.append(t)
       }
     }
+    // HF-style clean_up_tokenization_spaces: detach the space the
+    // word-joining pass put before punctuation/contractions
     sb.result()
+      .replace(" .", ".").replace(" ?", "?").replace(" !", "!")
+      .replace(" ,", ",").replace(" ' ", "' ").replace(" n't", "n't")
+      .replace(" 'm", "'m").replace(" 's", "'s").replace(" 've", "'ve")
+      .replace(" 're", "'re")
   }
 }
 

@@ -32,12 +32,13 @@ class TokenizeTemplateSpec extends SparkSpec {
 
   test("decode round trip matches reference golden shape") {
     // mirrors the reference's decoded-string assertion
-    // (tests/test_tokenize_mappers.py:76-121)
+    // (tests/test_tokenize_mappers.py:76-121); decode applies HF's
+    // clean_up_tokenization_spaces, so " ." re-attaches
     val ids = tok.encode("this is a sentence.", true)
     assert(tok.decode(ids.toSeq, skipSpecialTokens = false) ==
-      "[CLS] this is a sentence . [SEP]")
+      "[CLS] this is a sentence. [SEP]")
     assert(tok.decode(ids.toSeq, skipSpecialTokens = true) ==
-      "this is a sentence .")
+      "this is a sentence.")
     assert(tok.decode(tok.encode("unwanted running", false).toSeq, true) ==
       "unwanted running")
   }
@@ -50,11 +51,30 @@ class TokenizeTemplateSpec extends SparkSpec {
     assert(ids.head == vocab("[CLS]") && ids.last == vocab("[SEP]"))
   }
 
-  test("EncodeFields offsets are word-granular char spans") {
+  test("EncodeFields offsets are subword-granular char spans") {
+    // "unwanted running" → un|##want|##ed run|##ning, each piece covering
+    // exactly its own characters (tokenize.py:84-229 offset_mapping)
     val df = Seq("unwanted running").toDF("t")
     val out = EncodeFields(Seq("t"), tok, fieldsToReturnOffsetMapping = Seq("t"))(df)
     val offs = rows(out.select("offset_t")).head.head
-    assert(offs == List(List(0L, 8L), List(0L, 8L), List(0L, 8L), List(9L, 16L), List(9L, 16L)))
+    assert(offs == List(List(0L, 2L), List(2L, 6L), List(6L, 8L), List(9L, 12L), List(12L, 16L)))
+  }
+
+  test("subword offsets map back through accent-strip normalization") {
+    // normalized "unwanted" from "Unwantéd" is same length-in-origin via
+    // the per-char index map; piece spans index the ORIGINAL string
+    val pieces = tok.encodePieces("Unwantéd")
+    assert(pieces.map(_._1).toSeq ==
+      Seq(vocab("un"), vocab("##want"), vocab("##ed")))
+    assert(pieces.map(p => (p._2, p._3)).toSeq == Seq((0, 2), (2, 6), (6, 8)))
+  }
+
+  test("encodeWords yields word_ids and per-word relative offsets") {
+    val (ids, wids, offs) = tok.encodeWords(Seq("unwanted", "running"))
+    assert(ids.toSeq == Seq(vocab("un"), vocab("##want"), vocab("##ed"),
+      vocab("run"), vocab("##ning")))
+    assert(wids.toSeq == Seq(0, 0, 0, 1, 1))
+    assert(offs.toSeq == Seq((0, 2), (2, 6), (6, 8), (0, 3), (3, 7)))
   }
 
   test("MiniJinja: vars, filters, for, if, ||| split") {
