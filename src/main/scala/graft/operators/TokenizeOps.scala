@@ -293,9 +293,21 @@ object WordPieceTokenizer {
 }
 
 /** Run the tokenizer over a text field; emits `<prefix>input_ids` and
-  * optionally attention_mask / special_tokens_mask / length.
-  * Ref: tokenize.py:84-229. Truncation to `maxLength` happens before
+  * optionally attention_mask / token_type_ids / special_tokens_mask /
+  * offset_mapping / length / word_ids / words.
+  * Ref: tokenize.py:28-229. Truncation to `maxLength` happens before
   * special tokens are counted, like HF's `truncation=True`.
+  *
+  * Output naming mirrors the reference mixin (tokenize.py:28-81): either
+  * an `outputPrefix` ("<prefix>_<field>") or an `outputRenameMap` (every
+  * emitted field must have an entry), never both.
+  *
+  * `isSplitIntoWords` treats an array<string> input as the WORDS of one
+  * sequence (tokenize.py:95,193-224): pieces concatenate into a single
+  * input_ids, `word_ids` gives each token's source-word index (null on
+  * special tokens), `words` the source word itself. Without it, an
+  * array<string> input is the batched-sentences shape (one encoding per
+  * element).
   *
   * Scale: the vocab Map serializes once into the task closure; work is
   * a narrow mapPartitions (no shuffle). This is the one deliberate
@@ -311,18 +323,49 @@ final case class TokenizerMapper(
     returnSpecialTokensMask: Boolean = false,
     returnLength: Boolean = false,
     returnOverflowingTokens: Boolean = false,
-    strideOverlap: Int = 0
+    strideOverlap: Int = 0,
+    returnTokenTypeIds: Boolean = false,
+    returnOffsetsMapping: Boolean = false,
+    isSplitIntoWords: Boolean = false,
+    returnWordIds: Boolean = false,
+    returnWords: Boolean = false,
+    outputRenameMap: Option[Map[String, String]] = None
 ) extends Mapper {
-  private def fname(f: String): String =
-    outputPrefix.map(p => s"${p}_$f").getOrElse(f)
+  require(outputPrefix.isEmpty || outputRenameMap.isEmpty,
+    "You cannot specify both outputPrefix and outputRenameMap.")
+  require(!returnWordIds || isSplitIntoWords,
+    "returnWordIds requires isSplitIntoWords (the word index is defined " +
+      "against the input word list, tokenize.py:178-190)")
+  require(!returnWords || returnWordIds,
+    "returnWords requires returnWordIds (tokenize.py:179-184)")
+  require(!(returnOffsetsMapping && returnOverflowingTokens),
+    "offset_mapping with return_overflowing_tokens is not supported")
+
+  private def fname(f: String): String = outputPrefix match {
+    case Some(p) => s"${p}_$f"
+    case None =>
+      outputRenameMap match {
+        case Some(m) =>
+          m.getOrElse(f,
+            throw new IllegalArgumentException(
+              s"Field '$f' is not in the rename map."))
+        case None => f
+      }
+  }
 
   override def inputFields: Seq[String] = Seq(inputField)
+  // canonical order mirrors output_fields_from_tokenizer_kwargs
+  // (tokenize.py:47-68) + word_ids/words appended (tokenize.py:178-184)
   override def outputFields: Seq[String] =
-    Seq(fname("input_ids")) ++
-      (if (returnAttentionMask) Seq(fname("attention_mask")) else Nil) ++
-      (if (returnSpecialTokensMask) Seq(fname("special_tokens_mask")) else Nil) ++
-      (if (returnLength) Seq(fname("length")) else Nil) ++
-      (if (returnOverflowingTokens) Seq(fname("overflow_to_sample_mapping")) else Nil)
+    (Seq("input_ids") ++
+      (if (returnAttentionMask) Seq("attention_mask") else Nil) ++
+      (if (returnTokenTypeIds) Seq("token_type_ids") else Nil) ++
+      (if (returnOverflowingTokens) Seq("overflow_to_sample_mapping") else Nil) ++
+      (if (returnSpecialTokensMask) Seq("special_tokens_mask") else Nil) ++
+      (if (returnOffsetsMapping) Seq("offset_mapping") else Nil) ++
+      (if (returnLength) Seq("length") else Nil) ++
+      (if (returnWordIds) Seq("word_ids") else Nil) ++
+      (if (returnWords) Seq("words") else Nil)).map(fname)
 
   override protected def build(df: DataFrame): DataFrame = {
     val tok = tokenizer
