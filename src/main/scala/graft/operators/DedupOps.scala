@@ -514,18 +514,34 @@ object CosineKnn {
           .select(col(idField).as("cid"), e.as("ce"))
           .orderBy(xxhash64(col("cid")), col("cid"))
           .limit(nCentroids)
-    def assign(df: DataFrame, vec: String): DataFrame =
-      df.crossJoin(broadcast(centroids))
-        .withColumn("__sim", cosine(col(vec), col("ce")))
-        .withColumn(
-          "__rk",
-          row_number().over(
-            Window.partitionBy(col(vec)).orderBy(col("__sim").desc, col("cid"))
-          )
+    // The k×dim centroid table is tiny by construction, so inline it as
+    // literals: assignment becomes a pure per-row expression — no join, no
+    // shuffle, stays inside whole-stage codegen. (The previous shape —
+    // crossJoin ×k then a window PARTITION BY the raw embedding array —
+    // shuffled corpus×k rows keyed on ~512-byte arrays.)
+    val centRows = centroids.orderBy(col("cid")).collect()
+    require(centRows.nonEmpty, "ivfTopK: empty centroid set")
+    def assign(df: DataFrame, vec: String): DataFrame = {
+      val cands = array(centRows.map { r =>
+        struct(
+          cosine(col(vec), typedLit(r.getSeq[Double](1))).as("sim"),
+          lit(r.get(0)).as("cid")
         )
-        .filter(col("__rk") === 1)
-        .withColumn("cluster", col("cid"))
-        .drop("cid", "ce", "__sim", "__rk")
+      }: _*)
+      // fold keeps the earlier (= lower-cid, pre-sorted) candidate on
+      // ties — same tie-break as the old ORDER BY sim DESC, cid ASC.
+      df.withColumn("__cand", cands)
+        .withColumn(
+          "cluster",
+          aggregate(
+            slice(col("__cand"), 2, centRows.length - 1),
+            element_at(col("__cand"), 1),
+            (acc, x) =>
+              when(x.getField("sim") > acc.getField("sim"), x).otherwise(acc)
+          ).getField("cid")
+        )
+        .drop("__cand")
+    }
     val c = assign(
       corpus.select(col(idField).as("corpus_id"), e.as("__ce")), "__ce")
     val q = assign(

@@ -107,14 +107,23 @@ final case class EnumerateField(
         },
         schema
       )
-      val firstSeen = indexed
+      // rank first-appearance indices with sorted zipWithIndex — the sort
+      // range-partitions and zipWithIndex preserves global order, so the
+      // distinct values never funnel through one partition (an unpartitioned
+      // row_number window would).
+      val firstVals = indexed
         .groupBy(col(fieldToEnumerate))
         .agg(min(col(idxField)).as("__graft_first"))
-        .withColumn(
-          "__graft_enum_id",
-          row_number().over(Window.orderBy(col("__graft_first"))).cast(LongType) - 1
-        )
-        .drop("__graft_first")
+        .orderBy(col("__graft_first"))
+      val fvSchema = StructType(
+        firstVals.schema.fields :+ StructField("__graft_enum_id", LongType)
+      )
+      val firstSeen = spark.createDataFrame(
+        firstVals.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+        },
+        fvSchema
+      ).drop("__graft_first")
       val joined = indexed.join(firstSeen, Seq(fieldToEnumerate), "left")
       val out =
         if (dest == fieldToEnumerate)
@@ -124,6 +133,10 @@ final case class EnumerateField(
         if (df.columns.contains(dest) || dest == fieldToEnumerate)
           df.columns.toSeq
         else df.columns.toSeq :+ dest
+      // restore the mapper's row-order contract (reference streams rows in
+      // order). This is a range-partitioned distributed sort on a long key —
+      // scalable, not a funnel — and callers that don't need row order can
+      // use the default mode.
       out.orderBy(col(idxField)).select(ordered.map(col): _*)
     } else if (sameIdForRepeated) {
       // sorted-distinct + zipWithIndex: the sort range-partitions, and
