@@ -1464,6 +1464,37 @@ object Queries {
     None // inverse-vocab decode of the tokenizer output; rows-only
   )
 
+  /** Byte-level BPE (GPT-2 family) is a lossless byte transform:
+    * decode∘encode is the identity on ANY text. That property makes the
+    * tokenizer driver-verifiable even though greedy merges aren't
+    * SQL-expressible — the oracle is the identity projection of the
+    * corpus, and any encode/decode defect (byte table, pre-tokenizer
+    * span loss, merge bookkeeping) breaks the hash match. Merge-order
+    * goldens live in BpeTokenizerSpec. */
+  private val qBpeRoundtrip = Q(
+    "q98_bpe_roundtrip",
+    (s, dir) => {
+      val merges = Seq(
+        ("Ġ", "t"), ("Ġ", "a"), ("h", "e"), ("i", "n"), ("r", "e"),
+        ("o", "n"), ("Ġt", "he"), ("e", "r"), ("Ġ", "s"), ("a", "t"),
+        ("Ġ", "w"), ("Ġ", "o"), ("e", "n"), ("Ġt", "h"), ("i", "t"),
+        ("o", "u"), ("e", "s"), ("Ġ", "b"), ("in", "g"), ("Ġ", "c"),
+        ("e", "d"), ("a", "n"), ("o", "r"), ("a", "r"), ("a", "l")
+      )
+      val tok = BytePairTokenizer
+        .fromMerges(merges)
+        .copy(cleanUpTokenizationSpaces = false)
+      pipe(
+        TokenizerMapper(tok, "text", addSpecialTokens = false,
+          returnAttentionMask = false),
+        Decoding(tok, Seq("input_ids"), skipSpecialTokens = true)
+      )(docs(s, dir).select("doc_id", "text"))
+        .select(col("doc_id"), col("input_ids").as("roundtrip"))
+        .orderBy("doc_id")
+    },
+    Some("SELECT doc_id, text AS roundtrip FROM documents ORDER BY doc_id")
+  )
+
   // ------------------------------------------------------------------
   // Collator + remaining seq ops
   // ------------------------------------------------------------------
@@ -1882,7 +1913,7 @@ object Queries {
     qDedupExact, qDedupDocs, qMinhashSig, qMinhashPairs, qJaccard, qSimhash,
     qCosineTopk, qLangId, qQuality, qTokenCount, qFingerprint,
     qUniqueAnswer, qConcatContext, qEvidences, qOneVsOther,
-    qJinja, qFewShot, qTokenize, qDecode, qCollator,
+    qJinja, qFewShot, qTokenize, qDecode, qBpeRoundtrip, qCollator,
     qMultiSeqStrider, qLabelsMaskerSample, qTruncateMultiLongest,
     qTruncateNested, qStriderLocations,
     qFixText, qEnumerateOrder,
