@@ -1714,7 +1714,9 @@ object Queries {
   private val qMultimodalDecode = Q(
     "q57_multimodal_decode",
     (s, dir) =>
-      DecodeMediaStub("media", "features", targetW = 8, targetH = 8)(
+      // real imageio decoder; text payloads are not images, so this
+      // exercises the documented deterministic fallback path end-to-end
+      DecodeMedia("media", "features", targetW = 8, targetH = 8)(
         docs(s, dir)
           .withColumn("media", Multimodal.asMedia(col("text").cast(BinaryType),
             "application/octet-stream"))

@@ -8,14 +8,19 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata structs.
   *
-  * The Spark-side machinery here — schemas, partition-friendly batch
-  * transforms, deterministic outputs — is real and tested. The actual
-  * media decoding is STUBBED (`decodeStub`): this container ships no
-  * image/audio codecs, so the decode produces a deterministic fake
-  * derived from the bytes. Swap `decodeStub` for a real codec (e.g. a
-  * JNI JPEG decoder) without touching any of the plumbing.
+  * Image decoding is REAL: `decodeImage` runs the JVM's bundled
+  * `javax.imageio` codecs (PNG/JPEG/GIF/BMP) with a deterministic
+  * nearest-neighbor luma resample. Payloads no registered reader
+  * accepts (non-image bytes, exotic codecs — audio/video decode needs
+  * libs this container doesn't ship) fall back to `decodeStub`'s
+  * deterministic byte-derived fake, so pipelines keep flowing and the
+  * fallback is exactly reproducible anywhere.
   */
 object Multimodal {
+
+  // ImageIO's default temp-FILE cache would put a disk write in every
+  // decode call on the executor hot path; decode in-memory instead.
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** media column convention: binary payload + typed metadata. */
   val mediaSchema: StructType = StructType(
@@ -41,10 +46,10 @@ object Multimodal {
       lit(null).cast(LongType).as("duration_ms")
     )
 
-  /** STUB decode: deterministic pseudo-pixels from the payload bytes
-    * (raw byte values as floats — integer-valued, so exactly
-    * reproducible anywhere). Real implementation = replace the body with
-    * a codec call; signature and batch shape stay identical. */
+  /** Deterministic FALLBACK pseudo-pixels from the payload bytes (raw
+    * byte values as floats — integer-valued, so exactly reproducible
+    * anywhere). Used by [[decodeImage]] when no imageio reader accepts
+    * the payload; also the reproducible reference in oracle SQL. */
   def decodeStub(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Float] = {
     if (bytes == null) return Array.empty
     val out = new Array[Float](targetW * targetH)
@@ -55,13 +60,65 @@ object Multimodal {
     }
     out
   }
+
+  /** Real image decode: `javax.imageio` (PNG/JPEG/GIF/BMP on a stock
+    * JVM) + deterministic nearest-neighbor resample to targetW×targetH
+    * integer ITU-R BT.601 luma values (integer arithmetic — no
+    * platform-dependent float rendering, so results are bit-stable
+    * across executors). Unreadable payloads → [[decodeStub]]. */
+  def decodeImage(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Float] = {
+    if (bytes == null) return Array.empty
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
+      return decodeStub(bytes, targetW, targetH)
+    val out = new Array[Float](targetW * targetH)
+    var y = 0
+    while (y < targetH) {
+      val sy = math.min(img.getHeight - 1, y * img.getHeight / targetH)
+      var x = 0
+      while (x < targetW) {
+        val sx = math.min(img.getWidth - 1, x * img.getWidth / targetW)
+        val rgb = img.getRGB(sx, sy)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        out(y * targetW + x) = ((299 * r + 587 * g + 114 * b) / 1000).toFloat
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** (width, height) of an image payload, or null if unreadable — reads
+    * only the header via the imageio reader, not the pixel raster. */
+  def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes == null) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          Some((r.getWidth(0), r.getHeight(0)))
+        } finally r.dispose()
+      }
+    } catch { case _: Exception => None }
+    finally iis.close()
+  }
 }
 
 /** Decode + resize a media column into a fixed-shape float feature array —
   * the `mapInPandas`-shaped batch op, expressed as a Spark-native
-  * transform (narrow, partition-parallel, no shuffle).
-  * The decode itself is [[Multimodal.decodeStub]] (clearly marked stub). */
-final case class DecodeMediaStub(
+  * transform (narrow, partition-parallel, no shuffle). Decode is
+  * [[Multimodal.decodeImage]]: real imageio codecs, deterministic
+  * byte-derived fallback for unreadable payloads. */
+final case class DecodeMedia(
     mediaField: String,
     outputField: String = "features",
     targetW: Int = 16,
@@ -72,8 +129,35 @@ final case class DecodeMediaStub(
   override protected def build(df: DataFrame): DataFrame = {
     val w = targetW
     val h = targetH
-    val decode = udf { (bytes: Array[Byte]) => Multimodal.decodeStub(bytes, w, h) }
+    val decode = udf { (bytes: Array[Byte]) => Multimodal.decodeImage(bytes, w, h) }
     df.withColumn(outputField, decode(col(s"$mediaField.bytes")))
+  }
+}
+
+/** Fill the media struct's width/height metadata from the image header
+  * (header-only read — no raster decode). Unreadable payloads keep
+  * their declared (possibly null) dims. */
+final case class FillImageDims(mediaField: String) extends Mapper {
+  override def inputFields: Seq[String] = Seq(mediaField)
+  override def outputFields: Seq[String] = Seq(mediaField)
+  override protected def build(df: DataFrame): DataFrame = {
+    val dims = udf { (bytes: Array[Byte]) =>
+      Multimodal.imageDims(bytes).map { case (w, h) => Array(w, h) }.orNull
+    }
+    df.withColumn("__graft_dims", dims(col(s"$mediaField.bytes")))
+      .withColumn(
+        mediaField,
+        struct(
+          col(s"$mediaField.bytes").as("bytes"),
+          col(s"$mediaField.mime").as("mime"),
+          coalesce(element_at(col("__graft_dims"), 1), col(s"$mediaField.width"))
+            .as("width"),
+          coalesce(element_at(col("__graft_dims"), 2), col(s"$mediaField.height"))
+            .as("height"),
+          col(s"$mediaField.duration_ms").as("duration_ms")
+        )
+      )
+      .drop("__graft_dims")
   }
 }
 

@@ -173,11 +173,37 @@ class DedupContribSpec extends SparkSpec {
     assert(rows(UniqueAnswer()(df)).head.head == List("b", "a", "c"))
   }
 
-  test("DecodeMediaStub: deterministic features from bytes") {
+  test("DecodeMedia: non-image bytes take the deterministic fallback") {
     val df = Seq("ab").toDF("t")
       .withColumn("media", Multimodal.asMedia(col("t").cast("binary"), "x"))
-    val out = DecodeMediaStub("media", targetW = 2, targetH = 1)(df)
+    val out = DecodeMedia("media", targetW = 2, targetH = 1)(df)
     assert(rows(out.select("features")).head.head == List(97.0f, 98.0f))
+  }
+
+  test("DecodeMedia: real PNG decodes via imageio with NN luma resample") {
+    // 2×2 image: white, black / red, green — written through the JVM's
+    // own PNG codec, decoded back through the operator
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xffffff); img.setRGB(1, 0, 0x000000)
+    img.setRGB(0, 1, 0xff0000); img.setRGB(1, 1, 0x00ff00)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val bytes = baos.toByteArray
+    val df = Seq(Tuple1(bytes)).toDF("b")
+      .withColumn("media", Multimodal.asMedia(col("b"), "image/png"))
+    // target 2×2 = identity sampling; integer BT.601 luma
+    val out = DecodeMedia("media", targetW = 2, targetH = 2)(df)
+    assert(rows(out.select("features")).head.head ==
+      List(255.0f, 0.0f, (299 * 255 / 1000).toFloat, (587 * 255 / 1000).toFloat))
+    // upsample 4×4 replicates pixels deterministically (nearest neighbor)
+    val up = DecodeMedia("media", targetW = 4, targetH = 4)(df)
+    val feats = rows(up.select("features")).head.head.asInstanceOf[List[Float]]
+    assert(feats.length == 16 && feats.take(2) == List(255.0f, 255.0f))
+    // header-only dims probe
+    assert(Multimodal.imageDims(bytes).contains((2, 2)))
+    val withDims = FillImageDims("media")(df)
+    assert(rows(withDims.select("media.width", "media.height")).head == Seq(2, 2))
   }
 
   test("CachedStage: second run hits cache, same result") {
