@@ -1525,13 +1525,18 @@ object Queries {
     )
   )
 
+  /** maxLength 10 with 4-element seqs makes BOTH greedy break conditions
+    * bind (length: 4+4+4 > 10; count: three short trailing seqs). The
+    * oracle replays the greedy scan as a recursive-CTE state machine
+    * (i, cnt, cum, chunk) per doc — same per-step rule as
+    * [[graft.functions.GreedyPackBreaks]]. */
   private val qMultiSeqStrider = Q(
     "q66_multiseq_strider",
     (s, dir) =>
       MultiSequenceStrider(
         maxStrideCount = 3,
         lengthReferenceField = "seqs",
-        maxLength = Some(14)
+        maxLength = Some(10)
       )(docSeqs(s, dir).select("doc_id", "seqs"))
         .select(
           col("doc_id"),
@@ -1539,7 +1544,27 @@ object Queries {
             .as("chunk")
         )
         .orderBy("doc_id", "chunk"),
-    None // greedy packing fold; not cleanly SQL-expressible — rows-only
+    Some(
+      s"""WITH RECURSIVE d AS (SELECT doc_id, $SEQS AS seqs FROM documents),
+         |l AS (SELECT doc_id, seqs, list_transform(seqs, s -> CAST(len(s) AS BIGINT)) AS lens,
+         |      len(seqs) AS m FROM d),
+         |st(doc_id, i, cnt, cum, chunk) AS (
+         |  SELECT doc_id, 1, CAST(1 AS BIGINT), lens[1], CAST(0 AS BIGINT) FROM l
+         |  UNION ALL
+         |  SELECT st.doc_id, st.i + 1,
+         |    CASE WHEN st.cum + l.lens[st.i+1] > 10 OR st.cnt >= 3
+         |         THEN CAST(1 AS BIGINT) ELSE st.cnt + 1 END,
+         |    CASE WHEN st.cum + l.lens[st.i+1] > 10 OR st.cnt >= 3
+         |         THEN l.lens[st.i+1] ELSE st.cum + l.lens[st.i+1] END,
+         |    CASE WHEN st.cum + l.lens[st.i+1] > 10 OR st.cnt >= 3
+         |         THEN st.chunk + 1 ELSE st.chunk END
+         |  FROM st JOIN l USING (doc_id) WHERE st.i < l.m)
+         |SELECT st.doc_id,
+         |  string_agg(array_to_string(l.seqs[st.i], ','), ';' ORDER BY st.i) AS chunk
+         |FROM st JOIN l USING (doc_id)
+         |GROUP BY st.doc_id, st.chunk
+         |ORDER BY doc_id, chunk""".stripMargin
+    )
   )
 
   private val qLabelsMaskerSample = Q(
@@ -1628,25 +1653,46 @@ object Queries {
     )
   )
 
+  /** stride (7) < maxLength (10) makes windows overlap, so the
+    * cumulative-EMITTED-length accounting (cum = 10·k, not the window
+    * start) is what decides which window overlaps location [12,15) —
+    * the oracle replays exactly that arithmetic (every kept window has
+    * emitted length 10 because offsets stop at n−10; short docs emit a
+    * single window of length n). */
   private val qStriderLocations = Q(
     "q59_strider_locations",
     (s, dir) =>
       SingleSequenceStriderWithLocations(
         fieldsToStride = Seq("words"),
         maxLength = 10,
+        stride = Some(7),
         fieldWithLocations = "locs",
         fieldsReplacementMap = Map("lang" -> "masked")
       )(
         docWords(s, dir)
-          .withColumn("locs", array(array(lit(0L), lit(5L))))
+          .withColumn("locs", array(array(lit(12L), lit(15L))))
           .select("doc_id", "words", "locs", "lang")
       ).select(
           col("doc_id"),
           array_join(col("words"), " ").as("win"),
           col("lang")
         )
-        .orderBy("doc_id", "win"),
-    None // cumulative-emitted-length window accounting; rows-only
+        .orderBy("doc_id", "win", "lang"),
+    Some(
+      s"""WITH d AS (SELECT doc_id, $W AS words, lang FROM documents),
+         |o AS (SELECT doc_id, words, lang, len(words) AS n,
+         |  unnest(CASE WHEN len(words) < 10 THEN [0]
+         |         ELSE range(0, len(words) - 10 + 1, 7) END) AS off FROM d),
+         |c AS (SELECT doc_id, words, lang, n, off,
+         |  CASE WHEN n < 10 THEN 0 ELSE (off // 7) * 10 END AS cum,
+         |  CASE WHEN n < 10 THEN 0 ELSE (off // 7) * 10 END
+         |    + LEAST(10, n - off) AS fin FROM o)
+         |SELECT doc_id,
+         |  array_to_string(list_slice(words, off + 1, off + 10), ' ') AS win,
+         |  CASE WHEN (cum <= 12 AND 12 < fin) OR (cum < 15 AND 15 <= fin)
+         |       THEN lang ELSE 'masked' END AS lang
+         |FROM c ORDER BY doc_id, win, lang""".stripMargin
+    )
   )
 
   private val qFixText = Q(
@@ -1774,56 +1820,68 @@ object Queries {
     )
   )
 
+  /** md5-minhash candidates (q83-style banding) + exact word-set jaccard
+    * verify, at jaccard >= 0.3. Candidates are deduped on (id_a, id_b)
+    * BEFORE the word arrays are joined back — the wide data never enters
+    * the distinct shuffle (the 100-TB discipline: shuffle keys, not
+    * text). Shared by q92 (pair output) and q97 (connected components on
+    * the same edges). */
+  private def md5VerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = withMinhashSig(
+      docWords(s, dir).withColumn("shingles", shinglesCol))
+    val banded = sigs
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(0), lit(3)),
+            b => md5(concat_ws("|", slice(col("sig"), b * 2 + 1, lit(2))))
+          )
+        ).as("bh")
+      )
+      .persist()
+    banded.count()
+    val cand = banded.as("a")
+      .join(banded.as("b"), Seq("bh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val uniqWords = docWords(s, dir)
+      .select(col("doc_id"), array_distinct(col("words")).as("uw"))
+      .persist() // referenced by both join legs
+    cand
+      .join(uniqWords.select(col("doc_id").as("id_a"), col("uw").as("ua")), Seq("id_a"))
+      .join(uniqWords.select(col("doc_id").as("id_b"), col("uw").as("ub")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("ua"), col("ub"))).cast(DoubleType))
+      .withColumn("jac", col("inter") / (size(col("ua")) + size(col("ub")) - col("inter")))
+      .filter(col("jac") >= 0.3)
+  }
+
+  /** DuckDB CTEs mirroring [[md5VerifiedPairs]]: append after SIG_CTES.
+    * Produces `vp(id_a, id_b)`. */
+  private val VPAIR_CTES =
+    """bands AS (SELECT doc_id, words, unnest(list_transform(generate_series(0, 3),
+      |  b -> md5(array_to_string(list_slice(sig, b*2 + 1, b*2 + 2), '|')))) AS bh FROM sigs),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.words AS w_a, b.words AS w_b
+      |  FROM bands a JOIN bands b ON a.bh = b.bh AND a.doc_id < b.doc_id),
+      |v AS (SELECT id_a, id_b,
+      |    CAST(len(list_filter(list_distinct(w_a), w -> list_contains(list_distinct(w_b), w))) AS DOUBLE) AS inter,
+      |    len(list_distinct(w_a)) + len(list_distinct(w_b)) AS tot FROM cand),
+      |vp AS (SELECT id_a, id_b, inter / (tot - inter) AS jac FROM v
+      |  WHERE inter / (tot - inter) >= 0.3)""".stripMargin
+
   private val qNeardupVerified = Q(
     "q92_neardup_verified_pairs",
-    (s, dir) => {
-      // md5-minhash candidates (q83-style banding) + exact word-set
-      // jaccard verify. Candidates are deduped on (id_a, id_b) BEFORE the
-      // word arrays are joined back — the wide data never enters the
-      // distinct shuffle (the 100-TB discipline: shuffle keys, not text).
-      val sigs = withMinhashSig(
-        docWords(s, dir).withColumn("shingles", shinglesCol))
-      val banded = sigs
-        .select(
-          col("doc_id"),
-          explode(
-            transform(
-              sequence(lit(0), lit(3)),
-              b => md5(concat_ws("|", slice(col("sig"), b * 2 + 1, lit(2))))
-            )
-          ).as("bh")
-        )
-        .persist()
-      banded.count()
-      val cand = banded.as("a")
-        .join(banded.as("b"), Seq("bh"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
-      val uniqWords = docWords(s, dir)
-        .select(col("doc_id"), array_distinct(col("words")).as("uw"))
-        .persist() // referenced by both join legs
-      cand
-        .join(uniqWords.select(col("doc_id").as("id_a"), col("uw").as("ua")), Seq("id_a"))
-        .join(uniqWords.select(col("doc_id").as("id_b"), col("uw").as("ub")), Seq("id_b"))
-        .withColumn("inter", size(array_intersect(col("ua"), col("ub"))).cast(DoubleType))
-        .withColumn("jac", col("inter") / (size(col("ua")) + size(col("ub")) - col("inter")))
-        .filter(col("jac") >= 0.3)
+    (s, dir) =>
+      md5VerifiedPairs(s, dir)
         .select(col("id_a"), col("id_b"), floor(col("jac") * 1e6).cast(LongType).as("jac_f"))
-        .orderBy("id_a", "id_b")
-    },
+        .orderBy("id_a", "id_b"),
     Some(
       s"""WITH $SIG_CTES,
-         |bands AS (SELECT doc_id, words, unnest(list_transform(generate_series(0, 3),
-         |  b -> md5(array_to_string(list_slice(sig, b*2 + 1, b*2 + 2), '|')))) AS bh FROM sigs),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    a.words AS w_a, b.words AS w_b
-         |  FROM bands a JOIN bands b ON a.bh = b.bh AND a.doc_id < b.doc_id),
-         |v AS (SELECT id_a, id_b,
-         |    CAST(len(list_filter(list_distinct(w_a), w -> list_contains(list_distinct(w_b), w))) AS DOUBLE) AS inter,
-         |    len(list_distinct(w_a)) + len(list_distinct(w_b)) AS tot FROM cand)
-         |SELECT id_a, id_b, CAST(FLOOR(inter / (tot - inter) * 1e6) AS BIGINT) AS jac_f
-         |FROM v WHERE inter / (tot - inter) >= 0.3 ORDER BY id_a, id_b""".stripMargin
+         |$VPAIR_CTES
+         |SELECT id_a, id_b, CAST(FLOOR(jac * 1e6) AS BIGINT) AS jac_f
+         |FROM vp ORDER BY id_a, id_b""".stripMargin
     )
   )
 
@@ -1877,14 +1935,45 @@ object Queries {
     None // xxhash64-derived hyperplanes: deterministic, engine-specific
   )
 
+  /** Connected components + cluster-exact survivor pick, on the SAME
+    * md5-parity verified edges as q92, so DuckDB can replay the whole
+    * chain: the oracle closes the edge set with a recursive CTE
+    * (transitive reachability → min label per vertex) — a hard
+    * correctness row for the components operator that rows-only checks
+    * never gave it. Every doc is output: `comp` = min reachable id
+    * (own id if unclustered), `survivor` = 1 iff the doc is its
+    * cluster's minimum (what dedupClusters keeps). */
   private val qDedupClusters = Q(
     "q97_dedup_clusters_op",
-    (s, dir) =>
-      MinHashLSH
-        .dedupClusters(docWords(s, dir), "words", "doc_id", minJaccard = 0.5)
+    (s, dir) => {
+      val edges = md5VerifiedPairs(s, dir).select("id_a", "id_b")
+      val comps = ConnectedComponents.components(edges)
+      docs(s, dir)
         .select("doc_id")
-        .orderBy("doc_id"),
-    None // xxhash64 signatures + iterative components; rows-only
+        .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("comp"),
+          (coalesce(col("comp"), col("doc_id")) === col("doc_id"))
+            .cast(LongType).as("survivor")
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH RECURSIVE $SIG_CTES,
+         |$VPAIR_CTES,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM vp
+         |  UNION ALL SELECT id_b AS a, id_a AS b FROM vp),
+         |reach(a, b) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT a AS doc_id, MIN(b) AS comp FROM reach GROUP BY a)
+         |SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp,
+         |  CAST(COALESCE(c.comp, d.doc_id) = d.doc_id AS BIGINT) AS survivor
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    )
   )
 
   private val qSimhash64 = Q(
