@@ -1446,7 +1446,53 @@ object Queries {
       )(docs(s, dir))
         .select(col("doc_id"), J("input_ids"), J("attention_mask"), col("length"))
         .orderBy("doc_id"),
-    None // WordPiece greedy matching: not SQL-expressible; rows-only
+    // independent SQL replay of greedy longest-match-first WordPiece over
+    // the literal testVocab: the recursive CTE walks each word position
+    // by position, trying token lengths longest-first (start pieces at
+    // pos 0, "##" continuations after), then truncates the body to
+    // maxLength-2 and wraps in [CLS]=2 / [SEP]=3 — the same published
+    // algorithm implemented from scratch in SQL, so a hash match pins
+    // the tokenizer, not just its row count.
+    Some(
+      s"""WITH RECURSIVE w AS (
+         |  SELECT doc_id, u.w AS word, u.i AS widx FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len($W)),
+         |      i -> struct_pack(i := i, w := ($W)[i]))) AS u FROM documents) t
+         |),
+         |st(doc_id, widx, word, pos, mlen, mid) AS (
+         |  SELECT doc_id, widx, word, 0,
+         |    CASE WHEN substr(word,1,5) IN ('table','query','value','spark') THEN 5
+         |         WHEN substr(word,1,4) IN ('scan','fast') THEN 4
+         |         WHEN substr(word,1,3) = 'the' THEN 3
+         |         ELSE 1 END,
+         |    CAST(CASE WHEN substr(word,1,5) = 'table' THEN 56
+         |         WHEN substr(word,1,5) = 'query' THEN 59
+         |         WHEN substr(word,1,5) = 'value' THEN 60
+         |         WHEN substr(word,1,5) = 'spark' THEN 62
+         |         WHEN substr(word,1,4) = 'scan' THEN 57
+         |         WHEN substr(word,1,4) = 'fast' THEN 58
+         |         WHEN substr(word,1,3) = 'the' THEN 61
+         |         ELSE 4 + ord(substr(word,1,1)) - 97 END AS BIGINT)
+         |  FROM w
+         |  UNION ALL
+         |  SELECT doc_id, widx, word, pos + mlen,
+         |    CASE WHEN substr(word, pos+mlen+1, 3) = 'ing' THEN 3
+         |         WHEN substr(word, pos+mlen+1, 2) = 'er' THEN 2
+         |         ELSE 1 END,
+         |    CAST(CASE WHEN substr(word, pos+mlen+1, 3) = 'ing' THEN 65
+         |         WHEN substr(word, pos+mlen+1, 2) = 'er' THEN 64
+         |         WHEN substr(word, pos+mlen+1, 1) = 's' THEN 63
+         |         ELSE 30 + ord(substr(word, pos+mlen+1, 1)) - 97 END AS BIGINT)
+         |  FROM st WHERE pos + mlen < length(word)
+         |),
+         |body AS (SELECT doc_id, list(mid ORDER BY widx, pos) AS b FROM st GROUP BY doc_id),
+         |fin AS (SELECT doc_id,
+         |  [CAST(2 AS BIGINT)] || list_slice(b, 1, 62) || [CAST(3 AS BIGINT)] AS input_ids FROM body)
+         |SELECT doc_id, to_json(input_ids)::VARCHAR AS input_ids,
+         |  to_json(list_transform(input_ids, x -> CAST(1 AS BIGINT)))::VARCHAR AS attention_mask,
+         |  CAST(len(input_ids) AS BIGINT) AS length
+         |FROM fin ORDER BY doc_id""".stripMargin
+    )
   )
 
   private val qDecode = Q(
@@ -1461,7 +1507,12 @@ object Queries {
         .select(col("doc_id"), col("input_ids").as("decoded"))
         .orderBy("doc_id")
     },
-    None // inverse-vocab decode of the tokenizer output; rows-only
+    // the corpus is lowercase a-z words, every one of which WordPiece
+    // tokenizes losslessly with testVocab (all single letters + "##"
+    // continuations present, no UNK/punct/case paths can fire), so
+    // decode∘encode must be the identity — a hard end-to-end check of
+    // the greedy split + "##" re-merge + cleanup chain.
+    Some("SELECT doc_id, text AS decoded FROM documents ORDER BY doc_id")
   )
 
   /** Byte-level BPE (GPT-2 family) is a lossless byte transform:
@@ -1567,10 +1618,18 @@ object Queries {
     )
   )
 
+  /** sample strategy with the engine-portable md5 position key (the
+    * documented override on [[LabelsMasker]]): the oracle replays the
+    * identical shuffle — sort positions by md5("i_docid_42") — plus the
+    * chunking and masking arithmetic, so the sample path gets a full
+    * hash-verified row instead of the old rows-only check. */
   private val qLabelsMaskerSample = Q(
     "q67_labels_masker_sample",
     (s, dir) =>
-      LabelsMasker("labels", strategy = "sample", sampleProb = Some(0.4))(
+      LabelsMasker("labels", strategy = "sample", sampleProb = Some(0.4),
+        sampleHash = Some(i =>
+          md5(concat_ws("_", i.cast(StringType),
+            col("doc_id").cast(StringType), lit("42")))))(
         docIds(s, dir)
           .withColumn("labels", slice(col("ids"), 1, 8))
           .select("doc_id", "labels")
@@ -1579,7 +1638,24 @@ object Queries {
           array_join(col("labels"), ",").as("labels_str")
         )
         .orderBy("doc_id", "labels_str"),
-    None // seeded xxhash shuffle; deterministic but engine-specific
+    Some(
+      s"""WITH d AS (SELECT doc_id, list_slice($IDS, 1, 8) AS labels FROM documents),
+         |p AS (SELECT doc_id, labels, len(labels) AS n,
+         |  GREATEST(CAST(FLOOR(len(labels) * 0.4) AS BIGINT), 1) AS sz FROM d),
+         |s AS (SELECT doc_id, labels, n, sz, list_transform(
+         |    list_sort(list_transform(range(n), i -> struct_pack(
+         |      h := md5(CAST(i AS VARCHAR) || '_' || CAST(doc_id AS VARCHAR) || '_42'),
+         |      p := i))),
+         |    x -> x.p) AS sh FROM p),
+         |e AS (SELECT doc_id, labels, n, sz, sh, unnest(range(0, n, sz)) AS cs FROM s),
+         |m AS (SELECT doc_id,
+         |  list_transform(range(n), i ->
+         |    CASE WHEN list_contains(list_slice(sh, cs+1, cs+sz), i)
+         |         THEN CAST(labels[i+1] AS BIGINT)
+         |         ELSE CAST(-100 AS BIGINT) END) AS masked FROM e)
+         |SELECT doc_id, array_to_string(masked, ',') AS labels_str
+         |FROM m ORDER BY doc_id, labels_str""".stripMargin
+    )
   )
 
   private val qTruncateMultiLongest = Q(
@@ -1916,6 +1992,24 @@ object Queries {
     )
   )
 
+  /** Engine-portable hyperplanes shared with the DuckDB oracle:
+    * plane(p,d) = int(first 4 hex chars of md5("p_d")) − 32767.5. Values
+    * are integer+0.5 doubles, exactly representable, so both engines
+    * fold the identical dot products. */
+  private def md5Planes(nPlanes: Int, dims: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until nPlanes).map { p =>
+      (0 until dims).map { d =>
+        val h = md.digest(s"${p}_${d}".getBytes("UTF-8"))
+        (((h(0) & 0xff) << 8) | (h(1) & 0xff)).toDouble - 32767.5
+      }.toSeq
+    }.toSeq
+  }
+
+  /** annTopK with the md5-derived plane override: the oracle replays
+    * bucketing (sign of the same sequential-fold dot), Hamming-1
+    * multiprobe, the bucket equi-join, and exact cosine top-k — the
+    * full ANN plan, hash-verified end to end. */
   private val qAnnLsh = Q(
     "q94_ann_lsh",
     (s, dir) => {
@@ -1923,7 +2017,7 @@ object Queries {
       val queries = emb.filter(col("vec_id") < 3)
       CosineKnn
         .annTopK(emb, queries, "embedding", "vec_id", k = 5, nPlanes = 4,
-          dims = 64)
+          dims = 64, planesOverride = Some(md5Planes(4, 64)))
         .select(
           col("query_id"),
           col("corpus_id"),
@@ -1932,7 +2026,37 @@ object Queries {
         )
         .orderBy("query_id", "rank")
     },
-    None // xxhash64-derived hyperplanes: deterministic, engine-specific
+    Some(
+      """WITH pl AS (SELECT p, list_transform(generate_series(0, 63), d ->
+        |    CAST((instr('0123456789abcdef', substr(md5(p||'_'||d),1,1))-1)*4096
+        |       + (instr('0123456789abcdef', substr(md5(p||'_'||d),2,1))-1)*256
+        |       + (instr('0123456789abcdef', substr(md5(p||'_'||d),3,1))-1)*16
+        |       + (instr('0123456789abcdef', substr(md5(p||'_'||d),4,1))-1) AS DOUBLE)
+        |    - 32767.5) AS v
+        |  FROM (SELECT unnest(range(4)) AS p) t),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |bp AS (SELECT e.vec_id, pl.p,
+        |   CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+        |          i -> e.e[i] * pl.v[i]), (x, y) -> x + y) >= 0
+        |        THEN CAST(1 AS BIGINT) << pl.p ELSE 0 END AS bit
+        |  FROM e, pl),
+        |b AS (SELECT vec_id, SUM(bit) AS bucket FROM bp GROUP BY vec_id),
+        |eb AS (SELECT e.vec_id, e.e, b.bucket FROM e JOIN b USING (vec_id)),
+        |q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM eb WHERE vec_id < 3),
+        |probes AS (SELECT query_id, qe,
+        |   unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+        |           xor(bucket, 8)]) AS bucket FROM q),
+        |sc AS (SELECT p.query_id, c.vec_id AS corpus_id,
+        |   list_reduce(list_transform(generate_series(1, 64), i -> c.e[i]*p.qe[i]), (x, y) -> x + y) /
+        |   (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.e[i]*c.e[i]), (x, y) -> x + y)) *
+        |    sqrt(list_reduce(list_transform(generate_series(1, 64), i -> p.qe[i]*p.qe[i]), (x, y) -> x + y))) AS cos
+        |  FROM probes p JOIN eb c USING (bucket)),
+        |r AS (SELECT query_id, corpus_id, cos,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank FROM sc)
+        |SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank,
+        |  CAST(FLOOR(cos * 1e5) AS BIGINT) AS cos_f
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    )
   )
 
   /** Connected components + cluster-exact survivor pick, on the SAME

@@ -423,12 +423,13 @@ object CosineKnn {
       embField: String,
       nPlanes: Int = 8,
       seed: Int = 42,
-      dims: Int = 64
+      dims: Int = 64,
+      planesOverride: Option[Seq[Seq[Double]]] = None
   ): DataFrame = {
     val e = col(embField).cast(ArrayType(DoubleType))
     val rng = new java.util.Random(seed)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(nPlanes)(Seq.fill(dims)(rng.nextGaussian()))
+    val planes: Seq[Seq[Double]] = planesOverride.getOrElse(
+      Seq.fill(nPlanes)(Seq.fill(dims)(rng.nextGaussian())))
     val bucket = planes.zipWithIndex
       .map { case (w, p) =>
         when(
@@ -570,7 +571,8 @@ object CosineKnn {
       nPlanes: Int = 8,
       seed: Int = 42,
       multiProbe: Int = 1,
-      dims: Int = -1
+      dims: Int = -1,
+      planesOverride: Option[Seq[Seq[Double]]] = None
   ): DataFrame = {
     // dims must match the embedding width: cosine_sim is strict about
     // dimension mismatch, so the hyperplane length is caller-visible.
@@ -579,7 +581,7 @@ object CosineKnn {
     val d =
       if (dims > 0) dims
       else corpus.select(size(col(embField))).head().getInt(0)
-    val c = lshBuckets(corpus, embField, nPlanes, seed, d)
+    val c = lshBuckets(corpus, embField, nPlanes, seed, d, planesOverride)
       .select(
         col(idField).as("corpus_id"),
         col(embField).cast(ArrayType(DoubleType)).as("__ce"),
@@ -591,7 +593,7 @@ object CosineKnn {
         else Nil
       array((b +: hamming1): _*)
     }
-    val q = lshBuckets(queries, embField, nPlanes, seed, d)
+    val q = lshBuckets(queries, embField, nPlanes, seed, d, planesOverride)
       .select(
         col(idField).as("query_id"),
         col(embField).cast(ArrayType(DoubleType)).as("__qe"),

@@ -179,7 +179,13 @@ final case class LabelsMasker(
     strategy: String = "all",
     sampleProb: Option[Double] = None,
     labelMaskId: Long = -100,
-    seed: Long = 42L
+    seed: Long = 42L,
+    // optional override for the position shuffle key (given the position
+    // column, return an orderable Column). Production default = seeded
+    // xxhash64 of (position, row content); override with an engine-
+    // portable key (e.g. md5 of position+row id) when results must be
+    // reproducible outside Spark — the driver oracle for q67 does this.
+    sampleHash: Option[Column => Column] = None
 ) extends Mapper {
   require(Set("all", "one", "sample").contains(strategy),
     s"Unknown strategy $strategy")
@@ -212,14 +218,13 @@ final case class LabelsMasker(
       val sliceSize = greatest((n.cast(DoubleType) * p).cast(LongType), lit(1L))
       // seeded deterministic shuffle of positions: sort 0..n-1 by a hash
       val positions = SeqUtil.seq0(n)
+      val posKey: Column => Column = sampleHash.getOrElse(
+        i => xxhash64(i, hash(col(labelsField)).cast(LongType), lit(seed)))
       val shuffled = transform(
         array_sort(
           transform(
             positions,
-            i => struct(
-              xxhash64(i, hash(col(labelsField)).cast(LongType), lit(seed)).as("h"),
-              i.as("p")
-            )
+            i => struct(posKey(i).as("h"), i.as("p"))
           )
         ),
         s => s.getField("p")
