@@ -103,19 +103,28 @@ object MinHashLSH {
 
   /** Candidate pairs (idA < idB) from banding a minhash signature column.
     * Linear explode → shuffle on (band, bandHash) → bucket-local join. */
+  /** `maxBucketSize`: the standard LSH skew guard for web-scale corpora.
+    * A degenerate band hash (boilerplate pages, empty docs) can put
+    * millions of ids in one (band, bh) bucket, turning the bucket-local
+    * self-join quadratic on the hot key. Buckets larger than the cap
+    * are dropped BEFORE the join (their members are near-certain to
+    * co-occur in other, smaller buckets; at minJaccard thresholds worth
+    * running, true near-dups share several bands). None = exact banding
+    * (the oracle-parity default). */
   def candidatePairs(
       df: DataFrame,
       idField: String,
       sigField: String = "minhash_sig",
       bands: Int = 4,
-      sigLen: Int = 16
+      sigLen: Int = 16,
+      maxBucketSize: Option[Int] = None
   ): DataFrame = {
     require(df.schema(sigField).dataType.isInstanceOf[ArrayType],
       s"$sigField must be an array")
     // sigLen is caller-known (== numHashes of the signature step); taking
     // it as a parameter avoids a whole Spark job just to probe one row
     val rowsPerBand = sigLen / bands
-    val banded = df
+    val bandedAll = df
       .select(
         col(idField).as("__graft_id"),
         posexplode(
@@ -127,7 +136,21 @@ object MinHashLSH {
           )
         ).as(Seq("band", "bh"))
       )
-      .persist()
+    val banded = maxBucketSize match {
+      case Some(cap) =>
+        // one extra count-shuffle on the (8-byte) bucket key, in
+        // exchange for bounding the join's per-bucket quadratic work
+        bandedAll
+          .withColumn(
+            "__graft_bsz",
+            count(lit(1)).over(
+              Window.partitionBy(col("band"), col("bh")))
+          )
+          .filter(col("__graft_bsz") <= cap)
+          .drop("__graft_bsz")
+          .persist()
+      case None => bandedAll.persist()
+    }
     banded.count() // materialize once; both self-join legs read the cache
     val a = banded.as("a")
     val b = banded.as("b")

@@ -298,4 +298,50 @@ class DedupContribSpec extends SparkSpec {
     val b = Seq((2L, "y")).toDF("id", "v")
     assert(CombineSources.concatenate(Seq(a, b)).count() == 2)
   }
+
+  test("candidatePairs maxBucketSize drops degenerate hot buckets only") {
+    // 20 identical boilerplate docs flood one bucket per band; one small
+    // identical pair sits in its own (size-2) buckets
+    val boiler = (0L until 20L).map(i => (i, Seq("lorem", "ipsum", "dolor", "sit", "amet")))
+    val pair = Seq(
+      (100L, Seq("alpha", "beta", "gamma", "delta", "eps")),
+      (101L, Seq("alpha", "beta", "gamma", "delta", "eps"))
+    )
+    val df = (boiler ++ pair).toDF("doc_id", "words")
+    val sigs = MinHashSignature("words")(df)
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val uncapped = MinHashLSH.candidatePairs(sigs, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    val capped = MinHashLSH.candidatePairs(sigs, "doc_id", maxBucketSize = Some(10))
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.exists { case (x, y) => x < 20 && y < 20 }) // hot pairs exist
+    assert(!capped.exists { case (x, y) => x < 20 && y < 20 })  // cap removes them
+    assert(uncapped.contains((100L, 101L)) && capped.contains((100L, 101L)))
+  }
+
+  test("ivfTopK assignment is pure expressions: only the final rank window") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = CosineKnn.ivfTopK(emb, emb.filter(col("vec_id") < 3),
+      "embedding", "vec_id", k = 5, nCentroids = 4)
+    val plan = out.queryExecution.optimizedPlan.toString
+    val windows = "windowspecdefinition\\(".r.findAllIn(plan).length
+    assert(windows == 1, s"expected only the rank window, got $windows:\n$plan")
+    // the round-4 anti-pattern: a window partitioned on the raw vector
+    assert(!plan.contains("windowspecdefinition(__ce") &&
+      !plan.contains("windowspecdefinition(__qe"))
+  }
+
+  test("EnumerateField appearance-order is correct across many partitions") {
+    val data = (0 until 1000).map(i => s"v${(i * 7) % 50}")
+    val df = spark.sparkContext.parallelize(data, 8).toDF("v")
+    val out = EnumerateField("v", Some("id"), appearanceOrder = true)(df)
+    val collected = out.select("v", "id").as[(String, Long)].collect()
+    val firstSeen = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    data.foreach(v =>
+      if (!firstSeen.contains(v)) firstSeen(v) = firstSeen.size.toLong)
+    collected.foreach { case (v, id) => assert(id == firstSeen(v)) }
+    // row order restored (the mapper's row-order contract)
+    assert(collected.map(_._1).toSeq == data)
+  }
 }
