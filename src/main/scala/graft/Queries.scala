@@ -1878,6 +1878,200 @@ object Queries {
   )
 
   // ------------------------------------------------------------------
+  // Round 5: driver rows for former ScalaTest-only operators
+  // ------------------------------------------------------------------
+
+  /** MakeAttentionMask → AttentionMaskSequencePadding: ones-masks padded
+    * with unit bos/sep/eos (multiseq.py:101-126 semantics). */
+  private val qAttentionPadding = Q(
+    "q74_attention_seq_padding",
+    (s, dir) =>
+      pipe(
+        MakeAttentionMask("seqs", "am"),
+        AttentionMaskSequencePadding("am",
+          SpecialTokens(bos = Seq(101L), sep = Seq(102L), eos = Seq(103L)))
+      )(docSeqs(s, dir))
+        .select(col("doc_id"), J("am"))
+        .orderBy("doc_id"),
+    Some(
+      s"""SELECT doc_id, to_json(list_transform($SEQS, (sq, i) ->
+         |  (CASE WHEN i = 1 THEN [CAST(1 AS BIGINT)] ELSE [] END) ||
+         |  list_transform(sq, x -> CAST(1 AS BIGINT)) ||
+         |  [CAST(1 AS BIGINT)]))::VARCHAR AS am
+         |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Promptsource registry lookup + template application
+    * (promptsource.py:239-310). */
+  private val qPromptsource = Q(
+    "q75_promptsource",
+    (s, dir) => {
+      val reg = TemplateRegistry(Map(
+        ("docs", "", "langtag") ->
+          "Doc {{ doc_id }} ({{ lang }}): {{ text }}|||{{ lang }}"
+      ))
+      PromptsourceMapper(reg, datasetName = "docs", templateName = "langtag")(
+        docs(s, dir).select("doc_id", "text", "lang"))
+        .select("doc_id", "source", "target")
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id,
+        |  'Doc ' || CAST(doc_id AS VARCHAR) || ' (' || lang || '): ' || text AS source,
+        |  lang AS target
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** EncodeFields with subword-granular offset mapping, using a
+    * letters-only vocab so the greedy split is exactly one piece per
+    * char (first char = base id, rest = "##" continuations) — which
+    * makes ids AND offsets SQL-expressible (word starts = prefix sums
+    * over the single-spaced corpus). */
+  private val qEncodeFields = Q(
+    "q76_encode_fields_offsets",
+    (s, dir) => {
+      val letters = "abcdefghijklmnopqrstuvwxyz".map(_.toString)
+      val vocab =
+        (Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]") ++ letters ++
+          letters.map("##" + _))
+          .zipWithIndex.map { case (t, i) => t -> i.toLong }.toMap
+      EncodeFields(Seq("text"), WordPieceTokenizer(vocab),
+        fieldsToReturnOffsetMapping = Seq("text"))(
+        docs(s, dir).select("doc_id", "text"))
+        .select(col("doc_id"), J("text"), J("offset_text"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH w AS (
+         |  SELECT doc_id, u.w AS word, u.i AS widx FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len($W)),
+         |      i -> struct_pack(i := i, w := ($W)[i]))) AS u FROM documents) t),
+         |pos AS (SELECT doc_id, widx, word,
+         |  CAST(COALESCE(SUM(length(word) + 1) OVER (PARTITION BY doc_id
+         |    ORDER BY widx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS st FROM w),
+         |perword AS (SELECT doc_id, widx, st, word,
+         |  list_transform(generate_series(1, length(word)), k ->
+         |    CAST(CASE WHEN k = 1 THEN 4 + ord(substr(word, 1, 1)) - 97
+         |         ELSE 30 + ord(substr(word, k, 1)) - 97 END AS BIGINT)) AS ids,
+         |  list_transform(generate_series(1, length(word)), k ->
+         |    [st + k - 1, st + k]) AS offs FROM pos),
+         |agg AS (SELECT doc_id, flatten(list(ids ORDER BY widx)) AS text,
+         |  flatten(list(offs ORDER BY widx)) AS offset_text
+         |  FROM perword GROUP BY doc_id)
+         |SELECT doc_id, to_json(text)::VARCHAR AS text,
+         |  to_json(offset_text)::VARCHAR AS offset_text
+         |FROM agg ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** FieldCast (Python2Torch's field_cast_map half, converters.py:22-102):
+    * recursive dtype cast — int fields to str, string field through int
+    * round-trip is not meaningful on this corpus, so cast n_chars→str and
+    * ids→float then back-checkable as exact ".0"-free integers via
+    * floor-scaling. Keep it simple: n_chars→str, doc_id stays. */
+  private val qFieldCast = Q(
+    "q77_field_cast",
+    (s, dir) =>
+      FieldCast(Map("n_chars" -> "str", "ids" -> "int"))(
+        docIds(s, dir).select("doc_id", "n_chars", "ids"))
+        .select(col("doc_id"), col("n_chars"), J("ids"))
+        .orderBy("doc_id"),
+    Some(
+      s"""SELECT doc_id, CAST(n_chars AS VARCHAR) AS n_chars,
+         |  to_json(list_transform($IDS, x -> CAST(x AS BIGINT))) ::VARCHAR AS ids
+         |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** MockAdd (debug.py:56-72): +delta on every numeric scalar and
+    * numeric-array element. */
+  private val qMockAdd = Q(
+    "q78_mock_add",
+    (s, dir) =>
+      MockAdd(7L)(docIds(s, dir).select("doc_id", "ids"))
+        .select(col("doc_id"), J("ids"))
+        .orderBy("doc_id"),
+    Some(
+      s"""SELECT doc_id + 7 AS doc_id,
+         |  to_json(list_transform($IDS, x -> CAST(x + 7 AS BIGINT)))::VARCHAR AS ids
+         |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** ShiftEvidenceLocations (contrib/squad.py:213-263): re-anchor char
+    * spans onto token-offset boundaries via bisect counts. Offsets are
+    * the per-word spans of the single-spaced corpus (prefix sums, built
+    * with an aggregate fold — no UDF); location [10,20) is re-anchored
+    * to the covering words' span. */
+  private val qShiftEvidence = Q(
+    "q79_shift_evidence",
+    (s, dir) => {
+      val offs = aggregate(
+        col("words"),
+        struct(
+          lit(0L).as("pos"),
+          array().cast(ArrayType(ArrayType(LongType))).as("out")
+        ),
+        (acc, w) =>
+          struct(
+            (acc.getField("pos") + length(w) + 1).cast(LongType).as("pos"),
+            concat(
+              acc.getField("out"),
+              array(array(acc.getField("pos"),
+                acc.getField("pos") + length(w)))
+            ).as("out")
+          ),
+        acc => acc.getField("out")
+      )
+      ShiftEvidenceLocations("offs", "locations")(
+        docWords(s, dir)
+          .withColumn("offs", offs)
+          .withColumn("locations", array(array(lit(10L), lit(20L))))
+          .select("doc_id", "offs", "locations")
+      ).select(col("doc_id"), J("locations")).orderBy("doc_id")
+    },
+    Some(
+      s"""WITH d AS (SELECT doc_id, $W AS words FROM documents),
+         |o AS (SELECT doc_id, list_transform(generate_series(1, len(words)), i ->
+         |  [CAST(COALESCE(list_sum(list_transform(list_slice(words, 1, i - 1),
+         |     w -> length(w) + 1)), 0) AS BIGINT),
+         |   CAST(COALESCE(list_sum(list_transform(list_slice(words, 1, i - 1),
+         |     w -> length(w) + 1)), 0) + length(words[i]) AS BIGINT)]) AS offs FROM d),
+         |r AS (SELECT doc_id, offs,
+         |  len(list_filter(offs, x -> x[1] <= 10)) AS posR,
+         |  len(list_filter(offs, x -> x[2] < 20)) AS posL FROM o)
+         |SELECT doc_id, to_json([[offs[posR][1], offs[posL + 1][2]]])::VARCHAR AS locations
+         |FROM r ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** ReplaceIfNoEvidence (contrib/squad.py:286-316): windows whose
+    * location mask sums to zero get the canned replacement ids. Mask =
+    * "contains the word spark". */
+  private val qReplaceNoEvidence = Q(
+    "q69_replace_no_evidence",
+    (s, dir) =>
+      ReplaceIfNoEvidence("locmask", "labels", replacementIds = Seq(9L, 9L))(
+        docIds(s, dir)
+          .withColumn("labels", slice(col("ids"), 1, 5))
+          .withColumn("locmask",
+            transform(col("words"),
+              w => when(w === "spark", lit(1L)).otherwise(lit(0L))))
+          .select("doc_id", "locmask", "labels")
+      ).select(col("doc_id"), J("labels")).orderBy("doc_id"),
+    Some(
+      s"""SELECT doc_id, to_json(CASE
+         |  WHEN len(list_filter($W, w -> w = 'spark')) > 0
+         |  THEN list_transform(list_slice($IDS, 1, 5), x -> CAST(x AS BIGINT))
+         |  ELSE [CAST(9 AS BIGINT), CAST(9 AS BIGINT)] END)::VARCHAR AS labels
+         |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  // ------------------------------------------------------------------
   // Op-level dedup / similarity (xxhash64 production path)
   // ------------------------------------------------------------------
 
@@ -2125,6 +2319,8 @@ object Queries {
     qTokensSeqPadding, qMakeAttentionMask, qTokenTypeIds, qSingleValueToSeq,
     qSeqConcat, qLabelsMaskerOne,
     qIndicesToMask, qRangeToMask, qMaskToIndices, qMaskToRange,
+    qAttentionPadding, qPromptsource, qEncodeFields,
+    qFieldCast, qMockAdd, qShiftEvidence, qReplaceNoEvidence,
     qDedupExact, qDedupDocs, qMinhashSig, qMinhashPairs, qJaccard, qSimhash,
     qCosineTopk, qLangId, qQuality, qTokenCount, qFingerprint,
     qUniqueAnswer, qConcatContext, qEvidences, qOneVsOther,
