@@ -97,11 +97,13 @@ final case class ValidUnicode(
     }
 }
 
-/** Lightweight text fixer in the spirit of the reference's FtfyMapper
-  * (text.py:16-64, which delegates to the ftfy library). We implement the
-  * high-value fixes on the JVM with built-in tools only: Unicode NFC
-  * normalization, common UTF-8-decoded-as-Latin-1 mojibake repair, HTML
-  * entity unescape for the frequent few, and control-char stripping. */
+/** Text fixer in the spirit of the reference's FtfyMapper (text.py:16-64,
+  * which delegates to the ftfy library). JVM-built-ins-only implementation
+  * of ftfy's default fix chain: HTML entity unescape (named + numeric),
+  * line-break normalization, BOM removal, iterated Windows-1252 mojibake
+  * repair guarded by a UTF-8-byte-pattern score (handles doubly-encoded
+  * text like ftfy does), fullwidth→ASCII width fixing, quote uncurling,
+  * control-char stripping, and NFC normalization. */
 final case class FixText(fields: Seq[String]) extends Mapper {
   override def inputFields: Seq[String] = fields
   override def outputFields: Seq[String] = fields
@@ -112,31 +114,93 @@ final case class FixText(fields: Seq[String]) extends Mapper {
 }
 
 object FixText {
-  private val entities = Seq(
-    "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-    "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " "
-  )
+  private val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+  private val utf8 = java.nio.charset.StandardCharsets.UTF_8
 
-  /** Heuristic: if a string contains characters typical of UTF-8 bytes
-    * mis-decoded as Latin-1/Windows-1252 (e.g. "Ã©" for "é"), re-encode
-    * through Latin-1 and decode as UTF-8; keep the result only if it
-    * strictly reduces mojibake markers. */
+  private val namedEntities = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> " ", "mdash" -> "—", "ndash" -> "–", "hellip" -> "…",
+    "lsquo" -> "'", "rsquo" -> "'", "ldquo" -> "\"", "rdquo" -> "\"",
+    "copy" -> "©", "reg" -> "®", "trade" -> "™", "deg" -> "°",
+    "eacute" -> "é", "egrave" -> "è", "agrave" -> "à",
+    "uuml" -> "ü", "ouml" -> "ö", "auml" -> "ä",
+    "szlig" -> "ß", "ccedil" -> "ç"
+  )
+  private val entityRe = "&(#[xX]?[0-9a-fA-F]+|[a-zA-Z]+);".r
+
+  private def unescapeEntities(s: String): String =
+    if (!s.contains('&')) s
+    else
+      entityRe.replaceAllIn(s, m => {
+        val body = m.group(1)
+        val rep =
+          try {
+            if (body.startsWith("#x") || body.startsWith("#X"))
+              new String(Character.toChars(Integer.parseInt(body.drop(2), 16)))
+            else if (body.startsWith("#"))
+              new String(Character.toChars(Integer.parseInt(body.drop(1))))
+            else namedEntities.getOrElse(body, m.matched)
+          } catch { case _: Exception => m.matched }
+        scala.util.matching.Regex.quoteReplacement(rep)
+      })
+
+  // UTF-8-as-cp1252 pattern: a misdecoded multibyte char shows up as a
+  // LEAD char (byte 0xC2-0xF4 through cp1252) followed by CONTINUATION
+  // chars (bytes 0x80-0xBF through cp1252). Counting those ADJACENT
+  // pairs is ftfy's core badness signal, minus the language model.
+  private val leadChars: Set[Char] =
+    (0xc2 to 0xf4).map(b => new String(Array(b.toByte), cp1252).charAt(0)).toSet
+  private val contChars: Set[Char] =
+    (0x80 to 0xbf).map(b => new String(Array(b.toByte), cp1252).charAt(0)).toSet
+
+  private def mojibakeScore(s: String): Int = {
+    var n = 0
+    var i = 0
+    while (i < s.length - 1) {
+      if (leadChars.contains(s.charAt(i)) && contChars.contains(s.charAt(i + 1)))
+        n += 1
+      i += 1
+    }
+    n
+  }
+
+  /** cp1252 re-encode + UTF-8 decode, or None if the string isn't fully
+    * cp1252-representable / doesn't form valid UTF-8 (never corrupt). */
+  private def tryRedecode(t: String): Option[String] = {
+    if (!cp1252.newEncoder().canEncode(t)) return None
+    val re = new String(t.getBytes(cp1252), utf8)
+    if (re.contains('�')) None else Some(re)
+  }
+
+  private def fixWidthAndQuotes(s: String): String =
+    s.map {
+      case c if c >= '！' && c <= '～' => (c - 0xfee0).toChar // fullwidth
+      case '　' => ' ' // ideographic space
+      case '‘' | '’' | '‚' | '‛' => '\''
+      case '“' | '”' | '„' | '‟' => '"'
+      case c => c
+    }
+
   def fixText(s: String): String = {
     if (s == null) return null
-    var t = s
-    entities.foreach { case (k, v) => t = t.replace(k, v) }
-    if (looksMojibake(t)) {
-      val bytes = t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-      val redecoded = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-      if (!redecoded.contains('�') && mojibakeScore(redecoded) < mojibakeScore(t))
-        t = redecoded
+    var t = unescapeEntities(s)
+    t = t.replace("\r\n", "\n").replace('\r', '\n')
+      .replace(' ', '\n').replace(' ', '\n').replace('', '\n')
+      .replace("﻿", "")
+    // iterate like ftfy: doubly-encoded mojibake needs multiple passes
+    var iter = 0
+    var continue = mojibakeScore(t) > 0
+    while (iter < 3 && continue) {
+      tryRedecode(t) match {
+        case Some(r) if mojibakeScore(r) < mojibakeScore(t) =>
+          t = r
+          iter += 1
+          continue = mojibakeScore(t) > 0
+        case _ => continue = false
+      }
     }
+    t = fixWidthAndQuotes(t)
     t = t.filter(ch => ch == '\n' || ch == '\t' || !Character.isISOControl(ch))
     java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
   }
-
-  private def looksMojibake(s: String): Boolean = mojibakeScore(s) > 0
-  private def mojibakeScore(s: String): Int =
-    s.count(ch => (ch >= 'Â' && ch <= 'Ã') || ch == '€' ||
-      ch == 'â' || ch == 'œ' || ch == '™')
 }

@@ -286,6 +286,24 @@ class DedupContribSpec extends SparkSpec {
     assert(out(1) == "plain text")
   }
 
+  test("FixText: cp1252 mojibake, double-encoding, width, quotes, entities") {
+    import graft.operators.FixText.fixText
+    // the classic cp1252 case: \u00e2\u20ac\u2122 is UTF-8 for ' through cp1252
+    assert(fixText("doesn\u00e2\u20ac\u2122t") == "doesn't")
+    // ftfy README golden: \u00e2\u0153\u201d -> \u2714 (check mark)
+    assert(fixText("\u00e2\u0153\u201d works") == "\u2714 works")
+    // DOUBLY-encoded curly quote collapses over two passes, then uncurls
+    assert(fixText("\u00c3\u00a2\u00e2\u201a\u00ac\u00c5\u201c") == "\"")
+    // numeric + named entities
+    assert(fixText("&#233;t&#xE9; &eacute;") == "\u00e9t\u00e9 \u00e9")
+    // fullwidth to ASCII, ideographic space
+    assert(fixText("\uFF2C\uFF2F\uFF35\uFF24\u3000text") == "LOUD text")
+    // curly quotes uncurl; CRLF normalizes; BOM dropped
+    assert(fixText("\uFEFF\u201Cquoted\u201D\r\nnext") == "\"quoted\"\r".replace("\r","") + "\nnext")
+    // valid text with real accents is untouched (no false redecode)
+    assert(fixText("caf\u00e9 cr\u00e8me br\u00fbl\u00e9e") == "caf\u00e9 cr\u00e8me br\u00fbl\u00e9e")
+  }
+
   test("CombineSources.interleave alternates sources row by row") {
     val a = Seq("a1", "a2", "a3").toDF("v").coalesce(1)
     val b = Seq("b1", "b2").toDF("v").coalesce(1)
