@@ -1881,6 +1881,48 @@ object Queries {
   // Round 5: driver rows for former ScalaTest-only operators
   // ------------------------------------------------------------------
 
+  /** CsvLoader round-trip (loaders.py:139-168): the corpus projected to
+    * CSV once per run, then loaded back THROUGH the rows-carry-paths
+    * mapper; oracle = identity on the projected columns. */
+  private val qCsvLoader = Q(
+    "q45_csv_loader",
+    (s, dir) => {
+      import s.implicits._
+      val tmp = "/tmp/graft_q45_csv"
+      docs(s, dir).select("doc_id", "lang", "n_chars")
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      CsvLoader("path")(Seq(tmp).toDF("path"))
+        .select(
+          col("doc_id").cast(LongType).as("doc_id"),
+          col("lang"),
+          col("n_chars").cast(LongType).as("n_chars")
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** JsonlLoader round-trip (loaders.py:171-192), text field included —
+    * JSON escaping must survive the loop. */
+  private val qJsonlLoader = Q(
+    "q46_jsonl_loader",
+    (s, dir) => {
+      import s.implicits._
+      val tmp = "/tmp/graft_q46_jsonl"
+      docs(s, dir).select("doc_id", "text")
+        .coalesce(1)
+        .write.mode("overwrite").json(tmp)
+      JsonlLoader("path")(Seq(tmp).toDF("path"))
+        .select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
+        .orderBy("doc_id")
+    },
+    Some("SELECT doc_id, text FROM documents ORDER BY doc_id")
+  )
+
   /** MakeAttentionMask → AttentionMaskSequencePadding: ones-masks padded
     * with unit bos/sep/eos (multiseq.py:101-126 semantics). */
   private val qAttentionPadding = Q(
@@ -2321,6 +2363,7 @@ object Queries {
     qIndicesToMask, qRangeToMask, qMaskToIndices, qMaskToRange,
     qAttentionPadding, qPromptsource, qEncodeFields,
     qFieldCast, qMockAdd, qShiftEvidence, qReplaceNoEvidence,
+    qCsvLoader, qJsonlLoader,
     qDedupExact, qDedupDocs, qMinhashSig, qMinhashPairs, qJaccard, qSimhash,
     qCosineTopk, qLangId, qQuality, qTokenCount, qFingerprint,
     qUniqueAnswer, qConcatContext, qEvidences, qOneVsOther,

@@ -128,6 +128,34 @@ class BpeTokenizerSpec extends SparkSpec {
     assert(out == data)
   }
 
+  test("BPE + fromTokenizer collator: pad id is eot, left-pad works") {
+    // mirrors the GPT-2 leg of reference tests/test_collators.py: tokenize
+    // variable-length rows, collate into one batch padded with pad=eot
+    val df = Seq("the test", "the", "it is the test").toDF("text")
+    val pipeline = Pipeline(Vector(
+      TokenizerMapper(tok, "text", addSpecialTokens = false),
+      ChangeFields(keepFields = Seq("input_ids", "attention_mask")),
+      FixedBatchSize(3, keepLast = true,
+        orderBy = Seq("input_ids")),
+      ListCollator.fromTokenizer(tok)
+    ))
+    val out = pipeline(df)
+      .select("input_ids", "attention_mask")
+      .as[(Seq[Seq[Long]], Seq[Seq[Long]])].collect()
+    assert(out.length == 1)
+    val (ids, am) = out.head
+    val width = ids.map(_.size).max
+    assert(ids.forall(_.size == width) && am.forall(_.size == width))
+    val eot = tok.specialTokens("<|endoftext|>")
+    // shorter rows are right-padded with eot / mask 0
+    assert(ids.exists(r => r.last == eot))
+    ids.zip(am).foreach { case (r, m) =>
+      r.zip(m).foreach { case (id, bit) =>
+        if (bit == 0L) assert(id == eot)
+      }
+    }
+  }
+
   test("fromFiles parses the public vocab.json + merges.txt format") {
     val dir = java.nio.file.Files.createTempDirectory("bpe").toFile
     val vocabF = new java.io.File(dir, "vocab.json")
