@@ -54,9 +54,17 @@ def pandas_sorted(tbl):
     """Replicate the driver's compare path: pandas frame, columns sorted by
     name, rows sorted with DataFrame.sort_values. This CRASHES on array-typed
     columns (unhashable numpy.ndarray) exactly like the driver does — queries
-    must serialize arrays to strings in their final projection."""
+    must serialize arrays to strings in their final projection.
+
+    Float columns are rounded to the SAME precision the equality check uses
+    (norm's round(v, 9)) BEFORE sorting, so two engines whose floats differ
+    below 1e-9 on a sort-key column cannot order tied rows differently and
+    produce spurious positional mismatches."""
     df = tbl.to_pandas()
     df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(9)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
