@@ -156,6 +156,26 @@ class BpeTokenizerSpec extends SparkSpec {
     }
   }
 
+  test("BpeTrainer learns the corpus's most frequent pairs, deterministically") {
+    val corpus = Seq.fill(50)("the theme then") ++ Seq.fill(10)("other stuff")
+    val df = corpus.toDF("text")
+    val learned = BpeTrainer.learnMerges(df, "text", numMerges = 4)
+    assert(learned.size == 4)
+    // (t,h) and (h,e) tie at 150 occurrences; the deterministic
+    // lexicographic tie-break picks (h,e) first, then (t,he) chains
+    assert(learned.head == ("h", "e"))
+    assert(learned(1) == ("t", "he"))
+    // deterministic: re-training yields the identical sequence
+    assert(BpeTrainer.learnMerges(df, "text", 4) == learned)
+    // the trained tokenizer compresses its own corpus below char-level
+    val tok2 = BpeTrainer.train(df, "text", 20)
+    val ids = tok2.encode("the theme then", addSpecialTokens = false)
+    assert(ids.length < "the theme then".length)
+    // and round-trips exactly
+    assert(tok2.copy(cleanUpTokenizationSpaces = false)
+      .decode(ids.toSeq, skipSpecialTokens = true) == "the theme then")
+  }
+
   test("fromFiles parses the public vocab.json + merges.txt format") {
     val dir = java.nio.file.Files.createTempDirectory("bpe").toFile
     val vocabF = new java.io.File(dir, "vocab.json")
