@@ -143,8 +143,11 @@ object Queries {
       val li = T(s, dir, "lineitem")
       val ord = T(s, dir, "orders")
       val cust = T(s, dir, "customer")
-      // dim tables broadcast — no shuffle of the fact table beyond the agg
-      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      // broadcast only the true dimension (customer). orders is a
+      // fact-sized table — hard-hinting it broadcast would OOM the
+      // build side at 100 TB; AQE still converts the join to broadcast
+      // at runtime whenever the post-shuffle size is actually small.
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
