@@ -1884,6 +1884,36 @@ object Queries {
   // Round 5: driver rows for former ScalaTest-only operators
   // ------------------------------------------------------------------
 
+  /** DatasetLoader format dispatch (loaders.py:37-136): one parquet spec
+    * + one csv spec (written per run), concatenated; oracle = the
+    * doubled projection. Exercises per-spec source selection and the
+    * combine step in one driver row. */
+  private val qDatasetLoader = Q(
+    "q47_dataset_loader",
+    (s, dir) => {
+      import s.implicits._
+      val tmp = "/tmp/graft_q47_csv"
+      docs(s, dir).select("doc_id", "lang")
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      val specs = Seq(
+        (s"$dir/documents.parquet", "parquet"),
+        (tmp, "csv")
+      ).toDF("path", "fmt")
+      DatasetLoader("path", formatField = Some("fmt"),
+        combineStrategy = "concatenate",
+        fieldsToKeep = Some(Seq("doc_id", "lang")))(specs)
+        .select(col("doc_id").cast(LongType).as("doc_id"), col("lang"))
+        .orderBy("doc_id", "lang")
+    },
+    Some(
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang FROM documents
+        |  UNION ALL SELECT doc_id, lang FROM documents) t
+        |ORDER BY doc_id, lang""".stripMargin
+    )
+  )
+
   /** CsvLoader round-trip (loaders.py:139-168): the corpus projected to
     * CSV once per run, then loaded back THROUGH the rows-carry-paths
     * mapper; oracle = identity on the projected columns. */
@@ -2366,7 +2396,7 @@ object Queries {
     qIndicesToMask, qRangeToMask, qMaskToIndices, qMaskToRange,
     qAttentionPadding, qPromptsource, qEncodeFields,
     qFieldCast, qMockAdd, qShiftEvidence, qReplaceNoEvidence,
-    qCsvLoader, qJsonlLoader,
+    qCsvLoader, qJsonlLoader, qDatasetLoader,
     qDedupExact, qDedupDocs, qMinhashSig, qMinhashPairs, qJaccard, qSimhash,
     qCosineTopk, qLangId, qQuality, qTokenCount, qFingerprint,
     qUniqueAnswer, qConcatContext, qEvidences, qOneVsOther,
