@@ -1914,6 +1914,37 @@ object Queries {
     )
   )
 
+  /** Collator with the tensor-shape parameters (collators.py:334-421):
+    * batch width rounded up to a multiple of 8 and LEFT padding — the
+    * decoder-generation layout. */
+  private val qCollatorMultiple = Q(
+    "q48_collator_pad_multiple",
+    (s, dir) =>
+      pipe(
+        ChangeFields(keepFields = Seq("doc_id", "ids")),
+        FixedBatchSize(50, keepLast = true, orderBy = Seq("doc_id")),
+        ListCollator(Map("ids" -> -1L), padToMultipleOf = Some(8),
+          leftPadFields = Seq("ids"))
+      )(docIds(s, dir))
+        .withColumn("first", element_at(col("doc_id"), 1))
+        .select(J("ids"), col("first"))
+        .orderBy("first"),
+    Some(
+      s"""WITH r AS (SELECT doc_id, $IDS AS ids,
+         |    row_number() OVER (ORDER BY doc_id) - 1 AS rn FROM documents),
+         |g AS (SELECT rn // 50 AS bid, list(doc_id ORDER BY rn) AS doc_id,
+         |    list(ids ORDER BY rn) AS ids FROM r GROUP BY rn // 50),
+         |m AS (SELECT bid, doc_id, ids,
+         |    CAST(CEIL(list_max(list_transform(ids, s2 -> len(s2))) / 8.0) * 8
+         |      AS BIGINT) AS tl FROM g)
+         |SELECT to_json(list_transform(ids, s2 ->
+         |    list_transform(range(tl - len(s2)), x -> CAST(-1 AS BIGINT)) || s2
+         |  ))::VARCHAR AS ids,
+         |  doc_id[1] AS first
+         |FROM m ORDER BY first""".stripMargin
+    )
+  )
+
   /** CsvLoader round-trip (loaders.py:139-168): the corpus projected to
     * CSV once per run, then loaded back THROUGH the rows-carry-paths
     * mapper; oracle = identity on the projected columns. */
@@ -2396,7 +2427,7 @@ object Queries {
     qIndicesToMask, qRangeToMask, qMaskToIndices, qMaskToRange,
     qAttentionPadding, qPromptsource, qEncodeFields,
     qFieldCast, qMockAdd, qShiftEvidence, qReplaceNoEvidence,
-    qCsvLoader, qJsonlLoader, qDatasetLoader,
+    qCsvLoader, qJsonlLoader, qDatasetLoader, qCollatorMultiple,
     qDedupExact, qDedupDocs, qMinhashSig, qMinhashPairs, qJaccard, qSimhash,
     qCosineTopk, qLangId, qQuality, qTokenCount, qFingerprint,
     qUniqueAnswer, qConcatContext, qEvidences, qOneVsOther,
