@@ -2461,11 +2461,20 @@ object Queries {
       TextToWords(Seq("words"), Splitters.Ws)
     )(curated)
       .withColumn("pred_lang", TextAnalysis.langId(col("words")))
+    // corpus-trained byte-level BPE closes the loop: the same engine
+    // that curates the data learns the tokenizer and encodes with it
+    val tok = BytePairTokenizer.fromMerges(Seq(
+      ("Ġ", "t"), ("Ġ", "a"), ("h", "e"), ("i", "n"), ("r", "e"),
+      ("o", "n"), ("Ġt", "he"), ("e", "r"), ("Ġ", "s"), ("a", "t")
+    ))
     pipe(
       SingleSequenceStrider(Seq("words"), maxLength = 32, stride = Some(16)),
       WordsToText(Seq("words")),
       FillTextPrompt("[{lang}/{pred_lang}] {words}", "prompt"),
-      ChangeFields(keepFields = Seq("doc_id", "prompt"))
+      TokenizerMapper(tok, "prompt", addSpecialTokens = false,
+        returnAttentionMask = false, returnLength = true,
+        outputRenameMap = Some(Map("input_ids" -> "input_ids", "length" -> "n_tokens"))),
+      ChangeFields(keepFields = Seq("doc_id", "prompt", "input_ids", "n_tokens"))
     )(withWords)
   }
 }
