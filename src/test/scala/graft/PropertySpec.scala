@@ -137,4 +137,23 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("byte-level BPE: decode . encode is the identity on arbitrary text") {
+    val tok = BytePairTokenizer.fromMerges(Seq(
+      ("t", "h"), ("th", "e"), ("\u0120", "t"), ("i", "s"), ("e", "r")
+    )).copy(cleanUpTokenizationSpaces = false)
+    val textGen: Gen[String] = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        6 -> Gen.alphaNumChar,
+        2 -> Gen.oneOf(' ', '\t', '\n', '.', ',', '!', '\''),
+        1 -> Gen.oneOf('\u00e9', '\u00fc', '\u4e2d', '\u6587', '\u2014'),
+        1 -> Gen.oneOf('\ud83c', '\u00df') // lone surrogate excluded below
+      )).map(_.mkString))
+    forAll(textGen, n = 40) { t0 =>
+      // drop unpaired surrogates: they are not valid strings to encode
+      val t = t0.filterNot(c => Character.isSurrogate(c))
+      val ids = tok.encode(t, addSpecialTokens = false)
+      assert(tok.decode(ids.toSeq, skipSpecialTokens = true) == t)
+    }
+  }
 }

@@ -90,6 +90,26 @@ class RecipeStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("BPE tokenization runs unchanged on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val tok = BytePairTokenizer.fromMerges(Seq(("t", "h"), ("th", "e")))
+    val pipeline = Pipeline(Vector(
+      RenameFields(Map("value" -> "text")),
+      TokenizerMapper(tok, "text", addSpecialTokens = false,
+        returnAttentionMask = false, returnLength = true)
+    ))
+    val out = StreamingPipeline(pipeline, mem.toDF())
+    val q = out.writeStream.format("memory").queryName("graft_stream_bpe")
+      .outputMode("append").start()
+    mem.addData("the theme", "x")
+    q.processAllAvailable()
+    val got = spark.sql("SELECT length FROM graft_stream_bpe").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got.size == 2 && got.head >= 1)
+    q.stop()
+  }
+
   test("order-sensitive stages rejected on streams") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
