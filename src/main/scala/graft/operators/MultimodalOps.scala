@@ -92,6 +92,52 @@ object Multimodal {
     out
   }
 
+  /** Real audio decode: `javax.sound.sampled` (WAV/AIFF/AU PCM on a
+    * stock JVM). Converts to 16-bit signed PCM, downmixes channels by
+    * integer average, emits the first `maxSamples` samples as floats in
+    * [-1, 1) (exact i/32768.0 — bit-stable everywhere). Payloads no
+    * reader accepts (MP3/OGG need codecs this container doesn't ship)
+    * fall back to [[decodeStub]]. */
+  def decodeAudio(bytes: Array[Byte], maxSamples: Int): Array[Float] = {
+    if (bytes == null) return Array.empty
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      val target = new javax.sound.sampled.AudioFormat(
+        fmt.getSampleRate, 16, fmt.getChannels, true, false) // s16le
+      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
+      try {
+        val ch = fmt.getChannels
+        val want = maxSamples * 2 * ch
+        val buf = new Array[Byte](want)
+        var off = 0
+        var n = 0
+        while (off < want && n >= 0) {
+          n = pcm.read(buf, off, want - off)
+          if (n > 0) off += n
+        }
+        val frames = off / (2 * ch)
+        val out = new Array[Float](frames)
+        var f = 0
+        while (f < frames) {
+          var acc = 0
+          var c = 0
+          while (c < ch) {
+            val i = (f * ch + c) * 2
+            acc += ((buf(i + 1).toInt << 8) | (buf(i) & 0xff)).toShort.toInt
+            c += 1
+          }
+          out(f) = (acc / ch) / 32768.0f
+          f += 1
+        }
+        out
+      } finally pcm.close()
+    } catch {
+      case _: Exception => decodeStub(bytes, maxSamples, 1)
+    }
+  }
+
   /** (width, height) of an image payload, or null if unreadable — reads
     * only the header via the imageio reader, not the pixel raster. */
   def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
@@ -130,6 +176,23 @@ final case class DecodeMedia(
     val w = targetW
     val h = targetH
     val decode = udf { (bytes: Array[Byte]) => Multimodal.decodeImage(bytes, w, h) }
+    df.withColumn(outputField, decode(col(s"$mediaField.bytes")))
+  }
+}
+
+/** Decode an audio media column into a fixed-length float sample array
+  * (WAV/AIFF/AU via the JVM's own codecs; deterministic byte-derived
+  * fallback otherwise). Narrow, partition-parallel, no shuffle. */
+final case class DecodeAudio(
+    mediaField: String,
+    outputField: String = "samples",
+    maxSamples: Int = 16000
+) extends Mapper {
+  override def inputFields: Seq[String] = Seq(mediaField)
+  override def outputFields: Seq[String] = Seq(outputField)
+  override protected def build(df: DataFrame): DataFrame = {
+    val n = maxSamples
+    val decode = udf { (bytes: Array[Byte]) => Multimodal.decodeAudio(bytes, n) }
     df.withColumn(outputField, decode(col(s"$mediaField.bytes")))
   }
 }

@@ -206,6 +206,40 @@ class DedupContribSpec extends SparkSpec {
     assert(rows(withDims.select("media.width", "media.height")).head == Seq(2, 2))
   }
 
+  test("DecodeAudio: real WAV PCM decodes via javax.sound; downmix + clip") {
+    // stereo 16-bit WAV, 8 frames: L = 1000*k, R = -1000*k
+    val frames = 8
+    val pcm = new Array[Byte](frames * 4)
+    for (k <- 0 until frames) {
+      val l = (1000 * k).toShort
+      val r = (-1000 * k).toShort
+      pcm(k * 4) = (l & 0xff).toByte; pcm(k * 4 + 1) = ((l >> 8) & 0xff).toByte
+      pcm(k * 4 + 2) = (r & 0xff).toByte; pcm(k * 4 + 3) = ((r >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+    // direct decode: stereo downmix (1000k + -1000k)/2 = 0 for every frame
+    val direct = Multimodal.decodeAudio(wav, 16)
+    assert(direct.length == frames && direct.forall(_ == 0.0f))
+    // clip to maxSamples
+    assert(Multimodal.decodeAudio(wav, 3).length == 3)
+    // through the mapper; non-audio bytes fall back deterministically
+    val df = Seq(Tuple1(wav)).toDF("b")
+      .withColumn("media", Multimodal.asMedia(col("b"), "audio/wav"))
+    val out = DecodeAudio("media", maxSamples = 16)(df)
+    assert(rows(out.select("samples")).head.head ==
+      List.fill(frames)(0.0f))
+    val bad = Seq("ab").toDF("t")
+      .withColumn("media", Multimodal.asMedia(col("t").cast("binary"), "x"))
+    assert(rows(DecodeAudio("media", maxSamples = 2)(bad).select("samples"))
+      .head.head == List(97.0f, 98.0f))
+  }
+
   test("CachedStage: second run hits cache, same result") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cache_test").toString
     val df = Seq(("a b c", 1L)).toDF("text", "id")
