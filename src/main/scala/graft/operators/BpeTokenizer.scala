@@ -225,7 +225,7 @@ object BytePairTokenizer {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(new java.io.File(vocabJsonPath))
     val vocab = scala.collection.mutable.Map.empty[String, Long]
-    node.fields().forEachRemaining { e => vocab(e.getKey) = e.getValue.asLong() }
+    node.properties().forEach { e => vocab(e.getKey) = e.getValue.asLong() }
     val src = scala.io.Source.fromFile(mergesPath, "UTF-8")
     val merges =
       try

@@ -546,7 +546,7 @@ object CosineKnn {
     val centRows = centroids.orderBy(col("cid")).collect()
     require(centRows.nonEmpty, "ivfTopK: empty centroid set")
     def assign(df: DataFrame, vec: String): DataFrame = {
-      val cands = array(centRows.map { r =>
+      val cands = array(centRows.toIndexedSeq.map { r =>
         struct(
           cosine(col(vec), typedLit(r.getSeq[Double](1))).as("sim"),
           lit(r.get(0)).as("cid")

@@ -45,7 +45,7 @@ final case class RenameFields(
     if (removeRest) {
       // preserve the input column order, like the reference's dict-comp
       val keep = df.columns.filter(renameMap.contains).map(renameMap)
-      renamed.select(keep.map(col): _*)
+      renamed.select(keep.toIndexedSeq.map(col): _*)
     } else renamed
   }
 }
@@ -102,7 +102,7 @@ final case class EnumerateField(
         df.schema.fields :+ StructField(idxField, LongType)
       )
       val indexed = spark.createDataFrame(
-        df.rdd.zipWithIndex.map { case (r, i) =>
+        df.rdd.zipWithIndex().map { case (r, i) =>
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
         },
         schema
@@ -119,7 +119,7 @@ final case class EnumerateField(
         firstVals.schema.fields :+ StructField("__graft_enum_id", LongType)
       )
       val firstSeen = spark.createDataFrame(
-        firstVals.rdd.zipWithIndex.map { case (r, i) =>
+        firstVals.rdd.zipWithIndex().map { case (r, i) =>
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
         },
         fvSchema
@@ -148,7 +148,7 @@ final case class EnumerateField(
         distinctVals.schema.fields :+ StructField("__graft_enum_id", LongType)
       )
       val withIds = spark.createDataFrame(
-        distinctVals.rdd.zipWithIndex.map { case (r, i) =>
+        distinctVals.rdd.zipWithIndex().map { case (r, i) =>
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
         },
         schema
@@ -171,7 +171,7 @@ final case class EnumerateField(
       )
       val keep = df.columns.filter(_ != dest)
       spark.createDataFrame(
-        df.select(keep.map(col): _*).rdd.zipWithIndex.map { case (r, i) =>
+        df.select(keep.toIndexedSeq.map(col): _*).rdd.zipWithIndex().map { case (r, i) =>
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
         },
         schema
@@ -227,7 +227,7 @@ final case class Cast(castMap: Map[String, String]) extends Mapper {
     dt match {
       case ArrayType(e, _) => transform(c, x => recastCol(x, e, target))
       case StructType(fs) =>
-        struct(fs.map(f =>
+        struct(fs.toIndexedSeq.map(f =>
           recastCol(c.getField(f.name), f.dataType, target).as(f.name)): _*)
       case _ => c.cast(target)
     }

@@ -114,7 +114,7 @@ object CombineSources {
       // per-source row numbers via zipWithIndex — distributed, no
       // single-partition window funnel
       d.sparkSession.createDataFrame(
-        d.rdd.zipWithIndex.map { case (r, rn) =>
+        d.rdd.zipWithIndex().map { case (r, rn) =>
           // note: Seq(i, rn) would unify Int to Long and break encoding
           org.apache.spark.sql.Row.fromSeq((r.toSeq :+ i) :+ rn)
         },

@@ -236,7 +236,7 @@ final case class FixedBatchSize(
       // numbers are global WITHOUT a single-partition row_number window
       val withId = df.sparkSession
         .createDataFrame(
-          sorted.rdd.zipWithIndex.map { case (r, i) =>
+          sorted.rdd.zipWithIndex().map { case (r, i) =>
             org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
           },
           idSchema

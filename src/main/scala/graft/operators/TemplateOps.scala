@@ -117,7 +117,7 @@ object MiniJinja {
           case ("trim", _)       => String.valueOf(v).trim
           case ("capitalize", _) =>
             val s = String.valueOf(v)
-            if (s.isEmpty) s else s.head.toUpper + s.tail.toLowerCase(java.util.Locale.ROOT)
+            if (s.isEmpty) s else s"${s.head.toUpper}${s.tail.toLowerCase(java.util.Locale.ROOT)}"
           case ("first", _) => v match {
             case s: Seq[_] => s.headOption.orNull
             case s: String => if (s.isEmpty) "" else s.substring(0, 1)
