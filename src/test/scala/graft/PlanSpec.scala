@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Pins the SCALE.md §1 plan claims: mapper chains stay declarative, so
+  * filters written after projections reach the parquet scan and column
+  * pruning crosses all stages. */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("graft_plan").toString
+    (0L until 100L).map(i => (i, s"text$i", i % 7, s"extra$i"))
+      .toDF("id", "text", "grp", "extra")
+      .write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("filter after mapper chain is pushed to the parquet scan") {
+    val df = spark.read.parquet(dir)
+    val out = pipeOps(
+      RenameFields(Map("text" -> "body")),
+      ChangeFields(keepFields = Seq("id", "body", "grp"))
+    )(df).filter(col("grp") === 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("EqualTo(grp,3)"), plan)
+  }
+
+  test("column pruning crosses mapper stages: unused columns not read") {
+    val df = spark.read.parquet(dir)
+    val out = pipeOps(
+      RenameFields(Map("text" -> "body")),
+      MakeField("n", 1L)
+    )(df).select("id", "n")
+    val plan = out.queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("id") && !readSchema.contains("extra") &&
+      !readSchema.contains("text"), plan)
+  }
+
+  test("expression-native mappers stay inside one WholeStageCodegen span") {
+    val df = spark.read.parquet(dir)
+    val out = pipeOps(
+      RenameFields(Map("text" -> "body")),
+      Binarizer("grp", threshold = 3.0),
+      MakeField("n", 1L)
+    )(df)
+    val plan = out.queryExecution.executedPlan.toString
+    // "*(1)" is the whole-stage-codegen stage marker in plan toString
+    assert(plan.contains("*(1) Project"), plan)
+    // a pure projection chain must not introduce shuffles
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  private def pipeOps(ms: graft.Mapper*)(df: org.apache.spark.sql.DataFrame) =
+    ms.foldLeft(df)((d, m) => m(d))
+}
