@@ -270,6 +270,17 @@ class DedupContribSpec extends SparkSpec {
     assert(ids.forall(_ % 2 == 0))     // only the [1,0]-direction cluster
   }
 
+  test("JsonlLoader reads gzip transparently (reference test_decompression)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsongz").toString
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$tmp/d.jsonl.gz"))
+    gz.write("{\"a\":1,\"b\":\"x\"}\n{\"a\":2,\"b\":\"y\"}\n".getBytes("UTF-8"))
+    gz.close()
+    val out = JsonlLoader("path")(Seq(s"$tmp/d.jsonl.gz").toDF("path"))
+    assert(out.count() == 2)
+    assert(out.select("b").as[String].collect().sorted.toSeq == Seq("x", "y"))
+  }
+
   test("CsvLoader reads gzip transparently (Hadoop codec)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_gz").toString
     val gz = new java.util.zip.GZIPOutputStream(
