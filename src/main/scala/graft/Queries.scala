@@ -2359,6 +2359,54 @@ object Queries {
     )
   )
 
+  /** ivfTopK with explicit centroids (the first four corpus vectors), so
+    * DuckDB can replay the whole IVF plan: per-vector argmax over the
+    * centroid cosines (ties to the lower cid, matching the fold), the
+    * cluster equi-join, and exact cosine top-k inside the cluster. */
+  private val qIvf = Q(
+    "q49_ivf_topk",
+    (s, dir) => {
+      val emb = embs(s, dir)
+      val cents = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"),
+          col("embedding").cast(ArrayType(DoubleType)).as("ce"))
+      CosineKnn
+        .ivfTopK(emb, emb.filter(col("vec_id") < 3), "embedding", "vec_id",
+          k = 5, centroidsOverride = Some(cents))
+        .select(
+          col("query_id"),
+          col("corpus_id"),
+          col("rank").cast(LongType).as("rank"),
+          floor(col("cos") * 1e5).cast(LongType).as("cos_f")
+        )
+        .orderBy("query_id", "rank")
+    },
+    Some(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |c AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id < 4),
+        |sim AS (SELECT e.vec_id, c.cid,
+        |   list_reduce(list_transform(generate_series(1, 64), i -> e.e[i]*c.ce[i]), (x, y) -> x + y) /
+        |   (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> e.e[i]*e.e[i]), (x, y) -> x + y)) *
+        |    sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.ce[i]*c.ce[i]), (x, y) -> x + y))) AS s
+        |  FROM e, c),
+        |asg AS (SELECT vec_id, cid AS cluster FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY s DESC, cid) AS rk FROM sim) WHERE rk = 1),
+        |eb AS (SELECT e.vec_id, e.e, asg.cluster FROM e JOIN asg USING (vec_id)),
+        |q AS (SELECT vec_id AS query_id, e AS qe, cluster FROM eb WHERE vec_id < 3),
+        |sc AS (SELECT q.query_id, cpart.vec_id AS corpus_id,
+        |   list_reduce(list_transform(generate_series(1, 64), i -> cpart.e[i]*q.qe[i]), (x, y) -> x + y) /
+        |   (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> cpart.e[i]*cpart.e[i]), (x, y) -> x + y)) *
+        |    sqrt(list_reduce(list_transform(generate_series(1, 64), i -> q.qe[i]*q.qe[i]), (x, y) -> x + y))) AS cos
+        |  FROM q JOIN eb cpart USING (cluster)),
+        |r AS (SELECT query_id, corpus_id, cos,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank FROM sc)
+        |SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank,
+        |  CAST(FLOOR(cos * 1e5) AS BIGINT) AS cos_f
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    )
+  )
+
   /** Connected components + cluster-exact survivor pick, on the SAME
     * md5-parity verified edges as q92, so DuckDB can replay the whole
     * chain: the oracle closes the edge set with a recursive CTE
@@ -2436,7 +2484,7 @@ object Queries {
     qTruncateNested, qStriderLocations,
     qFixText, qEnumerateOrder,
     qCachedStage, qCombineConcat, qMultimodalDecode, qFrameSample,
-    qExactDedupOp, qNeardupVerified, qBruteKnn, qAnnLsh, qSimhash64,
+    qExactDedupOp, qNeardupVerified, qBruteKnn, qAnnLsh, qIvf, qSimhash64,
     qDedupClusters
   )
 

@@ -527,10 +527,11 @@ object CosineKnn {
       idField: String,
       k: Int,
       nCentroids: Int = 16,
-      trainIters: Int = 0
+      trainIters: Int = 0,
+      centroidsOverride: Option[DataFrame] = None // (cid, ce) frame
   ): DataFrame = {
     val e = col(embField).cast(ArrayType(DoubleType))
-    val centroids =
+    val centroids = centroidsOverride.getOrElse {
       if (trainIters > 0)
         kmeansCentroids(corpus, embField, idField, nCentroids, trainIters)
       else
@@ -538,6 +539,7 @@ object CosineKnn {
           .select(col(idField).as("cid"), e.as("ce"))
           .orderBy(xxhash64(col("cid")), col("cid"))
           .limit(nCentroids)
+    }
     // The k×dim centroid table is tiny by construction, so inline it as
     // literals: assignment becomes a pure per-row expression — no join, no
     // shuffle, stays inside whole-stage codegen. (The previous shape —
