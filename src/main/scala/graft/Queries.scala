@@ -1880,6 +1880,73 @@ object Queries {
     )
   )
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): duplicate
+    * lines are synthesized by doubling each doc's text around a newline
+    * so the line-level stat is non-trivial on the single-line corpus. */
+  private val qRepetition = Q(
+    "q25_repetition_stats",
+    (s, dir) =>
+      docTextWords(s, dir)
+        .withColumn("t2", concat_ws("\n", col("text"), col("text"), lit("")))
+        .select(
+          col("doc_id"),
+          floor(RepetitionStats.duplicateLineFraction(col("t2")) * 1e6)
+            .cast(LongType).as("dup_line_f"),
+          floor(RepetitionStats.topBigramFraction(col("words")) * 1e6)
+            .cast(LongType).as("top_bigram_f"),
+          floor(RepetitionStats.symbolWordRatio(col("words")) * 1e6)
+            .cast(LongType).as("symbol_f")
+        )
+        .orderBy("doc_id"),
+    Some(
+      s"""WITH d AS (SELECT doc_id, text, $W AS words FROM documents),
+         |l AS (SELECT doc_id, words,
+         |  list_filter(string_split(text || chr(10) || text || chr(10), chr(10)),
+         |    x -> length(x) > 0) AS lines FROM d),
+         |b AS (SELECT doc_id, lines,
+         |  CASE WHEN len(words) >= 2 THEN list_transform(generate_series(1, len(words) - 1),
+         |    i -> words[i] || ' ' || words[i+1]) ELSE CAST([] AS VARCHAR[]) END AS bg,
+         |  CAST(len(list_filter(words, w -> NOT regexp_matches(w, '[A-Za-z0-9]'))) AS DOUBLE)
+         |    / GREATEST(len(words), 1) AS sym FROM l)
+         |SELECT doc_id,
+         |  CAST(FLOOR(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+         |    / GREATEST(len(lines), 1) * 1e6) AS BIGINT) AS dup_line_f,
+         |  CAST(FLOOR(CASE WHEN len(bg) > 0 THEN
+         |    CAST(list_max(list_transform(list_distinct(bg),
+         |      x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg)
+         |    ELSE 0 END * 1e6) AS BIGINT) AS top_bigram_f,
+         |  CAST(FLOOR(sym * 1e6) AS BIGINT) AS symbol_f
+         |FROM b ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** C4-style PII redaction; PII is synthesized per doc so the regexes
+    * actually fire, and both engines run the same Java∩RE2 patterns. */
+  private val qPiiRedact = Q(
+    "q26_pii_redact",
+    (s, dir) =>
+      RedactPii(Seq("t2"))(
+        docs(s, dir)
+          .withColumn("t2",
+            concat(col("text"), lit(" mail u"), col("doc_id"),
+              lit("@ex.org or 555-123-4567 or 10.0.0."),
+              pmod(col("doc_id"), lit(256))))
+          .select("doc_id", "t2")
+      ).select(col("doc_id"), col("t2").as("redacted"))
+        .orderBy("doc_id"),
+    Some(
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(
+         |    text || ' mail u' || CAST(doc_id AS VARCHAR) ||
+         |      '@ex.org or 555-123-4567 or 10.0.0.' ||
+         |      CAST(doc_id % 256 AS VARCHAR),
+         |    '${PiiRedact.emailRe}', '<EMAIL>', 'g'),
+         |    '${PiiRedact.phoneRe}', '<PHONE>', 'g'),
+         |    '${PiiRedact.ipv4Re}', '<IP>', 'g') AS redacted
+         |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
   // Round 5: driver rows for former ScalaTest-only operators
   // ------------------------------------------------------------------
@@ -2476,6 +2543,7 @@ object Queries {
     qAttentionPadding, qPromptsource, qEncodeFields,
     qFieldCast, qMockAdd, qShiftEvidence, qReplaceNoEvidence,
     qCsvLoader, qJsonlLoader, qDatasetLoader, qCollatorMultiple,
+    qRepetition, qPiiRedact,
     qDedupExact, qDedupDocs, qMinhashSig, qMinhashPairs, qJaccard, qSimhash,
     qCosineTopk, qLangId, qQuality, qTokenCount, qFingerprint,
     qUniqueAnswer, qConcatContext, qEvidences, qOneVsOther,

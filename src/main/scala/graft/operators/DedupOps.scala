@@ -699,3 +699,68 @@ object TextAnalysis {
       )
     )
 }
+
+/** Repetition signals from the published Gopher corpus-filtering rules
+  * (Rae et al. 2021 §A1.1) — all row-local Column expressions: linear
+  * per doc, no shuffle, fully SQL-oracle-able. */
+object RepetitionStats {
+
+  private def nonEmptyLines(text: Column): Column =
+    filter(split(text, "\n"), l => length(l) > 0)
+
+  /** fraction of non-empty lines that duplicate another line. */
+  def duplicateLineFraction(text: Column): Column = {
+    val lines = nonEmptyLines(text)
+    (size(lines) - size(array_distinct(lines))).cast(DoubleType) /
+      greatest(size(lines), lit(1)).cast(DoubleType)
+  }
+
+  /** occurrences of the most frequent word bigram / total bigrams
+    * (Gopher's top-2-gram character fraction, word-granular). Row-local
+    * O(distinct × n) — bounded by doc length, not corpus. */
+  def topBigramFraction(words: Column): Column = {
+    val bigrams = when(
+      size(words) >= 2,
+      transform(
+        sequence(lit(1), size(words) - 1),
+        i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))
+      )
+    ).otherwise(array().cast(ArrayType(StringType)))
+    val counts =
+      transform(array_distinct(bigrams), b => size(filter(bigrams, x => x === b)))
+    when(size(bigrams) > 0,
+      array_max(counts).cast(DoubleType) / size(bigrams).cast(DoubleType))
+      .otherwise(lit(0.0))
+  }
+
+  /** fraction of words that are pure symbols/punctuation (no letter or
+    * digit) — Gopher's symbol-to-word ratio. */
+  def symbolWordRatio(words: Column): Column =
+    size(filter(words, w => !w.rlike("[A-Za-z0-9]")))
+      .cast(DoubleType) / greatest(size(words), lit(1)).cast(DoubleType)
+}
+
+/** C4-style PII redaction: emails / phone numbers / IPv4 replaced with
+  * typed placeholder tokens. Pure `regexp_replace` chain (codegen'd,
+  * linear); patterns stay in the Java∩RE2 regex subset so the DuckDB
+  * oracle replays them verbatim. */
+object PiiRedact {
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipv4Re, "<IP>")
+}
+
+/** Mapper wrapper: redact PII in the listed text fields. */
+final case class RedactPii(fields: Seq[String]) extends Mapper {
+  override def inputFields: Seq[String] = fields
+  override def outputFields: Seq[String] = fields
+  override protected def build(df: DataFrame): DataFrame =
+    fields.foldLeft(df)((acc, f) => acc.withColumn(f, PiiRedact.redact(col(f))))
+}
