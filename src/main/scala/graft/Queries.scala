@@ -1880,6 +1880,51 @@ object Queries {
     )
   )
 
+  /** Skew salting: the salted two-phase aggregation and the salted join
+    * must be RESULT-IDENTICAL to their unsalted forms — which makes the
+    * plain SQL the exact oracle. The salt is an internal rendezvous key;
+    * correctness is independent of its values. */
+  private val qSaltedAgg = Q(
+    "q27_salted_agg",
+    (s, dir) =>
+      Salting
+        .saltedSum(
+          T(s, dir, "lineitem")
+            .withColumn("qty_i", round(col("l_quantity")).cast(LongType)),
+          key = Seq("l_returnflag"),
+          valueCol = "qty_i"
+        )
+        .orderBy("l_returnflag"),
+    Some(
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty_i
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    )
+  )
+
+  private val qSaltedJoin = Q(
+    "q28_salted_join",
+    (s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .select(col("l_orderkey"), round(col("l_quantity")).cast(LongType).as("q"))
+      Salting
+        .saltedJoin(
+          li,
+          T(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+            col("o_custkey")),
+          key = Seq("l_orderkey")
+        )
+        .groupBy("o_custkey")
+        .agg(sum(col("q")).as("sum_q"))
+        .orderBy("o_custkey")
+    },
+    Some(
+      """SELECT o_custkey, CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_q
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+    )
+  )
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): duplicate
     * lines are synthesized by doubling each doc's text around a newline
     * so the line-level stat is non-trivial on the single-line corpus. */
@@ -2543,7 +2588,7 @@ object Queries {
     qAttentionPadding, qPromptsource, qEncodeFields,
     qFieldCast, qMockAdd, qShiftEvidence, qReplaceNoEvidence,
     qCsvLoader, qJsonlLoader, qDatasetLoader, qCollatorMultiple,
-    qRepetition, qPiiRedact,
+    qRepetition, qPiiRedact, qSaltedAgg, qSaltedJoin,
     qDedupExact, qDedupDocs, qMinhashSig, qMinhashPairs, qJaccard, qSimhash,
     qCosineTopk, qLangId, qQuality, qTokenCount, qFingerprint,
     qUniqueAnswer, qConcatContext, qEvidences, qOneVsOther,
