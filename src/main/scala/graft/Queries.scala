@@ -1925,6 +1925,36 @@ object Queries {
     )
   )
 
+  /** Bucketed-sink round-trip: write orders+lineitem projections as
+    * bucketed tables on the join key, join the BUCKETED tables (the
+    * shuffle-free layout; SinkSaltSpec asserts the no-Exchange plan),
+    * and verify the result against the plain SQL join — layout must
+    * never change results. */
+  private val qBucketedJoin = Q(
+    "q29_bucketed_join",
+    (s, dir) => {
+      val db = "graft_q29"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      Sinks.bucketedTable(
+        T(s, dir, "lineitem").select(col("l_orderkey"),
+          round(col("l_quantity")).cast(LongType).as("q")),
+        s"$db.li_b", Seq("l_orderkey"), numBuckets = 8, sortBy = Seq("l_orderkey"))
+      Sinks.bucketedTable(
+        T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        s"$db.ord_b", Seq("o_orderkey"), numBuckets = 8, sortBy = Seq("o_orderkey"))
+      s.table(s"$db.li_b")
+        .join(s.table(s"$db.ord_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum(col("q")).as("sum_q"))
+        .orderBy("o_custkey")
+    },
+    Some(
+      """SELECT o_custkey, CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_q
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+    )
+  )
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): duplicate
     * lines are synthesized by doubling each doc's text around a newline
     * so the line-level stat is non-trivial on the single-line corpus. */
@@ -2588,7 +2618,7 @@ object Queries {
     qAttentionPadding, qPromptsource, qEncodeFields,
     qFieldCast, qMockAdd, qShiftEvidence, qReplaceNoEvidence,
     qCsvLoader, qJsonlLoader, qDatasetLoader, qCollatorMultiple,
-    qRepetition, qPiiRedact, qSaltedAgg, qSaltedJoin,
+    qRepetition, qPiiRedact, qSaltedAgg, qSaltedJoin, qBucketedJoin,
     qDedupExact, qDedupDocs, qMinhashSig, qMinhashPairs, qJaccard, qSimhash,
     qCosineTopk, qLangId, qQuality, qTokenCount, qFingerprint,
     qUniqueAnswer, qConcatContext, qEvidences, qOneVsOther,
