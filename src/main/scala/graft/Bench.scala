@@ -21,6 +21,9 @@ object Bench {
       // read as long and convert explicitly (Queries.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // q29 writes bucketed managed tables; keep the warehouse off the
+      // driver's CWD so the write never depends on repo-dir permissions
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -1933,8 +1933,17 @@ object Queries {
   private val qBucketedJoin = Q(
     "q29_bucketed_join",
     (s, dir) => {
-      val db = "graft_q29"
-      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      // per-SF namespace + physical cleanup: a fresh metastore with
+      // leftover warehouse files from a previous run at another SF
+      // would otherwise resurrect stale data under the same table name
+      val db = "graft_q29_" + math.abs(dir.hashCode).toString
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+        f.delete(): Unit
+      }
+      s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      rmrf(new java.io.File(s"/tmp/graft_warehouse/$db.db"))
+      s.sql(s"CREATE DATABASE $db")
       Sinks.bucketedTable(
         T(s, dir, "lineitem").select(col("l_orderkey"),
           round(col("l_quantity")).cast(LongType).as("q")),

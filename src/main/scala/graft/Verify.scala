@@ -12,6 +12,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // q29 writes bucketed managed tables; keep the warehouse off the
+      // driver's CWD so the write never depends on repo-dir permissions
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
       // Spark 4 defaults ANSI on; the reference's (Python) semantics are
       // permissive casts / null-on-missing — match them (SURVEY §1.2).
