@@ -1907,12 +1907,15 @@ object Queries {
     (s, dir) => {
       val li = T(s, dir, "lineitem")
         .select(col("l_orderkey"), round(col("l_quantity")).cast(LongType).as("q"))
+      // factor 4 keeps the bench honest: replication cost scales with
+      // factor × |right|, and the mechanism is identical at any factor
       Salting
         .saltedJoin(
           li,
           T(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
             col("o_custkey")),
-          key = Seq("l_orderkey")
+          key = Seq("l_orderkey"),
+          factor = 4
         )
         .groupBy("o_custkey")
         .agg(sum(col("q")).as("sum_q"))
@@ -1944,12 +1947,16 @@ object Queries {
       s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
       rmrf(new java.io.File(s"/tmp/graft_warehouse/$db.db"))
       s.sql(s"CREATE DATABASE $db")
+      // a 10% orderkey slice: the write+read mechanics are identical,
+      // and the sink test shouldn't dominate the bench with IO volume
       Sinks.bucketedTable(
-        T(s, dir, "lineitem").select(col("l_orderkey"),
-          round(col("l_quantity")).cast(LongType).as("q")),
+        T(s, dir, "lineitem").filter(pmod(col("l_orderkey"), lit(10)) === 0)
+          .select(col("l_orderkey"),
+            round(col("l_quantity")).cast(LongType).as("q")),
         s"$db.li_b", Seq("l_orderkey"), numBuckets = 8, sortBy = Seq("l_orderkey"))
       Sinks.bucketedTable(
-        T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        T(s, dir, "orders").filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .select(col("o_orderkey"), col("o_custkey")),
         s"$db.ord_b", Seq("o_orderkey"), numBuckets = 8, sortBy = Seq("o_orderkey"))
       s.table(s"$db.li_b")
         .join(s.table(s"$db.ord_b"), col("l_orderkey") === col("o_orderkey"))
@@ -1960,6 +1967,7 @@ object Queries {
     Some(
       """SELECT o_custkey, CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_q
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_orderkey % 10 = 0
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
     )
   )
