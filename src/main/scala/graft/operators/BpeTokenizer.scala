@@ -28,6 +28,12 @@ import java.nio.charset.StandardCharsets
   * to `<|endoftext|>`. Decode is the exact byte-level inverse, then the
   * same HF-style `clean_up_tokenization_spaces` pass as WordPiece
   * (disable via `cleanUpTokenizationSpaces` for strict round-trips).
+  *
+  * Round-trip caveat: `decode(encode(text))` is byte-identical only when
+  * `cleanUpTokenizationSpaces` is off AND either the input contains no
+  * registered special-token literal or `skipSpecialTokens` is false —
+  * with skipping on, special-token text is (by request) dropped from the
+  * output, like HF's `skip_special_tokens`.
   */
 final case class BytePairTokenizer(
     vocab: Map[String, Long],
@@ -235,6 +241,20 @@ object BytePairTokenizer {
             (a, b) -> i
         }.toMap
       finally src.close()
+    // fail fast on an inconsistent pair: a merge whose product is absent
+    // from vocab would otherwise silently encode as eotId — corrupt ids,
+    // no error (a deliberately-restricted vocab may omit unused byte
+    // units, so only merge PRODUCTS are required)
+    val missingMerges = merges.keysIterator
+      .map { case (a, b) => a + b }
+      .filterNot(vocab.contains)
+      .take(5)
+      .toSeq
+    require(
+      missingMerges.isEmpty,
+      s"inconsistent $vocabJsonPath/$mergesPath: merge products missing " +
+        s"from vocab, e.g. ${missingMerges.mkString(", ")}"
+    )
     val spec = specials.flatMap(s => vocab.get(s).map(s -> _)).toMap
     BytePairTokenizer(vocab.toMap, merges, spec)
   }

@@ -106,18 +106,28 @@ object MinHashLSH {
   /** `maxBucketSize`: the standard LSH skew guard for web-scale corpora.
     * A degenerate band hash (boilerplate pages, empty docs) can put
     * millions of ids in one (band, bh) bucket, turning the bucket-local
-    * self-join quadratic on the hot key. Buckets larger than the cap
-    * are dropped BEFORE the join (their members are near-certain to
-    * co-occur in other, smaller buckets; at minJaccard thresholds worth
-    * running, true near-dups share several bands). None = exact banding
-    * (the oracle-parity default). */
+    * self-join quadratic on the hot key. Oversized buckets are
+    * DOWN-SAMPLED to `cap` members BEFORE the join, ordered by a
+    * per-band deterministic hash — so join work is bounded at cap² per
+    * bucket, and because each band keeps a *different* subset, members
+    * of a hot exact-dup cluster (where every band bucket is oversized)
+    * still surface in some band's kept set with probability
+    * ≈ 1 − (1 − cap/n)^bands. Recall on such clusters is reduced, not
+    * preserved: with n ≫ cap·bands some members pair with nothing and
+    * the cluster can fragment; downstream connected-components re-links
+    * what does pair. None = exact banding (the oracle-parity default). */
+  /** `hasher`: band-key and down-sample-rank hash over a pre-concatenated
+    * string. Production default is codegen'd 8-byte xxhash64; oracle-
+    * parity queries pass md5 so DuckDB can replay the identical banding
+    * and down-sampling. */
   def candidatePairs(
       df: DataFrame,
       idField: String,
       sigField: String = "minhash_sig",
       bands: Int = 4,
       sigLen: Int = 16,
-      maxBucketSize: Option[Int] = None
+      maxBucketSize: Option[Int] = None,
+      hasher: Column => Column = c => xxhash64(c)
   ): DataFrame = {
     require(df.schema(sigField).dataType.isInstanceOf[ArrayType],
       s"$sigField must be an array")
@@ -131,23 +141,27 @@ object MinHashLSH {
           transform(
             sequence(lit(0), lit(bands - 1)),
             b =>
-              xxhash64(concat_ws("|", slice(col(sigField), b * rowsPerBand + 1,
+              hasher(concat_ws("|", slice(col(sigField), b * rowsPerBand + 1,
                 lit(rowsPerBand))))
           )
         ).as(Seq("band", "bh"))
       )
     val banded = maxBucketSize match {
       case Some(cap) =>
-        // one extra count-shuffle on the (8-byte) bucket key, in
-        // exchange for bounding the join's per-bucket quadratic work
+        // one extra window-shuffle on the (8-byte) bucket key, in
+        // exchange for bounding the join's per-bucket quadratic work;
+        // the rank hash is salted with the band so each band keeps a
+        // different cap-subset of a hot cluster
         bandedAll
           .withColumn(
-            "__graft_bsz",
-            count(lit(1)).over(
-              Window.partitionBy(col("band"), col("bh")))
+            "__graft_brn",
+            row_number().over(
+              Window.partitionBy(col("band"), col("bh"))
+                .orderBy(hasher(concat_ws("|", col("__graft_id"), col("band"))),
+                  col("__graft_id")))
           )
-          .filter(col("__graft_bsz") <= cap)
-          .drop("__graft_bsz")
+          .filter(col("__graft_brn") <= cap)
+          .drop("__graft_brn")
           .persist()
       case None => bandedAll.persist()
     }

@@ -100,10 +100,16 @@ final case class ValidUnicode(
 /** Text fixer in the spirit of the reference's FtfyMapper (text.py:16-64,
   * which delegates to the ftfy library). JVM-built-ins-only implementation
   * of ftfy's default fix chain: HTML entity unescape (named + numeric),
-  * line-break normalization, BOM removal, iterated Windows-1252 mojibake
-  * repair guarded by a UTF-8-byte-pattern score (handles doubly-encoded
-  * text like ftfy does), fullwidth→ASCII width fixing, quote uncurling,
-  * control-char stripping, and NFC normalization. */
+  * terminal-escape removal, iterated sloppy-windows-1252 mojibake repair
+  * guarded by a UTF-8-byte-pattern score (handles doubly-encoded text and
+  * latin-1/C1 mojibake like ftfy does), line-break normalization (CRLF/CR
+  * before repair; NEL/LS/PS after, since U+0085 is itself a mojibake
+  * continuation char), BOM removal, latin-ligature expansion,
+  * fullwidth->ASCII width fixing, quote uncurling, unpaired-surrogate
+  * replacement, control-char stripping, and NFC normalization. Documented
+  * divergence from ftfy: a lone NEL in clean text becomes '\n' (ftfy's
+  * fix_c1_controls turns it into an ellipsis via cp1252 first — we treat
+  * it as the line break ISO 8859 says it is). */
 final case class FixText(fields: Seq[String]) extends Mapper {
   override def inputFields: Seq[String] = fields
   override def outputFields: Seq[String] = fields
@@ -148,10 +154,20 @@ object FixText {
   // LEAD char (byte 0xC2-0xF4 through cp1252) followed by CONTINUATION
   // chars (bytes 0x80-0xBF through cp1252). Counting those ADJACENT
   // pairs is ftfy's core badness signal, minus the language model.
+  // Latin-1 mojibake decodes those same bytes to the raw U+0080-U+00BF
+  // chars (C1 controls included), so both alphabets are in the sets.
   private val leadChars: Set[Char] =
-    (0xc2 to 0xf4).map(b => new String(Array(b.toByte), cp1252).charAt(0)).toSet
+    (0xc2 to 0xf4).map(b => new String(Array(b.toByte), cp1252).charAt(0)).toSet ++
+      (0xc2 to 0xf4).map(_.toChar)
   private val contChars: Set[Char] =
-    (0x80 to 0xbf).map(b => new String(Array(b.toByte), cp1252).charAt(0)).toSet
+    (0x80 to 0xbf).map(b => new String(Array(b.toByte), cp1252).charAt(0)).toSet ++
+      (0x80 to 0xbf).map(_.toChar)
+
+  // full byte→char decode table reversed: maps each cp1252-decoded char
+  // back to its byte, INCLUDING the five undefined positions Java decodes
+  // to C1 controls — so the reverse map alone gives cp1252 proper.
+  private val cp1252Reverse: Map[Char, Byte] =
+    (0 to 255).map(b => new String(Array(b.toByte), cp1252).charAt(0) -> b.toByte).toMap
 
   private def mojibakeScore(s: String): Int = {
     var n = 0
@@ -164,12 +180,80 @@ object FixText {
     n
   }
 
-  /** cp1252 re-encode + UTF-8 decode, or None if the string isn't fully
-    * cp1252-representable / doesn't form valid UTF-8 (never corrupt). */
+  /** ftfy's "sloppy-windows-1252" re-encode + UTF-8 decode, applied
+    * SEGMENT-WISE: each maximal run of byte-mappable chars (cp1252
+    * reverse image, or latin-1 passthrough below U+0100 — so C1-control
+    * continuations like U+0085, e.g. '\u00c5\u0085' for '\u0145', are
+    * repairable) is re-decoded independently, and chars outside any run
+    * (real Unicode already) pass through untouched — one emoji or
+    * ligature elsewhere in the string doesn't make its mojibake
+    * unrepairable. A run is replaced only if its bytes form valid UTF-8
+    * (never corrupt); None when nothing changed. */
+  private def byteFor(c: Char): Int = cp1252Reverse.get(c) match {
+    case Some(b) => b & 0xff
+    case None => if (c < 0x100) c.toInt else -1
+  }
+
   private def tryRedecode(t: String): Option[String] = {
-    if (!cp1252.newEncoder().canEncode(t)) return None
-    val re = new String(t.getBytes(cp1252), utf8)
-    if (re.contains('�')) None else Some(re)
+    val sb = new StringBuilder(t.length)
+    var changed = false
+    var i = 0
+    while (i < t.length) {
+      if (byteFor(t.charAt(i)) >= 0) {
+        var j = i
+        while (j < t.length && byteFor(t.charAt(j)) >= 0) j += 1
+        val bytes = new Array[Byte](j - i)
+        var k = i
+        while (k < j) { bytes(k - i) = byteFor(t.charAt(k)).toByte; k += 1 }
+        val re = new String(bytes, utf8)
+        val seg = t.substring(i, j)
+        if (!re.contains('\ufffd') && re != seg) { sb.append(re); changed = true }
+        else sb.append(seg)
+        i = j
+      } else { sb.append(t.charAt(i)); i += 1 }
+    }
+    if (changed) Some(sb.result()) else None
+  }
+
+  // ftfy remove_terminal_escapes: strip ANSI CSI sequences (color codes
+  // etc.) — ESC is ASCII so this is safe before mojibake repair, where
+  // ftfy also runs it
+  private val terminalEscapeRe = "\u001b\\[[0-9;]*[a-zA-Z]".r
+
+  // ftfy fix_latin_ligatures: expand the Unicode alphabetic presentation
+  // ligatures (U+FB00-FB06) so search/tokenization see the letters
+  private val ligatures = Map(
+    '\ufb00' -> "ff", '\ufb01' -> "fi", '\ufb02' -> "fl",
+    '\ufb03' -> "ffi", '\ufb04' -> "ffl", '\ufb05' -> "ft",
+    '\ufb06' -> "st"
+  )
+
+  private def fixLigatures(s: String): String =
+    if (!s.exists(ligatures.contains)) s
+    else s.flatMap(c => ligatures.getOrElse(c, c.toString))
+
+  // ftfy fix_surrogates: a surrogate code unit with no partner can't be
+  // encoded to UTF-8 — replace it with U+FFFD (valid pairs are left for
+  // the JVM to treat as their supplementary code point)
+  private def fixSurrogates(s: String): String = {
+    if (!s.exists(Character.isSurrogate)) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+        Character.isLowSurrogate(s.charAt(i + 1))) {
+        sb.append(c).append(s.charAt(i + 1))
+        i += 2
+      } else if (Character.isSurrogate(c)) {
+        sb.append('\ufffd')
+        i += 1
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    sb.result()
   }
 
   private def fixWidthAndQuotes(s: String): String =
@@ -184,9 +268,13 @@ object FixText {
   def fixText(s: String): String = {
     if (s == null) return null
     var t = unescapeEntities(s)
-    t = t.replace("\r\n", "\n").replace('\r', '\n')
-      .replace(' ', '\n').replace(' ', '\n').replace('', '\n')
-      .replace("﻿", "")
+    t = terminalEscapeRe.replaceAllIn(t, "")
+    // only ASCII line breaks and the BOM are normalized BEFORE repair:
+    // \r can't be a mojibake byte, and a genuine U+FEFF would abort the
+    // redecode. NEL/LS/PS wait until AFTER the loop: U+0085 IS a
+    // latin-1-mojibake continuation char, so eagerly turning it into \n
+    // would make such text unrepairable.
+    t = t.replace("\r\n", "\n").replace('\r', '\n').replace("﻿", "")
     // iterate like ftfy: doubly-encoded mojibake needs multiple passes
     var iter = 0
     var continue = mojibakeScore(t) > 0
@@ -199,7 +287,11 @@ object FixText {
         case _ => continue = false
       }
     }
+    t = t.replace('', '\n').replace(' ', '\n').replace(' ', '\n')
+      .replace("﻿", "")
+    t = fixLigatures(t)
     t = fixWidthAndQuotes(t)
+    t = fixSurrogates(t)
     t = t.filter(ch => ch == '\n' || ch == '\t' || !Character.isISOControl(ch))
     java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
   }

@@ -190,4 +190,20 @@ class BpeTokenizerSpec extends SparkSpec {
     assert(t.encodePieces("the").map(_._1).toSeq == Seq(4L))
     assert(t.specialTokens("<|endoftext|>") == 5L)
   }
+
+  test("fromFiles fails fast when a merge product is missing from vocab") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe_bad").toFile
+    val vocabF = new java.io.File(dir, "vocab.json")
+    val mergesF = new java.io.File(dir, "merges.txt")
+    // "th" exists but the "th e" merge's product "the" does NOT — without
+    // the fail-fast this would silently encode "the" as eotId
+    java.nio.file.Files.write(vocabF.toPath,
+      """{"t": 0, "h": 1, "e": 2, "th": 3}""".getBytes("UTF-8"))
+    java.nio.file.Files.write(mergesF.toPath,
+      "#version: 0.2\nt h\nth e\n".getBytes("UTF-8"))
+    val err = intercept[IllegalArgumentException] {
+      BytePairTokenizer.fromFiles(vocabF.getPath, mergesF.getPath)
+    }
+    assert(err.getMessage.contains("the"))
+  }
 }

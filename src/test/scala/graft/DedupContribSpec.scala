@@ -349,6 +349,36 @@ class DedupContribSpec extends SparkSpec {
     assert(fixText("caf\u00e9 cr\u00e8me br\u00fbl\u00e9e") == "caf\u00e9 cr\u00e8me br\u00fbl\u00e9e")
   }
 
+  test("FixText: latin-1 mojibake with C1 continuation bytes repairs") {
+    import graft.operators.FixText.fixText
+    // U+0145 '\u0145' is UTF-8 C5 85; latin-1 decode gives '\u00c5' + NEL (U+0085).
+    // Strict cp1252 can't re-encode NEL (0x85 = '\u2026'), so this needs the
+    // sloppy C1-passthrough redecode \u2014 and NEL must NOT be eagerly
+    // normalized to \n before the repair loop.
+    assert(fixText("\u00c5\u0085u") == "\u0145u")
+    // euro sign U+20AC is UTF-8 E2 82 AC; latin-1 decode = '\u00e2' + two C1
+    // controls (U+0082, U+00AC is '\u00ac' \u2014 mixed C1/latin1 continuations)
+    assert(fixText("\u00e2\u0082\u00ac5") == "\u20ac5")
+    // a lone NEL in clean text still normalizes to \n after the loop
+    assert(fixText("a\u0085b") == "a\nb")
+    // LS/PS normalize to \n, as before
+    assert(fixText("a\u2028b\u2029c") == "a\nb\nc")
+  }
+
+  test("FixText: ftfy long tail \u2014 ligatures, terminal escapes, surrogates") {
+    import graft.operators.FixText.fixText
+    // latin presentation ligatures expand (ftfy fix_latin_ligatures)
+    assert(fixText("\ufb01le \ufb02ow o\ufb03ce") == "file flow office")
+    // ANSI terminal color escapes are removed (ftfy README example shape)
+    assert(fixText("\u001b[36;44mblue\u001b[0m text") == "blue text")
+    // unpaired surrogates become U+FFFD; valid pairs survive
+    assert(fixText("ok\ud800end") == "ok\ufffdend")
+    val gclef = new String(Character.toChars(0x1D11E)) // valid pair
+    assert(fixText(s"x${gclef}y") == s"x${gclef}y")
+    // combined: mojibake + ligature in one string
+    assert(fixText("caf\u00c3\u00a9 \ufb01x") == "caf\u00e9 fix")
+  }
+
   test("CombineSources.interleave alternates sources row by row") {
     val a = Seq("a1", "a2", "a3").toDF("v").coalesce(1)
     val b = Seq("b1", "b2").toDF("v").coalesce(1)
@@ -362,7 +392,7 @@ class DedupContribSpec extends SparkSpec {
     assert(CombineSources.concatenate(Seq(a, b)).count() == 2)
   }
 
-  test("candidatePairs maxBucketSize drops degenerate hot buckets only") {
+  test("candidatePairs maxBucketSize bounds hot buckets but keeps recall") {
     // 20 identical boilerplate docs flood one bucket per band; one small
     // identical pair sits in its own (size-2) buckets
     val boiler = (0L until 20L).map(i => (i, Seq("lorem", "ipsum", "dolor", "sit", "amet")))
@@ -378,9 +408,21 @@ class DedupContribSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     val capped = MinHashLSH.candidatePairs(sigs, "doc_id", maxBucketSize = Some(10))
       .as[(Long, Long)].collect().toSet
-    assert(uncapped.exists { case (x, y) => x < 20 && y < 20 }) // hot pairs exist
-    assert(!capped.exists { case (x, y) => x < 20 && y < 20 })  // cap removes them
+    val hotUncapped = uncapped.count { case (x, y) => x < 20 && y < 20 }
+    val hotCapped = capped.count { case (x, y) => x < 20 && y < 20 }
+    assert(hotUncapped == 20 * 19 / 2) // exact banding: all 190 hot pairs
+    // down-sampling (not bucket-drop): the hot cluster keeps SOME pairs —
+    // each band keeps a different deterministic 10-of-20 subset, bounding
+    // join work at cap^2 per bucket — but fewer than exact banding
+    assert(hotCapped > 0 && hotCapped < hotUncapped)
+    // per-band cap^2 bound: <= bands * C(cap,2) distinct hot pairs possible
+    assert(hotCapped <= 4 * (10 * 9 / 2))
+    // small buckets are untouched
     assert(uncapped.contains((100L, 101L)) && capped.contains((100L, 101L)))
+    // determinism: same inputs, same kept subsets
+    val capped2 = MinHashLSH.candidatePairs(sigs, "doc_id", maxBucketSize = Some(10))
+      .as[(Long, Long)].collect().toSet
+    assert(capped2 == capped)
   }
 
   test("ivfTopK assignment is pure expressions: only the final rank window") {
