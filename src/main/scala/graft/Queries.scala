@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.operators._
+import graft.recipes.Recipes
 
 /** Query catalog: one named query per operator in SURVEY.md §2 plus the
   * large-scale training-data extensions (dedup / similarity / text
@@ -2753,6 +2754,73 @@ object Queries {
     )
   )
 
+  /** Full jinja RECIPE (recipes/promptsource.py:76-248 analog) as one
+    * driver row: template render → source tokenize (with specials) →
+    * target tokenize as labels — the q76 per-char vocab makes every
+    * token id SQL-derivable, so DuckDB replays the whole recipe chain,
+    * not just its pieces. */
+  private val qRecipeJinja = Q(
+    "q102_recipe_jinja",
+    (s, dir) => {
+      val letters = "abcdefghijklmnopqrstuvwxyz".map(_.toString)
+      val vocab =
+        (Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]") ++ letters ++
+          letters.map("##" + _))
+          .zipWithIndex.map { case (t, i) => t -> i.toLong }.toMap
+      Recipes.jinja(
+        WordPieceTokenizer(vocab),
+        "{{ text }}|||{{ lang }}",
+        keepFields = Seq("doc_id", "input_ids", "attention_mask", "labels")
+      )(docs(s, dir).select("doc_id", "text", "lang"))
+        .select(col("doc_id"), J("input_ids"), J("attention_mask"), J("labels"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH w AS (
+         |  SELECT doc_id, u.w AS word, u.i AS widx FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len($W)),
+         |      i -> struct_pack(i := i, w := ($W)[i]))) AS u FROM documents) t),
+         |perword AS (SELECT doc_id, widx,
+         |  list_transform(generate_series(1, length(word)), k ->
+         |    CAST(CASE WHEN k = 1 THEN 4 + ord(substr(word, 1, 1)) - 97
+         |         ELSE 30 + ord(substr(word, k, 1)) - 97 END AS BIGINT)) AS ids
+         |  FROM w),
+         |src AS (SELECT doc_id,
+         |  [CAST(2 AS BIGINT)] || flatten(list(ids ORDER BY widx)) ||
+         |    [CAST(3 AS BIGINT)] AS input_ids
+         |  FROM perword GROUP BY doc_id),
+         |tgt AS (SELECT doc_id,
+         |  list_transform(generate_series(1, length(lang)), k ->
+         |    CAST(CASE WHEN k = 1 THEN 4 + ord(substr(lang, 1, 1)) - 97
+         |         ELSE 30 + ord(substr(lang, k, 1)) - 97 END AS BIGINT)) AS labels
+         |  FROM documents)
+         |SELECT s.doc_id, to_json(s.input_ids)::VARCHAR AS input_ids,
+         |  to_json(list_transform(s.input_ids, x -> CAST(1 AS BIGINT)))::VARCHAR
+         |    AS attention_mask,
+         |  to_json(t.labels)::VARCHAR AS labels
+         |FROM src s JOIN tgt t USING (doc_id) ORDER BY s.doc_id""".stripMargin
+    )
+  )
+
+  /** DebugPeek (debug.py:8-35 analog) data contract: the peek prints at
+    * plan-build time and must be the IDENTITY on the data — pinned by an
+    * identity oracle. */
+  private val qDebugPeek = Q(
+    "q103_debug_peek",
+    (s, dir) =>
+      DebugPeek(numRows = 3, label = "q103")(
+        docs(s, dir).select("doc_id", "lang", "n_chars"))
+        .select(
+          col("doc_id"),
+          col("lang"),
+          col("n_chars").cast(LongType).as("n_chars"))
+        .orderBy("doc_id"),
+    Some(
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -2783,7 +2851,8 @@ object Queries {
     qCachedStage, qCombineConcat, qMultimodalDecode, qFrameSample,
     qExactDedupOp, qNeardupVerified, qBruteKnn, qAnnLsh, qIvf, qSimhash64,
     qDedupClusters,
-    qEnumerateAppearance, qLshCapped, qCsvGzLoader
+    qEnumerateAppearance, qLshCapped, qCsvGzLoader,
+    qRecipeJinja, qDebugPeek
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
