@@ -54,6 +54,36 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("capped LSH candidatePairs: bucket-keyed join, no cartesian product") {
+    val df = (0L until 50L)
+      .map(i => (i, (0 until 8).map(j => s"h${i % 5}_$j")))
+      .toDF("doc_id", "sig")
+    val out = MinHashLSH.candidatePairs(df, "doc_id", sigField = "sig",
+      bands = 4, sigLen = 8, maxBucketSize = Some(3))
+    val plan = out.queryExecution.optimizedPlan.toString
+    // the self-join must be keyed on the (band, bh) bucket — quadratic
+    // work only ever inside a bucket, never all-pairs
+    assert(!plan.toLowerCase.contains("cartesian"), plan)
+    assert(plan.contains("bh"), plan)
+  }
+
+  test("jinja recipe chain is narrow: no Exchange anywhere in the plan") {
+    val letters = "abcdefghijklmnopqrstuvwxyz".map(_.toString)
+    val vocab =
+      (Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]") ++ letters ++
+        letters.map("##" + _))
+        .zipWithIndex.map { case (t, i) => t -> i.toLong }.toMap
+    val df = Seq((1L, "hello world", "en"), (2L, "more text", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.recipes.Recipes.jinja(
+      WordPieceTokenizer(vocab), "{{ text }}|||{{ lang }}",
+      keepFields = Seq("doc_id", "input_ids", "attention_mask", "labels"))(df)
+    val exec = out.queryExecution.executedPlan.toString
+    // render + tokenize + rename + project: all row-local — a recipe
+    // over 100 TB must not shuffle a single byte
+    assert(!exec.contains("Exchange"), exec)
+  }
+
   private def pipeOps(ms: graft.Mapper*)(df: org.apache.spark.sql.DataFrame) =
     ms.foldLeft(df)((d, m) => m(d))
 }
