@@ -2821,6 +2821,42 @@ object Queries {
     )
   )
 
+  /** SampleFrames (the real MJPEG/AVI per-frame decoder) through its
+    * documented non-AVI fallback: duration-indexed frames, each with the
+    * deterministic byte-stub features — both halves SQL-replayable. The
+    * MJPEG decode half is pinned by ScalaTest on a constructed AVI
+    * (JPEG decode is not SQL-expressible). */
+  private val qSampleFrames = Q(
+    "q104_sample_frames",
+    (s, dir) =>
+      SampleFrames("media", everyMs = 100L, targetW = 8, targetH = 1)(
+        docs(s, dir)
+          .withColumn(
+            "media",
+            struct(
+              col("text").cast(BinaryType).as("bytes"),
+              lit("video/fake").as("mime"),
+              lit(null).cast(IntegerType).as("width"),
+              lit(null).cast(IntegerType).as("height"),
+              col("n_chars").as("duration_ms")
+            )
+          )
+      ).select(
+          col("doc_id"),
+          col("frame_idx"),
+          to_json(transform(col("frame_features"), f => f.cast(LongType)))
+            .as("feat_i")
+        )
+        .orderBy("doc_id", "frame_idx"),
+    Some(
+      """WITH f AS (SELECT doc_id, n_chars, to_json(list_transform(range(8),
+        |    i -> CAST(ord(substring(text, CAST(i % length(text) AS INT) + 1, 1)) AS BIGINT)))::VARCHAR AS feat_i
+        |  FROM documents)
+        |SELECT doc_id, unnest(generate_series(0, n_chars // 100)) AS frame_idx, feat_i
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -2852,7 +2888,7 @@ object Queries {
     qExactDedupOp, qNeardupVerified, qBruteKnn, qAnnLsh, qIvf, qSimhash64,
     qDedupClusters,
     qEnumerateAppearance, qLshCapped, qCsvGzLoader,
-    qRecipeJinja, qDebugPeek
+    qRecipeJinja, qDebugPeek, qSampleFrames
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

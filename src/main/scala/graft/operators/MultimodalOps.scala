@@ -138,6 +138,79 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------------
+  // MJPEG-in-AVI: real per-frame video decode on a stock JVM. AVI is a
+  // RIFF container; for the MJPEG codec every '##dc'/'##db' chunk in the
+  // 'movi' list is a standalone JPEG that javax.imageio decodes — no
+  // external codecs needed. (Other codecs' frames aren't decodable here;
+  // they fall back per payload, documented on [[SampleFrames]].)
+  // ------------------------------------------------------------------
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    if (off + 4 > b.length) ""
+    else new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def leInt(b: Array[Byte], off: Int): Long =
+    if (off + 4 > b.length) -1L
+    else ((b(off) & 0xffL)) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  def isAvi(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 12 &&
+      fourcc(bytes, 0) == "RIFF" && fourcc(bytes, 8) == "AVI "
+
+  /** Walk the RIFF tree and collect video-frame chunk payloads
+    * ('##dc'/'##db', the stream-data fourccs) in stream order, recursing
+    * into LISTs ('movi' and its 'rec ' groups). Truncated/odd chunks are
+    * tolerated (web-crawled video is often damaged): parsing stops at
+    * the first structurally impossible offset, keeping what was read. */
+  def aviFrames(bytes: Array[Byte]): Vector[Array[Byte]] = {
+    if (!isAvi(bytes)) return Vector.empty
+    val out = Vector.newBuilder[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = fourcc(bytes, off)
+        val size = leInt(bytes, off + 4)
+        if (size < 0 || off + 8 + size > end) return // truncated: stop
+        val body = off + 8
+        if (id == "LIST") walk(body + 4, body + size.toInt)
+        else if (id.length == 4 && {
+          val s = id.substring(2)
+          (s == "dc" || s == "db") &&
+            id.charAt(0).isDigit && id.charAt(1).isDigit
+        } && size > 0)
+          out += java.util.Arrays.copyOfRange(bytes, body, body + size.toInt)
+        off = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, math.min(bytes.length, 8 + leInt(bytes, 4).toInt))
+    out.result()
+  }
+
+  /** `dwMicroSecPerFrame` from the 'avih' main header, if present. */
+  def aviMicrosPerFrame(bytes: Array[Byte]): Option[Long] = {
+    if (!isAvi(bytes)) return None
+    var found: Option[Long] = None
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end && found.isEmpty) {
+        val id = fourcc(bytes, off)
+        val size = leInt(bytes, off + 4)
+        if (size < 0 || off + 8 + size > end) return
+        val body = off + 8
+        if (id == "LIST") walk(body + 4, body + size.toInt)
+        else if (id == "avih" && size >= 4) {
+          val v = leInt(bytes, body)
+          if (v > 0) found = Some(v)
+        }
+        off = body + size.toInt + (size.toInt & 1)
+      }
+    }
+    walk(12, math.min(bytes.length, 8 + leInt(bytes, 4).toInt))
+    found
+  }
+
   /** (width, height) of an image payload, or null if unreadable — reads
     * only the header via the imageio reader, not the pixel raster. */
   def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
@@ -224,8 +297,63 @@ final case class FillImageDims(mediaField: String) extends Mapper {
   }
 }
 
-/** Frame sampling for video-like payloads: emit one row per sampled frame
-  * index (the 1→N explode pattern; decoding per frame remains stubbed). */
+/** REAL frame sampling + per-frame decode for MJPEG AVI payloads: the
+  * RIFF 'movi' chunks are standalone JPEGs, decoded with the same
+  * deterministic [[Multimodal.decodeImage]] luma kernel as still images
+  * — one output row per sampled frame with `frame_idx` and a
+  * targetW×targetH feature array. Sampling steps every
+  * `everyMs` of video time using the avih `dwMicroSecPerFrame` (30 fps
+  * assumed when the header is absent). Non-AVI / non-MJPEG payloads take
+  * the documented fallback: frame indices from `duration_ms` (the old
+  * stub contract) with [[Multimodal.decodeStub]] features per index —
+  * deterministic everywhere, so mixed/damaged corpora keep flowing.
+  * Narrow 1→N explode; no shuffle. */
+final case class SampleFrames(
+    mediaField: String,
+    everyMs: Long = 1000L,
+    targetW: Int = 16,
+    targetH: Int = 16,
+    frameField: String = "frame_idx",
+    outputField: String = "frame_features"
+) extends Mapper {
+  override def inputFields: Seq[String] = Seq(mediaField)
+  override def outputFields: Seq[String] = Seq(frameField, outputField)
+  override protected def build(df: DataFrame): DataFrame = {
+    val tw = targetW
+    val th = targetH
+    val ems = math.max(1L, everyMs)
+    val sample =
+      udf { (bytes: Array[Byte], durationMs: java.lang.Long) =>
+        if (Multimodal.isAvi(bytes)) {
+          val frames = Multimodal.aviFrames(bytes)
+          val mpf = Multimodal.aviMicrosPerFrame(bytes).getOrElse(33333L)
+          val step = math.max(1L, math.round(ems * 1000.0 / mpf)).toInt
+          (0 until frames.length by step).map { i =>
+            (i.toLong, Multimodal.decodeImage(frames(i), tw, th).toSeq)
+          }
+        } else {
+          val dur = if (durationMs == null) 0L else durationMs.longValue()
+          val n = if (dur > 0) (dur / ems) + 1 else 1L
+          (0L until n).map { i =>
+            (i, Multimodal.decodeStub(bytes, tw, th).toSeq)
+          }
+        }
+      }
+    df.withColumn(
+        "__graft_frames",
+        explode(
+          sample(col(s"$mediaField.bytes"), col(s"$mediaField.duration_ms")))
+      )
+      .withColumn(frameField, col("__graft_frames._1"))
+      .withColumn(outputField, col("__graft_frames._2"))
+      .drop("__graft_frames")
+  }
+}
+
+/** Frame-INDEX sampling for video-like payloads: emit one row per sampled
+  * frame index from declared duration (the 1→N explode pattern). Kept as
+  * the lightweight index-only op; [[SampleFrames]] is the real MJPEG/AVI
+  * per-frame decoder. */
 final case class SampleFramesStub(
     mediaField: String,
     everyMs: Long = 1000L,

@@ -206,6 +206,69 @@ class DedupContribSpec extends SparkSpec {
     assert(rows(withDims.select("media.width", "media.height")).head == Seq(2, 2))
   }
 
+  test("SampleFrames: real MJPEG AVI — extract, sample by time, decode") {
+    // build a spec-conformant MJPEG AVI: RIFF(AVI ) { LIST(hdrl){avih},
+    // LIST(movi){ 00dc jpeg... } } with 5 solid-gray frames of rising
+    // brightness, 100000 us/frame (10 fps), written via the JVM's own
+    // JPEG codec
+    def le(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le(body.length) ++ body ++ pad
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    def jpegGray(level: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (level << 16) | (level << 8) | level
+      for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, rgb)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    val avih = chunk("avih", le(100000) ++ Array.fill(52)(0.toByte))
+    val movi = list("movi",
+      (0 until 5).map(i => chunk("00dc", jpegGray(40 + 50 * i)))
+        .reduce(_ ++ _))
+    val riffBody = "AVI ".getBytes("US-ASCII") ++ list("hdrl", avih) ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ le(riffBody.length) ++ riffBody
+
+    assert(Multimodal.isAvi(avi))
+    assert(Multimodal.aviFrames(avi).length == 5)
+    assert(Multimodal.aviMicrosPerFrame(avi).contains(100000L))
+
+    val df = Seq(Tuple1(avi)).toDF("b")
+      .withColumn("media", Multimodal.asMedia(col("b"), "video/avi"))
+    // everyMs=200 at 10 fps → step 2 → frames 0, 2, 4
+    val out = SampleFrames("media", everyMs = 200L, targetW = 2, targetH = 2)(df)
+      .select("frame_idx", "frame_features")
+    val got = rows(out).map(r =>
+      (r(0), r(1).asInstanceOf[List[Float]].head))
+    assert(got.map(_._1) == Seq(0L, 2L, 4L))
+    // JPEG is lossy but solid-gray survives within a small tolerance,
+    // and brightness must strictly rise across sampled frames
+    val lumas = got.map(_._2)
+    assert(lumas.zip(Seq(40f, 140f, 240f)).forall {
+      case (l, e) => math.abs(l - e) <= 4f
+    }, lumas.toString)
+    assert(lumas == lumas.sorted)
+    // determinism: decode twice, bit-identical
+    assert(rows(out) == rows(out))
+    // non-AVI payload falls back to duration-indexed stub frames
+    val fb = Seq(("xy", 250L)).toDF("t", "dur")
+      .withColumn("media", struct(
+        col("t").cast("binary").as("bytes"), lit("x").as("mime"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        col("dur").as("duration_ms")))
+    val fbOut = SampleFrames("media", everyMs = 100L, targetW = 2, targetH = 1)(fb)
+    val fbRows = rows(fbOut.select("frame_idx", "frame_features"))
+    assert(fbRows.map(_(0)) == Seq(0L, 1L, 2L))
+    assert(fbRows.head(1) == List(120.0f, 121.0f)) // 'x','y' byte floats
+  }
+
   test("DecodeAudio: real WAV PCM decodes via javax.sound; downmix + clip") {
     // stereo 16-bit WAV, 8 frames: L = 1000*k, R = -1000*k
     val frames = 8
