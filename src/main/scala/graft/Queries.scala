@@ -2857,6 +2857,184 @@ object Queries {
     )
   )
 
+  /** Full Gopher quality gate (Rae et al. 2021 §A1.1): every signal and
+    * the pass boolean replayed in SQL. All divisions are int/int in
+    * identical order, so the doubles are bit-identical across engines
+    * and the raw-threshold gate agrees exactly; emitted signals are
+    * floor-scaled to BIGINT as usual. */
+  private val qGopherGate = Q(
+    "q105_gopher_gate",
+    (s, dir) =>
+      GopherQualityFilter("text", "words")(docTextWords(s, dir))
+        .select(
+          col("doc_id"),
+          col("n_words"),
+          col("stop_hits"),
+          floor(col("mean_word_len") * 1e6).cast(LongType).as("mwl_f"),
+          floor(col("symbol_ratio") * 1e6).cast(LongType).as("sym_f"),
+          floor(col("dup_line_frac") * 1e6).cast(LongType).as("dlf_f"),
+          floor(col("dup_para_frac") * 1e6).cast(LongType).as("dpf_f"),
+          floor(col("top2_char_frac") * 1e6).cast(LongType).as("t2_f"),
+          floor(col("top3_char_frac") * 1e6).cast(LongType).as("t3_f"),
+          floor(col("dup5_char_frac") * 1e6).cast(LongType).as("d5_f"),
+          col("gopher_pass").cast(LongType).as("pass")
+        )
+        .orderBy("doc_id"),
+    Some(
+      s"""WITH b AS (SELECT doc_id, text, $W AS w,
+         |    list_filter(string_split(text, chr(10)), l -> length(l) > 0) AS lines,
+         |    list_filter(string_split(text, chr(10) || chr(10)), p -> length(p) > 0) AS paras
+         |  FROM documents),
+         |g AS (SELECT doc_id, text, w, lines, paras,
+         |    CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w) - 1),
+         |      i -> w[i] || ' ' || w[i+1]) ELSE [] END AS g2,
+         |    CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END AS g3,
+         |    CASE WHEN len(w) >= 5 THEN list_transform(generate_series(1, len(w) - 4),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) ELSE [] END AS g5
+         |  FROM b),
+         |sig AS (SELECT doc_id,
+         |    len(w) AS n_words,
+         |    CAST(len(list_filter(w, x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS stop_hits,
+         |    CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS DOUBLE)
+         |      / greatest(len(w), 1) AS mwl,
+         |    CAST(len(list_filter(w, x -> NOT regexp_matches(x, '[A-Za-z0-9]'))) AS DOUBLE)
+         |      / greatest(len(w), 1) AS sym,
+         |    CAST(len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* ')
+         |      OR starts_with(l, '•'))) AS DOUBLE) / greatest(len(lines), 1) AS bullet,
+         |    CAST(len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS DOUBLE)
+         |      / greatest(len(lines), 1) AS ell,
+         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+         |      / greatest(len(w), 1) AS alpha,
+         |    CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+         |      / greatest(len(lines), 1) AS dlf,
+         |    CAST(len(paras) - len(list_distinct(paras)) AS DOUBLE)
+         |      / greatest(len(paras), 1) AS dpf,
+         |    CASE WHEN len(g2) > 0 THEN
+         |      CAST(list_max(list_transform(list_distinct(g2), g ->
+         |        struct_pack(c := len(list_filter(g2, x -> x = g)), l := length(g)))).c *
+         |      list_max(list_transform(list_distinct(g2), g ->
+         |        struct_pack(c := len(list_filter(g2, x -> x = g)), l := length(g)))).l AS DOUBLE)
+         |      / greatest(length(text), 1) ELSE 0.0 END AS t2,
+         |    CASE WHEN len(g3) > 0 THEN
+         |      CAST(list_max(list_transform(list_distinct(g3), g ->
+         |        struct_pack(c := len(list_filter(g3, x -> x = g)), l := length(g)))).c *
+         |      list_max(list_transform(list_distinct(g3), g ->
+         |        struct_pack(c := len(list_filter(g3, x -> x = g)), l := length(g)))).l AS DOUBLE)
+         |      / greatest(length(text), 1) ELSE 0.0 END AS t3,
+         |    CASE WHEN len(g5) > 0 THEN
+         |      CAST(COALESCE(list_sum(list_transform(list_distinct(g5), g ->
+         |        CASE WHEN len(list_filter(g5, x -> x = g)) >= 2
+         |          THEN len(list_filter(g5, x -> x = g)) * length(g) ELSE 0 END)), 0) AS DOUBLE)
+         |      / greatest(length(text), 1) ELSE 0.0 END AS d5
+         |  FROM g)
+         |SELECT doc_id, n_words, stop_hits,
+         |  CAST(FLOOR(mwl * 1e6) AS BIGINT) AS mwl_f,
+         |  CAST(FLOOR(sym * 1e6) AS BIGINT) AS sym_f,
+         |  CAST(FLOOR(dlf * 1e6) AS BIGINT) AS dlf_f,
+         |  CAST(FLOOR(dpf * 1e6) AS BIGINT) AS dpf_f,
+         |  CAST(FLOOR(t2 * 1e6) AS BIGINT) AS t2_f,
+         |  CAST(FLOOR(t3 * 1e6) AS BIGINT) AS t3_f,
+         |  CAST(FLOOR(d5 * 1e6) AS BIGINT) AS d5_f,
+         |  CAST(n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+         |    AND sym <= 0.1 AND bullet <= 0.9 AND ell <= 0.3 AND alpha >= 0.8
+         |    AND stop_hits >= 2 AND dlf <= 0.3 AND dpf <= 0.3
+         |    AND t2 <= 0.20 AND t3 <= 0.18 AND d5 <= 0.15 AS BIGINT) AS pass
+         |FROM sig ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** uint8 embedding quantization: the q array is exact integers and the
+    * (lo, hi) bounds floor-scale to BIGINT; the fixed-order IEEE
+    * arithmetic makes the quantized codes bit-identical across engines. */
+  private val qQuantize = Q(
+    "q106_quantize_embeddings",
+    (s, dir) =>
+      QuantizeEmbeddings("embedding", Some("qe"))(embs(s, dir))
+        .select(
+          col("vec_id"),
+          to_json(col("qe.q")).as("q"),
+          floor(col("qe.lo") * 1e6).cast(LongType).as("lo_f"),
+          floor(col("qe.hi") * 1e6).cast(LongType).as("hi_f")
+        )
+        .orderBy("vec_id"),
+    Some(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |m AS (SELECT vec_id, e, list_min(e) AS lo, list_max(e) AS hi FROM e)
+        |SELECT vec_id,
+        |  to_json(list_transform(e, x -> CAST(CASE WHEN hi = lo THEN 0
+        |    ELSE least(FLOOR((x - lo) * 255.0 / (hi - lo)), 255.0) END AS INT)))::VARCHAR AS q,
+        |  CAST(FLOOR(lo * 1e6) AS BIGINT) AS lo_f,
+        |  CAST(FLOOR(hi * 1e6) AS BIGINT) AS hi_f
+        |FROM m ORDER BY vec_id""".stripMargin
+    )
+  )
+
+  /** Forward as-of join (earliest click at-or-after each error) vs
+    * DuckDB's native ASOF with the mirrored inequality. */
+  private val qAsofForward = Q(
+    "q107_asof_forward",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("value").as("cvalue"))
+      AsOfJoin.forward(errors, clicks, Seq("user_id"), "ts", "cts")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          unix_micros(col("asof_cts")).as("click_ts_us"),
+          round(col("asof_cvalue") * 100).cast(LongType).as("click_value_cents")
+        )
+        .orderBy("event_id")
+    },
+    Some(
+      """SELECT e.event_id AS event_id, e.user_id AS user_id,
+        |  epoch_us(c.ts) AS click_ts_us,
+        |  CAST(ROUND(c.value*100) AS BIGINT) AS click_value_cents
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND e.ts <= c.ts
+        |ORDER BY event_id""".stripMargin
+    )
+  )
+
+  /** Backward as-of with a 1-hour tolerance: the nearest preceding click
+    * only counts within the window; stale matches null out but the left
+    * row is kept (LEFT semantics). Oracle = native ASOF + CASE guard. */
+  private val qAsofTolerance = Q(
+    "q108_asof_tolerance",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("value").as("cvalue"))
+      val hourUs = 3600L * 1000000L
+      AsOfJoin.backward(errors, clicks, Seq("user_id"), "ts", "cts",
+        within = Some((l, r) => unix_micros(l) - unix_micros(r) <= hourUs))
+        .select(
+          col("event_id"),
+          col("user_id"),
+          unix_micros(col("asof_cts")).as("click_ts_us"),
+          round(col("asof_cvalue") * 100).cast(LongType).as("click_value_cents")
+        )
+        .orderBy("event_id")
+    },
+    Some(
+      """SELECT e.event_id AS event_id, e.user_id AS user_id,
+        |  CASE WHEN epoch_us(e.ts) - epoch_us(c.ts) <= 3600000000
+        |    THEN epoch_us(c.ts) END AS click_ts_us,
+        |  CASE WHEN epoch_us(e.ts) - epoch_us(c.ts) <= 3600000000
+        |    THEN CAST(ROUND(c.value*100) AS BIGINT) END AS click_value_cents
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts
+        |ORDER BY event_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -2888,7 +3066,8 @@ object Queries {
     qExactDedupOp, qNeardupVerified, qBruteKnn, qAnnLsh, qIvf, qSimhash64,
     qDedupClusters,
     qEnumerateAppearance, qLshCapped, qCsvGzLoader,
-    qRecipeJinja, qDebugPeek, qSampleFrames
+    qRecipeJinja, qDebugPeek, qSampleFrames, qGopherGate, qQuantize,
+    qAsofForward, qAsofTolerance
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -55,6 +55,28 @@ final case class BytePairTokenizer(
   override def padId: Long = eotId // HF convention: pad = eos for GPT-2
   override def unkId: Long = eotId // byte-level: unreachable in encode
 
+  /** Write this tokenizer in the public GPT-2 release format —
+    * `vocab.json` (token → id) + `merges.txt` (`#version` header, one
+    * space-separated pair per line in rank order) — so a corpus-trained
+    * tokenizer ([[BpeTrainer]]) can ship to any HF-compatible consumer.
+    * Exact inverse of [[BytePairTokenizer.fromFiles]]. */
+  def save(vocabJsonPath: String, mergesPath: String): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    vocab.toSeq.sortBy(_._2).foreach { case (tok, id) =>
+      node.put(tok, id)
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(vocabJsonPath),
+      mapper.writeValueAsBytes(node))
+    val lines = "#version: 0.2" +:
+      mergeRanks.toSeq.sortBy(_._2).map { case ((a, b), _) => s"$a $b" }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(mergesPath),
+      lines.mkString("\n").concat("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** Memoized BPE splits; rebuilt lazily on each executor after
     * deserialization. Bounded so a pathological corpus can't OOM a task. */
   @transient private lazy val bpeCache =
@@ -235,11 +257,14 @@ object BytePairTokenizer {
     val src = scala.io.Source.fromFile(mergesPath, "UTF-8")
     val merges =
       try
-        src.getLines().zipWithIndex.collect {
-          case (line, i) if !line.startsWith("#") && line.contains(' ') =>
+        src.getLines()
+          .filter(line => !line.startsWith("#") && line.contains(' '))
+          .zipWithIndex
+          .map { case (line, i) =>
             val Array(a, b) = line.split(" ", 2)
             (a, b) -> i
-        }.toMap
+          }
+          .toMap
       finally src.close()
     // fail fast on an inconsistent pair: a merge whose product is absent
     // from vocab would otherwise silently encode as eotId — corrupt ids,

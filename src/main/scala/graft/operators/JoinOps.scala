@@ -5,16 +5,19 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** As-of join — an operator Spark lacks natively (SURVEY §2.10 lists
-  * joins as "free from Spark"; backward as-of is the exception worth
-  * building). Composed from existing ops per the custom-operator
-  * preference order (union + keyed window), NOT a pairwise range join:
+  * joins as "free from Spark"; as-of is the exception worth building).
+  * Composed from existing ops per the custom-operator preference order
+  * (union + keyed window), NOT a pairwise range join:
   *
   *   1. union the two sides with a side tag, right payload in a struct;
-  *   2. one sort-shuffle on (key, time, side) — right-before-left on
-  *      time ties so `t_left >= t_right` matches inclusively;
-  *   3. running `last(payload, ignoreNulls)` per key picks the latest
-  *      right row at-or-before each left row;
-  *   4. keep left rows, unpack the payload.
+  *   2. one sort-shuffle on (key, time, side) — tie order chosen so the
+  *      equality case matches inclusively in either direction;
+  *   3. running `last(payload, ignoreNulls)` (backward) or `first`
+  *      (forward) per key picks the nearest right row at-or-before /
+  *      at-or-after each left row;
+  *   4. optional tolerance predicate nulls out matches too far away
+  *      (left rows are kept — LEFT-join semantics throughout);
+  *   5. keep left rows, unpack the payload.
   *
   * Cost: ONE shuffle of |L|+|R| rows keyed by the join key — the same
   * cost class as a sort-merge join, with none of the O(|L|·|R|) blowup a
@@ -24,21 +27,60 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** Backward (latest right at-or-before left) as-of join.
-    * Output: all left columns + right's non-key/non-time columns renamed
-    * `<rightPrefix><name>` (null when no right row precedes). */
+    * Output: all left columns + right's non-key columns renamed
+    * `<rightPrefix><name>` (null when no right row precedes, or when
+    * `within(leftT, rightT)` is false for the nearest one).
+    *
+    * `within`: optional tolerance predicate over the (left, right) time
+    * columns, e.g. `(l, r) => l.cast("long") - r.cast("long") <= 60`. */
   def backward(
       left: DataFrame,
       right: DataFrame,
       on: Seq[String],
       leftTime: String,
       rightTime: String,
-      rightPrefix: String = "asof_"
+      rightPrefix: String = "asof_",
+      within: Option[(Column, Column) => Column] = None
+  ): DataFrame =
+    join0(left, right, on, leftTime, rightTime, rightPrefix,
+      forward = false, within)
+
+  /** Forward (earliest right at-or-after left) as-of join; same contract
+    * as [[backward]] mirrored in time. */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPrefix: String = "asof_",
+      within: Option[(Column, Column) => Column] = None
+  ): DataFrame =
+    join0(left, right, on, leftTime, rightTime, rightPrefix,
+      forward = true, within)
+
+  private def join0(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPrefix: String,
+      forward: Boolean,
+      within: Option[(Column, Column) => Column]
   ): DataFrame = {
     require(on.nonEmpty, "as-of join needs at least one equality key")
+    require(within.isEmpty || !on.contains(rightTime),
+      "tolerance needs the right time column outside the equality keys")
     val payloadCols = right.columns.filterNot(c => on.contains(c)).toSeq
+    // tie order: the side evaluated "later" in scan order must see the
+    // equal-time right row inside its window. Backward scans [start,
+    // current] so right sorts BEFORE left on ties; forward scans
+    // [current, end] so left sorts first.
+    val (lSide, rSide) = if (forward) (0, 1) else (1, 0)
     val l = left
       .withColumn("__t", col(leftTime))
-      .withColumn("__side", lit(1))
+      .withColumn("__side", lit(lSide))
       .withColumn("__payload",
         lit(null).cast(org.apache.spark.sql.types.StructType(
           payloadCols.map(c => org.apache.spark.sql.types.StructField(
@@ -46,7 +88,7 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val r = right
       .withColumn("__t", col(rightTime))
-      .withColumn("__side", lit(0))
+      .withColumn("__side", lit(rSide))
       .withColumn("__payload", struct(payloadCols.map(col): _*))
     // align schemas: right contributes nulls for left-only columns
     val rAligned = leftCols.foldLeft(r) { (acc, c) =>
@@ -58,15 +100,29 @@ object AsOfJoin {
       rAligned.select((leftCols ++ Seq("__t", "__side", "__payload")).map(col): _*),
       allowMissingColumns = false
     )
-    val w = Window
+    val base = Window
       .partitionBy(on.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, 0)
+    val pick =
+      if (forward)
+        first(col("__payload"), ignoreNulls = true)
+          .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      else
+        last(col("__payload"), ignoreNulls = true)
+          .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     val matched = unioned
-      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+      .withColumn("__match", pick)
+      .filter(col("__side") === lSide)
+    val guarded = within match {
+      case Some(p) =>
+        matched.withColumn(
+          "__match",
+          when(col("__match").isNotNull &&
+            p(col("__t"), col("__match").getField(rightTime)), col("__match")))
+      case None => matched
+    }
     payloadCols
-      .foldLeft(matched) { (acc, c) =>
+      .foldLeft(guarded) { (acc, c) =>
         acc.withColumn(s"$rightPrefix$c", col("__match").getField(c))
       }
       .drop("__t", "__side", "__payload", "__match")

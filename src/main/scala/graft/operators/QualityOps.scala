@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.Mapper
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The full published Gopher document-quality rule set (Rae et al. 2021,
+  * "Scaling Language Models", appendix A1.1), as row-local Column
+  * expressions: every signal is linear in the document, no shuffle, no
+  * UDF — the whole gate is one codegen'd projection, which is what makes
+  * it usable as a pre-filter in front of a 100 TB corpus scan.
+  *
+  * Word-granular approximations are used where Gopher's prose is
+  * character-granular (same choice as [[RepetitionStats]], documented
+  * per signal). The dup-n-gram fraction counts ALL characters of every
+  * occurrence of a duplicated n-gram (occurrence-sum definition — the
+  * common reimplementation choice; overlap-coverage dedup would need
+  * per-position bookkeeping that SQL engines can't replay).
+  */
+object GopherQuality {
+
+  /** Thresholds from the paper; a document passes when every bound
+    * holds. */
+  final case class Config(
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolWordRatio: Double = 0.1,
+      maxBulletLineFraction: Double = 0.9,
+      maxEllipsisLineFraction: Double = 0.3,
+      minAlphaWordRatio: Double = 0.8,
+      minStopwordHits: Int = 2,
+      maxDupLineFraction: Double = 0.3,
+      maxDupParaFraction: Double = 0.3,
+      maxTopBigramCharFraction: Double = 0.20,
+      maxTopTrigramCharFraction: Double = 0.18,
+      maxDup5gramCharFraction: Double = 0.15
+  )
+
+  private def nonEmptyLines(text: Column): Column =
+    filter(split(text, "\n"), l => length(l) > 0)
+
+  private def safeDiv(num: Column, den: Column): Column =
+    num.cast(DoubleType) / greatest(den, lit(1)).cast(DoubleType)
+
+  /** fraction of non-empty lines starting with a bullet marker. */
+  def bulletLineFraction(text: Column): Column = {
+    val lines = nonEmptyLines(text)
+    val bullets = filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•"))
+    safeDiv(size(bullets), size(lines))
+  }
+
+  /** fraction of non-empty lines ending in an ellipsis. */
+  def ellipsisLineFraction(text: Column): Column = {
+    val lines = nonEmptyLines(text)
+    val ell = filter(lines, l => l.endsWith("...") || l.endsWith("…"))
+    safeDiv(size(ell), size(lines))
+  }
+
+  /** fraction of non-empty paragraphs (blank-line separated) duplicating
+    * another paragraph. */
+  def duplicateParagraphFraction(text: Column): Column = {
+    val paras = filter(split(text, "\n\n"), p => length(p) > 0)
+    safeDiv(size(paras) - size(array_distinct(paras)), size(paras))
+  }
+
+  /** fraction of words containing at least one alphabetic character. */
+  def alphaWordRatio(words: Column): Column =
+    safeDiv(size(filter(words, w => w.rlike("[A-Za-z]"))), size(words))
+
+  /** hits against the paper's tiny stopword probe set ("the, be, to, of,
+    * and, that, have, with") — a CONTENT signal, not language id. */
+  val stopProbe: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def stopwordHits(words: Column): Column = {
+    val probe = array(stopProbe.map(lit): _*)
+    size(filter(words, w => array_contains(probe, w))).cast(LongType)
+  }
+
+  private def ngrams(words: Column, n: Int): Column =
+    when(
+      size(words) >= n,
+      transform(
+        sequence(lit(1), size(words) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(words, i + k)): _*)
+      )
+    ).otherwise(array().cast(ArrayType(StringType)))
+
+  /** characters of the most frequent word n-gram (string length × its
+    * occurrence count) over total text characters — Gopher's
+    * top-n-gram character fraction, word-granular. */
+  def topNgramCharFraction(text: Column, words: Column, n: Int): Column = {
+    val grams = ngrams(words, n)
+    val counts = transform(array_distinct(grams),
+      g => struct(size(filter(grams, x => x === g)).as("c"), length(g).as("l")))
+    val top = array_max(counts)
+    when(size(grams) > 0,
+      safeDiv(top.getField("c") * top.getField("l"), length(text)))
+      .otherwise(lit(0.0))
+  }
+
+  /** characters of ALL occurrences of duplicated n-grams (occurrence-sum
+    * definition, see object doc) over total text characters. */
+  def dupNgramCharFraction(text: Column, words: Column, n: Int): Column = {
+    val grams = ngrams(words, n)
+    val dupChars = aggregate(
+      transform(array_distinct(grams),
+        g => struct(size(filter(grams, x => x === g)).as("c"), length(g).as("l"))),
+      lit(0L),
+      (acc, s) =>
+        acc + when(s.getField("c") >= 2,
+          (s.getField("c") * s.getField("l")).cast(LongType)).otherwise(lit(0L))
+    )
+    when(size(grams) > 0, safeDiv(dupChars, length(text))).otherwise(lit(0.0))
+  }
+}
+
+/** Append the full Gopher signal block + the pass/fail gate. Input needs
+  * `textField` (raw text, for line/paragraph/char signals) and
+  * `wordsField` (pre-split words). Output columns: `n_words mean_word_len
+  * symbol_ratio bullet_frac ellipsis_frac alpha_ratio stop_hits
+  * dup_line_frac dup_para_frac top2_char_frac top3_char_frac
+  * dup5_char_frac gopher_pass`. */
+final case class GopherQualityFilter(
+    textField: String = "text",
+    wordsField: String = "words",
+    config: GopherQuality.Config = GopherQuality.Config(),
+    keepOnly: Boolean = false
+) extends Mapper {
+  import GopherQuality._
+  override def inputFields: Seq[String] = Seq(textField, wordsField)
+  override def outputFields: Seq[String] =
+    Seq("n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
+      "ellipsis_frac", "alpha_ratio", "stop_hits", "dup_line_frac",
+      "dup_para_frac", "top2_char_frac", "top3_char_frac",
+      "dup5_char_frac", "gopher_pass")
+  override protected def build(df: DataFrame): DataFrame = {
+    val text = col(textField)
+    val words = col(wordsField)
+    val c = config
+    val out = df
+      .withColumn("n_words", size(words).cast(LongType))
+      .withColumn("mean_word_len",
+        aggregate(words, lit(0L), (a, w) => a + length(w)).cast(DoubleType) /
+          greatest(size(words), lit(1)).cast(DoubleType))
+      .withColumn("symbol_ratio", RepetitionStats.symbolWordRatio(words))
+      .withColumn("bullet_frac", bulletLineFraction(text))
+      .withColumn("ellipsis_frac", ellipsisLineFraction(text))
+      .withColumn("alpha_ratio", alphaWordRatio(words))
+      .withColumn("stop_hits", stopwordHits(words))
+      .withColumn("dup_line_frac", RepetitionStats.duplicateLineFraction(text))
+      .withColumn("dup_para_frac", duplicateParagraphFraction(text))
+      .withColumn("top2_char_frac", topNgramCharFraction(text, words, 2))
+      .withColumn("top3_char_frac", topNgramCharFraction(text, words, 3))
+      .withColumn("dup5_char_frac", dupNgramCharFraction(text, words, 5))
+      .withColumn(
+        "gopher_pass",
+        col("n_words").between(c.minWords, c.maxWords) &&
+          col("mean_word_len").between(c.minMeanWordLen, c.maxMeanWordLen) &&
+          col("symbol_ratio") <= c.maxSymbolWordRatio &&
+          col("bullet_frac") <= c.maxBulletLineFraction &&
+          col("ellipsis_frac") <= c.maxEllipsisLineFraction &&
+          col("alpha_ratio") >= c.minAlphaWordRatio &&
+          col("stop_hits") >= c.minStopwordHits &&
+          col("dup_line_frac") <= c.maxDupLineFraction &&
+          col("dup_para_frac") <= c.maxDupParaFraction &&
+          col("top2_char_frac") <= c.maxTopBigramCharFraction &&
+          col("top3_char_frac") <= c.maxTopTrigramCharFraction &&
+          col("dup5_char_frac") <= c.maxDup5gramCharFraction
+      )
+    if (keepOnly) out.filter(col("gopher_pass")) else out
+  }
+}

@@ -28,6 +28,35 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.select("asof_v").as[String].head() == "exact")
   }
 
+  test("forward as-of picks earliest right at-or-after, inclusive tie") {
+    val left = Seq(
+      (1L, "u1", 100L), (2L, "u1", 250L), (3L, "u2", 500L), (4L, "u3", 7L)
+    ).toDF("id", "key", "t")
+    val right = Seq(
+      ("u1", 100L, "tie"), ("u1", 300L, "later"), ("u2", 60L, "past"),
+      ("u3", 7L, "same")
+    ).toDF("key", "rt", "v")
+    val out = AsOfJoin.forward(left, right, Seq("key"), "t", "rt")
+      .select("id", "asof_v").as[(Long, Option[String])].collect().toMap
+    assert(out(1L).contains("tie"))   // 100 >= 100 inclusive, earliest
+    assert(out(2L).contains("later")) // 300 is first at-or-after 250
+    assert(out(3L).isEmpty)           // only right BEFORE 500 for u2
+    assert(out(4L).contains("same"))
+  }
+
+  test("tolerance nulls stale matches but keeps the left row") {
+    val left = Seq(
+      (1L, "k", 100L), (2L, "k", 500L)
+    ).toDF("id", "key", "t")
+    val right = Seq(("k", 90L, "near")).toDF("key", "rt", "v")
+    val out = AsOfJoin.backward(left, right, Seq("key"), "t", "rt",
+      within = Some((l, r) => l - r <= lit(50L)))
+      .select("id", "asof_v").as[(Long, Option[String])].collect().toMap
+    assert(out(1L).contains("near")) // 100-90 = 10 <= 50
+    assert(out(2L).isEmpty)          // 500-90 = 410 > 50: nulled, row kept
+    assert(out.size == 2)
+  }
+
   test("multiple right columns carried through; left schema untouched") {
     val left = Seq((1L, "k", 10L, "keepme")).toDF("id", "key", "t", "extra")
     val right = Seq(("k", 5L, "x", 3.5)).toDF("key", "rt", "v", "w")

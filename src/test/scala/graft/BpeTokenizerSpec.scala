@@ -186,9 +186,27 @@ class BpeTokenizerSpec extends SparkSpec {
       "#version: 0.2\nt h\nth e\n".getBytes("UTF-8"))
     val t = BytePairTokenizer.fromFiles(vocabF.getPath, mergesF.getPath)
     assert(t.vocab("the") == 4L)
-    assert(t.mergeRanks(("t", "h")) == 1) // line order after header
+    assert(t.mergeRanks(("t", "h")) == 0) // first merge line = rank 0
     assert(t.encodePieces("the").map(_._1).toSeq == Seq(4L))
     assert(t.specialTokens("<|endoftext|>") == 5L)
+  }
+
+  test("save → fromFiles round-trips a trained tokenizer exactly") {
+    val t = BytePairTokenizer.fromMerges(Seq(
+      ("Ġ", "t"), ("h", "e"), ("Ġt", "he"), ("i", "n"), ("a", "n")))
+    val dir = java.nio.file.Files.createTempDirectory("bpe_save").toFile
+    val vocabF = new java.io.File(dir, "vocab.json").getPath
+    val mergesF = new java.io.File(dir, "merges.txt").getPath
+    t.save(vocabF, mergesF)
+    val back = BytePairTokenizer.fromFiles(vocabF, mergesF)
+    assert(back.vocab == t.vocab)
+    assert(back.mergeRanks == t.mergeRanks)
+    val text = "in theé café an the"
+    assert(back.encode(text, addSpecialTokens = false).toSeq ==
+      t.encode(text, addSpecialTokens = false).toSeq)
+    assert(back.decode(back.encode(text, addSpecialTokens = false),
+      skipSpecialTokens = false) == t.decode(
+      t.encode(text, addSpecialTokens = false), skipSpecialTokens = false))
   }
 
   test("fromFiles fails fast when a merge product is missing from vocab") {

@@ -107,6 +107,51 @@ class DedupContribSpec extends SparkSpec {
     assert(dist(hs(1L), hs(3L)) < dist(hs(1L), hs(4L)))
   }
 
+  test("Quantize/Dequantize embeddings: codes in range, error bounded") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50)
+    val q = QuantizeEmbeddings("embedding", Some("qe"))(emb)
+    val d = DequantizeEmbeddings("qe", Some("rec"))(q)
+      .select("embedding", "qe", "rec")
+    val err = d
+      .withColumn("span",
+        col("qe.hi") - col("qe.lo"))
+      .withColumn("maxerr",
+        aggregate(
+          zip_with(col("embedding").cast("array<double>"), col("rec"),
+            (a, b) => abs(a - b)),
+          lit(0.0), (acc, x) => greatest(acc, x)))
+      .withColumn("codes_ok",
+        forall(col("qe.q"), c => c >= 0 && c <= 255))
+      .select("span", "maxerr", "codes_ok")
+      .collect()
+    err.foreach { r =>
+      val span = r.getDouble(0)
+      // one quantization step is span/255; allow a step of slack for
+      // the floor
+      assert(r.getDouble(1) <= span / 255.0 * 1.0001 + 1e-12,
+        s"maxerr ${r.getDouble(1)} vs step ${span / 255.0}")
+      assert(r.getBoolean(2))
+    }
+    // constant vector degenerates to all-zero codes, reconstructs to lo
+    val const = Seq(Tuple1(Seq(2.5f, 2.5f, 2.5f))).toDF("embedding")
+    val cq = DequantizeEmbeddings("qe", Some("rec"))(
+      QuantizeEmbeddings("embedding", Some("qe"))(const))
+    assert(rows(cq.select("rec")).head.head == List(2.5, 2.5, 2.5))
+    // ANN quality preserved: top-1 neighbor by cosine unchanged for the
+    // first 3 queries after a quantize→dequantize round trip
+    val full = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = full.filter(col("vec_id") < 3)
+    def top1(corpus: org.apache.spark.sql.DataFrame) =
+      CosineKnn.bruteForce(corpus, queries, "embedding", "vec_id", k = 1)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    val recon = DequantizeEmbeddings("qe", Some("embedding2"))(
+      QuantizeEmbeddings("embedding", Some("qe"))(full))
+      .drop("embedding", "qe")
+      .withColumnRenamed("embedding2", "embedding")
+    assert(top1(full) == top1(recon))
+  }
+
   test("CosineKnn bruteForce: self is rank 1") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f)),
@@ -127,6 +172,37 @@ class DedupContribSpec extends SparkSpec {
       "embedding", "vec_id", k = 3, nPlanes = 4)
     val ids = out.select("corpus_id").as[Long].collect().toSet
     assert(ids.contains(0L) && ids.contains(1L))
+  }
+
+  test("GopherQualityFilter: each published rule fails its bad doc") {
+    // stopwords interleaved with unique words: no n-gram ever repeats
+    val good = (1 to 60)
+      .flatMap(i => Seq(GopherQuality.stopProbe(i % 8), s"word$i"))
+      .mkString(" ")
+    val bullety = (1 to 60).map(i => s"- the of and bullet item $i").mkString("\n")
+    val ellipsisy = (1 to 60).map(i => s"the of and trailing line $i ...").mkString("\n")
+    val dupParas = (Seq.fill(5)("the of and repeated paragraph here") ++
+      (1 to 30).map(i => s"unique para $i the of and")).mkString("\n\n")
+    val dup5grams = ("the of and that have with " * 30).trim
+    val symbols = ("the of and " + Seq.fill(60)("!!! ### $$$").mkString(" ")).trim
+    val short = "the of and tiny"
+    val df = Seq(
+      (1L, good), (2L, bullety), (3L, ellipsisy), (4L, dupParas),
+      (5L, dup5grams), (6L, symbols), (7L, short)
+    ).toDF("doc_id", "text")
+      .withColumn("words", filter(split(col("text"), "\\s+"), w => w =!= lit("")))
+    val out = GopherQualityFilter("text", "words")(df)
+      .select("doc_id", "gopher_pass").as[(Long, Boolean)].collect().toMap
+    assert(out(1L), "well-formed doc must pass")
+    assert(!out(2L), "bullet-dominated doc must fail")
+    assert(!out(3L), "ellipsis-dominated doc must fail")
+    assert(!out(4L), "duplicate-paragraph doc must fail")
+    assert(!out(5L), "repeated-5-gram doc must fail")
+    assert(!out(6L), "symbol-heavy doc must fail")
+    assert(!out(7L), "under-50-words doc must fail")
+    // keepOnly filters to survivors
+    assert(GopherQualityFilter("text", "words", keepOnly = true)(df)
+      .count() == 1)
   }
 
   test("TextAnalysis.langId picks the stopword-rich language") {
