@@ -3035,6 +3035,57 @@ object Queries {
     )
   )
 
+  /** Benchmark decontamination (13-gram rule, here n=5 for corpus-sized
+    * overlap): docs sharing any 5-gram with the "benchmark" slice
+    * (doc_id < 10) are flagged. md5 hasher for engine-portable replay;
+    * production uses xxhash64. The corpus never shuffles — the benchmark
+    * n-gram set and the hit-id set both broadcast. */
+  private val qDecontaminate = Q(
+    "q109_decontaminate",
+    (s, dir) => {
+      val dw = docWords(s, dir)
+      val bench = dw.filter(col("doc_id") < 10).select("words")
+      Decontaminate
+        .flag(dw, "doc_id", "words", bench, "words", n = 5,
+          hasher = c => md5(c))
+        .select(col("doc_id"), col("contaminated").cast(LongType).as("contaminated"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH w AS (SELECT doc_id, $W AS w FROM documents),
+         |g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 5 THEN
+         |    list_transform(generate_series(1, len(w) - 4),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])
+         |    ELSE [] END) AS gram FROM w),
+         |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10),
+         |hit AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram))
+         |SELECT w.doc_id,
+         |  CAST(w.doc_id IN (SELECT doc_id FROM hit) AS BIGINT) AS contaminated
+         |FROM w ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Deterministic stratified sampling for data mixtures: per-language
+    * keep fractions via salted-hash thresholds — reproducible in any
+    * engine, zero shuffle. The md5 hex-prefix < hex-threshold trick
+    * makes the predicate verbatim-replayable. */
+  private val qDeterministicSample = Q(
+    "q110_deterministic_sample",
+    (s, dir) =>
+      DeterministicSample("doc_id", fraction = 0.1, salt = "mix",
+        strataField = Some("lang"),
+        strataFractions = Map("en" -> 0.5, "de" -> 0.25))(
+        docs(s, dir).select("doc_id", "lang"))
+        .orderBy("doc_id"),
+    Some(
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 8) <
+        |  CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '40000000'
+        |    ELSE '19999999' END
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -3067,7 +3118,7 @@ object Queries {
     qDedupClusters,
     qEnumerateAppearance, qLshCapped, qCsvGzLoader,
     qRecipeJinja, qDebugPeek, qSampleFrames, qGopherGate, qQuantize,
-    qAsofForward, qAsofTolerance
+    qAsofForward, qAsofTolerance, qDecontaminate, qDeterministicSample
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

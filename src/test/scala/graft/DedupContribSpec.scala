@@ -174,6 +174,51 @@ class DedupContribSpec extends SparkSpec {
     assert(ids.contains(0L) && ids.contains(1L))
   }
 
+  test("Decontaminate: shared n-gram flags, short docs never false-match") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // contains bench 5-gram
+      (2L, "totally different words here now ok"),
+      (3L, "alpha beta gamma"), // 3 words: no 5-gram, must NOT match
+      (4L, "x alpha beta gamma delta epsilon y") // bench 5-gram inside
+    ).toDF("doc_id", "text")
+      .withColumn("words", split(col("text"), " "))
+    val bench = Seq("alpha beta gamma delta epsilon").toDF("btext")
+      .withColumn("bwords", split(col("btext"), " "))
+    val flagged = Decontaminate
+      .flag(corpus, "doc_id", "words", bench, "bwords", n = 5)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(flagged(1L) && flagged(4L))
+    assert(!flagged(2L) && !flagged(3L))
+    val kept = Decontaminate
+      .remove(corpus, "doc_id", "words", bench, "bwords", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("DeterministicSample: reproducible, fraction-accurate, stratified") {
+    val df = (0L until 4000L).toDF("doc_id")
+      .withColumn("lang", when(col("doc_id") % 2 === 0, "en").otherwise("de"))
+    val a = DeterministicSample("doc_id", 0.3)(df).count()
+    val b = DeterministicSample("doc_id", 0.3)(df).count()
+    assert(a == b, "same salt, same sample")
+    assert(math.abs(a - 1200L) < 120, s"~30% expected, got $a")
+    // portable md5 variant agrees with itself and hits its own fraction
+    val m = DeterministicSample("doc_id", 0.3, portable = true)(df).count()
+    assert(math.abs(m - 1200L) < 120, s"~30% (md5) expected, got $m")
+    // different salt, different subset (overwhelmingly)
+    val c = DeterministicSample("doc_id", 0.3, salt = "other")(df)
+      .select("doc_id").as[Long].collect().toSet
+    val aSet = DeterministicSample("doc_id", 0.3)(df)
+      .select("doc_id").as[Long].collect().toSet
+    assert(c != aSet)
+    // stratified: per-lang fractions land near their targets
+    val s = DeterministicSample("doc_id", 0.05, strataField = Some("lang"),
+      strataFractions = Map("en" -> 0.5, "de" -> 0.1))(df)
+    val byLang = s.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(math.abs(byLang("en") - 1000L) < 120, byLang.toString)
+    assert(math.abs(byLang.getOrElse("de", 0L) - 200L) < 80, byLang.toString)
+  }
+
   test("GopherQualityFilter: each published rule fails its bad doc") {
     // stopwords interleaved with unique words: no n-gram ever repeats
     val good = (1 to 60)
