@@ -3074,7 +3074,8 @@ object Queries {
     (s, dir) =>
       DeterministicSample("doc_id", fraction = 0.1, salt = "mix",
         strataField = Some("lang"),
-        strataFractions = Map("en" -> 0.5, "de" -> 0.25))(
+        strataFractions = Map("en" -> 0.5, "de" -> 0.25),
+        portable = true)(
         docs(s, dir).select("doc_id", "lang"))
         .orderBy("doc_id"),
     Some(

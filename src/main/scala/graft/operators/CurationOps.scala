@@ -101,9 +101,28 @@ object Sampling {
     f"$t%08x"
   }
 
-  /** Stratified: per-value fraction on `strata` (default for the rest).
-    * Thresholds resolve through a map literal — still one row-local
-    * predicate. */
+  /** Production stratified: per-value fraction on `strata` (default for
+    * the rest), long thresholds through a map literal over the same
+    * codegen'd xxhash64 predicate — still one row-local expression. */
+  def keepStratified(
+      id: Column,
+      strata: Column,
+      fractions: Map[String, Double],
+      defaultFraction: Double,
+      salt: String = "graft"
+  ): Column = {
+    def t(f: Double): Long = (f * 1e9).toLong
+    val entries = fractions.toSeq.sortBy(_._1).flatMap { case (k, f) =>
+      Seq(lit(k), lit(t(f)))
+    }
+    val thresh =
+      if (entries.isEmpty) lit(t(defaultFraction))
+      else coalesce(element_at(map(entries: _*), strata), lit(t(defaultFraction)))
+    pmod(xxhash64(concat(id.cast(StringType), lit(salt))), lit(1000000000L)) <
+      thresh
+  }
+
+  /** Engine-portable stratified variant (md5 hex thresholds). */
   def keepStratifiedMd5(
       id: Column,
       strata: Column,
@@ -136,12 +155,15 @@ final case class DeterministicSample(
 ) extends graft.Mapper {
   override def inputFields: Seq[String] = Seq(idField) ++ strataField
   override protected def build(df: DataFrame): DataFrame = {
-    val pred = strataField match {
-      case Some(sf) =>
+    val pred = (strataField, portable) match {
+      case (Some(sf), true) =>
         Sampling.keepStratifiedMd5(col(idField), col(sf), strataFractions,
-          fraction, salt) // stratified is md5-only: thresholds are hex strings
-      case None if portable => Sampling.keepMd5(col(idField), fraction, salt)
-      case None => Sampling.keep(col(idField), fraction, salt)
+          fraction, salt)
+      case (Some(sf), false) =>
+        Sampling.keepStratified(col(idField), col(sf), strataFractions,
+          fraction, salt)
+      case (None, true) => Sampling.keepMd5(col(idField), fraction, salt)
+      case (None, false) => Sampling.keep(col(idField), fraction, salt)
     }
     df.filter(pred)
   }

@@ -211,12 +211,15 @@ class DedupContribSpec extends SparkSpec {
     val aSet = DeterministicSample("doc_id", 0.3)(df)
       .select("doc_id").as[Long].collect().toSet
     assert(c != aSet)
-    // stratified: per-lang fractions land near their targets
-    val s = DeterministicSample("doc_id", 0.05, strataField = Some("lang"),
-      strataFractions = Map("en" -> 0.5, "de" -> 0.1))(df)
-    val byLang = s.groupBy("lang").count().as[(String, Long)].collect().toMap
-    assert(math.abs(byLang("en") - 1000L) < 120, byLang.toString)
-    assert(math.abs(byLang.getOrElse("de", 0L) - 200L) < 80, byLang.toString)
+    // stratified: per-lang fractions land near their targets, on BOTH
+    // the production (xxhash64) and portable (md5) variants
+    for (p <- Seq(false, true)) {
+      val s = DeterministicSample("doc_id", 0.05, strataField = Some("lang"),
+        strataFractions = Map("en" -> 0.5, "de" -> 0.1), portable = p)(df)
+      val byLang = s.groupBy("lang").count().as[(String, Long)].collect().toMap
+      assert(math.abs(byLang("en") - 1000L) < 120, s"portable=$p $byLang")
+      assert(math.abs(byLang.getOrElse("de", 0L) - 200L) < 80, s"portable=$p $byLang")
+    }
   }
 
   test("GopherQualityFilter: each published rule fails its bad doc") {
