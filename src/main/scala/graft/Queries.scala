@@ -3129,14 +3129,29 @@ object Queries {
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
   /** Flagship pipeline: the full training-data shape on sf0.001 —
-    * dedup → quality gate → language id → stride → prompt (the smashed
-    * README/examples/squad.py chain, re-expressed Spark-first, with the
-    * north-star corpus ops in front). */
+    * Gopher quality gate → benchmark decontamination → deterministic
+    * mixture sampling → exact dedup → language id → stride → prompt →
+    * corpus-trained BPE (the smashed README/examples/squad.py chain,
+    * re-expressed Spark-first, with the north-star corpus ops in
+    * front). Gate bounds are relaxed to the synthetic corpus's shape
+    * (10-99-word docs, non-English rows would fail the stopword probe). */
   def entry(spark: SparkSession): DataFrame = {
     val df = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
+    val words0 = docTextWords(spark, "/root/testdata/sf0.001")
+    val gated = GopherQualityFilter("text", "words",
+      GopherQuality.Config(minWords = 10, minStopwordHits = 0,
+        minAlphaWordRatio = 0.0),
+      keepOnly = true)(words0)
+      .select(df.columns.map(col): _*)
+    val bench = words0.filter(col("doc_id") < 3).select("words")
+    val decontaminated = Decontaminate.remove(
+      gated.withColumn("words", Splitters.toColumn(col("text"), Splitters.Ws)),
+      "doc_id", "words", bench, "words", n = 8).drop("words")
+    val sampled = DeterministicSample("doc_id", fraction = 0.95,
+      salt = "flagship")(decontaminated)
     val curated = operators.Filter("n_chars", ">", 60)(
-      ExactDedup("text", "doc_id")(df)
+      ExactDedup("text", "doc_id")(sampled)
     )
     val withWords = pipe(
       RenameFields(Map("text" -> "words")),

@@ -110,6 +110,36 @@ class RecipeStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("Gopher gate + deterministic sample run unchanged on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    // both ops are row-local predicates/projections: stream-safe by
+    // construction, no state, no watermark needed
+    val mapped = Pipeline(Vector(
+      RenameFields(Map("_1" -> "doc_id", "_2" -> "text"))
+    ))
+    val withCols = StreamingPipeline(mapped, mem.toDF())
+      .withColumn("words",
+        filter(split(col("text"), "\\s+"), w => w =!= lit("")))
+    // char-fraction bounds relaxed: a 6-word doc legitimately fails the
+    // long-document n-gram rules (gate logic is pinned in
+    // DedupContribSpec; THIS test pins stream-safety)
+    val gated = GopherQualityFilter("text", "words",
+      GopherQuality.Config(minWords = 4, minStopwordHits = 0,
+        minAlphaWordRatio = 0.0, maxTopBigramCharFraction = 1.0,
+        maxTopTrigramCharFraction = 1.0, maxDup5gramCharFraction = 1.0),
+      keepOnly = true)(withCols)
+    val sampled = DeterministicSample("doc_id", fraction = 1.0)(gated)
+    val q = sampled.writeStream.format("memory").queryName("graft_stream_gq")
+      .outputMode("append").start()
+    mem.addData((1L, "the quick brown fox jumps clean"), (2L, "too short"))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT doc_id FROM graft_stream_gq").collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == Seq(1L)) // short doc gated out; sampler at 1.0 keeps all
+    q.stop()
+  }
+
   test("order-sensitive stages rejected on streams") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
