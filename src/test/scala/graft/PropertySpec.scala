@@ -138,6 +138,62 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("quantize: codes bounded, reconstruction within one step, any vector") {
+    val vecGen: Gen[List[Double]] = Gen.chooseNum(1, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6)))
+    forAll(vecGen, n = 20) { (v: List[Double]) =>
+      val df = Seq(Tuple1(v)).toDF("embedding")
+      val out = DequantizeEmbeddings("qe", Some("rec"))(
+        QuantizeEmbeddings("embedding", Some("qe"))(df))
+        .select("qe.q", "qe.lo", "qe.hi", "rec")
+        .head()
+      val q = out.getSeq[Int](0)
+      val (lo, hi) = (out.getDouble(1), out.getDouble(2))
+      val rec = out.getSeq[Double](3)
+      assert(q.forall(c => c >= 0 && c <= 255))
+      assert(lo == v.min && hi == v.max)
+      val step = (hi - lo) / 255.0
+      v.zip(rec).foreach { case (x, r) =>
+        assert(math.abs(x - r) <= step * 1.0001 + 1e-9,
+          s"err ${math.abs(x - r)} > step $step")
+      }
+    }
+  }
+
+  test("deterministic sampling: stable under repartition, nested fractions") {
+    val df = (0L until 1500L).toDF("doc_id")
+    forAll(Gen.chooseNum(0.1, 0.9), n = 6) { (f: Double) =>
+      val base = DeterministicSample("doc_id", f)(df)
+        .select("doc_id").as[Long].collect().toSet
+      // partitioning must not change membership (row-local predicate)
+      val reparted = DeterministicSample("doc_id", f)(df.repartition(17))
+        .select("doc_id").as[Long].collect().toSet
+      assert(base == reparted)
+      // a smaller fraction selects a SUBSET (thresholds nest)
+      val smaller = DeterministicSample("doc_id", f / 2)(df)
+        .select("doc_id").as[Long].collect().toSet
+      assert(smaller.subsetOf(base))
+    }
+  }
+
+  test("decontaminate: any doc containing a benchmark doc verbatim flags") {
+    val wordGen = Gen.listOfN(8, Gen.oneOf("aa", "bb", "cc", "dd", "ee"))
+    forAll(Gen.zip(wordGen, wordGen), n = 8) {
+      case (benchWords: List[String], prefix: List[String]) =>
+        val bench = Seq(Tuple1(benchWords)).toDF("bwords")
+        val corpus = Seq(
+          (1L, prefix ++ benchWords), // contains the benchmark verbatim
+          (2L, List("zz", "yy", "xx")) // too short for any 5-gram
+        ).toDF("doc_id", "words")
+        val flagged = Decontaminate
+          .flag(corpus, "doc_id", "words", bench, "bwords", n = 5)
+          .select("doc_id", "contaminated").as[(Long, Boolean)]
+          .collect().toMap
+        assert(flagged(1L), "superstring must always flag")
+        assert(!flagged(2L))
+    }
+  }
+
   test("byte-level BPE: decode . encode is the identity on arbitrary text") {
     val tok = BytePairTokenizer.fromMerges(Seq(
       ("t", "h"), ("th", "e"), ("\u0120", "t"), ("i", "s"), ("e", "r")
