@@ -3087,6 +3087,126 @@ object Queries {
     )
   )
 
+  /** C4/Dolma paragraph-level exact dedup through [[ParagraphDedup]].
+    * The synthetic corpus has no newlines, so the query first derives
+    * "paragraphs" as 3-word lines (the ~40-word vocab makes 3-word lines
+    * genuinely collide across docs); the operator then keeps each
+    * distinct line's globally-first occurrence and reassembles. */
+  private val qParagraphDedup = Q(
+    "q111_paragraph_dedup",
+    (s, dir) => {
+      val withParas = docWords(s, dir).withColumn(
+        "text",
+        array_join(
+          transform(
+            sequence(
+              lit(0L),
+              floor((size(col("words")) - 1) / 3).cast(LongType)
+            ),
+            k =>
+              array_join(
+                slice(col("words"), (k * 3 + 1).cast(IntegerType), lit(3)),
+                " "
+              )
+          ),
+          "\n"
+        )
+      )
+      ParagraphDedup("text", "doc_id", "\n", Some("text_dedup"))(
+        withParas.select("doc_id", "text")
+      )
+        .select(col("doc_id"), col("text_dedup"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH w AS (SELECT doc_id, $W AS w FROM documents),
+         |x AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(0, CAST(floor((len(w) - 1) / 3.0) AS BIGINT)),
+         |    k -> {'pos': k,
+         |          'para': array_to_string(list_slice(w, k*3+1, k*3+3), ' ')}
+         |  )) AS u FROM w),
+         |y AS (SELECT doc_id, u.pos AS pos, u.para AS para FROM x),
+         |f AS (SELECT para, min(doc_id * 1000000 + pos) AS fk FROM y GROUP BY para),
+         |kept AS (SELECT fk // 1000000 AS doc_id, fk % 1000000 AS pos, para FROM f),
+         |r AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text_dedup
+         |      FROM kept GROUP BY doc_id)
+         |SELECT w.doc_id, coalesce(r.text_dedup, '') AS text_dedup
+         |FROM w LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** CCNet-shaped LM-familiarity scoring through [[LmScore.familiarity]]:
+    * mean corpus frequency of each doc's bigrams in fixed point (the
+    * integer-exact stand-in for a KenLM perplexity — see the object doc
+    * for why a float log can never hash-match across engines). */
+  private val qLmFamiliarity = Q(
+    "q112_lm_familiarity",
+    (s, dir) => {
+      val dw = docWords(s, dir)
+      LmScore.familiarity(dw, "doc_id", "words", dw, "words", n = 2)
+        .select("doc_id", "n_grams", "lm_score")
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH w AS (SELECT doc_id, $W AS w FROM documents),
+         |bg AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2 THEN
+         |    list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+         |    ELSE [] END) AS gram FROM w),
+         |cnt AS (SELECT gram, count(*) AS c FROM bg GROUP BY gram),
+         |ds AS (SELECT doc_id, count(*) AS nb, sum(c) AS sc
+         |       FROM bg JOIN cnt USING (gram) GROUP BY doc_id)
+         |SELECT w.doc_id, coalesce(ds.nb, 0) AS n_grams,
+         |  CAST(coalesce((1000000 * ds.sc) // ds.nb, 0) AS BIGINT) AS lm_score
+         |FROM w LEFT JOIN ds USING (doc_id) ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** GPT-style concat-and-chunk packing through [[PackSequences]] (token
+    * stand-in: word count). bucketSpan=64 forces the multi-bucket path of
+    * the two-level distributed scan at sf sizes; the oracle replays the
+    * same layout with a single cumulative window (equivalent by
+    * construction, feasible for DuckDB's single node). */
+  private val qPackSequences = Q(
+    "q113_pack_sequences",
+    (s, dir) =>
+      PackSequences("doc_id", "n_tokens", chunkSize = 32, bucketSpan = 64)(
+        docWords(s, dir)
+          .select(col("doc_id"), size(col("words")).cast(LongType).as("n_tokens"))
+      )
+        .select("doc_id", "n_tokens", "start_offset", "end_offset",
+          "first_chunk", "last_chunk")
+        .orderBy("doc_id"),
+    Some(
+      s"""WITH w AS (SELECT doc_id, len($W) AS n FROM documents),
+         |c AS (SELECT doc_id, n, CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+         |  FROM w)
+         |SELECT doc_id, n AS n_tokens, o AS start_offset, o + n AS end_offset,
+         |  o // 32 AS first_chunk,
+         |  CASE WHEN n > 0 THEN (o + n - 1) // 32 ELSE o // 32 END AS last_chunk
+         |FROM c ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Corpus heavy hitters through [[CorpusStats.topNgrams]]: top-50
+    * trigrams by (count desc, gram asc) — a total order, so the k-cut is
+    * deterministic on both engines. */
+  private val qTopNgrams = Q(
+    "q114_topk_ngrams",
+    (s, dir) =>
+      CorpusStats.topNgrams(docWords(s, dir), "words", n = 3, k = 50)
+        .orderBy(col("cnt").desc, col("gram")),
+    Some(
+      s"""WITH w AS (SELECT doc_id, $W AS w FROM documents),
+         |g AS (SELECT unnest(CASE WHEN len(w) >= 3 THEN
+         |    list_transform(generate_series(1, len(w) - 2),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         |    ELSE [] END) AS gram FROM w)
+         |SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+         |ORDER BY cnt DESC, gram LIMIT 50""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -3119,7 +3239,8 @@ object Queries {
     qDedupClusters,
     qEnumerateAppearance, qLshCapped, qCsvGzLoader,
     qRecipeJinja, qDebugPeek, qSampleFrames, qGopherGate, qQuantize,
-    qAsofForward, qAsofTolerance, qDecontaminate, qDeterministicSample
+    qAsofForward, qAsofTolerance, qDecontaminate, qDeterministicSample,
+    qParagraphDedup, qLmFamiliarity, qPackSequences, qTopNgrams
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,264 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Mapper
+
+/** Corpus-level training-data ops beyond per-doc quality and whole-doc
+  * dedup: paragraph-level dedup (C4/Dolma-style), LM-familiarity scoring
+  * (the CCNet perplexity-filter shape), GPT-style concat-and-chunk
+  * sequence packing, and corpus n-gram statistics.
+  *
+  * 100 TB discipline, per op:
+  *   - [[ParagraphDedup]]: two aggregations (by paragraph, by doc), both
+  *     with map-side partial aggregation so hot boilerplate paragraphs
+  *     collapse before the shuffle — never a window over a hot key;
+  *   - [[LmScore]]: one count shuffle + one join on the n-gram key (AQE
+  *     skew-split handles head grams) + one doc-key aggregation;
+  *   - [[PackSequences]]: a two-level distributed prefix sum — per-bucket
+  *     windows run partition-parallel and the bucket-totals table is
+  *     O(#buckets), so nothing funnels through one partition;
+  *   - [[CorpusStats.topNgrams]]: partial-agg count + TakeOrdered top-k
+  *     (no global sort).
+  */
+
+/** C4/Dolma-style paragraph-level exact dedup: split each document on
+  * `delimiter`, keep only the globally-FIRST occurrence of every distinct
+  * paragraph (first = smallest `(id, position)`), and reassemble the
+  * surviving paragraphs of each doc in their original order. Documents
+  * whose every paragraph appeared earlier elsewhere collapse to the empty
+  * string (C4 removes the lines, not the doc).
+  *
+  * Shape: posexplode → groupBy(paragraph).agg(min(id, pos)) → the
+  * aggregate's output IS the survivor set (no join back onto the exploded
+  * table, so a paragraph duplicated 100M times costs one combiner row per
+  * map task, not a hot reducer) → groupBy(id) reassembles. Both shuffles
+  * carry one row per *distinct* (paragraph | doc), not per occurrence.
+  *
+  * No direct reference counterpart (smashed dedups nothing); this is the
+  * corpus-curation companion to [[ExactDedup]].
+  */
+final case class ParagraphDedup(
+    textField: String,
+    idField: String,
+    delimiter: String = "\n",
+    destinationField: Option[String] = None
+) extends Mapper {
+  private def dest = destinationField.getOrElse(textField)
+  override def inputFields: Seq[String] = Seq(textField, idField)
+  override def outputFields: Seq[String] = Seq(dest)
+  override protected def build(df: DataFrame): DataFrame = {
+    val paras = df
+      .select(
+        col(idField).as("__pd_id"),
+        posexplode(split(col(textField), java.util.regex.Pattern.quote(delimiter)))
+          .as(Seq("__pd_pos", "__pd_para"))
+      )
+    // keep-first survivor per distinct paragraph; struct min is
+    // lexicographic (id, pos) — the global first occurrence
+    val kept = paras
+      .groupBy(col("__pd_para"))
+      .agg(min(struct(col("__pd_id"), col("__pd_pos"))).as("__pd_first"))
+      .select(
+        col("__pd_first.__pd_id").as("__pd_id"),
+        col("__pd_first.__pd_pos").as("__pd_pos"),
+        col("__pd_para")
+      )
+    val rebuilt = kept
+      .groupBy(col("__pd_id"))
+      .agg(
+        sort_array(collect_list(struct(col("__pd_pos"), col("__pd_para"))))
+          .as("__pd_ps")
+      )
+      .select(
+        col("__pd_id"),
+        array_join(
+          transform(col("__pd_ps"), p => p.getField("__pd_para")),
+          delimiter
+        ).as("__pd_text")
+      )
+    val joined = df
+      .join(rebuilt, df(idField) === rebuilt("__pd_id"), "left")
+      .withColumn("__pd_out", coalesce(col("__pd_text"), lit("")))
+      .drop("__pd_id", "__pd_text")
+    val out =
+      if (dest == textField) joined.drop(textField)
+      else if (df.columns.contains(dest)) joined.drop(dest)
+      else joined
+    val cols =
+      if (df.columns.contains(dest)) df.columns.toSeq
+      else df.columns.toSeq :+ dest
+    out
+      .withColumnRenamed("__pd_out", dest)
+      .select(cols.map(col): _*)
+  }
+}
+
+/** LM-familiarity scoring — the CCNet perplexity-filter shape, made
+  * integer-exact. CCNet scores each document with a KenLM n-gram model
+  * trained on a reference corpus and drops the high-perplexity tail;
+  * here the "model" is the n-gram count table of the reference corpus
+  * itself and the score is the mean corpus frequency of the document's
+  * n-grams, in fixed point:
+  *
+  *   score = floor(scale · Σ count(gᵢ) / #grams)
+  *
+  * Rare/garbled text scores low (its n-grams appear nowhere else),
+  * natural repeated phrasing scores high — the same ordering a smoothed
+  * LM log-prob induces, but in pure BIGINT arithmetic so any engine
+  * reproduces it bit-for-bit (a float log differs in the last ulp across
+  * libms, which a hash gate cannot tolerate).
+  */
+object LmScore {
+
+  /** Append `outputField` (+ `countField` = #grams) to `docs`, scoring
+    * `wordsField` against the n-gram counts of `reference` (pass `docs`
+    * itself for self-scoring). Docs with fewer than `n` words score 0.
+    *
+    * One shuffle to count reference grams, one join on the gram key
+    * (head grams are skewed — AQE skew-split applies; the count side has
+    * exactly one row per distinct gram), one aggregation by doc id. */
+  def familiarity(
+      docs: DataFrame,
+      idField: String,
+      wordsField: String,
+      reference: DataFrame,
+      refWordsField: String,
+      n: Int = 2,
+      scale: Long = 1000000L,
+      outputField: String = "lm_score",
+      countField: String = "n_grams"
+  ): DataFrame = {
+    val counts = reference
+      .select(explode(Decontaminate.ngrams(col(refWordsField), n)).as("__lm_g"))
+      .groupBy(col("__lm_g"))
+      .agg(count(lit(1)).as("__lm_c"))
+    val scores = docs
+      .select(
+        col(idField).as("__lm_id"),
+        explode(Decontaminate.ngrams(col(wordsField), n)).as("__lm_g")
+      )
+      // inner join: grams absent from the reference contribute count 0,
+      // but the per-doc gram total must still include them, so count
+      // docs' grams separately below
+      .join(counts, Seq("__lm_g"), "left")
+      .groupBy(col("__lm_id"))
+      .agg(
+        count(lit(1)).as("__lm_nb"),
+        sum(coalesce(col("__lm_c"), lit(0L))).as("__lm_sc")
+      )
+    docs
+      .join(scores, docs(idField) === scores("__lm_id"), "left")
+      .drop("__lm_id")
+      .withColumn(countField, coalesce(col("__lm_nb"), lit(0L)))
+      // `div` keeps the arithmetic in BIGINT end-to-end (a double
+      // division + floor would be inexact past 2^53 at corpus scale)
+      .withColumn("__lm_prod", lit(scale) * coalesce(col("__lm_sc"), lit(0L)))
+      .withColumn(
+        outputField,
+        when(col("__lm_nb") > 0, expr("__lm_prod div __lm_nb"))
+          .otherwise(lit(0L))
+          .cast(LongType)
+      )
+      .drop("__lm_nb", "__lm_sc", "__lm_prod")
+  }
+}
+
+/** GPT-style sequence packing: conceptually concatenate all token
+  * sequences in `idField` order into one stream and cut it into
+  * fixed-size chunks of `chunkSize`; report, per document, its token
+  * offsets and the chunk range it lands in. This is the standard
+  * pretraining "concat-and-chunk" layout (no padding waste, documents
+  * may straddle chunk boundaries).
+  *
+  * The global running sum is a two-level distributed scan, NOT a single
+  * unpartitioned window (which would funnel the corpus through one
+  * task): rows bucket by `floor(id / bucketSpan)`, the within-bucket
+  * cumulative sum runs partition-parallel, and the bucket prefix totals
+  * — O(#buckets) rows, millions of docs per bucket at scale — are the
+  * only thing a tiny unpartitioned window touches before broadcasting
+  * back.
+  */
+final case class PackSequences(
+    idField: String,
+    lengthField: String,
+    chunkSize: Long,
+    bucketSpan: Long = 1L << 20
+) extends Mapper {
+  require(chunkSize > 0, "chunkSize must be positive")
+  require(bucketSpan > 0, "bucketSpan must be positive")
+  override def inputFields: Seq[String] = Seq(idField, lengthField)
+  override def outputFields: Seq[String] =
+    Seq("start_offset", "end_offset", "first_chunk", "last_chunk")
+  override protected def build(df: DataFrame): DataFrame = {
+    val len = col(lengthField).cast(LongType)
+    // BIGINT `div` throughout: double division + floor silently rounds
+    // across integer boundaries once offsets pass 2^53
+    val withB = df.withColumn(
+      "__ps_b",
+      expr(s"CAST($idField AS BIGINT) div ${bucketSpan}L")
+    )
+    val inBucket = Window
+      .partitionBy(col("__ps_b"))
+      .orderBy(col(idField))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = withB.withColumn(
+      "__ps_within",
+      sum(len).over(inBucket) - len
+    )
+    val bucketTotals = withB
+      .groupBy(col("__ps_b"))
+      .agg(sum(len).as("__ps_btot"))
+    // O(#buckets) rows: the unpartitioned window is over the tiny
+    // aggregate, never the data
+    val bucketPrefix = bucketTotals
+      .withColumn(
+        "__ps_bpre",
+        coalesce(
+          sum(col("__ps_btot")).over(
+            Window
+              .orderBy(col("__ps_b"))
+              .rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select(col("__ps_b"), col("__ps_bpre"))
+    within
+      .join(broadcast(bucketPrefix), Seq("__ps_b"))
+      .withColumn("start_offset", col("__ps_bpre") + col("__ps_within"))
+      .withColumn("end_offset", col("start_offset") + len)
+      .withColumn("first_chunk", expr(s"start_offset div ${chunkSize}L"))
+      .withColumn(
+        "last_chunk",
+        when(len > 0, expr(s"(end_offset - 1) div ${chunkSize}L"))
+          .otherwise(col("first_chunk"))
+      )
+      .drop("__ps_b", "__ps_within", "__ps_bpre")
+  }
+}
+
+/** Corpus-level n-gram statistics. */
+object CorpusStats {
+
+  /** Top-`k` word `n`-grams by frequency, ties broken by gram text —
+    * a total order, so the cut is deterministic. Partial-aggregated
+    * count + `orderBy().limit(k)` lowers to TakeOrderedAndProject:
+    * each partition keeps a k-heap, the driver merges k·p rows — no
+    * global sort of the gram table. */
+  def topNgrams(
+      docs: DataFrame,
+      wordsField: String,
+      n: Int,
+      k: Int
+  ): DataFrame =
+    docs
+      .select(explode(Decontaminate.ngrams(col(wordsField), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+}

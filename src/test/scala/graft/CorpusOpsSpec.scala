@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators._
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- ParagraphDedup
+
+  test("ParagraphDedup keeps the globally-first occurrence of each line") {
+    val df = Seq(
+      (0L, "alpha\nbeta\ngamma"),
+      (1L, "beta\ndelta"),
+      (2L, "gamma\nalpha\nepsilon")
+    ).toDF("id", "text")
+    val out = ParagraphDedup("text", "id")(df)
+      .orderBy("id")
+      .select("id", "text")
+      .as[(Long, String)]
+      .collect()
+    assert(out === Array(
+      (0L, "alpha\nbeta\ngamma"), // all first occurrences
+      (1L, "delta"),              // beta seen in doc 0
+      (2L, "epsilon")             // gamma+alpha seen in doc 0
+    ))
+  }
+
+  test("ParagraphDedup collapses a fully-duplicated doc to the empty string") {
+    val df = Seq((0L, "x\ny"), (1L, "y\nx")).toDF("id", "text")
+    val out = ParagraphDedup("text", "id")(df)
+      .orderBy("id").select("text").as[String].collect()
+    assert(out === Array("x\ny", ""))
+  }
+
+  test("ParagraphDedup dedups repeats within one document") {
+    val df = Seq((5L, "a\na\nb\na")).toDF("id", "text")
+    val out = ParagraphDedup("text", "id")(df)
+      .select("text").as[String].collect()
+    assert(out === Array("a\nb"))
+  }
+
+  test("ParagraphDedup with destinationField keeps the original column") {
+    val df = Seq((0L, "p\nq"), (1L, "q\nr")).toDF("id", "text")
+    val out = ParagraphDedup("text", "id", "\n", Some("clean"))(df)
+      .orderBy("id").select("text", "clean").as[(String, String)].collect()
+    assert(out === Array(("p\nq", "p\nq"), ("q\nr", "r")))
+  }
+
+  // ---------------------------------------------------------------- LmScore
+
+  test("LmScore.familiarity matches a hand computation") {
+    // corpus bigrams: "a b" x2 ("a b c", "a b"), "b c" x1
+    val docs = Seq(
+      (0L, Seq("a", "b", "c")), // grams: a b (2), b c (1) -> (2+1)*1e6/2
+      (1L, Seq("a", "b")),      // grams: a b (2)          -> 2e6/1
+      (2L, Seq("z"))            // <2 words -> 0 grams, score 0
+    ).toDF("id", "words")
+    val out = LmScore.familiarity(docs, "id", "words", docs, "words", n = 2)
+      .orderBy("id")
+      .select("id", "n_grams", "lm_score")
+      .as[(Long, Long, Long)]
+      .collect()
+    assert(out === Array(
+      (0L, 2L, 1500000L),
+      (1L, 1L, 2000000L),
+      (2L, 0L, 0L)
+    ))
+  }
+
+  test("LmScore.familiarity scores against a separate reference corpus") {
+    val ref = Seq((0L, Seq("x", "y", "x", "y"))).toDF("id", "words")
+    // ref bigrams: x y (2), y x (1)
+    val docs = Seq((7L, Seq("x", "y", "q"))).toDF("id", "words")
+    // doc grams: "x y" (ref count 2), "y q" (absent -> 0); mean = 1e6
+    val out = LmScore.familiarity(docs, "id", "words", ref, "words", n = 2)
+      .select("n_grams", "lm_score").as[(Long, Long)].collect()
+    assert(out === Array((2L, 1000000L)))
+  }
+
+  // ---------------------------------------------------------------- PackSequences
+
+  test("PackSequences matches a sequential brute-force layout") {
+    val lens = Seq(5L, 0L, 31L, 32L, 1L, 64L, 7L, 3L, 90L, 2L)
+    val df = lens.zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }
+      .toDF("id", "n")
+    val out = PackSequences("id", "n", chunkSize = 32, bucketSpan = 3)(df)
+      .orderBy("id")
+      .select("id", "start_offset", "end_offset", "first_chunk", "last_chunk")
+      .as[(Long, Long, Long, Long, Long)]
+      .collect()
+    var off = 0L
+    lens.zipWithIndex.foreach { case (n, i) =>
+      val (id, s, e, fc, lc) = out(i)
+      assert(id === i.toLong)
+      assert(s === off)
+      assert(e === off + n)
+      assert(fc === s / 32)
+      assert(lc === (if (n > 0) (e - 1) / 32 else s / 32))
+      off += n
+    }
+  }
+
+  test("PackSequences is invariant to bucketSpan") {
+    val df = (0L until 100L).map(i => (i, (i * 7 % 13) + 1)).toDF("id", "n")
+    def run(span: Long) =
+      PackSequences("id", "n", chunkSize = 16, bucketSpan = span)(df)
+        .orderBy("id")
+        .select("id", "start_offset", "first_chunk", "last_chunk")
+        .as[(Long, Long, Long, Long)]
+        .collect()
+        .toSeq
+    assert(run(1) === run(7))
+    assert(run(7) === run(1L << 20))
+  }
+
+  test("PackSequences keeps the tiny window off the data: bucket prefix is broadcast") {
+    val df = (0L until 50L).map(i => (i, i % 5)).toDF("id", "n")
+    val packed = PackSequences("id", "n", chunkSize = 8, bucketSpan = 10)(df)
+    packed.collect() // materialize so AQE's final plan is available
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+
+  // ---------------------------------------------------------------- CorpusStats
+
+  test("CorpusStats.topNgrams orders by count desc then gram, cut at k") {
+    val docs = Seq(
+      (0L, Seq("a", "b", "a", "b")), // bigrams: a b, b a, a b
+      (1L, Seq("b", "a"))            // b a
+    ).toDF("id", "words")
+    val out = CorpusStats.topNgrams(docs, "words", n = 2, k = 1)
+      .as[(String, Long)].collect()
+    assert(out === Array(("a b", 2L))) // ties (b a also 2) broken by gram asc
+  }
+}
