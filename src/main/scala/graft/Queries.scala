@@ -3207,6 +3207,59 @@ object Queries {
     )
   )
 
+  /** Quality-aware near-dup survivor policy (FineWeb/Dolma: keep the
+    * BEST copy, not the first): same verified-pair clusters as q97, but
+    * the survivor of each cluster is its longest member (n_chars desc,
+    * ties → min doc_id). The oracle replays the same transitive closure
+    * plus an encoded-key argmin — `(100000 − n_chars)·10^6 + doc_id`
+    * orders exactly like the struct min because n_chars < 100000 and
+    * doc_id < 10^6 at oracle scale. */
+  private val qDedupSurvivorPolicy = Q(
+    "q115_dedup_survivor_policy",
+    (s, dir) => {
+      val edges = md5VerifiedPairs(s, dir).select("id_a", "id_b")
+      val comps = ConnectedComponents.components(edges)
+      val full = docs(s, dir)
+        .select("doc_id", "n_chars")
+        .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+      val best = full
+        .groupBy(col("comp"))
+        .agg(
+          min(struct((lit(0L) - col("n_chars")).as("nq"),
+            col("doc_id").as("sid"))).as("w")
+        )
+        .select(col("comp"), col("w.sid").as("sid"))
+      full
+        .join(best, Seq("comp"))
+        .select(
+          col("doc_id"),
+          col("comp"),
+          (col("doc_id") === col("sid")).cast(LongType).as("survivor")
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH RECURSIVE $SIG_CTES,
+         |$VPAIR_CTES,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM vp
+         |  UNION ALL SELECT id_b AS a, id_a AS b FROM vp),
+         |reach(a, b) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT a AS doc_id, MIN(b) AS comp FROM reach GROUP BY a),
+         |fl AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp, d.n_chars
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+         |best AS (SELECT comp,
+         |    min((100000 - n_chars) * 1000000 + doc_id) AS k
+         |  FROM fl GROUP BY comp)
+         |SELECT f.doc_id, f.comp,
+         |  CAST(f.doc_id = b.k % 1000000 AS BIGINT) AS survivor
+         |FROM fl f JOIN best b USING (comp) ORDER BY f.doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -3240,7 +3293,8 @@ object Queries {
     qEnumerateAppearance, qLshCapped, qCsvGzLoader,
     qRecipeJinja, qDebugPeek, qSampleFrames, qGopherGate, qQuantize,
     qAsofForward, qAsofTolerance, qDecontaminate, qDeterministicSample,
-    qParagraphDedup, qLmFamiliarity, qPackSequences, qTopNgrams
+    qParagraphDedup, qLmFamiliarity, qPackSequences, qTopNgrams,
+    qDedupSurvivorPolicy
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -256,6 +256,75 @@ object MinHashLSH {
       .select(col("id").as(idField))
     df.join(losers, Seq(idField), "left_anti")
   }
+
+  /** Quality-aware cluster survivor selection (the FineWeb/Dolma policy):
+    * like [[dedupClusters]], but each near-dup cluster keeps its
+    * highest-`quality` member (ties → smallest id) instead of its
+    * smallest id — dedup should discard the *worse* copies, not the
+    * later ones. `quality` is any numeric column expression over `df`
+    * (doc length, an LM-familiarity score, a Gopher pass count…).
+    *
+    * Cost over [[dedupClusters]]: one extra aggregation on the
+    * components table — which is O(#clustered docs), orders of magnitude
+    * smaller than the corpus — and the same final anti-join. The corpus
+    * is never shuffled by the policy itself. */
+  def clusterSurvivorLosers(
+      comps: DataFrame,
+      quality: DataFrame, // (id, __q)
+      idField: String
+  ): DataFrame = {
+    val scored = comps.join(quality, Seq("id"))
+    val best = scored
+      .groupBy(col("comp"))
+      .agg(
+        min(struct((lit(0L) - col("__q")).as("nq"), col("id").as("sid")))
+          .as("w")
+      )
+      .select(col("comp"), col("w.sid").as("__sid"))
+    scored
+      .join(best, Seq("comp"))
+      .filter(col("id") =!= col("__sid"))
+      .select(col("id").as(idField))
+  }
+
+  /** [[dedupClusters]] with the quality policy: `qualityCol` decides the
+    * survivor of every transitive near-dup cluster. */
+  def dedupClustersBy(
+      df: DataFrame,
+      wordsField: String,
+      idField: String,
+      qualityCol: Column,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      minJaccard: Double = 0.8,
+      maxIter: Int = 20
+  ): DataFrame = {
+    val withSig = MinHashSignature(wordsField, shingleSize, numHashes)(df)
+    val pairs = candidatePairs(withSig, idField, "minhash_sig", bands, numHashes)
+    val shingled = df.select(
+      col(idField).as("__id"),
+      array_distinct(TextShingles.shingles(col(wordsField), shingleSize)).as("__sh")
+    )
+    val verified = pairs
+      .join(shingled.withColumnRenamed("__id", "id_a")
+        .withColumnRenamed("__sh", "sh_a"), Seq("id_a"))
+      .join(shingled.withColumnRenamed("__id", "id_b")
+        .withColumnRenamed("__sh", "sh_b"), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .withColumn("jac",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jac") >= minJaccard)
+      .select("id_a", "id_b")
+    val comps = ConnectedComponents.components(verified, maxIter = maxIter)
+    val quality = df.select(
+      col(idField).as("id"),
+      qualityCol.cast(LongType).as("__q")
+    )
+    val losers = clusterSurvivorLosers(comps, quality, idField)
+    df.join(losers, Seq(idField), "left_anti")
+  }
 }
 
 /** Distributed connected components over candidate-pair edges:

@@ -126,6 +126,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
 
+  // ---------------------------------------------------------------- survivor policy
+
+  test("dedupClustersBy keeps the highest-quality member of each near-dup cluster") {
+    // ids 0,1,2 are near-identical (one transitive cluster); 1 is longest.
+    // id 9 is unrelated and must survive untouched.
+    val base = (1 to 30).map(i => s"w$i")
+    val docs = Seq(
+      (0L, base),
+      (1L, base ++ Seq("extra", "tail", "words")),
+      (2L, base.updated(0, "changed")),
+      (9L, (1 to 30).map(i => s"z$i"))
+    ).toDF("id", "words")
+    val out = MinHashLSH.dedupClustersBy(
+      docs, "words", "id", qualityCol = size(col("words")),
+      minJaccard = 0.5)
+      .select("id").as[Long].collect().sorted
+    assert(out === Array(1L, 9L))
+  }
+
+  test("dedupClustersBy ties break to the smallest id") {
+    val base = (1 to 30).map(i => s"w$i")
+    val docs = Seq(
+      (3L, base), (7L, base), (5L, base) // identical => same length
+    ).toDF("id", "words")
+    val out = MinHashLSH.dedupClustersBy(
+      docs, "words", "id", qualityCol = size(col("words")),
+      minJaccard = 0.5)
+      .select("id").as[Long].collect()
+    assert(out === Array(3L))
+  }
+
   // ---------------------------------------------------------------- CorpusStats
 
   test("CorpusStats.topNgrams orders by count desc then gram, cut at k") {
