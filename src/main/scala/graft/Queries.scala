@@ -959,10 +959,33 @@ object Queries {
        |  j -> list_min(list_transform(CASE WHEN j < 4 THEN ha ELSE hb END,
        |       h -> substring(h, CAST((j % 4) * 8 + 1 AS INT), 8)))) AS sig FROM hh)""".stripMargin
 
+  /** The md5 minhash signature table (doc_id, words, sig) is the shared
+    * input of q82/q83/q100 and the verified-pair pipeline. Computing it
+    * costs ~2×|shingles| md5 digests per doc, so the catalog
+    * materializes it ONCE per (session, sf) to a temp parquet — the
+    * same discipline a 100-TB deployment uses (signatures persist
+    * beside the corpus because every LSH pass, re-band, and incremental
+    * dedup re-reads them). Parquet round-trips strings and string
+    * arrays losslessly, so query hashes are unchanged; the first
+    * catalog query to touch it pays the one build. */
+  private val sigCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val path = sigCache.getOrElseUpdate((s, dir), {
+      val out = s"/tmp/graft_sigs_${Integer.toHexString(dir.hashCode)}"
+      withMinhashSig(docWords(s, dir).withColumn("shingles", shinglesCol))
+        .select("doc_id", "words", "sig")
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
   private val qMinhashSig = Q(
     "q82_minhash_sig",
     (s, dir) =>
-      withMinhashSig(docWords(s, dir).withColumn("shingles", shinglesCol))
+      minhashSigs(s, dir)
         .select(col("doc_id"), J("sig"))
         .orderBy("doc_id"),
     Some(
@@ -975,10 +998,9 @@ object Queries {
     "q83_minhash_lsh_pairs",
     (s, dir) => {
       // LSH banding: 4 bands of 2 minhashes → candidate pairs share a band.
-      // The signature pipeline is persisted so the self-join's two legs
-      // don't each recompute 8×|shingles| md5s per doc.
-      val sigs = withMinhashSig(
-        docWords(s, dir).withColumn("shingles", shinglesCol))
+      // Signatures come from the shared materialization; banding is
+      // persisted so the self-join's two legs read it once.
+      val sigs = minhashSigs(s, dir)
         .select(
           col("doc_id"),
           explode(
@@ -2372,8 +2394,7 @@ object Queries {
 
   private def md5VerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val path = vpCache.getOrElseUpdate((s, dir), {
-      val sigs = withMinhashSig(
-        docWords(s, dir).withColumn("shingles", shinglesCol))
+      val sigs = minhashSigs(s, dir)
       val banded = sigs
         .select(
           col("doc_id"),
@@ -2699,8 +2720,7 @@ object Queries {
   private val qLshCapped = Q(
     "q100_lsh_capped_pairs",
     (s, dir) => {
-      val sigs = withMinhashSig(
-        docWords(s, dir).withColumn("shingles", shinglesCol))
+      val sigs = minhashSigs(s, dir)
       MinHashLSH
         .candidatePairs(sigs, "doc_id", sigField = "sig", bands = 4,
           sigLen = 8, maxBucketSize = Some(3), hasher = c => md5(c))
@@ -3260,6 +3280,49 @@ object Queries {
     )
   )
 
+  /** UniMax water-filling mixture allocation over per-language token
+    * counts through [[Mixtures.waterFill]] (budget = 1.5× corpus
+    * tokens, 2-epoch cap): at the corpus's real skew the four smaller
+    * languages are fully allocated and `en` lands on the integer water
+    * level — the mixed regime that actually exercises the greedy. The
+    * total-token scalar is a one-row driver agg (the documented
+    * centroid-literal pattern); DuckDB computes the same scalar in a
+    * subquery. */
+  private val qWaterFill = Q(
+    "q116_mixture_waterfill",
+    (s, dir) => {
+      val counts = docWords(s, dir)
+        .groupBy(col("lang"))
+        .agg(sum(size(col("words")).cast(LongType)).as("tokens"))
+      val total = counts.agg(sum(col("tokens"))).first().getLong(0)
+      Mixtures.waterFill(counts, "lang", "tokens",
+        budget = 3L * total / 2L, maxEpochs = 2L)
+        .orderBy("lang")
+    },
+    Some(
+      s"""WITH t AS (SELECT lang, CAST(sum(len($W)) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY lang),
+         |b AS (SELECT (3 * CAST(sum(tokens) AS BIGINT)) // 2 AS bud FROM t),
+         |s AS (SELECT lang, tokens, tokens * 2 AS supply FROM t),
+         |o AS (SELECT s.*, b.bud,
+         |    row_number() OVER (ORDER BY supply, lang) AS idx,
+         |    CAST(sum(supply) OVER (ORDER BY supply, lang
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |    count(*) OVER () AS k
+         |  FROM s, b),
+         |f AS (SELECT *, supply * (k - idx + 1) <= bud - (cum - supply) AS fa FROM o),
+         |g AS (SELECT *,
+         |    CAST(coalesce(sum(CASE WHEN fa THEN supply END) OVER (), 0) AS BIGINT) AS fsum,
+         |    CAST(k - count(CASE WHEN fa THEN 1 END) OVER () AS BIGINT) AS u
+         |  FROM f)
+         |SELECT lang, tokens, supply,
+         |  CASE WHEN fa THEN supply
+         |       WHEN u > 0 THEN (bud - fsum) // u
+         |       ELSE supply END AS alloc
+         |FROM g ORDER BY lang""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -3294,7 +3357,7 @@ object Queries {
     qRecipeJinja, qDebugPeek, qSampleFrames, qGopherGate, qQuantize,
     qAsofForward, qAsofTolerance, qDecontaminate, qDeterministicSample,
     qParagraphDedup, qLmFamiliarity, qPackSequences, qTopNgrams,
-    qDedupSurvivorPolicy
+    qDedupSurvivorPolicy, qWaterFill
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -241,6 +241,79 @@ final case class PackSequences(
   }
 }
 
+/** Data-mixture budget allocation. */
+object Mixtures {
+
+  /** UniMax-style water-filling (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling"): distribute a token `budget`
+    * across sources, capping each source at `maxEpochs` passes over its
+    * data and never starving small sources. With per-source supplies
+    * sᵢ = tokensᵢ·maxEpochs sorted ascending, a source is fully
+    * allocated while sᵢ·(slots remaining) ≤ budget remaining; everyone
+    * past the first failure gets the integer water level
+    * λ = (budget − Σ full supplies) div (#unfull). The failure condition
+    * is provably monotone in i (if sᵢ(k−i+1) > Rᵢ then
+    * sᵢ₊₁(k−i) ≥ sᵢ(k−i) > Rᵢ − sᵢ = Rᵢ₊₁), so a single pass of window
+    * expressions computes the exact greedy result — no loop.
+    *
+    * `counts` has ONE ROW PER SOURCE (a corpus-scale groupBy away), so
+    * the unpartitioned windows here touch a table of #sources rows —
+    * dozens at 100 TB — never the corpus. All arithmetic is BIGINT
+    * (`div`), so any engine reproduces the allocation exactly.
+    *
+    * Output: (source, tokens, supply, alloc); alloc/supply is the
+    * per-source sampling rate, alloc div tokens the whole epochs. */
+  def waterFill(
+      counts: DataFrame,
+      sourceField: String,
+      tokensField: String,
+      budget: Long,
+      maxEpochs: Long = 1L
+  ): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    val bysupply = Window.orderBy(col("supply"), col(sourceField))
+    val everything = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .select(
+        col(sourceField),
+        col(tokensField).cast(LongType).as("tokens")
+      )
+      .withColumn("supply", col("tokens") * maxEpochs)
+      .withColumn("__idx", row_number().over(bysupply))
+      .withColumn(
+        "__cum",
+        sum(col("supply")).over(
+          bysupply.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      )
+      .withColumn("__k", count(lit(1)).over(everything))
+      .withColumn(
+        "__full",
+        col("supply") * (col("__k") - col("__idx") + 1) <=
+          lit(budget) - (col("__cum") - col("supply"))
+      )
+      .withColumn(
+        "__fsum",
+        coalesce(
+          sum(when(col("__full"), col("supply"))).over(everything),
+          lit(0L))
+      )
+      .withColumn(
+        "__u",
+        col("__k") - sum(when(col("__full"), 1L).otherwise(0L)).over(everything)
+      )
+      .withColumn("__lam", expr(s"(${budget}L - __fsum) div __u"))
+      .withColumn(
+        "alloc",
+        when(col("__full"), col("supply"))
+          .when(col("__u") > 0, col("__lam"))
+          .otherwise(col("supply"))
+      )
+      .select(col(sourceField), col("tokens"), col("supply"), col("alloc"))
+  }
+}
+
 /** Corpus-level n-gram statistics. */
 object CorpusStats {
 

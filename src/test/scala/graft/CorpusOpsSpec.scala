@@ -157,6 +157,48 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out === Array(3L))
   }
 
+  // ---------------------------------------------------------------- Mixtures
+
+  test("waterFill matches the greedy hand computation in the mixed regime") {
+    // supplies (maxEpochs=1): a=10, b=20, c=100; budget 60.
+    // a: 10*3=30 <= 60 -> full. b: 20*2=40 <= 50 -> full. c: 100 > 30 -> λ=30.
+    val counts = Seq(("a", 10L), ("b", 20L), ("c", 100L)).toDF("src", "n")
+    val out = Mixtures.waterFill(counts, "src", "n", budget = 60L)
+      .orderBy("src")
+      .select("src", "alloc").as[(String, Long)].collect()
+    assert(out === Array(("a", 10L), ("b", 20L), ("c", 30L)))
+  }
+
+  test("waterFill allocates everything when the budget covers all supplies") {
+    val counts = Seq(("a", 5L), ("b", 7L)).toDF("src", "n")
+    val out = Mixtures.waterFill(counts, "src", "n", budget = 1000L,
+      maxEpochs = 2L)
+      .orderBy("src")
+      .select("src", "supply", "alloc").as[(String, Long, Long)].collect()
+    assert(out === Array(("a", 10L, 10L), ("b", 14L, 14L)))
+  }
+
+  test("waterFill splits the level evenly when nothing fits fully") {
+    // equal big sources, tiny budget: everyone gets budget div k
+    val counts = Seq(("a", 50L), ("b", 50L), ("c", 50L)).toDF("src", "n")
+    val out = Mixtures.waterFill(counts, "src", "n", budget = 31L)
+      .select("alloc").as[Long].collect()
+    assert(out.toSeq === Seq(10L, 10L, 10L))
+  }
+
+  test("waterFill total allocation never exceeds the budget") {
+    val counts = Seq(("a", 13L), ("b", 29L), ("c", 7L), ("d", 101L))
+      .toDF("src", "n")
+    for (b <- Seq(0L, 10L, 50L, 120L, 500L)) {
+      val allocs = Mixtures.waterFill(counts, "src", "n", budget = b,
+        maxEpochs = 3L)
+        .select("alloc").as[Long].collect()
+      assert(allocs.sum <= math.max(b, 0L) ||
+        allocs.sum === Seq(13L, 29L, 7L, 101L).map(_ * 3).sum)
+      assert(allocs.forall(_ >= 0L))
+    }
+  }
+
   // ---------------------------------------------------------------- CorpusStats
 
   test("CorpusStats.topNgrams orders by count desc then gram, cut at k") {
