@@ -3323,6 +3323,52 @@ object Queries {
     )
   )
 
+  /** Incremental dedup through [[MinHashLSH.nearDupAgainst]]: even
+    * doc_ids play the EXISTING corpus, odd ones the ingest batch; both
+    * sides read the shared signature materialization — exactly the
+    * production posture the operator exists for (persisted corpus
+    * signatures + batch-only computation, incoming×existing bucket
+    * join, never corpus×corpus). md5 hasher so DuckDB replays banding
+    * and Jaccard verification verbatim. */
+  private val qIncrementalDedup = Q(
+    "q117_incremental_dedup",
+    (s, dir) => {
+      val sigs = minhashSigs(s, dir)
+      val existing = sigs.filter(col("doc_id") % 2 === 0)
+      val incoming = sigs.filter(col("doc_id") % 2 === 1)
+      MinHashLSH
+        .nearDupAgainst(existing, incoming, "doc_id", sigField = "sig",
+          wordsField = "words", bands = 4, sigLen = 8, minJaccard = 0.3,
+          hasher = c => md5(c))
+        .select(
+          col("doc_id"),
+          col("dup_of_existing").cast(LongType).as("dup_of_existing")
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH $SIG_CTES,
+         |bq AS (SELECT doc_id,
+         |    unnest(generate_series(0, 3)) AS band,
+         |    unnest(list_transform(generate_series(0, 3),
+         |      b -> md5(array_to_string(list_slice(sig, b*2 + 1, b*2 + 2), '|')))) AS bh
+         |  FROM sigs),
+         |cand AS (SELECT DISTINCT i.doc_id AS in_id, e.doc_id AS ex_id
+         |  FROM bq i JOIN bq e ON i.band = e.band AND i.bh = e.bh
+         |  WHERE i.doc_id % 2 = 1 AND e.doc_id % 2 = 0),
+         |w AS (SELECT doc_id, list_distinct(words) AS uw FROM sigs),
+         |v AS (SELECT in_id,
+         |    CAST(len(list_filter(wa.uw, x -> list_contains(wb.uw, x))) AS DOUBLE) AS inter,
+         |    len(wa.uw) + len(wb.uw) AS tot
+         |  FROM cand JOIN w wa ON wa.doc_id = cand.in_id
+         |  JOIN w wb ON wb.doc_id = cand.ex_id),
+         |dup AS (SELECT DISTINCT in_id FROM v WHERE inter / (tot - inter) >= 0.3)
+         |SELECT s.doc_id,
+         |  CAST(s.doc_id IN (SELECT in_id FROM dup) AS BIGINT) AS dup_of_existing
+         |FROM sigs s WHERE s.doc_id % 2 = 1 ORDER BY doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -3357,7 +3403,7 @@ object Queries {
     qRecipeJinja, qDebugPeek, qSampleFrames, qGopherGate, qQuantize,
     qAsofForward, qAsofTolerance, qDecontaminate, qDeterministicSample,
     qParagraphDedup, qLmFamiliarity, qPackSequences, qTopNgrams,
-    qDedupSurvivorPolicy, qWaterFill
+    qDedupSurvivorPolicy, qWaterFill, qIncrementalDedup
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

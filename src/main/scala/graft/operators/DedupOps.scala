@@ -257,6 +257,69 @@ object MinHashLSH {
     df.join(losers, Seq(idField), "left_anti")
   }
 
+  /** Incremental near-dup detection: flag INCOMING docs that are
+    * near-duplicates of an EXISTING corpus — the production ingestion
+    * path, and the reason signature tables persist beside a corpus.
+    * Both sides arrive WITH their signature column: the existing side's
+    * signatures were computed once at corpus build time, so an ingest
+    * batch only computes its own. Banding both sides meets in a
+    * bucket-local incoming×existing join — never existing×existing, so
+    * the join work is |batch|-proportional, not corpus-quadratic —
+    * candidates are verified by exact Jaccard over distinct-word sets,
+    * and the flag lands back on the batch with one small join. The
+    * corpus is scanned once (its banding projection), the batch twice.
+    */
+  def nearDupAgainst(
+      existingSigs: DataFrame,
+      incomingSigs: DataFrame,
+      idField: String,
+      sigField: String = "minhash_sig",
+      wordsField: String = "words",
+      bands: Int = 4,
+      sigLen: Int = 16,
+      minJaccard: Double = 0.8,
+      hasher: Column => Column = c => xxhash64(c),
+      flagField: String = "dup_of_existing"
+  ): DataFrame = {
+    val rowsPerBand = sigLen / bands
+    def banded(df: DataFrame, side: String): DataFrame = df.select(
+      col(idField).as(s"__${side}_id"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b =>
+            hasher(concat_ws("|", slice(col(sigField), b * rowsPerBand + 1,
+              lit(rowsPerBand))))
+        )
+      ).as(Seq("band", "bh"))
+    )
+    val cand = banded(incomingSigs, "in")
+      .join(banded(existingSigs, "ex"), Seq("band", "bh"))
+      .select(col("__in_id"), col("__ex_id"))
+      .distinct()
+    val inWords = incomingSigs.select(
+      col(idField).as("__in_id"),
+      array_distinct(col(wordsField)).as("__in_w"))
+    val exWords = existingSigs.select(
+      col(idField).as("__ex_id"),
+      array_distinct(col(wordsField)).as("__ex_w"))
+    val dupIds = cand
+      .join(inWords, Seq("__in_id"))
+      .join(exWords, Seq("__ex_id"))
+      .withColumn("__inter",
+        size(array_intersect(col("__in_w"), col("__ex_w"))).cast(DoubleType))
+      .withColumn("__jac",
+        col("__inter") /
+          (size(col("__in_w")) + size(col("__ex_w")) - col("__inter")))
+      .filter(col("__jac") >= minJaccard)
+      .select(col("__in_id").as(idField))
+      .distinct()
+      .withColumn(flagField, lit(true))
+    incomingSigs
+      .join(dupIds, Seq(idField), "left")
+      .withColumn(flagField, coalesce(col(flagField), lit(false)))
+  }
+
   /** Quality-aware cluster survivor selection (the FineWeb/Dolma policy):
     * like [[dedupClusters]], but each near-dup cluster keeps its
     * highest-`quality` member (ties → smallest id) instead of its

@@ -157,6 +157,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out === Array(3L))
   }
 
+  test("nearDupAgainst flags only incoming docs near-duplicating the existing corpus") {
+    val base = (1 to 40).map(i => s"w$i")
+    val existing = MinHashSignature("words")(
+      Seq((0L, base), (2L, (1 to 40).map(i => s"q$i"))).toDF("id", "words"))
+    val incoming = MinHashSignature("words")(
+      Seq(
+        (1L, base.updated(0, "changed")),     // near-dup of existing 0
+        (3L, (1 to 40).map(i => s"n$i"))      // unrelated
+      ).toDF("id", "words"))
+    val out = MinHashLSH.nearDupAgainst(existing, incoming, "id",
+      minJaccard = 0.5)
+      .orderBy("id").select("id", "dup_of_existing")
+      .as[(Long, Boolean)].collect()
+    assert(out === Array((1L, true), (3L, false)))
+  }
+
+  test("nearDupAgainst never pairs incoming docs with each other") {
+    // two incoming docs identical to EACH OTHER but unlike the corpus:
+    // incremental dedup must not flag them (batch-internal dedup is a
+    // separate pass)
+    val dup = (1 to 40).map(i => s"z$i")
+    val existing = MinHashSignature("words")(
+      Seq((0L, (1 to 40).map(i => s"w$i"))).toDF("id", "words"))
+    val incoming = MinHashSignature("words")(
+      Seq((1L, dup), (3L, dup)).toDF("id", "words"))
+    val out = MinHashLSH.nearDupAgainst(existing, incoming, "id",
+      minJaccard = 0.5)
+      .select("dup_of_existing").as[Boolean].collect()
+    assert(out === Array(false, false))
+  }
+
   // ---------------------------------------------------------------- Mixtures
 
   test("waterFill matches the greedy hand computation in the mixed regime") {
