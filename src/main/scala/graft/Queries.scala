@@ -3369,6 +3369,47 @@ object Queries {
     )
   )
 
+  /** Span-level dedup candidates through
+    * [[FingerprintOverlap.candidatePairs]]: 20-char grams (≈4 words of
+    * this corpus — long enough that fingerprints are span-specific, the
+    * winnowing regime) selected at 1/16 by md5 hex prefix, inverted and
+    * joined with the cap=8 hot-fingerprint guard, pairs sharing ≥ 2.
+    * DuckDB replays selection, capping, and the overlap count. */
+  private val qFingerprintOverlap = Q(
+    "q118_fingerprint_overlap_pairs",
+    (s, dir) => {
+      val fps = docs(s, dir).select(
+        col("doc_id"),
+        array_distinct(
+          filter(
+            transform(
+              sequence(lit(1), length(col("text")) - 19),
+              i => md5(col("text").substr(i, lit(20)))
+            ),
+            h => substring(h, 1, 1) === "0"
+          )
+        ).as("fp")
+      )
+      FingerprintOverlap.candidatePairs(fps, "doc_id", "fp",
+        minShared = 2, maxBucketSize = Some(8), hasher = c => md5(c))
+        .orderBy("id_a", "id_b")
+    },
+    Some(
+      """WITH fp AS (SELECT doc_id, unnest(list_distinct(list_filter(
+        |    list_transform(generate_series(1, length(text) - 19),
+        |      i -> md5(substring(text, CAST(i AS INT), 20))),
+        |    h -> substring(h, 1, 1) = '0'))) AS f FROM documents),
+        |rk AS (SELECT doc_id, f, row_number() OVER (PARTITION BY f
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || f), doc_id) AS rn
+        |  FROM fp),
+        |kept AS (SELECT doc_id, f FROM rk WHERE rn <= 8)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS shared
+        |FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -3403,7 +3444,8 @@ object Queries {
     qRecipeJinja, qDebugPeek, qSampleFrames, qGopherGate, qQuantize,
     qAsofForward, qAsofTolerance, qDecontaminate, qDeterministicSample,
     qParagraphDedup, qLmFamiliarity, qPackSequences, qTopNgrams,
-    qDedupSurvivorPolicy, qWaterFill, qIncrementalDedup
+    qDedupSurvivorPolicy, qWaterFill, qIncrementalDedup,
+    qFingerprintOverlap
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

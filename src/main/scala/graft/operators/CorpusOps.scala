@@ -241,6 +241,65 @@ final case class PackSequences(
   }
 }
 
+/** Substring-overlap candidate pairs from selected fingerprints — the
+  * winnowing/MOSS inversion used for span-level dedup in code-corpus
+  * pipelines (The Stack / StarCoder data cards). Invert a per-doc
+  * fingerprint ARRAY column (e.g. [[TextAnalysis.fingerprint]], or an
+  * md5-selected variant for engine-portable replay) into a
+  * (fingerprint → doc) table, join bucket-locally, and keep pairs
+  * sharing at least `minShared` fingerprints. Complements whole-doc
+  * minhash: a copied long SPAN inside an otherwise-different document
+  * shares its span fingerprints outright while sitting far below any
+  * whole-doc jaccard threshold.
+  *
+  * Scale shape: explode is linear in selected fingerprints (~1/keepMod
+  * of text), the join is keyed on the fingerprint value, and
+  * `maxBucketSize` bounds hot fingerprints (boilerplate spans) with the
+  * same per-bucket deterministic down-sample as
+  * [[MinHashLSH.candidatePairs]] — join work capped at cap² per
+  * fingerprint. */
+object FingerprintOverlap {
+
+  def candidatePairs(
+      df: DataFrame,
+      idField: String,
+      fpField: String,
+      minShared: Int = 2,
+      maxBucketSize: Option[Int] = None,
+      hasher: Column => Column = c => xxhash64(c)
+  ): DataFrame = {
+    val inverted = df.select(
+      col(idField).as("__fo_id"),
+      explode(col(fpField)).as("__fo_f")
+    )
+    val kept = maxBucketSize match {
+      case Some(cap) =>
+        inverted
+          .withColumn(
+            "__fo_rn",
+            row_number().over(
+              Window.partitionBy(col("__fo_f"))
+                .orderBy(
+                  hasher(concat_ws("|", col("__fo_id"), col("__fo_f"))),
+                  col("__fo_id")))
+          )
+          .filter(col("__fo_rn") <= cap)
+          .drop("__fo_rn")
+          .persist()
+      case None => inverted
+    }
+    kept.as("a")
+      .join(
+        kept.as("b"),
+        col("a.__fo_f") === col("b.__fo_f") &&
+          col("a.__fo_id") < col("b.__fo_id"))
+      .select(col("a.__fo_id").as("id_a"), col("b.__fo_id").as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+}
+
 /** Data-mixture budget allocation. */
 object Mixtures {
 

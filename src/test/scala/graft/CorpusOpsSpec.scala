@@ -188,6 +188,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out === Array(false, false))
   }
 
+  // ---------------------------------------------------------------- FingerprintOverlap
+
+  test("FingerprintOverlap keeps pairs sharing at least minShared fingerprints") {
+    val docs = Seq(
+      (0L, Seq("f1", "f2", "f3")),
+      (1L, Seq("f2", "f3", "f9")), // shares f2,f3 with 0
+      (2L, Seq("f3", "zz"))        // shares only f3 with 0 and 1
+    ).toDF("id", "fp")
+    val out = FingerprintOverlap.candidatePairs(docs, "id", "fp",
+      minShared = 2)
+      .select("id_a", "id_b", "shared").as[(Long, Long, Long)].collect()
+    assert(out === Array((0L, 1L, 2L)))
+  }
+
+  test("FingerprintOverlap cap bounds a hot fingerprint's pair fan-out") {
+    val hot = (0L until 6L).map(i => (i, Seq("hotfp")))
+    val docs = hot.toDF("id", "fp")
+    val uncapped = FingerprintOverlap.candidatePairs(docs, "id", "fp",
+      minShared = 1).count()
+    val capped = FingerprintOverlap.candidatePairs(docs, "id", "fp",
+      minShared = 1, maxBucketSize = Some(2)).count()
+    assert(uncapped === 15L) // 6 choose 2
+    assert(capped === 1L)    // cap 2 -> one pair from the kept subset
+  }
+
   // ---------------------------------------------------------------- Mixtures
 
   test("waterFill matches the greedy hand computation in the mixed regime") {

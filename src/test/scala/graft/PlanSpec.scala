@@ -84,6 +84,36 @@ class PlanSpec extends SparkSpec {
     assert(!exec.contains("Exchange"), exec)
   }
 
+  test("ParagraphDedup survives on aggregation, never a window over a hot key") {
+    val df = (0L until 50L).map(i => (i, s"line${i % 7}\ncommon\nline$i"))
+      .toDF("id", "text")
+    val out = ParagraphDedup("text", "id")(df)
+    val plan = out.queryExecution.optimizedPlan.toString
+    // survivor selection must be min-aggregation (map-side partial
+    // combine collapses hot boilerplate paragraphs before the shuffle);
+    // a Window over the paragraph key would put every copy of a hot
+    // line on one reducer
+    assert(!plan.contains("Window"), plan)
+    assert(plan.toLowerCase.contains("min("), plan)
+  }
+
+  test("PackSequences: data-side window is bucket-partitioned; only the tiny totals cross one partition") {
+    val df = (0L until 200L).map(i => (i, i % 9)).toDF("id", "n")
+    val out = PackSequences("id", "n", chunkSize = 16, bucketSpan = 25)(df)
+    val plan = out.queryExecution.executedPlan.toString
+    // the per-row cumulative window must be keyed by the bucket column
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.exists(_.contains("__ps_b")), plan)
+    // exactly ONE single-partition exchange: the O(#buckets) totals
+    // table feeding the prefix window — never the data
+    val singles = plan.sliding("Exchange SinglePartition".length)
+      .count(_ == "Exchange SinglePartition")
+    assert(singles == 1, plan)
+    // the prefix table comes back via broadcast, not a shuffled join
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
   private def pipeOps(ms: graft.Mapper*)(df: org.apache.spark.sql.DataFrame) =
     ms.foldLeft(df)((d, m) => m(d))
 }
