@@ -3410,6 +3410,38 @@ object Queries {
     )
   )
 
+  /** The packed training rows themselves, through
+    * [[PackSequences.packChunks]]: the stand-in token streams (per-word
+    * lengths) concatenated in doc order and cut into 32-token chunks —
+    * documents straddle boundaries, nothing is padded; the single short
+    * tail chunk is kept so totals reconcile. The oracle rebuilds every
+    * chunk with the same cumulative offsets and an ordered list agg. */
+  private val qPackChunks = Q(
+    "q119_packed_chunks",
+    (s, dir) =>
+      PackSequences
+        .packChunks(docIds(s, dir).select("doc_id", "ids"), "doc_id", "ids",
+          chunkSize = 32, bucketSpan = 64)
+        .select(
+          col("chunk"),
+          J("tokens"),
+          size(col("tokens")).cast(LongType).as("n")
+        )
+        .orderBy("chunk"),
+    Some(
+      s"""WITH w AS (SELECT doc_id, $IDS AS ids FROM documents),
+         |c AS (SELECT doc_id, ids, CAST(coalesce(sum(len(ids)) OVER (
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS BIGINT) AS o FROM w),
+         |t AS (SELECT unnest(list_transform(generate_series(1, len(ids)),
+         |    i -> {'p': o + i - 1, 'v': ids[i]})) AS u FROM c),
+         |g AS (SELECT u.p // 32 AS chunk, u.p AS p, u.v AS v FROM t)
+         |SELECT chunk, to_json(list(v ORDER BY p))::VARCHAR AS tokens,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM g GROUP BY chunk ORDER BY chunk""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -3445,7 +3477,7 @@ object Queries {
     qAsofForward, qAsofTolerance, qDecontaminate, qDeterministicSample,
     qParagraphDedup, qLmFamiliarity, qPackSequences, qTopNgrams,
     qDedupSurvivorPolicy, qWaterFill, qIncrementalDedup,
-    qFingerprintOverlap
+    qFingerprintOverlap, qPackChunks
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -373,6 +373,51 @@ object Mixtures {
   }
 }
 
+object PackSequences {
+
+  /** Materialize the packed TRAINING ROWS that [[PackSequences]]'
+    * offsets describe: explode each doc's token array onto the global
+    * concatenation offset, group by `chunk = pos div chunkSize`, and
+    * emit every chunk's tokens in stream order — the fixed-length rows
+    * a pretraining loader actually consumes (documents straddle chunk
+    * boundaries; nothing is padded). The explode/groupBy shuffles one
+    * row per TOKEN keyed by the 8-byte chunk id — the unavoidable cost
+    * of re-chunking a corpus, with map-side partial collect and perfect
+    * key balance (chunk ids are dense integers). `dropLast` drops the
+    * single short tail chunk for strictly rectangular output. */
+  def packChunks(
+      df: DataFrame,
+      idField: String,
+      tokensField: String,
+      chunkSize: Long,
+      bucketSpan: Long = 1L << 20,
+      dropLast: Boolean = false
+  ): DataFrame = {
+    val withN = df.withColumn("__pc_n", size(col(tokensField)).cast(LongType))
+    val offsets =
+      PackSequences(idField, "__pc_n", chunkSize, bucketSpan)(withN)
+    val toks = offsets
+      .select(
+        col("start_offset"),
+        posexplode(col(tokensField)).as(Seq("__pc_i", "__pc_tok"))
+      )
+      .withColumn("__pc_pos", col("start_offset") + col("__pc_i"))
+      .withColumn("chunk", expr(s"__pc_pos div ${chunkSize}L"))
+    val chunks = toks
+      .groupBy(col("chunk"))
+      .agg(
+        sort_array(collect_list(struct(col("__pc_pos"), col("__pc_tok"))))
+          .as("__pc_ps")
+      )
+      .select(
+        col("chunk"),
+        transform(col("__pc_ps"), p => p.getField("__pc_tok")).as("tokens")
+      )
+    if (dropLast) chunks.filter(size(col("tokens")) === chunkSize)
+    else chunks
+  }
+}
+
 /** Corpus-level n-gram statistics. */
 object CorpusStats {
 

@@ -188,6 +188,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out === Array(false, false))
   }
 
+  test("packChunks reproduces the concatenated stream exactly") {
+    val df = Seq(
+      (0L, Seq(1L, 2L, 3L)),
+      (1L, Seq(4L, 5L)),
+      (2L, Seq(6L, 7L, 8L, 9L))
+    ).toDF("id", "toks")
+    val out = PackSequences.packChunks(df, "id", "toks", chunkSize = 4,
+      bucketSpan = 2)
+      .orderBy("chunk")
+      .select("chunk", "tokens").as[(Long, Seq[Long])].collect()
+    assert(out === Array(
+      (0L, Seq(1L, 2L, 3L, 4L)),  // doc 1 straddles the boundary
+      (1L, Seq(5L, 6L, 7L, 8L)),
+      (2L, Seq(9L))               // short tail kept by default
+    ))
+  }
+
+  test("packChunks dropLast yields strictly rectangular rows") {
+    val df = Seq((0L, (1L to 10L))).toDF("id", "toks")
+    val out = PackSequences.packChunks(df, "id", "toks", chunkSize = 4,
+      dropLast = true)
+      .select("tokens").as[Seq[Long]].collect()
+    assert(out.forall(_.size == 4) && out.length == 2)
+  }
+
   // ---------------------------------------------------------------- FingerprintOverlap
 
   test("FingerprintOverlap keeps pairs sharing at least minShared fingerprints") {
