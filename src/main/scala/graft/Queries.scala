@@ -3442,6 +3442,31 @@ object Queries {
     )
   )
 
+  /** Deterministic training-order shuffle through
+    * [[DeterministicShuffle]] (epoch-salted hash order). The driver's
+    * compare sorts rows before hashing, so the query materializes the
+    * permutation as an explicit rank column — DuckDB replays the salted
+    * hash order verbatim, pinning the exact epoch-0 permutation. */
+  private val qDeterministicShuffle = Q(
+    "q120_deterministic_shuffle",
+    (s, dir) => {
+      val key = md5(concat(col("doc_id").cast(StringType), lit("epoch0")))
+      DeterministicShuffle("doc_id", "epoch0", portable = true)(
+        docs(s, dir).select("doc_id"))
+        .withColumn(
+          "shuffle_rank",
+          row_number().over(Window.orderBy(key, col("doc_id"))).cast(LongType)
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || 'epoch0'), doc_id)
+        |  AS BIGINT) AS shuffle_rank
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -3477,7 +3502,7 @@ object Queries {
     qAsofForward, qAsofTolerance, qDecontaminate, qDeterministicSample,
     qParagraphDedup, qLmFamiliarity, qPackSequences, qTopNgrams,
     qDedupSurvivorPolicy, qWaterFill, qIncrementalDedup,
-    qFingerprintOverlap, qPackChunks
+    qFingerprintOverlap, qPackChunks, qDeterministicShuffle
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

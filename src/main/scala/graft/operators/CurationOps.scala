@@ -142,6 +142,30 @@ object Sampling {
   }
 }
 
+/** Deterministic global shuffle: order rows by a salted hash of their id
+  * — the training-order randomization every pretraining pipeline ends
+  * with, reproducible across runs/engines (no RNG state) and re-keyable
+  * by salt per epoch. At scale this is exactly one range-partitioned
+  * distributed sort (Spark samples the hash space, so output partitions
+  * are balanced no matter how skewed the ids); the hash tie-breaks on
+  * the id itself, making the order total and the output stable. */
+final case class DeterministicShuffle(
+    idField: String,
+    salt: String = "graft",
+    portable: Boolean = false
+) extends graft.Mapper {
+  override def inputFields: Seq[String] = Seq(idField)
+  override protected def build(df: DataFrame): DataFrame = {
+    val key =
+      if (portable)
+        md5(concat(col(idField).cast(StringType), lit(salt)))
+      else
+        xxhash64(concat(col(idField).cast(StringType), lit(salt)))
+          .cast(StringType)
+    df.orderBy(key, col(idField))
+  }
+}
+
 /** Mapper form of [[Sampling]]: keep a deterministic `fraction` of rows
   * (optionally per-stratum). `portable` switches the md5 variant on for
   * cross-engine replay; production default is codegen'd xxhash64. */

@@ -213,6 +213,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.forall(_.size == 4) && out.length == 2)
   }
 
+  // ---------------------------------------------------------------- DeterministicShuffle
+
+  test("DeterministicShuffle is a stable permutation; salt re-keys it") {
+    val df = (0L until 100L).map(i => (i, s"d$i")).toDF("id", "payload")
+    def order(salt: String) =
+      DeterministicShuffle("id", salt)(df).select("id").as[Long].collect().toSeq
+    val e0 = order("epoch0")
+    assert(e0.sorted == (0L until 100L))     // permutation, nothing lost
+    assert(e0 == order("epoch0"))            // reproducible
+    assert(e0 != (0L until 100L))            // actually shuffled
+    assert(e0 != order("epoch1"))            // epoch salt re-keys
+  }
+
   // ---------------------------------------------------------------- FingerprintOverlap
 
   test("FingerprintOverlap keeps pairs sharing at least minShared fingerprints") {
