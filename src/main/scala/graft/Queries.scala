@@ -103,7 +103,10 @@ object Queries {
     docIds(s, dir).withColumn(
       "seqs",
       transform(
-        sequence(lit(0L), floor((size(col("ids")) - 1) / 4).cast(LongType)),
+        when(
+          size(col("ids")) > 0,
+          sequence(lit(0L), floor((size(col("ids")) - 1) / 4).cast(LongType))
+        ).otherwise(array().cast("array<bigint>")),
         k => slice(col("ids"), (k * 4 + 1).cast(IntegerType), lit(4))
       )
     )
@@ -589,6 +592,22 @@ object Queries {
     )
   )
 
+  /** BreakIterator (`break`) splitter — the blingfire-gap closer. The
+    * fixture corpus is `[a-z0-9 ]` only, where UAX #29 word boundaries
+    * coincide with whitespace splitting, so DuckDB replays it with the
+    * ws split; the boundaries regex can't express (contractions,
+    * decimal numbers) are pinned by the spec suite instead. */
+  private val qWordsBreak = Q(
+    "q123_text_to_words_break",
+    (s, dir) =>
+      TextToWords(Seq("text"), Splitters.BreakIter)(T(s, dir, "documents"))
+        .select(col("doc_id"), to_json(col("text")).as("words"))
+        .orderBy("doc_id"),
+    Some(
+      s"SELECT doc_id, to_json($W)::VARCHAR AS words FROM documents ORDER BY doc_id"
+    )
+  )
+
   private val qWordsToText = Q(
     "q31_words_to_text",
     (s, dir) =>
@@ -971,9 +990,24 @@ object Queries {
   private val sigCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  /** Per-JVM token so two concurrent sessions on the same dir never race
+    * on one file; the dir itself is identified by a collision-resistant
+    * md5 of the full path (String.hashCode collides, e.g. "Aa"/"BB"). */
+  private val sigCacheToken =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      .replaceAll("[^A-Za-z0-9]", "_")
+
   private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
     val path = sigCache.getOrElseUpdate((s, dir), {
-      val out = s"/tmp/graft_sigs_${Integer.toHexString(dir.hashCode)}"
+      val dirDigest = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(dir.getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+      val out = s"/tmp/graft_sigs_${sigCacheToken}_$dirDigest"
+      org.apache.hadoop.fs.FileSystem
+        .getLocal(s.sparkContext.hadoopConfiguration)
+        .deleteOnExit(new org.apache.hadoop.fs.Path(out))
       withMinhashSig(docWords(s, dir).withColumn("shingles", shinglesCol))
         .select("doc_id", "words", "sig")
         .write.mode("overwrite").parquet(out)
@@ -1147,23 +1181,27 @@ object Queries {
     * verify — the 100-TB shape: candidate generation is a bucket-keyed
     * equi-join (no corpus×corpus cartesian; exact all-pairs at any real
     * scale is O(n²) and is only ever a small-sample audit, available via
-    * [[CosineKnn.bruteForce]]). Buckets are the sign bits of the first 4
+    * [[CosineKnn.bruteForce]]). Buckets are the sign bits of the first 8
     * dimensions (axis-aligned hyperplanes — deterministic arithmetic both
-    * engines evaluate identically, unlike seeded random planes) with
-    * Hamming-radius-1 multiprobe; the corpus side stays in ONE bucket,
-    * only the probe side fans out ×5. The oracle replicates the exact
-    * same bucketing, so recall is by-construction identical. */
+    * engines evaluate identically, unlike seeded random planes), giving
+    * 256 buckets ≈ n/256 vectors each, so the bucket equi-join's work is
+    * O(n²/256) — the blocked-all-pairs cost falls quadratically with
+    * plane count, and at 100 TB the plane count (a literal here) is the
+    * dial: 12 planes = 4096 buckets. Hamming-radius-1 multiprobe keeps
+    * the corpus side in ONE bucket; only the probe side fans out ×9. The
+    * oracle replicates the exact same bucketing, so recall is
+    * by-construction identical. */
   private val qEmbedNeardup = Q(
     "q96_embed_neardup_pairs",
     (s, dir) => {
       val emb = embs(s, dir)
         .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
       val bucketOf: Column => Column = e =>
-        (0 until 4)
+        (0 until 8)
           .map(i => when(e.getItem(i) >= 0, lit(1 << i)).otherwise(lit(0)))
           .reduce(_ + _)
       val base = emb.withColumn("bucket", bucketOf(col("e")))
-      val masks = lit(0) +: (0 until 4).map(i => lit(1 << i))
+      val masks = lit(0) +: (0 until 8).map(i => lit(1 << i))
       // carry the (512-byte) embeddings through the bucket join and score
       // inline: the verify filter then runs map-side on the join output and
       // only the few surviving pairs pay the multiprobe de-duplication
@@ -1195,8 +1233,12 @@ object Queries {
         |  (CASE WHEN e[1] >= 0 THEN 1 ELSE 0 END)
         |  + (CASE WHEN e[2] >= 0 THEN 2 ELSE 0 END)
         |  + (CASE WHEN e[3] >= 0 THEN 4 ELSE 0 END)
-        |  + (CASE WHEN e[4] >= 0 THEN 8 ELSE 0 END) AS bucket FROM e),
-        |m AS (SELECT unnest([0, 1, 2, 4, 8]) AS m),
+        |  + (CASE WHEN e[4] >= 0 THEN 8 ELSE 0 END)
+        |  + (CASE WHEN e[5] >= 0 THEN 16 ELSE 0 END)
+        |  + (CASE WHEN e[6] >= 0 THEN 32 ELSE 0 END)
+        |  + (CASE WHEN e[7] >= 0 THEN 64 ELSE 0 END)
+        |  + (CASE WHEN e[8] >= 0 THEN 128 ELSE 0 END) AS bucket FROM e),
+        |m AS (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m),
         |p AS (SELECT vec_id, xor(bucket, m) AS bucket FROM b, m),
         |cand AS (SELECT DISTINCT a.vec_id AS id_a, p.vec_id AS id_b
         |  FROM b a JOIN p ON a.bucket = p.bucket AND a.vec_id < p.vec_id),
@@ -1303,7 +1345,12 @@ object Queries {
         .withColumn(
           "grams",
           transform(
-            sequence(lit(1), length(col("text")) - 4),
+            // Guard short text: Spark's sequence(1, len-4) defaults to a
+            // descending step when len < 5; DuckDB's generate_series is empty.
+            when(
+              length(col("text")) >= 5,
+              sequence(lit(1), length(col("text")) - 4)
+            ).otherwise(array().cast("array<int>")),
             i => col("text").substr(i, lit(5))
           )
         )
@@ -1419,6 +1466,67 @@ object Queries {
     )
   )
 
+  /** The promptsource-community Jinja surface (promptsource.py:45-224):
+    * slicing (`text[:20]`, `words[1:3]`), out-of-range index falling to
+    * `default`, `replace`, exact-Jinja `truncate` (killwords + custom
+    * end + leeway), and `int`/`string` casts — all replayed by DuckDB
+    * string/list functions, so the render is hash-pinned end-to-end. */
+  private val qJinjaCommunity = Q(
+    "q121_jinja_community_filters",
+    (s, dir) =>
+      JinjaMapper(
+        "{{ text[:20] | replace('a', '@') | truncate(12, true, '~', 0) }}" +
+          "/{{ words[1:3] | join('-') }}/{{ words[99] | default('none') }}" +
+          "/{{ n_chars | string }}|||{{ lang | upper }}"
+      )(docTextWords(s, dir).select("doc_id", "text", "lang", "words", "n_chars"))
+        .select("doc_id", "source", "target")
+        .orderBy("doc_id"),
+    Some(
+      s"""WITH d AS (SELECT doc_id, lang, n_chars, $W AS w,
+         |  replace(substring(text, 1, 20), 'a', '@') AS t20 FROM documents)
+         |SELECT doc_id,
+         |  (CASE WHEN length(t20) <= 12 THEN t20
+         |        ELSE substring(t20, 1, 11) || '~' END)
+         |  || '/' || array_to_string(list_slice(w, 2, 3), '-')
+         |  || '/none/' || CAST(n_chars AS VARCHAR) AS source,
+         |  upper(lang) AS target
+         |FROM d ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** [[TrainingExport]] round-trip: the collated (doc_id, ids) table
+    * sharded to parquet files and read back must be the IDENTITY on the
+    * data, with the portable multiplicative-hash shard assignment
+    * replayed by the oracle in exact BIGINT arithmetic — pins both the
+    * deterministic layout and that the file hand-off loses nothing. */
+  private val qTrainingExport = Q(
+    "q122_training_export_roundtrip",
+    (s, dir) => {
+      val digest = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(dir.getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+      val out = s"/tmp/graft_export_${sigCacheToken}_$digest"
+      org.apache.hadoop.fs.FileSystem
+        .getLocal(s.sparkContext.hadoopConfiguration)
+        .deleteOnExit(new org.apache.hadoop.fs.Path(out))
+      TrainingExport.writeShards(
+        docIds(s, dir).select("doc_id", "ids"), out, "doc_id",
+        numShards = 8, portable = true)
+      TrainingExport.readShards(s, out)
+        .select(col("doc_id"), J("ids"), col("shard").cast(LongType).as("shard"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH w AS (SELECT doc_id, $IDS AS ids FROM documents)
+         |SELECT doc_id, to_json(ids)::VARCHAR AS ids,
+         |  CAST((((doc_id * 2654435761) & 4294967295) * 8) >> 32 AS BIGINT)
+         |    AS shard
+         |FROM w ORDER BY doc_id""".stripMargin
+    )
+  )
+
   private val qFewShot = Q(
     "q38_fewshot_jinja",
     (s, dir) =>
@@ -1459,6 +1567,42 @@ object Queries {
       case (t, i) => t -> i.toLong
     }.toMap
   }
+
+  /** Unigram-LM (SentencePiece) leg through [[UnigramTokenizer]]: the
+    * vocab is the corpus's own distinct words as `▁word` pieces (a
+    * bounded ~40-entry driver collect standing in for a trained
+    * sentencepiece dump), ids assigned in sorted order after the four
+    * specials. With every word coverable by exactly one piece, the
+    * Viterbi optimum is one piece per word, so DuckDB replays the
+    * segmentation by rank-joining words to the distinct-vocab — a hash
+    * match pins normalization, Viterbi, and id assignment together. */
+  private val qUnigramTokenize = Q(
+    "q124_unigram_tokenize",
+    (s, dir) => {
+      val words = docWords(s, dir)
+        .select(explode(col("words")).as("w")).distinct()
+        .orderBy("w").collect().map(_.getString(0))
+      val t = UnigramTokenizer.fromScores(
+        words.toSeq.map(w => ("▁" + w, -1.0)))
+      TokenizerMapper(t, inputField = "text", returnAttentionMask = false)(
+        docs(s, dir))
+        .select(col("doc_id"), J("input_ids"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH words AS (SELECT doc_id, u.w AS w, u.i AS i FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len($W)),
+         |      i -> struct_pack(i := i, w := ($W)[i]))) AS u FROM documents) t),
+         |v AS (SELECT w, row_number() OVER (ORDER BY w) + 3 AS id
+         |      FROM (SELECT DISTINCT w FROM words)),
+         |ids AS (SELECT doc_id, list(v.id ORDER BY words.i) AS body
+         |        FROM words JOIN v USING (w) GROUP BY doc_id)
+         |SELECT doc_id,
+         |  to_json([CAST(1 AS BIGINT)] || body || [CAST(2 AS BIGINT)])::VARCHAR
+         |    AS input_ids
+         |FROM ids ORDER BY doc_id""".stripMargin
+    )
+  )
 
   private val qTokenize = Q(
     "q42_tokenize",
@@ -3119,10 +3263,15 @@ object Queries {
         "text",
         array_join(
           transform(
-            sequence(
-              lit(0L),
-              floor((size(col("words")) - 1) / 3).cast(LongType)
-            ),
+            // Guard: empty word arrays would make sequence(0, -1) emit a
+            // descending [0,-1] while DuckDB generate_series is empty.
+            when(
+              size(col("words")) > 0,
+              sequence(
+                lit(0L),
+                floor((size(col("words")) - 1) / 3).cast(LongType)
+              )
+            ).otherwise(array().cast("array<bigint>")),
             k =>
               array_join(
                 slice(col("words"), (k * 3 + 1).cast(IntegerType), lit(3)),
@@ -3383,7 +3532,12 @@ object Queries {
         array_distinct(
           filter(
             transform(
-              sequence(lit(1), length(col("text")) - 19),
+              // Guard: sequence(1, len-19) on text under 20 chars would
+              // emit a DESCENDING [1,0] (DuckDB generate_series is empty).
+              when(
+                length(col("text")) >= 20,
+                sequence(lit(1), length(col("text")) - 19)
+              ).otherwise(array().cast("array<int>")),
               i => md5(col("text").substr(i, lit(20)))
             ),
             h => substring(h, 1, 1) === "0"
@@ -3445,19 +3599,26 @@ object Queries {
   /** Deterministic training-order shuffle through
     * [[DeterministicShuffle]] (epoch-salted hash order). The driver's
     * compare sorts rows before hashing, so the query materializes the
-    * permutation as an explicit rank column — DuckDB replays the salted
-    * hash order verbatim, pinning the exact epoch-0 permutation. */
+    * permutation as an explicit rank column. The rank comes from
+    * zipWithIndex over the operator's already-total order: the sort is a
+    * range-partitioned distributed sort and zipWithIndex preserves
+    * global order per partition, so the corpus never funnels through a
+    * single-partition window — the same pattern as
+    * [[operators.EnumerateField]]. DuckDB replays the salted hash order
+    * verbatim, pinning the exact epoch-0 permutation. */
   private val qDeterministicShuffle = Q(
     "q120_deterministic_shuffle",
     (s, dir) => {
-      val key = md5(concat(col("doc_id").cast(StringType), lit("epoch0")))
-      DeterministicShuffle("doc_id", "epoch0", portable = true)(
+      val shuffled = DeterministicShuffle("doc_id", "epoch0", portable = true)(
         docs(s, dir).select("doc_id"))
-        .withColumn(
-          "shuffle_rank",
-          row_number().over(Window.orderBy(key, col("doc_id"))).cast(LongType)
-        )
-        .orderBy("doc_id")
+      val schema = StructType(
+        shuffled.schema.fields :+ StructField("shuffle_rank", LongType))
+      s.createDataFrame(
+        shuffled.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+        },
+        schema
+      ).orderBy("doc_id")
     },
     Some(
       """SELECT doc_id, CAST(row_number() OVER (
@@ -3502,7 +3663,8 @@ object Queries {
     qAsofForward, qAsofTolerance, qDecontaminate, qDeterministicSample,
     qParagraphDedup, qLmFamiliarity, qPackSequences, qTopNgrams,
     qDedupSurvivorPolicy, qWaterFill, qIncrementalDedup,
-    qFingerprintOverlap, qPackChunks, qDeterministicShuffle
+    qFingerprintOverlap, qPackChunks, qDeterministicShuffle,
+    qJinjaCommunity, qTrainingExport, qWordsBreak, qUnigramTokenize
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

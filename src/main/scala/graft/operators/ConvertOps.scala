@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Mapper
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -33,12 +33,65 @@ final case class FieldCast(fieldCastMap: Map[String, String]) extends Mapper {
 object MlHandoff {
   /** Terminal boundary (the Python2Torch analog, converters.py:22-102):
     * stream rows to the training process one partition at a time — no
-    * full-driver materialization. For a columnar hand-off, write parquet
-    * (Arrow-compatible) and memory-map it from the trainer instead. */
+    * full-driver materialization. For a columnar hand-off at scale use
+    * [[TrainingExport.writeShards]] instead. */
   def toLocalRowIterator(df: DataFrame): Iterator[Row] = {
     import scala.jdk.CollectionConverters._
     df.toLocalIterator().asScala
   }
+}
+
+/** File-based training hand-off — the at-scale analog of Python2Torch
+  * (converters.py:22-102) + the collator's rectangular batches
+  * (collators.py:99-105): shard the collated table deterministically by
+  * id hash, one parquet file per shard directory, rows ordered by id
+  * within each shard. A DataLoader `map`s the shard files directly
+  * (parquet is Arrow-compatible); because both the shard assignment and
+  * the intra-shard order are pure functions of the id, a re-run — on any
+  * cluster size — reproduces the exact same layout, which is what makes
+  * checkpoint-resume across pipeline re-executions sound. */
+object TrainingExport {
+
+  /** Deterministic shard of an id: codegen'd xxhash64 by default; the
+    * `portable` variant is a Knuth multiplicative hash in exact BIGINT
+    * arithmetic that any engine replays (same discipline as
+    * [[DeterministicShuffle]]'s md5 mode). The portable hash range-scales
+    * the HIGH bits (`h * n >> 32`), not `h % n` — the multiplier is odd,
+    * so a low-bits modulus would degenerate to `id % n` for power-of-two
+    * shard counts. */
+  def shardCol(id: Column, numShards: Int, portable: Boolean = false): Column =
+    if (portable)
+      shiftright(
+        (id.cast(LongType) * lit(2654435761L)).bitwiseAND(lit(4294967295L)) *
+          lit(numShards.toLong),
+        32
+      ).cast(IntegerType)
+    else
+      pmod(xxhash64(id.cast(StringType)), lit(numShards.toLong))
+        .cast(IntegerType)
+
+  /** Write `df` as `path/shard=K/part-*.parquet`, K in [0, numShards).
+    * Exactly one file per shard dir (each shard's rows are hash-routed
+    * to one task), sorted by `idField`. */
+  def writeShards(
+      df: DataFrame,
+      path: String,
+      idField: String,
+      numShards: Int,
+      portable: Boolean = false,
+      mode: String = "overwrite"
+  ): Unit = {
+    require(numShards > 0, "numShards must be positive")
+    df.withColumn("shard", shardCol(col(idField), numShards, portable))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(idField))
+      .write.mode(mode).partitionBy("shard").parquet(path)
+  }
+
+  /** Read a shard export back; the `shard` partition column comes back
+    * as an int column, so the round-trip is the identity on the data. */
+  def readShards(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }
 
 /** Log/peek mapper (the breakpoint-free analog of DebugSingleMapper,

@@ -141,9 +141,9 @@ object LmScore {
         col(idField).as("__lm_id"),
         explode(Decontaminate.ngrams(col(wordsField), n)).as("__lm_g")
       )
-      // inner join: grams absent from the reference contribute count 0,
-      // but the per-doc gram total must still include them, so count
-      // docs' grams separately below
+      // left join: grams absent from the reference contribute count 0
+      // (coalesced below), but the per-doc gram total must still
+      // include them
       .join(counts, Seq("__lm_g"), "left")
       .groupBy(col("__lm_id"))
       .agg(
@@ -288,7 +288,7 @@ object FingerprintOverlap {
           .persist()
       case None => inverted
     }
-    kept.as("a")
+    val pairs = kept.as("a")
       .join(
         kept.as("b"),
         col("a.__fo_f") === col("b.__fo_f") &&
@@ -297,6 +297,17 @@ object FingerprintOverlap {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
+    maxBucketSize match {
+      case Some(_) =>
+        // The capped inverted table was persist()ed for the self-join's
+        // two legs; eagerly materialize the (much smaller, cap-bounded)
+        // pair aggregate and release the cache so library callers don't
+        // leak cached blocks (mirrors DedupOps.components' discipline).
+        val out = pairs.localCheckpoint()
+        kept.unpersist()
+        out
+      case None => pairs
+    }
   }
 }
 
@@ -362,7 +373,13 @@ object Mixtures {
         "__u",
         col("__k") - sum(when(col("__full"), 1L).otherwise(0L)).over(everything)
       )
-      .withColumn("__lam", expr(s"(${budget}L - __fsum) div __u"))
+      // Guarded: when the budget covers every supply, __u is 0 and the
+      // raw div would divide by zero (an ANSI-mode runtime error; the
+      // alloc when-chain never reads __lam in that case anyway).
+      .withColumn(
+        "__lam",
+        when(col("__u") > 0, expr(s"(${budget}L - __fsum) div __u"))
+          .otherwise(lit(0L)))
       .withColumn(
         "alloc",
         when(col("__full"), col("supply"))

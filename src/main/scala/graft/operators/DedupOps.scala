@@ -281,6 +281,10 @@ object MinHashLSH {
       hasher: Column => Column = c => xxhash64(c),
       flagField: String = "dup_of_existing"
   ): DataFrame = {
+    require(
+      sigLen % bands == 0,
+      s"sigLen ($sigLen) must be divisible by bands ($bands); a remainder " +
+        "would silently drop trailing signature elements from banding")
     val rowsPerBand = sigLen / bands
     def banded(df: DataFrame, side: String): DataFrame = df.select(
       col(idField).as(s"__${side}_id"),

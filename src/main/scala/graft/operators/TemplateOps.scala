@@ -9,8 +9,11 @@ import org.apache.spark.sql.types._
   * Ref: /root/reference/src/smashed/mappers/promptsource.py:45-354.
   *
   * The supported subset (SURVEY §7.3 / M4): `{{ var }}` substitution with
-  * dotted paths and filters (length, lower, upper, trim, capitalize,
-  * first, last, join("sep")), `{% for x in xs %}…{% endfor %}`,
+  * dotted paths, Python-style index/slice accessors (`xs[0]`, `xs[-1]`,
+  * `s[1:5]`, `xs[:3]`) and filters (length, lower, upper, trim,
+  * capitalize, first, last, join("sep"), replace(a, b), default(d[,
+  * falsy]), truncate(n[, killwords[, end]]), int, string — the
+  * promptsource-community set), `{% for x in xs %}…{% endfor %}`,
   * `{% if cond %}…{% elif %}…{% else %}…{% endif %}` with comparisons
   * (`== != < <= > >=`) and truthiness, and the reference's `|||`
   * source/target split (promptsource.py:185-196). Unsupported constructs
@@ -32,6 +35,10 @@ object MiniJinja {
   final case class Lit(v: Any) extends Expr
   final case class Filtered(e: Expr, filter: String, args: List[Any]) extends Expr
   final case class Cmp(op: String, l: Expr, r: Expr) extends Expr
+  /** `xs[2]` / `xs[-1]` — Python-style index (negative wraps). */
+  final case class Index(e: Expr, i: Expr) extends Expr
+  /** `xs[1:3]` / `s[:5]` — Python-style slice with clamping. */
+  final case class Slice(e: Expr, from: Option[Expr], to: Option[Expr]) extends Expr
 
   final case class Template(nodes: List[Node]) extends Serializable {
     /** Variable names referenced at the top level (the reference infers
@@ -41,7 +48,10 @@ object MiniJinja {
         case Ref(p)            => Set(p.head)
         case Filtered(e, _, _) => exprVars(e)
         case Cmp(_, l, r)      => exprVars(l) ++ exprVars(r)
-        case _                 => Set.empty
+        case Index(e, i)       => exprVars(e) ++ exprVars(i)
+        case Slice(e, f, t) =>
+          exprVars(e) ++ f.toSet.flatMap(exprVars) ++ t.toSet.flatMap(exprVars)
+        case _ => Set.empty
       }
       def walk(ns: List[Node], bound: Set[String]): Set[String] = ns.flatMap {
         case Text(_)   => Set.empty[String]
@@ -133,8 +143,92 @@ object MiniJinja {
               case s: Seq[_] => s.map(show).mkString(String.valueOf(sep))
               case other     => show(other)
             }
+          case ("replace", from :: to :: Nil) =>
+            String.valueOf(v).replace(String.valueOf(from), String.valueOf(to))
+          case ("default", d :: rest) =>
+            // Jinja: default(d) replaces undefined/null; default(d, true)
+            // also replaces falsy values (empty string, 0, empty list)
+            val alsoFalsy = rest.headOption.contains(true)
+            if (v == null || (alsoFalsy && !truthy(v))) d else v
+          case ("truncate", (n: Long) :: rest) =>
+            // truncate(length, killwords=false, end="...", leeway=5):
+            // strings within `length + leeway` pass through; longer ones
+            // cut to `length` minus the end marker, at a word boundary
+            // unless killwords — Jinja2's exact contract
+            val killwords = rest.headOption.contains(true)
+            val end =
+              rest.drop(1).headOption.map(String.valueOf(_)).getOrElse("...")
+            val leeway = rest.drop(2).headOption
+              .collect { case l: Long => l.toInt }.getOrElse(5)
+            val s = String.valueOf(v)
+            if (s.length <= n.toInt + leeway) s
+            else {
+              val budget = math.max(0, n.toInt - end.length)
+              val cut = s.substring(0, budget)
+              val trimmed =
+                if (killwords) cut
+                else {
+                  val sp = cut.lastIndexOf(' ')
+                  if (sp > 0) cut.substring(0, sp) else cut
+                }
+              trimmed + end
+            }
+          case ("int", _) =>
+            // Jinja's int filter: unparseable input yields 0 (or the
+            // provided default), never an error
+            val dflt = args.headOption.collect { case n: Long => n }.getOrElse(0L)
+            v match {
+              case n: Number => n.longValue()
+              case s: String =>
+                val t = s.trim
+                try t.toLong
+                catch {
+                  case _: NumberFormatException =>
+                    try t.toDouble.toLong
+                    catch { case _: NumberFormatException => dflt }
+                }
+              case b: Boolean => if (b) 1L else 0L
+              case _          => dflt
+            }
+          case ("string", _) => show(v)
           case _ =>
             throw new IllegalArgumentException(s"Unsupported filter: $f($args)")
+        }
+      case Index(inner, ie) =>
+        val v = eval(inner, vars)
+        val idx = toNum(eval(ie, vars)).toInt
+        v match {
+          case s: Seq[_] =>
+            val n = s.size
+            val k = if (idx < 0) idx + n else idx
+            if (k >= 0 && k < n) s(k) else null
+          case s: String =>
+            val n = s.length
+            val k = if (idx < 0) idx + n else idx
+            if (k >= 0 && k < n) s.substring(k, k + 1) else null
+          case null  => null
+          case other => throw new IllegalArgumentException(s"cannot index $other")
+        }
+      case Slice(inner, fromE, toE) =>
+        val v = eval(inner, vars)
+        def bounds(n: Int): (Int, Int) = {
+          def resolve(eo: Option[Expr], dflt: Int): Int =
+            eo.map { e =>
+              val i = toNum(eval(e, vars)).toInt
+              val k = if (i < 0) i + n else i
+              math.max(0, math.min(n, k))
+            }.getOrElse(dflt)
+          (resolve(fromE, 0), resolve(toE, n))
+        }
+        v match {
+          case s: Seq[_] =>
+            val (a, b) = bounds(s.size)
+            if (a < b) s.slice(a, b) else Seq.empty
+          case s: String =>
+            val (a, b) = bounds(s.length)
+            if (a < b) s.substring(a, b) else ""
+          case null  => null
+          case other => throw new IllegalArgumentException(s"cannot slice $other")
         }
       case Cmp(op, le, re) =>
         val l = eval(le, vars)
@@ -267,7 +361,54 @@ object MiniJinja {
     }
   }
 
-  private def parseAtom(s: String): Expr =
+  private def parseAtom(s: String): Expr = {
+    // split off trailing [idx] / [a:b] accessor groups (bracket binds
+    // tighter than |filter, looser than the dotted path)
+    val open = {
+      var depth = 0
+      var quote: Char = 0
+      var found = -1
+      var i = 0
+      while (i < s.length && found < 0) {
+        val c = s.charAt(i)
+        if (quote != 0) { if (c == quote) quote = 0 }
+        else if (c == '"' || c == '\'') quote = c
+        else if (c == '[' && depth == 0) found = i
+        else if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        i += 1
+      }
+      found
+    }
+    if (open < 0) parseBase(s)
+    else {
+      var e = parseBase(s.substring(0, open).trim)
+      var rest = s.substring(open)
+      while (rest.startsWith("[")) {
+        val close = rest.indexOf(']')
+        require(close > 0, s"Unclosed '[' in: $s")
+        val body = rest.substring(1, close).trim
+        val parts = splitTop(body, ':').map(_.trim)
+        e =
+          if (parts.length == 1) Index(e, parseIndexExpr(parts.head))
+          else if (parts.length == 2)
+            Slice(
+              e,
+              Option(parts(0)).filter(_.nonEmpty).map(parseIndexExpr),
+              Option(parts(1)).filter(_.nonEmpty).map(parseIndexExpr)
+            )
+          else throw new IllegalArgumentException(s"Bad slice: [$body]")
+        rest = rest.substring(close + 1).trim
+      }
+      require(rest.isEmpty, s"Trailing content after accessor in: $s")
+      e
+    }
+  }
+
+  private def parseIndexExpr(s: String): Expr =
+    if (s.matches("-?\\d+")) Lit(s.toLong) else parseExpr(s)
+
+  private def parseBase(s: String): Expr =
     if (s.startsWith("\"") || s.startsWith("'") || s.head.isDigit || s == "true" || s == "false")
       Lit(literal(s))
     else Ref(s.split("\\.").toList)

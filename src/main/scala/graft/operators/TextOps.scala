@@ -8,7 +8,8 @@ import org.apache.spark.sql.types._
 /** Text scalar mappers.
   * Ref: /root/reference/src/smashed/mappers/text.py and
   * /root/reference/src/smashed/utils/wordsplitter.py:26-96.
-  * All splitters compile to codegen'd regex expressions — no UDFs.
+  * All splitters compile to codegen'd regex expressions — no UDFs —
+  * except `break` (BreakIterator), the sanctioned irreducible-UDF case.
   */
 
 object Splitters {
@@ -19,11 +20,40 @@ object Splitters {
   /** `trail` — like `plus` but each token keeps its trailing whitespace
     * (wordsplitter.py:84-96). */
   val Trail = "trail"
+  /** `break` — locale-aware word segmentation via
+    * `java.text.BreakIterator` (UAX #29 word boundaries), the JVM-native
+    * closing of the reference's model-based blingfire splitter
+    * (wordsplitter.py:49-63): keeps contractions ("don't") and decimal
+    * numbers ("3.14") whole — boundaries a regex can't express. The one
+    * splitter that is an irreducible UDF (BreakIterator is an imperative
+    * stateful scanner), same sanctioned boundary as FixText. */
+  val BreakIter = "break"
+
+  private lazy val breakWordsUdf =
+    udf { (s: String) =>
+      if (s == null) null
+      else {
+        val bi =
+          java.text.BreakIterator.getWordInstance(java.util.Locale.ROOT)
+        bi.setText(s)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var start = bi.first()
+        var end = bi.next()
+        while (end != java.text.BreakIterator.DONE) {
+          val w = s.substring(start, end)
+          if (w.trim.nonEmpty) out += w
+          start = end
+          end = bi.next()
+        }
+        out.toSeq
+      }
+    }
 
   def toColumn(c: Column, splitter: String): Column = splitter match {
-    case Ws    => filter(split(c, "\\s+"), w => w =!= lit(""))
-    case Plus  => regexp_extract_all(c, lit("\\w+|[^\\w\\s]+"), lit(0))
-    case Trail => regexp_extract_all(c, lit("(?:\\w+|[^\\w\\s]+)\\s*"), lit(0))
+    case Ws        => filter(split(c, "\\s+"), w => w =!= lit(""))
+    case Plus      => regexp_extract_all(c, lit("\\w+|[^\\w\\s]+"), lit(0))
+    case Trail     => regexp_extract_all(c, lit("(?:\\w+|[^\\w\\s]+)\\s*"), lit(0))
+    case BreakIter => breakWordsUdf(c)
     case other => throw new IllegalArgumentException(s"Unknown splitter: $other")
   }
 }

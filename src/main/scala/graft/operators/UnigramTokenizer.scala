@@ -1,0 +1,157 @@
+package graft.operators
+
+/** SentencePiece-style Unigram-LM tokenizer — the third major HF
+  * tokenizer family next to WordPiece and byte-level BPE (the reference
+  * wraps all three behind one AutoTokenizer surface,
+  * /root/reference/src/smashed/mappers/tokenize.py:84-229).
+  *
+  * Model: a vocabulary of pieces with unigram log-probabilities; encoding
+  * picks the segmentation maximizing the sum of piece scores, found by
+  * exact Viterbi over the normalized text (Kudo 2018, "Subword
+  * Regularization", §3; deterministic best-path — no sampling).
+  *
+  * SentencePiece conventions honored:
+  *   - whitespace is part of the piece: spaces become `▁` (U+2581) and a
+  *     dummy `▁` prefix is prepended (add_dummy_prefix=true);
+  *   - characters not coverable by any piece emit `<unk>`, consecutive
+  *     unknowns fusing into ONE unk piece (sentencepiece's
+  *     ws-normalized unk fusion);
+  *   - specials are `<pad>`=padId, `<s>`/`</s>` bos/eos, `<unk>`.
+  *
+  * The per-row work is Viterbi over an L-char string with pieces capped
+  * at `maxPieceLen` — O(L·maxPieceLen) hash probes, executor-local, no
+  * shuffle: the same irreducible-UDF boundary as the other tokenizers.
+  *
+  * @param pieces piece → (id, logProb). Ids must not collide with the
+  *               four special ids.
+  */
+final case class UnigramTokenizer(
+    pieces: Map[String, (Long, Double)],
+    padId: Long = 0L,
+    bosId: Long = 1L,
+    eosId: Long = 2L,
+    unkId: Long = 3L,
+    unkScore: Double = -100.0
+) extends GraftTokenizer {
+
+  override def bosIds: Seq[Long] = Seq(bosId)
+  override def eosIds: Seq[Long] = Seq(eosId)
+  override def sepIds: Seq[Long] = Seq(eosId)
+
+  @transient private lazy val inv: Map[Long, String] =
+    pieces.map { case (p, (id, _)) => id -> p }
+  @transient private lazy val maxPieceLen: Int =
+    if (pieces.isEmpty) 1 else pieces.keysIterator.map(_.length).max
+
+  private val Space = '▁'
+
+  /** Normalize to sentencepiece space-marking, with an index map from
+    * normalized position → original char position (the dummy prefix maps
+    * to position 0 with zero width). */
+  private def normalizeWithMap(text: String): (String, Array[Int]) = {
+    val sb = new java.lang.StringBuilder(text.length + 1)
+    val map = scala.collection.mutable.ArrayBuffer.empty[Int]
+    sb.append(Space); map += 0 // dummy prefix
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      sb.append(if (Character.isWhitespace(c)) Space else c)
+      map += i
+      i += 1
+    }
+    (sb.toString, map.toArray)
+  }
+
+  /** Exact Viterbi best segmentation of the normalized string: for each
+    * end position keep the best (score, pieceStart, pieceId). Unknown
+    * coverage is a single-char fallback at `unkScore`. */
+  private def viterbi(norm: String): Array[(Long, Int, Int)] = {
+    val n = norm.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val from = Array.fill(n + 1)(-1)
+    val ids = Array.fill(n + 1)(-1L)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      val lo = math.max(0, i - maxPieceLen)
+      var j = lo
+      while (j < i) {
+        if (best(j) != Double.NegativeInfinity) {
+          pieces.get(norm.substring(j, i)) match {
+            case Some((id, score)) if best(j) + score > best(i) =>
+              best(i) = best(j) + score; from(i) = j; ids(i) = id
+            case _ => ()
+          }
+        }
+        j += 1
+      }
+      // single-char unk fallback keeps the lattice connected
+      if (best(i - 1) != Double.NegativeInfinity &&
+        best(i - 1) + unkScore > best(i)) {
+        best(i) = best(i - 1) + unkScore; from(i) = i - 1; ids(i) = unkId
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+    var p = n
+    while (p > 0) {
+      out += ((ids(p), from(p), p))
+      p = from(p)
+    }
+    val fwd = out.reverseIterator.toArray
+    // fuse runs of single-char unks into one unk piece (sp semantics)
+    val fused = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+    fwd.foreach { case t @ (id, s, e) =>
+      if (id == unkId && fused.nonEmpty && fused.last._1 == unkId &&
+        fused.last._3 == s)
+        fused(fused.length - 1) = (unkId, fused.last._2, e)
+      else fused += t
+    }
+    fused.toArray
+  }
+
+  override def encodePieces(text: String): Array[(Long, Int, Int)] = {
+    if (text.isEmpty) return Array.empty
+    val (norm, map) = normalizeWithMap(text)
+    viterbi(norm).map { case (id, a, b) =>
+      // normalized span → original chars; the dummy prefix is zero-width
+      val so = if (a == 0) 0 else map(a)
+      val eo = map(b - 1) + (if (b - 1 == 0) 0 else 1)
+      (id, so, eo)
+    }
+  }
+
+  override def encode(text: String, addSpecialTokens: Boolean): Array[Long] = {
+    val body = encodePieces(text).map(_._1)
+    if (addSpecialTokens) bosId +: body :+ eosId else body
+  }
+
+  override def decode(ids: Seq[Long], skipSpecialTokens: Boolean): String = {
+    val specials = Set(padId, bosId, eosId)
+    val sb = new StringBuilder
+    ids.foreach { id =>
+      if (specials.contains(id)) {
+        if (!skipSpecialTokens) sb.append(
+          if (id == padId) "<pad>" else if (id == bosId) "<s>" else "</s>")
+      } else if (id == unkId) sb.append("<unk>")
+      else sb.append(inv.getOrElse(id, ""))
+    }
+    sb.toString.replace(Space, ' ').stripPrefix(" ")
+  }
+}
+
+object UnigramTokenizer {
+
+  /** Build from the sentencepiece-dump shape: ordered (piece, logProb)
+    * rows, ids assigned by position after the four specials — the layout
+    * `spm_export_vocab` emits. */
+  def fromScores(
+      scored: Seq[(String, Double)],
+      firstId: Long = 4L
+  ): UnigramTokenizer =
+    UnigramTokenizer(
+      scored.zipWithIndex.map { case ((p, s), i) =>
+        p -> ((firstId + i, s))
+      }.toMap
+    )
+}

@@ -518,6 +518,26 @@ class DedupContribSpec extends SparkSpec {
     assert(out(1) == "plain text")
   }
 
+  test("BreakIterator splitter: contractions, decimals, CJK — boundaries regex can't express") {
+    import graft.operators.{Splitters, TextToWords}
+    val df = Seq(
+      "don't stop; it's 3.14 now",
+      "U.S.A. rocks",
+      "hello, world"
+    ).toDF("text")
+    val out = TextToWords(Seq("text"), Splitters.BreakIter)(df)
+      .as[Seq[String]].collect()
+    // contractions and decimal numbers stay whole (Plus would split them)
+    assert(out(0) == Seq("don't", "stop", ";", "it's", "3.14", "now"))
+    assert(out(1) == Seq("U.S.A", ".", "rocks"))
+    assert(out(2) == Seq("hello", ",", "world"))
+    // plain space-separated ASCII matches the ws splitter exactly
+    val plain = Seq("the fast key moves").toDF("text")
+    val br = TextToWords(Seq("text"), Splitters.BreakIter)(plain).as[Seq[String]].collect()
+    val ws = TextToWords(Seq("text"), Splitters.Ws)(plain).as[Seq[String]].collect()
+    assert(br.head == ws.head)
+  }
+
   test("FixText: cp1252 mojibake, double-encoding, width, quotes, entities") {
     import graft.operators.FixText.fixText
     // the classic cp1252 case: \u00e2\u20ac\u2122 is UTF-8 for ' through cp1252

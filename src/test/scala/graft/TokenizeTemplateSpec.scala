@@ -88,6 +88,36 @@ class TokenizeTemplateSpec extends SparkSpec {
     assert(out == "A,B,two|||yes")
   }
 
+  test("MiniJinja promptsource-community filters: replace/default/truncate/int/string") {
+    val t = MiniJinja.parse(
+      "{{ s | replace('a', 'o') }}/{{ missing | default('none') }}" +
+        "/{{ empty | default('fallback', true) }}" +
+        "/{{ long | truncate(12) }}/{{ long | truncate(8, true, '…') }}" +
+        "/{{ long | truncate(10, false, '...', 0) }}" +
+        "/{{ numstr | int }}/{{ junk | int(7) }}/{{ n | string | length }}"
+    )
+    val out = t.render(Map(
+      "s" -> "banana",
+      "empty" -> "",
+      "long" -> "alpha beta gamma",
+      "numstr" -> " 42 ",
+      "junk" -> "xyz",
+      "n" -> 1234L
+    ))
+    // truncate(12): 16 chars is within length+leeway(5) → untouched;
+    // killwords cuts mid-word; leeway=0 forces the word-boundary cut
+    assert(out == "bonono/none/fallback/alpha beta gamma/alpha b…/alpha.../42/7/4")
+  }
+
+  test("MiniJinja index and slice accessors (python semantics)") {
+    val t = MiniJinja.parse(
+      "{{ xs[0] }} {{ xs[-1] }} {{ xs[1:3] | join('-') }} " +
+        "{{ s[2:] }} {{ s[:3] }} {{ s[-2:] }} {{ xs[5:9] | length }}"
+    )
+    val out = t.render(Map("xs" -> Seq("a", "b", "c", "d"), "s" -> "hello"))
+    assert(out == "a d b-c llo hel lo 0")
+  }
+
   test("MiniJinja rejects unsupported constructs with clear error") {
     val e = intercept[IllegalArgumentException](MiniJinja.parse("{% macro x %}"))
     assert(e.getMessage.contains("macro"))
