@@ -72,20 +72,41 @@ object TrainingExport {
 
   /** Write `df` as `path/shard=K/part-*.parquet`, K in [0, numShards).
     * Exactly one file per shard dir (each shard's rows are hash-routed
-    * to one task), sorted by `idField`. */
+    * to one task), sorted by `idField`. A `_manifest.json` beside the
+    * shards lists per-shard row counts (an O(numShards) aggregate — the
+    * DataLoader reads it to size its workers without touching parquet
+    * footers). */
   def writeShards(
       df: DataFrame,
       path: String,
       idField: String,
       numShards: Int,
       portable: Boolean = false,
-      mode: String = "overwrite"
+      mode: String = "overwrite",
+      writeManifest: Boolean = true
   ): Unit = {
     require(numShards > 0, "numShards must be positive")
     df.withColumn("shard", shardCol(col(idField), numShards, portable))
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col(idField))
       .write.mode(mode).partitionBy("shard").parquet(path)
+    if (writeManifest) {
+      val counts = df.sparkSession.read.parquet(path)
+        .groupBy(col("shard")).agg(count(lit(1)).as("rows"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getLong(1))
+        .toMap
+      val json = (0 until numShards)
+        .map(k => s"""  "shard=$k": ${counts.getOrElse(k, 0L)}""")
+        .mkString("{\n", ",\n", "\n}\n")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path),
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(path, "_manifest.json"), true)
+      try out.write(json.getBytes("UTF-8"))
+      finally out.close()
+    }
   }
 
   /** Read a shard export back; the `shard` partition column comes back

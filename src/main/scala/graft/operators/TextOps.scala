@@ -130,9 +130,11 @@ final case class ValidUnicode(
 /** Text fixer in the spirit of the reference's FtfyMapper (text.py:16-64,
   * which delegates to the ftfy library). JVM-built-ins-only implementation
   * of ftfy's default fix chain: HTML entity unescape (named + numeric),
-  * terminal-escape removal, iterated sloppy-windows-1252 mojibake repair
-  * guarded by a UTF-8-byte-pattern score (handles doubly-encoded text and
-  * latin-1/C1 mojibake like ftfy does), line-break normalization (CRLF/CR
+  * terminal-escape removal, iterated sloppy-windows-1252 AND MacRoman
+  * mojibake repair guarded by a UTF-8-byte-pattern score (handles
+  * doubly-encoded text, latin-1/C1 mojibake, and the '√©'/'‚Äú' MacRoman
+  * class like ftfy does; MacRoman needs ≥2 evidence pairs since its lead
+  * chars are legit math symbols), line-break normalization (CRLF/CR
   * before repair; NEL/LS/PS after, since U+0085 is itself a mojibake
   * continuation char), BOM removal, latin-ligature expansion,
   * fullwidth->ASCII width fixing, quote uncurling, unpaired-surrogate
@@ -193,18 +195,47 @@ object FixText {
     (0x80 to 0xbf).map(b => new String(Array(b.toByte), cp1252).charAt(0)).toSet ++
       (0x80 to 0xbf).map(_.toChar)
 
+  // the same signal through MacRoman (ftfy probes it alongside cp1252):
+  // UTF-8 seen through MacRoman yields '√©' for é, '‚Äú' for a curly
+  // quote — lead bytes 0xC2-0xF4 and continuations 0x80-0xBF decode to a
+  // DIFFERENT char alphabet than cp1252, so they get their own sets.
+  private val macRoman = java.nio.charset.Charset.forName("x-MacRoman")
+  private val macLeadChars: Set[Char] =
+    (0xc2 to 0xf4).map(b => new String(Array(b.toByte), macRoman).charAt(0)).toSet
+  private val macContChars: Set[Char] =
+    (0x80 to 0xbf).map(b => new String(Array(b.toByte), macRoman).charAt(0)).toSet
+
   // full byte→char decode table reversed: maps each cp1252-decoded char
   // back to its byte, INCLUDING the five undefined positions Java decodes
   // to C1 controls — so the reverse map alone gives cp1252 proper.
   private val cp1252Reverse: Map[Char, Byte] =
     (0 to 255).map(b => new String(Array(b.toByte), cp1252).charAt(0) -> b.toByte).toMap
 
+  // MacRoman defines all 256 bytes, so its reverse map is total — no
+  // latin-1 passthrough needed for this alphabet.
+  private val macRomanReverse: Map[Char, Byte] =
+    (0 to 255).map(b => new String(Array(b.toByte), macRoman).charAt(0) -> b.toByte).toMap
+
   private def mojibakeScore(s: String): Int = {
     var n = 0
     var i = 0
     while (i < s.length - 1) {
-      if (leadChars.contains(s.charAt(i)) && contChars.contains(s.charAt(i + 1)))
+      val a = s.charAt(i)
+      val b = s.charAt(i + 1)
+      if ((leadChars.contains(a) && contChars.contains(b)) ||
+        (macLeadChars.contains(a) && macContChars.contains(b)))
         n += 1
+      i += 1
+    }
+    n
+  }
+
+  private def macPairScore(s: String): Int = {
+    var n = 0
+    var i = 0
+    while (i < s.length - 1) {
+      if (macLeadChars.contains(s.charAt(i)) &&
+        macContChars.contains(s.charAt(i + 1))) n += 1
       i += 1
     }
     n
@@ -224,17 +255,23 @@ object FixText {
     case None => if (c < 0x100) c.toInt else -1
   }
 
-  private def tryRedecode(t: String): Option[String] = {
+  private def byteForMac(c: Char): Int =
+    macRomanReverse.get(c).map(_ & 0xff).getOrElse(-1)
+
+  private def tryRedecode(
+      t: String,
+      byteOf: Char => Int = byteFor
+  ): Option[String] = {
     val sb = new StringBuilder(t.length)
     var changed = false
     var i = 0
     while (i < t.length) {
-      if (byteFor(t.charAt(i)) >= 0) {
+      if (byteOf(t.charAt(i)) >= 0) {
         var j = i
-        while (j < t.length && byteFor(t.charAt(j)) >= 0) j += 1
+        while (j < t.length && byteOf(t.charAt(j)) >= 0) j += 1
         val bytes = new Array[Byte](j - i)
         var k = i
-        while (k < j) { bytes(k - i) = byteFor(t.charAt(k)).toByte; k += 1 }
+        while (k < j) { bytes(k - i) = byteOf(t.charAt(k)).toByte; k += 1 }
         val re = new String(bytes, utf8)
         val seg = t.substring(i, j)
         if (!re.contains('\ufffd') && re != seg) { sb.append(re); changed = true }
@@ -305,16 +342,33 @@ object FixText {
     // latin-1-mojibake continuation char, so eagerly turning it into \n
     // would make such text unrepairable.
     t = t.replace("\r\n", "\n").replace('\r', '\n').replace("﻿", "")
-    // iterate like ftfy: doubly-encoded mojibake needs multiple passes
+    // iterate like ftfy: doubly-encoded mojibake needs multiple passes.
+    // Each pass tries sloppy-cp1252/latin-1 first, then MacRoman — the
+    // two byte alphabets ftfy's encoding probe covers that occur in
+    // practice for western-language corpora.
     var iter = 0
     var continue = mojibakeScore(t) > 0
     while (iter < 3 && continue) {
-      tryRedecode(t) match {
-        case Some(r) if mojibakeScore(r) < mojibakeScore(t) =>
+      val repaired = tryRedecode(t) match {
+        case Some(r) if mojibakeScore(r) < mojibakeScore(t) => Some(r)
+        case _ =>
+          // MacRoman lead chars (√ ≈ Δ « …) are common in legit math
+          // text, so unlike cp1252 this alphabet needs ≥2 evidence
+          // pairs before a repair is attempted ("√π" alone stays; ftfy
+          // resolves such single-pair cases with its language model)
+          if (macPairScore(t) >= 2)
+            tryRedecode(t, byteForMac) match {
+              case Some(r) if mojibakeScore(r) < mojibakeScore(t) => Some(r)
+              case _ => None
+            }
+          else None
+      }
+      repaired match {
+        case Some(r) =>
           t = r
           iter += 1
           continue = mojibakeScore(t) > 0
-        case _ => continue = false
+        case None => continue = false
       }
     }
     t = t.replace('', '\n').replace(' ', '\n').replace(' ', '\n')

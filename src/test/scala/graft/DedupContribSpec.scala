@@ -556,6 +556,19 @@ class DedupContribSpec extends SparkSpec {
     assert(fixText("caf\u00e9 cr\u00e8me br\u00fbl\u00e9e") == "caf\u00e9 cr\u00e8me br\u00fbl\u00e9e")
   }
 
+  test("FixText: MacRoman mojibake repairs with >=2 evidence pairs; math survives") {
+    import graft.operators.FixText.fixText
+    // UTF-8 seen through MacRoman: C3 A9 -> '√©'
+    assert(fixText("caf√© √©lan") == "café élan")
+    // C3 B1 / C3 B3 -> '√±' / '√≥'
+    assert(fixText("Ca√±√≥n") == "Cañón")
+    // the famous '‚Äú' curly-quote class (E2 80 9C), uncurled after repair
+    assert(fixText("‚Äúquoted‚Äù") == "\"quoted\"")
+    // single-pair math is left alone (needs >=2 pairs of evidence)
+    assert(fixText("x = √π + 1") == "x = √π + 1")
+    assert(fixText("≈±5 volts") == "≈±5 volts")
+  }
+
   test("FixText: latin-1 mojibake with C1 continuation bytes repairs") {
     import graft.operators.FixText.fixText
     // U+0145 '\u0145' is UTF-8 C5 85; latin-1 decode gives '\u00c5' + NEL (U+0085).

@@ -114,6 +114,40 @@ class PlanSpec extends SparkSpec {
       plan.contains("BroadcastExchange"), plan)
   }
 
+  test("sign-bit ANN bucketing: equi-join on bucket, no cartesian, no raw-vector key") {
+    // the q96 shape: 8 axis-aligned hyperplanes -> 256 buckets, probe
+    // side fans out x9, corpus side stays put; the join must be keyed
+    // on the small int bucket, never all-pairs
+    val emb = (0L until 100L)
+      .map(i => (i, (0 until 16).map(d => math.sin(i * 31 + d))))
+      .toDF("vec_id", "e")
+    val bucketOf = (0 until 8)
+      .map(i => when(col("e").getItem(i) >= 0, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val base = emb.withColumn("bucket", bucketOf)
+    val masks = lit(0) +: (0 until 8).map(i => lit(1 << i))
+    val probes = base.select(col("vec_id"), col("e"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(m)): _*)).as("bucket"))
+    val out = base.as("a").join(probes.as("b"),
+      col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("cartesian"), plan)
+    assert(plan.contains("bucket"), plan)
+  }
+
+  test("TrainingExport round-trip plan: one hash shuffle in, plain pruned scan out") {
+    import graft.operators.TrainingExport
+    val d = java.nio.file.Files.createTempDirectory("graft_export_plan").toString
+    val df = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    TrainingExport.writeShards(df, d, "id", numShards = 4)
+    val back = TrainingExport.readShards(spark, d).filter(col("shard") === 2)
+    val plan = back.queryExecution.executedPlan.toString
+    // shard is a hive partition column: the filter must prune partitions,
+    // not scan-and-filter rows
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(back.count() > 0)
+  }
+
   private def pipeOps(ms: graft.Mapper*)(df: org.apache.spark.sql.DataFrame) =
     ms.foldLeft(df)((d, m) => m(d))
 }

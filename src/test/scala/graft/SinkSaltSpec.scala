@@ -31,6 +31,12 @@ class SinkSaltSpec extends SparkSpec {
     shardDirs.foreach { d =>
       assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1, d.getName)
     }
+    // manifest lists every shard with its row count, summing to the total
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifest.json")), "UTF-8")
+    val counts = "\"shard=(\\d+)\": (\\d+)".r
+      .findAllMatchIn(manifest).map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+    assert(counts.keySet == Set(0, 1, 2, 3) && counts.values.sum == 200L, manifest)
     val back = TrainingExport.readShards(spark, dir)
     assert(back.count() == 200)
     assert(back.select("id", "ids").except(df).count() == 0)
