@@ -1467,17 +1467,20 @@ object Queries {
   )
 
   /** The promptsource-community Jinja surface (promptsource.py:45-224):
-    * slicing (`text[:20]`, `words[1:3]`), out-of-range index falling to
-    * `default`, `replace`, exact-Jinja `truncate` (killwords + custom
-    * end + leeway), and `int`/`string` casts — all replayed by DuckDB
+    * `{% set %}` binding, slicing (`text[:20]`, `words[1:3]`),
+    * out-of-range index falling to `default`, `replace`, exact-Jinja
+    * `truncate` (killwords + custom end + leeway), `int`/`string`
+    * casts, `wordcount`, and `title` — all replayed by DuckDB
     * string/list functions, so the render is hash-pinned end-to-end. */
   private val qJinjaCommunity = Q(
     "q121_jinja_community_filters",
     (s, dir) =>
       JinjaMapper(
-        "{{ text[:20] | replace('a', '@') | truncate(12, true, '~', 0) }}" +
+        "{% set t20 = text[:20] %}" +
+          "{{ t20 | replace('a', '@') | truncate(12, true, '~', 0) }}" +
           "/{{ words[1:3] | join('-') }}/{{ words[99] | default('none') }}" +
-          "/{{ n_chars | string }}|||{{ lang | upper }}"
+          "/{{ n_chars | string }}/{{ text | wordcount }}/{{ lang | title }}" +
+          "|||{{ lang | upper }}"
       )(docTextWords(s, dir).select("doc_id", "text", "lang", "words", "n_chars"))
         .select("doc_id", "source", "target")
         .orderBy("doc_id"),
@@ -1488,7 +1491,10 @@ object Queries {
          |  (CASE WHEN length(t20) <= 12 THEN t20
          |        ELSE substring(t20, 1, 11) || '~' END)
          |  || '/' || array_to_string(list_slice(w, 2, 3), '-')
-         |  || '/none/' || CAST(n_chars AS VARCHAR) AS source,
+         |  || '/none/' || CAST(n_chars AS VARCHAR)
+         |  || '/' || CAST(len(w) AS VARCHAR)
+         |  || '/' || (upper(substring(lang, 1, 1)) || lower(substring(lang, 2)))
+         |    AS source,
          |  upper(lang) AS target
          |FROM d ORDER BY doc_id""".stripMargin
     )

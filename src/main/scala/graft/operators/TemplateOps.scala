@@ -12,8 +12,9 @@ import org.apache.spark.sql.types._
   * dotted paths, Python-style index/slice accessors (`xs[0]`, `xs[-1]`,
   * `s[1:5]`, `xs[:3]`) and filters (length, lower, upper, trim,
   * capitalize, first, last, join("sep"), replace(a, b), default(d[,
-  * falsy]), truncate(n[, killwords[, end]]), int, string — the
-  * promptsource-community set), `{% for x in xs %}…{% endfor %}`,
+  * falsy]), truncate(n[, killwords[, end[, leeway]]]), int, string,
+  * title, wordcount, abs, round([prec]) — the promptsource-community
+  * set), `{% for x in xs %}…{% endfor %}`,
   * `{% if cond %}…{% elif %}…{% else %}…{% endif %}` with comparisons
   * (`== != < <= > >=`) and truthiness, and the reference's `|||`
   * source/target split (promptsource.py:185-196). Unsupported constructs
@@ -29,6 +30,9 @@ object MiniJinja {
   final case class Output(e: Expr) extends Node
   final case class For(v: String, seq: Expr, body: List[Node]) extends Node
   final case class If(branches: List[(Option[Expr], List[Node])]) extends Node
+  /** `{% set name = expr %}` — binds for the remainder of the enclosing
+    * block (Jinja2 block scoping: a set inside for/if doesn't leak out). */
+  final case class SetVar(name: String, e: Expr) extends Node
 
   sealed trait Expr
   final case class Ref(path: List[String]) extends Expr
@@ -53,16 +57,26 @@ object MiniJinja {
           exprVars(e) ++ f.toSet.flatMap(exprVars) ++ t.toSet.flatMap(exprVars)
         case _ => Set.empty
       }
-      def walk(ns: List[Node], bound: Set[String]): Set[String] = ns.flatMap {
-        case Text(_)   => Set.empty[String]
-        case Output(e) => exprVars(e) -- bound
-        case For(v, seq, body) =>
-          (exprVars(seq) -- bound) ++ walk(body, bound + v)
-        case If(bs) =>
-          bs.flatMap { case (c, b) =>
-            c.map(exprVars).getOrElse(Set.empty) ++ walk(b, bound)
-          }.toSet -- bound
-      }.toSet
+      def walk(ns: List[Node], bound0: Set[String]): Set[String] = {
+        var bound = bound0
+        val out = scala.collection.mutable.Set.empty[String]
+        ns.foreach {
+          case Text(_)   => ()
+          case Output(e) => out ++= (exprVars(e) -- bound)
+          case For(v, seq, body) =>
+            out ++= (exprVars(seq) -- bound)
+            out ++= walk(body, bound + v)
+          case If(bs) =>
+            bs.foreach { case (c, b) =>
+              out ++= (c.map(exprVars).getOrElse(Set.empty) -- bound)
+              out ++= walk(b, bound)
+            }
+          case SetVar(n, e) =>
+            out ++= (exprVars(e) -- bound)
+            bound = bound + n // bound for the REST of this block
+        }
+        out.toSet
+      }
       walk(nodes, Set.empty)
     }
 
@@ -76,23 +90,27 @@ object MiniJinja {
         ns: List[Node],
         vars: Map[String, Any],
         sb: StringBuilder
-    ): Unit = ns.foreach {
-      case Text(s)   => sb.append(s)
-      case Output(e) => sb.append(show(eval(e, vars)))
-      case For(v, seqE, body) =>
-        eval(seqE, vars) match {
-          case s: Seq[_] =>
-            s.foreach(x => renderInto(body, vars + (v -> x), sb))
-          case null => ()
-          case other =>
-            throw new IllegalArgumentException(
-              s"for-loop over non-sequence value: $other"
-            )
-        }
-      case If(branches) =>
-        branches
-          .find { case (cond, _) => cond.forall(c => truthy(eval(c, vars))) }
-          .foreach { case (_, body) => renderInto(body, vars, sb) }
+    ): Unit = {
+      var env = vars // SetVar rebinds for the rest of this block only
+      ns.foreach {
+        case Text(s)   => sb.append(s)
+        case Output(e) => sb.append(show(eval(e, env)))
+        case SetVar(n, e) => env = env + (n -> eval(e, env))
+        case For(v, seqE, body) =>
+          eval(seqE, env) match {
+            case s: Seq[_] =>
+              s.foreach(x => renderInto(body, env + (v -> x), sb))
+            case null => ()
+            case other =>
+              throw new IllegalArgumentException(
+                s"for-loop over non-sequence value: $other"
+              )
+          }
+        case If(branches) =>
+          branches
+            .find { case (cond, _) => cond.forall(c => truthy(eval(c, env))) }
+            .foreach { case (_, body) => renderInto(body, env, sb) }
+      }
     }
 
     private def eval(e: Expr, vars: Map[String, Any]): Any = e match {
@@ -191,6 +209,24 @@ object MiniJinja {
               case _          => dflt
             }
           case ("string", _) => show(v)
+          case ("title", _) =>
+            String.valueOf(v).split(" ", -1).map { w =>
+              if (w.isEmpty) w
+              else s"${w.head.toUpper}${w.tail.toLowerCase(java.util.Locale.ROOT)}"
+            }.mkString(" ")
+          case ("wordcount", _) =>
+            "\\S+".r.findAllIn(String.valueOf(v)).size.toLong
+          case ("abs", _) =>
+            v match {
+              case n: java.lang.Long    => math.abs(n.longValue())
+              case n: java.lang.Integer => math.abs(n.longValue())
+              case n: Number            => math.abs(n.doubleValue())
+              case other => throw new IllegalArgumentException(s"abs of $other")
+            }
+          case ("round", rest) =>
+            val prec = rest.headOption.collect { case n: Long => n.toInt }.getOrElse(0)
+            val scale = math.pow(10, prec)
+            math.rint(toNum(v) * scale) / scale
           case _ =>
             throw new IllegalArgumentException(s"Unsupported filter: $f($args)")
         }
@@ -325,10 +361,16 @@ object MiniJinja {
                   }
                 }
                 out += If(branches.toList)
+              case "set" =>
+                val m = "^set\\s+(\\w+)\\s*=\\s*(.+)$".r
+                  .findFirstMatchIn(body)
+                  .getOrElse(throw new IllegalArgumentException(s"Bad set: $body"))
+                out += SetVar(m.group(1), parseExpr(m.group(2)))
+                i += 1
               case other =>
                 throw new IllegalArgumentException(
                   s"Unsupported Jinja construct '{% $other %}'. Supported: " +
-                    "{{ var }}, {% for %}, {% if/elif/else %}"
+                    "{{ var }}, {% for %}, {% if/elif/else %}, {% set %}"
                 )
             }
         }

@@ -154,4 +154,24 @@ object UnigramTokenizer {
         p -> ((firstId + i, s))
       }.toMap
     )
+
+  /** Load the `spm_export_vocab` TSV dump: one `piece<TAB>logprob` line
+    * per piece in id order. Special-token lines (`<pad>`, `<s>`, `</s>`,
+    * `<unk>`) are recognized and skipped — their ids are fixed by
+    * position in this tokenizer, matching sentencepiece's default
+    * layout where they occupy the first rows. */
+  def fromVocabFile(path: String): UnigramTokenizer = {
+    val specials = Set("<pad>", "<s>", "</s>", "<unk>")
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try {
+      val scored = src.getLines().flatMap { line =>
+        line.split('\t') match {
+          case Array(p, s) if !specials.contains(p) =>
+            Some(p -> s.toDouble)
+          case _ => None
+        }
+      }.toVector
+      fromScores(scored)
+    } finally src.close()
+  }
 }

@@ -109,6 +109,27 @@ class TokenizeTemplateSpec extends SparkSpec {
     assert(out == "bonono/none/fallback/alpha beta gamma/alpha b…/alpha.../42/7/4")
   }
 
+  test("MiniJinja {% set %}: binds for the rest of the block, scoped inside for") {
+    val t = MiniJinja.parse(
+      "{% set n = ws | length %}n={{ n }};" +
+        "{% for w in ws %}{% set u = w | upper %}{{ u }},{% endfor %}" +
+        "after={{ u | default('gone') }}"
+    )
+    // `u` after the for-block is genuinely free (Jinja block scoping:
+    // the inner set doesn't leak), so variables() must report it
+    assert(t.variables == Set("ws", "u"))
+    val out = t.render(Map("ws" -> Seq("a", "b")))
+    assert(out == "n=2;A,B,after=gone")
+  }
+
+  test("MiniJinja numeric/word filters: title/wordcount/abs/round") {
+    val t = MiniJinja.parse(
+      "{{ s | title }}|{{ s | wordcount }}|{{ n | abs }}|{{ x | round }}|{{ x | round(2) }}"
+    )
+    val out = t.render(Map("s" -> "the fast key", "n" -> -7L, "x" -> 2.345))
+    assert(out == "The Fast Key|3|7|2|2.35")
+  }
+
   test("MiniJinja index and slice accessors (python semantics)") {
     val t = MiniJinja.parse(
       "{{ xs[0] }} {{ xs[-1] }} {{ xs[1:3] | join('-') }} " +

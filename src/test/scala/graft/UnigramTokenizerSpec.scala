@@ -51,6 +51,17 @@ class UnigramTokenizerSpec extends SparkSpec {
     assert(t.decode(withSpecials.toSeq, skipSpecialTokens = true) == "hi")
   }
 
+  test("fromVocabFile loads the spm_export_vocab TSV layout") {
+    val f = java.nio.file.Files.createTempFile("graft_spm", ".vocab")
+    java.nio.file.Files.write(f,
+      "<unk>\t0\n<s>\t0\n</s>\t0\n▁hey\t-1.5\n▁you\t-2.0\n".getBytes("UTF-8"))
+    val t = UnigramTokenizer.fromVocabFile(f.toString)
+    // specials skipped; real pieces get ids 4, 5 in file order
+    val ids = t.encode("hey you", addSpecialTokens = false)
+    assert(ids.toSeq == Seq(4L, 5L))
+    assert(t.decode(ids.toSeq, skipSpecialTokens = true) == "hey you")
+  }
+
   test("TokenizerMapper runs the unigram family end-to-end over a DataFrame") {
     val t = tok("▁spark" -> -1.0, "▁rules" -> -1.0, "▁ru" -> -3.0,
       "les" -> -3.0)
