@@ -212,4 +212,49 @@ class PropertySpec extends SparkSpec {
       assert(tok.decode(ids.toSeq, skipSpecialTokens = true) == t)
     }
   }
+
+  test("unigram Viterbi: optimal vs exhaustive segmentation on random vocab/text") {
+    // random piece vocab over {a,b} + random short text; the Viterbi
+    // score must equal the max over ALL segmentations enumerated brute
+    // force (pieces + single-char unk fallback)
+    val pieceGen: Gen[Map[String, Double]] = for {
+      k <- Gen.chooseNum(2, 8)
+      ps <- Gen.listOfN(k, Gen.zip(
+        Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString)),
+        Gen.chooseNum(-80, -1).map(_.toDouble)))
+    } yield ps.toMap
+    val textGen: Gen[String] =
+      Gen.chooseNum(1, 7).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))
+    val unkScore = -100.0
+    def bestBrute(s: String, pieces: Map[String, Double]): Double =
+      if (s.isEmpty) 0.0
+      else (1 to s.length).foldLeft(Double.NegativeInfinity) { (acc, cut) =>
+        val head = s.substring(0, cut)
+        val headScore = pieces.get(head)
+          .orElse(if (cut == 1) Some(unkScore) else None)
+        headScore.map(h => math.max(acc, h + bestBrute(s.substring(cut), pieces)))
+          .getOrElse(acc)
+      }
+    forAll(Gen.zip(pieceGen, textGen), n = 40) { case (rawPieces, text) =>
+      // sp normalization: the tokenizer segments '▁'+text, so the
+      // brute-force enumeration runs on the same normalized string
+      val tok = UnigramTokenizer(
+        rawPieces.zipWithIndex.map { case ((p, sc), i) =>
+          p -> ((4L + i, sc))
+        }.toMap,
+        unkScore = unkScore)
+      val norm = "▁" + text
+      val expected = bestBrute(norm, rawPieces)
+      val got = tok.encodePieces(text).map { case (id, _, _) => id }
+      // rescore the emitted path independently: each known piece at its
+      // vocab score; unk spans (possibly fused) cost unkScore PER CHAR,
+      // with the char count recovered from what pieces don't cover
+      val inv = rawPieces.zipWithIndex.map { case ((p, _), i) => (4L + i) -> p }.toMap
+      val pieceScore = got.filter(_ != 3L).map(id => rawPieces(inv(id))).sum
+      val pieceChars = got.filter(_ != 3L).map(id => inv(id).length).sum
+      val viterbiScore = pieceScore + unkScore * (norm.length - pieceChars)
+      assert(math.abs(viterbiScore - expected) < 1e-9,
+        s"text=$text pieces=$rawPieces viterbi=$viterbiScore best=$expected")
+    }
+  }
 }
