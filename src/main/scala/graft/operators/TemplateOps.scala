@@ -13,8 +13,9 @@ import org.apache.spark.sql.types._
   * `s[1:5]`, `xs[:3]`) and filters (length, lower, upper, trim,
   * capitalize, first, last, join("sep"), replace(a, b), default(d[,
   * falsy]), truncate(n[, killwords[, end[, leeway]]]), int, string,
-  * title, wordcount, abs, round([prec]) — the promptsource-community
-  * set), `{% for x in xs %}…{% endfor %}`,
+  * title, wordcount, abs, round([prec]), min, max, sum, sort — the
+  * promptsource-community set), `~` string concatenation, `in`/`not in`
+  * membership tests, `{% for x in xs %}…{% endfor %}`,
   * `{% if cond %}…{% elif %}…{% else %}…{% endif %}` with comparisons
   * (`== != < <= > >=`) and truthiness, and the reference's `|||`
   * source/target split (promptsource.py:185-196). Unsupported constructs
@@ -227,6 +228,27 @@ object MiniJinja {
             val prec = rest.headOption.collect { case n: Long => n.toInt }.getOrElse(0)
             val scale = math.pow(10, prec)
             math.rint(toNum(v) * scale) / scale
+          case ("min" | "max" | "sum" | "sort", _) =>
+            val xs = v match {
+              case s: Seq[_] => s
+              case other =>
+                throw new IllegalArgumentException(s"$f over non-list: $other")
+            }
+            f match {
+              case "sum" => xs.map(toNum).sum
+              case "min" | "max" if xs.isEmpty => null
+              case "min" | "max" =>
+                val numeric = xs.forall(_.isInstanceOf[Number])
+                if (numeric) {
+                  val ns = xs.map(toNum)
+                  if (f == "min") xs(ns.indexOf(ns.min)) else xs(ns.indexOf(ns.max))
+                } else if (f == "min") xs.map(show).min
+                else xs.map(show).max
+              case "sort" =>
+                if (xs.forall(_.isInstanceOf[Number]))
+                  xs.sortBy(toNum)
+                else xs.map(show).sorted
+            }
           case _ =>
             throw new IllegalArgumentException(s"Unsupported filter: $f($args)")
         }
@@ -269,9 +291,20 @@ object MiniJinja {
       case Cmp(op, le, re) =>
         val l = eval(le, vars)
         val r = eval(re, vars)
+        def member: Boolean = r match {
+          case s: Seq[_]    => s.exists(x => x == l || show(x) == show(l))
+          case s: String    => s.contains(show(l))
+          case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].contains(show(l))
+          case null         => false
+          case other =>
+            throw new IllegalArgumentException(s"'in' over non-container: $other")
+        }
         op match {
-          case "==" => l == r || show(l) == show(r)
-          case "!=" => !(l == r || show(l) == show(r))
+          case "~"      => show(l) + show(r)
+          case "in"     => member
+          case "not in" => !member
+          case "=="     => l == r || show(l) == show(r)
+          case "!="     => !(l == r || show(l) == show(r))
           case _ =>
             val (ln, rn) = (toNum(l), toNum(r))
             op match {
@@ -382,11 +415,51 @@ object MiniJinja {
   }
 
   private def parseExpr(s: String): Expr = {
+    // `~` (Jinja string concat) binds loosest: a ~ b ~ c folds left
+    val concatParts = splitTop(s.trim, '~').map(_.trim).filter(_.nonEmpty)
+    if (concatParts.length > 1)
+      return concatParts.map(parseCmp).reduceLeft(Cmp("~", _, _))
+    parseCmp(s.trim)
+  }
+
+  private def parseCmp(s: String): Expr = {
+    // membership tests, keyword-split outside quotes/parens
+    findTopKeyword(s, " not in ") match {
+      case Some(i) =>
+        return Cmp("not in",
+          parseFiltered(s.substring(0, i).trim),
+          parseFiltered(s.substring(i + 8).trim))
+      case None => ()
+    }
+    findTopKeyword(s, " in ") match {
+      case Some(i) =>
+        return Cmp("in",
+          parseFiltered(s.substring(0, i).trim),
+          parseFiltered(s.substring(i + 4).trim))
+      case None => ()
+    }
     val cmpPat = "(.+?)(==|!=|<=|>=|<|>)(.+)".r
     s.trim match {
       case cmpPat(l, op, r) => Cmp(op.trim, parseFiltered(l.trim), parseFiltered(r.trim))
       case other            => parseFiltered(other)
     }
+  }
+
+  /** index of `kw` at paren/quote depth zero, or None. */
+  private def findTopKeyword(s: String, kw: String): Option[Int] = {
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i + kw.length <= s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '(' || c == '[') depth += 1
+      else if (c == ')' || c == ']') depth -= 1
+      else if (depth == 0 && s.regionMatches(i, kw, 0, kw.length)) return Some(i)
+      i += 1
+    }
+    None
   }
 
   private def parseFiltered(s: String): Expr = {

@@ -122,6 +122,24 @@ class TokenizeTemplateSpec extends SparkSpec {
     assert(out == "n=2;A,B,after=gone")
   }
 
+  test("MiniJinja in/not-in membership, ~ concat, list aggregate filters") {
+    val t = MiniJinja.parse(
+      "{% if w in ws %}yes{% else %}no{% endif %}" +
+        "|{% if 'z' not in s %}clean{% endif %}" +
+        "|{{ a ~ '-' ~ b }}" +
+        "|{{ ns | min }}..{{ ns | max }}={{ ns | sum }}" +
+        "|{{ ns | sort | join(',') }}"
+    )
+    val out = t.render(Map(
+      "w" -> "b", "ws" -> Seq("a", "b"), "s" -> "abc",
+      "a" -> "x", "b" -> 7L, "ns" -> Seq(3L, 1L, 2L)
+    ))
+    assert(out == "yes|clean|x-7|1..3=6|1,2,3")
+    // quoted '~' in filter args is NOT a concat operator
+    val t2 = MiniJinja.parse("{{ s | replace('a', '~') }}")
+    assert(t2.render(Map("s" -> "abc")) == "~bc")
+  }
+
   test("MiniJinja numeric/word filters: title/wordcount/abs/round") {
     val t = MiniJinja.parse(
       "{{ s | title }}|{{ s | wordcount }}|{{ n | abs }}|{{ x | round }}|{{ x | round(2) }}"
