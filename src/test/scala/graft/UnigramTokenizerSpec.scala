@@ -62,6 +62,27 @@ class UnigramTokenizerSpec extends SparkSpec {
     assert(t.decode(ids.toSeq, skipSpecialTokens = true) == "hey you")
   }
 
+  test("UnigramTrainer: frequent words become whole pieces; trained vocab round-trips") {
+    val docs = Seq.fill(30)(Seq("spark", "rules")) ++ Seq.fill(5)(Seq("rare"))
+    val df = docs.toDF("words")
+    val scored = UnigramTrainer.train(df, "words", vocabSize = 24,
+      maxPieceLen = 6, rounds = 2)
+    val pieces = scored.map(_._1).toSet
+    // the dominant words must have been kept as whole marker-prefixed pieces
+    assert(pieces.contains("▁spark"), pieces)
+    assert(pieces.contains("▁rules"), pieces)
+    // training is deterministic for a fixed corpus
+    val again = UnigramTrainer.train(df, "words", vocabSize = 24,
+      maxPieceLen = 6, rounds = 2)
+    assert(scored == again)
+    // the trained vocab tokenizes its own corpus words as single pieces
+    // and round-trips through decode
+    val t = UnigramTokenizer.fromScores(scored)
+    val ids = t.encode("spark rules", addSpecialTokens = false)
+    assert(ids.length == 2, ids.toSeq)
+    assert(t.decode(ids.toSeq, skipSpecialTokens = true) == "spark rules")
+  }
+
   test("TokenizerMapper runs the unigram family end-to-end over a DataFrame") {
     val t = tok("▁spark" -> -1.0, "▁rules" -> -1.0, "▁ru" -> -3.0,
       "les" -> -3.0)
