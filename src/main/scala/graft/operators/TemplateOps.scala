@@ -254,13 +254,17 @@ object MiniJinja {
         }
       case Index(inner, ie) =>
         val v = eval(inner, vars)
-        val idx = toNum(eval(ie, vars)).toInt
+        val key = eval(ie, vars)
         v match {
+          case m: Map[_, _] => // Jinja getitem on a dict: m['key']
+            m.asInstanceOf[Map[String, Any]].getOrElse(show(key), null)
           case s: Seq[_] =>
+            val idx = toNum(key).toInt
             val n = s.size
             val k = if (idx < 0) idx + n else idx
             if (k >= 0 && k < n) s(k) else null
           case s: String =>
+            val idx = toNum(key).toInt
             val n = s.length
             val k = if (idx < 0) idx + n else idx
             if (k >= 0 && k < n) s.substring(k, k + 1) else null
@@ -414,35 +418,62 @@ object MiniJinja {
     Template(nodes)
   }
 
-  private def parseExpr(s: String): Expr = {
-    // `~` (Jinja string concat) binds loosest: a ~ b ~ c folds left
-    val concatParts = splitTop(s.trim, '~').map(_.trim).filter(_.nonEmpty)
-    if (concatParts.length > 1)
-      return concatParts.map(parseCmp).reduceLeft(Cmp("~", _, _))
-    parseCmp(s.trim)
-  }
+  private def parseExpr(s: String): Expr = parseCmp(s.trim)
 
   private def parseCmp(s: String): Expr = {
-    // membership tests, keyword-split outside quotes/parens
+    // comparison/membership binds LOOSEST (Jinja2 precedence: `a ~ b == c`
+    // is `(a ~ b) == c`), so split it first; `~` folds inside each operand
     findTopKeyword(s, " not in ") match {
       case Some(i) =>
         return Cmp("not in",
-          parseFiltered(s.substring(0, i).trim),
-          parseFiltered(s.substring(i + 8).trim))
+          parseConcat(s.substring(0, i).trim),
+          parseConcat(s.substring(i + 8).trim))
       case None => ()
     }
     findTopKeyword(s, " in ") match {
       case Some(i) =>
         return Cmp("in",
-          parseFiltered(s.substring(0, i).trim),
-          parseFiltered(s.substring(i + 4).trim))
+          parseConcat(s.substring(0, i).trim),
+          parseConcat(s.substring(i + 4).trim))
       case None => ()
     }
-    val cmpPat = "(.+?)(==|!=|<=|>=|<|>)(.+)".r
-    s.trim match {
-      case cmpPat(l, op, r) => Cmp(op.trim, parseFiltered(l.trim), parseFiltered(r.trim))
-      case other            => parseFiltered(other)
+    findTopCmpOp(s.trim) match {
+      case Some((i, op)) =>
+        Cmp(op,
+          parseConcat(s.trim.substring(0, i).trim),
+          parseConcat(s.trim.substring(i + op.length).trim))
+      case None => parseConcat(s.trim)
     }
+  }
+
+  /** first comparison operator at quote/bracket depth zero (longest match
+    * wins at each position), or None. */
+  private def findTopCmpOp(s: String): Option[(Int, String)] = {
+    val ops = Seq("==", "!=", "<=", ">=", "<", ">")
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '(' || c == '[') depth += 1
+      else if (c == ')' || c == ']') depth -= 1
+      else if (depth == 0) {
+        val hit = ops.find(op => s.regionMatches(i, op, 0, op.length))
+        if (hit.isDefined) return Some((i, hit.get))
+      }
+      i += 1
+    }
+    None
+  }
+
+  private def parseConcat(s: String): Expr = {
+    // `~` (Jinja string concat) folds left; tighter than comparisons,
+    // looser than |filters
+    val parts = splitTop(s.trim, '~').map(_.trim).filter(_.nonEmpty)
+    if (parts.length > 1) parts.map(parseFiltered).reduceLeft(Cmp("~", _, _))
+    else parseFiltered(s.trim)
   }
 
   /** index of `kw` at paren/quote depth zero, or None. */
@@ -500,7 +531,7 @@ object MiniJinja {
       var e = parseBase(s.substring(0, open).trim)
       var rest = s.substring(open)
       while (rest.startsWith("[")) {
-        val close = rest.indexOf(']')
+        val close = matchingBracket(rest)
         require(close > 0, s"Unclosed '[' in: $s")
         val body = rest.substring(1, close).trim
         val parts = splitTop(body, ':').map(_.trim)
@@ -518,6 +549,26 @@ object MiniJinja {
       require(rest.isEmpty, s"Trailing content after accessor in: $s")
       e
     }
+  }
+
+  /** index of the `]` matching `s(0) == '['`, honoring quotes and nested
+    * brackets/parens (so `xs[ys[0]]` and `m[']']` parse), or -1. */
+  private def matchingBracket(s: String): Int = {
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '[' || c == '(') depth += 1
+      else if (c == ']' || c == ')') {
+        depth -= 1
+        if (depth == 0 && c == ']') return i
+      }
+      i += 1
+    }
+    -1
   }
 
   private def parseIndexExpr(s: String): Expr =
@@ -545,8 +596,8 @@ object MiniJinja {
     s.foreach { c =>
       if (quote != 0) { cur += c; if (c == quote) quote = 0 }
       else if (c == '"' || c == '\'') { quote = c; cur += c }
-      else if (c == '(') { depth += 1; cur += c }
-      else if (c == ')') { depth -= 1; cur += c }
+      else if (c == '(' || c == '[') { depth += 1; cur += c }
+      else if (c == ')' || c == ']') { depth -= 1; cur += c }
       else if (c == sep && depth == 0) { out += cur.result(); cur.clear() }
       else cur += c
     }

@@ -133,8 +133,11 @@ final case class UnigramTokenizer(
       if (specials.contains(id)) {
         if (!skipSpecialTokens) sb.append(
           if (id == padId) "<pad>" else if (id == bosId) "<s>" else "</s>")
-      } else if (id == unkId) sb.append("<unk>")
-      else sb.append(inv.getOrElse(id, ""))
+      } else if (id == unkId) {
+        // <unk> is a special too: HF skip_special_tokens drops it, and the
+        // WordPiece sibling (TokenizeOps) skips unk in that mode
+        if (!skipSpecialTokens) sb.append("<unk>")
+      } else sb.append(inv.getOrElse(id, ""))
     }
     sb.toString.replace(Space, ' ').stripPrefix(" ")
   }
@@ -156,22 +159,40 @@ object UnigramTokenizer {
     )
 
   /** Load the `spm_export_vocab` TSV dump: one `piece<TAB>logprob` line
-    * per piece in id order. Special-token lines (`<pad>`, `<s>`, `</s>`,
-    * `<unk>`) are recognized and skipped — their ids are fixed by
-    * position in this tokenizer, matching sentencepiece's default
-    * layout where they occupy the first rows. */
+    * per piece in id order. Ids are the file's row positions — exactly
+    * the ids the originating SentencePiece/HF model uses — so exported
+    * token ids line up with that model's embedding rows. Special rows
+    * (`<pad>`, `<s>`, `</s>`, `<unk>`) claim the special ids from their
+    * own positions; sentencepiece's default layout has only three
+    * (`<unk>`=0, `<s>`=1, `</s>`=2, pad disabled), in which case the pad
+    * id is allocated past the vocabulary so it collides with nothing. */
   def fromVocabFile(path: String): UnigramTokenizer = {
-    val specials = Set("<pad>", "<s>", "</s>", "<unk>")
     val src = scala.io.Source.fromFile(path, "UTF-8")
     try {
-      val scored = src.getLines().flatMap { line =>
+      var pad, bos, eos, unk = -1L
+      val pieces = Map.newBuilder[String, (Long, Double)]
+      var row = 0L
+      src.getLines().foreach { line =>
         line.split('\t') match {
-          case Array(p, s) if !specials.contains(p) =>
-            Some(p -> s.toDouble)
-          case _ => None
+          case Array(p, s) =>
+            p match {
+              case "<pad>"  => pad = row
+              case "<s>"    => bos = row
+              case "</s>"   => eos = row
+              case "<unk>"  => unk = row
+              case _        => pieces += (p -> ((row, s.toDouble)))
+            }
+            row += 1
+          case _ => ()
         }
-      }.toVector
-      fromScores(scored)
+      }
+      // specials absent from the dump get ids past the vocabulary
+      var next = row
+      def alloc(id: Long): Long =
+        if (id >= 0) id else { val v = next; next += 1; v }
+      UnigramTokenizer(pieces.result(),
+        padId = alloc(pad), bosId = alloc(bos),
+        eosId = alloc(eos), unkId = alloc(unk))
     } finally src.close()
   }
 }

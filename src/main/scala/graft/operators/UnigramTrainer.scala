@@ -98,14 +98,15 @@ object UnigramTrainer {
         .map { case (p, c) => (p, c) }
         .collect()
         .toSeq
-      // M-step + prune: top vocabSize by count; single chars always kept
+      // M-step + prune: single chars always survive (coverage floor —
+      // chars that fell out of use keep a floor count of 1), and the
+      // multi-piece budget is what remains of vocabSize after ALL of
+      // them, so |vocab| never exceeds vocabSize
       val (chars, pieces) = counts.partition(_._1.length == 1)
-      val kept = pieces.sortBy { case (p, c) => (-c, p) }
-        .take(math.max(0, vocabSize - chars.length))
-      // chars that fell out of use this round keep a floor count of 1 so
-      // coverage never regresses
       val charFloor = singles.map(_._1).toSet
         .map((c: String) => c -> chars.toMap.getOrElse(c, 1L)).toSeq
+      val kept = pieces.sortBy { case (p, c) => (-c, p) }
+        .take(math.max(0, vocabSize - charFloor.size))
       scored = toScored(charFloor ++ kept)
       r += 1
     }

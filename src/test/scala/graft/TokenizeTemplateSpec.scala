@@ -140,6 +140,29 @@ class TokenizeTemplateSpec extends SparkSpec {
     assert(t2.render(Map("s" -> "abc")) == "~bc")
   }
 
+  test("MiniJinja precedence: ~ binds tighter than comparisons (Jinja2)") {
+    // a ~ b == c must parse as (a ~ b) == c, not a ~ (b == c)
+    val t = MiniJinja.parse(
+      "{% if a ~ b == 'x7' %}eq{% else %}ne{% endif %}" +
+        "|{% if a ~ b in ws %}in{% else %}out{% endif %}" +
+        "|{% if s | length ~ '' == '3' %}len3{% endif %}"
+    )
+    val out = t.render(Map(
+      "a" -> "x", "b" -> 7L, "ws" -> Seq("x7", "q"), "s" -> "abc"))
+    assert(out == "eq|in|len3")
+    // comparison operators inside string literals are not split points
+    val t2 = MiniJinja.parse("{% if s == 'a<b' %}lit{% endif %}")
+    assert(t2.render(Map("s" -> "a<b")) == "lit")
+  }
+
+  test("MiniJinja nested/quoted bracket accessors parse to the matching ]") {
+    val t = MiniJinja.parse("{{ xs[ys[0]] }}|{{ m['k]x' ] }}")
+    val out = t.render(Map(
+      "xs" -> Seq("a", "b", "c"), "ys" -> Seq(2L),
+      "m" -> Map("k]x" -> "v")))
+    assert(out == "c|v")
+  }
+
   test("MiniJinja numeric/word filters: title/wordcount/abs/round") {
     val t = MiniJinja.parse(
       "{{ s | title }}|{{ s | wordcount }}|{{ n | abs }}|{{ x | round }}|{{ x | round(2) }}"

@@ -51,15 +51,37 @@ class UnigramTokenizerSpec extends SparkSpec {
     assert(t.decode(withSpecials.toSeq, skipSpecialTokens = true) == "hi")
   }
 
-  test("fromVocabFile loads the spm_export_vocab TSV layout") {
+  test("fromVocabFile: ids are the dump's row positions (spm default 3-special layout)") {
     val f = java.nio.file.Files.createTempFile("graft_spm", ".vocab")
     java.nio.file.Files.write(f,
       "<unk>\t0\n<s>\t0\n</s>\t0\n▁hey\t-1.5\n▁you\t-2.0\n".getBytes("UTF-8"))
     val t = UnigramTokenizer.fromVocabFile(f.toString)
-    // specials skipped; real pieces get ids 4, 5 in file order
+    // sentencepiece default: <unk>=0, <s>=1, </s>=2, pad disabled; pieces
+    // take their own row ids — ▁hey=3, ▁you=4, matching the model's
+    // embedding rows (not shifted past a phantom pad slot)
+    assert((t.unkId, t.bosId, t.eosId) == ((0L, 1L, 2L)))
     val ids = t.encode("hey you", addSpecialTokens = false)
-    assert(ids.toSeq == Seq(4L, 5L))
+    assert(ids.toSeq == Seq(3L, 4L))
+    // absent pad id is allocated past the vocabulary, colliding with nothing
+    assert(t.padId == 5L)
     assert(t.decode(ids.toSeq, skipSpecialTokens = true) == "hey you")
+  }
+
+  test("fromVocabFile: 4-special (HF-style) layout keeps every row id verbatim") {
+    val f = java.nio.file.Files.createTempFile("graft_spm4", ".vocab")
+    java.nio.file.Files.write(f,
+      "<pad>\t0\n<s>\t0\n</s>\t0\n<unk>\t0\n▁hey\t-1.5\n".getBytes("UTF-8"))
+    val t = UnigramTokenizer.fromVocabFile(f.toString)
+    assert((t.padId, t.bosId, t.eosId, t.unkId) == ((0L, 1L, 2L, 3L)))
+    assert(t.encode("hey", addSpecialTokens = false).toSeq == Seq(4L))
+  }
+
+  test("decode drops <unk> when skipSpecialTokens=true (HF parity)") {
+    val t = tok("▁ok" -> -1.0)
+    val ids = t.encode("ok zz", addSpecialTokens = true) // bos, ▁ok, unk, eos
+    assert(ids.toSeq == Seq(1L, 4L, 3L, 2L))
+    assert(t.decode(ids.toSeq, skipSpecialTokens = false) == "<s> ok<unk></s>")
+    assert(t.decode(ids.toSeq, skipSpecialTokens = true) == "ok")
   }
 
   test("UnigramTrainer: frequent words become whole pieces; trained vocab round-trips") {
@@ -71,6 +93,8 @@ class UnigramTokenizerSpec extends SparkSpec {
     // the dominant words must have been kept as whole marker-prefixed pieces
     assert(pieces.contains("▁spark"), pieces)
     assert(pieces.contains("▁rules"), pieces)
+    // the char coverage floor counts against the budget: never over size
+    assert(scored.size <= 24, s"vocab ${scored.size} exceeds vocabSize")
     // training is deterministic for a fixed corpus
     val again = UnigramTrainer.train(df, "words", vocabSize = 24,
       maxPieceLen = 6, rounds = 2)
