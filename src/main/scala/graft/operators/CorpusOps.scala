@@ -212,14 +212,16 @@ final case class PackSequences(
     val bucketTotals = withB
       .groupBy(col("__ps_b"))
       .agg(sum(len).as("__ps_btot"))
-    // O(#buckets) rows: the unpartitioned window is over the tiny
-    // aggregate, never the data
+    // O(#buckets) rows: this window is over the tiny aggregate, never the
+    // data — the constant partition key states the single-partition
+    // intent explicitly (same plan, no spurious WindowExec warning)
     val bucketPrefix = bucketTotals
       .withColumn(
         "__ps_bpre",
         coalesce(
           sum(col("__ps_btot")).over(
             Window
+              .partitionBy(lit(0))
               .orderBy(col("__ps_b"))
               .rowsBetween(Window.unboundedPreceding, -1)
           ),
@@ -342,8 +344,13 @@ object Mixtures {
   ): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
     require(maxEpochs > 0, "maxEpochs must be positive")
-    val bysupply = Window.orderBy(col("supply"), col(sourceField))
+    // one row per SOURCE (dozens at 100 TB, never the corpus) — the
+    // constant partition key makes the intentional single partition
+    // explicit instead of tripping the WindowExec warning
+    val bysupply =
+      Window.partitionBy(lit(0)).orderBy(col("supply"), col(sourceField))
     val everything = Window
+      .partitionBy(lit(0))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     counts
       .select(
