@@ -1610,6 +1610,65 @@ object Queries {
     )
   )
 
+  /** [[UnigramTokenizer.fromVocabFile]] id-layout pin: the vocab file is
+    * written in sentencepiece's default export layout (`<unk>`=0,
+    * `<s>`=1, `</s>`=2, pieces from row 3) and piece ids MUST be the
+    * file's row positions — the oracle re-derives each id as
+    * 2 + rank(word), so a hash match proves exported token ids line up
+    * with the originating model's embedding rows. */
+  private val qSpmVocabIds = Q(
+    "q125_spm_vocab_ids",
+    (s, dir) => {
+      val words = docWords(s, dir)
+        .select(explode(col("words")).as("w")).distinct()
+        .orderBy("w").collect().map(_.getString(0))
+      val f = java.nio.file.Paths.get("/tmp/graft_spm_q125.vocab")
+      val lines = Seq("<unk>\t0", "<s>\t0", "</s>\t0") ++
+        words.map(w => s"▁$w\t-1.0")
+      java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+      val t = UnigramTokenizer.fromVocabFile(f.toString)
+      TokenizerMapper(t, inputField = "text", returnAttentionMask = false)(
+        docs(s, dir))
+        .select(col("doc_id"), J("input_ids"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH words AS (SELECT doc_id, u.w AS w, u.i AS i FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len($W)),
+         |      i -> struct_pack(i := i, w := ($W)[i]))) AS u FROM documents) t),
+         |v AS (SELECT w, row_number() OVER (ORDER BY w) + 2 AS id
+         |      FROM (SELECT DISTINCT w FROM words)),
+         |ids AS (SELECT doc_id, list(v.id ORDER BY words.i) AS body
+         |        FROM words JOIN v USING (w) GROUP BY doc_id)
+         |SELECT doc_id,
+         |  to_json([CAST(1 AS BIGINT)] || body || [CAST(2 AS BIGINT)])::VARCHAR
+         |    AS input_ids
+         |FROM ids ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Jinja2 `loop` variable ({{ loop.index }}, loop.last) inside
+    * {% for %}, with the boolean `not` operator — replayed in SQL via
+    * generate_series enumeration. */
+  private val qJinjaLoop = Q(
+    "q126_jinja_loop",
+    (s, dir) =>
+      JinjaMapper(
+        "{% for w in words %}{{ loop.index }}:{{ w }}" +
+          "{% if not loop.last %} {% endif %}{% endfor %}" +
+          "|||{{ words | length }}")(
+        docWords(s, dir).select("doc_id", "words"))
+        .select("doc_id", "source", "target")
+        .orderBy("doc_id"),
+    Some(
+      s"""SELECT doc_id,
+         |  array_to_string(list_transform(generate_series(1, len($W)),
+         |    i -> CAST(i AS VARCHAR) || ':' || ($W)[i]), ' ') AS source,
+         |  CAST(len($W) AS VARCHAR) AS target
+         |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
   private val qTokenize = Q(
     "q42_tokenize",
     (s, dir) =>
@@ -2341,22 +2400,34 @@ object Queries {
   )
 
   /** Promptsource registry lookup + template application
-    * (promptsource.py:239-310). */
+    * (promptsource.py:239-310), through the BUNDLED community pack: the
+    * squad `given_context_answer_question_variation` key resolves
+    * offline from [[TemplateRegistry.builtin]] (byte-exact to the
+    * reference's resolution of that key, tests/test_promptsource.py:
+    * 64-88) and renders squad-shaped rows derived from `documents`,
+    * exercising the nested `answers.text[0]` accessor path. */
   private val qPromptsource = Q(
     "q75_promptsource",
     (s, dir) => {
-      val reg = TemplateRegistry(Map(
-        ("docs", "", "langtag") ->
-          "Doc {{ doc_id }} ({{ lang }}): {{ text }}|||{{ lang }}"
-      ))
-      PromptsourceMapper(reg, datasetName = "docs", templateName = "langtag")(
-        docs(s, dir).select("doc_id", "text", "lang"))
+      val squadish = docs(s, dir).select(
+        col("doc_id"),
+        col("text").as("context"),
+        concat(lit("What is doc "), col("doc_id").cast(StringType), lit("?"))
+          .as("question"),
+        struct(
+          array(col("lang")).as("text"),
+          array(lit(0L)).as("answer_start")
+        ).as("answers")
+      )
+      PromptsourceMapper(TemplateRegistry.builtin, datasetName = "squad",
+        templateName = "given_context_answer_question_variation")(squadish)
         .select("doc_id", "source", "target")
         .orderBy("doc_id")
     },
     Some(
       """SELECT doc_id,
-        |  'Doc ' || CAST(doc_id AS VARCHAR) || ' (' || lang || '): ' || text AS source,
+        |  text || chr(10) || chr(10) || 'Q: What is doc ' || CAST(doc_id AS VARCHAR)
+        |    || '?' || chr(10) || chr(10) || 'A:' AS source,
         |  lang AS target
         |FROM documents ORDER BY doc_id""".stripMargin
     )
@@ -3670,7 +3741,8 @@ object Queries {
     qParagraphDedup, qLmFamiliarity, qPackSequences, qTopNgrams,
     qDedupSurvivorPolicy, qWaterFill, qIncrementalDedup,
     qFingerprintOverlap, qPackChunks, qDeterministicShuffle,
-    qJinjaCommunity, qTrainingExport, qWordsBreak, qUnigramTokenize
+    qJinjaCommunity, qTrainingExport, qWordsBreak, qUnigramTokenize,
+    qSpmVocabIds, qJinjaLoop
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -21,6 +21,33 @@ final case class TemplateRegistry(templates: Map[(String, String, String), Strin
 }
 
 object TemplateRegistry {
+
+  /** Bundled community-template pack so real (dataset, subset, template)
+    * keys resolve OFFLINE — the stand-in for the promptsource package's
+    * YAML store the reference reads (promptsource.py:239-310). The squad
+    * `given_context_answer_question_variation` entry is byte-exact per
+    * the reference's own resolution of that key
+    * (tests/test_promptsource.py:64-88 golden: source
+    * `"<context>\n\nQ: <question>\n\nA:"`, target `answers.text[0]`);
+    * the rest are representative of the public promptsource catalog's
+    * answer_choices-free shapes for those datasets. Merge with
+    * [[fromDirectory]] or a custom map for a fuller store. */
+  val builtin: TemplateRegistry = TemplateRegistry(Map(
+    ("squad", "", "given_context_answer_question_variation") ->
+      "{{context}}\n\nQ: {{question}}\n\nA: |||{{answers.text[0]}}",
+    ("squad", "", "answer_the_question") ->
+      ("Answer the question depending on the context.\n" +
+        "Context: {{context}};\nQuestion: {{question}};\nAnswer: " +
+        "|||{{answers.text[0]}}"),
+    ("ag_news", "", "article_title") ->
+      "{{text}}\n\nGive a title for the article above.|||{{title | default('')}}",
+    ("imdb", "", "review_sentiment") ->
+      ("{{text}}\nHow does the reviewer feel about the movie? " +
+        "|||{{sentiment | default('')}}"),
+    ("boolq", "", "passage_question_yesno") ->
+      "{{passage}}\n\nQuestion: {{question}}?\nAnswer: |||{{answer | default('')}}"
+  ))
+
   /** Load every `<dataset>/<subset>/<name>.jinja` under `dir`. */
   def fromDirectory(dir: String): TemplateRegistry = {
     val root = new java.io.File(dir)

@@ -40,6 +40,9 @@ object MiniJinja {
   final case class Lit(v: Any) extends Expr
   final case class Filtered(e: Expr, filter: String, args: List[Any]) extends Expr
   final case class Cmp(op: String, l: Expr, r: Expr) extends Expr
+  /** `not expr` — Jinja2 boolean negation (binds tighter than and/or,
+    * looser than comparisons: `not a == b` is `not (a == b)`). */
+  final case class Not(e: Expr) extends Expr
   /** `xs[2]` / `xs[-1]` — Python-style index (negative wraps). */
   final case class Index(e: Expr, i: Expr) extends Expr
   /** `xs[1:3]` / `s[:5]` — Python-style slice with clamping. */
@@ -53,6 +56,7 @@ object MiniJinja {
         case Ref(p)            => Set(p.head)
         case Filtered(e, _, _) => exprVars(e)
         case Cmp(_, l, r)      => exprVars(l) ++ exprVars(r)
+        case Not(e)            => exprVars(e)
         case Index(e, i)       => exprVars(e) ++ exprVars(i)
         case Slice(e, f, t) =>
           exprVars(e) ++ f.toSet.flatMap(exprVars) ++ t.toSet.flatMap(exprVars)
@@ -100,7 +104,21 @@ object MiniJinja {
         case For(v, seqE, body) =>
           eval(seqE, env) match {
             case s: Seq[_] =>
-              s.foreach(x => renderInto(body, env + (v -> x), sb))
+              val n = s.size
+              s.zipWithIndex.foreach { case (x, i) =>
+                // Jinja2 `loop` variable: index (1-based), index0,
+                // revindex, first, last, length
+                val loopVar: Map[String, Any] = Map(
+                  "index" -> (i + 1).toLong,
+                  "index0" -> i.toLong,
+                  "revindex" -> (n - i).toLong,
+                  "revindex0" -> (n - i - 1).toLong,
+                  "first" -> (i == 0),
+                  "last" -> (i == n - 1),
+                  "length" -> n.toLong
+                )
+                renderInto(body, env + (v -> x) + ("loop" -> loopVar), sb)
+              }
             case null => ()
             case other =>
               throw new IllegalArgumentException(
@@ -124,7 +142,9 @@ object MiniJinja {
             case m: Map[_, _] =>
               m.asInstanceOf[Map[String, Any]].getOrElse(seg, null)
             case r: Row =>
-              try r.getAs[Any](seg)
+              // normalize nested Spark arrays (mutable ArraySeq) to Seq so
+              // downstream Index/Slice/filters match them
+              try MiniJinja.toTemplateValue(r.getAs[Any](seg))
               catch { case _: Exception => null }
             case _ => null
           }
@@ -292,6 +312,7 @@ object MiniJinja {
           case null  => null
           case other => throw new IllegalArgumentException(s"cannot slice $other")
         }
+      case Not(inner) => !truthy(eval(inner, vars))
       case Cmp(op, le, re) =>
         val l = eval(le, vars)
         val r = eval(re, vars)
@@ -305,6 +326,8 @@ object MiniJinja {
         }
         op match {
           case "~"      => show(l) + show(r)
+          case "and"    => truthy(l) && truthy(r)
+          case "or"     => truthy(l) || truthy(r)
           case "in"     => member
           case "not in" => !member
           case "=="     => l == r || show(l) == show(r)
@@ -336,7 +359,8 @@ object MiniJinja {
     }
 
     private def show(v: Any): String = v match {
-      case null      => ""
+      case null       => ""
+      case b: Boolean => if (b) "True" else "False" // python/Jinja2 repr
       case d: Double => if (d == d.floor && !d.isInfinite) d.toLong.toString else d.toString
       case f: Float  => show(f.toDouble)
       case s: Seq[_] => s.map(show).mkString("[", ", ", "]")
@@ -418,7 +442,28 @@ object MiniJinja {
     Template(nodes)
   }
 
-  private def parseExpr(s: String): Expr = parseCmp(s.trim)
+  private def parseExpr(s: String): Expr = parseOr(s.trim)
+
+  // Jinja2 boolean precedence: or < and < not < comparison < ~ < |filter
+  private def parseOr(s: String): Expr =
+    findTopKeyword(s, " or ") match {
+      case Some(i) =>
+        Cmp("or", parseAnd(s.substring(0, i).trim),
+          parseOr(s.substring(i + 4).trim))
+      case None => parseAnd(s)
+    }
+
+  private def parseAnd(s: String): Expr =
+    findTopKeyword(s, " and ") match {
+      case Some(i) =>
+        Cmp("and", parseNot(s.substring(0, i).trim),
+          parseAnd(s.substring(i + 5).trim))
+      case None => parseNot(s)
+    }
+
+  private def parseNot(s: String): Expr =
+    if (s.startsWith("not ")) Not(parseNot(s.drop(4).trim))
+    else parseCmp(s)
 
   private def parseCmp(s: String): Expr = {
     // comparison/membership binds LOOSEST (Jinja2 precedence: `a ~ b == c`

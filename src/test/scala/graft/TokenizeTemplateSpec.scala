@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators._
+import org.apache.spark.sql.functions.{array, lit, struct}
 
 /** WordPiece + template golden cases
   * (reference tests/test_tokenize_mappers.py:72-121 semantics, with a
@@ -180,9 +181,55 @@ class TokenizeTemplateSpec extends SparkSpec {
     assert(out == "a d b-c llo hel lo 0")
   }
 
+  test("MiniJinja loop variable: index/index0/revindex/first/last/length") {
+    val t = MiniJinja.parse(
+      "{% for x in xs %}{{ loop.index }}/{{ loop.length }}:{{ x }}" +
+        "{% if not loop.last %}, {% endif %}{% endfor %}" +
+        "|{% for x in xs %}{% if loop.first %}[{{ loop.revindex }}]{% endif %}{% endfor %}"
+    )
+    val out = t.render(Map("xs" -> Seq("a", "b", "c")))
+    assert(out == "1/3:a, 2/3:b, 3/3:c|[3]")
+    // nested loops: inner `loop` shadows outer, restored on exit
+    val t2 = MiniJinja.parse(
+      "{% for r in rs %}{% for c in r %}{{ loop.index0 }}{% endfor %};{{ loop.index }}{% endfor %}")
+    assert(t2.render(Map("rs" -> Seq(Seq("x", "y"), Seq("z")))) == "01;10;2")
+  }
+
+  test("MiniJinja boolean operators: and/or/not with Jinja precedence") {
+    val t = MiniJinja.parse(
+      "{% if a and not b %}A{% endif %}" +
+        "{% if b or c == 'x' %}B{% endif %}" +
+        "{% if not a == b %}C{% endif %}" + // not (a == b)
+        "{% if b and a or a %}D{% endif %}" + // (b and a) or a
+        "{% if 'y' not in c and a %}E{% endif %}"
+    )
+    val out = t.render(Map("a" -> true, "b" -> false, "c" -> "x"))
+    assert(out == "ABCDE")
+    // python repr for rendered booleans (Jinja2 prints True/False)
+    assert(MiniJinja.parse("{{ a }}/{{ b }}").render(
+      Map("a" -> true, "b" -> false)) == "True/False")
+  }
+
   test("MiniJinja rejects unsupported constructs with clear error") {
     val e = intercept[IllegalArgumentException](MiniJinja.parse("{% macro x %}"))
     assert(e.getMessage.contains("macro"))
+  }
+
+  test("bundled promptsource pack: squad key renders the reference golden") {
+    // reference resolution of (squad, given_context_answer_question_variation)
+    // — tests/test_promptsource.py:64-88
+    val df = Seq(
+      ("What is the capital of France?", "Paris is the capital of France.")
+    ).toDF("question", "context")
+      .withColumn("answers", struct(
+        array(lit("Paris")).as("text"), array(lit(0L)).as("answer_start")))
+    val out = PromptsourceMapper(TemplateRegistry.builtin,
+      datasetName = "squad",
+      templateName = "given_context_answer_question_variation")(df)
+      .select("source", "target").head()
+    assert(out.getString(0) ==
+      "Paris is the capital of France.\n\nQ: What is the capital of France?\n\nA:")
+    assert(out.getString(1) == "Paris")
   }
 
   test("JinjaMapper renders source/target per row") {
