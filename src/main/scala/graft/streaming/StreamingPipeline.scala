@@ -16,8 +16,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Beyond parity, the helpers below add the streaming pieces a training-
   * data pipeline needs at scale: event-time windowed counts with
-  * watermarks (late-data bounded state) and keyed custom state via
-  * flatMapGroupsWithState (streaming dedup).
+  * watermarks (late-data bounded state), keyed custom state via
+  * flatMapGroupsWithState (streaming dedup), and event-time gap
+  * sessionization with timeout-driven emission.
   */
 object StreamingPipeline {
 
@@ -58,6 +59,72 @@ object StreamingPipeline {
       .withWatermark(tsField, watermark)
       .groupBy(window(col(tsField), windowDur, slide), col(keyField))
       .agg(count(lit(1)).as("n"))
+
+  /** Event-time gap sessionization — the streaming analog of the batch
+    * sessionize query (q04): rows keyed by `keyField` accumulate into a
+    * session while inter-event gaps stay under `gapSeconds`; a session
+    * closes either when a later event of the same key opens the next one
+    * (emitted immediately) or when the event-time WATERMARK passes
+    * `last + gap` (emitted via EventTimeTimeout, state removed — so
+    * state per key is one (start,last,n) triple, bounded by the
+    * watermark horizon, never the stream).
+    *
+    * Output: key, session_start, session_end (epoch millis), n_events.
+    * Late events beyond the watermark are dropped by the watermark
+    * itself — standard Structured Streaming semantics. */
+  def sessionize(
+      stream: DataFrame,
+      tsField: String,
+      keyField: String,
+      gapSeconds: Long = 1800L,
+      watermark: String = "2 minutes"
+  ): DataFrame = {
+    require(gapSeconds > 0, "gapSeconds must be positive")
+    import stream.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+    stream
+      // project/cast FIRST: a cast of a watermarked column mints a fresh
+      // attribute without the watermark metadata
+      .select(
+        col(keyField).cast("string").as("k"),
+        col(tsField).cast("timestamp").as("ts")
+      )
+      .withWatermark("ts", watermark)
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (String, Long, Long, Long)](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()
+      ) { (k, it, state) =>
+        if (state.hasTimedOut) {
+          // watermark passed last+gap: the open session is final
+          val (s, l, n) = state.get
+          state.remove()
+          Iterator((k, s, l, n))
+        } else {
+          val times = it.map(_._2.getTime).toArray.sorted
+          val closed = scala.collection.mutable.ListBuffer.empty[(String, Long, Long, Long)]
+          var cur = state.getOption
+          times.foreach { t =>
+            cur match {
+              case Some((s, l, n)) if t - l <= gapMs =>
+                cur = Some((s, math.max(l, t), n + 1))
+              case Some(sess) =>
+                closed += ((k, sess._1, sess._2, sess._3))
+                cur = Some((t, t, 1L))
+              case None =>
+                cur = Some((t, t, 1L))
+            }
+          }
+          cur.foreach { c =>
+            state.update(c)
+            state.setTimeoutTimestamp(c._2 + gapMs)
+          }
+          closed.iterator
+        }
+      }
+      .toDF("key", "session_start", "session_end", "n_events")
+  }
 
   /** Streaming exact-dedup on a key (e.g. a text hash): emits only the
     * first occurrence of each key. Keyed state via flatMapGroupsWithState;

@@ -110,6 +110,40 @@ class RecipeStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming sessionize: gap sessions close by next event or watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val out = StreamingPipeline.sessionize(
+      mem.toDF().toDF("user", "ts"), "ts", "user",
+      gapSeconds = 30L, watermark = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("graft_stream_sess")
+      .outputMode("append").start()
+    // ONE batch holding two sessions for A: [1000s,1010s] then an open
+    // [1100s] (times sit above the initial zero watermark, which drops
+    // t<=0 rows as late data)
+    mem.addData(("A", ts(1000)), ("A", ts(1010)), ("A", ts(1100)))
+    q.processAllAvailable()
+    val got1 = spark.sql(
+      "SELECT key, session_start, session_end, n_events FROM graft_stream_sess")
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the closed session emits immediately; the open one stays in state
+    assert(got1 == Set(("A", 1000000L, 1010000L, 2L)))
+    // push the watermark far past 1100s+gap: A's open session times out
+    mem.addData(("B", ts(2500)))
+    q.processAllAvailable()
+    mem.addData(("B", ts(2501))) // extra batch so the timeout fires
+    q.processAllAvailable()
+    val got2 = spark.sql(
+      "SELECT key, session_start, n_events FROM graft_stream_sess").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got2.contains(("A", 1100000L, 1L)), got2)
+    // B's session is still open (events 500,501 within gap): not emitted
+    assert(!got2.exists(_._1 == "B"))
+    q.stop()
+  }
+
   test("Gopher gate + deterministic sample run unchanged on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
