@@ -1669,6 +1669,32 @@ object Queries {
     )
   )
 
+  /** Promptsource `answer_choices` convention through the bundled
+    * ag_news template: the choices jinja renders per row, splits on
+    * '|||', and `{{ answer_choices[label] }}` indexes it — replayed in
+    * SQL by a CASE over the label. */
+  private val qAnswerChoices = Q(
+    "q127_answer_choices",
+    (s, dir) => {
+      val df = docs(s, dir).select(
+        col("doc_id"),
+        col("text"),
+        (col("doc_id") % 4).cast(LongType).as("label")
+      )
+      PromptsourceMapper(TemplateRegistry.builtin, datasetName = "ag_news",
+        templateName = "classify_question_first")(df)
+        .select("doc_id", "source", "target")
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id,
+        |  'What label best describes this news article?' || chr(10) || text AS source,
+        |  CASE doc_id % 4 WHEN 0 THEN 'World politics' WHEN 1 THEN 'Sports'
+        |    WHEN 2 THEN 'Business' ELSE 'Science and technology' END AS target
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
   private val qTokenize = Q(
     "q42_tokenize",
     (s, dir) =>
@@ -3742,7 +3768,7 @@ object Queries {
     qDedupSurvivorPolicy, qWaterFill, qIncrementalDedup,
     qFingerprintOverlap, qPackChunks, qDeterministicShuffle,
     qJinjaCommunity, qTrainingExport, qWordsBreak, qUnigramTokenize,
-    qSpmVocabIds, qJinjaLoop
+    qSpmVocabIds, qJinjaLoop, qAnswerChoices
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

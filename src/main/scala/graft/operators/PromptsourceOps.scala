@@ -9,7 +9,10 @@ import org.apache.spark.sql.DataFrame
   * apply it. The reference reads the promptsource package's YAML store;
   * our registry is either an in-memory map or a directory of
   * `<dataset>/<subset>/<name>.jinja` files (driver-side, tiny). */
-final case class TemplateRegistry(templates: Map[(String, String, String), String]) {
+final case class TemplateRegistry(
+    templates: Map[(String, String, String), String],
+    answerChoices: Map[(String, String, String), String] = Map.empty
+) {
   def lookup(dataset: String, subset: String, name: String): String =
     templates.getOrElse(
       (dataset, subset, name),
@@ -18,6 +21,11 @@ final case class TemplateRegistry(templates: Map[(String, String, String), Strin
           s"known: ${templates.keys.take(10).mkString(", ")}"
       )
     )
+
+  /** The template's promptsource `answer_choices` jinja ('a ||| b' form),
+    * if declared. */
+  def lookupChoices(dataset: String, subset: String, name: String): Option[String] =
+    answerChoices.get((dataset, subset, name))
 }
 
 object TemplateRegistry {
@@ -41,11 +49,17 @@ object TemplateRegistry {
         "|||{{answers.text[0]}}"),
     ("ag_news", "", "article_title") ->
       "{{text}}\n\nGive a title for the article above.|||{{title | default('')}}",
+    ("ag_news", "", "classify_question_first") ->
+      ("What label best describes this news article?\n" +
+        "{{text}}|||{{answer_choices[label]}}"),
     ("imdb", "", "review_sentiment") ->
       ("{{text}}\nHow does the reviewer feel about the movie? " +
         "|||{{sentiment | default('')}}"),
     ("boolq", "", "passage_question_yesno") ->
       "{{passage}}\n\nQuestion: {{question}}?\nAnswer: |||{{answer | default('')}}"
+  ), answerChoices = Map(
+    ("ag_news", "", "classify_question_first") ->
+      "World politics ||| Sports ||| Business ||| Science and technology"
   ))
 
   /** Load every `<dataset>/<subset>/<name>.jinja` under `dir`. */
@@ -76,7 +90,9 @@ final case class PromptsourceMapper(
   private val inner = JinjaMapper(
     registry.lookup(datasetName, subsetName, templateName),
     sourceFieldName,
-    targetFieldName
+    targetFieldName,
+    answerChoicesJinja =
+      registry.lookupChoices(datasetName, subsetName, templateName)
   )
   override def outputFields: Seq[String] = inner.outputFields
   override protected def build(df: DataFrame): DataFrame = inner(df)

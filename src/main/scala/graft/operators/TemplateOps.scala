@@ -372,17 +372,40 @@ object MiniJinja {
   def parse(template: String): Template = {
     val tokenPat = "\\{\\{.*?\\}\\}|\\{%.*?%\\}".r
     var pos = 0
-    val tokens = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    // (kind, body, trimBefore, trimAfter) — Jinja2 whitespace control:
+    // `{%- / {{-` strips trailing whitespace from the preceding text,
+    // `-%} / -}}` strips leading whitespace from the following text
+    val raw = scala.collection.mutable.ListBuffer.empty[(String, String, Boolean, Boolean)]
     tokenPat.findAllMatchIn(template).foreach { m =>
-      if (m.start > pos) tokens += (("text", template.substring(pos, m.start)))
+      if (m.start > pos)
+        raw += (("text", template.substring(pos, m.start), false, false))
       val t = m.matched
-      if (t.startsWith("{{")) tokens += (("output", t.drop(2).dropRight(2).trim))
-      else tokens += (("tag", t.drop(2).dropRight(2).trim))
+      var inner = t.drop(2).dropRight(2)
+      val trimBefore = inner.startsWith("-")
+      if (trimBefore) inner = inner.drop(1)
+      val trimAfter = inner.endsWith("-")
+      if (trimAfter) inner = inner.dropRight(1)
+      val kind = if (t.startsWith("{{")) "output" else "tag"
+      raw += ((kind, inner.trim, trimBefore, trimAfter))
       pos = m.end
     }
-    if (pos < template.length) tokens += (("text", template.substring(pos)))
-
-    val toks = tokens.toList
+    if (pos < template.length)
+      raw += (("text", template.substring(pos), false, false))
+    val arr = raw.toArray
+    arr.indices.foreach { j =>
+      val (k, _, tb, ta) = arr(j)
+      if (k != "text") {
+        if (tb && j > 0 && arr(j - 1)._1 == "text") {
+          val p = arr(j - 1)
+          arr(j - 1) = (p._1, p._2.replaceAll("\\s+$", ""), p._3, p._4)
+        }
+        if (ta && j + 1 < arr.length && arr(j + 1)._1 == "text") {
+          val nx = arr(j + 1)
+          arr(j + 1) = (nx._1, nx._2.replaceAll("^\\s+", ""), nx._3, nx._4)
+        }
+      }
+    }
+    val toks = arr.toList.map(t => (t._1, t._2))
     var i = 0
     def parseNodes(stopTags: Set[String]): (List[Node], Option[String]) = {
       val out = scala.collection.mutable.ListBuffer.empty[Node]
@@ -664,10 +687,12 @@ final case class JinjaMapper(
     sourceFieldName: String = "source",
     targetFieldName: String = "target",
     returnMultipleTargets: Boolean = false,
-    extraVariables: Map[String, Any] = Map.empty
+    extraVariables: Map[String, Any] = Map.empty,
+    answerChoicesJinja: Option[String] = None
 ) extends Mapper {
   // parse eagerly on the driver so bad templates fail at pipeline build
   MiniJinja.parse(jinja)
+  answerChoicesJinja.foreach(MiniJinja.parse)
 
   override def inputFields: Seq[String] = Nil // inferred from template
   override def outputFields: Seq[String] =
@@ -677,6 +702,7 @@ final case class JinjaMapper(
     val template = jinja
     val extra = extraVariables
     val multi = returnMultipleTargets
+    val choicesTpl = answerChoicesJinja
     val cols = df.columns
     // overwrite-in-output semantics (reference merges transform output
     // over the sample): input columns colliding with source/target are
@@ -694,10 +720,20 @@ final case class JinjaMapper(
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { it =>
       val tpl = MiniJinja.parse(template) // once per partition
+      val ctpl = choicesTpl.map(MiniJinja.parse)
       it.map { row =>
-        val vars = cols.zipWithIndex.map { case (c, i) =>
+        val base = cols.zipWithIndex.map { case (c, i) =>
           c -> MiniJinja.toTemplateValue(row.get(i))
         }.toMap ++ extra
+        // promptsource answer_choices convention: a per-example Jinja
+        // string split on '|||' becomes the `answer_choices` list the
+        // template indexes with the label ({{ answer_choices[label] }})
+        val vars = ctpl match {
+          case Some(t) =>
+            val choices = t.render(base).split("\\|\\|\\|").map(_.trim).toSeq
+            base + ("answer_choices" -> choices)
+          case None => base
+        }
         val rendered = tpl.render(vars)
         val parts = rendered.split("\\|\\|\\|").map(_.trim)
         val source = parts.head

@@ -210,6 +210,19 @@ class TokenizeTemplateSpec extends SparkSpec {
       Map("a" -> true, "b" -> false)) == "True/False")
   }
 
+  test("MiniJinja whitespace control: {%- -%} / {{- -}} trim adjacent text") {
+    val t = MiniJinja.parse(
+      "a  {%- if x %}  b  {%- endif %}\n{{- y -}}  c")
+    assert(t.render(Map("x" -> true, "y" -> "Y")) == "a  bYc")
+    // without markers the whitespace is preserved
+    val t2 = MiniJinja.parse("a  {% if x %}b{% endif %}")
+    assert(t2.render(Map("x" -> true)) == "a  b")
+    // loop bodies: the classic newline-free list pattern
+    val t3 = MiniJinja.parse(
+      "{% for w in ws %}\n  {{- w }},\n{%- endfor %}")
+    assert(t3.render(Map("ws" -> Seq("p", "q"))) == "p,q,")
+  }
+
   test("MiniJinja rejects unsupported constructs with clear error") {
     val e = intercept[IllegalArgumentException](MiniJinja.parse("{% macro x %}"))
     assert(e.getMessage.contains("macro"))
@@ -230,6 +243,19 @@ class TokenizeTemplateSpec extends SparkSpec {
     assert(out.getString(0) ==
       "Paris is the capital of France.\n\nQ: What is the capital of France?\n\nA:")
     assert(out.getString(1) == "Paris")
+  }
+
+  test("promptsource answer_choices: label indexes the rendered choices list") {
+    val df = Seq(("stocks rallied today", 2L), ("the match was won", 1L))
+      .toDF("text", "label")
+    val got = PromptsourceMapper(TemplateRegistry.builtin,
+      datasetName = "ag_news", templateName = "classify_question_first")(df)
+      .select("label", "source", "target").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got(2L)._2 == "Business")
+    assert(got(1L)._2 == "Sports")
+    assert(got(2L)._1 ==
+      "What label best describes this news article?\nstocks rallied today")
   }
 
   test("JinjaMapper renders source/target per row") {
