@@ -213,15 +213,17 @@ final case class PackSequences(
       .groupBy(col("__ps_b"))
       .agg(sum(len).as("__ps_btot"))
     // O(#buckets) rows: this window is over the tiny aggregate, never the
-    // data — the constant partition key states the single-partition
-    // intent explicitly (same plan, no spurious WindowExec warning)
+    // data — the constant-valued partition key (pmod(b,1) = 0 for every
+    // row; non-foldable, so the optimizer can't strip it) states the
+    // single-partition intent explicitly instead of tripping the
+    // WindowExec warning
     val bucketPrefix = bucketTotals
       .withColumn(
         "__ps_bpre",
         coalesce(
           sum(col("__ps_btot")).over(
             Window
-              .partitionBy(lit(0))
+              .partitionBy(pmod(col("__ps_b"), lit(1)))
               .orderBy(col("__ps_b"))
               .rowsBetween(Window.unboundedPreceding, -1)
           ),
@@ -345,12 +347,15 @@ object Mixtures {
     require(budget >= 0, "budget must be non-negative")
     require(maxEpochs > 0, "maxEpochs must be positive")
     // one row per SOURCE (dozens at 100 TB, never the corpus) — the
-    // constant partition key makes the intentional single partition
-    // explicit instead of tripping the WindowExec warning
+    // constant-valued partition key (pmod(supply,1) = 0 on every row;
+    // non-foldable, so it survives the optimizer) makes the intentional
+    // single partition explicit instead of tripping the WindowExec
+    // warning
+    val onePart = pmod(col("supply"), lit(1))
     val bysupply =
-      Window.partitionBy(lit(0)).orderBy(col("supply"), col(sourceField))
+      Window.partitionBy(onePart).orderBy(col("supply"), col(sourceField))
     val everything = Window
-      .partitionBy(lit(0))
+      .partitionBy(onePart)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     counts
       .select(

@@ -104,11 +104,19 @@ class PlanSpec extends SparkSpec {
     // the per-row cumulative window must be keyed by the bucket column
     val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
     assert(windowLines.exists(_.contains("__ps_b")), plan)
-    // exactly ONE single-partition exchange: the O(#buckets) totals
-    // table feeding the prefix window — never the data
+    // the O(#buckets) totals table feeds the prefix window through a
+    // CONSTANT-keyed exchange (pmod(b,1) = 0 — all totals to one
+    // partition by stated intent, no anonymous SinglePartition and no
+    // WindowExec warning); the data itself never crosses one partition
     val singles = plan.sliding("Exchange SinglePartition".length)
       .count(_ == "Exchange SinglePartition")
-    assert(singles == 1, plan)
+    assert(singles == 0, plan)
+    // every window spec carries a partition key: an UNpartitioned spec
+    // prints its first argument as an order expr ("... ASC/DESC"), a
+    // partitioned one leads with the partition column
+    val unpartitioned = "windowspecdefinition\\([^,)]*(ASC|DESC)".r
+      .findFirstIn(plan)
+    assert(unpartitioned.isEmpty, plan)
     // the prefix table comes back via broadcast, not a shuffled join
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastExchange"), plan)
