@@ -71,7 +71,11 @@ object StreamingPipeline {
     *
     * Output: key, session_start, session_end (epoch millis), n_events.
     * Late events beyond the watermark are dropped by the watermark
-    * itself — standard Structured Streaming semantics. */
+    * itself — standard Structured Streaming semantics. A late event
+    * that is still inside the watermark but PRECEDES the open session's
+    * start merges into it (counted, start unchanged) rather than
+    * rewriting history — the same forward-only tradeoff the built-in
+    * session_window aggregation makes for already-emitted windows. */
   def sessionize(
       stream: DataFrame,
       tsField: String,
