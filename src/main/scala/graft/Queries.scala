@@ -1491,7 +1491,7 @@ object Queries {
          |  (CASE WHEN length(t20) <= 12 THEN t20
          |        ELSE substring(t20, 1, 11) || '~' END)
          |  || '/' || array_to_string(list_slice(w, 2, 3), '-')
-         |  || '/none/' || CAST(n_chars AS VARCHAR)
+         |  || '/' || coalesce(w[100], 'none') || '/' || CAST(n_chars AS VARCHAR)
          |  || '/' || CAST(len(w) AS VARCHAR)
          |  || '/' || (upper(substring(lang, 1, 1)) || lower(substring(lang, 2)))
          |    AS source,

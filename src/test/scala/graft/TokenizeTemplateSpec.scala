@@ -223,6 +223,25 @@ class TokenizeTemplateSpec extends SparkSpec {
     assert(t3.render(Map("ws" -> Seq("p", "q"))) == "p,q,")
   }
 
+  test("MiniJinja expression semantics: tricky precedence golden table") {
+    val vars = Map("a" -> true, "b" -> false, "s" -> "ab",
+      "xs" -> Seq("x", "y"), "n" -> 3L)
+    def r(cond: String): String =
+      MiniJinja.parse(s"{% if $cond %}T{% else %}F{% endif %}").render(vars)
+    assert(r("not a and b") == "F")       // (not a) and b
+    assert(r("not b and a") == "T")
+    assert(r("a or b and b") == "T")      // a or (b and b)
+    assert(r("b and b or a") == "T")      // (b and b) or a
+    assert(r("'x' in xs and a") == "T")   // membership before and
+    assert(r("s ~ 'c' == 'abc'") == "T")  // concat before comparison
+    assert(r("n ~ '' == '3'") == "T")
+    assert(r("'a' in s ~ 'z'") == "T")    // 'a' in (s ~ 'z') = 'abz'
+    assert(r("not s == 'zz'") == "T")     // not (s == 'zz')
+    assert(r("not 'a' in s") == "F")      // not ('a' in s)
+    assert(r("not a or a") == "T")        // (not a) or a
+    assert(r("s | length == 2 and a") == "T") // filter > cmp > and
+  }
+
   test("MiniJinja rejects unsupported constructs with clear error") {
     val e = intercept[IllegalArgumentException](MiniJinja.parse("{% macro x %}"))
     assert(e.getMessage.contains("macro"))
