@@ -1695,6 +1695,54 @@ object Queries {
     )
   )
 
+  /** Exact-substring dedup through [[ExactSubstrDedup]]: every 20-char
+    * substring occurring more than once corpus-wide is cut from all but
+    * its globally-first holder (Lee et al. 2021 ExactSubstr, md5 hasher
+    * for engine-portable replay — production uses xxhash64). The oracle
+    * recomputes duplicated gram positions with a count/first window and
+    * rebuilds each text by keeping exactly the uncovered characters —
+    * an independent formulation of the same span-merge, so the hash
+    * match pins the cut text itself. */
+  private val qExactSubstr = Q(
+    "q128_exact_substr_dedup",
+    (s, dir) =>
+      ExactSubstrDedup
+        .removeDuplicateSpans(
+          docs(s, dir).select("doc_id", "text"),
+          "doc_id", "text", gramLen = 20,
+          hasher = c => md5(c), destinationField = Some("text_dedup"))
+        .select(
+          col("doc_id"),
+          col("text_dedup"),
+          (length(col("text")) - length(col("text_dedup")))
+            .cast(LongType).as("n_cut")
+        )
+        .orderBy("doc_id"),
+    Some(
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(generate_series(1, length(text) - 19)) AS p
+        |  FROM documents WHERE length(text) >= 20),
+        |g AS (SELECT doc_id, p, md5(substring(text, CAST(p AS INT), 20)) AS h FROM pos),
+        |k AS (SELECT doc_id, p,
+        |        count(*) OVER (PARTITION BY h) AS c,
+        |        row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+        |      FROM g),
+        |m AS (SELECT doc_id, list(p ORDER BY p) AS ps
+        |      FROM k WHERE c > 1 AND rn > 1 GROUP BY doc_id),
+        |r AS (SELECT d.doc_id, d.text,
+        |  CASE WHEN m.ps IS NULL THEN d.text ELSE
+        |    coalesce(array_to_string(list_transform(
+        |      list_filter(generate_series(1, length(d.text)),
+        |        c -> len(list_filter(m.ps, q -> q <= c AND c < q + 20)) = 0),
+        |      c -> substring(d.text, CAST(c AS INT), 1)), ''), '')
+        |  END AS text_dedup
+        |  FROM documents d LEFT JOIN m USING (doc_id))
+        |SELECT doc_id, text_dedup,
+        |  CAST(length(text) - length(text_dedup) AS BIGINT) AS n_cut
+        |FROM r ORDER BY doc_id""".stripMargin
+    )
+  )
+
   private val qTokenize = Q(
     "q42_tokenize",
     (s, dir) =>
@@ -3768,7 +3816,7 @@ object Queries {
     qDedupSurvivorPolicy, qWaterFill, qIncrementalDedup,
     qFingerprintOverlap, qPackChunks, qDeterministicShuffle,
     qJinjaCommunity, qTrainingExport, qWordsBreak, qUnigramTokenize,
-    qSpmVocabIds, qJinjaLoop, qAnswerChoices
+    qSpmVocabIds, qJinjaLoop, qAnswerChoices, qExactSubstr
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -447,6 +447,107 @@ object PackSequences {
   }
 }
 
+/** Exact-substring deduplication — the ExactSubstr policy of Lee et al.
+  * 2021 ("Deduplicating Training Data Makes Language Models Better",
+  * §4.1), re-expressed Spark-first. Any `gramLen`-char substring that
+  * occurs more than once in the corpus is CUT OUT of every document
+  * except the one holding its globally-first occurrence (first =
+  * smallest `(id, position)`); overlapping duplicated grams merge into
+  * maximal removed spans, so a verbatim copied passage of any length
+  * ≥ gramLen disappears from the copies while the original keeps it.
+  * Complements [[FingerprintOverlap]] (which only *flags* span-sharing
+  * pairs) and [[ParagraphDedup]] (which needs the copy to align on
+  * delimiter boundaries — a quoted paragraph mid-sentence escapes it).
+  *
+  * Shape, in place of the paper's monolithic suffix array (which needs
+  * the whole corpus addressable by one process): one linear explode to
+  * (id, pos, hash(gram)) — the hash is 8 bytes per text char, the
+  * known cost of exact-substring dedup; a hash-keyed aggregation whose
+  * map-side combine collapses hot boilerplate grams before the shuffle
+  * (count + min-struct both combine); a join back on the gram hash
+  * (AQE skew-split handles head grams); then one doc-keyed aggregation
+  * collecting marked positions — bounded by the doc's own length — and
+  * a single codegen'd `aggregate` fold that rebuilds the text around
+  * the merged spans. Nothing is quadratic and no window lacks a
+  * partition key.
+  *
+  * Hashing: `xxhash64` in production (at ~10¹⁰ grams the 64-bit
+  * birthday bound expects only a handful of collisions, each costing
+  * one spuriously-removed span, the paper's own tolerance); pass
+  * `hasher = md5` for engine-portable replay. */
+object ExactSubstrDedup {
+
+  /** Returns `df` with `destinationField` (default: `textField`
+    * replaced) holding the text with all non-first duplicated spans
+    * removed. Documents shorter than `gramLen` pass through unchanged. */
+  def removeDuplicateSpans(
+      df: DataFrame,
+      idField: String,
+      textField: String,
+      gramLen: Int = 50,
+      hasher: Column => Column = c => xxhash64(c),
+      destinationField: Option[String] = None
+  ): DataFrame = {
+    val L    = gramLen
+    val dest = destinationField.getOrElse(textField)
+    val grams = df.select(
+      col(idField).as("__es_id"),
+      explode(
+        transform(
+          // sequence(1, n) on n ≤ 0 would count DOWN; guard to empty.
+          when(
+            length(col(textField)) >= L,
+            sequence(lit(1), length(col(textField)) - (L - 1))
+          ).otherwise(array().cast("array<int>")),
+          p => struct(p.as("p"), hasher(col(textField).substr(p, lit(L))).as("h"))
+        )
+      ).as("__es_g")
+    ).select(
+      col("__es_id"),
+      col("__es_g.p").as("__es_pos"),
+      col("__es_g.h").as("__es_h")
+    )
+    // one combiner row per distinct gram per map task; only grams seen
+    // more than once anywhere survive
+    val dups = grams
+      .groupBy(col("__es_h"))
+      .agg(
+        count(lit(1)).as("__es_c"),
+        min(struct(col("__es_id"), col("__es_pos"))).as("__es_first")
+      )
+      .filter(col("__es_c") > 1)
+      .select(col("__es_h"), col("__es_first"))
+    val marked = grams
+      .join(dups, "__es_h")
+      .filter(!(col("__es_id") === col("__es_first.__es_id") &&
+        col("__es_pos") === col("__es_first.__es_pos")))
+      .groupBy(col("__es_id"))
+      .agg(sort_array(collect_list(col("__es_pos"))).as("__es_ps"))
+    val joined = df.join(marked, col(idField) === marked("__es_id"), "left")
+    val t = col(textField)
+    // fold the sorted span starts left-to-right: emit the text between
+    // the cursor and the next span, then advance the cursor past it
+    // (merging overlaps via greatest); finish with the tail
+    val cut = aggregate(
+      col("__es_ps"),
+      struct(lit(1).as("cur"), lit("").as("acc")),
+      (acc, p) =>
+        struct(
+          greatest(acc("cur"), p + lit(L)).as("cur"),
+          concat(
+            acc("acc"),
+            when(p > acc("cur"), t.substr(acc("cur"), p - acc("cur")))
+              .otherwise(lit(""))
+          ).as("acc")
+        ),
+      acc => concat(acc("acc"), t.substr(acc("cur"), length(t) - acc("cur") + lit(1)))
+    )
+    joined
+      .withColumn(dest, when(col("__es_ps").isNull, t).otherwise(cut))
+      .drop("__es_id", "__es_ps")
+  }
+}
+
 /** Corpus-level n-gram statistics. */
 object CorpusStats {
 

@@ -293,6 +293,77 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- ExactSubstrDedup
+
+  test("ExactSubstrDedup cuts a copied passage from the later doc only") {
+    val df = Seq(
+      (0L, "ABCDEFGHIJKL"),
+      (1L, "xxABCDEFGHIJKLyy")
+    ).toDF("id", "text")
+    val out = ExactSubstrDedup
+      .removeDuplicateSpans(df, "id", "text", gramLen = 8)
+      .orderBy("id").select("text").as[String].collect()
+    // doc 0 holds every gram's first occurrence; doc 1 loses exactly the
+    // copied span (boundary grams straddling into xx/yy are unique)
+    assert(out === Array("ABCDEFGHIJKL", "xxyy"))
+  }
+
+  test("ExactSubstrDedup keeps the first of a within-doc repeat") {
+    val df = Seq((7L, "ABCDEFGH--ABCDEFGH")).toDF("id", "text")
+    val out = ExactSubstrDedup
+      .removeDuplicateSpans(df, "id", "text", gramLen = 8)
+      .select("text").as[String].head()
+    assert(out === "ABCDEFGH--")
+  }
+
+  test("ExactSubstrDedup: identical docs — first survives, copy empties") {
+    val df = Seq((0L, "ABCDEFGHIJ"), (1L, "ABCDEFGHIJ")).toDF("id", "text")
+    val out = ExactSubstrDedup
+      .removeDuplicateSpans(df, "id", "text", gramLen = 8)
+      .orderBy("id").select("text").as[String].collect()
+    assert(out === Array("ABCDEFGHIJ", ""))
+  }
+
+  test("ExactSubstrDedup passes docs shorter than gramLen through") {
+    val df = Seq((0L, "tiny"), (1L, "tiny")).toDF("id", "text")
+    val out = ExactSubstrDedup
+      .removeDuplicateSpans(df, "id", "text", gramLen = 8,
+        destinationField = Some("dedup"))
+      .orderBy("id").select("dedup").as[String].collect()
+    assert(out === Array("tiny", "tiny"))
+  }
+
+  test("ExactSubstrDedup matches a brute-force reference on random docs") {
+    def brute(docs: Seq[(Long, String)], L: Int): Map[Long, String] = {
+      val occ = collection.mutable.Map[String, List[(Long, Int)]]()
+      for ((id, t) <- docs; p <- 1 to t.length - L + 1) {
+        val g = t.substring(p - 1, p - 1 + L)
+        occ(g) = (id, p) :: occ.getOrElse(g, Nil)
+      }
+      val marked = collection.mutable
+        .Map[Long, Set[Int]]().withDefaultValue(Set.empty)
+      for ((_, os) <- occ if os.size > 1) {
+        for ((id, p) <- os.sortBy(identity).tail) marked(id) += p
+      }
+      docs.map { case (id, t) =>
+        val cov = Array.fill(t.length + 2)(false)
+        for (p <- marked(id); c <- p until math.min(p + L, t.length + 1))
+          cov(c) = true
+        id -> (1 to t.length).filterNot(cov).map(c => t.charAt(c - 1)).mkString
+      }.toMap
+    }
+    val rnd = new scala.util.Random(41)
+    val docs = (0L until 30L).map { id =>
+      id -> Array.fill(20 + rnd.nextInt(30))(('a' + rnd.nextInt(3)).toChar).mkString
+    }
+    val expected = brute(docs, 4)
+    val out = ExactSubstrDedup
+      .removeDuplicateSpans(docs.toDF("id", "text"), "id", "text",
+        gramLen = 4, hasher = c => md5(c))
+      .select("id", "text").as[(Long, String)].collect().toMap
+    assert(out === expected)
+  }
+
   // ---------------------------------------------------------------- CorpusStats
 
   test("CorpusStats.topNgrams orders by count desc then gram, cut at k") {

@@ -156,6 +156,20 @@ class PlanSpec extends SparkSpec {
     assert(back.count() > 0)
   }
 
+  test("ExactSubstrDedup: hash-keyed equi-join, partial aggs, no single-partition funnel") {
+    val docs = (0L until 50L).map(i => (i, s"some repeated text block $i " * 4))
+      .toDF("id", "text")
+    val out = ExactSubstrDedup.removeDuplicateSpans(docs, "id", "text", gramLen = 12)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("cartesian"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+    // both the gram dedup and the per-doc span collection must partial-agg
+    // (map-side combine) before their shuffles
+    assert(plan.contains("partial_count") || plan.contains("partial count"), plan)
+    // the join back onto the gram table is keyed on the hash column
+    assert(plan.contains("__es_h"), plan)
+  }
+
   private def pipeOps(ms: graft.Mapper*)(df: org.apache.spark.sql.DataFrame) =
     ms.foldLeft(df)((d, m) => m(d))
 }
