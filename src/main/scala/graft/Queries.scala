@@ -3069,6 +3069,36 @@ object Queries {
     )
   )
 
+  /** bzip2 twin of q101 — the codec that matters for scale ingest:
+    * unlike gzip (one stream = one task, however big the file), bzip2's
+    * block structure makes compressed text SPLITTABLE, so a single
+    * multi-GB .csv.bz2 (the Wikipedia-dump shipping format) fans out
+    * across executors. Pure-Java Hadoop codec; the loader code is
+    * byte-identical to the gzip path. (zstd text sources need native
+    * libhadoop, absent here — parquet zstd works via zstd-jni.) */
+  private val qCsvBz2Loader = Q(
+    "q129_csv_bz2_loader",
+    (s, dir) => {
+      import s.implicits._
+      val tmp = "/tmp/graft_q129_csv_bz2"
+      docs(s, dir).select("doc_id", "lang", "n_chars")
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true")
+        .option("compression", "bzip2").csv(tmp)
+      CsvLoader("path")(Seq(tmp).toDF("path"))
+        .select(
+          col("doc_id").cast(LongType).as("doc_id"),
+          col("lang"),
+          col("n_chars").cast(LongType).as("n_chars")
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
   /** Full jinja RECIPE (recipes/promptsource.py:76-248 analog) as one
     * driver row: template render → source tokenize (with specials) →
     * target tokenize as labels — the q76 per-char vocab makes every
@@ -3816,7 +3846,7 @@ object Queries {
     qDedupSurvivorPolicy, qWaterFill, qIncrementalDedup,
     qFingerprintOverlap, qPackChunks, qDeterministicShuffle,
     qJinjaCommunity, qTrainingExport, qWordsBreak, qUnigramTokenize,
-    qSpmVocabIds, qJinjaLoop, qAnswerChoices, qExactSubstr
+    qSpmVocabIds, qJinjaLoop, qAnswerChoices, qExactSubstr, qCsvBz2Loader
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -130,6 +130,82 @@ object StreamingPipeline {
       .toDF("key", "session_start", "session_end", "n_events")
   }
 
+  /** Streaming NEAR-dup flagging: micro-batch incremental minhash dedup
+    * against a durable parquet signature store. Each micro-batch (a) has
+    * its minhash signatures computed, (b) is flagged against every
+    * signature persisted by earlier epochs via
+    * [[graft.operators.MinHashLSH.nearDupAgainst]] (bucket-local
+    * incoming×existing join — work is batch-proportional, never
+    * corpus-quadratic), (c) is handed to `onBatch`, and (d) appends its
+    * own signatures to the store under `epoch=<id>` — an overwrite of
+    * that one subdir, so a replayed epoch after failure is idempotent.
+    *
+    * The dedup state deliberately lives in the parquet store, NOT in the
+    * executors' state store: near-dup state is the full signature+words
+    * table of everything ever seen, which must outlive the query, be
+    * shared with the batch side ([[graft.operators.MinHashLSH]] reads
+    * the same layout), and at 100 TB it is a corpus-sized table — a
+    * durable columnar store the bucket join can prune, not a per-key
+    * RocksDB blob. Within-batch near-dups are NOT flagged here: compose
+    * a batch-side dedup in `onBatch` if a single micro-batch can carry
+    * its own near-dups.
+    *
+    * `onBatch` receives the batch WITH `minhash_sig` and the boolean
+    * `dup_of_existing` column, plus the epoch id. */
+  def streamingNearDup(
+      stream: DataFrame,
+      sigStoreDir: String,
+      checkpointDir: String,
+      idField: String,
+      wordsField: String = "words",
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      minJaccard: Double = 0.8,
+      onBatch: (DataFrame, Long) => Unit
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stream.isStreaming, "streamingNearDup expects a stream")
+    import graft.operators.{MinHashLSH, MinHashSignature}
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val spark = batch.sparkSession
+        val sigs = MinHashSignature(wordsField, shingleSize, numHashes)(batch)
+          .persist()
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration)
+        val storePath = new org.apache.hadoop.fs.Path(sigStoreDir)
+        val priorEpochs =
+          if (!fs.exists(storePath)) Array.empty[org.apache.hadoop.fs.FileStatus]
+          else fs.listStatus(storePath).filter { st =>
+            // a replayed epoch must not dedup against its own failed write
+            val n = st.getPath.getName
+            n.startsWith("epoch=") &&
+              n.stripPrefix("epoch=").toLong < epochId
+          }
+        val flagged =
+          if (priorEpochs.isEmpty)
+            sigs.withColumn("dup_of_existing", lit(false))
+          else {
+            val existing = spark.read
+              .option("basePath", sigStoreDir)
+              .parquet(priorEpochs.map(_.getPath.toString): _*)
+            MinHashLSH.nearDupAgainst(
+              existingSigs = existing, incomingSigs = sigs,
+              idField = idField, wordsField = wordsField,
+              bands = bands, sigLen = numHashes, minJaccard = minJaccard)
+          }
+        onBatch(flagged, epochId)
+        sigs
+          .select(col(idField), col("minhash_sig"), col(wordsField))
+          .write.mode("overwrite")
+          .parquet(s"$sigStoreDir/epoch=$epochId")
+        sigs.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** Streaming exact-dedup on a key (e.g. a text hash): emits only the
     * first occurrence of each key. Keyed state via flatMapGroupsWithState;
     * state per key is one boolean — at 100 TB/day the state store backs

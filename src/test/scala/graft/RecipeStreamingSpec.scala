@@ -242,4 +242,35 @@ class RecipeStreamingSpec extends SparkSpec {
     assert(got.sorted.toSeq == Seq("aa", "bb", "cc"))
     q.stop()
   }
+
+  test("streamingNearDup flags cross-batch near-dups via the durable sig store") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_snd").toString
+    val mem = MemoryStream[(Long, Seq[String])]
+    val results = collection.concurrent.TrieMap.empty[Long, Boolean]
+    val q = StreamingPipeline.streamingNearDup(
+      mem.toDF().toDF("doc_id", "words"),
+      sigStoreDir = s"$dir/store", checkpointDir = s"$dir/ckpt",
+      idField = "doc_id",
+      onBatch = (df, _) =>
+        df.select("doc_id", "dup_of_existing").as[(Long, Boolean)]
+          .collect().foreach { case (id, f) => results(id) = f }
+    )
+    val a = (1 to 10).map(i => s"alpha$i")
+    val b = (1 to 10).map(i => s"beta$i")
+    val c = (1 to 10).map(i => s"gamma$i")
+    mem.addData((1L, a), (2L, b))
+    q.processAllAvailable()
+    // first epoch: nothing persisted before it, nothing can be a dup
+    assert(results.toMap == Map(1L -> false, 2L -> false))
+    // 9/11 shared words with doc 1 (jaccard 0.82) -> dup; fresh doc -> not
+    mem.addData((3L, a.take(9) :+ "alphaNEW"), (4L, c))
+    q.processAllAvailable()
+    assert(results(3L) && !results(4L), results.toMap)
+    // the store grew one epoch dir per batch
+    val epochs = new java.io.File(s"$dir/store").listFiles()
+      .map(_.getName).filter(_.startsWith("epoch=")).sorted
+    assert(epochs.length == 2, epochs.toSeq)
+    q.stop()
+  }
 }
