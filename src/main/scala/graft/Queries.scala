@@ -1140,6 +1140,57 @@ object Queries {
     }
   )
 
+  /** Whole-corpus simhash near-dup pairing through [[SimHashNearDup]]
+    * (Manku et al. 2007): q85's md5-twin 16-bit simhash feeds the
+    * pigeonhole banding (2 bands × 8-bit chunks — 256 buckets/band) and
+    * every candidate is popcount-verified at hamming ≤ 1. Production is
+    * the 64-bit xxhash64 [[SimHash]] with 16-bit chunks; the md5 twin
+    * exists so DuckDB replays banding, join, and popcount verbatim. */
+  private val qSimhashPairs = Q(
+    "q130_simhash_neardup_pairs",
+    (s, dir) => {
+      val nibbleOf: (Column, Int) => Column = (w, b) => {
+        val hexChar = substring(md5(w), b / 4 + 1, 1)
+        val nibble = instr(lit("0123456789abcdef"), hexChar) - 1
+        floor(nibble / math.pow(2, b % 4)).cast(LongType) % 2
+      }
+      val bits = (0 until 16).map { b =>
+        val contrib = aggregate(
+          col("words"),
+          lit(0L),
+          (acc, w) => acc + when(nibbleOf(w, b) === 1, 1L).otherwise(-1L)
+        )
+        when(contrib > 0, lit(1L << b)).otherwise(lit(0L))
+      }
+      val sh = docWords(s, dir)
+        .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+      SimHashNearDup
+        .candidatePairs(sh, "doc_id", "simhash",
+          bits = 16, bands = 2, maxHamming = 1)
+        .orderBy("id_a", "id_b")
+    },
+    Some {
+      val bitSql = (0 until 16).map { b =>
+        val pos = b / 4 + 1
+        val pw = math.pow(2, b % 4).toInt
+        s"""CASE WHEN list_reduce(list_transform($W, w ->
+           |  CASE WHEN CAST(FLOOR((strpos('0123456789abcdef', substring(md5(w), $pos, 1)) - 1) / $pw) AS BIGINT) % 2 = 1
+           |  THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END), (x, y) -> x + y) > 0
+           |THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin
+      }.mkString(" + ")
+      s"""WITH sh AS (SELECT doc_id, $bitSql AS simhash FROM documents),
+         |c AS (SELECT doc_id, simhash, unnest(generate_series(0, 1)) AS band FROM sh),
+         |k AS (SELECT doc_id, simhash, band,
+         |    (simhash >> (CAST(band AS INT) * 8)) & 255 AS chunk FROM c),
+         |p AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |    CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
+         |  FROM k a JOIN k b2 ON a.band = b2.band AND a.chunk = b2.chunk
+         |    AND a.doc_id < b2.doc_id
+         |  WHERE bit_count(xor(a.simhash, b2.simhash)) <= 1)
+         |SELECT id_a, id_b, hamming FROM p ORDER BY id_a, id_b""".stripMargin
+    }
+  )
+
   /** Sequential-fold cosine against the vec_id=0 embedding; scaled-floor
     * output so both engines emit the same integer. */
   private val qCosineTopk = Q(
@@ -3846,7 +3897,8 @@ object Queries {
     qDedupSurvivorPolicy, qWaterFill, qIncrementalDedup,
     qFingerprintOverlap, qPackChunks, qDeterministicShuffle,
     qJinjaCommunity, qTrainingExport, qWordsBreak, qUnigramTokenize,
-    qSpmVocabIds, qJinjaLoop, qAnswerChoices, qExactSubstr, qCsvBz2Loader
+    qSpmVocabIds, qJinjaLoop, qAnswerChoices, qExactSubstr, qCsvBz2Loader,
+    qSimhashPairs
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

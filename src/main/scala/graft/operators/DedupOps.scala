@@ -547,6 +547,88 @@ final case class SimHash(
     )
 }
 
+/** SimHash near-dup pairing — Manku et al. 2007 ("Detecting
+  * Near-Duplicates for Web Crawling", §3): two docs are near-dups when
+  * their simhashes differ in at most `maxHamming` bits. By pigeonhole,
+  * splitting the `bits`-bit hash into `bands` contiguous chunks
+  * guarantees any pair within `maxHamming < bands` shares at least one
+  * chunk VERBATIM — so candidates come from a bucket-local equi-join on
+  * (band, chunk), never an all-pairs scan, and each candidate is
+  * verified by the exact popcount `bit_count(a XOR b) <= maxHamming`.
+  * This is the whole-corpus pairing layer [[SimHash]] values feed;
+  * recall is exact (the pigeonhole bound is a guarantee, not a
+  * probability — unlike minhash banding).
+  *
+  * Scale shape: linear band explode (`bands` rows/doc, each an 8-byte
+  * chunk key), shuffle keyed on (band, chunk), join work bounded per
+  * bucket — with the same deterministic hot-bucket down-sample as
+  * [[MinHashLSH.candidatePairs]] for degenerate chunks (all-zero
+  * simhashes of empty docs). 64-bit hashes with 16-bit chunks give
+  * 65k buckets per band; the verify is one codegen'd popcount. */
+object SimHashNearDup {
+
+  def candidatePairs(
+      df: DataFrame,
+      idField: String,
+      simhashField: String,
+      bits: Int = 64,
+      bands: Int = 4,
+      maxHamming: Int = 3,
+      maxBucketSize: Option[Int] = None,
+      hasher: Column => Column = c => xxhash64(c)
+  ): DataFrame = {
+    require(bits % bands == 0,
+      s"bits ($bits) must be divisible by bands ($bands)")
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming ($maxHamming) < bands " +
+        s"($bands): $maxHamming differing bits can touch $maxHamming " +
+        "chunks, leaving one equal only if there are more chunks than that")
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    val banded = df.select(
+      col(idField).as("__sh_id"),
+      col(simhashField).as("__sh_v"),
+      posexplode(
+        // static unroll: bands is tiny and compile-time known, so each
+        // chunk extraction is one codegen'd shift+mask
+        array((0 until bands).map(b =>
+          shiftrightunsigned(col(simhashField), b * w)
+            .bitwiseAND(lit(mask))): _*)
+      ).as(Seq("__sh_band", "__sh_chunk"))
+    )
+    val kept = maxBucketSize match {
+      case Some(cap) =>
+        banded
+          .withColumn(
+            "__sh_rn",
+            row_number().over(
+              Window.partitionBy(col("__sh_band"), col("__sh_chunk"))
+                .orderBy(
+                  hasher(concat_ws("|", col("__sh_id"), col("__sh_band"),
+                    col("__sh_chunk"))),
+                  col("__sh_id")))
+          )
+          .filter(col("__sh_rn") <= cap)
+          .drop("__sh_rn")
+      case None => banded
+    }
+    kept.as("a")
+      .join(
+        kept.as("b"),
+        col("a.__sh_band") === col("b.__sh_band") &&
+          col("a.__sh_chunk") === col("b.__sh_chunk") &&
+          col("a.__sh_id") < col("b.__sh_id"))
+      .select(
+        col("a.__sh_id").as("id_a"),
+        col("b.__sh_id").as("id_b"),
+        bit_count(col("a.__sh_v").bitwiseXOR(col("b.__sh_v")))
+          .cast(LongType).as("hamming")
+      )
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}
+
 /** Brute-force cosine top-k: every row of `queries` against every row of
   * `corpus` — the exact baseline. O(|Q|·|C|); use for small Q (the ANN
   * path below is the scale route). Embeddings are cast to double. */

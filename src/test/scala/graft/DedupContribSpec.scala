@@ -107,6 +107,45 @@ class DedupContribSpec extends SparkSpec {
     assert(dist(hs(1L), hs(3L)) < dist(hs(1L), hs(4L)))
   }
 
+  test("SimHashNearDup: pigeonhole banding finds exactly the <=maxHamming pairs") {
+    // constructed 64-bit hashes: 10 xor 11 differ in 2 bits, 10 xor 12 in
+    // 4 bits (> maxHamming=3), 13 is identical to 10
+    val hs = Seq(
+      (10L, 0x0123456789abcdefL),
+      (11L, 0x0123456789abcdefL ^ 0x3L),
+      (12L, 0x0123456789abcdefL ^ ((1L << 0) | (1L << 17) | (1L << 34) | (1L << 51))),
+      (13L, 0x0123456789abcdefL)
+    ).toDF("id", "sh")
+    val got = SimHashNearDup.candidatePairs(hs, "id", "sh", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 11L, 2L), (10L, 13L, 0L), (11L, 13L, 2L)), got)
+  }
+
+  test("SimHashNearDup matches a brute-force popcount scan on real hashes") {
+    val hs = SimHash("words")(docs.union(
+      Seq((100L, "alpha beta gamma delta epsilon zeta"))
+        .toDF("doc_id", "text")
+        .withColumn("words", split(col("text"), " "))
+        .select(docs.columns.map(col): _*)))
+      .select(col("doc_id").as("id"), col("simhash").as("sh"))
+    val rows = hs.as[(Long, Long)].collect()
+    val brute = (for {
+      (a, ha) <- rows; (b, hb) <- rows
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    val got = SimHashNearDup.candidatePairs(hs, "id", "sh", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == brute, s"got=$got brute=$brute")
+  }
+
+  test("SimHashNearDup rejects a bandless-guarantee config") {
+    val df = Seq((1L, 2L)).toDF("id", "sh")
+    val e = intercept[IllegalArgumentException](
+      SimHashNearDup.candidatePairs(df, "id", "sh", bands = 4, maxHamming = 4))
+    assert(e.getMessage.contains("pigeonhole"))
+  }
+
   test("Quantize/Dequantize embeddings: codes in range, error bounded") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(50)
