@@ -1191,6 +1191,69 @@ object Queries {
     }
   )
 
+  /** SemDeDup (Abbas et al. 2023) through [[SemDeDup.dedup]]: embeddings
+    * + injected exact copies (q117's derived-table pattern — the
+    * synthetic vectors are near-random, so real semantic dups must be
+    * constructed), 8 literal centroids, ≥eps groups closed transitively,
+    * one survivor per group by the paper's farthest-from-centroid rule
+    * (identical copies tie → smallest id, i.e. the original). The oracle
+    * replays assignment fold, scaled-BIGINT edge threshold, recursive-CTE
+    * closure, and the survivor argmin verbatim. */
+  private val qSemDedup = Q(
+    "q131_semdedup",
+    (s, dir) => {
+      val emb = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val corpus = emb
+        .union(emb.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+        .union(emb.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 20000).as("vec_id"), col("embedding")))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"),
+          col("embedding").cast(ArrayType(DoubleType)).as("ce"))
+      SemDeDup.dedup(corpus, "embedding", "vec_id", cents, eps = 0.999)
+        .select(
+          col("vec_id"),
+          col("cluster"),
+          col("semdedup_keep").cast(LongType).as("keep")
+        )
+        .orderBy("vec_id")
+    },
+    Some {
+      def cosSql(a: String, b: String): String =
+        s"""list_reduce(list_transform(generate_series(1, 64), i -> $a[i]*$b[i]), (x, y) -> x + y) /
+           | (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> $a[i]*$a[i]), (x, y) -> x + y)) *
+           |  sqrt(list_reduce(list_transform(generate_series(1, 64), i -> $b[i]*$b[i]), (x, y) -> x + y)))""".stripMargin
+      s"""WITH RECURSIVE base AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |  UNION ALL SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings WHERE vec_id % 25 = 0
+         |  UNION ALL SELECT vec_id + 20000, embedding::DOUBLE[] FROM embeddings WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+         |sim AS (SELECT base.vec_id, c.cid, ${cosSql("base.v", "c.cv")} AS s FROM base, c),
+         |asg AS (SELECT vec_id, cluster, csim FROM (
+         |  SELECT vec_id, cid AS cluster, CAST(FLOOR(s * 1e6) AS BIGINT) AS csim,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rk FROM sim) WHERE rk = 1),
+         |eb AS (SELECT base.vec_id, base.v, asg.cluster, asg.csim FROM base JOIN asg USING (vec_id)),
+         |pe AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM eb a JOIN eb b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE CAST(FLOOR(${cosSql("a.v", "b.v")} * 1e6) AS BIGINT) >= 999000),
+         |edges AS (SELECT ia AS a, ib AS b FROM pe UNION ALL SELECT ib, ia FROM pe),
+         |reach(a, b) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT a AS vec_id, MIN(b) AS comp FROM reach GROUP BY a),
+         |surv AS (SELECT comp, vec_id AS sid FROM (
+         |  SELECT comp.comp, eb.vec_id, row_number() OVER (PARTITION BY comp.comp
+         |    ORDER BY eb.csim ASC, eb.vec_id ASC) AS rk
+         |  FROM comp JOIN eb USING (vec_id)) WHERE rk = 1)
+         |SELECT eb.vec_id, eb.cluster,
+         |  CAST(comp.comp IS NULL OR eb.vec_id = surv.sid AS BIGINT) AS keep
+         |FROM eb LEFT JOIN comp USING (vec_id) LEFT JOIN surv ON comp.comp = surv.comp
+         |ORDER BY eb.vec_id""".stripMargin
+    }
+  )
+
   /** Sequential-fold cosine against the vec_id=0 embedding; scaled-floor
     * output so both engines emit the same integer. */
   private val qCosineTopk = Q(
@@ -3898,7 +3961,7 @@ object Queries {
     qFingerprintOverlap, qPackChunks, qDeterministicShuffle,
     qJinjaCommunity, qTrainingExport, qWordsBreak, qUnigramTokenize,
     qSpmVocabIds, qJinjaLoop, qAnswerChoices, qExactSubstr, qCsvBz2Loader,
-    qSimhashPairs
+    qSimhashPairs, qSemDedup
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -629,6 +629,119 @@ object SimHashNearDup {
   }
 }
 
+/** Semantic deduplication — SemDeDup (Abbas et al. 2023, "SemDeDup:
+  * Data-efficient learning at web-scale through semantic deduplication"):
+  * embeddings are clustered; within each cluster, pairs with cosine
+  * similarity ≥ `eps` are semantic duplicates; each duplicate GROUP
+  * (transitive closure of the ≥eps graph) keeps exactly one member — the
+  * paper's policy: the one with the LOWEST similarity to its cluster
+  * centroid, preserving the diverse tail rather than the redundant core.
+  *
+  * Scale shape: the caller-supplied centroid table (tiny — train it with
+  * [[CosineKnn.kmeansCentroids]] or pick deterministic rows) collects to
+  * the driver and inlines as literals, so assignment is a zero-shuffle
+  * codegen'd fold over the corpus. The pairwise stage never leaves a
+  * cluster — an equi-join on the cluster id, with the standard
+  * deterministic `maxClusterCompare` down-sample for oversized clusters —
+  * and its output feeds [[ConnectedComponents]] (edge-proportional, not
+  * corpus-proportional). Similarity thresholds compare floor-scaled
+  * BIGINTs so the decision replays bit-identically across engines.
+  *
+  * Returns the corpus plus `cluster` and boolean `keepField`; docs in no
+  * duplicate group keep `true`. */
+object SemDeDup {
+
+  def dedup(
+      corpus: DataFrame,
+      embField: String,
+      idField: String,
+      centroids: DataFrame,
+      eps: Double,
+      maxClusterCompare: Option[Int] = None,
+      hasher: Column => Column = c => xxhash64(c),
+      keepField: String = "semdedup_keep"
+  ): DataFrame = {
+    val epsScaled = math.round(eps * 1e6)
+    val e = col(embField).cast(ArrayType(DoubleType))
+    val centRows = centroids
+      .select(col("cid").cast(LongType), col("ce").cast(ArrayType(DoubleType)))
+      .orderBy("cid")
+      .collect()
+    require(centRows.nonEmpty, "SemDeDup: empty centroid set")
+    // same fold as ivfTopK.assign: strictly-greater wins, so ties keep
+    // the earlier (lower-cid) candidate
+    val cands = array(centRows.toIndexedSeq.map { r =>
+      struct(
+        CosineKnn.cosine(col("__sd_e"), typedLit(r.getSeq[Double](1))).as("sim"),
+        lit(r.getLong(0)).as("cid")
+      )
+    }: _*)
+    val assigned = corpus
+      .select(col(idField).as("__sd_id"), e.as("__sd_e"))
+      .withColumn("__cand", cands)
+      .withColumn(
+        "__best",
+        aggregate(
+          slice(col("__cand"), 2, centRows.length - 1),
+          element_at(col("__cand"), 1),
+          (acc, x) =>
+            when(x.getField("sim") > acc.getField("sim"), x).otherwise(acc)
+        )
+      )
+      .select(
+        col("__sd_id"),
+        col("__sd_e"),
+        col("__best").getField("cid").as("cluster"),
+        floor(col("__best").getField("sim") * 1e6).cast(LongType).as("__sd_csim")
+      )
+      .persist()
+    val kept = maxClusterCompare match {
+      case Some(cap) =>
+        assigned
+          .withColumn(
+            "__sd_rn",
+            row_number().over(
+              Window.partitionBy(col("cluster"))
+                .orderBy(hasher(concat_ws("|", col("__sd_id"), col("cluster"))),
+                  col("__sd_id")))
+          )
+          .filter(col("__sd_rn") <= cap)
+          .drop("__sd_rn")
+      case None => assigned
+    }
+    val edges = kept.as("a")
+      .join(kept.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.__sd_id") < col("b.__sd_id"))
+      .filter(
+        floor(CosineKnn.cosine(col("a.__sd_e"), col("b.__sd_e")) * 1e6)
+          .cast(LongType) >= epsScaled)
+      .select(col("a.__sd_id").as("id_a"), col("b.__sd_id").as("id_b"))
+    val comps = ConnectedComponents.components(edges)
+    // per duplicate group: survive the member FARTHEST from its centroid
+    // (lowest scaled sim), ties -> smallest id
+    val survivors = comps
+      .join(assigned.select(col("__sd_id").as("id"), col("__sd_csim")), Seq("id"))
+      .groupBy(col("comp"))
+      .agg(min(struct(col("__sd_csim"), col("id"))).as("__w"))
+      .select(col("__w").getField("id").as("id"), lit(true).as("__sd_surv"))
+    val verdict = assigned
+      .join(comps.withColumnRenamed("id", "__sd_id"), Seq("__sd_id"), "left")
+      .join(survivors.withColumnRenamed("id", "__sd_id"), Seq("__sd_id"), "left")
+      .select(
+        col("__sd_id"),
+        col("cluster"),
+        (col("comp").isNull || coalesce(col("__sd_surv"), lit(false)))
+          .as(keepField)
+      )
+      .localCheckpoint()
+    assigned.unpersist()
+    corpus.join(
+      verdict.withColumnRenamed("__sd_id", idField),
+      Seq(idField))
+  }
+}
+
 /** Brute-force cosine top-k: every row of `queries` against every row of
   * `corpus` — the exact baseline. O(|Q|·|C|); use for small Q (the ANN
   * path below is the scale route). Embeddings are cast to double. */

@@ -146,6 +146,34 @@ class DedupContribSpec extends SparkSpec {
     assert(e.getMessage.contains("pigeonhole"))
   }
 
+  test("SemDeDup: dup groups keep the member farthest from its centroid") {
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cid", "ce")
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0)),   // cluster 0, centroid-sim 1.0      } group
+      (2L, Seq(1.0, 0.01)),  // cluster 0, centroid-sim 0.99995  } pairwise
+      (3L, Seq(1.0, 0.02)),  // cluster 0, centroid-sim 0.9998   } cos>=eps
+      (4L, Seq(0.7, 0.5)),   // cluster 0, isolated (cos to 1-3 ~0.81)
+      (5L, Seq(0.0, 1.0)),   // cluster 1 } identical pair:
+      (6L, Seq(0.0, 1.0))    // cluster 1 } tie -> smaller id survives
+    ).toDF("vec_id", "e")
+    val out = SemDeDup.dedup(emb, "e", "vec_id", cents, eps = 0.999)
+      .select("vec_id", "cluster", "semdedup_keep")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == (0L, false) && out(2L) == (0L, false), out)
+    assert(out(3L) == (0L, true), out)  // farthest from centroid survives
+    assert(out(4L) == (0L, true), out)  // no dup group
+    assert(out(5L) == (1L, true) && out(6L) == (1L, false), out)
+  }
+
+  test("SemDeDup with no pair above eps keeps everything") {
+    val cents = Seq((0L, Seq(1.0, 0.0))).toDF("cid", "ce")
+    val emb = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.3))).toDF("vec_id", "e")
+    val keeps = SemDeDup.dedup(emb, "e", "vec_id", cents, eps = 0.9999)
+      .select("semdedup_keep").as[Boolean].collect()
+    assert(keeps.forall(identity), keeps.toSeq)
+  }
+
   test("Quantize/Dequantize embeddings: codes in range, error bounded") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(50)
