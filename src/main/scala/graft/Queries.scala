@@ -1254,6 +1254,50 @@ object Queries {
     }
   )
 
+  /** fastText-shape quality scoring through [[QualityClassifier.logit]]:
+    * hashed unigram+bigram features mean-pooled into a 64-bucket linear
+    * head, one codegen'd fold per doc. Engine parity without a single
+    * floating literal crossing engines: the weight vector is DERIVED in
+    * both from the same integer Knuth sequence ((i·2654435761) mod 2³²)
+    * / 2³² − ½ — identical IEEE ops on identical operands — and the
+    * bucket is the md5-prefix fold ([[QualityClassifier.md5Index]];
+    * production is codegen'd xxhash64, spec-pinned in lockstep with the
+    * JVM trainer replica). */
+  private val qQualityLogit = Q(
+    "q132_quality_classifier",
+    (s, dir) => {
+      val dim = 64
+      val wts = (0 until dim).map(i =>
+        ((i.toLong * 2654435761L) % 4294967296L).toDouble / 4294967296.0 - 0.5)
+      docTextWords(s, dir)
+        .select(
+          col("doc_id"),
+          floor(
+            QualityClassifier.logit(col("words"), wts, bias = 0.0,
+              includeBigrams = true,
+              indexOf = t => QualityClassifier.md5Index(t, dim)) * 1e6
+          ).cast(LongType).as("logit_f")
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH d AS (SELECT doc_id, $W AS w FROM documents),
+         |t AS (SELECT doc_id, list_concat(w, CASE WHEN len(w) >= 2 THEN
+         |    list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+         |    ELSE [] END) AS toks FROM d),
+         |s AS (SELECT doc_id, toks,
+         |  list_transform(generate_series(0, 63),
+         |    i -> (CAST((i * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0) - 0.5) AS wt
+         |  FROM t)
+         |SELECT doc_id, CAST(FLOOR(1e6 * (CASE WHEN len(toks) > 0 THEN
+         |  list_reduce(list_transform(toks, tk -> wt[(list_reduce(list_transform(generate_series(1, 8),
+         |    j -> CAST(strpos('0123456789abcdef', substring(md5(tk), CAST(j AS INT), 1)) - 1 AS BIGINT)),
+         |    (a, x) -> a * 16 + x) % 64) + 1]), (a, x) -> a + x) / len(toks)
+         |  ELSE 0.0 END)) AS BIGINT) AS logit_f
+         |FROM s ORDER BY doc_id""".stripMargin
+    )
+  )
+
   /** Sequential-fold cosine against the vec_id=0 embedding; scaled-floor
     * output so both engines emit the same integer. */
   private val qCosineTopk = Q(
@@ -3961,7 +4005,7 @@ object Queries {
     qFingerprintOverlap, qPackChunks, qDeterministicShuffle,
     qJinjaCommunity, qTrainingExport, qWordsBreak, qUnigramTokenize,
     qSpmVocabIds, qJinjaLoop, qAnswerChoices, qExactSubstr, qCsvBz2Loader,
-    qSimhashPairs, qSemDedup
+    qSimhashPairs, qSemDedup, qQualityLogit
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

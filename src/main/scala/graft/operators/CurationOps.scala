@@ -192,3 +192,103 @@ final case class DeterministicSample(
     df.filter(pred)
   }
 }
+
+/** fastText-shape quality classifier — the RedPajama-2 / DCLM / LLaMA
+  * data-card staple: hashed unigram+bigram bag-of-features, mean-pooled,
+  * scored by a linear head. Scoring never materializes the feature
+  * vector: score = bias + meanₜ weights[h(t)] is one codegen'd fold over
+  * the token array, O(tokens) per row, zero shuffle — the weight vector
+  * (tiny vs the corpus) ships as a literal/broadcast. Training builds
+  * the sparse mean-pooled vectors with the SAME hash arithmetic
+  * (JVM-side xxhash64 replica, spec-pinned against the Column path) and
+  * fits spark.ml logistic regression — a one-pass-per-iteration
+  * distributed L-BFGS, no driver-side data.
+  *
+  * `md5Index` is the engine-portable twin (first 8 md5 hex nibbles mod
+  * dim) so an oracle can replay scoring verbatim. */
+object QualityClassifier {
+
+  /** Production feature hash: non-negative xxhash64 bucket. */
+  def hashIndex(token: Column, dim: Int): Column =
+    pmod(xxhash64(token), lit(dim.toLong))
+
+  /** Engine-portable twin: fold the first 8 md5 hex digits to an int,
+    * mod dim (identical in any SQL dialect with md5 + string ops). */
+  def md5Index(token: Column, dim: Int): Column =
+    conv(substring(md5(token), 1, 8), 16, 10).cast(LongType) % dim
+
+  /** JVM replica of [[hashIndex]] — MUST stay in lockstep with Spark's
+    * `xxhash64(col)` (XXH64 over UTF8 bytes, seed 42). */
+  def jvmHashIndex(token: String, dim: Int): Int = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(token)
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+    java.lang.Math.floorMod(h, dim.toLong).toInt
+  }
+
+  private def tokensOf(words: Column, includeBigrams: Boolean): Column =
+    if (includeBigrams) concat(words, Decontaminate.ngrams(words, 2))
+    else words
+
+  /** The linear score (logit) as a single fold; sigmoid(logit) is the
+    * quality probability but exp() does not replay bit-identically
+    * across engines, so comparisons and oracles use the logit. */
+  def logit(
+      words: Column,
+      weights: Seq[Double],
+      bias: Double,
+      includeBigrams: Boolean = true,
+      indexOf: Column => Column
+  ): Column = {
+    val toks = tokensOf(words, includeBigrams)
+    val w = typedLit(weights)
+    when(
+      size(toks) > 0,
+      lit(bias) + aggregate(
+        toks,
+        lit(0.0),
+        (acc, t) => acc + element_at(w, (indexOf(t) + 1).cast(IntegerType))
+      ) / size(toks)
+    ).otherwise(lit(bias))
+  }
+
+  /** Train on (wordsField, labelField ∈ {0,1}) with distributed logistic
+    * regression; returns (weights of length dim, bias) ready for
+    * [[logit]] with [[hashIndex]]. */
+  def train(
+      df: DataFrame,
+      wordsField: String,
+      labelField: String,
+      dim: Int = 1 << 16,
+      includeBigrams: Boolean = true,
+      maxIter: Int = 50,
+      regParam: Double = 1e-4
+  ): (Seq[Double], Double) = {
+    import df.sparkSession.implicits._
+    val big = includeBigrams
+    val rows = df
+      .select(col(labelField).cast(DoubleType), col(wordsField))
+      .as[(Double, Seq[String])]
+      .map { case (y, ws) =>
+        val toks =
+          if (big)
+            ws ++ ws.iterator.sliding(2).withPartial(false).map(_.mkString(" "))
+          else ws
+        val feats =
+          if (toks.isEmpty) Array.empty[(Int, Double)]
+          else
+            toks
+              .groupBy(t => jvmHashIndex(t, dim))
+              .map { case (i, g) => (i, g.size.toDouble / toks.size) }
+              .toArray.sortBy(_._1)
+        (y, org.apache.spark.ml.linalg.Vectors.sparse(
+          dim, feats.map(_._1), feats.map(_._2)))
+      }
+      .toDF("label", "features")
+    val model = new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(maxIter)
+      .setRegParam(regParam)
+      .fit(rows)
+    (model.coefficients.toArray.toSeq, model.intercept)
+  }
+}

@@ -736,4 +736,49 @@ class DedupContribSpec extends SparkSpec {
     // row order restored (the mapper's row-order contract)
     assert(collected.map(_._1).toSeq == data)
   }
+
+  // ---------------------------------------------------------------- QualityClassifier
+
+  test("QualityClassifier: JVM hash replica is in lockstep with the Column path") {
+    val toks = Seq("the", "spark", "engine", "über", "a b", "", "日本語")
+    val dim = 97
+    val fromCol = toks.toDF("t")
+      .select(QualityClassifier.hashIndex(col("t"), dim).as("h"))
+      .as[Long].collect()
+    val fromJvm = toks.map(t => QualityClassifier.jvmHashIndex(t, dim).toLong)
+    assert(fromCol.toSeq == fromJvm, s"col=${fromCol.toSeq} jvm=$fromJvm")
+  }
+
+  test("QualityClassifier.logit is the mean of hashed-bucket weights plus bias") {
+    val dim = 8
+    val wts = (0 until dim).map(_.toDouble * 0.5)
+    val words = Seq("x", "y", "z")
+    val got = Seq(Tuple1(words)).toDF("words")
+      .select(QualityClassifier.logit(col("words"), wts, bias = 1.0,
+        includeBigrams = true, indexOf = t => QualityClassifier.hashIndex(t, dim)))
+      .as[Double].head()
+    val toks = words ++ Seq("x y", "y z")
+    val expect = 1.0 + toks.map(t => wts(QualityClassifier.jvmHashIndex(t, dim))).sum / toks.size
+    assert(math.abs(got - expect) < 1e-12, s"$got vs $expect")
+  }
+
+  test("QualityClassifier trains to separate clean from spam vocab") {
+    val rnd = new scala.util.Random(7)
+    val clean = (0 until 60).map(_ =>
+      (1.0, Seq.fill(12)(s"word${rnd.nextInt(40)}")))
+    val spam = (0 until 60).map(_ =>
+      (0.0, Seq.fill(12)(s"zzspam${rnd.nextInt(40)}")))
+    val df = (clean ++ spam).toDF("label", "words")
+    val (wts, bias) = QualityClassifier.train(df, "words", "label",
+      dim = 256, maxIter = 30)
+    val score = (ws: Seq[String]) => {
+      val toks = ws ++ ws.sliding(2).withFilter(_.size == 2).map(_.mkString(" "))
+      bias + toks.map(t => wts(QualityClassifier.jvmHashIndex(t, 256))).sum / toks.size
+    }
+    // held-out docs from the same vocabularies separate by sign
+    val posHeld = Seq.fill(10)(Seq.fill(12)(s"word${rnd.nextInt(40)}")).map(score)
+    val negHeld = Seq.fill(10)(Seq.fill(12)(s"zzspam${rnd.nextInt(40)}")).map(score)
+    assert(posHeld.forall(_ > 0) && negHeld.forall(_ < 0),
+      s"pos=$posHeld neg=$negHeld")
+  }
 }
