@@ -59,6 +59,51 @@ object Decontaminate {
       .withColumn(outputField, coalesce(col(outputField), lit(false)))
   }
 
+  /** [[flag]] with a Bloom filter instead of the exact broadcast set —
+    * for evaluation suites too big to broadcast exactly (a full
+    * many-benchmark union at 13-gram granularity can reach billions of
+    * grams ≈ tens of GB of exact hashes, but a 1%-fpp Bloom filter is
+    * ~1.2 bytes/gram). One-sided error: a contaminated doc is ALWAYS
+    * flagged; a clean doc is flagged with probability ≤ `fpp` per gram —
+    * the safe direction for decontamination, where a false positive only
+    * drops a clean training doc. Spark's native BloomFilter aggregate
+    * builds the filter in one distributed pass; membership probes run
+    * inside the scan stage via `might_contain`, corpus never shuffles. */
+  def flagBloom(
+      docs: DataFrame,
+      idField: String,
+      wordsField: String,
+      bench: DataFrame,
+      benchWordsField: String,
+      n: Int = 13,
+      fpp: Double = 0.01,
+      outputField: String = "contaminated",
+      hasher: Column => Column = c => xxhash64(c)
+  ): DataFrame = {
+    val benchGrams = bench
+      .select(explode(ngrams(col(benchWordsField), n)).as("__g"))
+      .select(hasher(col("__g")).as("__gh"))
+      .distinct()
+      .persist()
+    val nGrams = math.max(1L, benchGrams.count())
+    // distributed treeAggregate build; merge is a bitwise OR, so the
+    // result is order-independent (deterministic)
+    val bf = benchGrams.stat.bloomFilter("__gh", nGrams, fpp)
+    benchGrams.unpersist()
+    val bcast = docs.sparkSession.sparkContext.broadcast(bf)
+    val probe = udf((h: Long) => bcast.value.mightContainLong(h))
+    val flagged = docs
+      .select(col(idField), explode(ngrams(col(wordsField), n)).as("__g"))
+      .select(col(idField), hasher(col("__g")).as("__gh"))
+      .filter(probe(col("__gh")))
+      .select(idField)
+      .distinct()
+      .withColumn(outputField, lit(true))
+    docs
+      .join(broadcast(flagged), Seq(idField), "left")
+      .withColumn(outputField, coalesce(col(outputField), lit(false)))
+  }
+
   /** Drop contaminated docs. */
   def remove(
       docs: DataFrame,

@@ -737,6 +737,25 @@ class DedupContribSpec extends SparkSpec {
     assert(collected.map(_._1).toSeq == data)
   }
 
+  test("Decontaminate.flagBloom: one-sided — always a superset of the exact flags") {
+    val docsDf = Seq(
+      (1L, "a b c d e f g h"),        // contains the bench 5-gram b..f
+      (2L, "z y x w v u t s"),        // clean
+      (3L, "q r b c d e f k")         // contains it mid-doc
+    ).toDF("doc_id", "text").withColumn("words", split(col("text"), " "))
+    val bench = Seq(Tuple1("b c d e f")).toDF("text")
+      .withColumn("words", split(col("text"), " "))
+    def hits(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("contaminated")).select("doc_id").as[Long].collect().toSet
+    val exact = hits(Decontaminate.flag(docsDf, "doc_id", "words",
+      bench, "words", n = 5))
+    val bloom = hits(Decontaminate.flagBloom(docsDf, "doc_id", "words",
+      bench, "words", n = 5, fpp = 0.001))
+    assert(exact == Set(1L, 3L))
+    assert(exact.subsetOf(bloom), s"bloom $bloom must cover exact $exact")
+    assert(bloom == exact, s"tiny fixture + fpp 0.001 should have no FPs: $bloom")
+  }
+
   // ---------------------------------------------------------------- QualityClassifier
 
   test("QualityClassifier: JVM hash replica is in lockstep with the Column path") {
