@@ -120,6 +120,27 @@ object MinHashLSH {
     * string. Production default is codegen'd 8-byte xxhash64; oracle-
     * parity queries pass md5 so DuckDB can replay the identical banding
     * and down-sampling. */
+  /** Probability that a pair with true Jaccard `s` becomes an LSH
+    * candidate under (bands, rowsPerBand) banding — the MMDS §3.4.2
+    * S-curve 1 − (1 − s^r)^b. Use to audit recall at a design point. */
+  def sCurve(s: Double, bands: Int, rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand.toDouble), bands.toDouble)
+
+  /** Pick the band count whose S-curve threshold (1/b)^(1/r) — the
+    * similarity where candidate probability crosses ~½ — sits closest
+    * to `targetJaccard`, among divisors of `sigLen`. The standard MMDS
+    * tuning rule: too few bands misses true pairs below the knee, too
+    * many floods verification with low-similarity candidates. */
+  def tuneBands(sigLen: Int, targetJaccard: Double): Int = {
+    require(sigLen > 0, "sigLen must be positive")
+    require(targetJaccard > 0 && targetJaccard < 1,
+      "targetJaccard must be in (0, 1)")
+    (1 to sigLen).filter(sigLen % _ == 0).minBy { b =>
+      val r = sigLen / b
+      math.abs(math.pow(1.0 / b, 1.0 / r) - targetJaccard)
+    }
+  }
+
   def candidatePairs(
       df: DataFrame,
       idField: String,

@@ -99,6 +99,21 @@ class DedupContribSpec extends SparkSpec {
     assert(!kept.contains(2L) && !kept.contains(3L), kept.toString)
   }
 
+  test("MinHashLSH band tuning: S-curve threshold tracks the target jaccard") {
+    // sigLen 16 divisor thresholds (1/b)^(1/r): b=2 -> .917, b=4 -> .707,
+    // b=8 -> .354 — tuning picks the nearest knee
+    assert(MinHashLSH.tuneBands(16, 0.8) == 4)
+    assert(MinHashLSH.tuneBands(16, 0.9) == 2)
+    assert(MinHashLSH.tuneBands(16, 0.35) == 8)
+    // the S-curve crosses ~1/2 at its knee and is monotone in s
+    val b = 4; val r = 4
+    val knee = math.pow(1.0 / b, 1.0 / r)
+    val atKnee = MinHashLSH.sCurve(knee, b, r)
+    assert(atKnee > 0.3 && atKnee < 0.7, atKnee.toString)
+    val probs = (1 to 9).map(i => MinHashLSH.sCurve(i / 10.0, b, r))
+    assert(probs == probs.sorted, probs.toString)
+  }
+
   test("SimHash: identical → equal; near-dup closer than unrelated") {
     val hs = SimHash("words")(docs).select("doc_id", "simhash")
       .as[(Long, Long)].collect().toMap
