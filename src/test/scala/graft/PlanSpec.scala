@@ -170,6 +170,28 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("__es_h"), plan)
   }
 
+  test("SimHashNearDup: keyed on (band, chunk), no cartesian, popcount after join") {
+    val hs = (0L until 200L).map(i => (i, i * 2654435761L)).toDF("id", "sh")
+    val out = SimHashNearDup.candidatePairs(hs, "id", "sh")
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("cartesian"), plan)
+    assert(plan.contains("__sh_band") && plan.contains("__sh_chunk"), plan)
+  }
+
+  test("SemDeDup assignment is a zero-shuffle fold over literal centroids") {
+    val emb = (0L until 100L)
+      .map(i => (i, (0 until 8).map(d => math.sin(i * 13 + d))))
+      .toDF("vec_id", "e")
+    val cents = (0L until 4L)
+      .map(i => (i, (0 until 8).map(d => math.cos(i * 7 + d))))
+      .toDF("cid", "ce")
+    val out = SemDeDup.dedup(emb, "e", "vec_id", cents, eps = 0.99)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("cartesian"), plan)
+    // the pairwise stage is keyed on the cluster column, never raw vectors
+    assert(plan.contains("cluster"), plan)
+  }
+
   private def pipeOps(ms: graft.Mapper*)(df: org.apache.spark.sql.DataFrame) =
     ms.foldLeft(df)((d, m) => m(d))
 }
