@@ -1298,6 +1298,77 @@ object Queries {
     )
   )
 
+  /** Range join, point-in-interval flavor: clicks within 6 h after an
+    * error by the same user. The raw `BETWEEN` theta-join degenerates to
+    * a broadcast nested loop (O(|errors|·|clicks|) per user);
+    * [[operators.RangeJoin]] bins the time axis so the plan is a plain
+    * shuffled equi-join on (user_id, bucket) — AQE-skew-handled,
+    * broadcastable, the 100-TB shape (SURVEY §2.10). */
+  private val qRangeJoinPoint = Q(
+    "q133_range_join_point",
+    (s, dir) => {
+      val win = 21600L * 1000000L // 6 h in µs
+      val errs = events(s, dir).filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"),
+          unix_micros(col("ts")).as("start_us"))
+        .withColumn("end_us", col("start_us") + lit(win))
+      val clicks = events(s, dir).filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("pt_us"))
+      RangeJoin.pointInInterval(clicks, errs, "pt_us", "start_us", "end_us",
+          keys = Seq("user_id"), binWidth = win)
+        .select(col("err_id"), col("click_id"), col("user_id"),
+          (col("pt_us") - col("start_us")).as("delta_us"))
+        .orderBy("err_id", "click_id")
+    },
+    Some(
+      """WITH e AS (SELECT user_id, event_id AS err_id, epoch_us(ts) AS start_us
+        |  FROM events WHERE event_type = 'error'),
+        |c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS pt_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT e.err_id AS err_id, c.click_id AS click_id, e.user_id AS user_id,
+        |  c.pt_us - e.start_us AS delta_us
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |  AND c.pt_us BETWEEN e.start_us AND e.start_us + CAST(21600 AS BIGINT) * 1000000
+        |ORDER BY err_id, click_id""".stripMargin
+    )
+  )
+
+  /** Range join, interval-overlap flavor: pairs of orders by the same
+    * customer whose 7-day windows overlap. Each pair is emitted exactly
+    * once (first-common-bucket rule — no `distinct` shuffle); the two
+    * sides are fresh scans so the self-join stays unambiguous. */
+  private val qRangeJoinOverlap = Q(
+    "q134_interval_overlap",
+    (s, dir) => {
+      def o = T(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          unix_date(col("o_orderdate").cast(DateType)).cast(LongType).as("s"))
+        .withColumn("e", col("s") + lit(6L))
+      RangeJoin.intervalOverlap(o, o, "s", "e", "s", "e",
+          keys = Seq("o_custkey"), binWidth = 7L)
+        .filter(col("o_orderkey") < col("b_o_orderkey"))
+        .select(col("o_custkey"),
+          col("o_orderkey").as("a_order"),
+          col("b_o_orderkey").as("b_order"),
+          (least(col("e"), col("b_e")) - greatest(col("s"), col("b_s")) + lit(1L))
+            .as("overlap_days"))
+        .orderBy("o_custkey", "a_order", "b_order")
+    },
+    Some(
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |  CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS s
+        |  FROM orders)
+        |SELECT a.o_custkey AS o_custkey, a.o_orderkey AS a_order,
+        |  b.o_orderkey AS b_order,
+        |  LEAST(a.s + 6, b.s + 6) - GREATEST(a.s, b.s) + 1 AS overlap_days
+        |FROM o a JOIN o b ON a.o_custkey = b.o_custkey
+        |  AND a.o_orderkey < b.o_orderkey
+        |  AND a.s <= b.s + 6 AND b.s <= a.s + 6
+        |ORDER BY o_custkey, a_order, b_order""".stripMargin
+    )
+  )
+
   /** Sequential-fold cosine against the vec_id=0 embedding; scaled-floor
     * output so both engines emit the same integer. */
   private val qCosineTopk = Q(
@@ -4005,7 +4076,8 @@ object Queries {
     qFingerprintOverlap, qPackChunks, qDeterministicShuffle,
     qJinjaCommunity, qTrainingExport, qWordsBreak, qUnigramTokenize,
     qSpmVocabIds, qJinjaLoop, qAnswerChoices, qExactSubstr, qCsvBz2Loader,
-    qSimhashPairs, qSemDedup, qQualityLogit
+    qSimhashPairs, qSemDedup, qQualityLogit,
+    qRangeJoinPoint, qRangeJoinOverlap
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

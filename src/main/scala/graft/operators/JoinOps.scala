@@ -128,3 +128,90 @@ object AsOfJoin {
       .drop("__t", "__side", "__payload", "__match")
   }
 }
+
+/** Range (interval) join — the second join operator Spark lacks natively
+  * (SURVEY §2.10): match points to covering intervals, or intervals to
+  * overlapping intervals, WITHOUT the O(|L|·|R|) broadcast-nested-loop a
+  * naive `a.start <= b.ts AND b.ts <= a.end` theta join degenerates to.
+  *
+  * Plan: bin the time axis into fixed `binWidth` buckets. An interval
+  * explodes onto every bucket it touches (linear in interval length /
+  * binWidth — size binWidth near the MEDIAN interval length so the
+  * typical fan-out is 1-2 buckets); a point maps to exactly one bucket.
+  * The join is then a plain equi-join on (keys..., bucket) — shuffled,
+  * AQE-skew-handled, broadcastable — followed by the exact predicate.
+  * Interval×interval pairs that share several buckets are emitted ONCE
+  * by keeping only the first bucket both touch (`bucket ==
+  * max(floor(aStart/w), floor(bStart/w))`) — dedup by construction, no
+  * `distinct` shuffle.
+  */
+object RangeJoin {
+
+  /** Inner-join `points` to every `intervals` row whose
+    * [startField, endField] (inclusive) covers the point's `ptField`,
+    * matching equal `keys` when given. Times are treated as epoch
+    * numerics (cast to long); output = point columns + interval columns. */
+  def pointInInterval(
+      points: DataFrame,
+      intervals: DataFrame,
+      ptField: String,
+      startField: String,
+      endField: String,
+      keys: Seq[String] = Nil,
+      binWidth: Long = 3600L
+  ): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p = points.withColumn("__rj_bin",
+      floor(col(ptField).cast("long") / binWidth))
+    val iv = intervals
+      .withColumn(
+        "__rj_bin",
+        explode(sequence(
+          floor(col(startField).cast("long") / binWidth),
+          floor(col(endField).cast("long") / binWidth)))
+      )
+    p.join(iv, keys :+ "__rj_bin")
+      .filter(
+        col(ptField).cast("long") >= col(startField).cast("long") &&
+          col(ptField).cast("long") <= col(endField).cast("long"))
+      .drop("__rj_bin")
+  }
+
+  /** Inner-join rows of `a` and `b` whose [start, end] intervals overlap
+    * (inclusive), matching equal `keys` when given. Each overlapping
+    * pair is emitted exactly once. `b`'s columns arrive prefixed so the
+    * two sides' fields never collide. */
+  def intervalOverlap(
+      a: DataFrame,
+      b: DataFrame,
+      aStart: String,
+      aEnd: String,
+      bStart: String,
+      bEnd: String,
+      keys: Seq[String] = Nil,
+      binWidth: Long = 3600L,
+      bPrefix: String = "b_"
+  ): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn(
+        "__rj_bin",
+        explode(sequence(
+          floor(col(s).cast("long") / binWidth),
+          floor(col(e).cast("long") / binWidth)))
+      )
+    val bRenamed = b.columns.filterNot(keys.contains)
+      .foldLeft(b)((d, c) => d.withColumnRenamed(c, s"$bPrefix$c"))
+    val ab = binned(a, aStart, aEnd)
+      .join(binned(bRenamed, s"$bPrefix$bStart", s"$bPrefix$bEnd"),
+        keys :+ "__rj_bin")
+    val bS = col(s"$bPrefix$bStart").cast("long")
+    val bE = col(s"$bPrefix$bEnd").cast("long")
+    val aS = col(aStart).cast("long")
+    val aE = col(aEnd).cast("long")
+    ab.filter(aS <= bE && bS <= aE)
+      // first common bucket: dedup multi-bucket overlaps by construction
+      .filter(col("__rj_bin") === floor(greatest(aS, bS) / binWidth))
+      .drop("__rj_bin")
+  }
+}
