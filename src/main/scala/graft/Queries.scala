@@ -1369,6 +1369,116 @@ object Queries {
     )
   )
 
+  /** URL canonicalization + registered-domain extraction
+    * ([[operators.UrlOps]]): raw crawl URLs (synthesized here
+    * deterministically from doc_id/source, since the test corpus has no
+    * URL column — both engines build the identical string) normalized so
+    * URL-level dedup keys agree: lowercase scheme/host, www + default
+    * port + fragment + tracking params dropped, trailing slash stripped.
+    * Row-local codegen'd expressions, zero shuffle. */
+  private val qUrlNormalize = Q(
+    "q135_url_normalize",
+    (s, dir) => {
+      val id = col("doc_id")
+      val ids = id.cast(StringType)
+      val raw = concat(
+        lit("HTTPS://"),
+        when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        col("source"), lit(".Example."),
+        when(id % 7 === 0, lit("CO.UK")).otherwise(lit("COM")),
+        when(id % 2 === 0, lit(":443")).otherwise(lit("")),
+        lit("/Docs/"), ids,
+        when(id % 4 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&id="), ids, lit("&utm_campaign=x"),
+        when(id % 5 === 0, lit("&ref=tw")).otherwise(lit("")),
+        lit("#frag"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), raw.as("raw_url"))
+        .select(col("doc_id"), col("raw_url"),
+          UrlOps.normalize(col("raw_url")).as("norm_url"),
+          UrlOps.registeredDomain(UrlOps.host(col("raw_url"))).as("domain"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH u AS (SELECT doc_id,
+        |  'HTTPS://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+        |  || source || '.Example.' || CASE WHEN doc_id % 7 = 0 THEN 'CO.UK' ELSE 'COM' END
+        |  || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END
+        |  || '/Docs/' || CAST(doc_id AS VARCHAR)
+        |  || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+        |  || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x'
+        |  || CASE WHEN doc_id % 5 = 0 THEN '&ref=tw' ELSE '' END
+        |  || '#frag' AS raw_url
+        |  FROM documents),
+        |p AS (SELECT doc_id, raw_url,
+        |  lower(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+        |  regexp_replace(lower(regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)), '^www\.', '') AS h,
+        |  regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]*:([0-9]+)', 1) AS prt,
+        |  regexp_replace(regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS pth,
+        |  regexp_extract(raw_url, '\?([^#]*)', 1) AS q
+        |  FROM u),
+        |f AS (SELECT *, array_to_string(list_filter(string_split(q, '&'),
+        |    x -> x <> '' AND NOT regexp_matches(x, '^(?:utm_[^=]*|gclid|fbclid|msclkid|igshid|ref)(?:=|$)')), '&') AS qs
+        |  FROM p),
+        |d AS (SELECT *, string_split(h, '.') AS sp FROM f)
+        |SELECT doc_id, raw_url,
+        |  sch || '://' || h
+        |  || CASE WHEN prt = '' OR (sch = 'http' AND prt = '80') OR (sch = 'https' AND prt = '443')
+        |       THEN '' ELSE ':' || prt END
+        |  || pth || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS norm_url,
+        |  CASE WHEN len(sp) <= 2 THEN h
+        |       WHEN (sp[len(sp)-1] || '.' || sp[len(sp)]) IN ('co.uk','org.uk','ac.uk','gov.uk','co.jp','or.jp','ne.jp','com.au','net.au','org.au','co.in','co.nz','com.br','com.mx','com.cn','com.tw','com.sg','co.kr','co.za')
+        |       THEN sp[len(sp)-2] || '.' || sp[len(sp)-1] || '.' || sp[len(sp)]
+        |       ELSE sp[len(sp)-1] || '.' || sp[len(sp)] END AS domain
+        |FROM d ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Per-domain document cap ([[operators.UrlOps.domainCap]]): at most
+    * 10 docs per registered domain, chosen by deterministic hash order —
+    * the RefinedWeb-style anti-boilerplate cap. md5 order key here for
+    * oracle parity; production passes xxhash64. */
+  private val qDomainCap = Q(
+    "q136_domain_cap",
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("source"), lit(".example.com")).as("domain"),
+          md5(col("doc_id").cast(StringType)).as("__h"))
+      UrlOps.domainCap(d, "domain", 10, col("__h"), col("doc_id"))
+        .select(col("doc_id"), col("domain"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH d AS (SELECT doc_id, source || '.example.com' AS domain,
+        |  md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |r AS (SELECT doc_id, domain,
+        |  row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) AS rn FROM d)
+        |SELECT doc_id, domain FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Deterministic weighted split assignment
+    * ([[operators.Sampling.splitLabelMd5]]): 80/10/10 train/val/test by
+    * salted-hash bucket — reproducible across runs and engines, stable
+    * under repartitioning, one row-local expression. */
+  private val qHashSplit = Q(
+    "q137_hash_split",
+    (s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          Sampling.splitLabelMd5(col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+        .orderBy("doc_id"),
+    Some(
+      """SELECT doc_id,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8) < 'cccccccc' THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
   /** Sequential-fold cosine against the vec_id=0 embedding; scaled-floor
     * output so both engines emit the same integer. */
   private val qCosineTopk = Q(
@@ -4077,7 +4187,8 @@ object Queries {
     qJinjaCommunity, qTrainingExport, qWordsBreak, qUnigramTokenize,
     qSpmVocabIds, qJinjaLoop, qAnswerChoices, qExactSubstr, qCsvBz2Loader,
     qSimhashPairs, qSemDedup, qQualityLogit,
-    qRangeJoinPoint, qRangeJoinOverlap
+    qRangeJoinPoint, qRangeJoinOverlap,
+    qUrlNormalize, qDomainCap, qHashSplit
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

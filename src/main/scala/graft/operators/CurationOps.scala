@@ -185,6 +185,46 @@ object Sampling {
         lit(hexThreshold(defaultFraction)))
     substring(md5(concat(id.cast(StringType), lit(salt))), 1, 8) < thresh
   }
+
+  /** Deterministic train/val/test (or any weighted) split label: the
+    * salted hash fraction of the id falls into cumulative-weight
+    * buckets. Row-local, reproducible, stable under repartitioning —
+    * the split every supervised pipeline needs and RNG-based splitters
+    * get wrong (resplit on every run). Weights are normalized; the last
+    * label absorbs rounding. */
+  def splitLabel(
+      id: Column,
+      weights: Seq[(String, Double)],
+      salt: String = "graft"
+  ): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0) &&
+      weights.map(_._2).sum > 0, "weights must be non-negative, sum > 0")
+    val total = weights.map(_._2).sum
+    val h = pmod(xxhash64(concat(id.cast(StringType), lit(salt))),
+      lit(1000000000L))
+    val cum = weights.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    weights.init.zip(cum).foldRight(lit(weights.last._1): Column) {
+      case (((label, _), c), acc) => when(h < lit((c * 1e9).toLong), lit(label)).otherwise(acc)
+    }
+  }
+
+  /** Engine-portable split variant (md5 hex thresholds, like
+    * [[keepMd5]]): every SQL engine can replay the same assignment. */
+  def splitLabelMd5(
+      id: Column,
+      weights: Seq[(String, Double)],
+      salt: String = "graft"
+  ): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0) &&
+      weights.map(_._2).sum > 0, "weights must be non-negative, sum > 0")
+    val total = weights.map(_._2).sum
+    val h = substring(md5(concat(id.cast(StringType), lit(salt))), 1, 8)
+    val cum = weights.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    weights.init.zip(cum).foldRight(lit(weights.last._1): Column) {
+      case (((label, _), c), acc) =>
+        when(h < lit(hexThreshold(c)), lit(label)).otherwise(acc)
+    }
+  }
 }
 
 /** Deterministic global shuffle: order rows by a salted hash of their id
