@@ -1479,6 +1479,49 @@ object Queries {
     )
   )
 
+  /** One-pass per-column profile ([[operators.Profile.summarize]]):
+    * count / nulls / exact distinct / stringified min-max in long
+    * format. Exact COUNT(DISTINCT) here for oracle parity; the
+    * 100-TB path flips `exactDistinct=false` → HyperLogLog++ without
+    * the Expand replication. */
+  private val qProfile = Q(
+    "q138_profile",
+    (s, dir) =>
+      Profile.summarize(T(s, dir, "documents"),
+          Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy("col_name"),
+    Some(
+      Seq("doc_id", "lang", "source", "n_chars").map(c =>
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_s,
+           |  CAST(MAX($c) AS VARCHAR) AS max_s FROM documents""".stripMargin
+      ).mkString("", " UNION ALL ", " ORDER BY col_name")
+    )
+  )
+
+  /** Percentile-clipped length filter
+    * ([[operators.QuantileClip.keepWithin]]): keep docs inside the
+    * [p5, p95] band of their own n_chars distribution — outlier-tail
+    * removal. Thresholds are one tiny aggregate broadcast back over the
+    * corpus; both engines linearly interpolate rank f·(n−1), so the
+    * double thresholds agree. */
+  private val qQuantileClip = Q(
+    "q139_quantile_clip",
+    (s, dir) =>
+      QuantileClip.keepWithin(
+          T(s, dir, "documents").select("doc_id", "n_chars"),
+          "n_chars", 0.05, 0.95)
+        .orderBy("doc_id"),
+    Some(
+      """WITH t AS (SELECT quantile_cont(n_chars, [0.05, 0.95]) AS th FROM documents)
+        |SELECT doc_id, n_chars FROM documents, t
+        |WHERE n_chars >= th[1] AND n_chars <= th[2]
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
   /** Sequential-fold cosine against the vec_id=0 embedding; scaled-floor
     * output so both engines emit the same integer. */
   private val qCosineTopk = Q(
@@ -4188,7 +4231,8 @@ object Queries {
     qSpmVocabIds, qJinjaLoop, qAnswerChoices, qExactSubstr, qCsvBz2Loader,
     qSimhashPairs, qSemDedup, qQualityLogit,
     qRangeJoinPoint, qRangeJoinOverlap,
-    qUrlNormalize, qDomainCap, qHashSplit
+    qUrlNormalize, qDomainCap, qHashSplit,
+    qProfile, qQuantileClip
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Dataset profiling + distribution-based filtering — the "look at your
+  * data before you train on it" operators: per-column summary stats in
+  * one pass, and percentile-clipped filters (drop the tails of a length
+  * or score distribution, the DCLM/FineWeb recipe for outlier removal).
+  */
+object Profile {
+
+  /** Long-format per-column summary: (col_name, n, nulls, n_distinct,
+    * min_s, max_s). ONE aggregation pass over the data; min/max are
+    * stringified so mixed column types share a schema.
+    *
+    * `exactDistinct = true` uses COUNT(DISTINCT) — Spark plans one
+    * Expand (input replicated per column), which is exact but
+    * multiplies the map-side by |cols|. At corpus scale pass `false`
+    * for approx_count_distinct (HyperLogLog++, relativeSD 0.01): a
+    * single non-expanded pass, the profile everyone actually runs on
+    * 100 TB. */
+  def summarize(
+      df: DataFrame,
+      cols: Seq[String],
+      exactDistinct: Boolean = true
+  ): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__cnt_$c"),
+        (if (exactDistinct) countDistinct(col(c))
+         else approx_count_distinct(col(c), 0.01)).as(s"__nd_$c"),
+        min(col(c)).cast(StringType).as(s"__min_$c"),
+        max(col(c)).cast(StringType).as(s"__max_$c")
+      )
+    }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val entries = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("__n").as("n"),
+        (col("__n") - col(s"__cnt_$c")).as("nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_s"),
+        col(s"__max_$c").as("max_s"))
+    }
+    row.select(explode(array(entries: _*)).as("e")).select("e.*")
+  }
+}
+
+/** Keep rows whose numeric column lies between two percentiles of its
+  * own distribution — e.g. drop docs below the 5th / above the 95th
+  * length percentile. The thresholds are ONE tiny aggregate, broadcast
+  * back over the corpus: the data is scanned twice, shuffled never. */
+object QuantileClip {
+
+  /** `exact = true` uses the exact `percentile` aggregate (per-value
+    * hashmap — fine when the column's cardinality is bounded, like
+    * integer lengths; oracle-replayable). `exact = false` uses
+    * approx_percentile (Greenwald-Khanna sketch, accuracy 1e4) — the
+    * bounded-memory path for unbounded-cardinality columns at scale. */
+  def keepWithin(
+      df: DataFrame,
+      c: String,
+      lo: Double = 0.05,
+      hi: Double = 0.95,
+      exact: Boolean = true
+  ): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo <= hi, s"bad percentile range [$lo,$hi]")
+    val probs = array(lit(lo), lit(hi))
+    val t =
+      if (exact) df.agg(percentile(col(c), probs).as("__qc_t"))
+      else df.agg(approx_percentile(col(c), probs, lit(10000)).as("__qc_t"))
+    df.crossJoin(broadcast(t))
+      .filter(col(c) >= element_at(col("__qc_t"), 1) &&
+        col(c) <= element_at(col("__qc_t"), 2))
+      .drop("__qc_t")
+  }
+}

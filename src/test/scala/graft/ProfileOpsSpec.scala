@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.{Profile, QuantileClip}
+import org.apache.spark.sql.functions._
+
+/** One-pass profiling and percentile-clip filter semantics. */
+class ProfileOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Some("a"), 10L), (2L, Some("b"), 20L), (3L, None, 30L),
+    (4L, Some("a"), 40L), (5L, Some("c"), 1000L)
+  ).toDF("id", "tag", "len")
+
+  test("summarize: counts, nulls, distinct, stringified min/max per column") {
+    val p = Profile.summarize(df, Seq("id", "tag", "len"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(p("id") == ((5L, 0L, 5L, "1", "5")))
+    assert(p("tag") == ((5L, 1L, 3L, "a", "c")))   // null not counted as distinct
+    assert(p("len") == ((5L, 0L, 5L, "10", "1000")))
+  }
+
+  test("summarize: approx-distinct leg has no Expand in the plan") {
+    val exact = Profile.summarize(df, Seq("id", "tag"), exactDistinct = true)
+    val approx = Profile.summarize(df, Seq("id", "tag"), exactDistinct = false)
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"))
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"))
+    // and on this tiny/low-cardinality data HLL++ is exact
+    val a = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(a == Map("id" -> 5L, "tag" -> 3L))
+  }
+
+  test("keepWithin drops distribution tails, keeps interior inclusively") {
+    val wide = (1L to 100L).toDF("v")
+    val kept = QuantileClip.keepWithin(wide, "v", 0.10, 0.90)
+      .as[Long].collect().sorted
+    // p10 of 1..100 = 1 + 0.10*99 = 10.9; p90 = 90.1 → keep 11..90
+    assert(kept.head == 11L && kept.last == 90L && kept.length == 80)
+  }
+
+  test("keepWithin approx leg agrees with exact on bounded cardinality") {
+    val wide = (1L to 100L).map(i => i % 10).toDF("v")
+    val e = QuantileClip.keepWithin(wide, "v", 0.05, 0.95, exact = true).count()
+    val a = QuantileClip.keepWithin(wide, "v", 0.05, 0.95, exact = false).count()
+    assert(e == a)
+  }
+}
