@@ -1522,6 +1522,86 @@ object Queries {
     )
   )
 
+  /** HTML → text extraction ([[operators.Html]]): the WET-file step.
+    * Markup synthesized deterministically around each doc's text (no
+    * HTML column in the test corpus; both engines build the identical
+    * string), then title / visible text / links extracted with the
+    * RE2-safe regex chain — all codegen'd, scan-stage, zero shuffle. */
+  private val qHtmlExtract = Q(
+    "q140_html_extract",
+    (s, dir) => {
+      val ids = col("doc_id").cast(StringType)
+      val html = concat(
+        lit("<html><head><title>Doc "), ids, lit(" &amp; more</title>"),
+        lit("<style>p{color:red}</style></head><body><h1>"), col("source"),
+        lit("</h1><!-- nav --><p>"), substring(col("text"), 1, 60),
+        lit(" &quot;q&quot; &#39;s&#39;</p><a href=\"https://ex.com/"), ids,
+        lit("\">x</a>"),
+        when(col("doc_id") % 2 === 0, lit("<a href=\"/rel\">y</a>"))
+          .otherwise(lit("")),
+        lit("<script>var x = 1 < 2;</script></body></html>"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"),
+          Html.extractTitle(col("html")).as("title"),
+          Html.stripTags(col("html")).as("content"),
+          to_json(Html.extractLinks(col("html"))).as("links"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH u AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; more</title>'
+        |  || '<style>p{color:red}</style></head><body><h1>' || source || '</h1>'
+        |  || '<!-- nav -->'
+        |  || '<p>' || substring(text, 1, 60) || ' &quot;q&quot; &#39;s&#39;</p>'
+        |  || '<a href="https://ex.com/' || CAST(doc_id AS VARCHAR) || '">x</a>'
+        |  || CASE WHEN doc_id % 2 = 0 THEN '<a href="/rel">y</a>' ELSE '' END
+        |  || '<script>var x = 1 < 2;</script></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |        '(?is)<script\b.*?</script>', '', 'g'),
+        |        '(?is)<style\b.*?</style>', '', 'g'),
+        |        '(?s)<!--.*?-->', '', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&nbsp;', ' '), '&quot;', '"'), '&#39;', ''''), '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS content,
+        |  to_json(regexp_extract_all(html, '(?i)href\s*=\s*"([^"]*)"', 1)) AS links
+        |FROM u ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Row-local consecutive-duplicate-line collapse
+    * ([[operators.Html.collapseRepeatedLines]]) — repeated boilerplate
+    * lines collapse to one occurrence, distant repeats survive. Line
+    * structure synthesized with a planted consecutive dup on both
+    * engines. */
+  private val qCollapseLines = Q(
+    "q141_collapse_lines",
+    (s, dir) => {
+      val seg = substring(col("text"), 1, 20)
+      val txt = concat_ws("\n", seg, seg, col("source"), seg,
+        col("lang"), col("lang"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), txt.as("txt"))
+        .select(col("doc_id"),
+          Html.collapseRepeatedLines(col("txt")).as("collapsed"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH d AS (SELECT doc_id, substring(text, 1, 20) AS seg, source, lang FROM documents),
+        |t AS (SELECT doc_id, seg || chr(10) || seg || chr(10) || source || chr(10)
+        |  || seg || chr(10) || lang || chr(10) || lang AS txt FROM d),
+        |s AS (SELECT doc_id, txt, string_split(txt, chr(10)) AS ls FROM t)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(ls, (x, i) -> i = 1 OR x <> ls[i-1]), chr(10)) AS collapsed
+        |FROM s ORDER BY doc_id""".stripMargin
+    )
+  )
+
   /** Sequential-fold cosine against the vec_id=0 embedding; scaled-floor
     * output so both engines emit the same integer. */
   private val qCosineTopk = Q(
@@ -4232,7 +4312,8 @@ object Queries {
     qSimhashPairs, qSemDedup, qQualityLogit,
     qRangeJoinPoint, qRangeJoinOverlap,
     qUrlNormalize, qDomainCap, qHashSplit,
-    qProfile, qQuantileClip
+    qProfile, qQuantileClip,
+    qHtmlExtract, qCollapseLines
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
