@@ -1602,6 +1602,44 @@ object Queries {
     )
   )
 
+  /** DSIR-shape importance scoring ([[operators.DsirScore]]): rate every
+    * raw doc by hashed-token distribution similarity to a target corpus
+    * (here: the lang='en' slice) relative to the raw corpus. The two
+    * distribution estimates are dim-bounded (256 buckets) aggregates
+    * inlined as a literal weight array; scoring is then a row-local
+    * fold — zero shuffle. Integer-ratio weights (BIGINT div) instead of
+    * log-ratios so both engines compute the identical score. */
+  private val qDsirScore = Q(
+    "q142_dsir_score",
+    (s, dir) => {
+      val dim = 256
+      val d = docTextWords(s, dir)
+      val idx = (t: Column) => QualityClassifier.md5Index(t, dim)
+      val wts = DsirScore.weights(
+        d.filter(col("lang") === "en"), d, "words", dim, indexOf = idx)
+      d.select(col("doc_id"),
+          DsirScore.score(col("words"), wts.toSeq, idx).as("score"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH d AS (SELECT doc_id, lang, $W AS w FROM documents),
+         |tok AS (SELECT doc_id, lang, unnest(w) AS t FROM d),
+         |b AS (SELECT doc_id, lang,
+         |  list_reduce(list_transform(generate_series(1, 8),
+         |    j -> CAST(strpos('0123456789abcdef', substring(md5(t), CAST(j AS INT), 1)) - 1 AS BIGINT)),
+         |    (a, x) -> a * 16 + x) % 256 AS bucket FROM tok),
+         |ct AS (SELECT bucket, count(*) AS c FROM b WHERE lang = 'en' GROUP BY 1),
+         |cr AS (SELECT bucket, count(*) AS c FROM b GROUP BY 1),
+         |wt AS (SELECT gs.b AS bucket,
+         |  CAST(((COALESCE(ct.c, 0) + 1) * 1000000) // (COALESCE(cr.c, 0) + 1) AS BIGINT) AS wgt
+         |  FROM generate_series(0, 255) AS gs(b)
+         |  LEFT JOIN ct ON ct.bucket = gs.b LEFT JOIN cr ON cr.bucket = gs.b),
+         |sc AS (SELECT b.doc_id, SUM(wt.wgt) AS score FROM b JOIN wt ON b.bucket = wt.bucket GROUP BY 1)
+         |SELECT d.doc_id AS doc_id, CAST(COALESCE(sc.score, 0) AS BIGINT) AS score
+         |FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY doc_id""".stripMargin
+    )
+  )
+
   /** Sequential-fold cosine against the vec_id=0 embedding; scaled-floor
     * output so both engines emit the same integer. */
   private val qCosineTopk = Q(
@@ -4313,7 +4351,7 @@ object Queries {
     qRangeJoinPoint, qRangeJoinOverlap,
     qUrlNormalize, qDomainCap, qHashSplit,
     qProfile, qQuantileClip,
-    qHtmlExtract, qCollapseLines
+    qHtmlExtract, qCollapseLines, qDsirScore
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

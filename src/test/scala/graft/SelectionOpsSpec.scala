@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.{DsirScore, QualityClassifier}
+import org.apache.spark.sql.functions._
+
+/** DSIR-shape importance scoring: weight construction and row-local
+  * scoring semantics, on both hash legs. */
+class SelectionOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+  private val raw = Seq(
+    (1L, Seq("aa", "bb", "aa")),
+    (2L, Seq("cc", "bb")),
+    (3L, Seq("dd"))
+  ).toDF("id", "words")
+  private val target = raw.filter(col("id") === 1L) // target favors aa/bb
+
+  test("weights: add-one smoothed integer ratios, dim-length array") {
+    val idx = (c: org.apache.spark.sql.Column) => QualityClassifier.md5Index(c, dim)
+    val w = DsirScore.weights(target, raw, "words", dim, indexOf = idx)
+    assert(w.length == dim)
+    // empty buckets get (0+1)*scale/(0+1) = scale
+    val jvm = (t: String) => {
+      // replicate md5Index on the JVM for the assertion
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(4)
+        .foldLeft(0L)((a, b) => a * 256 + (b & 0xff))
+      (h % dim).toInt
+    }
+    val bAA = jvm("aa"); val bDD = jvm("dd")
+    // aa: ct=2, cr=2 → 3*1e6/3 = 1e6; dd: ct=0, cr=1 → 1e6/2
+    assert(w(bAA) == 1000000L)
+    assert(w(bDD) == 500000L)
+  }
+
+  test("score: fold sums per-token bucket weights; empty words → 0") {
+    val idx = (c: org.apache.spark.sql.Column) => QualityClassifier.md5Index(c, dim)
+    val w = DsirScore.weights(target, raw, "words", dim, indexOf = idx)
+    val scores = raw.union(Seq((4L, Seq.empty[String])).toDF("id", "words"))
+      .select(col("id"), DsirScore.score(col("words"), w.toSeq, idx).as("s"))
+      .as[(Long, Long)].collect().toMap
+    // target doc scores strictly higher than the out-of-target doc
+    assert(scores(1L) > scores(3L))
+    assert(scores(4L) == 0L)
+    // scoring is exact integer arithmetic: recompute doc 2 by hand
+    val jvmIdx = (t: String) => {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(4)
+        .foldLeft(0L)((a, b) => a * 256 + (b & 0xff))
+      (h % dim).toInt
+    }
+    assert(scores(2L) == w(jvmIdx("cc")) + w(jvmIdx("bb")))
+  }
+
+  test("production xxhash leg matches its JVM replica") {
+    val idx = (c: org.apache.spark.sql.Column) => QualityClassifier.hashIndex(c, dim)
+    val w = DsirScore.weights(target, raw, "words", dim, indexOf = idx)
+    val s2 = raw.filter(col("id") === 2L)
+      .select(DsirScore.score(col("words"), w.toSeq, idx)).as[Long].head()
+    val jvm = (t: String) => QualityClassifier.jvmHashIndex(t, dim)
+    assert(s2 == w(jvm("cc")) + w(jvm("bb")))
+  }
+}
