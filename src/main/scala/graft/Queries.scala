@@ -1640,6 +1640,63 @@ object Queries {
     )
   )
 
+  /** Fixed-width length histogram ([[operators.Profile.histogram]]):
+    * one map-side-combined groupBy, #occupied-bins rows out. */
+  private val qHistogram = Q(
+    "q143_histogram",
+    (s, dir) =>
+      Profile.histogram(T(s, dir, "documents"), "n_chars", 50L)
+        .orderBy("bin_start"),
+    Some(
+      """SELECT CAST(FLOOR(n_chars / 50) AS BIGINT) * 50 AS bin_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM documents GROUP BY 1 ORDER BY bin_start""".stripMargin
+    )
+  )
+
+  /** CCNet-style familiarity bucketing: LM-familiarity score
+    * ([[operators.LmScore]], q112) cut at its own tertiles into
+    * head/middle/tail — the CCNet corpus-quality partition. Composition
+    * of existing operators: score → exact-percentile thresholds (one
+    * tiny aggregate, broadcast back, the [[operators.QuantileClip]]
+    * pattern) → label → per-(lang, bucket) counts. */
+  private val qCcnetBuckets = Q(
+    "q144_ccnet_buckets",
+    (s, dir) => {
+      val dw = docWords(s, dir)
+      val fam = LmScore.familiarity(dw, "doc_id", "words", dw, "words", n = 2)
+        .select(col("doc_id"), col("lang"), col("lm_score"))
+      val th = fam.agg(
+        percentile(col("lm_score"), array(lit(1.0 / 3), lit(2.0 / 3))).as("__th"))
+      fam.crossJoin(broadcast(th))
+        .withColumn("bucket",
+          when(col("lm_score") >= element_at(col("__th"), 2), "head")
+            .when(col("lm_score") >= element_at(col("__th"), 1), "middle")
+            .otherwise("tail"))
+        .groupBy("lang", "bucket").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "bucket")
+    },
+    Some(
+      s"""WITH w AS (SELECT doc_id, lang, $W AS w FROM documents),
+         |bg AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2 THEN
+         |    list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+         |    ELSE [] END) AS gram FROM w),
+         |cnt AS (SELECT gram, count(*) AS c FROM bg GROUP BY gram),
+         |ds AS (SELECT doc_id, count(*) AS nb, sum(c) AS sc
+         |       FROM bg JOIN cnt USING (gram) GROUP BY doc_id),
+         |f AS (SELECT w.doc_id, w.lang,
+         |  CAST(coalesce((1000000 * ds.sc) // ds.nb, 0) AS BIGINT) AS lm_score
+         |  FROM w LEFT JOIN ds USING (doc_id)),
+         |t AS (SELECT quantile_cont(lm_score, [1.0/3, 2.0/3]) AS th FROM f)
+         |SELECT lang,
+         |  CASE WHEN lm_score >= th[2] THEN 'head'
+         |       WHEN lm_score >= th[1] THEN 'middle'
+         |       ELSE 'tail' END AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM f, t GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+    )
+  )
+
   /** Sequential-fold cosine against the vec_id=0 embedding; scaled-floor
     * output so both engines emit the same integer. */
   private val qCosineTopk = Q(
@@ -4351,7 +4408,7 @@ object Queries {
     qRangeJoinPoint, qRangeJoinOverlap,
     qUrlNormalize, qDomainCap, qHashSplit,
     qProfile, qQuantileClip,
-    qHtmlExtract, qCollapseLines, qDsirScore
+    qHtmlExtract, qCollapseLines, qDsirScore, qHistogram, qCcnetBuckets
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

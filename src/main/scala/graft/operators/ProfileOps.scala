@@ -48,6 +48,17 @@ object Profile {
     }
     row.select(explode(array(entries: _*)).as("e")).select("e.*")
   }
+
+  /** Fixed-width histogram of a numeric column: (bin_start, n) rows,
+    * bin_start = floor(v / binWidth) · binWidth. ONE map-side-combined
+    * groupBy whose output is #occupied-bins rows — safe to collect or
+    * plot at any corpus size when binWidth is chosen sanely. */
+  def histogram(df: DataFrame, c: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    df.filter(col(c).isNotNull)
+      .groupBy((floor(col(c) / binWidth) * binWidth).cast("long").as("bin_start"))
+      .agg(count(lit(1)).as("n"))
+  }
 }
 
 /** Keep rows whose numeric column lies between two percentiles of its

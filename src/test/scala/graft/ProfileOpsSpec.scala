@@ -40,6 +40,14 @@ class ProfileOpsSpec extends SparkSpec {
     assert(kept.head == 11L && kept.last == 90L && kept.length == 80)
   }
 
+  test("histogram bins by floor(v/width)*width, skips nulls") {
+    val d = Seq(Some(0L), Some(49L), Some(50L), Some(149L), None)
+      .toDF("v")
+    val h = Profile.histogram(d, "v", 50L)
+      .as[(Long, Long)].collect().toMap
+    assert(h == Map(0L -> 2L, 50L -> 1L, 100L -> 1L))
+  }
+
   test("keepWithin approx leg agrees with exact on bounded cardinality") {
     val wide = (1L to 100L).map(i => i % 10).toDF("v")
     val e = QuantileClip.keepWithin(wide, "v", 0.05, 0.95, exact = true).count()
