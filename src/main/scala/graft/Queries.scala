@@ -195,13 +195,20 @@ object Queries {
     )
   )
 
-  /** events with the TIMESTAMP(NANOS) column (read as long ns via
-    * spark.sql.legacy.parquet.nanosAsLong) converted to a proper µs
-    * timestamp. DuckDB reads the same file natively; epoch_us on both
-    * sides floors ns→µs identically. */
-  private def events(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** events with `ts` normalized to a session-TZ (UTC) µs timestamp,
+    * whatever the parquet layout of the generated data: TIMESTAMP(NANOS)
+    * reads as long ns (spark.sql.legacy.parquet.nanosAsLong) and floors
+    * ns→µs; native timestamp / timestamp_ntz casts in place (UTC session
+    * tz makes the NTZ cast a numeric no-op). DuckDB reads the same file
+    * natively; epoch_us on both sides agrees in every layout. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val df = T(s, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
 
   private val qEventWindows = Q(
     "q03_event_windows",
@@ -4366,6 +4373,162 @@ object Queries {
     )
   )
 
+  /** C4 line+document cleanup rules ([[operators.C4LineFilter]], Raffel
+    * et al. 2020 §2.2): terminal-punctuation / min-words / javascript
+    * line rules, min-kept-lines / "lorem ipsum" / `{` document gates.
+    * The synthetic corpus has no line structure, so (like q141) each doc
+    * synthesizes a 7-line text exercising every rule: punctuated and
+    * unpunctuated segments, a javascript line, a parity-dependent kept
+    * line, a `doc_id % 7` lorem-ipsum line, a `doc_id % 11` brace
+    * line. */
+  private val qC4Lines = Q(
+    "q145_c4_line_filter",
+    (s, dir) => {
+      val t = col("text")
+      val txt = concat_ws("\n",
+        concat(substring(t, 1, 30), lit(".")),
+        substring(t, 31, 25),
+        lit("see our javascript page now."),
+        when(col("doc_id") % 2 === 0,
+          concat(substring(t, 61, 30), lit("!"))).otherwise(lit("nope")),
+        concat(substring(t, 91, 28), lit("?")),
+        when(col("doc_id") % 7 === 0, lit("lorem ipsum"))
+          .otherwise(lit("tail line ends fine.")),
+        when(col("doc_id") % 11 === 0, lit("code marker { inline."))
+          .otherwise(lit("closing words go here.")))
+      C4LineFilter("txt", "clean_text")(
+        T(s, dir, "documents").select(col("doc_id"), txt.as("txt")))
+        .select(col("doc_id"), col("clean_text"), col("c4_kept_lines"),
+          col("c4_pass").cast(LongType).as("c4_pass"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH l AS (SELECT doc_id,
+        |  substring(text, 1, 30) || '.' AS l1,
+        |  substring(text, 31, 25) AS l2,
+        |  'see our javascript page now.' AS l3,
+        |  CASE WHEN doc_id % 2 = 0 THEN substring(text, 61, 30) || '!' ELSE 'nope' END AS l4,
+        |  substring(text, 91, 28) || '?' AS l5,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum' ELSE 'tail line ends fine.' END AS l6,
+        |  CASE WHEN doc_id % 11 = 0 THEN 'code marker { inline.' ELSE 'closing words go here.' END AS l7
+        |  FROM documents),
+        |t AS (SELECT doc_id, l1 || chr(10) || l2 || chr(10) || l3 || chr(10) || l4
+        |  || chr(10) || l5 || chr(10) || l6 || chr(10) || l7 AS txt FROM l),
+        |k AS (SELECT doc_id, txt,
+        |  list_filter(string_split(txt, chr(10)), x ->
+        |    len(list_filter(regexp_split_to_array(x, '\s+'), w -> w <> '')) >= 3
+        |    AND regexp_matches(rtrim(x), '[.!?"'']$')
+        |    AND NOT contains(lower(x), 'javascript')) AS kl FROM t)
+        |SELECT doc_id, array_to_string(kl, chr(10)) AS clean_text,
+        |  CAST(len(kl) AS BIGINT) AS c4_kept_lines,
+        |  CAST(len(kl) >= 3 AND NOT contains(lower(txt), 'lorem ipsum')
+        |    AND NOT contains(txt, '{') AS BIGINT) AS c4_pass
+        |FROM k ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Blocklist word filtering ([[operators.BlocklistFilter]], the C4
+    * bad-words rule): literal-array overlap probe inside the scan stage
+    * plus the sorted audit column of which blocked words hit. */
+  private val qBlocklist = Q(
+    "q146_blocklist",
+    (s, dir) =>
+      BlocklistFilter(Seq("slow", "vector", "nonexistentword"))(
+        docWords(s, dir))
+        .select(col("doc_id"),
+          col("blocklist_hit").cast(LongType).as("blocklist_hit"),
+          J("blocklist_hits"))
+        .orderBy("doc_id"),
+    Some(
+      s"""WITH w AS (SELECT doc_id, $W AS w FROM documents),
+         |h AS (SELECT doc_id, list_sort(list_intersect(
+         |    list_distinct(list_transform(w, x -> lower(x))),
+         |    ['nonexistentword', 'slow', 'vector'])) AS hits FROM w)
+         |SELECT doc_id, CAST(len(hits) > 0 AS BIGINT) AS blocklist_hit,
+         |  to_json(hits) AS blocklist_hits
+         |FROM h ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** BM25 relevance of every doc against a 3-term probe
+    * ([[operators.Bm25]]): corpus stats (N, avgdl, per-term df) are ONE
+    * tiny aggregate re-inlined as literals; scoring is a row-local fold.
+    * All-BIGINT arithmetic (integer idf + the 1000·avgdl-scaled term
+    * ratio) so the oracle recomputes the identical score from scratch —
+    * nothing numeric crosses engines. */
+  private val qBm25 = Q(
+    "q147_bm25",
+    (s, dir) => {
+      val dw = docWords(s, dir)
+      val st = Bm25.stats(dw, "words", Seq("spark", "vector", "join"))
+      dw.select(col("doc_id"), Bm25.score(col("words"), st).as("bm25"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH w AS (SELECT doc_id, $W AS w FROM documents),
+         |st AS (SELECT count(*) AS n, sum(len(w)) AS tot FROM w),
+         |sa AS (SELECT n, GREATEST(1, tot // n) AS avg FROM st),
+         |terms(t) AS (SELECT * FROM (VALUES ('join'), ('spark'), ('vector')) v(t)),
+         |df AS (SELECT t, sum(CAST(list_contains(w.w, t) AS BIGINT)) AS df
+         |  FROM terms, w GROUP BY t),
+         |idf AS (SELECT t, ((n - df + 1) * 1000000) // (df + 1) AS idf FROM df, sa),
+         |tf AS (SELECT doc_id, t, len(list_filter(w, x -> x = t)) AS tf,
+         |  len(w) AS dl FROM w, terms),
+         |sc AS (SELECT doc_id, sum(CASE WHEN tf > 0 THEN
+         |    (idf * tf * 2200 * avg) // (1000 * tf * avg + 300 * avg + 900 * dl)
+         |    ELSE 0 END) AS bm25
+         |  FROM tf JOIN idf USING (t), sa GROUP BY doc_id)
+         |SELECT doc_id, CAST(bm25 AS BIGINT) AS bm25 FROM sc ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Exact-quota stratified sampling ([[operators.Sampling.takePerStratum]]):
+    * exactly 20 docs per language, deterministically chosen by salted-md5
+    * rank — one PARTITIONED window (per-stratum sort, never global). */
+  private val qTakePerStratum = Q(
+    "q148_take_per_stratum",
+    (s, dir) =>
+      Sampling.takePerStratum(T(s, dir, "documents"), "doc_id", "lang",
+          k = 20, salt = "evalset", portable = true)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id"),
+    Some(
+      """WITH r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || 'evalset'), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Normalization-robust exact dedup ([[operators.NormalizeForDedup]] →
+    * [[operators.ExactDedup]]): a noisy copy of every doc (uppercased,
+    * padded, punctuation appended, shifted id) collides with its
+    * original on the normalized key, so exactly the originals survive.
+    * The oracle rebuilds the key with the same `\p{L}`/`\p{N}`/`\s`
+    * classes (identical semantics in Java regex and RE2). */
+  private val qNormalizedDedup = Q(
+    "q149_normalized_dedup",
+    (s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val noisy = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit(" !!! ")).as("text"))
+      pipe(
+        NormalizeForDedup("text", "dedup_key"),
+        ExactDedup("dedup_key", "doc_id")
+      )(base.unionByName(noisy))
+        .select(col("doc_id"), col("dedup_key"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, '  ' || upper(text) || ' !!! ' FROM documents),
+        |k AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |  '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS dedup_key FROM u),
+        |m AS (SELECT dedup_key, min(doc_id) AS doc_id FROM k GROUP BY dedup_key)
+        |SELECT doc_id, dedup_key FROM m ORDER BY doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -4408,7 +4571,8 @@ object Queries {
     qRangeJoinPoint, qRangeJoinOverlap,
     qUrlNormalize, qDomainCap, qHashSplit,
     qProfile, qQuantileClip,
-    qHtmlExtract, qCollapseLines, qDsirScore, qHistogram, qCcnetBuckets
+    qHtmlExtract, qCollapseLines, qDsirScore, qHistogram, qCcnetBuckets,
+    qC4Lines, qBlocklist, qBm25, qTakePerStratum, qNormalizedDedup
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

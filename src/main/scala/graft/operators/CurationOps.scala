@@ -225,6 +225,37 @@ object Sampling {
         when(h < lit(hexThreshold(c)), lit(label)).otherwise(acc)
     }
   }
+
+  /** Exactly `k` rows per stratum, chosen deterministically: rank rows
+    * inside each stratum by (salted id hash, id) and keep the first
+    * `k`. Unlike fraction sampling this hits the quota exactly ("5k
+    * docs per language for the eval set"), stays reproducible across
+    * runs and repartitioning, and is one partitioned window — the
+    * stratum is the partition key, so the sort is per-group, never
+    * global. Hot strata with billions of rows sort-spill fine; if even
+    * that is too much, pre-thin with [[keep]] first (hash order is
+    * preserved under hash-threshold thinning, so the composition picks
+    * the SAME survivors as long as the thinning keeps ≥ k per
+    * stratum). `portable` swaps xxhash64 for the md5 twin. */
+  def takePerStratum(
+      df: DataFrame,
+      idField: String,
+      strataField: String,
+      k: Int,
+      salt: String = "graft",
+      portable: Boolean = false
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key =
+      if (portable) md5(concat(col(idField).cast(StringType), lit(salt)))
+      else xxhash64(concat(col(idField).cast(StringType), lit(salt)))
+        .cast(StringType)
+    df.withColumn("__tps_rank",
+        row_number().over(Window.partitionBy(col(strataField))
+          .orderBy(key, col(idField))))
+      .filter(col("__tps_rank") <= k)
+      .drop("__tps_rank")
+  }
 }
 
 /** Deterministic global shuffle: order rows by a salted hash of their id

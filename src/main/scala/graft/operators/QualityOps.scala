@@ -175,3 +175,117 @@ final case class GopherQualityFilter(
     if (keepOnly) out.filter(col("gopher_pass")) else out
   }
 }
+
+/** C4's line- and document-level heuristic cleanup (Raffel et al. 2020
+  * §2.2, "Colossal Clean Crawled Corpus" — reference: smashed has no
+  * corpus-cleanup stage; this is part of the north-star curation
+  * surface). All rules are row-local Column expressions — one codegen'd
+  * projection, no shuffle, usable inside the corpus scan stage:
+  *
+  *   - keep only lines that end in a terminal punctuation mark
+  *     (`.`, `!`, `?`, `"`, `'`);
+  *   - keep only lines with >= `minLineWords` words (paper: 3 — the
+  *     "at least three words" line rule);
+  *   - drop any line containing the word "javascript"
+  *     (case-insensitive);
+  *   - drop the whole document when it has fewer than `minLines` kept
+  *     lines, contains "lorem ipsum" (ci), or contains `{` (the code
+  *     marker).
+  *
+  * Word counting uses the same whitespace notion as [[Splitters.Ws]].
+  */
+object C4Rules {
+
+  final case class Config(
+      minLineWords: Int = 3,
+      minLines: Int = 3
+  )
+
+  private def wordCount(line: Column): Column =
+    size(filter(split(line, "\\s+"), w => length(w) > 0))
+
+  /** The kept lines of `text` under the three line rules, in order. */
+  def keptLines(text: Column, config: Config = Config()): Column =
+    filter(
+      split(text, "\n"),
+      l =>
+        wordCount(l) >= config.minLineWords &&
+          regexp_like(rtrim(l), lit("[.!?\"']$")) &&
+          !lower(l).contains("javascript")
+    )
+
+  /** Cleaned text: kept lines re-joined with newlines. */
+  def cleanText(text: Column, config: Config = Config()): Column =
+    array_join(keptLines(text, config), "\n")
+
+  /** Document-level gate over the ORIGINAL text + its kept lines. */
+  def docPass(text: Column, config: Config = Config()): Column =
+    size(keptLines(text, config)) >= config.minLines &&
+      !lower(text).contains("lorem ipsum") &&
+      !text.contains("{")
+}
+
+/** Apply [[C4Rules]]: adds `<dest>` (cleaned text), `c4_kept_lines`
+  * (count) and `c4_pass`; `keepOnly` filters to passing docs. */
+final case class C4LineFilter(
+    textField: String = "text",
+    dest: String = "clean_text",
+    config: C4Rules.Config = C4Rules.Config(),
+    keepOnly: Boolean = false
+) extends Mapper {
+  override def inputFields: Seq[String] = Seq(textField)
+  override def outputFields: Seq[String] = Seq(dest, "c4_kept_lines", "c4_pass")
+  override protected def build(df: DataFrame): DataFrame = {
+    val t = col(textField)
+    val out = df
+      .withColumn(dest, C4Rules.cleanText(t, config))
+      .withColumn("c4_kept_lines",
+        size(C4Rules.keptLines(t, config)).cast(LongType))
+      .withColumn("c4_pass", C4Rules.docPass(t, config))
+    if (keepOnly) out.filter(col("c4_pass")) else out
+  }
+}
+
+/** Blocklist word filtering (the C4 "bad words" rule: drop any page
+  * containing a word from a blocklist). The blocklist is SMALL (a few
+  * hundred entries) so it inlines as a literal array into the scan-stage
+  * predicate — `arrays_overlap` over the lowercased word array is one
+  * codegen'd row-local expression: no join, no shuffle, no broadcast
+  * variable to manage. For case-sensitive matching pass
+  * `caseFold = false`. */
+object Blocklist {
+
+  /** True when any word of `words` (case-folded) is in `blocked`. */
+  def hit(words: Column, blocked: Seq[String], caseFold: Boolean = true): Column = {
+    val probe = array(blocked.sorted.map(lit): _*)
+    val ws = if (caseFold) transform(words, w => lower(w)) else words
+    arrays_overlap(ws, probe)
+  }
+
+  /** The distinct blocked words present in the doc, sorted — the audit
+    * column ("why was this dropped"). */
+  def hits(words: Column, blocked: Seq[String], caseFold: Boolean = true): Column = {
+    val probe = array(blocked.sorted.map(lit): _*)
+    val ws = if (caseFold) transform(words, w => lower(w)) else words
+    array_sort(array_intersect(array_distinct(ws), probe))
+  }
+}
+
+/** Apply [[Blocklist]]: adds `blocklist_hit` + `blocklist_hits`;
+  * `keepOnly` drops flagged docs (the C4 behavior). */
+final case class BlocklistFilter(
+    blocked: Seq[String],
+    wordsField: String = "words",
+    caseFold: Boolean = true,
+    keepOnly: Boolean = false
+) extends Mapper {
+  override def inputFields: Seq[String] = Seq(wordsField)
+  override def outputFields: Seq[String] = Seq("blocklist_hit", "blocklist_hits")
+  override protected def build(df: DataFrame): DataFrame = {
+    val w = col(wordsField)
+    val out = df
+      .withColumn("blocklist_hit", Blocklist.hit(w, blocked, caseFold))
+      .withColumn("blocklist_hits", Blocklist.hits(w, blocked, caseFold))
+    if (keepOnly) out.filter(!col("blocklist_hit")) else out
+  }
+}

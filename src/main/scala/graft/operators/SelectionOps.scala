@@ -67,3 +67,79 @@ object DsirScore {
     aggregate(words, lit(0L),
       (acc, t) => acc + element_at(typedLit(weights), (indexOf(t) + 1).cast("int")))
 }
+
+/** Distributed BM25 relevance scoring of every document against a fixed
+  * query term set (Robertson & Zaragoza 2009) — the retrieval-style
+  * selection primitive ("rank a 100 TB corpus by relevance to a topic
+  * probe"). Two stages, both corpus-scale-safe:
+  *
+  *   1. corpus statistics: N, total length, and per-query-term document
+  *      frequencies — ONE aggregate whose output is O(#query terms),
+  *      collected and re-inlined as literals (the [[DsirScore]]
+  *      literal-inline pattern; query sets are tiny);
+  *   2. scoring: a row-local fold over each doc's words — zero shuffle,
+  *      scan-stage, codegen'd.
+  *
+  * Engine parity: `ln`/doubles don't hash-match across engines, so the
+  * whole formula is BIGINT arithmetic. With k1 = 1.2, b = 0.75 and
+  * integer idf `((N − df + 1)·scale) div (df + 1)` (the +1 floor keeps
+  * it positive, same monotonicity as the log idf), each matched term
+  * contributes
+  *   `(idf · tf · 2200 · avgdl) div (1000·tf·avgdl + 300·avgdl + 900·dl)`
+  * — numerator and denominator of the classical term both multiplied by
+  * `1000·avgdl`, so the ratio is exact before the single final floor. */
+object Bm25 {
+
+  final case class Stats(
+      nDocs: Long,
+      avgDl: Long,
+      idf: Map[String, Long]
+  )
+
+  /** Corpus stats for `terms`: one pass over the words column. `avgdl`
+    * is integer-floored (≥ 1). */
+  def stats(
+      docs: DataFrame,
+      wordsField: String,
+      terms: Seq[String],
+      scale: Long = 1000000L
+  ): Stats = {
+    val w = col(wordsField)
+    val probes = terms.distinct.sorted
+    val aggs =
+      Seq(count(lit(1)).as("n"), sum(size(w).cast("long")).as("len")) ++
+        probes.zipWithIndex.map { case (t, i) =>
+          sum(array_contains(w, t).cast("long")).as(s"df_$i")
+        }
+    val r = docs.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = r.getLong(0)
+    val len = Option(r.get(1)).fold(0L)(_ => r.getLong(1))
+    val idf = probes.zipWithIndex.map { case (t, i) =>
+      val df = r.getLong(2 + i)
+      t -> ((n - df + 1L) * scale) / (df + 1L)
+    }.toMap
+    Stats(n, math.max(1L, if (n > 0) len / n else 1L), idf)
+  }
+
+  /** True BIGINT division (`a div b`): `/` on long Columns goes through
+    * doubles, whose 53-bit mantissa silently rounds numerators past
+    * ~9·10^15 — the idf·tf·2200·avgdl products here exceed that. */
+  private def idiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Shim.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graft.Shim.expression(a),
+        org.apache.spark.sql.graft.Shim.expression(b)))
+
+  /** Row-local BM25 score (scaled BIGINT) of a words array given
+    * pre-computed [[Stats]]. tf per term via a filter-count fold; the
+    * tiny idf map rides as a literal map. */
+  def score(words: Column, st: Stats): Column = {
+    val dl = size(words).cast("long")
+    st.idf.toSeq.sortBy(_._1).map { case (t, idf) =>
+      val tf = size(filter(words, x => x === t)).cast("long")
+      val num = lit(idf) * tf * lit(2200L) * lit(st.avgDl)
+      val den = lit(1000L) * tf * lit(st.avgDl) + lit(300L * st.avgDl) + lit(900L) * dl
+      when(tf > 0, idiv(num, den)).otherwise(lit(0L))
+    }.reduceOption(_ + _).getOrElse(lit(0L))
+  }
+}

@@ -380,3 +380,33 @@ object FixText {
     java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
   }
 }
+
+/** Canonical text normalization for DEDUP KEYS (the Dolma/FineWeb
+  * pre-hash step: near-identical docs differing only in case, punctuation
+  * or whitespace should collide exactly). Pure Column expressions —
+  * lowercase, strip everything that is not a letter / digit / whitespace
+  * (unicode classes, so accented letters survive), collapse whitespace
+  * runs to single spaces, trim. Row-local, codegen'd, zero shuffle; the
+  * regex classes (`\p{L}`, `\p{N}`, `\s`) mean the same thing in Java
+  * regex and RE2, so any engine replays the key byte-for-byte. */
+object NormalizeText {
+
+  /** The normalized dedup key of `text`. */
+  def dedupKey(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", ""),
+      "\\s+", " "))
+}
+
+/** Append `<dest>` = [[NormalizeText.dedupKey]] of `textField` — feed it
+  * to [[ExactDedup]] (`byField = dest`) for normalization-robust exact
+  * dedup. */
+final case class NormalizeForDedup(
+    textField: String = "text",
+    dest: String = "dedup_key"
+) extends Mapper {
+  override def inputFields: Seq[String] = Seq(textField)
+  override def outputFields: Seq[String] = Seq(dest)
+  override protected def build(df: DataFrame): DataFrame =
+    df.withColumn(dest, NormalizeText.dedupKey(col(textField)))
+}

@@ -1,0 +1,108 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** C4 cleanup rules, blocklist filtering, BM25 scoring, per-stratum
+  * quota sampling, and normalization-robust dedup keys. */
+class CleanupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("C4LineFilter: line rules + document gates") {
+    val good = Seq(
+      "this line ends with a period.",
+      "so does this other fine line!",
+      "and a third one over here?").mkString("\n")
+    val df = Seq(
+      (1L, good),
+      (2L, good + "\nno punctuation here either way"),   // bad line dropped, doc still passes
+      (3L, good + "\nenable javascript to proceed."),    // js line dropped
+      (4L, "two lines only end well.\nstill fine here!"),// < minLines → fail
+      (5L, good + "\nlorem ipsum dolor sit amet."),      // lorem → fail
+      (6L, good + "\nfunction f() { return 1; }")        // brace → fail
+    ).toDF("doc_id", "text")
+    val out = C4LineFilter("text", "clean")(df)
+      .select($"doc_id", $"clean", $"c4_kept_lines", $"c4_pass")
+      .as[(Long, String, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == good && out(1L)._3 == 3L && out(1L)._4)
+    assert(out(2L)._2 == good && out(2L)._4)             // bad line stripped
+    assert(out(3L)._2 == good && out(3L)._4)             // js line stripped
+    assert(out(4L)._3 == 2L && !out(4L)._4)
+    assert(!out(5L)._4 && !out(6L)._4)
+    // keepOnly drops failing docs
+    assert(C4LineFilter("text", "clean", keepOnly = true)(df).count() == 3L)
+  }
+
+  test("BlocklistFilter: case-folded overlap + sorted audit hits") {
+    val df = Seq(
+      (1L, Seq("Clean", "words", "only")),
+      (2L, Seq("some", "BAD", "and", "worse", "words")),
+      (3L, Seq.empty[String])
+    ).toDF("doc_id", "words")
+    val out = BlocklistFilter(Seq("bad", "worse", "absent"))(df)
+      .select($"doc_id", $"blocklist_hit", $"blocklist_hits")
+      .as[(Long, Boolean, Seq[String])].collect().map(r => r._1 -> r).toMap
+    assert(!out(1L)._2 && out(1L)._3.isEmpty)
+    assert(out(2L)._2 && out(2L)._3 == Seq("bad", "worse"))
+    assert(!out(3L)._2)
+    // case-sensitive mode misses the uppercased word
+    val cs = BlocklistFilter(Seq("bad"), caseFold = false)(df)
+      .filter($"blocklist_hit").count()
+    assert(cs == 0L)
+    assert(BlocklistFilter(Seq("bad"), keepOnly = true)(df).count() == 2L)
+  }
+
+  test("Bm25: stats literals + integer score replicated on the JVM") {
+    val df = Seq(
+      (1L, Seq("spark", "spark", "fast")),
+      (2L, Seq("slow", "db")),
+      (3L, Seq("spark", "db", "db", "extra"))
+    ).toDF("doc_id", "words")
+    val st = Bm25.stats(df, "words", Seq("spark", "db"))
+    assert(st.nDocs == 3L && st.avgDl == 3L) // (3+2+4)/3 = 3
+    // df(spark)=2, df(db)=2 → idf = (3-2+1)*1e6/(2+1)
+    assert(st.idf("spark") == 2000000L / 3L && st.idf("db") == 2000000L / 3L)
+    val scores = df.select($"doc_id", Bm25.score($"words", st).as("s"))
+      .as[(Long, Long)].collect().toMap
+    def term(idf: Long, tf: Long, dl: Long): Long = {
+      val avg = st.avgDl
+      (idf * tf * 2200L * avg) / (1000L * tf * avg + 300L * avg + 900L * dl)
+    }
+    val idf = 2000000L / 3L
+    assert(scores(1L) == term(idf, 2, 3))             // spark ×2
+    assert(scores(2L) == term(idf, 1, 2))             // db ×1
+    assert(scores(3L) == term(idf, 1, 4) + term(idf, 2, 4))
+  }
+
+  test("takePerStratum: exact quota, deterministic, repartition-stable") {
+    val df = (1L to 100L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "s")
+    val a = Sampling.takePerStratum(df, "id", "s", k = 5)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(a.length == 10)
+    val b = Sampling.takePerStratum(df.repartition(7), "id", "s", k = 5)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    // quota larger than a stratum returns the whole stratum
+    val c = Sampling.takePerStratum(df, "id", "s", k = 40)
+    assert(c.filter($"s" === "a").count() == 33L)
+    assert(c.filter($"s" === "b").count() == 40L)
+  }
+
+  test("NormalizeForDedup: case/punct/ws-insensitive keys collide") {
+    val df = Seq(
+      (1L, "Hello,  World!"),
+      (2L, "  hello world  "),
+      (3L, "héllo wörld"),        // accents survive → different key
+      (4L, "hello\tworld\n")
+    ).toDF("doc_id", "text")
+    val keys = NormalizeForDedup()(df)
+      .select($"doc_id", $"dedup_key").as[(Long, String)].collect().toMap
+    assert(keys(1L) == "hello world")
+    assert(keys(1L) == keys(2L) && keys(2L) == keys(4L))
+    assert(keys(3L) == "héllo wörld" && keys(3L) != keys(1L))
+    val survivors = ExactDedup("dedup_key", "doc_id")(NormalizeForDedup()(df))
+    assert(survivors.count() == 2L)
+    assert(survivors.select(min($"doc_id")).as[Long].head() == 1L)
+  }
+}
