@@ -4529,6 +4529,35 @@ object Queries {
     )
   )
 
+  /** Temperature-scaled source mixing ([[operators.Sampling.temperature]],
+    * the mT5/XLM-R alpha-sampling rule at alpha = 0.5): the smallest lang
+    * is kept whole, every other lang hash-downsamples to the
+    * n^0.5-flattened share. The keep decision is an exact integer
+    * cross-multiply over a 24-bit md5 hash; the only float step is
+    * sqrt(n), correctly rounded by IEEE 754 in both engines. */
+  private val qTemperatureMix = Q(
+    "q150_temperature_mix",
+    (s, dir) =>
+      Sampling.temperature(T(s, dir, "documents"), "doc_id", "lang",
+          alpha = 0.5, salt = "mix", portable = true)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id"),
+    Some(
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n,
+        |  CAST(FLOOR(1000000 * sqrt(CAST(n AS DOUBLE))) AS HUGEINT) AS w FROM c),
+        |s AS (SELECT min(n) AS ns FROM c),
+        |sw AS (SELECT ns, CAST(FLOOR(1000000 * sqrt(CAST(ns AS DOUBLE))) AS HUGEINT) AS ws FROM s),
+        |a AS (SELECT doc_id, lang, list_reduce(list_transform(generate_series(1, 6),
+        |    j -> CAST(strpos('0123456789abcdef',
+        |      substring(md5(CAST(doc_id AS VARCHAR) || 'mix'), CAST(j AS INT), 1)) - 1 AS HUGEINT)),
+        |    (x, y) -> x * 16 + y) AS a FROM documents)
+        |SELECT a.doc_id, a.lang FROM a JOIN w USING (lang), sw
+        |WHERE a.a * sw.ws * w.n < 16777216 * w.w * sw.ns
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -4572,7 +4601,8 @@ object Queries {
     qUrlNormalize, qDomainCap, qHashSplit,
     qProfile, qQuantileClip,
     qHtmlExtract, qCollapseLines, qDsirScore, qHistogram, qCcnetBuckets,
-    qC4Lines, qBlocklist, qBm25, qTakePerStratum, qNormalizedDedup
+    qC4Lines, qBlocklist, qBm25, qTakePerStratum, qNormalizedDedup,
+    qTemperatureMix
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

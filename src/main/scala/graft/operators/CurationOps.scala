@@ -226,6 +226,75 @@ object Sampling {
     }
   }
 
+  /** Temperature-scaled source mixing (the mT5/XLM-R alpha-sampling rule,
+    * Conneau et al. 2020 §3.1: sample sources with p_i ∝ n_i^alpha so
+    * low-resource sources are up-weighted relative to their raw share).
+    * As a SUBSET operator the flattened mixture is realized by keeping
+    * the smallest source whole and hash-downsampling every other source
+    * to rate_i = (w_i·n*) / (w*·n_i), where w_i = floor(scale·n_i^alpha)
+    * and (n*, w*) belong to the anchor = the source with the fewest rows
+    * (ties → lexicographically first): output shares then follow
+    * p_i ∝ n_i^alpha exactly (up to the floor), and rate_anchor = 1.
+    *
+    * Scale shape: ONE tiny aggregate (O(#sources) rows) collects to the
+    * driver; the keep decision is a row-local integer cross-multiply
+    * `a·w*·n_i < 2^24·w_i·n*` over a 24-bit salted id hash, evaluated in
+    * DECIMAL(38,0) so it is exact at any corpus size — zero shuffle on
+    * the corpus, reproducible across runs, machines, and engines, stable
+    * under repartitioning.
+    *
+    * Engine parity: the only floating-point step is n^alpha. With the
+    * default alpha = 0.5 it is computed via `sqrt`, which IEEE 754
+    * requires to be correctly rounded — bit-identical in every engine —
+    * so the whole decision replays exactly. Other alphas go through
+    * `pow`, whose last-ulp rounding is libm-specific: fine in
+    * production, but pin alpha = 0.5 where cross-engine replay matters.
+    * `portable` swaps the xxhash64 24-bit hash for an md5 twin. */
+  def temperature(
+      df: DataFrame,
+      idField: String,
+      sourceField: String,
+      alpha: Double = 0.5,
+      salt: String = "graft",
+      scale: Long = 1000000L,
+      portable: Boolean = false
+  ): DataFrame = {
+    val counts = df
+      .groupBy(col(sourceField).cast(StringType).as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    require(counts.nonEmpty, "temperature: empty input")
+    def wOf(n: Long): BigInt = {
+      val p =
+        if (alpha == 0.5) math.sqrt(n.toDouble)
+        else math.pow(n.toDouble, alpha)
+      BigInt(math.floor(scale.toDouble * p).toLong)
+    }
+    // w depends only on n, so the anchor needs no tie-break: any min-n
+    // source yields the same (n*, w*)
+    val nStar = counts.map(_._2).min
+    val wStar = wOf(nStar)
+    val src = col(sourceField).cast(StringType)
+    val dec = (b: BigInt) => lit(b.toString).cast(DecimalType(38, 0))
+    val a =
+      (if (portable)
+         conv(substring(md5(concat(col(idField).cast(StringType), lit(salt))),
+           1, 6), 16, 10)
+       else
+         pmod(xxhash64(concat(col(idField).cast(StringType), lit(salt))),
+           lit(16777216L))).cast(DecimalType(38, 0))
+    // per-source factors ride as a when-chain of exact decimal literals
+    def chain(f: (String, Long) => BigInt): Column =
+      counts.tail.foldLeft(
+        when(src === counts.head._1, dec(f.tupled(counts.head)))
+      ) { case (acc, (s2, n2)) => acc.when(src === s2, dec(f(s2, n2))) }
+    val lhs = a * chain((_, n) => wStar * n)
+    val rhs = chain((_, n) => BigInt(16777216L) * wOf(n) * nStar)
+    df.filter(lhs < rhs)
+  }
+
   /** Exactly `k` rows per stratum, chosen deterministically: rank rows
     * inside each stratum by (salted id hash, id) and keep the first
     * `k`. Unlike fraction sampling this hits the quota exactly ("5k

@@ -89,6 +89,39 @@ class CleanupOpsSpec extends SparkSpec {
     assert(c.filter($"s" === "b").count() == 40L)
   }
 
+  test("temperature: anchor kept whole, alpha=1 identity, exact JVM replica") {
+    val df = ((1L to 300L).map(i => (i, "big")) ++
+      (301L to 400L).map(i => (i, "mid")) ++
+      (401L to 425L).map(i => (i, "small"))).toDF("id", "src")
+    // alpha = 1 → rate 1 for every source (w ∝ n cancels exactly)
+    assert(Sampling.temperature(df, "id", "src", alpha = 1.0).count() == 425L)
+    val out = Sampling.temperature(df, "id", "src", alpha = 0.5,
+      salt = "t", portable = true)
+    val byA = out.groupBy("src").count()
+      .as[(String, Long)].collect().toMap
+    // the smallest source is the anchor: kept in full
+    assert(byA("small") == 25L)
+    // flattening: kept share of big < kept share of mid < 1
+    assert(byA("big").toDouble / 300 < byA("mid").toDouble / 100)
+    // exact replica: recompute every keep decision on the JVM
+    def wOf(n: Long) = BigInt((1e6 * math.sqrt(n.toDouble)).toLong)
+    val ns = Map("big" -> 300L, "mid" -> 100L, "small" -> 25L)
+    val (nStar, wStar) = (25L, wOf(25L))
+    val expected = ((1L to 300L).map((_, "big")) ++ (301L to 400L).map((_, "mid")) ++
+      (401L to 425L).map((_, "small"))).filter { case (id, s) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${id}t".getBytes("UTF-8")).take(3)
+        .map("%02x".format(_)).mkString
+      val a = BigInt(hex, 16)
+      a * wStar * ns(s) < BigInt(16777216L) * wOf(ns(s)) * nStar
+    }.map(_._1).toSet
+    assert(out.select("id").as[Long].collect().toSet == expected)
+    // stable under repartitioning
+    val out2 = Sampling.temperature(df.repartition(7), "id", "src",
+      alpha = 0.5, salt = "t", portable = true)
+    assert(out2.select("id").as[Long].collect().toSet == expected)
+  }
+
   test("NormalizeForDedup: case/punct/ws-insensitive keys collide") {
     val df = Seq(
       (1L, "Hello,  World!"),
