@@ -1671,8 +1671,12 @@ object Queries {
     "q144_ccnet_buckets",
     (s, dir) => {
       val dw = docWords(s, dir)
+      // the O(#docs) 3-column score table feeds BOTH the tertile
+      // aggregate and the bucketing scan; persist it so the bigram
+      // count+join DAG above it runs once, not once per consumer
       val fam = LmScore.familiarity(dw, "doc_id", "words", dw, "words", n = 2)
         .select(col("doc_id"), col("lang"), col("lm_score"))
+        .persist()
       val th = fam.agg(
         percentile(col("lm_score"), array(lit(1.0 / 3), lit(2.0 / 3))).as("__th"))
       fam.crossJoin(broadcast(th))
