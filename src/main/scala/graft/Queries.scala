@@ -4562,6 +4562,59 @@ object Queries {
     )
   )
 
+  /** Capped inverted index ([[operators.CorpusStats.invertedIndex]]):
+    * term → (true document frequency, first `maxPostings` doc ids).
+    * The df ≥ 20 cut keeps the checked surface on the terms where the
+    * cap actually binds. */
+  private val qInvertedIndex = Q(
+    "q151_inverted_index",
+    (s, dir) =>
+      CorpusStats.invertedIndex(docWords(s, dir), "doc_id", "words",
+          maxPostings = 5)
+        .filter(col("df") >= 20)
+        .select(col("term"), col("df"), J("postings"))
+        .orderBy("term"),
+    Some(
+      s"""WITH w AS (SELECT doc_id, list_distinct($W) AS terms FROM documents),
+         |t AS (SELECT doc_id, unnest(terms) AS term FROM w),
+         |r AS (SELECT term, doc_id,
+         |  row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+         |  count(*) OVER (PARTITION BY term) AS df FROM t)
+         |SELECT term, CAST(max(df) AS BIGINT) AS df,
+         |  to_json(list_sort(list(doc_id))) AS postings
+         |FROM r WHERE rn <= 5 GROUP BY term HAVING max(df) >= 20
+         |ORDER BY term""".stripMargin
+    )
+  )
+
+  /** Top-k PMI collocations ([[operators.CorpusStats.topCollocations]]):
+    * adjacent bigrams ranked by the floor-scaled integer lift
+    * `(1e12·c_xy) div (c_x·c_y)` — monotone in PMI, no log/doubles
+    * cross engines. */
+  private val qCollocations = Q(
+    "q152_collocations",
+    (s, dir) =>
+      CorpusStats.topCollocations(docWords(s, dir), "words",
+        k = 40, minCount = 5L),
+    Some(
+      s"""WITH w AS (SELECT doc_id, $W AS w FROM documents),
+         |bg AS (SELECT unnest(CASE WHEN len(w) >= 2 THEN
+         |    list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+         |    ELSE [] END) AS gram FROM w),
+         |pc AS (SELECT gram, count(*) AS c_xy FROM bg GROUP BY gram
+         |  HAVING count(*) >= 5),
+         |uni AS (SELECT unnest(w) AS t FROM w),
+         |uc AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
+         |j AS (SELECT pc.gram, pc.c_xy,
+         |    CAST((1000000000000 * CAST(pc.c_xy AS HUGEINT)) //
+         |      (CAST(u1.c AS HUGEINT) * CAST(u2.c AS HUGEINT)) AS BIGINT) AS lift
+         |  FROM pc JOIN uc u1 ON split_part(pc.gram, ' ', 1) = u1.t
+         |          JOIN uc u2 ON split_part(pc.gram, ' ', 2) = u2.t)
+         |SELECT gram, CAST(c_xy AS BIGINT) AS c_xy, lift FROM j
+         |ORDER BY lift DESC, gram LIMIT 40""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -4606,7 +4659,7 @@ object Queries {
     qProfile, qQuantileClip,
     qHtmlExtract, qCollapseLines, qDsirScore, qHistogram, qCcnetBuckets,
     qC4Lines, qBlocklist, qBm25, qTakePerStratum, qNormalizedDedup,
-    qTemperatureMix
+    qTemperatureMix, qInvertedIndex, qCollocations
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -568,4 +568,97 @@ object CorpusStats {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("gram"))
       .limit(k)
+
+  /** True BIGINT/DECIMAL integral division (`a div b`): decimal `/`
+    * re-scales and ROUNDS half-up, and long `/` detours through doubles
+    * past 2^53 — both wrong for exact cross-engine replay. */
+  private def idiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Shim.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graft.Shim.expression(a),
+        org.apache.spark.sql.graft.Shim.expression(b)))
+
+  /** Capped inverted index: term → (document frequency, first
+    * `maxPostings` doc ids in id order) — the retrieval-side structure
+    * under [[Bm25]]-style scoring and a corpus-exploration staple
+    * ("which docs contain X").
+    *
+    * Scale shape: per-doc `array_distinct` bounds the explode at one
+    * row per (doc, distinct term); the rank window and the df count are
+    * PARTITIONED by term (per-group sort, never global), and the
+    * posting-list aggregate collects at most `maxPostings` ids per term
+    * — a hot term ("the", appearing in every document) costs a bounded
+    * list, not an O(#docs) driver-killer. The groupBy reuses the
+    * window's hash partitioning, so the term table shuffles once. The
+    * cap is a visible column (`df` keeps the TRUE document frequency),
+    * not a silent truncation. */
+  def invertedIndex(
+      docs: DataFrame,
+      idField: String,
+      wordsField: String,
+      maxPostings: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("term")).orderBy(col("__ii_id"))
+    docs
+      .select(
+        col(idField).as("__ii_id"),
+        explode(array_distinct(col(wordsField))).as("term")
+      )
+      .withColumn("df", count(lit(1)).over(
+        Window.partitionBy(col("term"))))
+      .withColumn("__ii_rn", row_number().over(w))
+      .filter(col("__ii_rn") <= maxPostings)
+      .groupBy(col("term"))
+      .agg(
+        max(col("df")).as("df"),
+        sort_array(collect_list(col("__ii_id"))).as("postings")
+      )
+  }
+
+  /** Top-`k` adjacent-bigram collocations by PMI rank. PMI =
+    * log(c_xy·N² / (c_x·c_y·B)) — but N²/B is constant across pairs, so
+    * the RANKING only needs `c_xy / (c_x·c_y)`, computed here as the
+    * floor-scaled integer `lift = (scale·c_xy) div (c_x·c_y)` in
+    * DECIMAL(38,0): exact at any corpus size (BIGINT products of two
+    * 100 TB-scale unigram counts overflow), engine-replayable (single
+    * floor, no log, no doubles), monotone in PMI. `minCount` drops the
+    * long noise tail before the joins.
+    *
+    * Scale shape: bigram + unigram count tables are partial-aggregated
+    * (map-side combine collapses hot grams); the two count joins key on
+    * single words (AQE skew-split covers "the"); `orderBy.limit(k)`
+    * lowers to TakeOrderedAndProject per-partition heaps. Ties break on
+    * gram text — a total order. */
+  def topCollocations(
+      docs: DataFrame,
+      wordsField: String,
+      k: Int,
+      minCount: Long = 5L,
+      scale: Long = 1000000000000L
+  ): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val uni = docs
+      .select(explode(col(wordsField)).as("__w"))
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    val pairs = docs
+      .select(explode(Decontaminate.ngrams(col(wordsField), 2)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+      .withColumn("__w1", element_at(split(col("gram"), " "), 1))
+      .withColumn("__w2", element_at(split(col("gram"), " "), 2))
+    pairs
+      .join(uni.withColumnRenamed("__w", "__w1").withColumnRenamed("__c", "__c1"),
+        Seq("__w1"))
+      .join(uni.withColumnRenamed("__w", "__w2").withColumnRenamed("__c", "__c2"),
+        Seq("__w2"))
+      .withColumn("lift",
+        idiv(lit(scale).cast(dec) * col("c_xy").cast(dec),
+          col("__c1").cast(dec) * col("__c2").cast(dec)))
+      .select(col("gram"), col("c_xy"), col("lift"))
+      .orderBy(col("lift").desc, col("gram"))
+      .limit(k)
+  }
 }

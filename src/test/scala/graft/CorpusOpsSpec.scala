@@ -375,4 +375,42 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(String, Long)].collect()
     assert(out === Array(("a b", 2L))) // ties (b a also 2) broken by gram asc
   }
+
+  test("CorpusStats.invertedIndex: true df, capped in-order postings") {
+    val docs = Seq(
+      (3L, Seq("x", "y", "x")), // x counted once per doc
+      (1L, Seq("x", "z")),
+      (2L, Seq("x", "y")),
+      (4L, Seq("x"))
+    ).toDF("doc_id", "words")
+    val out = CorpusStats.invertedIndex(docs, "doc_id", "words", maxPostings = 2)
+      .orderBy("term")
+      .as[(String, Long, Seq[Long])].collect()
+    // df stays the TRUE count even where the cap binds (x: 4 docs, 2 kept)
+    assert(out === Array(
+      ("x", 4L, Seq(1L, 2L)),
+      ("y", 2L, Seq(2L, 3L)),
+      ("z", 1L, Seq(1L))
+    ))
+  }
+
+  test("CorpusStats.topCollocations: integer lift replicated by hand") {
+    // corpus: "a b" ×3 plus lone c's; unigrams a=3 b=3 c=4
+    val docs = Seq(
+      (0L, Seq("a", "b", "c", "a", "b")),
+      (1L, Seq("a", "b", "c", "c", "c"))
+    ).toDF("doc_id", "words")
+    val out = CorpusStats
+      .topCollocations(docs, "words", k = 10, minCount = 2L)
+      .as[(String, Long, Long)].collect()
+    val lifts = out.map(t => t._1 -> (t._2, t._3)).toMap
+    // c_ab=3, c_a=3, c_b=3 → lift = 1e12*3/9
+    assert(lifts("a b") == (3L, 1000000000000L * 3 / 9))
+    // "b c": c=2, b=3, c=4 → 1e12*2/12
+    assert(lifts("b c") == (2L, 1000000000000L * 2 / 12))
+    // minCount drops singletons ("c a" appears once)
+    assert(!lifts.contains("c a"))
+    // ranking: "a b" (333e9) above "b c" (166e9) above "c c" (2/16)
+    assert(out.map(_._1).take(3).toSeq == Seq("a b", "b c", "c c"))
+  }
 }
