@@ -4615,6 +4615,67 @@ object Queries {
     )
   )
 
+  /** Budgeted text chunking ([[operators.TextChunker]], the RAG
+    * ingestion step): ws units greedily packed to ≤ 180 chars of
+    * content, one row per chunk. The oracle replays the greedy state
+    * machine with a recursive CTE (the q66 technique) and rebuilds each
+    * chunk with an ordered string_agg. */
+  private val qTextChunks = Q(
+    "q153_text_chunks",
+    (s, dir) =>
+      TextChunker("text", "chunk", maxChars = 180L)(
+        T(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("chunk_idx"), col("chunk"))
+        .orderBy("doc_id", "chunk_idx"),
+    Some(
+      s"""WITH RECURSIVE d AS (SELECT doc_id, $W AS w FROM documents),
+         |l AS (SELECT doc_id, w, list_transform(w, x -> CAST(len(x) AS BIGINT)) AS lens,
+         |      len(w) AS m FROM d WHERE len(w) > 0),
+         |st(doc_id, i, cum, chunk) AS (
+         |  SELECT doc_id, 1, lens[1], CAST(0 AS BIGINT) FROM l
+         |  UNION ALL
+         |  SELECT st.doc_id, st.i + 1,
+         |    CASE WHEN st.cum + l.lens[st.i+1] > 180
+         |         THEN l.lens[st.i+1] ELSE st.cum + l.lens[st.i+1] END,
+         |    CASE WHEN st.cum + l.lens[st.i+1] > 180
+         |         THEN st.chunk + 1 ELSE st.chunk END
+         |  FROM st JOIN l USING (doc_id) WHERE st.i < l.m)
+         |SELECT st.doc_id, st.chunk AS chunk_idx,
+         |  string_agg(l.w[st.i], ' ' ORDER BY st.i) AS chunk
+         |FROM st JOIN l USING (doc_id)
+         |GROUP BY st.doc_id, st.chunk
+         |ORDER BY doc_id, chunk_idx""".stripMargin
+    )
+  )
+
+  /** Domain-level quality gating ([[operators.GroupQualityGate]], the
+    * FineWeb shape: score docs, gate domains): per-domain integer mean
+    * of n_chars, docs of below-threshold domains dropped wholesale. The
+    * O(#domains) stats table broadcasts back; the corpus never
+    * shuffles. */
+  private val qDomainQuality = Q(
+    "q154_domain_quality_gate",
+    (s, dir) =>
+      GroupQualityGate("domain", "n_chars", minMeanScaled = 620000000L)(
+        T(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(col("source"), lit(".example.com")).as("domain"),
+            col("n_chars")))
+        .select(col("doc_id"), col("domain"), col("domain_mean_scaled"),
+          col("group_pass").cast(LongType).as("group_pass"))
+        .orderBy("doc_id"),
+    Some(
+      """WITH d AS (SELECT doc_id, source || '.example.com' AS domain,
+        |  n_chars FROM documents),
+        |st AS (SELECT domain,
+        |  (1000000 * CAST(SUM(n_chars) AS BIGINT)) // COUNT(*) AS m
+        |  FROM d GROUP BY domain)
+        |SELECT d.doc_id, d.domain, st.m AS domain_mean_scaled,
+        |  CAST(st.m >= 620000000 AS BIGINT) AS group_pass
+        |FROM d JOIN st USING (domain) ORDER BY doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -4659,7 +4720,8 @@ object Queries {
     qProfile, qQuantileClip,
     qHtmlExtract, qCollapseLines, qDsirScore, qHistogram, qCcnetBuckets,
     qC4Lines, qBlocklist, qBm25, qTakePerStratum, qNormalizedDedup,
-    qTemperatureMix, qInvertedIndex, qCollocations
+    qTemperatureMix, qInvertedIndex, qCollocations, qTextChunks,
+    qDomainQuality
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

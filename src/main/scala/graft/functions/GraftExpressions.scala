@@ -223,6 +223,13 @@ object functions {
   def greedy_pack_breaks(lens: Column, maxCount: Column, maxLen: Column): Column =
     toCol(GreedyPackBreaks(expression(lens), expression(maxCount), expression(maxLen)))
 
+  /** True integral division (`a div b`) over BIGINT/DECIMAL operands:
+    * decimal `/` re-scales and ROUNDS half-up, and long `/` detours
+    * through doubles past 2^53 — both wrong for exact cross-engine
+    * replay of floor-scaled integer arithmetic. */
+  def integral_divide(a: Column, b: Column): Column =
+    toCol(IntegralDivide(expression(a), expression(b)))
+
   private def toCol(e: Expression): Column =
     org.apache.spark.sql.graft.Shim.column(e)
 

@@ -289,3 +289,38 @@ final case class BlocklistFilter(
     if (keepOnly) out.filter(!col("blocklist_hit")) else out
   }
 }
+
+/** Group-level quality gating (the FineWeb/RefinedWeb domain-filtering
+  * shape: score DOCUMENTS, gate GROUPS — drop every doc of a domain /
+  * source / cluster whose aggregate quality is bad, catching farms whose
+  * individual pages pass doc-level rules). The per-group mean is the
+  * floor-scaled integer `(scale·sum) div count`, so the gate decision
+  * replays bit-identically across engines.
+  *
+  * Scale shape: ONE partial-aggregated groupBy produces the O(#groups)
+  * stats table, which broadcast-joins back onto the corpus — the corpus
+  * itself never shuffles. Adds `<groupField>_mean_scaled` + `group_pass`;
+  * `keepOnly` filters to passing groups. */
+final case class GroupQualityGate(
+    groupField: String,
+    valueField: String,
+    minMeanScaled: Long,
+    scale: Long = 1000000L,
+    keepOnly: Boolean = false
+) extends Mapper {
+  override def inputFields: Seq[String] = Seq(groupField, valueField)
+  override def outputFields: Seq[String] =
+    Seq(s"${groupField}_mean_scaled", "group_pass")
+  override protected def build(df: DataFrame): DataFrame = {
+    val stats = df
+      .groupBy(col(groupField))
+      .agg(graft.functions.functions.integral_divide(
+        lit(scale) * sum(col(valueField).cast(LongType)),
+        count(lit(1))).as(s"${groupField}_mean_scaled"))
+    val out = df
+      .join(broadcast(stats), Seq(groupField))
+      .withColumn("group_pass",
+        col(s"${groupField}_mean_scaled") >= minMeanScaled)
+    if (keepOnly) out.filter(col("group_pass")) else out
+  }
+}

@@ -410,3 +410,54 @@ final case class NormalizeForDedup(
   override protected def build(df: DataFrame): DataFrame =
     df.withColumn(dest, NormalizeText.dedupKey(col(textField)))
 }
+
+/** Budgeted text chunking (the RAG / long-context ingestion step:
+  * split a document into pieces that each fit a character budget,
+  * breaking only on unit boundaries). Units come from any
+  * [[Splitters]] mode — `ws` words (engine-replayable) or `break`
+  * (UAX #29, the production default for natural text); consecutive
+  * units pack greedily into a chunk until adding the next one would
+  * exceed `maxChars` (or `maxUnits`), the same policy as
+  * [[MultiSequenceStrider]] via the shared
+  * [[graft.functions.GreedyPackBreaks]] expression. A single unit
+  * longer than the budget becomes its own (oversized) chunk — nothing
+  * is ever silently dropped. Unit lengths count characters WITHOUT the
+  * rejoining separator, so the budget is a property of the content,
+  * not the join char.
+  *
+  * One row per chunk out (`chunk_idx` 0-based, `dest` text). Row-local
+  * work only — the explode scales with output rows; zero shuffle. */
+final case class TextChunker(
+    textField: String = "text",
+    dest: String = "chunk",
+    maxChars: Long = 1000L,
+    maxUnits: Long = Long.MaxValue,
+    splitter: String = Splitters.Ws
+) extends Mapper {
+  override def inputFields: Seq[String] = Seq(textField)
+  override def outputFields: Seq[String] = Seq(dest, "chunk_idx")
+  override protected def build(df: DataFrame): DataFrame = {
+    val units = Splitters.toColumn(col(textField), splitter)
+    val breaks = graft.functions.functions.greedy_pack_breaks(
+      transform(col("__tc_units"), u => length(u).cast(LongType)),
+      lit(maxUnits), lit(maxChars))
+    val nb = size(col("__tc_breaks"))
+    val chunks = when(size(col("__tc_units")) === 0,
+      array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(1), nb), i => array_join(
+        slice(
+          col("__tc_units"),
+          (element_at(col("__tc_breaks"), i) + 1L).cast(IntegerType),
+          (when(i < nb, element_at(col("__tc_breaks"), i + 1))
+            .otherwise(size(col("__tc_units")).cast(LongType)) -
+            element_at(col("__tc_breaks"), i)).cast(IntegerType)
+        ), " ")))
+    df.withColumn("__tc_units", units)
+      .withColumn("__tc_breaks", breaks)
+      .withColumn("__tc_chunks", chunks)
+      .select(
+        (df.columns.map(col) :+
+          posexplode(col("__tc_chunks")).as(Seq("chunk_idx", dest))): _*)
+      .withColumn("chunk_idx", col("chunk_idx").cast(LongType))
+  }
+}

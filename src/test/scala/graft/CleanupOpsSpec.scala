@@ -122,6 +122,40 @@ class CleanupOpsSpec extends SparkSpec {
     assert(out2.select("id").as[Long].collect().toSet == expected)
   }
 
+  test("TextChunker: greedy char budget, oversized unit, empty text") {
+    val df = Seq(
+      (1L, "aaaa bb cc ddddd e"), // lens 4,2,2,5,1 — budget 8: [aaaa bb cc][ddddd e]
+      (2L, "x".repeat(20)),       // single oversized unit → its own chunk
+      (3L, "")                    // no units → no rows
+    ).toDF("doc_id", "text")
+    val out = TextChunker("text", "chunk", maxChars = 8L)(df)
+      .select($"doc_id", $"chunk_idx", $"chunk")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(out == Seq(
+      (1L, 0L, "aaaa bb cc"), // 4+2+2=8 fits; +5 would break the budget
+      (1L, 1L, "ddddd e"),
+      (2L, 0L, "x".repeat(20))
+    ))
+    // maxUnits caps pack size even under budget
+    val byUnits = TextChunker("text", "chunk", maxChars = 100L, maxUnits = 2L)(
+      df.filter($"doc_id" === 1L)).count()
+    assert(byUnits == 3L) // 5 units / 2 per chunk → 3 chunks
+  }
+
+  test("GroupQualityGate: integer group means gate whole groups") {
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 11L),  // mean 10.5 → 10500000
+      (3L, "b", 3L), (4L, "b", 4L)     // mean 3.5  → 3500000
+    ).toDF("id", "grp", "score")
+    val out = GroupQualityGate("grp", "score", minMeanScaled = 10000000L)(df)
+      .select($"id", $"grp_mean_scaled", $"group_pass")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 10500000L && out(1L)._3)
+    assert(out(3L)._2 == 3500000L && !out(3L)._3)
+    val kept = GroupQualityGate("grp", "score", 10000000L, keepOnly = true)(df)
+    assert(kept.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("NormalizeForDedup: case/punct/ws-insensitive keys collide") {
     val df = Seq(
       (1L, "Hello,  World!"),
