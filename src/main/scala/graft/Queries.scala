@@ -4676,6 +4676,62 @@ object Queries {
     )
   )
 
+  /** Soft dedup ([[operators.SoftDedup]]): every copy kept, down-weighted
+    * by its duplicate-group size. The noisy-copy corpus of q149 makes
+    * every group size 2: weight 500000, originals flagged `is_first`.
+    * The bucket hash shapes only the partitioning (count is per VALUE),
+    * so the oracle needs no hash replay at all. */
+  private val qSoftDedup = Q(
+    "q155_soft_dedup",
+    (s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val noisy = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit(" !!! ")).as("text"))
+      pipe(
+        NormalizeForDedup("text", "dedup_key"),
+        SoftDedup("dedup_key", "doc_id")
+      )(base.unionByName(noisy))
+        .select(col("doc_id"), col("dup_count"), col("weight_ppm"),
+          col("is_first").cast(LongType).as("is_first"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, '  ' || upper(text) || ' !!! ' FROM documents),
+        |k AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |  '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS dedup_key FROM u),
+        |c AS (SELECT doc_id, dedup_key,
+        |  COUNT(*) OVER (PARTITION BY dedup_key) AS dup_count,
+        |  MIN(doc_id) OVER (PARTITION BY dedup_key) AS first_id FROM k)
+        |SELECT doc_id, CAST(dup_count AS BIGINT) AS dup_count,
+        |  1000000 // dup_count AS weight_ppm,
+        |  CAST(doc_id = first_id AS BIGINT) AS is_first
+        |FROM c ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Dedup threshold sweep ([[operators.MinHashLSH.jaccardSweep]]): the
+    * decile histogram + descending cumulative of the verified
+    * candidate-pair Jaccards — the curve one reads before picking a
+    * near-dup threshold. O(buckets) output rows. */
+  private val qJaccardSweep = Q(
+    "q156_jaccard_sweep",
+    (s, dir) =>
+      MinHashLSH.jaccardSweep(md5VerifiedPairs(s, dir))
+        .orderBy("bucket"),
+    Some(
+      s"""WITH $SIG_CTES,
+         |$VPAIR_CTES,
+         |h AS (SELECT LEAST(CAST(FLOOR(jac * 10) AS BIGINT), 9) AS bucket,
+         |  COUNT(*) AS n_pairs FROM vp GROUP BY 1)
+         |SELECT bucket, CAST(n_pairs AS BIGINT) AS n_pairs,
+         |  CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS pairs_at_or_above
+         |FROM h ORDER BY bucket""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -4721,7 +4777,7 @@ object Queries {
     qHtmlExtract, qCollapseLines, qDsirScore, qHistogram, qCcnetBuckets,
     qC4Lines, qBlocklist, qBm25, qTakePerStratum, qNormalizedDedup,
     qTemperatureMix, qInvertedIndex, qCollocations, qTextChunks,
-    qDomainQuality
+    qDomainQuality, qSoftDedup, qJaccardSweep
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

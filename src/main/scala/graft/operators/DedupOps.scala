@@ -53,6 +53,37 @@ final case class ExactDedup(
   }
 }
 
+/** Soft (weighted) exact dedup — the SlimPajama-adjacent alternative to
+  * dropping copies: KEEP every row and attach the duplicate-group size
+  * plus the down-weight `weight_ppm = 1e6 div dup_count`, so an
+  * epoch sampler or loss-weighting stage sees each distinct VALUE with
+  * total weight ≈ 1 instead of weight ∝ popularity. `is_first` marks
+  * the min-id member (what [[ExactDedup]] would have kept) so hard
+  * dedup remains a `filter(col("is_first"))` away.
+  *
+  * Same shuffle discipline as [[ExactDedup]]: the partition key leads
+  * with the 64-bit bucket hash (tiny sort keys; value equality decided
+  * in-bucket on the value itself, so hash collisions stay correct), the
+  * weight is floor-scaled BIGINT (engine-replayable), and there is no
+  * join-back — two window functions over one partitioning. */
+final case class SoftDedup(
+    byField: String = "text",
+    idField: String = "doc_id",
+    scale: Long = 1000000L,
+    bucketHash: Column => Column = c => xxhash64(c)
+) extends Mapper {
+  override def inputFields: Seq[String] = Seq(byField, idField)
+  override def outputFields: Seq[String] =
+    Seq("dup_count", "weight_ppm", "is_first")
+  override protected def build(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(bucketHash(col(byField)), col(byField))
+    df.withColumn("dup_count", count(lit(1)).over(w))
+      .withColumn("weight_ppm",
+        graft.functions.functions.integral_divide(lit(scale), col("dup_count")))
+      .withColumn("is_first", col(idField) === min(col(idField)).over(w))
+  }
+}
+
 object TextShingles {
   /** Word n-gram shingles of a pre-split `words` column; whole-text
     * fallback below `n` words. */
@@ -125,6 +156,31 @@ object MinHashLSH {
     * S-curve 1 − (1 − s^r)^b. Use to audit recall at a design point. */
   def sCurve(s: Double, bands: Int, rowsPerBand: Int): Double =
     1.0 - math.pow(1.0 - math.pow(s, rowsPerBand.toDouble), bands.toDouble)
+
+  /** Threshold-tuning curve: bucket verified candidate-pair Jaccards
+    * into `buckets` equal bins (jac = 1 lands in the top bin) and count
+    * each, plus the running `pairs_at_or_above` cumulative — "how many
+    * pairs would a threshold of b/buckets merge". The input is the
+    * (id_a, id_b, jac) verified-pairs table; output is O(buckets) rows,
+    * so the cumulative window is a non-issue at any corpus size. Bucket
+    * edges are floor(jac·buckets): IEEE double division + floor round
+    * identically in every engine, the same parity class the verify
+    * stage already relies on. */
+  def jaccardSweep(
+      verified: DataFrame,
+      jacField: String = "jac",
+      buckets: Int = 10
+  ): DataFrame = {
+    val b = least(floor(col(jacField) * buckets), lit(buckets - 1L))
+      .cast(LongType)
+    verified
+      .groupBy(b.as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("pairs_at_or_above",
+        sum(col("n_pairs")).over(
+          Window.orderBy(col("bucket").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
 
   /** Pick the band count whose S-curve threshold (1/b)^(1/r) — the
     * similarity where candidate probability crosses ~½ — sits closest

@@ -815,4 +815,33 @@ class DedupContribSpec extends SparkSpec {
     assert(posHeld.forall(_ > 0) && negHeld.forall(_ < 0),
       s"pos=$posHeld neg=$negHeld")
   }
+
+  test("SoftDedup: group counts, ppm weights, is_first; collision-safe") {
+    val out = SoftDedup("text", "doc_id")(docs)
+      .select($"doc_id", $"dup_count", $"weight_ppm", $"is_first")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == (1L, 2L, 500000L, true))
+    assert(out(2L) == (2L, 2L, 500000L, false))
+    assert(out(3L)._2 == 1L && out(3L)._3 == 1000000L && out(3L)._4)
+    // a deliberately colliding bucket hash must not merge distinct texts
+    val collide = SoftDedup("text", "doc_id", bucketHash = _ => lit(0L))(docs)
+      .select($"doc_id", $"dup_count").as[(Long, Long)].collect().toMap
+    assert(collide(1L) == 2L && collide(3L) == 1L && collide(4L) == 1L)
+    // weights of each distinct value sum to ~1e6
+    val sums = SoftDedup("text", "doc_id")(docs)
+      .groupBy("text").agg(sum($"weight_ppm").as("s"))
+      .select("s").as[Long].collect()
+    assert(sums.forall(s => s == 1000000L))
+  }
+
+  test("jaccardSweep: decile histogram with descending cumulative") {
+    val pairs = Seq(
+      (1L, 2L, 0.31), (1L, 3L, 0.35), (2L, 3L, 0.74), (4L, 5L, 1.0)
+    ).toDF("id_a", "id_b", "jac")
+    val out = MinHashLSH.jaccardSweep(pairs)
+      .orderBy("bucket")
+      .as[(Long, Long, Long)].collect().toSeq
+    // jac=1.0 clamps into the top bucket; cumulative counts ≥ bucket
+    assert(out == Seq((3L, 2L, 4L), (7L, 1L, 2L), (9L, 1L, 1L)))
+  }
 }
