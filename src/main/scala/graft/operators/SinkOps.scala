@@ -58,6 +58,49 @@ object Sinks {
       mode: String = "overwrite"
   ): Unit =
     df.write.mode(mode).option("sep", sep).option("header", header.toString).csv(path)
+
+  /** Size-governed parquet export: the file-count/file-size lever that
+    * matters at 100 TB, where an ungoverned write produces either
+    * millions of KB files (NameNode/listing poison, per-file open cost
+    * on every read) or a handful of 10 GB monsters (no read
+    * parallelism, stragglers on retry).
+    *
+    *   - `targetRowsPerFile` bounds rows per file via
+    *     `maxRecordsPerFile` (cheap, no extra shuffle: each task just
+    *     rolls to a new file at the bound);
+    *   - `sortWithinBy` optionally range-partitions + sorts by the
+    *     given keys first (`repartitionByRange` samples the key space,
+    *     so output files tile the key range evenly even under skew) —
+    *     this buys min/max zone-map pruning on those columns for every
+    *     downstream parquet reader at the cost of ONE extra sort
+    *     shuffle;
+    *   - with `sortWithinBy` empty and `numFiles` set, a round-robin
+    *     `repartition(numFiles)` evens out file sizes exactly.
+    *
+    * The knobs compose with [[partitionedParquet]]-style hive dirs via
+    * `partitionBy`. */
+  def sizedParquet(
+      df: DataFrame,
+      path: String,
+      targetRowsPerFile: Long,
+      sortWithinBy: Seq[String] = Nil,
+      numFiles: Option[Int] = None,
+      partitionBy: Seq[String] = Nil,
+      mode: String = "overwrite"
+  ): Unit = {
+    val shaped =
+      if (sortWithinBy.nonEmpty) {
+        val cols = sortWithinBy.map(col)
+        val ranged = numFiles
+          .map(n => df.repartitionByRange(n, cols: _*))
+          .getOrElse(df.repartitionByRange(cols: _*))
+        ranged.sortWithinPartitions(cols: _*)
+      } else numFiles.map(df.repartition).getOrElse(df)
+    val w = shaped.write.mode(mode)
+      .option("maxRecordsPerFile", targetRowsPerFile)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
 }
 
 /** Deterministic salting for skewed keys (SURVEY "skewed keys → salting

@@ -95,4 +95,32 @@ class SinkSaltSpec extends SparkSpec {
       .select("k", "lv", "rv").collect().map(_.toSeq).toSet
     assert(salted == plain)
   }
+
+  test("sizedParquet: row-bounded files; sorted mode tiles the key range") {
+    def partFiles(dir: String) =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+
+    val flat = java.nio.file.Files.createTempDirectory("graft_sized").toString
+    Sinks.sizedParquet(df, flat, targetRowsPerFile = 100L, numFiles = Some(2))
+    val ff = partFiles(flat)
+    assert(ff.length == 10) // 2 tasks × 5 rolls of 100
+    ff.foreach(f => assert(spark.read.parquet(f.toString).count() <= 100L))
+
+    val sorted = java.nio.file.Files.createTempDirectory("graft_sizeds").toString
+    Sinks.sizedParquet(df, sorted, targetRowsPerFile = 100L,
+      sortWithinBy = Seq("id"), numFiles = Some(2))
+    // every output file covers a CONTIGUOUS id range (zone-map friendly);
+    // round-robin placement would interleave and fail this
+    partFiles(sorted).foreach { f =>
+      val r = spark.read.parquet(f.toString)
+        .agg(min($"id"), max($"id"), count(lit(1)))
+        .as[(Long, Long, Long)].head()
+      assert(r._2 - r._1 + 1 == r._3, s"file ${f.getName} not contiguous: $r")
+      assert(r._3 <= 100L)
+    }
+    // round-trip integrity
+    assert(spark.read.parquet(sorted).as[(Long, String)].collect().toSet ==
+      df.as[(Long, String)].collect().toSet)
+  }
 }
