@@ -4732,6 +4732,45 @@ object Queries {
     )
   )
 
+  /** Link-graph authority scoring ([[operators.GraphOps.pageRankScaled]],
+    * the CommonCrawl domain-ranking curation signal): 3 PageRank rounds
+    * in exact BIGINT arithmetic over a 500-node graph derived from
+    * lineitem; the oracle unrolls the identical three rounds, every
+    * integral floor replayed. */
+  private val qPageRank = Q(
+    "q157_pagerank",
+    (s, dir) => {
+      val e = T(s, dir, "lineitem")
+        .select((col("l_orderkey") % 500).as("src"),
+          (col("l_partkey") % 500).as("dst"))
+        .distinct()
+      GraphOps.pageRankScaled(e, "src", "dst", iters = 3)
+        .orderBy("node")
+    },
+    Some(
+      """WITH e AS (SELECT DISTINCT l_orderkey % 500 AS s, l_partkey % 500 AS d
+        |  FROM lineitem),
+        |nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+        |cnt AS (SELECT COUNT(*) AS n FROM nodes),
+        |deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
+        |r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes CROSS JOIN cnt),
+        |c1 AS (SELECT d AS node, SUM((r * 85) // (deg * 100)) AS m
+        |  FROM e JOIN r0 ON r0.node = e.s JOIN deg USING (s) GROUP BY d),
+        |r1 AS (SELECT nodes.node, (1000000000000 * 15) // (100 * n) + COALESCE(m, 0) AS r
+        |  FROM nodes CROSS JOIN cnt LEFT JOIN c1 ON c1.node = nodes.node),
+        |c2 AS (SELECT d AS node, SUM((r * 85) // (deg * 100)) AS m
+        |  FROM e JOIN r1 ON r1.node = e.s JOIN deg USING (s) GROUP BY d),
+        |r2 AS (SELECT nodes.node, (1000000000000 * 15) // (100 * n) + COALESCE(m, 0) AS r
+        |  FROM nodes CROSS JOIN cnt LEFT JOIN c2 ON c2.node = nodes.node),
+        |c3 AS (SELECT d AS node, SUM((r * 85) // (deg * 100)) AS m
+        |  FROM e JOIN r2 ON r2.node = e.s JOIN deg USING (s) GROUP BY d),
+        |r3 AS (SELECT nodes.node, (1000000000000 * 15) // (100 * n) + COALESCE(m, 0) AS r
+        |  FROM nodes CROSS JOIN cnt LEFT JOIN c3 ON c3.node = nodes.node)
+        |SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r3
+        |ORDER BY node""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -4777,7 +4816,7 @@ object Queries {
     qHtmlExtract, qCollapseLines, qDsirScore, qHistogram, qCcnetBuckets,
     qC4Lines, qBlocklist, qBm25, qTakePerStratum, qNormalizedDedup,
     qTemperatureMix, qInvertedIndex, qCollocations, qTextChunks,
-    qDomainQuality, qSoftDedup, qJaccardSweep
+    qDomainQuality, qSoftDedup, qJaccardSweep, qPageRank
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

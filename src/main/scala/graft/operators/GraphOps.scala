@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Link-graph authority scoring for corpus curation — the
+  * CommonCrawl-style domain/URL ranking signal (harmonic-centrality /
+  * PageRank lists are a standard crawl-frontier and quality input;
+  * FineWeb-class pipelines consume exactly such per-domain authority
+  * scores). The reference has no graph surface at all (SURVEY §2.10);
+  * this is north-star scope like the dedup/ANN families.
+  */
+object GraphOps {
+
+  /** Fixed-iteration PageRank with EXACT integer arithmetic: ranks are
+    * BIGINT mass out of `scale`, the damping step is the integral
+    * `(rank·dampNum) div (dampDen·outdeg)` per edge, and the teleport
+    * term is `(scale·(dampDen−dampNum)) div (dampDen·n)` — every floor
+    * is deterministic, so any engine replays the scores bit-for-bit
+    * (doubles would drift across libms; ranking tables must be
+    * reproducible to be auditable). Floor loss: each edge/teleport floor
+    * drops < 1 unit of mass out of `scale` = 1e12, so the total leak
+    * after `iters` rounds is ≤ iters·(|E|+|V|) units — parts-per-million
+    * at web scale, and identical on every engine, which is the property
+    * that matters here. Dangling nodes (no out-links) leak their damped
+    * mass entirely — the classic simplification, documented; append
+    * self-loops to retain it.
+    *
+    * Scale shape: the `iters` rounds unroll into ONE Catalyst plan of
+    * hash joins keyed on node ids — rank(join)outdeg, contribution
+    * explode along edges, partial-aggregated sum per destination. Each
+    * round is the canonical PageRank shuffle pair (join on src, agg on
+    * dst); nothing is collected to the driver except the O(1) node
+    * count. AQE's skew-join split covers hub nodes; for a billion-node
+    * web graph you'd persist `edges`+`outdeg` once (they are loop
+    * constants) and checkpoint `rank` every few rounds to cut lineage —
+    * both are caller-side `.persist()` decisions, not operator changes.
+    *
+    * @param edges (srcField, dstField) pairs; parallel edges count
+    *              multiply (pre-`distinct` if unwanted).
+    * @return (node, rank_scaled) — one row per node appearing anywhere.
+    */
+  def pageRankScaled(
+      edges: DataFrame,
+      srcField: String = "src",
+      dstField: String = "dst",
+      iters: Int = 3,
+      scale: Long = 1000000000000L,
+      dampNum: Long = 85L,
+      dampDen: Long = 100L
+  ): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val idiv = graft.functions.functions.integral_divide _
+    val src = col(srcField).cast(LongType)
+    val dst = col(dstField).cast(LongType)
+    val e = edges.select(src.as("__pr_s"), dst.as("__pr_d"))
+    val nodes = e.select(col("__pr_s").as("node"))
+      .union(e.select(col("__pr_d").as("node")))
+      .distinct()
+    val n = nodes.count() // O(1) scalar to the driver
+    require(n > 0, "pageRankScaled: empty graph")
+    val outdeg = e.groupBy(col("__pr_s").as("node"))
+      .agg(count(lit(1)).as("__pr_deg"))
+    val teleport = (scale * (dampDen - dampNum)) / (dampDen * n)
+    var rank = nodes.withColumn("rank_scaled", lit(scale / n))
+    (1 to iters).foreach { _ =>
+      val contrib = e
+        .join(rank.withColumnRenamed("node", "__pr_s"), Seq("__pr_s"))
+        .join(outdeg.withColumnRenamed("node", "__pr_s"), Seq("__pr_s"))
+        .select(
+          col("__pr_d").as("node"),
+          idiv(col("rank_scaled") * dampNum, col("__pr_deg") * dampDen)
+            .as("__pr_c")
+        )
+        .groupBy(col("node"))
+        .agg(sum(col("__pr_c")).as("__pr_in"))
+      rank = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(
+          col("node"),
+          (lit(teleport) + coalesce(col("__pr_in"), lit(0L)))
+            .as("rank_scaled")
+        )
+    }
+    rank
+  }
+}
