@@ -127,6 +127,34 @@ final case class DebugPeek(numRows: Int = 5, label: String = "debug")
   }
 }
 
+/** Pipeline observability through Spark's `Observation`/CollectMetrics:
+  * attach named metric EXPRESSIONS (row counts, sums, null rates,
+  * filter-survival counters) to a pipeline stage; they are computed as a
+  * BY-PRODUCT of whatever action later materializes the plan — zero
+  * extra jobs, zero extra scans, exact even under retries (contrast
+  * [[DebugPeek]], which fires its own `show`). This is how a 100 TB run
+  * answers "how many rows did the quality gate drop" without a second
+  * pass over the corpus.
+  *
+  * One-shot by contract of the underlying API: each instance may be
+  * attached to one materialized plan; build a fresh stage per run.
+  * Read with [[metricsMap]] after an action (blocks until one ran). */
+final case class ObservedStage(
+    stageName: String,
+    metrics: Seq[(String, Column)]
+) extends Mapper {
+  require(metrics.nonEmpty, "ObservedStage needs at least one metric")
+  @transient lazy val observation =
+    new org.apache.spark.sql.Observation(stageName)
+  override protected def build(df: DataFrame): DataFrame = {
+    val aliased = metrics.map { case (n, c) => c.as(n) }
+    df.observe(observation, aliased.head, aliased.tail: _*)
+  }
+  /** The observed metric values; call after an action on the stage's
+    * output (or any descendant). */
+  def metricsMap: Map[String, Any] = observation.get
+}
+
 /** Test mapper: add a constant to every numeric value (MockMapper,
   * debug.py:56-72). */
 final case class MockAdd(delta: Long = 1L) extends Mapper {

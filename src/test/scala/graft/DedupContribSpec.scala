@@ -834,6 +834,18 @@ class DedupContribSpec extends SparkSpec {
     assert(sums.forall(s => s == 1000000L))
   }
 
+  test("ObservedStage: metrics ride the later action as a by-product") {
+    val stage = ObservedStage("gate", Seq(
+      "n" -> count(lit(1)),
+      "v_sum" -> sum($"v"),
+      "nulls" -> count(when($"v".isNull, 1))))
+    val out = stage(Seq((1L, Some(2L)), (2L, Some(5L)), (3L, None))
+      .toDF("id", "v"))
+    assert(out.count() == 3L) // the action that materializes the metrics
+    val m = stage.metricsMap
+    assert(m("n") == 3L && m("v_sum") == 7L && m("nulls") == 1L)
+  }
+
   test("jaccardSweep: decile histogram with descending cumulative") {
     val pairs = Seq(
       (1L, 2L, 0.31), (1L, 3L, 0.35), (2L, 3L, 0.74), (4L, 5L, 1.0)

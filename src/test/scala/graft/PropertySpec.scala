@@ -257,4 +257,32 @@ class PropertySpec extends SparkSpec {
         s"text=$text pieces=$rawPieces viterbi=$viterbiScore best=$expected")
     }
   }
+
+  test("TextChunker is lossless and budget-respecting on random texts") {
+    import graft.operators.TextChunker
+    val wordGen = Gen.chooseNum(1, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar)).map(_.mkString)
+    val textGen = Gen.chooseNum(0, 30)
+      .flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    forAll(textGen, n = 10) { text =>
+      val words = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val out = TextChunker("text", "chunk", maxChars = 20L)(
+        Seq((1L, text)).toDF("doc_id", "text"))
+        .orderBy("chunk_idx")
+        .select("chunk").as[String].collect().toSeq
+      // lossless: chunks re-split to exactly the original words
+      assert(out.flatMap(_.split(" ")).filter(_.nonEmpty) == words)
+      // budget: every multi-word chunk's content chars fit the budget
+      out.foreach { c =>
+        val ws = c.split(" ").filter(_.nonEmpty)
+        if (ws.length > 1)
+          assert(ws.map(_.length).sum <= 20, s"over budget: '$c'")
+      }
+      // chunk indexes are dense from 0
+      val idx = TextChunker("text", "chunk", maxChars = 20L)(
+        Seq((1L, text)).toDF("doc_id", "text"))
+        .select("chunk_idx").as[Long].collect().sorted.toSeq
+      assert(idx == (0L until idx.length).toSeq)
+    }
+  }
 }
