@@ -4771,6 +4771,48 @@ object Queries {
     )
   )
 
+  /** Reciprocal-rank fusion ([[operators.RrfFusion.fuse]]): two
+    * heterogeneous per-lang top-10 rankers — content length and salted
+    * md5 order (standing in for BM25 + dense retrieval) — fused with
+    * integral `1e9 div (60 + rank)` contributions; final per-query
+    * ordering is a partitioned window over the candidate lists. */
+  private val qRrfFusion = Q(
+    "q158_rrf_fusion",
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+      val w1 = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val run1 = d.select(col("lang"), col("doc_id"),
+          row_number().over(w1).as("rank"))
+        .filter(col("rank") <= 10)
+      val w2 = Window.partitionBy(col("lang"))
+        .orderBy(md5(concat(col("doc_id").cast(StringType), lit("run2"))),
+          col("doc_id"))
+      val run2 = d.select(col("lang"), col("doc_id"),
+          row_number().over(w2).as("rank"))
+        .filter(col("rank") <= 10)
+      RrfFusion.fuse(Seq(run1, run2), "lang", "doc_id")
+        .orderBy("lang", "rank")
+    },
+    Some(
+      """WITH r1 AS (SELECT lang, doc_id, rn AS rank FROM (
+        |    SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS rn FROM documents) WHERE rn <= 10),
+        |r2 AS (SELECT lang, doc_id, rn AS rank FROM (
+        |    SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'run2'), doc_id) AS rn
+        |    FROM documents) WHERE rn <= 10),
+        |u AS (SELECT lang, doc_id, 1000000000 // (60 + rank) AS c FROM r1
+        |  UNION ALL SELECT lang, doc_id, 1000000000 // (60 + rank) FROM r2),
+        |f AS (SELECT lang, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_scaled
+        |  FROM u GROUP BY lang, doc_id)
+        |SELECT lang, doc_id, rrf_scaled,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY rrf_scaled DESC, doc_id) AS BIGINT) AS rank
+        |FROM f ORDER BY lang, rank""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -4816,7 +4858,7 @@ object Queries {
     qHtmlExtract, qCollapseLines, qDsirScore, qHistogram, qCcnetBuckets,
     qC4Lines, qBlocklist, qBm25, qTakePerStratum, qNormalizedDedup,
     qTemperatureMix, qInvertedIndex, qCollocations, qTextChunks,
-    qDomainQuality, qSoftDedup, qJaccardSweep, qPageRank
+    qDomainQuality, qSoftDedup, qJaccardSweep, qPageRank, qRrfFusion
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

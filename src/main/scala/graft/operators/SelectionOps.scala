@@ -143,3 +143,45 @@ object Bm25 {
     }.reduceOption(_ + _).getOrElse(lit(0L))
   }
 }
+
+/** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to
+  * combine heterogeneous rankers (BM25 + dense cosine + authority) into
+  * one list without score calibration: each run contributes
+  * `scale div (k + rank)` per (query, doc) and contributions sum.
+  * All-BIGINT (the classic 1/(k+r) floats don't replay across engines;
+  * the integral form preserves the ordering RRF actually depends on).
+  *
+  * Scale shape: runs union (no join fan-out), one partial-aggregated
+  * groupBy on (query, doc), and the final per-query ordering is a
+  * PARTITIONED window — candidate lists are post-retrieval (top-k per
+  * query), so partitions are small by construction. */
+object RrfFusion {
+
+  /** Fuse ranked runs — each a DataFrame of (queryField, docField,
+    * rankField) with rank 1-based — into (query, doc, rrf_scaled, rank)
+    * with ties broken on doc id. */
+  def fuse(
+      runs: Seq[DataFrame],
+      queryField: String = "query_id",
+      docField: String = "doc_id",
+      rankField: String = "rank",
+      k: Long = 60L,
+      scale: Long = 1000000000L
+  ): DataFrame = {
+    require(runs.nonEmpty, "RrfFusion.fuse: no runs")
+    import org.apache.spark.sql.expressions.Window
+    val contrib = runs
+      .map(_.select(
+        col(queryField), col(docField),
+        graft.functions.functions.integral_divide(
+          lit(scale), lit(k) + col(rankField).cast("long")).as("__rrf_c")))
+      .reduce(_ unionByName _)
+    contrib
+      .groupBy(col(queryField), col(docField))
+      .agg(sum(col("__rrf_c")).as("rrf_scaled"))
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy(col(queryField))
+            .orderBy(col("rrf_scaled").desc, col(docField))).cast("long"))
+  }
+}

@@ -53,6 +53,22 @@ class SelectionOpsSpec extends SparkSpec {
     assert(scores(2L) == w(jvmIdx("cc")) + w(jvmIdx("bb")))
   }
 
+  test("RrfFusion: integral contributions sum; consensus doc wins") {
+    import graft.operators.RrfFusion
+    val run1 = Seq(("q1", 10L, 1L), ("q1", 20L, 2L)).toDF("query_id", "doc_id", "rank")
+    val run2 = Seq(("q1", 20L, 1L), ("q1", 30L, 2L)).toDF("query_id", "doc_id", "rank")
+    // scale 1000, k=1: r=1 → 500, r=2 → 333
+    val out = RrfFusion.fuse(Seq(run1, run2), k = 1L, scale = 1000L)
+      .orderBy("rank")
+      .select("doc_id", "rrf_scaled", "rank")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (20L, 833L, 1L), // in both runs: 500 + 333
+      (10L, 500L, 2L),
+      (30L, 333L, 3L)
+    ))
+  }
+
   test("production xxhash leg matches its JVM replica") {
     val idx = (c: org.apache.spark.sql.Column) => QualityClassifier.hashIndex(c, dim)
     val w = DsirScore.weights(target, raw, "words", dim, indexOf = idx)
