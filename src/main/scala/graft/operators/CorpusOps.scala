@@ -569,14 +569,9 @@ object CorpusStats {
       .orderBy(col("cnt").desc, col("gram"))
       .limit(k)
 
-  /** True BIGINT/DECIMAL integral division (`a div b`): decimal `/`
-    * re-scales and ROUNDS half-up, and long `/` detours through doubles
-    * past 2^53 — both wrong for exact cross-engine replay. */
+  // true BIGINT/DECIMAL integral division: graft.functions.integral_divide
   private def idiv(a: Column, b: Column): Column =
-    org.apache.spark.sql.graft.Shim.column(
-      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-        org.apache.spark.sql.graft.Shim.expression(a),
-        org.apache.spark.sql.graft.Shim.expression(b)))
+    graft.functions.functions.integral_divide(a, b)
 
   /** Capped inverted index: term → (document frequency, first
     * `maxPostings` doc ids in id order) — the retrieval-side structure
@@ -598,7 +593,6 @@ object CorpusStats {
       wordsField: String,
       maxPostings: Int
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("term")).orderBy(col("__ii_id"))
     docs
       .select(

@@ -121,14 +121,9 @@ object Bm25 {
     Stats(n, math.max(1L, if (n > 0) len / n else 1L), idf)
   }
 
-  /** True BIGINT division (`a div b`): `/` on long Columns goes through
-    * doubles, whose 53-bit mantissa silently rounds numerators past
-    * ~9·10^15 — the idf·tf·2200·avgdl products here exceed that. */
+  // true BIGINT division: see graft.functions.functions.integral_divide
   private def idiv(a: Column, b: Column): Column =
-    org.apache.spark.sql.graft.Shim.column(
-      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-        org.apache.spark.sql.graft.Shim.expression(a),
-        org.apache.spark.sql.graft.Shim.expression(b)))
+    graft.functions.functions.integral_divide(a, b)
 
   /** Row-local BM25 score (scaled BIGINT) of a words array given
     * pre-computed [[Stats]]. tf per term via a filter-count fold; the
