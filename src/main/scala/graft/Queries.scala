@@ -4813,6 +4813,55 @@ object Queries {
     )
   )
 
+  /** Leakage-aware split: assign train/val/test by the NORMALIZED DEDUP
+    * KEY ([[operators.Sampling.splitLabelMd5]] over
+    * [[operators.NormalizeForDedup]]'s key instead of the row id), so
+    * every member of an exact/near-dup group lands in the SAME split —
+    * id-hash splitting would put a doc in train and its noisy copy in
+    * test, leaking eval data. The q149 noisy corpus makes each pair's
+    * agreement checkable: originals and copies get identical labels. */
+  private val qLeakageSplit = Q(
+    "q159_leakage_aware_split",
+    (s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val noisy = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit(" !!! ")).as("text"))
+      NormalizeForDedup("text", "dedup_key")(base.unionByName(noisy))
+        .select(col("doc_id"),
+          Sampling.splitLabelMd5(col("dedup_key"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            salt = "leak").as("split"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, '  ' || upper(text) || ' !!! ' FROM documents),
+        |k AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |  '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS dedup_key FROM u)
+        |SELECT doc_id,
+        |  CASE WHEN substring(md5(dedup_key || 'leak'), 1, 8) < 'cccccccc' THEN 'train'
+        |       WHEN substring(md5(dedup_key || 'leak'), 1, 8) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM k ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Keyed pseudonymization ([[operators.Pseudonymize]]): identifying
+    * columns → sha2-256(salt || value); joinability preserved, mapping
+    * one-way without the salt. */
+  private val qPseudonymize = Q(
+    "q160_pseudonymize",
+    (s, dir) =>
+      Pseudonymize(Seq("lang", "source"), salt = "pepper")(
+        T(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")))
+        .orderBy("doc_id"),
+    Some(
+      """SELECT doc_id, sha256('pepper' || lang) AS lang,
+        |  sha256('pepper' || source) AS source
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -4858,7 +4907,8 @@ object Queries {
     qHtmlExtract, qCollapseLines, qDsirScore, qHistogram, qCcnetBuckets,
     qC4Lines, qBlocklist, qBm25, qTakePerStratum, qNormalizedDedup,
     qTemperatureMix, qInvertedIndex, qCollocations, qTextChunks,
-    qDomainQuality, qSoftDedup, qJaccardSweep, qPageRank, qRrfFusion
+    qDomainQuality, qSoftDedup, qJaccardSweep, qPageRank, qRrfFusion,
+    qLeakageSplit, qPseudonymize
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

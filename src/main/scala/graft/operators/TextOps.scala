@@ -461,3 +461,25 @@ final case class TextChunker(
       .withColumn("chunk_idx", col("chunk_idx").cast(LongType))
   }
 }
+
+/** Keyed pseudonymization (GDPR-style tokenization of identifying
+  * columns): replace each value with `sha2-256(salt || value)` — the
+  * same (value, salt) always maps to the same token, so joins and
+  * groupBys on the column keep working across tables and runs, but
+  * without the salt the mapping is one-way. Complements [[RedactPii]]
+  * (which DESTROYS in-text identifiers); this preserves linkability of
+  * column-level identifiers. Row-local codegen'd hash, zero shuffle.
+  * Nulls stay null (a hashed null would fabricate a joinable token). */
+final case class Pseudonymize(
+    fields: Seq[String],
+    salt: String
+) extends Mapper {
+  override def inputFields: Seq[String] = fields
+  override def outputFields: Seq[String] = fields
+  override protected def build(df: DataFrame): DataFrame =
+    fields.foldLeft(df) { (acc, f) =>
+      acc.withColumn(f,
+        when(col(f).isNull, lit(null).cast(StringType))
+          .otherwise(sha2(concat(lit(salt), col(f).cast(StringType)), 256)))
+    }
+}

@@ -156,6 +156,34 @@ class CleanupOpsSpec extends SparkSpec {
     assert(kept.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("Pseudonymize: deterministic, null-preserving, join-stable") {
+    val df = Seq((1L, Some("alice")), (2L, Some("bob")), (3L, None))
+      .toDF("id", "user")
+    val out = Pseudonymize(Seq("user"), salt = "s1")(df)
+      .select($"id", $"user").as[(Long, Option[String])].collect().toMap
+    val jvm = (v: String) => java.security.MessageDigest.getInstance("SHA-256")
+      .digest(("s1" + v).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L).contains(jvm("alice")) && out(2L).contains(jvm("bob")))
+    assert(out(3L).isEmpty)                        // null stays null
+    assert(out(1L).get.length == 64)
+    // a different salt yields unlinkable tokens
+    val out2 = Pseudonymize(Seq("user"), salt = "s2")(df)
+      .select($"user").as[Option[String]].collect().flatten.toSet
+    assert(out2.intersect(Set(out(1L).get, out(2L).get)).isEmpty)
+  }
+
+  test("leakage-aware split keeps dup-group members in one split") {
+    val base = Seq((1L, "Some Text Here!"), (2L, "other content.")).toDF("doc_id", "text")
+    val noisy = base.select(($"doc_id" + 100L).as("doc_id"),
+      upper($"text").as("text"))
+    val out = NormalizeForDedup("text", "dedup_key")(base.unionByName(noisy))
+      .select($"doc_id",
+        Sampling.splitLabelMd5($"dedup_key",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "leak").as("split"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == out(101L) && out(2L) == out(102L))
+  }
+
   test("NormalizeForDedup: case/punct/ws-insensitive keys collide") {
     val df = Seq(
       (1L, "Hello,  World!"),
