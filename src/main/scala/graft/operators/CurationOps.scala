@@ -302,10 +302,13 @@ object Sampling {
     * runs and repartitioning, and is one partitioned window — the
     * stratum is the partition key, so the sort is per-group, never
     * global. Hot strata with billions of rows sort-spill fine; if even
-    * that is too much, pre-thin with [[keep]] first (hash order is
-    * preserved under hash-threshold thinning, so the composition picks
-    * the SAME survivors as long as the thinning keeps ≥ k per
-    * stratum). `portable` swaps xxhash64 for the md5 twin. */
+    * that is too much, pre-thin with [[keep]] (same salt) first: the
+    * rank key IS keep's retained measure (`pmod(xxhash64(id‖salt),
+    * 1e9)`; md5 leg: the hex prefix [[keepMd5]] thresholds), so
+    * thinning removes only rows that rank BELOW the quota — the
+    * composition picks the SAME survivors as long as the thinning
+    * keeps ≥ k per stratum. `portable` swaps xxhash64 for the md5
+    * twin. */
   def takePerStratum(
       df: DataFrame,
       idField: String,
@@ -317,8 +320,8 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val key =
       if (portable) md5(concat(col(idField).cast(StringType), lit(salt)))
-      else xxhash64(concat(col(idField).cast(StringType), lit(salt)))
-        .cast(StringType)
+      else pmod(xxhash64(concat(col(idField).cast(StringType), lit(salt))),
+        lit(1000000000L))
     df.withColumn("__tps_rank",
         row_number().over(Window.partitionBy(col(strataField))
           .orderBy(key, col(idField))))

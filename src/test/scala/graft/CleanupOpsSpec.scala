@@ -89,6 +89,27 @@ class CleanupOpsSpec extends SparkSpec {
     assert(c.filter($"s" === "b").count() == 40L)
   }
 
+  test("takePerStratum composes with same-salt keep-thinning (doc claim)") {
+    val df = (1L to 400L).map(i => (i, if (i % 4 == 0) "a" else "b"))
+      .toDF("id", "s")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("id").as[Long].collect().toSet
+    // production leg: rank key IS keep's retained measure
+    val full = ids(Sampling.takePerStratum(df, "id", "s", k = 8, salt = "c1"))
+    val thin = df.filter(Sampling.keep(col("id"), 0.5, salt = "c1"))
+    assert(thin.groupBy("s").count().as[(String, Long)].collect()
+      .forall(_._2 >= 8)) // precondition of the claim
+    val composed = ids(Sampling.takePerStratum(thin, "id", "s", k = 8, salt = "c1"))
+    assert(composed == full)
+    // portable leg: md5 rank prefix-consistent with keepMd5 thresholds
+    val fullP = ids(Sampling.takePerStratum(df, "id", "s", k = 8,
+      salt = "c1", portable = true))
+    val thinP = df.filter(Sampling.keepMd5(col("id"), 0.5, salt = "c1"))
+    val composedP = ids(Sampling.takePerStratum(thinP, "id", "s", k = 8,
+      salt = "c1", portable = true))
+    assert(composedP == fullP)
+  }
+
   test("temperature: anchor kept whole, alpha=1 identity, exact JVM replica") {
     val df = ((1L to 300L).map(i => (i, "big")) ++
       (301L to 400L).map(i => (i, "mid")) ++
