@@ -259,12 +259,15 @@ object Sampling {
       scale: Long = 1000000L,
       portable: Boolean = false
   ): DataFrame = {
-    val counts = df
+    val raw = df
       .groupBy(col(sourceField).cast(StringType).as("__s"))
       .agg(count(lit(1)).as("__n"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
-      .sortBy(_._1)
+    require(raw.forall(_._1 != null),
+      s"temperature: null values in source column '$sourceField' — " +
+        "filter or fill them first (a null stratum has no stable identity)")
+    val counts = raw.sortBy(_._1)
     require(counts.nonEmpty, "temperature: empty input")
     def wOf(n: Long): BigInt = {
       val p =
