@@ -194,4 +194,21 @@ class PlanSpec extends SparkSpec {
 
   private def pipeOps(ms: graft.Mapper*)(df: org.apache.spark.sql.DataFrame) =
     ms.foldLeft(df)((d, m) => m(d))
+
+  test("invertedIndex: ONE exchange; WindowGroupLimit prunes before the sort") {
+    val docs = spark.read.parquet(dir)
+      .withColumn("words", split(col("text"), "x"))
+    val out = CorpusStats.invertedIndex(docs, "id", "words", maxPostings = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("takePerStratum: window partitioned by stratum, never unpartitioned") {
+    val docs = spark.read.parquet(dir)
+    val out = Sampling.takePerStratum(docs, "id", "grp", k = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    // the window spec carries the stratum partition key
+    assert(plan.contains("windowspecdefinition(grp"), plan)
+  }
 }
