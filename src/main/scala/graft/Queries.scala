@@ -4862,6 +4862,28 @@ object Queries {
     )
   )
 
+  /** Collator padding-waste planning ([[operators.CollatorStats
+    * .paddingWaste]]): per-batch padding cost of length-sorted
+    * batch-32 layout over the documents' word counts — the
+    * dynamic-padding planning table, O(#batches) rows. */
+  private val qPaddingWaste = Q(
+    "q161_padding_waste",
+    (s, dir) =>
+      CollatorStats.paddingWaste(
+        docWords(s, dir).select(col("doc_id"), size(col("words")).as("len")),
+        "doc_id", "len", batchSize = 32, sortByLength = true)
+        .orderBy("batch"),
+    Some(
+      s"""WITH w AS (SELECT doc_id, len($W) AS len FROM documents),
+         |r AS (SELECT len, row_number() OVER (ORDER BY len, doc_id) AS rn FROM w),
+         |b AS (SELECT (rn - 1) // 32 AS batch, CAST(len AS BIGINT) AS len FROM r)
+         |SELECT batch, COUNT(*) AS n_rows, MAX(len) AS max_len,
+         |  CAST(SUM(len) AS BIGINT) AS total_len,
+         |  COUNT(*) * MAX(len) - CAST(SUM(len) AS BIGINT) AS padding
+         |FROM b GROUP BY batch ORDER BY batch""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -4908,7 +4930,7 @@ object Queries {
     qC4Lines, qBlocklist, qBm25, qTakePerStratum, qNormalizedDedup,
     qTemperatureMix, qInvertedIndex, qCollocations, qTextChunks,
     qDomainQuality, qSoftDedup, qJaccardSweep, qPageRank, qRrfFusion,
-    qLeakageSplit, qPseudonymize
+    qLeakageSplit, qPseudonymize, qPaddingWaste
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -124,3 +124,51 @@ object ListCollator {
       leftPadFields = leftPadFields
     )
 }
+
+/** Batch-layout planning for the collator: how much padding does a
+  * batch-size / ordering choice cost? For fixed `batchSize`, per-batch
+  * padding = n·max(len) − Σlen; `sortByLength = true` is the
+  * dynamic-padding trick (sorted contiguous batching provably minimizes
+  * Σ max over equal-size contiguous batches, hence total padding), and
+  * comparing the two modes quantifies what length-bucketing buys before
+  * anyone trains anything.
+  *
+  * Scale shape: global batch ids come from the sorted-`zipWithIndex`
+  * pattern (range-partitioned sort → index preserves global order; never
+  * an unpartitioned `row_number` window), then one partial-aggregated
+  * groupBy on the dense batch id. Output is O(#batches) rows. */
+object CollatorStats {
+
+  def paddingWaste(
+      df: DataFrame,
+      idField: String,
+      lenField: String,
+      batchSize: Int,
+      sortByLength: Boolean = true
+  ): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val spark = df.sparkSession
+    val ordered =
+      if (sortByLength) df.orderBy(col(lenField), col(idField))
+      else df.orderBy(col(idField))
+    val slim = ordered.select(col(lenField).cast(LongType).as("__cs_len"))
+    val schema = StructType(
+      slim.schema.fields :+ StructField("__cs_idx", LongType))
+    val indexed = spark.createDataFrame(
+      slim.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      },
+      schema
+    )
+    indexed
+      .withColumn("batch", expr(s"__cs_idx div ${batchSize}L"))
+      .groupBy(col("batch"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        max(col("__cs_len")).as("max_len"),
+        sum(col("__cs_len")).as("total_len")
+      )
+      .withColumn("padding",
+        col("n_rows") * col("max_len") - col("total_len"))
+  }
+}

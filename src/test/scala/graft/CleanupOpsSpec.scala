@@ -205,6 +205,28 @@ class CleanupOpsSpec extends SparkSpec {
     assert(out(1L) == out(101L) && out(2L) == out(102L))
   }
 
+  test("paddingWaste: exact batch stats; sorted layout never costs more") {
+    val df = Seq((1L, 10L), (2L, 2L), (3L, 9L), (4L, 1L))
+      .toDF("id", "len")
+    // sorted by len: [1,2], [9,10] → padding (2*2-3)=1 + (2*10-19)=1
+    val sorted = CollatorStats.paddingWaste(df, "id", "len", 2)
+      .orderBy("batch").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(sorted == Seq((0L, 2L, 2L, 3L, 1L), (1L, 2L, 10L, 19L, 1L)))
+    // arrival order: [10,2], [9,1] → padding 8 + 8
+    val arrival = CollatorStats.paddingWaste(df, "id", "len", 2,
+      sortByLength = false)
+      .agg(sum($"padding")).as[Long].head()
+    assert(arrival == 16L)
+    // random lengths: sorted total never exceeds arrival total
+    val rnd = new scala.util.Random(7)
+    val big = (1L to 200L).map(i => (i, rnd.nextInt(100).toLong + 1))
+      .toDF("id", "len")
+    def tot(sorted: Boolean) =
+      CollatorStats.paddingWaste(big, "id", "len", 16, sorted)
+        .agg(sum($"padding")).as[Long].head()
+    assert(tot(true) <= tot(false))
+  }
+
   test("NormalizeForDedup: case/punct/ws-insensitive keys collide") {
     val df = Seq(
       (1L, "Hello,  World!"),
