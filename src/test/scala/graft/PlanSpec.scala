@@ -211,4 +211,13 @@ class PlanSpec extends SparkSpec {
     // the window spec carries the stratum partition key
     assert(plan.contains("windowspecdefinition(grp"), plan)
   }
+
+  test("pageRankScaled: keyed joins + partial aggs, no cartesian, no window") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val out = GraphOps.pageRankScaled(e, iters = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("cartesian"), plan)
+    assert(!plan.contains("Window"), plan) // ranks flow through joins/aggs only
+    assert(plan.contains("partial_sum"), plan) // map-side combine on dst
+  }
 }
