@@ -4884,6 +4884,92 @@ object Queries {
     )
   )
 
+  /** Image perceptual hash ([[operators.ImageDHash]]): 64-bit dHash per
+    * media row. The corpus payloads are not images, so this drives the
+    * documented deterministic byte-fallback decode end-to-end — the
+    * oracle replays the same 9×8 luma grid + brighter-than-right-neighbor
+    * bits in SQL (HUGEINT accumulation, then two's-complement to BIGINT
+    * so bit 63 survives the signed cast). */
+  private val qImageDHash = Q(
+    "q162_image_dhash",
+    (s, dir) =>
+      ImageDHash("media", "dhash")(
+        docs(s, dir).withColumn(
+          "media",
+          Multimodal.asMedia(col("text").cast(BinaryType),
+            "application/octet-stream")))
+        .select("doc_id", "dhash")
+        .orderBy("doc_id"),
+    Some(
+      """WITH px AS (
+        |  SELECT doc_id, list_transform(range(72),
+        |    i -> ord(substring(text, CAST(i % length(text) AS INT) + 1, 1))) AS l
+        |  FROM documents)
+        |SELECT doc_id, CAST(CASE WHEN v >= (1::HUGEINT<<63)
+        |    THEN v - (1::HUGEINT<<64) ELSE v END AS BIGINT) AS dhash
+        |FROM (
+        |  SELECT doc_id,
+        |    coalesce((SELECT sum(CASE WHEN l[y*9+x+1] > l[y*9+x+2]
+        |        THEN 1::HUGEINT << CAST(y*8+x AS INT) ELSE 0::HUGEINT END)
+        |      FROM range(8) t1(y), range(8) t2(x)), 0::HUGEINT) AS v
+        |  FROM px)
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Image near-dup pairing: dHash the corpus plus a one-character-edited
+    * copy of every payload, then pair through the SAME pigeonhole-banded
+    * layer as text simhash ([[SimHashNearDup.candidatePairs]], 4×16-bit
+    * chunks, Hamming ≤ 3). Recall is exact (pigeonhole bound), so the
+    * oracle's all-pairs popcount join at this SF returns the identical
+    * pair set; the Spark plan is the bucket-join that survives 100 TB. */
+  private val qImageNearDup = Q(
+    "q163_image_neardup",
+    (s, dir) => {
+      val base = docs(s, dir).filter(col("n_chars") >= 72)
+        .select(col("doc_id"), col("text"))
+      val edited = base.select(
+        (col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(substring(col("text"), 1, 36), lit("~"),
+          expr("substring(text, 38)")).as("text"))
+      val hashed = ImageDHash("media", "dhash")(
+        base.unionByName(edited).withColumn(
+          "media",
+          Multimodal.asMedia(col("text").cast(BinaryType),
+            "application/octet-stream")))
+      SimHashNearDup
+        .candidatePairs(hashed, "doc_id", "dhash",
+          bits = 64, bands = 4, maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+    Some(
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE n_chars >= 72
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    substring(text,1,36) || '~' || substring(text,38)
+        |  FROM documents WHERE n_chars >= 72),
+        |px AS (
+        |  SELECT doc_id, list_transform(range(72),
+        |    i -> ord(substring(text, CAST(i % length(text) AS INT) + 1, 1))) AS l
+        |  FROM base),
+        |h AS (
+        |  SELECT doc_id, CAST(CASE WHEN v >= (1::HUGEINT<<63)
+        |      THEN v - (1::HUGEINT<<64) ELSE v END AS BIGINT) AS dhash
+        |  FROM (
+        |    SELECT doc_id,
+        |      coalesce((SELECT sum(CASE WHEN l[y*9+x+1] > l[y*9+x+2]
+        |          THEN 1::HUGEINT << CAST(y*8+x AS INT) ELSE 0::HUGEINT END)
+        |        FROM range(8) t1(y), range(8) t2(x)), 0::HUGEINT) AS v
+        |    FROM px))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -4930,7 +5016,8 @@ object Queries {
     qC4Lines, qBlocklist, qBm25, qTakePerStratum, qNormalizedDedup,
     qTemperatureMix, qInvertedIndex, qCollocations, qTextChunks,
     qDomainQuality, qSoftDedup, qJaccardSweep, qPageRank, qRrfFusion,
-    qLeakageSplit, qPseudonymize, qPaddingWaste
+    qLeakageSplit, qPseudonymize, qPaddingWaste,
+    qImageDHash, qImageNearDup
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -230,6 +230,28 @@ object Multimodal {
     } catch { case _: Exception => None }
     finally iis.close()
   }
+
+  /** Perceptual difference-hash (dHash, Krawetz 2013): decode to a 9×8
+    * luma grid ([[decodeImage]] — real codecs, deterministic byte
+    * fallback) and set bit `y*8+x` when pixel (x,y) is brighter than its
+    * right neighbor. Near-identical images (recompression, small edits,
+    * brightness shifts) land within a few Hamming bits; unrelated images
+    * differ in ~32. Empty/null payloads hash to 0. */
+  def imageDHash(bytes: Array[Byte]): Long = {
+    if (bytes == null || bytes.isEmpty) return 0L
+    val luma = decodeImage(bytes, 9, 8)
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (luma(y * 9 + x) > luma(y * 9 + x + 1)) h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
 }
 
 /** Decode + resize a media column into a fixed-shape float feature array —
@@ -250,6 +272,25 @@ final case class DecodeMedia(
     val h = targetH
     val decode = udf { (bytes: Array[Byte]) => Multimodal.decodeImage(bytes, w, h) }
     df.withColumn(outputField, decode(col(s"$mediaField.bytes")))
+  }
+}
+
+/** Image perceptual hash for near-duplicate image dedup: one 64-bit
+  * dHash per media row ([[Multimodal.imageDHash]]). The hash column
+  * feeds the SAME banded pairing layer as text simhash
+  * ([[SimHashNearDup.candidatePairs]] — pigeonhole-exact recall at a
+  * Hamming radius, bucket-local joins, never all-pairs), so image dedup
+  * at 100 TB is a linear decode pass plus a keyed shuffle of 8-byte
+  * chunks — raw image bytes never shuffle. Narrow, partition-parallel. */
+final case class ImageDHash(
+    mediaField: String,
+    outputField: String = "dhash"
+) extends Mapper {
+  override def inputFields: Seq[String] = Seq(mediaField)
+  override def outputFields: Seq[String] = Seq(outputField)
+  override protected def build(df: DataFrame): DataFrame = {
+    val dhash = udf { (bytes: Array[Byte]) => Multimodal.imageDHash(bytes) }
+    df.withColumn(outputField, dhash(col(s"$mediaField.bytes")))
   }
 }
 

@@ -412,6 +412,42 @@ class DedupContribSpec extends SparkSpec {
     assert(rows(withDims.select("media.width", "media.height")).head == Seq(2, 2))
   }
 
+  test("ImageDHash: near-identical PNGs within a few bits, inverted far") {
+    def png(grays: Array[Int]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      while (i < 256) {
+        val g = grays(i) & 0xff
+        img.setRGB(i % 16, i / 16, (g << 16) | (g << 8) | g)
+        i += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val rnd = new scala.util.Random(42)
+    val grays = Array.fill(256)(rnd.nextInt(256))
+    val tweaked = grays.clone(); tweaked(37) = (grays(37) + 8) % 256
+    val inverted = grays.map(255 - _)
+    val hA = Multimodal.imageDHash(png(grays))
+    val hB = Multimodal.imageDHash(png(tweaked))
+    val hC = Multimodal.imageDHash(png(inverted))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hA, hB) <= 4, s"near-identical drifted ${ham(hA, hB)} bits")
+    assert(ham(hA, hC) >= 20, s"inverted image only ${ham(hA, hC)} bits away")
+    assert(Multimodal.imageDHash(null) == 0L)
+    assert(Multimodal.imageDHash(Array.emptyByteArray) == 0L)
+    // the hash column feeds the same banded pairing layer as text simhash
+    val df = Seq((1L, png(grays)), (2L, png(tweaked)), (3L, png(inverted)))
+      .toDF("id", "b")
+      .withColumn("media", Multimodal.asMedia(col("b"), "image/png"))
+    val pairs = SimHashNearDup.candidatePairs(
+      ImageDHash("media")(df), "id", "dhash",
+      bits = 64, bands = 8, maxHamming = 4)
+    assert(rows(pairs.select("id_a", "id_b")) == Seq(Seq(1L, 2L)))
+  }
+
   test("SampleFrames: real MJPEG AVI — extract, sample by time, decode") {
     // build a spec-conformant MJPEG AVI: RIFF(AVI ) { LIST(hdrl){avih},
     // LIST(movi){ 00dc jpeg... } } with 5 solid-gray frames of rising
