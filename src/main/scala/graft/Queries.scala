@@ -4970,6 +4970,30 @@ object Queries {
     )
   )
 
+  /** Aho–Corasick phrase blocklist ([[operators.PhraseBlocklist]]):
+    * substring PHRASE matching (UT1/LDNOOBW-style lists) in one linear
+    * automaton pass per doc — nested hits ("he" inside "the") fire via
+    * failure links. Oracle replays with per-pattern `contains`, which is
+    * exactly the quadratic scan the automaton replaces. */
+  private val qPhraseBlocklist = Q(
+    "q164_phrase_blocklist",
+    (s, dir) =>
+      PhraseBlocklist(Seq("fast table", "scan slow", "agg join", "he",
+        "value table part"))(docs(s, dir))
+        .select(col("doc_id"), col("phrase_hit"), J("phrase_hits"))
+        .orderBy("doc_id"),
+    Some(
+      """SELECT doc_id, len(hits) > 0 AS phrase_hit,
+        |  to_json(hits)::VARCHAR AS phrase_hits
+        |FROM (
+        |  SELECT doc_id, list_sort(list_filter(
+        |    ['agg join','fast table','he','scan slow','value table part'],
+        |    p -> contains(text, p))) AS hits
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -5017,7 +5041,7 @@ object Queries {
     qTemperatureMix, qInvertedIndex, qCollocations, qTextChunks,
     qDomainQuality, qSoftDedup, qJaccardSweep, qPageRank, qRrfFusion,
     qLeakageSplit, qPseudonymize, qPaddingWaste,
-    qImageDHash, qImageNearDup
+    qImageDHash, qImageNearDup, qPhraseBlocklist
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

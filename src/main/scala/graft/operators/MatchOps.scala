@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.Mapper
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Aho–Corasick multi-pattern substring matching (Aho & Corasick 1975).
+  *
+  * [[Blocklist]] covers word-SET probes (`arrays_overlap` on a tokenized
+  * column); real blocklists (UT1, LDNOOBW) are substring PHRASES — "how
+  * to make a", multi-word slurs, URL fragments — where per-pattern
+  * `contains` scans cost O(|patterns| · |text|) and explode at web scale.
+  * The automaton matches ALL k patterns in one O(|text| + matches) pass:
+  * a trie over the patterns with BFS failure links (longest proper
+  * suffix that is also a trie prefix), outputs merged through the links
+  * so overlapping and nested hits ("he" inside "the") all fire.
+  *
+  * Scale shape: the automaton is built ONCE on the driver (O(Σ|pattern|)
+  * nodes) and ships to executors inside the UDF closure — a broadcast
+  * probe structure, the same pattern as the decontamination n-gram set.
+  * The corpus is scanned row-locally: no shuffle, no per-pattern pass,
+  * text never leaves its partition. The irreducible-UDF boundary is the
+  * same one the tokenizers occupy (SURVEY §4).
+  */
+final class AhoCorasick private (
+    next: Array[Map[Char, Int]],
+    fail: Array[Int],
+    out: Array[Array[Int]],
+    val patterns: Array[String]
+) extends Serializable {
+
+  @inline private def step(state0: Int, c: Char): Int = {
+    var s = state0
+    while (s != 0 && !next(s).contains(c)) s = fail(s)
+    next(s).getOrElse(c, 0)
+  }
+
+  /** Distinct indices of patterns occurring in `text`, ascending. */
+  def findAll(text: String): Array[Int] = {
+    if (text == null) return Array.empty
+    val hits = new java.util.TreeSet[Int]()
+    var s = 0
+    var i = 0
+    while (i < text.length) {
+      s = step(s, text.charAt(i))
+      val o = out(s)
+      var j = 0
+      while (j < o.length) { hits.add(o(j)); j += 1 }
+      i += 1
+    }
+    val res = new Array[Int](hits.size)
+    val it = hits.iterator()
+    var k = 0
+    while (it.hasNext) { res(k) = it.next(); k += 1 }
+    res
+  }
+
+  def matches(text: String): Boolean = {
+    if (text == null) return false
+    var s = 0
+    var i = 0
+    while (i < text.length) {
+      s = step(s, text.charAt(i))
+      if (out(s).nonEmpty) return true
+      i += 1
+    }
+    false
+  }
+}
+
+object AhoCorasick {
+
+  def build(patterns: Seq[String]): AhoCorasick = {
+    require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+      "AhoCorasick needs non-empty patterns")
+    val next = scala.collection.mutable.ArrayBuffer(Map.empty[Char, Int])
+    val outB = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+    patterns.zipWithIndex.foreach { case (p, pi) =>
+      var s = 0
+      p.foreach { c =>
+        next(s).get(c) match {
+          case Some(t) => s = t
+          case None =>
+            next += Map.empty
+            outB += Nil
+            next(s) = next(s) + (c -> (next.length - 1))
+            s = next.length - 1
+        }
+      }
+      outB(s) = pi :: outB(s)
+    }
+    val fail = new Array[Int](next.length)
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    next(0).valuesIterator.foreach(queue.enqueue)
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      next(u).foreach { case (c, v) =>
+        var f = fail(u)
+        while (f != 0 && !next(f).contains(c)) f = fail(f)
+        fail(v) = if (next(f).getOrElse(c, 0) != v) next(f).getOrElse(c, 0) else 0
+        outB(v) = outB(v) ++ outB(fail(v))
+        queue.enqueue(v)
+      }
+    }
+    new AhoCorasick(next.toArray, fail, outB.map(_.distinct.sorted.toArray).toArray,
+      patterns.toArray)
+  }
+}
+
+/** Apply an [[AhoCorasick]] phrase blocklist to a TEXT column: adds
+  * `phrase_hit` + `phrase_hits` (matched patterns, sorted distinct —
+  * the "why was this dropped" audit column); `keepOnly` drops flagged
+  * docs (the C4/UT1 behavior). One linear pass per row regardless of
+  * blocklist size; narrow, zero shuffle. */
+final case class PhraseBlocklist(
+    blocked: Seq[String],
+    textField: String = "text",
+    caseFold: Boolean = true,
+    keepOnly: Boolean = false
+) extends Mapper {
+  override def inputFields: Seq[String] = Seq(textField)
+  override def outputFields: Seq[String] = Seq("phrase_hit", "phrase_hits")
+  override protected def build(df: DataFrame): DataFrame = {
+    val pats = if (caseFold) blocked.map(_.toLowerCase) else blocked
+    val ac = AhoCorasick.build(pats)
+    val fold = caseFold
+    val hitsUdf = udf { (text: String) =>
+      val t = if (text == null) null else if (fold) text.toLowerCase else text
+      ac.findAll(t).map(ac.patterns(_)).sorted
+    }
+    val out = df
+      .withColumn("phrase_hits", hitsUdf(col(textField)))
+      .withColumn("phrase_hit", size(col("phrase_hits")) > 0)
+    if (keepOnly) out.filter(!col("phrase_hit")) else out
+  }
+}
