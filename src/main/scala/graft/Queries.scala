@@ -4994,6 +4994,34 @@ object Queries {
     )
   )
 
+  /** Mergeable HLL distinct sketches ([[operators.DistinctSketch]]):
+    * per-source sketches built on two disjoint shards, merged, and
+    * estimated — the store-and-merge accounting shape. The estimate is
+    * checked against the exact distinct computed IN THE SAME QUERY
+    * (`est_ok`: within max(1, 5%) — at these cardinalities HLL's sparse
+    * mode is exact); the oracle supplies the exact count and TRUE. */
+  private val qHllSketch = Q(
+    "q165_hll_sketch_profile",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val shards = Seq(0, 1).map(r =>
+        DistinctSketch.build(d.filter(col("doc_id") % 2 === r),
+          Seq("source"), "text"))
+      val est = DistinctSketch.mergedEstimate(
+        shards.reduce(_ unionByName _), Seq("source"))
+      d.groupBy("source").agg(countDistinct(col("text")).as("n_exact"))
+        .join(est, "source")
+        .select(col("source"), col("n_exact"),
+          (abs(col("n_distinct_est") - col("n_exact")) <=
+            greatest(lit(1L), (col("n_exact") * 5) / 100)).as("est_ok"))
+        .orderBy("source")
+    },
+    Some(
+      """SELECT source, count(DISTINCT text) AS n_exact, TRUE AS est_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -5041,7 +5069,7 @@ object Queries {
     qTemperatureMix, qInvertedIndex, qCollocations, qTextChunks,
     qDomainQuality, qSoftDedup, qJaccardSweep, qPageRank, qRrfFusion,
     qLeakageSplit, qPseudonymize, qPaddingWaste,
-    qImageDHash, qImageNearDup, qPhraseBlocklist
+    qImageDHash, qImageNearDup, qPhraseBlocklist, qHllSketch
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

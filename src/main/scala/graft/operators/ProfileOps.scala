@@ -61,6 +61,41 @@ object Profile {
   }
 }
 
+/** Mergeable per-group distinct-count sketches (Apache DataSketches
+  * HLL, via Spark's `hll_sketch_agg` family). Where
+  * [[Profile.summarize]] answers "how many distinct NOW" in one pass,
+  * this materializes the sketch itself: an O(2^lgK)-byte binary per
+  * group that can be STORED and MERGED later — profile each daily
+  * shard once, keep the (group, sketch) table, and answer
+  * distinct-counts over any union of shards without ever rescanning
+  * raw data. That is the only workable accounting shape at 100 TB:
+  * partial aggregation combines sketches map-side, the shuffle carries
+  * kilobytes per group, and re-profiling cost is proportional to the
+  * NEW data only. */
+object DistinctSketch {
+
+  /** One HLL sketch per group: (groupCols*, hll binary, n_rows). */
+  def build(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      lgK: Int = 12
+  ): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        hll_sketch_agg(col(valueCol), lit(lgK)).as("hll"),
+        count(lit(1)).as("n_rows"))
+
+  /** Merge per-shard sketch tables and estimate distincts per group:
+    * (groupCols*, n_rows, n_distinct_est). */
+  def mergedEstimate(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(col("n_rows")).as("n_rows"),
+        hll_sketch_estimate(hll_union_agg(col("hll"))).as("n_distinct_est"))
+}
+
 /** Keep rows whose numeric column lies between two percentiles of its
   * own distribution — e.g. drop docs below the 5th / above the 95th
   * length percentile. The thresholds are ONE tiny aggregate, broadcast

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Profile, QuantileClip}
+import graft.operators.{DistinctSketch, Profile, QuantileClip}
 import org.apache.spark.sql.functions._
 
 /** One-pass profiling and percentile-clip filter semantics. */
@@ -53,5 +53,32 @@ class ProfileOpsSpec extends SparkSpec {
     val e = QuantileClip.keepWithin(wide, "v", 0.05, 0.95, exact = true).count()
     val a = QuantileClip.keepWithin(wide, "v", 0.05, 0.95, exact = false).count()
     assert(e == a)
+  }
+
+  test("DistinctSketch: shard sketches merge to the whole-data estimate") {
+    // 10k values, 2.5k distinct per group; overlap across shards
+    val data = (1L to 10000L).map(i => (if (i % 2 == 0) "a" else "b", s"v${i % 5000}"))
+      .toDF("g", "v")
+    val whole = DistinctSketch.mergedEstimate(
+      DistinctSketch.build(data, Seq("g"), "v"), Seq("g"))
+    val shards = Seq(0L, 1L, 2L).map(r =>
+      DistinctSketch.build(
+        data.withColumn("r", monotonically_increasing_id() % 3)
+          .filter(col("r") === r).drop("r"),
+        Seq("g"), "v"))
+    val merged = DistinctSketch.mergedEstimate(
+      shards.reduce(_ unionByName _), Seq("g"))
+    val w = whole.as[(String, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    val m = merged.as[(String, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    // merging per-shard sketches is lossless vs sketching the whole
+    assert(w == m)
+    // and the estimate is within 5% of the exact distinct count
+    val exact = data.groupBy("g").agg(countDistinct("v")).as[(String, Long)]
+      .collect().toMap
+    exact.foreach { case (g, d) =>
+      assert(math.abs(w(g) - d).toDouble / d < 0.05, s"group $g: est=${w(g)} exact=$d")
+    }
+    // n_rows carries through the merge
+    assert(merged.as[(String, Long, Long)].collect().map(_._2).sum == 10000L)
   }
 }
