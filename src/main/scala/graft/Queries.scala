@@ -5022,6 +5022,42 @@ object Queries {
     )
   )
 
+  /** Audio fingerprint ([[operators.AudioDHash]]): 64-bit
+    * energy-envelope hash per media row; corpus payloads drive the
+    * deterministic byte-fallback decode, which the oracle replays as
+    * 65 window sums + adjacent comparisons (same HUGEINT →
+    * two's-complement BIGINT trick as q162). */
+  private val qAudioDHash = Q(
+    "q166_audio_dhash",
+    (s, dir) =>
+      AudioDHash("media", "adhash")(
+        docs(s, dir).withColumn(
+          "media",
+          Multimodal.asMedia(col("text").cast(BinaryType),
+            "application/octet-stream")))
+        .select("doc_id", "adhash")
+        .orderBy("doc_id"),
+    Some(
+      """WITH px AS (
+        |  SELECT doc_id, list_transform(range(1040),
+        |    i -> ord(substring(text, CAST(i % length(text) AS INT) + 1, 1))) AS l
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, list_transform(range(65),
+        |    w -> list_sum(list_slice(l, w*16+1, w*16+16))) AS en
+        |  FROM px)
+        |SELECT doc_id, CAST(CASE WHEN v >= (1::HUGEINT<<63)
+        |    THEN v - (1::HUGEINT<<64) ELSE v END AS BIGINT) AS adhash
+        |FROM (
+        |  SELECT doc_id,
+        |    coalesce((SELECT sum(CASE WHEN en[b+1] > en[b+2]
+        |        THEN 1::HUGEINT << CAST(b AS INT) ELSE 0::HUGEINT END)
+        |      FROM range(64) t(b)), 0::HUGEINT) AS v
+        |  FROM e)
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -5069,7 +5105,7 @@ object Queries {
     qTemperatureMix, qInvertedIndex, qCollocations, qTextChunks,
     qDomainQuality, qSoftDedup, qJaccardSweep, qPageRank, qRrfFusion,
     qLeakageSplit, qPseudonymize, qPaddingWaste,
-    qImageDHash, qImageNearDup, qPhraseBlocklist, qHllSketch
+    qImageDHash, qImageNearDup, qPhraseBlocklist, qHllSketch, qAudioDHash
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

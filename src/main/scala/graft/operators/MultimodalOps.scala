@@ -252,6 +252,36 @@ object Multimodal {
     }
     h
   }
+
+  /** Audio fingerprint, dHash-style: decode the first `65·win` samples
+    * ([[decodeAudio]] — real WAV/AIFF/AU PCM, deterministic byte
+    * fallback), take 65 contiguous windows' absolute-amplitude energy,
+    * and set bit `w` when window w is louder than window w+1 — a coarse
+    * envelope shape that survives gain changes poorly but recompression
+    * and trailing-silence edits well. All sample values are dyadic
+    * (i/32768 or whole byte floats), so the window sums and comparisons
+    * replay bit-identically on any engine. Empty/null payloads → 0. */
+  def audioDHash(bytes: Array[Byte], win: Int = 16): Long = {
+    if (bytes == null || bytes.isEmpty) return 0L
+    val samples = decodeAudio(bytes, 65 * win)
+    val energy = new Array[Double](65)
+    var w = 0
+    while (w < 65) {
+      var acc = 0.0
+      var i = w * win
+      val end = math.min(samples.length, (w + 1) * win)
+      while (i < end) { acc += math.abs(samples(i)); i += 1 }
+      energy(w) = acc
+      w += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      if (energy(b) > energy(b + 1)) h |= 1L << b
+      b += 1
+    }
+    h
+  }
 }
 
 /** Decode + resize a media column into a fixed-shape float feature array —
@@ -291,6 +321,24 @@ final case class ImageDHash(
   override protected def build(df: DataFrame): DataFrame = {
     val dhash = udf { (bytes: Array[Byte]) => Multimodal.imageDHash(bytes) }
     df.withColumn(outputField, dhash(col(s"$mediaField.bytes")))
+  }
+}
+
+/** Audio near-dup fingerprint: one 64-bit energy-envelope hash per
+  * media row ([[Multimodal.audioDHash]]) feeding the same banded
+  * Hamming pairing as [[ImageDHash]] / text simhash. Narrow,
+  * partition-parallel; raw audio bytes never shuffle. */
+final case class AudioDHash(
+    mediaField: String,
+    outputField: String = "adhash",
+    win: Int = 16
+) extends Mapper {
+  override def inputFields: Seq[String] = Seq(mediaField)
+  override def outputFields: Seq[String] = Seq(outputField)
+  override protected def build(df: DataFrame): DataFrame = {
+    val wn = win
+    val f = udf { (bytes: Array[Byte]) => Multimodal.audioDHash(bytes, wn) }
+    df.withColumn(outputField, f(col(s"$mediaField.bytes")))
   }
 }
 

@@ -448,6 +448,46 @@ class DedupContribSpec extends SparkSpec {
     assert(rows(pairs.select("id_a", "id_b")) == Seq(Seq(1L, 2L)))
   }
 
+  test("AudioDHash: real WAVs — local edit stays near, reshuffle goes far") {
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (v, k) =>
+        pcm(k * 2) = (v & 0xff).toByte
+        pcm(k * 2 + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(1040)((rnd.nextInt(4000) - 2000).toShort)
+    // edit confined to one window (samples 320-335) → at most 2 bits move
+    val edited = base.clone()
+    (320 until 336).foreach(i => edited(i) = (edited(i) / 4).toShort)
+    // reshuffled windows → a different envelope entirely
+    val shuffled = new scala.util.Random(12).shuffle(base.toVector).toArray
+    val hA = Multimodal.audioDHash(wav(base))
+    val hB = Multimodal.audioDHash(wav(edited))
+    val hC = Multimodal.audioDHash(wav(shuffled))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hA, hB) <= 2, s"one-window edit moved ${ham(hA, hB)} bits")
+    assert(ham(hA, hC) >= 8, s"reshuffled audio only ${ham(hA, hC)} bits away")
+    assert(Multimodal.audioDHash(null) == 0L)
+    assert(Multimodal.audioDHash(Array.emptyByteArray) == 0L)
+    // mapper + the shared banded pairing layer
+    val df = Seq((1L, wav(base)), (2L, wav(edited)), (3L, wav(shuffled)))
+      .toDF("id", "b")
+      .withColumn("media", Multimodal.asMedia(col("b"), "audio/wav"))
+    val pairs = SimHashNearDup.candidatePairs(
+      AudioDHash("media")(df), "id", "adhash",
+      bits = 64, bands = 8, maxHamming = 2)
+    assert(rows(pairs.select("id_a", "id_b")) == Seq(Seq(1L, 2L)))
+  }
+
   test("SampleFrames: real MJPEG AVI — extract, sample by time, decode") {
     // build a spec-conformant MJPEG AVI: RIFF(AVI ) { LIST(hdrl){avih},
     // LIST(movi){ 00dc jpeg... } } with 5 solid-gray frames of rising
