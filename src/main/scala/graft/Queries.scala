@@ -5058,6 +5058,37 @@ object Queries {
     )
   )
 
+  /** Mergeable KLL quantile sketches ([[operators.QuantileSketch]]):
+    * per-source length medians from shard-built, merged sketches. KLL
+    * compaction is randomized, so the check is rank-tolerant — the
+    * sketch median must land between the exact 40th and 60th
+    * percentiles computed in the same query (error bound 1.65% ≪ 10%);
+    * the oracle supplies the exact row counts and TRUE. */
+  private val qKllSketch = Q(
+    "q167_kll_quantile_sketch",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val shards = Seq(0, 1).map(r =>
+        QuantileSketch.build(d.filter(col("doc_id") % 2 === r),
+          "source", "n_chars"))
+      val med = QuantileSketch.quantiles(
+        QuantileSketch.merge(shards.reduce(_ unionByName _), "source"),
+        "source", Seq(0.5))
+      val exact = d.groupBy("source").agg(
+        expr("percentile(n_chars, 0.4)").as("p40"),
+        expr("percentile(n_chars, 0.6)").as("p60"))
+      med.join(exact, "source")
+        .select(col("source"), col("n_rows"),
+          (col("q_50") >= col("p40") && col("q_50") <= col("p60"))
+            .as("median_ok"))
+        .orderBy("source")
+    },
+    Some(
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_rows, TRUE AS median_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -5105,7 +5136,8 @@ object Queries {
     qTemperatureMix, qInvertedIndex, qCollocations, qTextChunks,
     qDomainQuality, qSoftDedup, qJaccardSweep, qPageRank, qRrfFusion,
     qLeakageSplit, qPseudonymize, qPaddingWaste,
-    qImageDHash, qImageNearDup, qPhraseBlocklist, qHllSketch, qAudioDHash
+    qImageDHash, qImageNearDup, qPhraseBlocklist, qHllSketch, qAudioDHash,
+    qKllSketch
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

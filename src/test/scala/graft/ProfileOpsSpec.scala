@@ -81,4 +81,28 @@ class ProfileOpsSpec extends SparkSpec {
     // n_rows carries through the merge
     assert(merged.as[(String, Long, Long)].collect().map(_._2).sum == 10000L)
   }
+
+  test("QuantileSketch: shard-merged medians within KLL rank error") {
+    import graft.operators.QuantileSketch
+    val n = 20000
+    val data = (0 until n).map(i => ("g", ((i * 2654435761L) % n).toDouble))
+      .toDF("g", "v")
+    val shards = Seq(0, 1, 2).map(r =>
+      QuantileSketch.build(
+        data.withColumn("r", monotonically_increasing_id() % 3)
+          .filter(col("r") === r).drop("r"),
+        "g", "v"))
+    val merged = QuantileSketch.merge(shards.reduce(_ unionByName _), "g")
+    val qs = QuantileSketch.quantiles(merged, "g", Seq(0.1, 0.5, 0.9))
+      .collect().head
+    assert(qs.getAs[Long]("n_rows") == n.toLong)
+    val (q10, q50, q90) = (qs.getAs[Double]("q_10"),
+      qs.getAs[Double]("q_50"), qs.getAs[Double]("q_90"))
+    assert(q10 <= q50 && q50 <= q90)
+    // values are a permutation of 0..n-1: normalized rank == value/n;
+    // KLL k=200 guarantees ~1.65% rank error, assert a loose 3%
+    assert(math.abs(q50 / n - 0.5) < 0.03, s"median rank off: $q50")
+    assert(math.abs(q10 / n - 0.1) < 0.03, s"p10 rank off: $q10")
+    assert(math.abs(q90 / n - 0.9) < 0.03, s"p90 rank off: $q90")
+  }
 }
