@@ -5089,6 +5089,38 @@ object Queries {
     )
   )
 
+  /** Theta-sketch set overlap ([[operators.OverlapSketch]]): estimate
+    * |crawl ∩ corpus| per source from two sketch tables — no join over
+    * raw data. Below-k cardinalities keep theta in exact mode, checked
+    * against the exact intersection computed in the same query; the
+    * oracle supplies the exact counts and TRUE. */
+  private val qThetaOverlap = Q(
+    "q168_theta_overlap",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val aSet = d.filter(col("doc_id") % 3 =!= 0)
+      val bSet = d.filter(col("doc_id") % 2 === 0)
+      val ov = OverlapSketch.overlap(
+        OverlapSketch.build(aSet, "source", "text"),
+        OverlapSketch.build(bSet, "source", "text"), "source")
+      val exact = aSet.select("source", "text")
+        .intersect(bSet.select("source", "text"))
+        .groupBy("source").agg(count(lit(1)).as("n_overlap"))
+      exact.join(ov, "source")
+        .select(col("source"), col("n_overlap"),
+          (abs(col("est_intersect") - col("n_overlap")) <=
+            greatest(lit(1L), (col("n_overlap") * 5) / 100)).as("overlap_ok"))
+        .orderBy("source")
+    },
+    Some(
+      """WITH a AS (SELECT source, text FROM documents WHERE doc_id % 3 <> 0),
+        |b AS (SELECT source, text FROM documents WHERE doc_id % 2 = 0),
+        |i AS (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_overlap, TRUE AS overlap_ok
+        |FROM i GROUP BY source ORDER BY source""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -5137,7 +5169,7 @@ object Queries {
     qDomainQuality, qSoftDedup, qJaccardSweep, qPageRank, qRrfFusion,
     qLeakageSplit, qPseudonymize, qPaddingWaste,
     qImageDHash, qImageNearDup, qPhraseBlocklist, qHllSketch, qAudioDHash,
-    qKllSketch
+    qKllSketch, qThetaOverlap
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -189,6 +189,94 @@ object QuantileSketch {
   }
 }
 
+/** Cross-corpus SET-OVERLAP estimation (Apache DataSketches Theta).
+  * HLL answers "how many distinct"; theta sketches additionally support
+  * set INTERSECTION, so "how much of today's crawl is already in the
+  * corpus" — the incremental-ingest accounting question — is answerable
+  * from two stored sketch tables, with no join over raw data. Theta
+  * keeps the k smallest hashes of the value set: deterministic and
+  * order-independent for a given input set, exact below k entries,
+  * ~1/√k relative error above.
+  *
+  * Same 100-TB shape as [[QuantileSketch]]: per-partition fold to one
+  * sketch per group, kilobyte rows through the shuffle, mergeable
+  * across shards/days. */
+object OverlapSketch {
+  import org.apache.datasketches.theta.{CompactSketch, SetOperation, UpdateSketch}
+  import org.apache.datasketches.memory.Memory
+  import org.apache.spark.sql.{Encoder, Encoders}
+
+  private val rowEnc: Encoder[(String, Array[Byte], Long)] =
+    Encoders.tuple(Encoders.STRING, Encoders.BINARY, Encoders.scalaLong)
+
+  /** One compact theta sketch of `valueCol`'s distinct set per group:
+    * (group, theta binary, n_rows). */
+  def build(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      lgK: Int = 12
+  ): DataFrame = {
+    val pairs = df
+      .select(col(groupCol).cast(StringType).as("g"),
+        col(valueCol).cast(StringType).as("v"))
+      .as[(String, String)](Encoders.tuple(Encoders.STRING, Encoders.STRING))
+    val perPartition = pairs.mapPartitions { it =>
+      val acc = scala.collection.mutable.HashMap
+        .empty[String, (UpdateSketch, Long)]
+      it.foreach { case (g, v) =>
+        val (sk, n) = acc.getOrElseUpdate(
+          g, (UpdateSketch.builder().setLogNominalEntries(lgK).build(), 0L))
+        if (v != null) sk.update(v)
+        acc(g) = (sk, n + 1)
+      }
+      acc.iterator.map { case (g, (sk, n)) =>
+        (g, sk.compact().toByteArray, n)
+      }
+    }(rowEnc)
+    val ds = perPartition
+    ds.groupByKey(_._1)(Encoders.STRING)
+      .mapGroups { (g, it) =>
+        val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+        var n = 0L
+        it.foreach { case (_, bytes, rows) =>
+          u.union(CompactSketch.wrap(Memory.wrap(bytes)))
+          n += rows
+        }
+        (g, u.getResult.toByteArray, n)
+      }(rowEnc)
+      .toDF("g", "theta", "n_rows")
+      .withColumnRenamed("g", groupCol)
+  }
+
+  /** Join two sketch tables on the group and estimate set sizes:
+    * (group, est_a, est_b, est_union, est_intersect) — all rounded
+    * BIGINT estimates. Groups present in only one table are dropped
+    * (their intersection is definitionally 0). */
+  def overlap(a: DataFrame, b: DataFrame, groupCol: String): DataFrame = {
+    val est = udf { (ba: Array[Byte], bb: Array[Byte]) =>
+      val sa = CompactSketch.wrap(Memory.wrap(ba))
+      val sb = CompactSketch.wrap(Memory.wrap(bb))
+      val u = SetOperation.builder().buildUnion()
+      u.union(sa); u.union(sb)
+      val i = SetOperation.builder().buildIntersection()
+      i.intersect(sa); i.intersect(sb)
+      Array(
+        math.round(sa.getEstimate), math.round(sb.getEstimate),
+        math.round(u.getResult.getEstimate),
+        math.round(i.getResult.getEstimate))
+    }
+    a.select(col(groupCol), col("theta").as("__ta"))
+      .join(b.select(col(groupCol), col("theta").as("__tb")), groupCol)
+      .withColumn("__e", est(col("__ta"), col("__tb")))
+      .select(col(groupCol),
+        col("__e").getItem(0).as("est_a"),
+        col("__e").getItem(1).as("est_b"),
+        col("__e").getItem(2).as("est_union"),
+        col("__e").getItem(3).as("est_intersect"))
+  }
+}
+
 /** Keep rows whose numeric column lies between two percentiles of its
   * own distribution — e.g. drop docs below the 5th / above the 95th
   * length percentile. The thresholds are ONE tiny aggregate, broadcast

@@ -105,4 +105,25 @@ class ProfileOpsSpec extends SparkSpec {
     assert(math.abs(q10 / n - 0.1) < 0.03, s"p10 rank off: $q10")
     assert(math.abs(q90 / n - 0.9) < 0.03, s"p90 rank off: $q90")
   }
+
+  test("OverlapSketch: intersection estimate tracks the true overlap") {
+    import graft.operators.OverlapSketch
+    // A = 0..5999, B = 4000..9999 → |A∩B| = 2000, |A∪B| = 10000
+    val a = (0 until 6000).map(i => ("g", s"v$i")).toDF("g", "v")
+    val b = (4000 until 10000).map(i => ("g", s"v$i")).toDF("g", "v")
+    val ov = OverlapSketch.overlap(
+      OverlapSketch.build(a, "g", "v"),
+      OverlapSketch.build(b, "g", "v"), "g").collect().head
+    def near(est: Long, truth: Long, tol: Double) =
+      math.abs(est - truth).toDouble / truth < tol
+    assert(near(ov.getAs[Long]("est_a"), 6000L, 0.05), ov.toString)
+    assert(near(ov.getAs[Long]("est_b"), 6000L, 0.05), ov.toString)
+    assert(near(ov.getAs[Long]("est_union"), 10000L, 0.05), ov.toString)
+    assert(near(ov.getAs[Long]("est_intersect"), 2000L, 0.10), ov.toString)
+    // disjoint groups are dropped by the inner join
+    val c = Seq(("h", "x")).toDF("g", "v")
+    assert(OverlapSketch.overlap(
+      OverlapSketch.build(a, "g", "v"),
+      OverlapSketch.build(c, "g", "v"), "g").count() == 0)
+  }
 }
