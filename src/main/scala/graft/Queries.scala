@@ -5121,6 +5121,39 @@ object Queries {
     )
   )
 
+  /** Corpus snapshot diff ([[operators.SnapshotDiff]]): release-to-
+    * release added/removed/changed accounting. Each side reduces to
+    * (key, xxhash64(content)) before the full-outer join, so payloads
+    * never shuffle; the oracle compares raw values — equivalent up to
+    * 64-bit hash collisions, absent here. */
+  private val qSnapshotDiff = Q(
+    "q169_snapshot_diff",
+    (s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val oldSnap = d.filter(col("doc_id") % 5 =!= 4)
+      val newSnap = d.filter(col("doc_id") % 7 =!= 6)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      SnapshotDiff.diff(oldSnap, newSnap, Seq("doc_id"), Seq("text"),
+        includeUnchanged = true)
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+        |n AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 6)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text <> n.text THEN 'changed'
+        |       ELSE 'unchanged' END AS change
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -5169,7 +5202,7 @@ object Queries {
     qDomainQuality, qSoftDedup, qJaccardSweep, qPageRank, qRrfFusion,
     qLeakageSplit, qPseudonymize, qPaddingWaste,
     qImageDHash, qImageNearDup, qPhraseBlocklist, qHllSketch, qAudioDHash,
-    qKllSketch, qThetaOverlap
+    qKllSketch, qThetaOverlap, qSnapshotDiff
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -483,3 +483,52 @@ object QualityClassifier {
     (model.coefficients.toArray.toSeq, model.intercept)
   }
 }
+
+/** Corpus snapshot diffing — the release-to-release accounting every
+  * versioned dataset needs: which keys were added, removed, or changed
+  * between snapshot A and snapshot B, without comparing full payloads
+  * row by row.
+  *
+  * Scale shape: each side reduces to (key, xxhash64(content)) — 16-ish
+  * bytes per row — BEFORE the full-outer sort-merge join, so the
+  * shuffle never carries document bodies; `summary` adds one partial-agg
+  * groupBy over the O(#keys) diff table. Change detection by 64-bit
+  * content hash: collisions (~2⁻⁶⁴ per pair) trade exactness for never
+  * shuffling payloads — the same bargain as every fingerprint op here. */
+object SnapshotDiff {
+
+  /** Per-key change row: (keyCols*, change) with change ∈
+    * 'added' | 'removed' | 'changed' | 'unchanged' (the last only when
+    * `includeUnchanged`). */
+  def diff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String],
+      includeUnchanged: Boolean = false
+  ): DataFrame = {
+    require(keyCols.nonEmpty && compareCols.nonEmpty)
+    def hashed(df: DataFrame, h: String) =
+      df.select(
+        keyCols.map(col) :+
+          xxhash64(compareCols.map(col): _*).as(h): _*)
+    val joined = hashed(oldDf, "__h_old")
+      .join(hashed(newDf, "__h_new"), keyCols, "full_outer")
+    val change = when(col("__h_old").isNull, lit("added"))
+      .when(col("__h_new").isNull, lit("removed"))
+      .when(col("__h_old") =!= col("__h_new"), lit("changed"))
+      .otherwise(lit("unchanged"))
+    val out = joined.select(keyCols.map(col) :+ change.as("change"): _*)
+    if (includeUnchanged) out else out.filter(col("change") =!= "unchanged")
+  }
+
+  /** O(#change-kinds) release summary: (change, n). */
+  def summary(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String]
+  ): DataFrame =
+    diff(oldDf, newDf, keyCols, compareCols, includeUnchanged = true)
+      .groupBy("change").agg(count(lit(1)).as("n"))
+}

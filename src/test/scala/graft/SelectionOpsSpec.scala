@@ -77,4 +77,24 @@ class SelectionOpsSpec extends SparkSpec {
     val jvm = (t: String) => QualityClassifier.jvmHashIndex(t, dim)
     assert(s2 == w(jvm("cc")) + w(jvm("bb")))
   }
+
+  test("SnapshotDiff: added/removed/changed/unchanged by key, hash compare") {
+    import graft.operators.SnapshotDiff
+    val oldSnap = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"))
+      .toDF("id", "t", "meta")
+    val newSnap = Seq((2L, "b", "y"), (3L, "c2", "z"), (4L, "d", "w"))
+      .toDF("id", "t", "meta")
+    val d = SnapshotDiff.diff(oldSnap, newSnap, Seq("id"), Seq("t", "meta"),
+      includeUnchanged = true).orderBy("id")
+    assert(rows(d) == Seq(
+      Seq(1L, "removed"), Seq(2L, "unchanged"),
+      Seq(3L, "changed"), Seq(4L, "added")))
+    // default drops unchanged; summary counts every kind
+    assert(SnapshotDiff.diff(oldSnap, newSnap, Seq("id"), Seq("t"))
+      .count() == 3)
+    val sum = SnapshotDiff.summary(oldSnap, newSnap, Seq("id"), Seq("t", "meta"))
+      .as[(String, Long)].collect().toMap
+    assert(sum == Map("removed" -> 1L, "unchanged" -> 1L,
+      "changed" -> 1L, "added" -> 1L))
+  }
 }
