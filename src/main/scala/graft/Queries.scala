@@ -5154,6 +5154,33 @@ object Queries {
     )
   )
 
+  /** Span-corruption denoising prep ([[operators.SpanCorruption]]):
+    * T5-shape (inputs, targets) with hash-seeded blockwise spans — a
+    * pure function of (doc_id, ids), so the oracle replays every mask
+    * decision exactly (same md5-derived offsets, same slices). */
+  private val qSpanCorruption = Q(
+    "q170_span_corruption",
+    (s, dir) =>
+      SpanCorruption("ids", "doc_id")(docIds(s, dir))
+        .select(col("doc_id"), J("inputs"), J("targets"))
+        .orderBy("doc_id"),
+    Some(
+      s"""WITH t AS (SELECT doc_id, $IDS AS ids FROM documents),
+         |p AS (SELECT doc_id, ids, len(ids) // 20 AS nb FROM t),
+         |s AS (SELECT doc_id, ids, nb, list_transform(range(nb),
+         |  b -> ('0x' || substring(md5(doc_id || ':' || b),1,8))::BIGINT % 18) AS st FROM p)
+         |SELECT doc_id,
+         |  to_json(flatten(list_transform(range(nb), b ->
+         |      list_slice(ids, b*20+1, b*20+st[b+1]) || [32099 - b] ||
+         |      list_slice(ids, b*20+st[b+1]+4, b*20+20)))
+         |    || list_slice(ids, nb*20+1, len(ids)))::VARCHAR AS inputs,
+         |  to_json(flatten(list_transform(range(nb), b ->
+         |      [32099 - b] || list_slice(ids, b*20+st[b+1]+1, b*20+st[b+1]+3)))
+         |    || [32099 - nb])::VARCHAR AS targets
+         |FROM s ORDER BY doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -5202,7 +5229,7 @@ object Queries {
     qDomainQuality, qSoftDedup, qJaccardSweep, qPageRank, qRrfFusion,
     qLeakageSplit, qPseudonymize, qPaddingWaste,
     qImageDHash, qImageNearDup, qPhraseBlocklist, qHllSketch, qAudioDHash,
-    qKllSketch, qThetaOverlap, qSnapshotDiff
+    qKllSketch, qThetaOverlap, qSnapshotDiff, qSpanCorruption
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.Mapper
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Span-corruption denoising prep (T5, Raffel et al. 2020 §3.1.4; the
+  * UL2 R-denoiser): mask contiguous token spans with sentinel ids and
+  * emit the (inputs, targets) pair the seq2seq objective trains on —
+  * `inputs` = sequence with each span replaced by one sentinel,
+  * `targets` = sentinel + original span per mask, closed by a final
+  * sentinel.
+  *
+  * Span placement is HASH-SEEDED and blockwise rather than T5's
+  * geometric sampling (documented divergence): the sequence is cut into
+  * fixed blocks of `blockSize`; each FULL block masks one `spanLen` run
+  * whose offset is md5(key:block) mod (blockSize-spanLen+1). That keeps
+  * the corruption rate exact (spanLen/blockSize, default 3/20 = T5's
+  * 15%), spans non-overlapping by construction, and the whole op a
+  * deterministic pure function of (key, ids) — so it replays
+  * bit-identically on any engine and any partitioning, the property the
+  * seeded-RNG original lacks.
+  *
+  * Everything is native Catalyst HOFs over the ids array (no UDF): one
+  * codegen'd projection, zero shuffle, linear in corpus size. */
+final case class SpanCorruption(
+    idsField: String,
+    keyField: String,
+    blockSize: Int = 20,
+    spanLen: Int = 3,
+    sentinelStart: Long = 32099L,
+    inputsField: String = "inputs",
+    targetsField: String = "targets"
+) extends Mapper {
+  require(spanLen > 0 && blockSize > spanLen,
+    s"need 0 < spanLen ($spanLen) < blockSize ($blockSize)")
+
+  override def inputFields: Seq[String] = Seq(idsField, keyField)
+  override def outputFields: Seq[String] = Seq(inputsField, targetsField)
+
+  override protected def build(df: DataFrame): DataFrame = {
+    val b = blockSize
+    val l = spanLen
+    val ids = col(idsField)
+    val nb = (size(ids) / b).cast(LongType)
+    // deterministic span offset inside block `bi`
+    def start(bi: Column): Column =
+      conv(substring(md5(concat(col(keyField).cast("string"), lit(":"),
+        bi.cast("string"))), 1, 8), 16, 10).cast(LongType) % (b - l + 1)
+    def sentinel(bi: Column): Column = (lit(sentinelStart) - bi).cast(LongType)
+    val blocks = when(nb > 0, sequence(lit(0L), nb - 1))
+      .otherwise(array().cast("array<bigint>"))
+    val inputs = concat(
+      flatten(transform(blocks, bi => {
+        val s = start(bi)
+        concat(
+          slice(ids, (bi * b + 1).cast("int"), s.cast("int")),
+          array(sentinel(bi)),
+          slice(ids, (bi * b + s + l + 1).cast("int"), (lit(b) - s - l).cast("int")))
+      })),
+      slice(ids, (nb * b + 1).cast("int"), (size(ids) - nb * b).cast("int")))
+    val targets = concat(
+      flatten(transform(blocks, bi =>
+        concat(array(sentinel(bi)),
+          slice(ids, (bi * b + start(bi) + 1).cast("int"), lit(l))))),
+      array(sentinel(nb)))
+    df.withColumn(inputsField, inputs).withColumn(targetsField, targets)
+  }
+}

@@ -155,4 +155,34 @@ class SeqMaskSpec extends SparkSpec {
     )
     assert(rows(out.select("locs2")).head.head == List(1L, 3L, 4L))
   }
+
+  test("SpanCorruption: T5-shape inputs/targets, deterministic, 15% rate") {
+    import org.apache.spark.sql.functions._
+    val ids = (100L until 140L).toSeq // 40 tokens = 2 full blocks
+    val df = Seq((7L, ids)).toDF("doc_id", "ids")
+    val run = () => rows(SpanCorruption("ids", "doc_id")(df)
+      .select("inputs", "targets")).head
+    val Seq(inputs, targets) = run().map(_.asInstanceOf[List[Long]])
+    // 2 spans of 3 masked, each replaced by one sentinel
+    assert(inputs.length == 40 - 2 * 3 + 2)
+    assert(inputs.count(_ >= 32000L) == 2)
+    assert(inputs.contains(32099L) && inputs.contains(32098L))
+    // targets: sentinel + span per block, then the closing sentinel
+    assert(targets.length == 2 * 4 + 1 && targets.last == 32097L)
+    assert(targets.head == 32099L && targets(4) == 32098L)
+    // masked tokens reappear in targets; nothing is lost overall
+    assert((inputs.filter(_ < 32000L) ++ targets.filter(_ < 32000L)).sorted
+      == ids.sorted)
+    // spans stay inside their blocks
+    val span0 = targets.slice(1, 4)
+    assert(span0.forall(t => t >= 100L && t < 120L))
+    assert(targets.slice(5, 8).forall(t => t >= 120L && t < 140L))
+    // pure function: same result on re-run
+    assert(run() == Seq(inputs, targets))
+    // sequences shorter than one block pass through uncorrupted
+    val short = Seq((7L, (0L until 10L).toSeq)).toDF("doc_id", "ids")
+    val r = rows(SpanCorruption("ids", "doc_id")(short)
+      .select("inputs", "targets")).head
+    assert(r == Seq((0L until 10L).toList, List(32099L)))
+  }
 }
