@@ -5181,6 +5181,32 @@ object Queries {
     )
   )
 
+  /** MLM masking ([[operators.MlmMasking]]): BERT 80/10/10 masking as a
+    * pure function of (doc_id, ids); the oracle replays the three
+    * md5-derived decisions per position. */
+  private val qMlmMasking = Q(
+    "q171_mlm_masking",
+    (s, dir) =>
+      MlmMasking("ids", "doc_id")(docIds(s, dir))
+        .select(col("doc_id"), J("masked_ids"), J("labels"))
+        .orderBy("doc_id"),
+    Some(
+      s"""WITH t AS (SELECT doc_id, $IDS AS ids FROM documents)
+         |SELECT doc_id,
+         |  to_json(list_transform(range(len(ids)), i ->
+         |    CASE WHEN ('0x'||substring(md5(doc_id||':m:'||i),1,8))::BIGINT % 100 < 15
+         |      THEN CASE ('0x'||substring(md5(doc_id||':b:'||i),1,8))::BIGINT % 10
+         |        WHEN 8 THEN ('0x'||substring(md5(doc_id||':r:'||i),1,8))::BIGINT % 30000
+         |        WHEN 9 THEN ids[i+1]
+         |        ELSE 103 END
+         |      ELSE ids[i+1] END))::VARCHAR AS masked_ids,
+         |  to_json(list_transform(range(len(ids)), i ->
+         |    CASE WHEN ('0x'||substring(md5(doc_id||':m:'||i),1,8))::BIGINT % 100 < 15
+         |      THEN ids[i+1] ELSE -100 END))::VARCHAR AS labels
+         |FROM t ORDER BY doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -5229,7 +5255,7 @@ object Queries {
     qDomainQuality, qSoftDedup, qJaccardSweep, qPageRank, qRrfFusion,
     qLeakageSplit, qPseudonymize, qPaddingWaste,
     qImageDHash, qImageNearDup, qPhraseBlocklist, qHllSketch, qAudioDHash,
-    qKllSketch, qThetaOverlap, qSnapshotDiff, qSpanCorruption
+    qKllSketch, qThetaOverlap, qSnapshotDiff, qSpanCorruption, qMlmMasking
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -68,3 +68,45 @@ final case class SpanCorruption(
     df.withColumn(inputsField, inputs).withColumn(targetsField, targets)
   }
 }
+
+/** MLM masking prep (BERT, Devlin et al. 2019 §3.1): select ~`maskPct`%
+  * of positions; of those, 80% become `maskId`, 10% a pseudo-random
+  * vocabulary token, 10% keep the original; `labels` carries the
+  * original id at selected positions and -100 elsewhere (the ignore
+  * index every MLM loss uses).
+  *
+  * All three decisions (select / branch / random token) derive from
+  * md5(key:tag:position) — a pure function of (key, ids) like
+  * [[SpanCorruption]], so the masking replays bit-identically across
+  * engines, runs, and partitionings. Native HOFs only: one codegen'd
+  * projection, zero shuffle. */
+final case class MlmMasking(
+    idsField: String,
+    keyField: String,
+    maskPct: Int = 15,
+    maskId: Long = 103L,
+    vocabSize: Long = 30000L,
+    maskedField: String = "masked_ids",
+    labelsField: String = "labels"
+) extends Mapper {
+  require(maskPct >= 0 && maskPct <= 100, s"maskPct out of range: $maskPct")
+
+  override def inputFields: Seq[String] = Seq(idsField, keyField)
+  override def outputFields: Seq[String] = Seq(maskedField, labelsField)
+
+  override protected def build(df: DataFrame): DataFrame = {
+    def h(tag: String, i: Column): Column =
+      conv(substring(md5(concat(col(keyField).cast("string"),
+        lit(s":$tag:"), i.cast("string"))), 1, 8), 16, 10).cast(LongType)
+    val ids = col(idsField)
+    val masked = transform(ids, (x, i) =>
+      when(h("m", i) % 100 < maskPct,
+        when(h("b", i) % 10 === 8, h("r", i) % vocabSize)
+          .when(h("b", i) % 10 === 9, x)
+          .otherwise(lit(maskId)))
+        .otherwise(x))
+    val labels = transform(ids, (x, i) =>
+      when(h("m", i) % 100 < maskPct, x).otherwise(lit(-100L)))
+    df.withColumn(maskedField, masked).withColumn(labelsField, labels)
+  }
+}

@@ -185,4 +185,32 @@ class SeqMaskSpec extends SparkSpec {
       .select("inputs", "targets")).head
     assert(r == Seq((0L until 10L).toList, List(32099L)))
   }
+
+  test("MlmMasking: deterministic 80/10/10 at ~15%, labels aligned") {
+    import org.apache.spark.sql.functions._
+    val n = 4000
+    val ids = (0 until n).map(i => 1000L + i % 500)
+    val df = Seq((3L, ids)).toDF("doc_id", "ids")
+    val run = () => rows(MlmMasking("ids", "doc_id")(df)
+      .select("masked_ids", "labels")).head
+    val Seq(masked, labels) = run().map(_.asInstanceOf[List[Long]])
+    assert(masked.length == n && labels.length == n)
+    // selection rate ~15%
+    val sel = labels.zipWithIndex.filter(_._1 != -100L).map(_._2)
+    assert(math.abs(sel.length.toDouble / n - 0.15) < 0.02, s"rate ${sel.length}")
+    // labels carry the ORIGINAL id at selected positions
+    sel.foreach(i => assert(labels(i) == ids(i)))
+    // unselected positions pass through
+    labels.zipWithIndex.filter(_._1 == -100L)
+      .foreach { case (_, i) => assert(masked(i) == ids(i)) }
+    // branch split: ~80% [MASK]; the 10% keep + 10% random branches both
+    // occur; everything stays inside the vocab
+    val branches = sel.map(i => masked(i))
+    val nMask = branches.count(_ == 103L)
+    assert(math.abs(nMask.toDouble / sel.length - 0.8) < 0.06, s"mask $nMask/${sel.length}")
+    assert(sel.exists(i => masked(i) == ids(i)))
+    assert(branches.forall(v => v >= 0L && v < 30000L))
+    // pure function of (key, ids)
+    assert(run() == Seq(masked, labels))
+  }
 }
