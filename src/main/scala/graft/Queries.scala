@@ -5207,6 +5207,45 @@ object Queries {
     )
   )
 
+  /** Margin-based bitext mining ([[operators.BitextMine]]): X = even
+    * labels, Y = odd labels; mined pairs need ratio margin ≥ 1.0
+    * (scaled 10000). Cosines floor-scale to BIGINT per row before the
+    * neighborhood sums, and the margin is one integral division, so the
+    * mined set replays exactly; the oracle recomputes both kNN
+    * directions with the same sequential folds and tie-breaks. */
+  private val qBitextMargin = Q(
+    "q172_bitext_margin",
+    (s, dir) => {
+      val emb = embs(s, dir)
+      BitextMine.marginPairs(
+        emb.filter(col("label") % 2 === 0),
+        emb.filter(col("label") % 2 === 1),
+        "embedding", "vec_id", k = 4, minMarginScaled = Some(10000L))
+        .orderBy("x_id", "y_id")
+    },
+    Some(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+        |x AS (SELECT vec_id, e FROM e WHERE label % 2 = 0),
+        |y AS (SELECT vec_id, e FROM e WHERE label % 2 = 1),
+        |cxy AS (SELECT x.vec_id AS x_id, y.vec_id AS y_id,
+        |  list_reduce(list_transform(generate_series(1, len(x.e)), i -> x.e[i] * y.e[i]), (a, b) -> a + b) /
+        |  (sqrt(list_reduce(list_transform(generate_series(1, len(x.e)), i -> x.e[i] * x.e[i]), (a, b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(generate_series(1, len(y.e)), i -> y.e[i] * y.e[i]), (a, b) -> a + b))) AS cos
+        |  FROM x, y),
+        |f AS (SELECT x_id, y_id, CAST(FLOOR(cos*100000) AS BIGINT) AS cos_i,
+        |  row_number() OVER (PARTITION BY x_id ORDER BY cos DESC, y_id) AS rank FROM cxy),
+        |b AS (SELECT x_id, y_id, CAST(FLOOR(cos*100000) AS BIGINT) AS cos_i,
+        |  row_number() OVER (PARTITION BY y_id ORDER BY cos DESC, x_id) AS rank FROM cxy),
+        |fs AS (SELECT x_id, CAST(SUM(cos_i) AS BIGINT) AS sf FROM f WHERE rank <= 4 GROUP BY x_id),
+        |bs AS (SELECT y_id, CAST(SUM(cos_i) AS BIGINT) AS sb FROM b WHERE rank <= 4 GROUP BY y_id),
+        |c AS (SELECT x_id, y_id, cos_i FROM f WHERE rank = 1)
+        |SELECT c.x_id, c.y_id, (10000 * 8 * cos_i) // (sf + sb) AS margin_scaled
+        |FROM c JOIN fs USING (x_id) JOIN bs USING (y_id)
+        |WHERE sf + sb > 0 AND (10000 * 8 * cos_i) // (sf + sb) >= 10000
+        |ORDER BY x_id, y_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -5255,7 +5294,8 @@ object Queries {
     qDomainQuality, qSoftDedup, qJaccardSweep, qPageRank, qRrfFusion,
     qLeakageSplit, qPseudonymize, qPaddingWaste,
     qImageDHash, qImageNearDup, qPhraseBlocklist, qHllSketch, qAudioDHash,
-    qKllSketch, qThetaOverlap, qSnapshotDiff, qSpanCorruption, qMlmMasking
+    qKllSketch, qThetaOverlap, qSnapshotDiff, qSpanCorruption, qMlmMasking,
+    qBitextMargin
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1057,6 +1057,62 @@ object CosineKnn {
   }
 }
 
+/** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+  * Parallel Corpus Mining with Multilingual Sentence Embeddings" §3,
+  * the LASER/CCMatrix recipe): candidate pair = x's nearest neighbor
+  * in Y; its RATIO margin divides cos(x,y) by the mean of x's forward
+  * and y's backward top-k neighborhood cosines, so a pair only mines
+  * when it is closer than each side's typical neighborhood — the fix
+  * for hubness that plain cosine thresholds lack.
+  *
+  * Engine parity: every cosine is floor-scaled to BIGINT per row
+  * BEFORE any cross-row math, and the margin is one integral division
+  * — so the mined set replays bit-identically (SURVEY parity rules;
+  * float sums over unordered groups would not).
+  *
+  * Scale shape: plug `topK = CosineKnn.annTopK(...)` (bucketed LSH)
+  * for the 100-TB path — the margin layer adds two O(k·|X|+k·|Y|)
+  * partial-agg sums and two keyed joins on ids, nothing quadratic.
+  * [[CosineKnn.bruteForce]] stays the exact small-sample default. */
+object BitextMine {
+
+  def marginPairs(
+      xs: DataFrame,
+      ys: DataFrame,
+      embField: String,
+      idField: String,
+      k: Int = 4,
+      cosScale: Long = 100000L,
+      marginScale: Long = 10000L,
+      minMarginScaled: Option[Long] = None,
+      topK: (DataFrame, DataFrame, String, String, Int) => DataFrame =
+        CosineKnn.bruteForce
+  ): DataFrame = {
+    import graft.functions.functions.integral_divide
+    def scaled(knn: DataFrame): DataFrame =
+      knn.withColumn("cos_i", floor(col("cos") * cosScale).cast(LongType))
+    val fwd = scaled(topK(ys, xs, embField, idField, k)) // x → Y
+    val bwd = scaled(topK(xs, ys, embField, idField, k)) // y → X
+    val fwdSum = fwd.groupBy(col("query_id").as("x_id"))
+      .agg(sum("cos_i").as("__sum_f"))
+    val bwdSum = bwd.groupBy(col("query_id").as("y_id"))
+      .agg(sum("cos_i").as("__sum_b"))
+    val cand = fwd.filter(col("rank") === 1)
+      .select(col("query_id").as("x_id"), col("corpus_id").as("y_id"),
+        col("cos_i"))
+    val den = col("__sum_f") + col("__sum_b")
+    val margins = cand
+      .join(fwdSum, "x_id")
+      .join(bwdSum, "y_id")
+      .filter(den > 0) // anti-correlated neighborhoods mine nothing
+      .withColumn("margin_scaled",
+        integral_divide(lit(marginScale) * 2 * k * col("cos_i"), den))
+      .select("x_id", "y_id", "margin_scaled")
+    minMarginScaled.fold(margins)(t =>
+      margins.filter(col("margin_scaled") >= t))
+  }
+}
+
 /** Text analysis: language id (stopword-profile heuristic), quality
   * scores, token counts, winnowing-style fingerprints — all native
   * expressions over a pre-split words column. */

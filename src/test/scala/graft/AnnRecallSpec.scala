@@ -65,4 +65,33 @@ class AnnRecallSpec extends SparkSpec {
     assert(r > 0.25, s"IVF recall@10 = $r")
     ivf.foreach { case (q, got) => assert(got.contains(q)) }
   }
+
+  test("BitextMine: true pair out-margins the hub; threshold prunes") {
+    import graft.operators.BitextMine
+    // y-side: three axis directions + a diagonal
+    val ys = Seq(
+      (101L, Seq(1.0f, 0f, 0f, 0f)), (102L, Seq(0f, 1.0f, 0f, 0f)),
+      (103L, Seq(0f, 0f, 1.0f, 0f)), (104L, Seq(0.5f, 0.5f, 0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    // x1 ≈ y1 (a true translation pair); x2 sits equidistant from
+    // everything (a hub) — cosine alone can't separate them, margin can
+    val xs = Seq(
+      (1L, Seq(0.99f, 0.01f, 0f, 0f)),
+      (2L, Seq(0f, 0.7071f, 0.7071f, 0f))
+    ).toDF("vec_id", "embedding")
+    val mined = BitextMine.marginPairs(xs, ys, "embedding", "vec_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    assert(mined.map(_._1) == Seq(1L, 2L))
+    val m1 = mined.find(_._1 == 1L).get
+    val m2 = mined.find(_._1 == 2L).get
+    assert(m1._2 == 101L, s"x1 should pair with y1: $mined")
+    assert(m1._3 > m2._3, s"true pair must out-margin the hub: $mined")
+    assert(m1._3 > 10000L, s"true pair margin above 1.0: $mined")
+    // thresholding keeps only the confident pair
+    val strict = BitextMine.marginPairs(xs, ys, "embedding", "vec_id",
+      k = 2, minMarginScaled = Some(m2._3 + 1))
+      .collect().map(_.getLong(0)).toSeq
+    assert(strict == Seq(1L))
+  }
 }

@@ -220,4 +220,44 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan) // ranks flow through joins/aggs only
     assert(plan.contains("partial_sum"), plan) // map-side combine on dst
   }
+
+  test("SnapshotDiff: payloads hash BEFORE the keyed full-outer join") {
+    val a = spark.read.parquet(dir)
+    val b = spark.read.parquet(dir)
+    val out = SnapshotDiff.diff(a, b, Seq("id"), Seq("text"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), plan)
+    assert(!plan.toLowerCase.contains("cartesian"), plan)
+    // content reduces to xxhash64 in the pre-join projection, and the
+    // unused columns never leave the scan
+    assert(plan.contains("xxhash64"), plan)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("extra") && !readSchema.contains("grp"), plan)
+  }
+
+  test("PhraseBlocklist and the masking preps are narrow: no Exchange") {
+    val df = spark.read.parquet(dir)
+      .withColumn("ids", transform(split(col("text"), "x"),
+        w => length(w).cast("long")))
+    val out = pipeOps(
+      PhraseBlocklist(Seq("text1", "ex")),
+      MlmMasking("ids", "id"),
+      SpanCorruption("ids", "id")
+    )(df)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("DistinctSketch: sketches combine map-side through partial aggregation") {
+    val df = spark.read.parquet(dir)
+    val out = DistinctSketch.mergedEstimate(
+      DistinctSketch.build(df, Seq("grp"), "text"), Seq("grp"))
+    val plan = out.queryExecution.executedPlan.toString
+    // both aggregations are ObjectHashAggregate with a partial mode leg:
+    // per-partition sketches merge before any shuffle
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_hll_sketch_agg"), plan)
+    assert(plan.contains("partial_hll_union_agg"), plan)
+    assert(!plan.toLowerCase.contains("cartesian"), plan)
+  }
 }
