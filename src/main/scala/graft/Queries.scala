@@ -5246,6 +5246,55 @@ object Queries {
     )
   )
 
+  /** AC phrase redaction ([[operators.PhraseReplace]]): leftmost-longest
+    * non-overlapping replacement — the oracle is a global regex
+    * substitution whose alternation lists the same patterns
+    * longest-first, which has identical semantics. */
+  private val qPhraseRedact = Q(
+    "q173_phrase_redact",
+    (s, dir) =>
+      PhraseReplace(Seq("fast table", "fast", "scan slow", "value"),
+        replacement = "[X]", outputField = Some("redacted"))(docs(s, dir))
+        .select("doc_id", "redacted")
+        .orderBy("doc_id"),
+    Some(
+      """SELECT doc_id, regexp_replace(text,
+        |  'fast table|scan slow|value|fast', '[X]', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Edit-distance dedup ([[operators.EditDistanceDedup]]): exact
+    * Levenshtein-≤1 pairing over 12-char title keys (corpus + a
+    * one-char-deleted copy) via deletion-neighborhood blocking; the
+    * oracle's all-pairs levenshtein join returns the identical set
+    * because the blocking's recall is a set identity. */
+  private val qEditDistance = Q(
+    "q174_editdist_pairs",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 12).as("s"))
+      val edited = docs(s, dir).select(
+        (col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(substring(col("text"), 1, 5),
+          substring(col("text"), 7, 6)).as("s"))
+      EditDistanceDedup.pairs(base.unionByName(edited), "doc_id", "s")
+        .orderBy("id_a", "id_b")
+    },
+    Some(
+      """WITH base AS (
+        |  SELECT doc_id, substring(text,1,12) AS s FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substring(text,1,5) || substring(text,7,6)
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM base a JOIN base b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.s, b.s) <= 1
+        |ORDER BY id_a, id_b""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -5295,7 +5344,7 @@ object Queries {
     qLeakageSplit, qPseudonymize, qPaddingWaste,
     qImageDHash, qImageNearDup, qPhraseBlocklist, qHllSketch, qAudioDHash,
     qKllSketch, qThetaOverlap, qSnapshotDiff, qSpanCorruption, qMlmMasking,
-    qBitextMargin
+    qBitextMargin, qPhraseRedact, qEditDistance
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

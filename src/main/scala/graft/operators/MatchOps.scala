@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Mapper
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Aho–Corasick multi-pattern substring matching (Aho & Corasick 1975).
@@ -53,6 +53,55 @@ final class AhoCorasick private (
     var k = 0
     while (it.hasNext) { res(k) = it.next(); k += 1 }
     res
+  }
+
+  /** All pattern occurrences as (patternIdx, start, endExclusive),
+    * ordered by position — including nested and overlapping hits. */
+  def findMatches(text: String): Array[(Int, Int, Int)] = {
+    if (text == null) return Array.empty
+    val out0 = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var s = 0
+    var i = 0
+    while (i < text.length) {
+      s = step(s, text.charAt(i))
+      val o = out(s)
+      var j = 0
+      while (j < o.length) {
+        val p = o(j)
+        out0 += ((p, i + 1 - patterns(p).length, i + 1))
+        j += 1
+      }
+      i += 1
+    }
+    out0.toArray
+  }
+
+  /** Replace every leftmost-longest non-overlapping occurrence with
+    * `replacement` — the semantics of a global regex substitution whose
+    * alternation lists patterns longest-first (at each position the
+    * longest match wins; scanning resumes after it). */
+  def replaceAll(text: String, replacement: String): String =
+    replaceVia(text, text, replacement)
+
+  /** Match against `matchText` but splice `srcText` — the case-folded
+    * matching leg ([[PhraseReplace]]): both strings must be
+    * length-aligned (per-char folding preserves length). */
+  def replaceVia(matchText: String, srcText: String, replacement: String): String = {
+    if (matchText == null || srcText == null) return srcText
+    // longest match per start position
+    val byStart = new java.util.HashMap[Int, Int]() // start -> end
+    findMatches(matchText).foreach { case (_, st, en) =>
+      if (en > byStart.getOrDefault(st, -1)) byStart.put(st, en)
+    }
+    if (byStart.isEmpty) return srcText
+    val sb = new java.lang.StringBuilder(srcText.length)
+    var i = 0
+    while (i < srcText.length) {
+      val en = byStart.getOrDefault(i, -1)
+      if (en > i) { sb.append(replacement); i = en }
+      else { sb.append(srcText.charAt(i)); i += 1 }
+    }
+    sb.toString
   }
 
   def matches(text: String): Boolean = {
@@ -107,6 +156,49 @@ object AhoCorasick {
   }
 }
 
+/** Exact Levenshtein-≤1 pairing via deletion-neighborhood blocking
+  * (the SymSpell/Norvig construction): any two strings within edit
+  * distance 1 share at least one member of {s} ∪ {s minus one char} —
+  * substitutions share the deletion at the edited position, insertions
+  * share the shorter string itself — so candidates come from an
+  * equi-join on variant keys and each is verified by the native
+  * `levenshtein` expression. Recall is exact (a set identity, not a
+  * probability), like the simhash pigeonhole bound.
+  *
+  * Scale shape: |s|+1 variant rows per string through one keyed
+  * shuffle; built for SHORT keys (titles, URLs, handles — the fields
+  * edit-distance dedup is for). Long documents belong to the
+  * minhash/simhash family, where the shuffle carries signatures, not
+  * text. All native HOFs + one join; no UDF. */
+object EditDistanceDedup {
+
+  private def variants(s: Column): Column = {
+    val dels = transform(
+      sequence(lit(0), length(s) - 1),
+      i => concat(s.substr(lit(1), i), s.substr(i + 2, length(s))))
+    concat(array(s), when(length(s) > 0, dels)
+      .otherwise(array().cast("array<string>")))
+  }
+
+  /** Pairs (id_a, id_b, dist) with dist = levenshtein ≤ 1. */
+  def pairs(df: DataFrame, idField: String, strField: String): DataFrame = {
+    val keyed = df
+      .select(col(idField).as("__ed_id"), col(strField).as("__ed_s"))
+      .withColumn("__ed_v", explode(variants(col("__ed_s"))))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.__ed_v") === col("b.__ed_v") &&
+          col("a.__ed_id") < col("b.__ed_id"))
+      .select(
+        col("a.__ed_id").as("id_a"),
+        col("b.__ed_id").as("id_b"),
+        levenshtein(col("a.__ed_s"), col("b.__ed_s"))
+          .cast("long").as("dist"))
+      .filter(col("dist") <= 1)
+      .distinct()
+  }
+}
+
 /** Apply an [[AhoCorasick]] phrase blocklist to a TEXT column: adds
   * `phrase_hit` + `phrase_hits` (matched patterns, sorted distinct —
   * the "why was this dropped" audit column); `keepOnly` drops flagged
@@ -132,5 +224,37 @@ final case class PhraseBlocklist(
       .withColumn("phrase_hits", hitsUdf(col(textField)))
       .withColumn("phrase_hit", size(col("phrase_hits")) > 0)
     if (keepOnly) out.filter(!col("phrase_hit")) else out
+  }
+}
+
+/** Replace every leftmost-longest non-overlapping phrase occurrence
+  * with `replacement` — AC-automaton redaction (phrase-level PII /
+  * boilerplate scrubbing) with the semantics of a global regex
+  * substitution whose alternation lists patterns longest-first, at
+  * O(text+matches) per row for ANY pattern-list size. `caseFold`
+  * matches case-insensitively via per-char folding (length-preserving)
+  * while splicing the ORIGINAL text around each hit. */
+final case class PhraseReplace(
+    patterns: Seq[String],
+    replacement: String = "[REDACTED]",
+    textField: String = "text",
+    caseFold: Boolean = false,
+    outputField: Option[String] = None
+) extends Mapper {
+  private def dest = outputField.getOrElse(textField)
+  override def inputFields: Seq[String] = Seq(textField)
+  override def outputFields: Seq[String] = Seq(dest)
+  override protected def build(df: DataFrame): DataFrame = {
+    val pats =
+      if (caseFold) patterns.map(_.map(Character.toLowerCase)) else patterns
+    val ac = AhoCorasick.build(pats)
+    val fold = caseFold
+    val repl = replacement
+    val f = udf { (text: String) =>
+      if (text == null) null
+      else if (fold) ac.replaceVia(text.map(Character.toLowerCase), text, repl)
+      else ac.replaceAll(text, repl)
+    }
+    df.withColumn(dest, f(col(textField)))
   }
 }

@@ -56,4 +56,60 @@ class MatchOpsSpec extends SparkSpec {
     assert(rows(exact.orderBy("id").select("phrase_hit")) ==
       Seq(Seq(true), Seq(false), Seq(false)))
   }
+
+  test("PhraseReplace: leftmost-longest, non-overlapping, case-fold splice") {
+    val ac = AhoCorasick.build(Seq("ab", "abc", "bcd", "c"))
+    // at position 0 the longest match (abc) wins; scanning resumes past
+    // it, so the overlapping bcd never fires; the later lone c does
+    assert(ac.replaceAll("abcdc", "_") == "_d_")
+    assert(ac.replaceAll("zabz", "_") == "z_z")
+    assert(ac.replaceAll("xyz", "_") == "xyz")
+    // repeated adjacent matches
+    assert(ac.replaceAll("ababab", "_") == "___")
+    val df = Seq((1L, "Call Fast Table service fastest")).toDF("id", "text")
+    val out = PhraseReplace(Seq("fast table", "fast"), "[X]",
+      caseFold = true)(df)
+    // fold matches "Fast Table" as one longest hit; "fastest" has the
+    // embedded "fast" replaced, original casing kept elsewhere
+    assert(rows(out.select("text")) == Seq(Seq("Call [X] service [X]est")))
+    // null-safe
+    val nulls = Seq((1L, null: String)).toDF("id", "text")
+    assert(rows(PhraseReplace(Seq("x"))(nulls).select("text")) ==
+      Seq(Seq(null)))
+  }
+
+  test("EditDistanceDedup: exact lev<=1 pairs from deletion blocking") {
+    val df = Seq(
+      (1L, "kitten"), (2L, "kitte"),  // deletion
+      (3L, "kittex"),                 // substitution vs 1
+      (4L, "xkitten"),                // insertion vs 1
+      (5L, "sitting"),                // far away
+      (6L, "")                        // empty: within 1 of 1-char strings
+    ).toDF("id", "s")
+    val got = rows(EditDistanceDedup.pairs(df, "id", "s")
+      .orderBy("id_a", "id_b").select("id_a", "id_b", "dist"))
+    assert(got == Seq(
+      Seq(1L, 2L, 1L), Seq(1L, 3L, 1L), Seq(1L, 4L, 1L),
+      Seq(2L, 3L, 1L)))
+    // exactness: agrees with the naive all-pairs filter
+    val vals = Seq("abc", "abd", "ab", "abcd", "xyz", "x", "")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val d2 = vals.toDF("id", "s")
+    val naive = (for {
+      (ia, sa) <- vals; (ib, sb) <- vals if ia < ib
+      if lev(sa, sb) <= 1
+    } yield (ia, ib)).toSet
+    val blocked = EditDistanceDedup.pairs(d2, "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == naive, s"blocked=$blocked naive=$naive")
+  }
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
 }
