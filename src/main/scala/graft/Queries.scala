@@ -5295,6 +5295,55 @@ object Queries {
     )
   )
 
+  /** Boilerplate-line removal ([[operators.BoilerplateLines]]): drop
+    * every occurrence of any 3-word "line" (q111's construction) whose
+    * corpus-wide count reaches 3 — the CCNet frequency variant of
+    * paragraph dedup. Oracle replays count-and-remove on exact text
+    * (identical up to 64-bit hash collisions, absent here). */
+  private val qBoilerplate = Q(
+    "q175_boilerplate_lines",
+    (s, dir) => {
+      val withParas = docWords(s, dir).withColumn(
+        "text",
+        array_join(
+          transform(
+            when(
+              size(col("words")) > 0,
+              sequence(
+                lit(0L),
+                floor((size(col("words")) - 1) / 3).cast(LongType))
+            ).otherwise(array().cast("array<bigint>")),
+            k =>
+              array_join(
+                slice(col("words"), (k * 3 + 1).cast(IntegerType), lit(3)),
+                " ")
+          ),
+          "\n"
+        )
+      )
+      BoilerplateLines("text", "doc_id", "\n", minCount = 3,
+        Some("clean"))(withParas.select("doc_id", "text"))
+        .select(col("doc_id"), col("clean"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH w AS (SELECT doc_id, $W AS w FROM documents),
+         |x AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(0, CAST(floor((len(w) - 1) / 3.0) AS BIGINT)),
+         |    k -> {'pos': k,
+         |          'para': array_to_string(list_slice(w, k*3+1, k*3+3), ' ')}
+         |  )) AS u FROM w),
+         |y AS (SELECT doc_id, u.pos AS pos, u.para AS para FROM x),
+         |f AS (SELECT para FROM y GROUP BY para HAVING count(*) >= 3),
+         |kept AS (SELECT doc_id, pos, para FROM y
+         |  WHERE para NOT IN (SELECT para FROM f)),
+         |r AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS clean
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(r.clean, '') AS clean
+         |FROM documents d LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -5344,7 +5393,7 @@ object Queries {
     qLeakageSplit, qPseudonymize, qPaddingWaste,
     qImageDHash, qImageNearDup, qPhraseBlocklist, qHllSketch, qAudioDHash,
     qKllSketch, qThetaOverlap, qSnapshotDiff, qSpanCorruption, qMlmMasking,
-    qBitextMargin, qPhraseRedact, qEditDistance
+    qBitextMargin, qPhraseRedact, qEditDistance, qBoilerplate
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -97,6 +97,74 @@ final case class ParagraphDedup(
   }
 }
 
+/** Boilerplate-line removal — the CCNet/RefinedWeb frequency variant of
+  * [[ParagraphDedup]]: instead of keep-first, drop EVERY occurrence of
+  * any line whose corpus-wide count reaches `minCount` (nav bars, cookie
+  * banners, licence footers — lines whose frequency itself is the
+  * boilerplate signal), keeping all below-threshold lines where they
+  * stand.
+  *
+  * Shape: posexplode → count by xxhash64(line) with map-side partial agg
+  * (one combiner row per distinct line) → the ≥threshold hash set is
+  * broadcast and anti-joined in the scan (8-byte probe; line TEXT
+  * shuffles exactly once, in the unavoidable per-doc rebuild) → groupBy
+  * doc reassembles. The frequent set is corpus-frequency-bounded —
+  * #lines with count ≥ K is at most #occurrences/K — so the broadcast
+  * stays small for any useful threshold. Hash-probe decisions differ
+  * from exact text equality only on 64-bit collisions. */
+final case class BoilerplateLines(
+    textField: String,
+    idField: String,
+    delimiter: String = "\n",
+    minCount: Long = 10L,
+    destinationField: Option[String] = None
+) extends Mapper {
+  require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+  private def dest = destinationField.getOrElse(textField)
+  override def inputFields: Seq[String] = Seq(textField, idField)
+  override def outputFields: Seq[String] = Seq(dest)
+  override protected def build(df: DataFrame): DataFrame = {
+    val paras = df
+      .select(
+        col(idField).as("__bl_id"),
+        posexplode(split(col(textField), java.util.regex.Pattern.quote(delimiter)))
+          .as(Seq("__bl_pos", "__bl_para"))
+      )
+      .withColumn("__bl_h", xxhash64(col("__bl_para")))
+    val frequent = paras
+      .groupBy(col("__bl_h"))
+      .agg(count(lit(1)).as("__bl_n"))
+      .filter(col("__bl_n") >= minCount)
+      .select("__bl_h")
+    val kept = paras.join(broadcast(frequent), Seq("__bl_h"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col("__bl_id"))
+      .agg(
+        sort_array(collect_list(struct(col("__bl_pos"), col("__bl_para"))))
+          .as("__bl_ps"))
+      .select(
+        col("__bl_id"),
+        array_join(
+          transform(col("__bl_ps"), p => p.getField("__bl_para")),
+          delimiter
+        ).as("__bl_text"))
+    val joined = df
+      .join(rebuilt, df(idField) === rebuilt("__bl_id"), "left")
+      .withColumn("__bl_out", coalesce(col("__bl_text"), lit("")))
+      .drop("__bl_id", "__bl_text")
+    val out =
+      if (dest == textField) joined.drop(textField)
+      else if (df.columns.contains(dest)) joined.drop(dest)
+      else joined
+    val cols =
+      if (df.columns.contains(dest)) df.columns.toSeq
+      else df.columns.toSeq :+ dest
+    out
+      .withColumnRenamed("__bl_out", dest)
+      .select(cols.map(col): _*)
+  }
+}
+
 /** LM-familiarity scoring — the CCNet perplexity-filter shape, made
   * integer-exact. CCNet scores each document with a KenLM n-gram model
   * trained on a reference corpus and drops the high-perplexity tail;

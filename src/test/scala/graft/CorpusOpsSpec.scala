@@ -413,4 +413,25 @@ class CorpusOpsSpec extends SparkSpec {
     // ranking: "a b" (333e9) above "b c" (166e9) above "c c" (2/16)
     assert(out.map(_._1).take(3).toSeq == Seq("a b", "b c", "c c"))
   }
+
+  test("BoilerplateLines drops every occurrence past the frequency bar") {
+    val df = Seq(
+      (1L, "banner\nunique a\nbanner"),
+      (2L, "banner\nunique b"),
+      (3L, "unique c"),
+      (4L, "banner")
+    ).toDF("id", "text")
+    val out = rows(graft.operators.BoilerplateLines("text", "id",
+      minCount = 3)(df).orderBy("id").select("id", "text"))
+    // banner occurs 4x >= 3 -> gone everywhere, including BOTH copies in
+    // doc 1; below-threshold lines stay put; all-boilerplate doc -> ""
+    assert(out == Seq(
+      Seq(1L, "unique a"), Seq(2L, "unique b"),
+      Seq(3L, "unique c"), Seq(4L, "")))
+    // at a higher bar nothing reaches the threshold
+    val loose = rows(graft.operators.BoilerplateLines("text", "id",
+      minCount = 5)(df).orderBy("id").select("text"))
+    assert(loose == Seq(Seq("banner\nunique a\nbanner"),
+      Seq("banner\nunique b"), Seq("unique c"), Seq("banner")))
+  }
 }
