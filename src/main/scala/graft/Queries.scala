@@ -5344,6 +5344,34 @@ object Queries {
     )
   )
 
+  /** Fill-in-the-middle ([[operators.FimTransform]]): PSM/SPM reorder
+    * with md5-derived cut points and mode — pure function of (doc_id,
+    * ids); the oracle replays cuts, mode, and sentinel layout. */
+  private val qFim = Q(
+    "q176_fim_transform",
+    (s, dir) =>
+      FimTransform("ids", "doc_id")(docIds(s, dir))
+        .select(col("doc_id"), J("fim_ids"))
+        .orderBy("doc_id"),
+    Some(
+      s"""WITH t AS (SELECT doc_id, $IDS AS ids, len($IDS) AS n FROM documents),
+         |c AS (SELECT doc_id, ids, n,
+         |  ('0x'||substring(md5(doc_id||':fim_a'),1,8))::BIGINT % (n+1) AS a
+         |  FROM t),
+         |d AS (SELECT doc_id, ids, n, a,
+         |  a + ('0x'||substring(md5(doc_id||':fim_b'),1,8))::BIGINT % (n-a+1) AS b
+         |  FROM c)
+         |SELECT doc_id, to_json(
+         |  CASE WHEN ('0x'||substring(md5(doc_id||':fim_o'),1,8))::BIGINT % 100 < 50
+         |  THEN [32001, 32003] || list_slice(ids, b+1, n) || [32002]
+         |    || list_slice(ids, 1, a) || list_slice(ids, a+1, b)
+         |  ELSE [32001] || list_slice(ids, 1, a) || [32003]
+         |    || list_slice(ids, b+1, n) || [32002] || list_slice(ids, a+1, b)
+         |  END)::VARCHAR AS fim_ids
+         |FROM d ORDER BY doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -5393,7 +5421,7 @@ object Queries {
     qLeakageSplit, qPseudonymize, qPaddingWaste,
     qImageDHash, qImageNearDup, qPhraseBlocklist, qHllSketch, qAudioDHash,
     qKllSketch, qThetaOverlap, qSnapshotDiff, qSpanCorruption, qMlmMasking,
-    qBitextMargin, qPhraseRedact, qEditDistance, qBoilerplate
+    qBitextMargin, qPhraseRedact, qEditDistance, qBoilerplate, qFim
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

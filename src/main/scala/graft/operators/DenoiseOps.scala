@@ -69,6 +69,50 @@ final case class SpanCorruption(
   }
 }
 
+/** Fill-in-the-middle transformation (Bavarian et al. 2022, "Efficient
+  * Training of Language Models to Fill in the Middle"): split the
+  * sequence at two cut points and reorder with sentinels so a causal LM
+  * learns infilling — PSM `[PRE] prefix [SUF] suffix [MID] middle` or
+  * SPM `[PRE] [SUF] suffix [MID] prefix middle`, mixed at `spmRate`%.
+  *
+  * Cut points and the mode draw from md5(key:tag) — the same
+  * pure-function-of-(key, ids) property as [[SpanCorruption]]: exact
+  * replay on any engine, run, or partitioning. Native HOFs; one
+  * codegen'd projection; zero shuffle. */
+final case class FimTransform(
+    idsField: String,
+    keyField: String,
+    preId: Long = 32001L,
+    midId: Long = 32002L,
+    sufId: Long = 32003L,
+    spmRate: Int = 50,
+    outputField: String = "fim_ids"
+) extends Mapper {
+  require(spmRate >= 0 && spmRate <= 100, s"spmRate out of range: $spmRate")
+
+  override def inputFields: Seq[String] = Seq(idsField, keyField)
+  override def outputFields: Seq[String] = Seq(outputField)
+
+  override protected def build(df: DataFrame): DataFrame = {
+    def h(tag: String): Column =
+      conv(substring(md5(concat(col(keyField).cast("string"),
+        lit(s":$tag"))), 1, 8), 16, 10).cast(LongType)
+    val ids = col(idsField)
+    val n = size(ids).cast(LongType)
+    val a = h("fim_a") % (n + 1)
+    val b = a + h("fim_b") % (n - a + 1)
+    val prefix = slice(ids, lit(1), a.cast("int"))
+    val middle = slice(ids, (a + 1).cast("int"), (b - a).cast("int"))
+    val suffix = slice(ids, (b + 1).cast("int"), (n - b).cast("int"))
+    val psm = concat(array(lit(preId)), prefix, array(lit(sufId)), suffix,
+      array(lit(midId)), middle)
+    val spm = concat(array(lit(preId), lit(sufId)), suffix,
+      array(lit(midId)), prefix, middle)
+    df.withColumn(outputField,
+      when(h("fim_o") % 100 < spmRate, spm).otherwise(psm))
+  }
+}
+
 /** MLM masking prep (BERT, Devlin et al. 2019 §3.1): select ~`maskPct`%
   * of positions; of those, 80% become `maskId`, 10% a pseudo-random
   * vocabulary token, 10% keep the original; `labels` carries the

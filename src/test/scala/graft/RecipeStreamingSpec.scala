@@ -90,6 +90,39 @@ class RecipeStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("round-9 narrow ops stream unchanged: redact, mask, corrupt, hash") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val pipeline = Pipeline(
+      Vector(
+        RenameFields(Map("_1" -> "doc_id", "_2" -> "text")),
+        PhraseBlocklist(Seq("bad phrase")),
+        PhraseReplace(Seq("secret"), "[X]"),
+        TextToWords(Seq("text"), Splitters.Ws)
+      )
+    )
+    val out = StreamingPipeline(pipeline, mem.toDF())
+    val withMasks = MlmMasking("ids", "doc_id")(
+      SpanCorruption("ids", "doc_id")(
+        out.withColumn("ids",
+          org.apache.spark.sql.functions.transform(
+            org.apache.spark.sql.functions.col("text"),
+            w => org.apache.spark.sql.functions.length(w)
+              .cast("long")))))
+    val q = withMasks.writeStream.format("memory")
+      .queryName("graft_stream_r9").outputMode("append").start()
+    mem.addData((1L, "a secret bad phrase here"), (2L, "clean text"))
+    q.processAllAvailable()
+    val got = spark.sql(
+      "SELECT doc_id, phrase_hit, inputs, labels FROM graft_stream_r9")
+      .collect().sortBy(_.getLong(0))
+    assert(got.length == 2)
+    assert(got(0).getBoolean(1) && !got(1).getBoolean(1))
+    assert(got.forall(r => r.getSeq[Long](2).nonEmpty &&
+      r.getSeq[Long](3).nonEmpty))
+    q.stop()
+  }
+
   test("BPE tokenization runs unchanged on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]

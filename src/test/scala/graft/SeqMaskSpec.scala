@@ -213,4 +213,45 @@ class SeqMaskSpec extends SparkSpec {
     // pure function of (key, ids)
     assert(run() == Seq(masked, labels))
   }
+
+  test("FimTransform: sentinel layout, token conservation, PSM/SPM mix") {
+    import org.apache.spark.sql.functions._
+    val ids = (100L until 130L).toSeq
+    val sentinels = Set(32001L, 32002L, 32003L)
+    val df = (0L until 50L).map(k => (k, ids)).toDF("doc_id", "ids")
+    val out = rows(FimTransform("ids", "doc_id")(df)
+      .orderBy("doc_id").select("fim_ids"))
+      .map(_.head.asInstanceOf[List[Long]])
+    out.foreach { fim =>
+      // exactly the three sentinels are added; tokens are conserved
+      assert(fim.length == ids.length + 3)
+      assert(fim.count(sentinels) == 3)
+      assert(fim.filterNot(sentinels).sorted == ids)
+      // layout: PRE first; PSM = [PRE]..[SUF]..[MID].., SPM = [PRE][SUF]
+      assert(fim.head == 32001L)
+      val iSuf = fim.indexOf(32003L)
+      val iMid = fim.indexOf(32002L)
+      assert(iSuf < iMid, s"SUF must precede MID: $fim")
+      if (iSuf == 1) {
+        // SPM: suffix then [MID] then prefix+middle, all contiguous runs
+        assert(fim.slice(2, iMid).forall(!sentinels(_)))
+      } else {
+        // PSM: prefix between PRE and SUF keeps original order
+        assert(fim.slice(1, iSuf) == ids.take(iSuf - 1))
+      }
+    }
+    // both modes occur across keys, roughly half-half at spmRate=50
+    val spm = out.count(_.apply(1) == 32003L)
+    assert(spm > 10 && spm < 40, s"spm count $spm/50")
+    // deterministic
+    val again = rows(FimTransform("ids", "doc_id")(df)
+      .orderBy("doc_id").select("fim_ids"))
+      .map(_.head.asInstanceOf[List[Long]])
+    assert(again == out)
+    // empty sequence: just the sentinels
+    val empty = Seq((1L, Seq.empty[Long])).toDF("doc_id", "ids")
+    val e = rows(FimTransform("ids", "doc_id")(empty).select("fim_ids"))
+      .head.head.asInstanceOf[List[Long]]
+    assert(e.filterNot(sentinels).isEmpty && e.count(sentinels) == 3)
+  }
 }
