@@ -5372,6 +5372,24 @@ object Queries {
     )
   )
 
+  /** ORC round-trip (native `spark.read.orc`/`df.write.orc` — the
+    * columnar interchange format beside parquet; Hive-ecosystem corpora
+    * arrive this way). Identity oracle: whatever went through ORC must
+    * equal the source rows. */
+  private val qOrcRoundtrip = Q(
+    "q177_orc_roundtrip",
+    (s, dir) => {
+      val tmp = "/tmp/graft_q177_orc"
+      docs(s, dir).select("doc_id", "text", "lang", "n_chars")
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp).orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, text, lang, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -5421,7 +5439,8 @@ object Queries {
     qLeakageSplit, qPseudonymize, qPaddingWaste,
     qImageDHash, qImageNearDup, qPhraseBlocklist, qHllSketch, qAudioDHash,
     qKllSketch, qThetaOverlap, qSnapshotDiff, qSpanCorruption, qMlmMasking,
-    qBitextMargin, qPhraseRedact, qEditDistance, qBoilerplate, qFim
+    qBitextMargin, qPhraseRedact, qEditDistance, qBoilerplate, qFim,
+    qOrcRoundtrip
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
