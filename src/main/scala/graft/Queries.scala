@@ -5390,6 +5390,40 @@ object Queries {
     )
   )
 
+  /** Content-defined chunking ([[operators.CdcChunker]]): boundaries
+    * where the 8-char rolling hash ≡ 0 (mod 64) — the oracle replays
+    * the exact integer fold, boundary set, and chunk slicing. */
+  private val qCdcChunks = Q(
+    "q178_cdc_chunks",
+    (s, dir) =>
+      CdcChunker("text", "chunk")(docs(s, dir).select("doc_id", "text"))
+        .select("doc_id", "chunk_idx", "chunk")
+        .orderBy("doc_id", "chunk_idx"),
+    Some(
+      """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |b AS (SELECT doc_id, text, n,
+        |  [0] || list_transform(list_filter(
+        |    CASE WHEN n >= 8 THEN range(7, n) ELSE []::BIGINT[] END,
+        |    i -> list_reduce([0] || list_transform(generate_series(i-6, i+1),
+        |           p -> CAST(ord(substring(text, CAST(p AS INT), 1)) AS BIGINT)),
+        |         (a, c) -> (a*31 + c) % 1000003) % 64 = 0),
+        |    i -> i + 1) || [n] AS pts
+        |  FROM t),
+        |c AS (SELECT doc_id, list_filter(
+        |    list_transform(range(1, len(pts)), k ->
+        |      substring(text, CAST(pts[CAST(k AS INT)]+1 AS INT),
+        |        CAST(pts[CAST(k+1 AS INT)] - pts[CAST(k AS INT)] AS INT))),
+        |    s -> length(s) > 0) AS chunks
+        |  FROM b),
+        |u AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(chunks)),
+        |    k -> {'idx': k-1, 'c': chunks[CAST(k AS INT)]})) AS e
+        |  FROM c)
+        |SELECT doc_id, CAST(e.idx AS BIGINT) AS chunk_idx, e.c AS chunk
+        |FROM u ORDER BY doc_id, chunk_idx""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -5440,7 +5474,7 @@ object Queries {
     qImageDHash, qImageNearDup, qPhraseBlocklist, qHllSketch, qAudioDHash,
     qKllSketch, qThetaOverlap, qSnapshotDiff, qSpanCorruption, qMlmMasking,
     qBitextMargin, qPhraseRedact, qEditDistance, qBoilerplate, qFim,
-    qOrcRoundtrip
+    qOrcRoundtrip, qCdcChunks
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -462,6 +462,61 @@ final case class TextChunker(
   }
 }
 
+/** Content-defined chunking (the Rabin/CDC family — FastCDC without
+  * the min/max bounds, documented): chunk boundaries fall AFTER any
+  * position whose rolling window hash satisfies `H % divisor == 0`, so
+  * boundaries are a function of local CONTENT, not offsets — an edit
+  * early in a document shifts only the chunks it touches, and every
+  * later chunk re-synchronizes byte-identically. That is the property
+  * budget-based chunking ([[TextChunker]]) lacks, and what makes CDC
+  * chunks the right dedup unit: chunk-level exact dedup then catches
+  * shared content across near-identical docs.
+  *
+  * Expected chunk length ≈ `divisor` chars (geometric; no min/max
+  * clamps — FastCDC's bounds need sequential state, out of scope).
+  * Window hash is an exact integer fold ((h·31 + code) mod 1000003 over
+  * `window` chars), replayable on any engine. Native HOFs over the
+  * text; O(n·window) codegen'd work per row, explode by output chunk,
+  * zero shuffle. */
+final case class CdcChunker(
+    textField: String = "text",
+    dest: String = "chunk",
+    window: Int = 8,
+    divisor: Long = 64L
+) extends Mapper {
+  require(window >= 2 && divisor >= 2, s"bad cdc params: $window/$divisor")
+  override def inputFields: Seq[String] = Seq(textField)
+  override def outputFields: Seq[String] = Seq(dest, "chunk_idx")
+  override protected def build(df: DataFrame): DataFrame = {
+    val w = window
+    val m = 1000003L
+    val text = col(textField)
+    val n = length(text).cast(LongType)
+    def hashAt(i: Column): Column =
+      aggregate(
+        sequence(i - (w - 2), i + 1), // 1-based char positions of window
+        lit(0L),
+        (acc, p) => (acc * 31 + ascii(text.substr(p.cast("int"), lit(1)))) % m)
+    val idx = when(n >= w, sequence(lit(w.toLong - 1), n - 1))
+      .otherwise(array().cast("array<bigint>"))
+    val points = concat(
+      array(lit(0L)),
+      transform(filter(idx, i => hashAt(i) % divisor === 0), i => i + 1),
+      array(n))
+    val chunks = filter(
+      transform(sequence(lit(1), size(points) - 1), k =>
+        text.substr(
+          (element_at(points, k) + 1).cast("int"),
+          (element_at(points, k + 1) - element_at(points, k)).cast("int"))),
+      c => length(c) > 0)
+    df.withColumn("__cdc_chunks", chunks)
+      .select(
+        (df.columns.map(col) :+
+          posexplode(col("__cdc_chunks")).as(Seq("chunk_idx", dest))): _*)
+      .withColumn("chunk_idx", col("chunk_idx").cast(LongType))
+  }
+}
+
 /** Keyed pseudonymization (GDPR-style tokenization of identifying
   * columns): replace each value with `sha2-256(salt || value)` — the
   * same (value, salt) always maps to the same token, so joins and

@@ -243,4 +243,36 @@ class CleanupOpsSpec extends SparkSpec {
     assert(survivors.count() == 2L)
     assert(survivors.select(min($"doc_id")).as[Long].head() == 1L)
   }
+
+  test("CdcChunker: lossless, content-defined, edit re-synchronizes") {
+    import graft.operators.CdcChunker
+    val rnd = new scala.util.Random(5)
+    val text = (0 until 400).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    def chunksOf(t: String): Seq[String] = {
+      val df = Seq((1L, t)).toDF("doc_id", "text")
+      CdcChunker()(df).orderBy("chunk_idx")
+        .select("chunk").as[String].collect().toSeq
+    }
+    val base = chunksOf(text)
+    // lossless split, sane geometric lengths around the divisor
+    assert(base.mkString == text)
+    assert(base.size > 2, s"expected several chunks, got ${base.size}")
+    // an edit at the FRONT only disturbs the leading chunk(s): later
+    // boundaries depend on local content and re-synchronize
+    val edited = chunksOf("Z" + text)
+    assert(edited.mkString == "Z" + text)
+    val shared = base.toSet.intersect(edited.toSet)
+    assert(shared.size >= base.size - 2,
+      s"CDC should re-sync: ${base.size} vs shared ${shared.size}")
+    // offset-based chunking (fixed 64-char cuts) would share ~nothing;
+    // sanity-check that claim on the same pair
+    val fixedA = text.grouped(64).toSeq
+    val fixedB = ("Z" + text).grouped(64).toSeq
+    assert(fixedA.toSet.intersect(fixedB.toSet).isEmpty)
+    // short text: single chunk, index 0
+    assert(chunksOf("tiny") == Seq("tiny"))
+    // empty text: no rows
+    val empty = Seq((1L, "")).toDF("doc_id", "text")
+    assert(CdcChunker()(empty).count() == 0L)
+  }
 }
