@@ -4978,8 +4978,11 @@ object Queries {
   private val qPhraseBlocklist = Q(
     "q164_phrase_blocklist",
     (s, dir) =>
+      // caseFold=false pins exact-match semantics against the raw-text
+      // oracle (the fold leg is spec-pinned; the corpus is lowercase, so
+      // relying on the default would make equivalence a corpus accident)
       PhraseBlocklist(Seq("fast table", "scan slow", "agg join", "he",
-        "value table part"))(docs(s, dir))
+        "value table part"), caseFold = false)(docs(s, dir))
         .select(col("doc_id"), col("phrase_hit"), J("phrase_hits"))
         .orderBy("doc_id"),
     Some(
@@ -5166,7 +5169,7 @@ object Queries {
         .orderBy("doc_id"),
     Some(
       s"""WITH t AS (SELECT doc_id, $IDS AS ids FROM documents),
-         |p AS (SELECT doc_id, ids, len(ids) // 20 AS nb FROM t),
+         |p AS (SELECT doc_id, ids, least(len(ids) // 20, 99) AS nb FROM t),
          |s AS (SELECT doc_id, ids, nb, list_transform(range(nb),
          |  b -> ('0x' || substring(md5(doc_id || ':' || b),1,8))::BIGINT % 18) AS st FROM p)
          |SELECT doc_id,
@@ -5379,7 +5382,9 @@ object Queries {
   private val qOrcRoundtrip = Q(
     "q177_orc_roundtrip",
     (s, dir) => {
-      val tmp = "/tmp/graft_q177_orc"
+      // per-SF path: a lazy reader must never race an overwrite from a
+      // concurrent run on a different scale factor
+      val tmp = "/tmp/graft_q177_orc_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       docs(s, dir).select("doc_id", "text", "lang", "n_chars")
         .write.mode("overwrite").orc(tmp)
       s.read.orc(tmp).orderBy("doc_id")

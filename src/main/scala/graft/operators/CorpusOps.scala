@@ -41,6 +41,63 @@ import graft.Mapper
   * No direct reference counterpart (smashed dedups nothing); this is the
   * corpus-curation companion to [[ExactDedup]].
   */
+/** Shared explode/reassemble machinery for the line-level corpus ops
+  * ([[ParagraphDedup]], [[BoilerplateLines]]): split docs into
+  * positioned lines, and splice a filtered line set back into the
+  * original frame as one delimiter-joined string per doc (docs whose
+  * every line was dropped become `""` — C4 removes lines, not docs). */
+private[operators] object LineOps {
+
+  /** posexplode on the delimiter → (__lo_id, __lo_pos, __lo_para). */
+  def explodeLines(
+      df: DataFrame,
+      idField: String,
+      textField: String,
+      delimiter: String
+  ): DataFrame =
+    df.select(
+      col(idField).as("__lo_id"),
+      posexplode(split(col(textField), java.util.regex.Pattern.quote(delimiter)))
+        .as(Seq("__lo_pos", "__lo_para")))
+
+  /** Reassemble `kept` (__lo_id, __lo_pos, __lo_para) rows in original
+    * order and attach to `df` as `dest`. */
+  def rebuild(
+      df: DataFrame,
+      kept: DataFrame,
+      idField: String,
+      textField: String,
+      dest: String,
+      delimiter: String
+  ): DataFrame = {
+    val rebuilt = kept
+      .groupBy(col("__lo_id"))
+      .agg(
+        sort_array(collect_list(struct(col("__lo_pos"), col("__lo_para"))))
+          .as("__lo_ps"))
+      .select(
+        col("__lo_id"),
+        array_join(
+          transform(col("__lo_ps"), p => p.getField("__lo_para")),
+          delimiter
+        ).as("__lo_text"))
+    val joined = df
+      .join(rebuilt, df(idField) === rebuilt("__lo_id"), "left")
+      .withColumn("__lo_out", coalesce(col("__lo_text"), lit("")))
+      .drop("__lo_id", "__lo_text")
+    val out =
+      if (dest == textField) joined.drop(textField)
+      else if (df.columns.contains(dest)) joined.drop(dest)
+      else joined
+    val cols =
+      if (df.columns.contains(dest)) df.columns.toSeq
+      else df.columns.toSeq :+ dest
+    out
+      .withColumnRenamed("__lo_out", dest)
+      .select(cols.map(col): _*)
+  }
+}
+
 final case class ParagraphDedup(
     textField: String,
     idField: String,
@@ -51,49 +108,18 @@ final case class ParagraphDedup(
   override def inputFields: Seq[String] = Seq(textField, idField)
   override def outputFields: Seq[String] = Seq(dest)
   override protected def build(df: DataFrame): DataFrame = {
-    val paras = df
-      .select(
-        col(idField).as("__pd_id"),
-        posexplode(split(col(textField), java.util.regex.Pattern.quote(delimiter)))
-          .as(Seq("__pd_pos", "__pd_para"))
-      )
+    val paras = LineOps.explodeLines(df, idField, textField, delimiter)
     // keep-first survivor per distinct paragraph; struct min is
     // lexicographic (id, pos) — the global first occurrence
     val kept = paras
-      .groupBy(col("__pd_para"))
-      .agg(min(struct(col("__pd_id"), col("__pd_pos"))).as("__pd_first"))
+      .groupBy(col("__lo_para"))
+      .agg(min(struct(col("__lo_id"), col("__lo_pos"))).as("__lo_first"))
       .select(
-        col("__pd_first.__pd_id").as("__pd_id"),
-        col("__pd_first.__pd_pos").as("__pd_pos"),
-        col("__pd_para")
+        col("__lo_first.__lo_id").as("__lo_id"),
+        col("__lo_first.__lo_pos").as("__lo_pos"),
+        col("__lo_para")
       )
-    val rebuilt = kept
-      .groupBy(col("__pd_id"))
-      .agg(
-        sort_array(collect_list(struct(col("__pd_pos"), col("__pd_para"))))
-          .as("__pd_ps")
-      )
-      .select(
-        col("__pd_id"),
-        array_join(
-          transform(col("__pd_ps"), p => p.getField("__pd_para")),
-          delimiter
-        ).as("__pd_text")
-      )
-    val joined = df
-      .join(rebuilt, df(idField) === rebuilt("__pd_id"), "left")
-      .withColumn("__pd_out", coalesce(col("__pd_text"), lit("")))
-      .drop("__pd_id", "__pd_text")
-    val out =
-      if (dest == textField) joined.drop(textField)
-      else if (df.columns.contains(dest)) joined.drop(dest)
-      else joined
-    val cols =
-      if (df.columns.contains(dest)) df.columns.toSeq
-      else df.columns.toSeq :+ dest
-    out
-      .withColumnRenamed("__pd_out", dest)
-      .select(cols.map(col): _*)
+    LineOps.rebuild(df, kept, idField, textField, dest, delimiter)
   }
 }
 
@@ -124,44 +150,17 @@ final case class BoilerplateLines(
   override def inputFields: Seq[String] = Seq(textField, idField)
   override def outputFields: Seq[String] = Seq(dest)
   override protected def build(df: DataFrame): DataFrame = {
-    val paras = df
-      .select(
-        col(idField).as("__bl_id"),
-        posexplode(split(col(textField), java.util.regex.Pattern.quote(delimiter)))
-          .as(Seq("__bl_pos", "__bl_para"))
-      )
-      .withColumn("__bl_h", xxhash64(col("__bl_para")))
+    val paras = LineOps.explodeLines(df, idField, textField, delimiter)
+      .withColumn("__bl_h", xxhash64(col("__lo_para")))
     val frequent = paras
       .groupBy(col("__bl_h"))
       .agg(count(lit(1)).as("__bl_n"))
       .filter(col("__bl_n") >= minCount)
       .select("__bl_h")
-    val kept = paras.join(broadcast(frequent), Seq("__bl_h"), "left_anti")
-    val rebuilt = kept
-      .groupBy(col("__bl_id"))
-      .agg(
-        sort_array(collect_list(struct(col("__bl_pos"), col("__bl_para"))))
-          .as("__bl_ps"))
-      .select(
-        col("__bl_id"),
-        array_join(
-          transform(col("__bl_ps"), p => p.getField("__bl_para")),
-          delimiter
-        ).as("__bl_text"))
-    val joined = df
-      .join(rebuilt, df(idField) === rebuilt("__bl_id"), "left")
-      .withColumn("__bl_out", coalesce(col("__bl_text"), lit("")))
-      .drop("__bl_id", "__bl_text")
-    val out =
-      if (dest == textField) joined.drop(textField)
-      else if (df.columns.contains(dest)) joined.drop(dest)
-      else joined
-    val cols =
-      if (df.columns.contains(dest)) df.columns.toSeq
-      else df.columns.toSeq :+ dest
-    out
-      .withColumnRenamed("__bl_out", dest)
-      .select(cols.map(col): _*)
+    val kept = paras
+      .join(broadcast(frequent), Seq("__bl_h"), "left_anti")
+      .drop("__bl_h")
+    LineOps.rebuild(df, kept, idField, textField, dest, delimiter)
   }
 }
 

@@ -508,10 +508,16 @@ object SnapshotDiff {
       includeUnchanged: Boolean = false
   ): DataFrame = {
     require(keyCols.nonEmpty && compareCols.nonEmpty)
+    // xxhash64 SKIPS null children (hash('x', null) == hash(null, 'x')),
+    // so a null shifting between compare columns would read as
+    // "unchanged"; appending the null bitmap as a final child
+    // disambiguates every null arrangement.
     def hashed(df: DataFrame, h: String) =
       df.select(
         keyCols.map(col) :+
-          xxhash64(compareCols.map(col): _*).as(h): _*)
+          xxhash64(compareCols.map(col) :+
+            concat_ws(",", compareCols.map(c =>
+              col(c).isNull.cast("int")): _*): _*).as(h): _*)
     val joined = hashed(oldDf, "__h_old")
       .join(hashed(newDf, "__h_new"), keyCols, "full_outer")
     val change = when(col("__h_old").isNull, lit("added"))

@@ -30,11 +30,13 @@ final case class SpanCorruption(
     blockSize: Int = 20,
     spanLen: Int = 3,
     sentinelStart: Long = 32099L,
+    maxSpans: Int = 99,
     inputsField: String = "inputs",
     targetsField: String = "targets"
 ) extends Mapper {
   require(spanLen > 0 && blockSize > spanLen,
     s"need 0 < spanLen ($spanLen) < blockSize ($blockSize)")
+  require(maxSpans >= 1, s"maxSpans must be positive: $maxSpans")
 
   override def inputFields: Seq[String] = Seq(idsField, keyField)
   override def outputFields: Seq[String] = Seq(inputsField, targetsField)
@@ -43,7 +45,12 @@ final case class SpanCorruption(
     val b = blockSize
     val l = spanLen
     val ids = col(idsField)
-    val nb = (size(ids) / b).cast(LongType)
+    // sentinel ids descend from sentinelStart; cap the corrupted blocks
+    // at maxSpans (T5 ships 100 extra ids: closing sentinel uses index
+    // nb, so 99 spans keeps every id inside 32000..32099) — blocks past
+    // the cap pass through uncorrupted rather than colliding with the
+    // real vocabulary
+    val nb = least((size(ids) / b).cast(LongType), lit(maxSpans.toLong))
     // deterministic span offset inside block `bi`
     def start(bi: Column): Column =
       conv(substring(md5(concat(col(keyField).cast("string"), lit(":"),

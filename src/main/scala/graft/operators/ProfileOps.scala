@@ -129,6 +129,9 @@ object QuantileSketch {
     val pairs = df
       .select(col(groupCol).cast(StringType).as("g"),
         col(valueCol).cast("double").as("v"))
+      // quantiles are over the non-null values (a null would crash the
+      // primitive Double encoder); n_rows counts sketched values
+      .filter(col("v").isNotNull)
       .as[(String, Double)](
         Encoders.tuple(Encoders.STRING, Encoders.scalaDouble))
     val perPartition = pairs.mapPartitions { it =>

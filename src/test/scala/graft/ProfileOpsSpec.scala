@@ -82,6 +82,16 @@ class ProfileOpsSpec extends SparkSpec {
     assert(merged.as[(String, Long, Long)].collect().map(_._2).sum == 10000L)
   }
 
+  test("QuantileSketch: null values are excluded, not fatal") {
+    import graft.operators.QuantileSketch
+    val d = Seq((1L, Some(1.0)), (2L, None), (3L, Some(3.0)))
+      .toDF("id", "v").withColumn("g", lit("g"))
+    val q = QuantileSketch.quantiles(
+      QuantileSketch.build(d, "g", "v"), "g", Seq(0.5)).collect().head
+    assert(q.getAs[Long]("n_rows") == 2L)
+    assert(q.getAs[Double]("q_50") >= 1.0 && q.getAs[Double]("q_50") <= 3.0)
+  }
+
   test("QuantileSketch: shard-merged medians within KLL rank error") {
     import graft.operators.QuantileSketch
     val n = 20000

@@ -96,5 +96,14 @@ class SelectionOpsSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(sum == Map("removed" -> 1L, "unchanged" -> 1L,
       "changed" -> 1L, "added" -> 1L))
+    // a null SHIFTING between compare columns is a change (xxhash64
+    // skips null children, so the null bitmap must disambiguate)
+    val o2 = Seq((1L, Some("x"), None: Option[String]),
+      (2L, Some("x"), None: Option[String])).toDF("id", "t", "meta")
+    val n2 = Seq((1L, None: Option[String], Some("x")),
+      (2L, Some("x"), None: Option[String])).toDF("id", "t", "meta")
+    val d2 = SnapshotDiff.diff(o2, n2, Seq("id"), Seq("t", "meta"),
+      includeUnchanged = true).orderBy("id")
+    assert(rows(d2) == Seq(Seq(1L, "changed"), Seq(2L, "unchanged")))
   }
 }

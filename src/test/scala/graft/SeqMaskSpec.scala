@@ -184,6 +184,16 @@ class SeqMaskSpec extends SparkSpec {
     val r = rows(SpanCorruption("ids", "doc_id")(short)
       .select("inputs", "targets")).head
     assert(r == Seq((0L until 10L).toList, List(32099L)))
+    // long sequences cap at maxSpans=99 so sentinels never underflow
+    // into the real vocabulary (T5 extra ids live in 32000..32099)
+    val long = Seq((7L, (40000L until 42100L).toSeq)).toDF("doc_id", "ids")
+    val Seq(li, lt) = rows(SpanCorruption("ids", "doc_id")(long)
+      .select("inputs", "targets")).head.map(_.asInstanceOf[List[Long]])
+    val sent = (li ++ lt).filter(v => v < 40000L)
+    assert(sent.forall(s => s >= 32000L && s <= 32099L), s"underflow: ${sent.min}")
+    assert(li.count(_ < 40000L) == 99 && lt.last == 32000L)
+    // blocks past the cap pass through uncorrupted
+    assert(li.takeRight(2100 - 99 * 20) == (40000L + 99 * 20 until 42100L).toList)
   }
 
   test("MlmMasking: deterministic 80/10/10 at ~15%, labels aligned") {
