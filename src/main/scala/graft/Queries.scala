@@ -5429,6 +5429,34 @@ object Queries {
     )
   )
 
+  /** Release manifest ([[operators.Sinks.manifest]]): export through
+    * the size-governed parquet sink, then one read-back pass producing
+    * per-file row counts + order-independent checksums. File count is
+    * layout-dependent, so the oracle pins the release TOTALS — row
+    * count and the commutative md5-derived content hash, which must
+    * equal the same sum over the source table no matter how rows
+    * landed in files. */
+  private val qManifest = Q(
+    "q179_export_manifest",
+    (s, dir) => {
+      val tmp = "/tmp/graft_q179_manifest_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      Sinks.sizedParquet(docs(s, dir).select("doc_id", "text"), tmp,
+        targetRowsPerFile = 100L, sortWithinBy = Seq("doc_id"),
+        numFiles = Some(4))
+      val rowHash = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":"), col("text"))), 1, 8), 16, 10).cast(LongType)
+      Sinks.manifestTotals(Sinks.manifest(s, tmp, rowHash))
+        .select("n_rows", "total_hash")
+        .orderBy("n_rows")
+    },
+    Some(
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(('0x'||substring(md5(doc_id||':'||text),1,8))::BIGINT)
+        |    AS BIGINT) AS total_hash
+        |FROM documents ORDER BY n_rows""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -5479,7 +5507,7 @@ object Queries {
     qImageDHash, qImageNearDup, qPhraseBlocklist, qHllSketch, qAudioDHash,
     qKllSketch, qThetaOverlap, qSnapshotDiff, qSpanCorruption, qMlmMasking,
     qBitextMargin, qPhraseRedact, qEditDistance, qBoilerplate, qFim,
-    qOrcRoundtrip, qCdcChunks
+    qOrcRoundtrip, qCdcChunks, qManifest
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -101,6 +101,33 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path)
   }
+
+  /** Release manifest for an exported dataset: one row per physical
+    * file with row count and an order-independent content checksum
+    * (SUM of the caller's per-row `rowHash` — commutative, so the
+    * checksum is stable under Spark's nondeterministic row-to-file
+    * scan order within a file). The manifest is the verify-after-copy
+    * artifact a reproducible corpus release ships: re-run `manifest`
+    * on the destination and diff. One pass over the export, partial
+    * aggregation by `input_file_name`, O(#files) output. */
+  def manifest(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      rowHash: Column
+  ): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(rowHash).as("rows_hash"))
+
+  /** Collapse a manifest to its release totals: (n_files, n_rows,
+    * total_hash) — the three numbers to publish beside the dataset. */
+  def manifestTotals(manifest: DataFrame): DataFrame =
+    manifest.agg(
+      count(lit(1)).as("n_files"),
+      sum(col("n_rows")).as("n_rows"),
+      sum(col("rows_hash")).as("total_hash"))
 }
 
 /** Deterministic salting for skewed keys (SURVEY "skewed keys → salting

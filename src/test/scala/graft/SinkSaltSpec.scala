@@ -123,4 +123,26 @@ class SinkSaltSpec extends SparkSpec {
     assert(spark.read.parquet(sorted).as[(Long, String)].collect().toSet ==
       df.as[(Long, String)].collect().toSet)
   }
+
+  test("manifest: per-file counts sum to the release; totals are layout-stable") {
+    import org.apache.spark.sql.functions._
+    val df = (0L until 300L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val rowHash = xxhash64(col("id"), col("text"))
+    def totalsAt(path: String, files: Int): (Long, Long, Long) = {
+      Sinks.sizedParquet(df, path, targetRowsPerFile = 50L,
+        sortWithinBy = Seq("id"), numFiles = Some(files))
+      val m = Sinks.manifest(spark, path, rowHash)
+      // every physical file respects the row bound
+      assert(m.select(max("n_rows")).as[Long].head() <= 50L)
+      val t = Sinks.manifestTotals(m).collect().head
+      (t.getLong(0), t.getLong(1), t.getLong(2))
+    }
+    val a = totalsAt("/tmp/graft_manifest_a", 2)
+    val b = totalsAt("/tmp/graft_manifest_b", 5)
+    // row count and the commutative checksum are layout-independent;
+    // the file count is not
+    assert(a._2 == 300L && b._2 == 300L)
+    assert(a._3 == b._3)
+    assert(a._1 != b._1)
+  }
 }
