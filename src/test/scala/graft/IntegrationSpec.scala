@@ -84,4 +84,36 @@ class IntegrationSpec extends SparkSpec {
     val b1 = rows2(1)._2.drop(1).dropRight(1)
     assert(b0.takeRight(2) == b1.take(2))
   }
+
+  test("release pipeline: redact -> blocklist -> boilerplate -> CDC chunk " +
+    "dedup -> snapshot diff") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(21)
+    def para() = (0 until 40)
+      .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = para() + " " + para() // content reused across docs
+    val docs = (0L until 6L).map { i =>
+      val own = para() + " " + para()
+      val secret = if (i % 2 == 0) " password123 " else " "
+      (i, s"$shared$secret$own\nCOMMON FOOTER")
+    }.toDF("doc_id", "text")
+    // 1. redact + blocklist audit
+    val redacted = PhraseBlocklist(Seq("password123"))(
+      PhraseReplace(Seq("password123"), "[X]")(docs))
+    assert(redacted.filter(col("phrase_hit")).count() == 0) // redacted first
+    assert(redacted.filter(col("text").contains("[X]")).count() == 3)
+    // 2. boilerplate footer removal (6 occurrences >= 3)
+    val clean = BoilerplateLines("text", "doc_id", "\n", minCount = 3)(
+      redacted.select("doc_id", "text"))
+    assert(clean.filter(col("text").contains("COMMON FOOTER")).count() == 0)
+    // 3. CDC chunks + exact chunk dedup find the shared prefix content
+    val chunks = CdcChunker("text", "chunk")(clean)
+    val dupChunks = chunks.groupBy("chunk").count().filter(col("count") > 1)
+    assert(dupChunks.count() > 0, "shared content must yield shared chunks")
+    // 4. release diff vs the unredacted snapshot: every even doc changed
+    val diff = SnapshotDiff.diff(docs, clean, Seq("doc_id"), Seq("text"),
+      includeUnchanged = true)
+    val changed = diff.filter(col("change") === "changed").count()
+    assert(changed == 6) // footer removal touched every doc
+  }
 }
