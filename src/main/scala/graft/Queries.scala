@@ -5457,6 +5457,86 @@ object Queries {
     )
   )
 
+  /** Two-stage retrieval, composed from three catalog operators: BM25
+    * candidate generation (integer scoring, TakeOrderedAndProject
+    * top-20) → embedding cosine rerank of those candidates against a
+    * query vector → reciprocal-rank fusion of the two runs
+    * ([[operators.RrfFusion]]). Every stage is the integral-arithmetic
+    * leg, so the full cascade replays exactly; the candidate-set
+    * windows are O(k)=20 rows behind a constant-valued partition key. */
+  private val qTwoStage = Q(
+    "q180_two_stage_retrieval",
+    (s, dir) => {
+      val dw = docWords(s, dir)
+      val st = Bm25.stats(dw, "words", Seq("spark", "vector", "join"))
+      val bmTop = dw
+        .select(col("doc_id"), Bm25.score(col("words"), st).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      val wA = Window.partitionBy(pmod(col("doc_id"), lit(1)))
+        .orderBy(col("bm25").desc, col("doc_id"))
+      val runA = bmTop
+        .withColumn("rank", row_number().over(wA).cast(LongType))
+        .withColumn("query_id", lit(0L))
+        .select("query_id", "doc_id", "rank")
+      val emb = embs(s, dir).select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      val qe = emb.filter(col("vec_id") === 0L).select(col("e").as("qe"))
+      val wB = Window.partitionBy(pmod(col("doc_id"), lit(1)))
+        .orderBy(col("cos_i").desc, col("doc_id"))
+      val runB = bmTop
+        .join(emb, bmTop("doc_id") === emb("vec_id"))
+        .crossJoin(broadcast(qe))
+        .withColumn("cos_i",
+          floor(CosineKnn.cosine(col("e"), col("qe")) * 1e5).cast(LongType))
+        .withColumn("rank", row_number().over(wB).cast(LongType))
+        .withColumn("query_id", lit(0L))
+        .select("query_id", "doc_id", "rank")
+      RrfFusion.fuse(Seq(runA, runB))
+        .select(col("doc_id"), col("rrf_scaled"), col("rank"))
+        .orderBy("rank", "doc_id")
+    },
+    Some(
+      s"""WITH w AS (SELECT doc_id, $W AS w FROM documents),
+         |st AS (SELECT count(*) AS n, sum(len(w)) AS tot FROM w),
+         |sa AS (SELECT n, GREATEST(1, tot // n) AS avg FROM st),
+         |terms(t) AS (SELECT * FROM (VALUES ('join'), ('spark'), ('vector')) v(t)),
+         |df AS (SELECT t, sum(CAST(list_contains(w.w, t) AS BIGINT)) AS df
+         |  FROM terms, w GROUP BY t),
+         |idf AS (SELECT t, ((n - df + 1) * 1000000) // (df + 1) AS idf FROM df, sa),
+         |tf AS (SELECT doc_id, t, len(list_filter(w, x -> x = t)) AS tf,
+         |  len(w) AS dl FROM w, terms),
+         |sc AS (SELECT doc_id, sum(CASE WHEN tf > 0 THEN
+         |    (idf * tf * 2200 * avg) // (1000 * tf * avg + 300 * avg + 900 * dl)
+         |    ELSE 0 END) AS bm25
+         |  FROM tf JOIN idf USING (t), sa GROUP BY doc_id),
+         |topb AS (SELECT doc_id, bm25,
+         |  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM sc
+         |  QUALIFY rank <= 20),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |q0 AS (SELECT e AS qe FROM e WHERE vec_id = 0),
+         |cosr AS (SELECT t.doc_id, CAST(FLOOR((
+         |    list_reduce(list_transform(generate_series(1, len(e.e)),
+         |      i -> e.e[i] * q0.qe[i]), (a, b) -> a + b) /
+         |    (sqrt(list_reduce(list_transform(generate_series(1, len(e.e)),
+         |      i -> e.e[i] * e.e[i]), (a, b) -> a + b)) *
+         |     sqrt(list_reduce(list_transform(generate_series(1, len(q0.qe)),
+         |      i -> q0.qe[i] * q0.qe[i]), (a, b) -> a + b)))) * 100000)
+         |    AS BIGINT) AS cos_i
+         |  FROM topb t JOIN e ON t.doc_id = e.vec_id, q0),
+         |runb AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY cos_i DESC, doc_id) AS rank FROM cosr),
+         |contrib AS (
+         |  SELECT doc_id, 1000000000 // (60 + rank) AS c FROM topb
+         |  UNION ALL
+         |  SELECT doc_id, 1000000000 // (60 + rank) AS c FROM runb),
+         |fused AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_scaled
+         |  FROM contrib GROUP BY doc_id)
+         |SELECT doc_id, rrf_scaled,
+         |  row_number() OVER (ORDER BY rrf_scaled DESC, doc_id) AS rank
+         |FROM fused ORDER BY rank, doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -5507,7 +5587,7 @@ object Queries {
     qImageDHash, qImageNearDup, qPhraseBlocklist, qHllSketch, qAudioDHash,
     qKllSketch, qThetaOverlap, qSnapshotDiff, qSpanCorruption, qMlmMasking,
     qBitextMargin, qPhraseRedact, qEditDistance, qBoilerplate, qFim,
-    qOrcRoundtrip, qCdcChunks, qManifest
+    qOrcRoundtrip, qCdcChunks, qManifest, qTwoStage
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
