@@ -5537,6 +5537,36 @@ object Queries {
     )
   )
 
+  /** SFT turn masking ([[operators.TurnMasking]]): a two-turn
+    * conversation (user = first half of the ids, assistant = rest)
+    * flattens back to the original sequence with a 0/1 loss mask on
+    * exactly the assistant span — structural alignment the oracle
+    * replays positionally. */
+  private val qTurnMask = Q(
+    "q181_turn_masking",
+    (s, dir) => {
+      val d = docIds(s, dir)
+      val n = size(col("ids"))
+      val half = floor(n / 2).cast(IntegerType)
+      val turns = array(
+        struct(lit("user").as("role"),
+          slice(col("ids"), lit(1), half).as("ids")),
+        struct(lit("assistant").as("role"),
+          slice(col("ids"), half + 1, (n - half).cast(IntegerType)).as("ids")))
+      TurnMasking("turns")(d.withColumn("turns", turns))
+        .select(col("doc_id"), J("input_ids"), J("loss_mask"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH t AS (SELECT doc_id, $IDS AS ids FROM documents)
+         |SELECT doc_id, to_json(ids)::VARCHAR AS input_ids,
+         |  to_json(list_transform(range(len(ids)),
+         |    i -> CASE WHEN i + 1 > len(ids) // 2 THEN 1 ELSE 0 END))::VARCHAR
+         |    AS loss_mask
+         |FROM t ORDER BY doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -5587,7 +5617,7 @@ object Queries {
     qImageDHash, qImageNearDup, qPhraseBlocklist, qHllSketch, qAudioDHash,
     qKllSketch, qThetaOverlap, qSnapshotDiff, qSpanCorruption, qMlmMasking,
     qBitextMargin, qPhraseRedact, qEditDistance, qBoilerplate, qFim,
-    qOrcRoundtrip, qCdcChunks, qManifest, qTwoStage
+    qOrcRoundtrip, qCdcChunks, qManifest, qTwoStage, qTurnMask
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -120,6 +120,43 @@ final case class FimTransform(
   }
 }
 
+/** SFT turn masking — the chat-tuning data-prep staple: a conversation
+  * arrives as an array of (role, ids) turns; training flattens the
+  * turns into one sequence but the loss must only see ASSISTANT tokens
+  * (user/system text is context, not target). Emits the flat id
+  * sequence plus an aligned 0/1 `loss_mask` (1 exactly on tokens of
+  * turns whose role is in `lossRoles`).
+  *
+  * Pure native HOFs over the nested column — flatten + per-turn
+  * broadcast of the role predicate; no UDF, no shuffle, and the
+  * (ids, mask) alignment is structural, not positional bookkeeping. */
+final case class TurnMasking(
+    turnsField: String,
+    lossRoles: Set[String] = Set("assistant"),
+    idsSubfield: String = "ids",
+    roleSubfield: String = "role",
+    flatIdsField: String = "input_ids",
+    maskField: String = "loss_mask"
+) extends Mapper {
+  require(lossRoles.nonEmpty, "lossRoles must not be empty")
+
+  override def inputFields: Seq[String] = Seq(turnsField)
+  override def outputFields: Seq[String] = Seq(flatIdsField, maskField)
+
+  override protected def build(df: DataFrame): DataFrame = {
+    val turns = col(turnsField)
+    val roles = lossRoles.toSeq.sorted
+    def isLoss(t: Column): Column =
+      array_contains(array(roles.map(lit): _*), t.getField(roleSubfield))
+    df.withColumn(flatIdsField,
+        flatten(transform(turns, t => t.getField(idsSubfield))))
+      .withColumn(maskField,
+        flatten(transform(turns, t =>
+          transform(t.getField(idsSubfield),
+            _ => when(isLoss(t), lit(1L)).otherwise(lit(0L))))))
+  }
+}
+
 /** MLM masking prep (BERT, Devlin et al. 2019 §3.1): select ~`maskPct`%
   * of positions; of those, 80% become `maskId`, 10% a pseudo-random
   * vocabulary token, 10% keep the original; `labels` carries the

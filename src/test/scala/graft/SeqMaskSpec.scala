@@ -224,6 +224,31 @@ class SeqMaskSpec extends SparkSpec {
     assert(run() == Seq(masked, labels))
   }
 
+  test("TurnMasking: loss on assistant tokens only, alignment structural") {
+    val df = Seq(
+      (1L, Seq(("system", Seq(1L, 2L)), ("user", Seq(3L)),
+        ("assistant", Seq(4L, 5L)), ("user", Seq(6L)),
+        ("assistant", Seq(7L)))),
+      (2L, Seq(("user", Seq.empty[Long]), ("assistant", Seq(9L)))),
+      (3L, Seq.empty[(String, Seq[Long])])
+    ).toDF("id", "turns")
+      .withColumn("turns",
+        org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.col("turns"),
+          t => org.apache.spark.sql.functions.struct(
+            t.getField("_1").as("role"), t.getField("_2").as("ids"))))
+    val out = rows(TurnMasking("turns")(df).orderBy("id")
+      .select("input_ids", "loss_mask"))
+    assert(out(0) == Seq(List(1L, 2L, 3L, 4L, 5L, 6L, 7L),
+      List(0L, 0L, 0L, 1L, 1L, 0L, 1L)))
+    assert(out(1) == Seq(List(9L), List(1L)))
+    assert(out(2) == Seq(List(), List()))
+    // custom loss roles
+    val both = TurnMasking("turns", lossRoles = Set("user", "assistant"))(df)
+    assert(rows(both.orderBy("id").select("loss_mask")).head.head ==
+      List(0L, 0L, 1L, 1L, 1L, 1L, 1L))
+  }
+
   test("FimTransform: sentinel layout, token conservation, PSM/SPM mix") {
     import org.apache.spark.sql.functions._
     val ids = (100L until 130L).toSeq
