@@ -5567,6 +5567,40 @@ object Queries {
     )
   )
 
+  /** Contrastive pairs ([[operators.ContrastivePairs]]): positives =
+    * (doc, edited copy); negatives = salted-md5 bucket neighbors with
+    * the accidental-positive anti-join — all decisions md5-derived, so
+    * the oracle replays the full pair set. */
+  private val qContrastive = Q(
+    "q182_contrastive_pairs",
+    (s, dir) => {
+      val base = docs(s, dir).select("doc_id")
+      val union = base.unionByName(
+        base.select((col("doc_id") + 1000000L).as("doc_id")))
+      val positives = base.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1000000L).as("id_b"))
+      ContrastivePairs.build(union, "doc_id", positives)
+        .orderBy("label", "id_a", "id_b")
+    },
+    Some(
+      """WITH u AS (SELECT doc_id AS id FROM documents
+        |  UNION ALL SELECT doc_id + 1000000 FROM documents),
+        |r AS (SELECT id,
+        |  ('0x'||substring(md5(id||'neg'),1,4))::BIGINT % 64 AS b,
+        |  md5(id||'neg') AS h FROM u),
+        |n AS (SELECT id, lead(id) OVER (PARTITION BY b ORDER BY h, id) AS nid
+        |  FROM r),
+        |pos AS (SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents),
+        |negs AS (SELECT least(id, nid) AS id_a, greatest(id, nid) AS id_b
+        |  FROM n WHERE nid IS NOT NULL),
+        |negf AS (SELECT id_a, id_b FROM negs ANTI JOIN pos USING (id_a, id_b))
+        |SELECT id_a, id_b, CAST(1 AS BIGINT) AS label FROM pos
+        |UNION ALL
+        |SELECT id_a, id_b, CAST(0 AS BIGINT) AS label FROM negf
+        |ORDER BY label, id_a, id_b""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -5617,7 +5651,8 @@ object Queries {
     qImageDHash, qImageNearDup, qPhraseBlocklist, qHllSketch, qAudioDHash,
     qKllSketch, qThetaOverlap, qSnapshotDiff, qSpanCorruption, qMlmMasking,
     qBitextMargin, qPhraseRedact, qEditDistance, qBoilerplate, qFim,
-    qOrcRoundtrip, qCdcChunks, qManifest, qTwoStage, qTurnMask
+    qOrcRoundtrip, qCdcChunks, qManifest, qTwoStage, qTurnMask,
+    qContrastive
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -180,3 +180,45 @@ object RrfFusion {
             .orderBy(col("rrf_scaled").desc, col(docField))).cast("long"))
   }
 }
+
+/** Contrastive training-pair generation — the engine preparing the
+  * ENCODER'S data (the embedder that later powers SemDeDup / ANN /
+  * bitext mining): positives are caller-supplied near-dup pairs (from
+  * any of the dedup candidate generators), negatives are deterministic
+  * hash-neighbor pairings — each id pairs with the NEXT id in
+  * salted-md5 order within its hash bucket. That gives collision-free,
+  * reproducible pseudo-random negatives with a PARTITIONED window (no
+  * global-sort funnel), and an anti-join removes any negative that is
+  * accidentally a positive. Output: (id_a, id_b, label) with label
+  * 1 = positive, 0 = negative, pairs id_a < id_b. */
+object ContrastivePairs {
+
+  def build(
+      ids: DataFrame,
+      idField: String,
+      positives: DataFrame, // (id_a, id_b)
+      salt: String = "neg",
+      buckets: Int = 64
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 1, s"buckets must be positive: $buckets")
+    val h = md5(concat(col(idField).cast("string"), lit(salt)))
+    val ranked = ids.select(
+      col(idField).as("__cp_id"),
+      (conv(substring(h, 1, 4), 16, 10).cast("long") % buckets).as("__cp_b"),
+      h.as("__cp_h"))
+    val w = Window.partitionBy(col("__cp_b")).orderBy(col("__cp_h"), col("__cp_id"))
+    val canonPos = positives.select(
+      least(col("id_a"), col("id_b")).as("id_a"),
+      greatest(col("id_a"), col("id_b")).as("id_b"))
+    val negs = ranked
+      .withColumn("__cp_n", lead(col("__cp_id"), 1).over(w))
+      .filter(col("__cp_n").isNotNull)
+      .select(
+        least(col("__cp_id"), col("__cp_n")).as("id_a"),
+        greatest(col("__cp_id"), col("__cp_n")).as("id_b"))
+      .join(canonPos, Seq("id_a", "id_b"), "left_anti")
+      .withColumn("label", lit(0L))
+    canonPos.withColumn("label", lit(1L)).unionByName(negs)
+  }
+}

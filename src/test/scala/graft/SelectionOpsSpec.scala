@@ -106,4 +106,23 @@ class SelectionOpsSpec extends SparkSpec {
       includeUnchanged = true).orderBy("id")
     assert(rows(d2) == Seq(Seq(1L, "changed"), Seq(2L, "unchanged")))
   }
+
+  test("ContrastivePairs: labeled union, no self/dup pairs, deterministic") {
+    import graft.operators.ContrastivePairs
+    val ids = (0L until 100L).toDF("id")
+    val positives = Seq((3L, 7L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = ContrastivePairs.build(ids, "id", positives, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (pos, neg) = out.partition(_._3 == 1L)
+    assert(pos.map(p => (p._1, p._2)).toSet == Set((3L, 7L), (10L, 11L)))
+    // negatives: canonical order, no self-pairs, none equal to a positive
+    assert(neg.forall(p => p._1 < p._2))
+    assert(!neg.exists(p => pos.map(q => (q._1, q._2)).contains((p._1, p._2))))
+    // chain-within-bucket yields |bucket|-1 negatives per bucket
+    assert(neg.length >= 100 - 8 - 2 && neg.length <= 100 - 1)
+    // deterministic under recomputation
+    val again = ContrastivePairs.build(ids, "id", positives, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+  }
 }
