@@ -5601,6 +5601,54 @@ object Queries {
     )
   )
 
+  /** Chunk-dup fraction ([[operators.ChunkDupStats]] over
+    * [[operators.CdcChunker]] output, with an edited copy of every doc
+    * so shared chunks exist): per-doc ppm of content-defined chunks
+    * whose corpus frequency exceeds 1 — the near-dup signal exact
+    * doc-level dedup misses. Oracle replays the q178 chunk derivation
+    * on exact text. */
+  private val qChunkDup = Q(
+    "q183_chunk_dup_fraction",
+    (s, dir) => {
+      val base = docs(s, dir).select("doc_id", "text")
+      val edited = base.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(substring(col("text"), 1, 36), lit("~"),
+          expr("substring(text, 38)")).as("text"))
+      val chunks = CdcChunker("text", "chunk")(base.unionByName(edited))
+      ChunkDupStats.perDoc(chunks, "doc_id")
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substring(text,1,36) || '~' || substring(text,38)
+        |  FROM documents),
+        |t AS (SELECT doc_id, text, length(text) AS n FROM d),
+        |b AS (SELECT doc_id, text, n,
+        |  [0] || list_transform(list_filter(
+        |    CASE WHEN n >= 8 THEN range(7, n) ELSE []::BIGINT[] END,
+        |    i -> list_reduce([0] || list_transform(generate_series(i-6, i+1),
+        |           p -> CAST(ord(substring(text, CAST(p AS INT), 1)) AS BIGINT)),
+        |         (a, c) -> (a*31 + c) % 1000003) % 64 = 0),
+        |    i -> i + 1) || [n] AS pts
+        |  FROM t),
+        |c AS (SELECT doc_id, list_filter(
+        |    list_transform(range(1, len(pts)), k ->
+        |      substring(text, CAST(pts[CAST(k AS INT)]+1 AS INT),
+        |        CAST(pts[CAST(k+1 AS INT)] - pts[CAST(k AS INT)] AS INT))),
+        |    s -> length(s) > 0) AS chunks
+        |  FROM b),
+        |u AS (SELECT doc_id, unnest(chunks) AS chunk FROM c),
+        |f AS (SELECT chunk, count(*) AS f FROM u GROUP BY chunk)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  (1000000 * CAST(sum(CASE WHEN f.f > 1 THEN 1 ELSE 0 END) AS BIGINT))
+        |    // CAST(count(*) AS BIGINT) AS dup_pct
+        |FROM u JOIN f USING (chunk)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -5652,7 +5700,7 @@ object Queries {
     qKllSketch, qThetaOverlap, qSnapshotDiff, qSpanCorruption, qMlmMasking,
     qBitextMargin, qPhraseRedact, qEditDistance, qBoilerplate, qFim,
     qOrcRoundtrip, qCdcChunks, qManifest, qTwoStage, qTurnMask,
-    qContrastive
+    qContrastive, qChunkDup
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -537,6 +537,44 @@ final case class CdcChunker(
   }
 }
 
+/** Chunk-level duplication statistics — the metric [[CdcChunker]]
+  * exists to feed (the DataComp/RefinedWeb "duplicate fraction"
+  * signal): what fraction of each document's content-defined chunks
+  * also appear elsewhere in the corpus? High-fraction docs are
+  * near-duplicates or templated spam that document-level exact dedup
+  * misses (one edited byte defeats it) and that CDC boundaries
+  * survive.
+  *
+  * Shape: chunk frequencies aggregate on xxhash64(chunk) with map-side
+  * partial aggregation; the join-back is keyed on the same 8-byte
+  * hash; one per-doc partial-agg computes the fraction as a scaled
+  * integral division (engine-replayable, up to 64-bit collisions). */
+object ChunkDupStats {
+
+  /** (idField, n_chunks, dup_pct) with dup_pct = ppm of the doc's
+    * chunks whose corpus frequency exceeds 1. Docs with no chunks
+    * (empty text) are absent, like [[CdcChunker]]'s output. */
+  def perDoc(
+      chunks: DataFrame,
+      idField: String,
+      chunkField: String = "chunk",
+      scale: Long = 1000000L
+  ): DataFrame = {
+    import graft.functions.functions.integral_divide
+    val hashed = chunks.select(col(idField), xxhash64(col(chunkField)).as("__cd_h"))
+    val freq = hashed.groupBy(col("__cd_h"))
+      .agg(count(lit(1)).as("__cd_f"))
+    hashed.join(freq, "__cd_h")
+      .groupBy(col(idField))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum((col("__cd_f") > 1).cast("long")).as("__cd_dup"))
+      .select(col(idField), col("n_chunks"),
+        integral_divide(lit(scale) * col("__cd_dup"), col("n_chunks"))
+          .as("dup_pct"))
+  }
+}
+
 /** Keyed pseudonymization (GDPR-style tokenization of identifying
   * columns): replace each value with `sha2-256(salt || value)` — the
   * same (value, salt) always maps to the same token, so joins and

@@ -275,4 +275,19 @@ class CleanupOpsSpec extends SparkSpec {
     val empty = Seq((1L, "")).toDF("doc_id", "text")
     assert(CdcChunker()(empty).count() == 0L)
   }
+
+  test("ChunkDupStats: edited copy shares most chunks; unique doc shares none") {
+    import graft.operators.{CdcChunker, ChunkDupStats}
+    val rnd = new scala.util.Random(9)
+    def txt() = (0 until 400).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val a = txt()
+    val df = Seq((1L, a), (2L, "Z" + a), (3L, txt())).toDF("doc_id", "text")
+    val stats = ChunkDupStats.perDoc(CdcChunker()(df), "doc_id")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the near-copy pair shares most chunks; the unrelated doc none
+    assert(stats(0)._3 > 500000L, s"doc1 dup_pct ${stats(0)._3}")
+    assert(stats(1)._3 > 500000L, s"doc2 dup_pct ${stats(1)._3}")
+    assert(stats(2)._3 == 0L, s"doc3 dup_pct ${stats(2)._3}")
+  }
 }
