@@ -5649,6 +5649,42 @@ object Queries {
     )
   )
 
+  /** Corpus card: the one-row dataset datasheet — sizes, exact-dup
+    * rate, language share, mean length — in ONE partial-agg pass over
+    * the corpus (plus the countDistinct expand). Every figure is a
+    * count or scaled integral division, so the card replays exactly. */
+  private val qCorpusCard = Q(
+    "q184_corpus_card",
+    (s, dir) => {
+      import graft.functions.functions.integral_divide
+      val d = docTextWords(s, dir)
+      d.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("words"))).as("n_words"),
+        countDistinct(col("text")).as("n_distinct"),
+        sum((col("lang") === "en").cast("long")).as("__en"),
+        sum(col("n_chars")).as("__chars"))
+        .select(
+          col("n_docs"), col("n_words"), col("n_distinct"),
+          integral_divide(lit(1000000L) * (col("n_docs") - col("n_distinct")),
+            col("n_docs")).as("dup_ppm"),
+          integral_divide(lit(1000000L) * col("__en"), col("n_docs"))
+            .as("en_ppm"),
+          integral_divide(col("__chars"), col("n_docs")).as("avg_chars"))
+        .orderBy("n_docs")
+    },
+    Some(
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len($W)) AS BIGINT) AS n_words,
+         |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+         |  (1000000 * (count(*) - count(DISTINCT text))) // count(*) AS dup_ppm,
+         |  (1000000 * CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT))
+         |    // count(*) AS en_ppm,
+         |  CAST(sum(n_chars) AS BIGINT) // count(*) AS avg_chars
+         |FROM documents ORDER BY n_docs""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -5700,7 +5736,7 @@ object Queries {
     qKllSketch, qThetaOverlap, qSnapshotDiff, qSpanCorruption, qMlmMasking,
     qBitextMargin, qPhraseRedact, qEditDistance, qBoilerplate, qFim,
     qOrcRoundtrip, qCdcChunks, qManifest, qTwoStage, qTurnMask,
-    qContrastive, qChunkDup
+    qContrastive, qChunkDup, qCorpusCard
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
