@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, CodegenFallback}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the three operators SURVEY §7.4 flags
   * as awkward/slow as higher-order-function trees:
@@ -209,6 +210,61 @@ case class SimHash64Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** cdc_boundaries(text): 0-based code-point positions `i >= window-1`
+  * where the rolling polynomial hash of the window ending at `i`
+  * (fold `(h·31 + cp) mod m` over the window's code points) is ≡ 0
+  * (mod divisor) — the content-defined chunk boundaries of
+  * [[graft.operators.CdcChunker]]. One O(n) pass with incremental
+  * add/remove (precomputed 31^window mod m), bit-identical to the
+  * per-window fold. */
+case class CdcBoundariesExpr(
+    child: Expression,
+    window: Int,
+    divisor: Long,
+    mod: Long
+) extends UnaryExpression
+    with CodegenFallback {
+  require(window >= 2 && divisor >= 2 && mod >= 2)
+
+  override def dataType: DataType = ArrayType(LongType)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val pow31w: Long = {
+    var p = 1L
+    var k = 0
+    while (k < window) { p = (p * 31) % mod; k += 1 }
+    p
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.codePointCount(0, s.length)
+    val cps = new Array[Int](n)
+    var ci = 0
+    var off = 0
+    while (off < s.length) {
+      val cp = s.codePointAt(off)
+      cps(ci) = cp
+      ci += 1
+      off += Character.charCount(cp)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h * 31 + cps(i)) % mod
+      if (i >= window)
+        h = ((h - (cps(i - window) * pow31w) % mod) % mod + mod) % mod
+      if (i >= window - 1 && h % divisor == 0) out += i.toLong
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcBoundariesExpr =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers. */
 object functions {
   def simhash64(words: Column): Column =
@@ -222,6 +278,9 @@ object functions {
 
   def greedy_pack_breaks(lens: Column, maxCount: Column, maxLen: Column): Column =
     toCol(GreedyPackBreaks(expression(lens), expression(maxCount), expression(maxLen)))
+
+  def cdc_boundaries(text: Column, window: Int, divisor: Long, mod: Long): Column =
+    toCol(CdcBoundariesExpr(expression(text), window, divisor, mod))
 
   /** True integral division (`a div b`) over BIGINT/DECIMAL operands:
     * decimal `/` re-scales and ROUNDS half-up, and long `/` detours

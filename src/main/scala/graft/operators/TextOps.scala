@@ -492,42 +492,28 @@ final case class CdcChunker(
     val m = 1000003L
     val text = col(textField)
     val n = length(text).cast(LongType)
-    // One-pass char-code array: probing chars with substr(p, 1) would
-    // rescan the UTF-8 prefix on every probe (O(n²) per row — measured
-    // 300 s on the sf0.1 bench). The array AND the boundary-point list
-    // are bound as LAMBDA VARIABLES (transform over a 1-element array)
-    // so each evaluates exactly once per row — intermediate withColumns
-    // get inlined by CollapseProject and would re-evaluate per lambda
-    // element, which is the same O(n²) in disguise.
-    val codes = transform(
-      filter(split(text, ""), c => length(c) === 1),
-      c => ascii(c).cast(LongType))
-    // window ending at 0-based char i = codes[i-w+1..i], slice 1-based
-    def hashAt(cs: Column, i: Column): Column =
-      aggregate(
-        slice(cs, (i - (w - 2)).cast("int"), lit(w)),
-        lit(0L),
-        (acc, c) => (acc * 31 + c) % m)
-    def boundaryPts(cs: Column): Column = concat(
+    // Boundary scan = ONE native rolling-hash pass per row
+    // ([[graft.functions.CdcBoundariesExpr]] — bit-identical to the
+    // per-window fold). Earlier HOF formulations were O(n²): per-char
+    // substr probes rescan the UTF-8 prefix, and a precomputed code
+    // array gets inlined by CollapseProject and re-evaluated per lambda
+    // element (measured 300 s on the sf0.1 bench; now milliseconds).
+    // The point list is bound as a lambda variable so the expression
+    // evaluates once even though the slicing references it twice.
+    val points = concat(
       array(lit(0L)),
       transform(
-        filter(
-          when(n >= w, sequence(lit(w.toLong - 1), n - 1))
-            .otherwise(array().cast("array<bigint>")),
-          i => hashAt(cs, i) % divisor === 0),
+        graft.functions.functions.cdc_boundaries(text, w, divisor, m),
         i => i + 1),
       array(n))
     val chunks = element_at(
-      transform(array(codes), cs =>
-        element_at(
-          transform(array(boundaryPts(cs)), ps =>
-            filter(
-              transform(sequence(lit(1), size(ps) - 1), k =>
-                text.substr(
-                  (element_at(ps, k) + 1).cast("int"),
-                  (element_at(ps, k + 1) - element_at(ps, k)).cast("int"))),
-              c => length(c) > 0)),
-          lit(1))),
+      transform(array(points), ps =>
+        filter(
+          transform(sequence(lit(1), size(ps) - 1), k =>
+            text.substr(
+              (element_at(ps, k) + 1).cast("int"),
+              (element_at(ps, k + 1) - element_at(ps, k)).cast("int"))),
+          c => length(c) > 0)),
       lit(1))
     df.withColumn("__cdc_chunks", chunks)
       .select(

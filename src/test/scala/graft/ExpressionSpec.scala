@@ -109,4 +109,24 @@ class ExpressionSpec extends SparkSpec {
     ).collect().head
     assert(got.getDouble(0) == 1.0)
   }
+
+  test("cdc_boundaries: rolling hash equals the naive per-window fold") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(13)
+    val texts = Seq("", "short", "x" * 7,
+      (0 until 300).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    val w = 8
+    val m = 1000003L
+    val d = 64L
+    def naive(s: String): Seq[Long] =
+      (w - 1 until s.length).filter { i =>
+        val h = (i - w + 1 to i).foldLeft(0L)((acc, j) =>
+          (acc * 31 + s.charAt(j)) % m)
+        h % d == 0
+      }.map(_.toLong)
+    val got = texts.toDF("t")
+      .select(graft.functions.functions.cdc_boundaries(col("t"), w, d, m))
+      .as[Seq[Long]].collect().toSeq
+    assert(got == texts.map(naive), s"got=$got expected=${texts.map(naive)}")
+  }
 }
