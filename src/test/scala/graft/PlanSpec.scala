@@ -248,6 +248,28 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("CdcChunker: narrow explode, no Exchange, boundaries via native expr") {
+    val df = spark.read.parquet(dir)
+    val out = CdcChunker("text", "chunk")(df.select("id", "text"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("cdcboundaries"), plan) // the O(n) scalar scan
+  }
+
+  test("two-stage retrieval: top-k via TakeOrderedAndProject, no cartesian " +
+    "on data, O(k) windows keyed") {
+    val q = graft.Queries.queries("q180_two_stage_retrieval")
+    val plan = q(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the only window specs cover the 20-row candidate set, each keyed
+    assert(!plan.contains("windowspecdefinition()"), plan)
+    // the broadcast side is the single query vector / tiny stats, and
+    // the corpus-side join is the candidate equi-join
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
   test("DistinctSketch: sketches combine map-side through partial aggregation") {
     val df = spark.read.parquet(dir)
     val out = DistinctSketch.mergedEstimate(
