@@ -57,6 +57,20 @@ object Queries {
     * catalog already scales floats to BIGINT before output. */
   private def J(name: String): Column = to_json(col(name)).as(name)
 
+  /** Per-user, per-SF scratch dir for queries that round-trip through a
+    * sink: the SF dir is md5-keyed (no sanitization collisions between
+    * dirs differing only in punctuation) and the user name is included
+    * (shared /tmp). A lazily-read path must never race an overwrite
+    * from a run against a DIFFERENT dataset; simultaneous runs of the
+    * SAME (user, dir) pair are out of scope — the driver runs the
+    * catalog serially. */
+  private def scratchPath(tag: String, dir: String): String = {
+    val user = System.getProperty("user.name", "anon")
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"/tmp/graft_${tag}_${user}_$h"
+  }
+
   /** documents/embeddings read spread across cores: the driver ships ONE
     * parquet file per table (single row group → parquet yields a single
     * split), so without this every expression-heavy doc pipeline (minhash
@@ -5382,9 +5396,7 @@ object Queries {
   private val qOrcRoundtrip = Q(
     "q177_orc_roundtrip",
     (s, dir) => {
-      // per-SF path: a lazy reader must never race an overwrite from a
-      // concurrent run on a different scale factor
-      val tmp = "/tmp/graft_q177_orc_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tmp = scratchPath("q177_orc", dir)
       docs(s, dir).select("doc_id", "text", "lang", "n_chars")
         .write.mode("overwrite").orc(tmp)
       s.read.orc(tmp).orderBy("doc_id")
@@ -5439,7 +5451,7 @@ object Queries {
   private val qManifest = Q(
     "q179_export_manifest",
     (s, dir) => {
-      val tmp = "/tmp/graft_q179_manifest_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tmp = scratchPath("q179_manifest", dir)
       Sinks.sizedParquet(docs(s, dir).select("doc_id", "text"), tmp,
         targetRowsPerFile = 100L, sortWithinBy = Seq("doc_id"),
         numFiles = Some(4))

@@ -475,9 +475,11 @@ final case class TextChunker(
   * Expected chunk length ≈ `divisor` chars (geometric; no min/max
   * clamps — FastCDC's bounds need sequential state, out of scope).
   * Window hash is an exact integer fold ((h·31 + code) mod 1000003 over
-  * `window` chars), replayable on any engine. Native HOFs over the
-  * text; O(n·window) codegen'd work per row, explode by output chunk,
-  * zero shuffle. */
+  * `window` code points), replayable on any engine. The boundary scan
+  * is ONE O(n) rolling-hash pass per row via the native
+  * [[graft.functions.CdcBoundariesExpr]] scalar expression; slicing is
+  * a cheap lambda over the O(n/divisor) point list. Explode by output
+  * chunk; zero shuffle. */
 final case class CdcChunker(
     textField: String = "text",
     dest: String = "chunk",

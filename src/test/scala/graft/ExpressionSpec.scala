@@ -114,16 +114,21 @@ class ExpressionSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(13)
     val texts = Seq("", "short", "x" * 7,
-      (0 until 300).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+      (0 until 300).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString,
+      // supplementary-plane chars: one CODE POINT each, not two UTF-16
+      // units — the reason the expression walks codePointAt/charCount
+      "ab𝄞cd😀efghij" * 3)
     val w = 8
     val m = 1000003L
     val d = 64L
-    def naive(s: String): Seq[Long] =
-      (w - 1 until s.length).filter { i =>
+    def naive(s: String): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      (w - 1 until cps.length).filter { i =>
         val h = (i - w + 1 to i).foldLeft(0L)((acc, j) =>
-          (acc * 31 + s.charAt(j)) % m)
+          (acc * 31 + cps(j)) % m)
         h % d == 0
       }.map(_.toLong)
+    }
     val got = texts.toDF("t")
       .select(graft.functions.functions.cdc_boundaries(col("t"), w, d, m))
       .as[Seq[Long]].collect().toSeq

@@ -110,10 +110,11 @@ class IntegrationSpec extends SparkSpec {
     val chunks = CdcChunker("text", "chunk")(clean)
     val dupChunks = chunks.groupBy("chunk").count().filter(col("count") > 1)
     assert(dupChunks.count() > 0, "shared content must yield shared chunks")
-    // 4. release diff vs the unredacted snapshot: every even doc changed
+    // 4. release diff vs the unredacted snapshot: the footer removal
+    // touched every doc (redaction additionally changed the even ones)
     val diff = SnapshotDiff.diff(docs, clean, Seq("doc_id"), Seq("text"),
       includeUnchanged = true)
     val changed = diff.filter(col("change") === "changed").count()
-    assert(changed == 6) // footer removal touched every doc
+    assert(changed == 6)
   }
 }
