@@ -2833,7 +2833,10 @@ object Queries {
         f.delete(): Unit
       }
       s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
-      rmrf(new java.io.File(s"/tmp/graft_warehouse/$db.db"))
+      // resolve the ACTUAL warehouse location — sessions configure
+      // different dirs (verify/bench use /tmp, tests the project dir)
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      rmrf(new java.io.File(s"$wh/$db.db"))
       s.sql(s"CREATE DATABASE $db")
       // a 10% orderkey slice: the write+read mechanics are identical,
       // and the sink test shouldn't dominate the bench with IO volume

@@ -178,7 +178,11 @@ object MinHashLSH {
       .agg(count(lit(1)).as("n_pairs"))
       .withColumn("pairs_at_or_above",
         sum(col("n_pairs")).over(
-          Window.orderBy(col("bucket").desc)
+          // O(buckets) rows: the window is over the tiny aggregate —
+          // the constant-VALUED partition key (non-foldable pmod, see
+          // SCALE.md §8) states the single-partition intent explicitly
+          Window.partitionBy(pmod(col("bucket"), lit(1)))
+            .orderBy(col("bucket").desc)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
