@@ -5700,6 +5700,46 @@ object Queries {
     )
   )
 
+  /** Containment detection ([[operators.MinHashLSH.containmentPairs]]):
+    * every 4th doc gets a boilerplate-wrapped copy — contained with
+    * c ≈ 1 but Jaccard low enough that resemblance banding misses it.
+    * Rare-shingle blocking + exact verification; the oracle replays
+    * blocking on shingle text (identical up to 64-bit collisions). */
+  private val qContainment = Q(
+    "q185_containment_pairs",
+    (s, dir) => {
+      val base = docs(s, dir).select("doc_id", "text")
+      val wrapped = base.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(col("text"), lit(" end of message standard footer " +
+            "applies to all wrapped documents here")).as("text"))
+      val u = base.unionByName(wrapped)
+        .withColumn("words", Splitters.toColumn(col("text"), Splitters.Ws))
+      MinHashLSH.containmentPairs(u, "words", "doc_id")
+        .orderBy("id_a", "id_b")
+    },
+    Some(
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text ||
+         |    ' end of message standard footer applies to all wrapped documents here'
+         |  FROM documents WHERE doc_id % 4 = 0),
+         |d AS (SELECT doc_id, list_distinct($SHINGLES) AS sh FROM u),
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM d),
+         |rare AS (SELECT s FROM e GROUP BY s HAVING count(*) BETWEEN 2 AND 5),
+         |er AS (SELECT doc_id, s FROM e JOIN rare USING (s)),
+         |c AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM er a JOIN er b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |v AS (SELECT id_a, id_b,
+         |  CAST(len(list_filter(da.sh, x -> list_contains(db.sh, x))) AS BIGINT) AS i,
+         |  CAST(least(len(da.sh), len(db.sh)) AS BIGINT) AS mn
+         |  FROM c JOIN d da ON da.doc_id = c.id_a JOIN d db ON db.doc_id = c.id_b)
+         |SELECT id_a, id_b, (1000000 * i) // mn AS containment_scaled
+         |FROM v WHERE (1000000 * i) // mn >= 900000
+         |ORDER BY id_a, id_b""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -5751,7 +5791,7 @@ object Queries {
     qKllSketch, qThetaOverlap, qSnapshotDiff, qSpanCorruption, qMlmMasking,
     qBitextMargin, qPhraseRedact, qEditDistance, qBoilerplate, qFim,
     qOrcRoundtrip, qCdcChunks, qManifest, qTwoStage, qTurnMask,
-    qContrastive, qChunkDup, qCorpusCard
+    qContrastive, qChunkDup, qCorpusCard, qContainment
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -258,6 +258,67 @@ object MinHashLSH {
       .distinct()
   }
 
+  /** Containment pairing — Broder 1997 distinguishes RESEMBLANCE
+    * (Jaccard) from CONTAINMENT c(A,B) = |A∩B|/min(|A|,|B|): a document
+    * quoted or boilerplate-wrapped inside a larger one has containment
+    * ≈ 1 while its Jaccard is |A|/|B|, arbitrarily low — so
+    * resemblance-LSH dedup (whose banding probability IS a function of
+    * Jaccard) structurally misses exactly these pairs. Candidates here
+    * come from RARE-shingle blocking instead: two docs are compared
+    * when they share a shingle whose corpus document-frequency is in
+    * [2, maxShingleDf] — contained copies share many rare shingles
+    * (hot boilerplate shingles are excluded by the cap, which also
+    * bounds every block's join work at maxShingleDf²).
+    *
+    * Scale shape: shingle df table is one partial-agg groupBy on
+    * xxhash64(shingle); the block join shuffles (hash, id) pairs;
+    * exact verification joins shingle sets back for candidate ids only
+    * (same discipline as [[dedup]]'s verify). The containment score is
+    * a scaled integral division, engine-replayable. */
+  def containmentPairs(
+      df: DataFrame,
+      wordsField: String,
+      idField: String,
+      shingleSize: Int = 3,
+      maxShingleDf: Long = 5L,
+      minContainment: Double = 0.9,
+      scale: Long = 1000000L
+  ): DataFrame = {
+    require(maxShingleDf >= 2 && minContainment > 0 && minContainment <= 1)
+    val shingled = df.select(
+      col(idField).as("__ct_id"),
+      array_distinct(TextShingles.shingles(col(wordsField), shingleSize))
+        .as("__ct_sh"))
+    val exploded = shingled
+      .select(col("__ct_id"), explode(col("__ct_sh")).as("__ct_s"))
+      .withColumn("__ct_h", xxhash64(col("__ct_s")))
+      .drop("__ct_s")
+    val rare = exploded.groupBy(col("__ct_h"))
+      .agg(count(lit(1)).as("__ct_n"))
+      .filter(col("__ct_n") >= 2 && col("__ct_n") <= maxShingleDf)
+      .select("__ct_h")
+    val blocked = exploded.join(rare, "__ct_h")
+    val cand = blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.__ct_h") === col("b.__ct_h") &&
+          col("a.__ct_id") < col("b.__ct_id"))
+      .select(col("a.__ct_id").as("id_a"), col("b.__ct_id").as("id_b"))
+      .distinct()
+    cand
+      .join(shingled.select(col("__ct_id").as("id_a"),
+        col("__ct_sh").as("sh_a")), Seq("id_a"))
+      .join(shingled.select(col("__ct_id").as("id_b"),
+        col("__ct_sh").as("sh_b")), Seq("id_b"))
+      .withColumn("__ct_i",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+      .withColumn("containment_scaled",
+        graft.functions.functions.integral_divide(
+          lit(scale) * col("__ct_i"),
+          least(size(col("sh_a")), size(col("sh_b"))).cast(LongType)))
+      .filter(col("containment_scaled") >= math.floor(scale * minContainment).toLong)
+      .select("id_a", "id_b", "containment_scaled")
+  }
+
   /** Full near-dedup: signature → banding → connected-via-pairs removal
     * (keep the smallest id of each candidate pair's right side removed).
     * Single-linkage transitive closure is deliberately NOT computed

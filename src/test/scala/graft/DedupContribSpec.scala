@@ -448,6 +448,28 @@ class DedupContribSpec extends SparkSpec {
     assert(rows(pairs.select("id_a", "id_b")) == Seq(Seq(1L, 2L)))
   }
 
+  test("containmentPairs: wrapped copy at c=1.0 where resemblance misses") {
+    val body = (0 until 30).map(i => s"w$i")
+    val boiler = (0 until 30).map(i => s"b$i")
+    val other = (0 until 30).map(i => s"z$i")
+    val df = Seq(
+      (1L, body), (2L, body ++ boiler), (3L, other)
+    ).toDF("id", "words")
+    val pairs = MinHashLSH.containmentPairs(df, "words", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 is fully contained in doc 2: containment exactly 1.0
+    assert(pairs.toSeq == Seq((1L, 2L, 1000000L)), pairs.toSeq.toString)
+    // and the pair's Jaccard (28/60) is far below any resemblance
+    // threshold — the case this operator exists for
+    val jac = 28.0 / 60.0
+    assert(jac < 0.8)
+    // the hot-boilerplate guard: shingles shared by MANY docs don't
+    // block (df cap) — a corpus of 10 copies of the same boilerplate
+    // yields no blocking shingles at maxShingleDf = 5
+    val many = (0L until 10L).map(i => (i, boiler)).toDF("id", "words")
+    assert(MinHashLSH.containmentPairs(many, "words", "id").count() == 0)
+  }
+
   test("AudioDHash: real WAVs — local edit stays near, reshuffle goes far") {
     def wav(samples: Array[Short]): Array[Byte] = {
       val pcm = new Array[Byte](samples.length * 2)
