@@ -123,6 +123,30 @@ class RecipeStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming HLL sketches: windowed distinct estimates with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val mem = MemoryStream[(Long, String)]
+    val events = mem.toDF().toDF("sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "10 seconds")
+    // the incremental-profiling shape on a stream: per-window mergeable
+    // sketches; the estimate is exact at these cardinalities
+    val agg = events
+      .groupBy(window(col("ts"), "60 seconds"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("v"))).as("nd"),
+        count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("graft_stream_hll")
+      .outputMode("update").start()
+    mem.addData((0L until 30L).map(i => (i, s"u${i % 7}")): _*)
+    q.processAllAvailable()
+    val got = spark.sql(
+      "SELECT n, nd FROM graft_stream_hll ORDER BY n DESC LIMIT 1")
+      .collect().head
+    assert(got.getLong(0) == 30L && got.getLong(1) == 7L, got.toString)
+    q.stop()
+  }
+
   test("BPE tokenization runs unchanged on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
