@@ -5740,6 +5740,36 @@ object Queries {
     )
   )
 
+  /** Heavy hitters from mergeable sketches ([[operators.FrequentSketch]]):
+    * per-source top-3 words via shard-built, merged Misra-Gries tables.
+    * The per-source vocabulary sits far below maxMapSize, so the sketch
+    * is in its exact regime (documented on the operator) and the oracle
+    * is the exact grouped count with identical tie-breaks. */
+  private val qFrequent = Q(
+    "q186_frequent_sketch",
+    (s, dir) => {
+      val words = docWords(s, dir)
+        .select(col("doc_id"), col("source"), explode(col("words")).as("w"))
+      val shards = Seq(0, 1).map(r =>
+        FrequentSketch.build(words.filter(col("doc_id") % 2 === r),
+          "source", "w"))
+      FrequentSketch.topK(
+        FrequentSketch.merge(shards.reduce(_ unionByName _), "source"),
+        "source", k = 3)
+        .select("source", "item", "est", "rank")
+        .orderBy("source", "rank")
+    },
+    Some(
+      s"""WITH w AS (SELECT source, unnest($W) AS item FROM documents),
+         |c AS (SELECT source, item, CAST(count(*) AS BIGINT) AS est
+         |  FROM w GROUP BY source, item),
+         |r AS (SELECT source, item, est, row_number() OVER (
+         |    PARTITION BY source ORDER BY est DESC, item) AS rank FROM c)
+         |SELECT source, item, est, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -5791,7 +5821,7 @@ object Queries {
     qKllSketch, qThetaOverlap, qSnapshotDiff, qSpanCorruption, qMlmMasking,
     qBitextMargin, qPhraseRedact, qEditDistance, qBoilerplate, qFim,
     qOrcRoundtrip, qCdcChunks, qManifest, qTwoStage, qTurnMask,
-    qContrastive, qChunkDup, qCorpusCard, qContainment
+    qContrastive, qChunkDup, qCorpusCard, qContainment, qFrequent
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

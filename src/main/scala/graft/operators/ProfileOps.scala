@@ -192,6 +192,102 @@ object QuantileSketch {
   }
 }
 
+/** Mergeable per-group HEAVY-HITTER sketches (Apache DataSketches
+  * frequent-items / Misra-Gries) — the fourth leg of the accounting
+  * layer beside [[DistinctSketch]] (how many distinct),
+  * [[QuantileSketch]] (how distributed) and [[OverlapSketch]] (how
+  * much shared): WHICH values dominate each group, from a bounded
+  * O(maxMapSize) state that persists and merges across shards. The
+  * guarantee is one-sided: every item with true count > n/maxMapSize
+  * is present (no false negatives); estimates are exact while the
+  * distinct count stays under the map size and order-dependent
+  * (bounded-error) beyond it — queries needing replayable output
+  * should stay in the exact regime, as q186 documents.
+  *
+  * Same shape as the KLL/theta legs: per-partition fold to one sketch
+  * per group, kilobyte rows through the shuffle, mapGroups merge. */
+object FrequentSketch {
+  import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+  import org.apache.datasketches.common.ArrayOfStringsSerDe
+  import org.apache.datasketches.memory.Memory
+  import org.apache.spark.sql.{Encoder, Encoders}
+
+  private val rowEnc: Encoder[(String, Array[Byte], Long)] =
+    Encoders.tuple(Encoders.STRING, Encoders.BINARY, Encoders.scalaLong)
+  private def serde = new ArrayOfStringsSerDe()
+
+  /** One frequent-items sketch per group: (group, fi binary, n_rows). */
+  def build(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      maxMapSize: Int = 256
+  ): DataFrame = {
+    val pairs = df
+      .select(col(groupCol).cast(StringType).as("g"),
+        col(valueCol).cast(StringType).as("v"))
+      .filter(col("v").isNotNull)
+      .as[(String, String)](Encoders.tuple(Encoders.STRING, Encoders.STRING))
+    val perPartition = pairs.mapPartitions { it =>
+      val acc = scala.collection.mutable.HashMap
+        .empty[String, (ItemsSketch[String], Long)]
+      it.foreach { case (g, v) =>
+        val (sk, n) = acc.getOrElseUpdate(
+          g, (new ItemsSketch[String](maxMapSize), 0L))
+        sk.update(v)
+        acc(g) = (sk, n + 1)
+      }
+      acc.iterator.map { case (g, (sk, n)) => (g, sk.toByteArray(serde), n) }
+    }(rowEnc)
+    merge(perPartition.toDF("g", "fi", "n_rows"), "g", maxMapSize)
+      .withColumnRenamed("g", groupCol)
+  }
+
+  /** Merge (group, fi, n_rows) sketch tables — shards/days — into one
+    * row per group. */
+  def merge(
+      sketches: DataFrame,
+      groupCol: String,
+      maxMapSize: Int = 256
+  ): DataFrame =
+    sketches
+      .select(col(groupCol).cast(StringType).as("g"), col("fi"),
+        col("n_rows"))
+      .as[(String, Array[Byte], Long)](rowEnc)
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapGroups { (g, it) =>
+        val sk = new ItemsSketch[String](maxMapSize)
+        var n = 0L
+        it.foreach { case (_, bytes, rows) =>
+          sk.merge(ItemsSketch.getInstance(Memory.wrap(bytes), serde))
+          n += rows
+        }
+        (g, sk.toByteArray(serde), n)
+      }(rowEnc)
+      .toDF("g", "fi", "n_rows")
+      .withColumnRenamed("g", groupCol)
+
+  /** Top-k heavy hitters per group from a sketch table:
+    * (group, item, est, rank), NO_FALSE_NEGATIVES item set, ranked by
+    * (estimate desc, item). */
+  def topK(sketches: DataFrame, groupCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val items = udf { (bytes: Array[Byte]) =>
+      ItemsSketch.getInstance(Memory.wrap(bytes), serde)
+        .getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+        .map(r => (r.getItem, r.getEstimate))
+    }
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("est").desc, col("item"))
+    sketches
+      .select(col(groupCol), explode(items(col("fi"))).as("__fi"))
+      .select(col(groupCol), col("__fi._1").as("item"),
+        col("__fi._2").as("est"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}
+
 /** Cross-corpus SET-OVERLAP estimation (Apache DataSketches Theta).
   * HLL answers "how many distinct"; theta sketches additionally support
   * set INTERSECTION, so "how much of today's crawl is already in the

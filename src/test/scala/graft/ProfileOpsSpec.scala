@@ -116,6 +116,31 @@ class ProfileOpsSpec extends SparkSpec {
     assert(math.abs(q90 / n - 0.9) < 0.03, s"p90 rank off: $q90")
   }
 
+  test("FrequentSketch: no-false-negative heavy hitters survive shard merge") {
+    import graft.operators.FrequentSketch
+    // skewed stream: "hot" 5000x, "warm" 500x, tail of 2000 singletons —
+    // beyond maxMapSize=64, so the sketch must actually evict
+    val data = (
+      Seq.fill(5000)("hot") ++ Seq.fill(500)("warm") ++
+        (0 until 2000).map(i => s"t$i")
+    ).zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("i", "v")
+      .withColumn("g", lit("g"))
+    val shards = Seq(0L, 1L, 2L).map(r =>
+      FrequentSketch.build(data.filter(col("i") % 3 === r), "g", "v",
+        maxMapSize = 64))
+    val merged = FrequentSketch.merge(shards.reduce(_ unionByName _), "g",
+      maxMapSize = 64)
+    assert(merged.select("n_rows").as[Long].head() == 7500L)
+    val top = FrequentSketch.topK(merged, "g", 2)
+      .orderBy("rank").select("item", "est")
+      .as[(String, Long)].collect().toSeq
+    // the guarantee: true heavy hitters are never lost, ranked first,
+    // estimates within n/maxMapSize of truth
+    assert(top.map(_._1) == Seq("hot", "warm"), top.toString)
+    assert(math.abs(top.head._2 - 5000L) <= 7500L / 64, top.toString)
+    assert(math.abs(top(1)._2 - 500L) <= 7500L / 64, top.toString)
+  }
+
   test("OverlapSketch: intersection estimate tracks the true overlap") {
     import graft.operators.OverlapSketch
     // A = 0..5999, B = 4000..9999 → |A∩B| = 2000, |A∪B| = 10000
