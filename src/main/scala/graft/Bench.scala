@@ -63,21 +63,22 @@ object Bench {
     }
     val retimed = cold.filter(_._3 >= retimeThreshold)
     val coldSum = retimed.map(_._3).sum
-    // the driver keeps only the last ~2000 chars of output, so the JSON
-    // line must stay well under that: short keys (the unique qNN prefix)
-    // and 3-decimal values instead of full query names + full doubles
+    // the driver keeps only the last ~2000 chars of output and the 185-query
+    // map no longer fits (r9's BENCH json came back parsed:null). Keep stdout
+    // to one short headline line (~150 chars, safe at any catalog size) and
+    // write the full per-query map to a side file for humans/SCALE.md.
     def fmt(v: Double): String =
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val shortNames = results.map { case (k, _) => k.takeWhile(_ != '_') }
-    val useShort = shortNames.distinct.size == results.size
     val qs = results
-      .zip(shortNames)
-      .map { case ((k, v), s) =>
-        "\"" + (if (useShort) s else k) + "\":" + fmt(v)
-      }
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"retimed":${retimed.size},"coldsum":${fmt(coldSum)},"sf":"$sfDir"}""")
+    val sideDir = java.nio.file.Paths.get("/tmp/graft_bench")
+    java.nio.file.Files.createDirectories(sideDir)
+    java.nio.file.Files.write(
+      sideDir.resolve("queries.json"),
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"retimed":${retimed.size},"coldsum":${fmt(coldSum)},"sf":"$sfDir"}""".getBytes("UTF-8"))
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"all":${fmt(total)}},"nq":${results.size},"retimed":${retimed.size},"coldsum":${fmt(coldSum)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

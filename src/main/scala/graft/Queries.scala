@@ -1127,38 +1127,68 @@ object Queries {
     )
   )
 
+  /** Single-pass 16-bit md5-simhash column: md5 each word ONCE (bound as
+    * a lambda var so CollapseProject can't duplicate it — the per-bit
+    * re-hash was the catalog's worst cold query at 8.8 s), expand each
+    * hash to its 16 ±1 bit contributions, then ONE aggregate fold with an
+    * array accumulator. */
+  private def simhash16Col: Column = {
+    val hashes = transform(col("words"), w => md5(w))
+    val perWord = transform(hashes, h =>
+      array((0 until 16).map { b =>
+        val hexChar = substring(h, b / 4 + 1, 1)
+        val nibble = instr(lit("0123456789abcdef"), hexChar) - 1
+        when(floor(nibble / math.pow(2, b % 4)).cast(LongType) % 2 === 1,
+          lit(1L)).otherwise(lit(-1L))
+      }: _*))
+    val counts = aggregate(perWord, array_repeat(lit(0L), 16),
+      (acc, c) => zip_with(acc, c, _ + _))
+    // reference `counts` exactly ONCE: 16 element_at(counts, …) terms would
+    // each embed a copy of the whole aggregate fold (the CollapseProject
+    // duplication pitfall) — instead map bit index over the array itself
+    aggregate(
+      transform(counts, (c, i) =>
+        when(c > 0, pow(lit(2.0), i).cast(LongType)).otherwise(lit(0L))),
+      lit(0L), _ + _)
+  }
+
+  /** DuckDB twin of [[simhash16Col]]: same hash-once / fold-once shape so
+    * the oracle replay matches the production cost model, not just the
+    * values. Yields SQL for the simhash expression over column set `$W`. */
+  private def simhash16Sql: String = {
+    // DuckDB lambdas cannot close over an outer lambda's variable, so the
+    // 16-entry per-word bit array and the 16-slot accumulator zip are
+    // generated statically instead of as nested list_transforms
+    val perWordBits = (0 until 16).map { b =>
+      val pos = b / 4 + 1
+      val pw = 1 << (b % 4)
+      s"""CASE WHEN CAST(FLOOR((strpos('0123456789abcdef',
+         |  substring(h, $pos, 1)) - 1) / $pw) AS BIGINT) % 2 = 1
+         |THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END""".stripMargin
+    }.mkString("[", ", ", "]")
+    val zipSlots = (1 to 16).map(i => s"x[$i] + y[$i]").mkString("[", ", ", "]")
+    val counts =
+      s"""list_reduce(
+         |  list_transform(list_transform($W, w -> md5(w)),
+         |    h -> $perWordBits),
+         |  (x, y) -> $zipSlots)""".stripMargin
+    val bits = (0 until 16)
+      .map(b =>
+        s"CASE WHEN cnt[${b + 1}] > 0 THEN CAST(${1L << b} AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    s"(SELECT $bits FROM (SELECT $counts AS cnt))"
+  }
+
   /** 16-bit simhash over words, using md5 nibbles as the per-word hash. */
   private val qSimhash = Q(
     "q85_simhash",
-    (s, dir) => {
-      val nibbleOf: (Column, Int) => Column = (w, b) => {
-        val hexChar = substring(md5(w), b / 4 + 1, 1)
-        val nibble = instr(lit("0123456789abcdef"), hexChar) - 1
-        floor(nibble / math.pow(2, b % 4)).cast(LongType) % 2
-      }
-      val bits = (0 until 16).map { b =>
-        val contrib = aggregate(
-          col("words"),
-          lit(0L),
-          (acc, w) => acc + when(nibbleOf(w, b) === 1, 1L).otherwise(-1L)
-        )
-        when(contrib > 0, lit(1L << b)).otherwise(lit(0L))
-      }
+    (s, dir) =>
       docWords(s, dir)
-        .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
-        .orderBy("doc_id")
-    },
-    Some {
-      val bitSql = (0 until 16).map { b =>
-        val pos = b / 4 + 1
-        val pw = math.pow(2, b % 4).toInt
-        s"""CASE WHEN list_reduce(list_transform($W, w ->
-           |  CASE WHEN CAST(FLOOR((strpos('0123456789abcdef', substring(md5(w), $pos, 1)) - 1) / $pw) AS BIGINT) % 2 = 1
-           |  THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END), (x, y) -> x + y) > 0
-           |THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin
-      }.mkString(" + ")
-      s"SELECT doc_id, $bitSql AS simhash FROM documents ORDER BY doc_id"
-    }
+        .select(col("doc_id"), simhash16Col.as("simhash"))
+        .orderBy("doc_id"),
+    Some(
+      s"SELECT doc_id, $simhash16Sql AS simhash FROM documents ORDER BY doc_id")
   )
 
   /** Whole-corpus simhash near-dup pairing through [[SimHashNearDup]]
@@ -1170,36 +1200,15 @@ object Queries {
   private val qSimhashPairs = Q(
     "q130_simhash_neardup_pairs",
     (s, dir) => {
-      val nibbleOf: (Column, Int) => Column = (w, b) => {
-        val hexChar = substring(md5(w), b / 4 + 1, 1)
-        val nibble = instr(lit("0123456789abcdef"), hexChar) - 1
-        floor(nibble / math.pow(2, b % 4)).cast(LongType) % 2
-      }
-      val bits = (0 until 16).map { b =>
-        val contrib = aggregate(
-          col("words"),
-          lit(0L),
-          (acc, w) => acc + when(nibbleOf(w, b) === 1, 1L).otherwise(-1L)
-        )
-        when(contrib > 0, lit(1L << b)).otherwise(lit(0L))
-      }
       val sh = docWords(s, dir)
-        .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+        .select(col("doc_id"), simhash16Col.as("simhash"))
       SimHashNearDup
         .candidatePairs(sh, "doc_id", "simhash",
           bits = 16, bands = 2, maxHamming = 1)
         .orderBy("id_a", "id_b")
     },
     Some {
-      val bitSql = (0 until 16).map { b =>
-        val pos = b / 4 + 1
-        val pw = math.pow(2, b % 4).toInt
-        s"""CASE WHEN list_reduce(list_transform($W, w ->
-           |  CASE WHEN CAST(FLOOR((strpos('0123456789abcdef', substring(md5(w), $pos, 1)) - 1) / $pw) AS BIGINT) % 2 = 1
-           |  THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END), (x, y) -> x + y) > 0
-           |THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin
-      }.mkString(" + ")
-      s"""WITH sh AS (SELECT doc_id, $bitSql AS simhash FROM documents),
+      s"""WITH sh AS (SELECT doc_id, $simhash16Sql AS simhash FROM documents),
          |c AS (SELECT doc_id, simhash, unnest(generate_series(0, 1)) AS band FROM sh),
          |k AS (SELECT doc_id, simhash, band,
          |    (simhash >> (CAST(band AS INT) * 8)) & 255 AS chunk FROM c),

@@ -157,8 +157,15 @@ final case class BoilerplateLines(
       .agg(count(lit(1)).as("__bl_n"))
       .filter(col("__bl_n") >= minCount)
       .select("__bl_h")
+    // broadcast only when minCount is high enough that the frequent set is
+    // provably small (bound: #paragraph-occurrences / minCount rows of one
+    // 8-byte hash each). At low thresholds on a large corpus that bound can
+    // exceed broadcast limits and abort the job — leave the strategy to the
+    // optimizer/AQE there, which picks broadcast itself when the build side
+    // measures small.
+    val frequentSide = if (minCount >= 100) broadcast(frequent) else frequent
     val kept = paras
-      .join(broadcast(frequent), Seq("__bl_h"), "left_anti")
+      .join(frequentSide, Seq("__bl_h"), "left_anti")
       .drop("__bl_h")
     LineOps.rebuild(df, kept, idField, textField, dest, delimiter)
   }

@@ -144,7 +144,10 @@ final case class TurnMasking(
   override def outputFields: Seq[String] = Seq(flatIdsField, maskField)
 
   override protected def build(df: DataFrame): DataFrame = {
-    val turns = col(turnsField)
+    // drop malformed turns whose ids subfield is null BEFORE flattening —
+    // flatten propagates a single null element to a null result, which
+    // would silently null input_ids/loss_mask for the whole conversation
+    val turns = filter(col(turnsField), t => t.getField(idsSubfield).isNotNull)
     val roles = lossRoles.toSeq.sorted
     def isLoss(t: Column): Column =
       array_contains(array(roles.map(lit): _*), t.getField(roleSubfield))

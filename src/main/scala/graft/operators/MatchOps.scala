@@ -213,11 +213,14 @@ final case class PhraseBlocklist(
   override def inputFields: Seq[String] = Seq(textField)
   override def outputFields: Seq[String] = Seq("phrase_hit", "phrase_hits")
   override protected def build(df: DataFrame): DataFrame = {
-    val pats = if (caseFold) blocked.map(_.toLowerCase) else blocked
+    // per-char Character.toLowerCase, matching PhraseReplace: locale-
+    // independent (String.toLowerCase is locale-sensitive — Turkish
+    // dotless-i would change match results across JVM default locales)
+    val pats = if (caseFold) blocked.map(_.map(Character.toLowerCase)) else blocked
     val ac = AhoCorasick.build(pats)
     val fold = caseFold
     val hitsUdf = udf { (text: String) =>
-      val t = if (text == null) null else if (fold) text.toLowerCase else text
+      val t = if (text == null) null else if (fold) text.map(Character.toLowerCase) else text
       ac.findAll(t).map(ac.patterns(_)).sorted
     }
     val out = df

@@ -223,6 +223,10 @@ object FrequentSketch {
       valueCol: String,
       maxMapSize: Int = 256
   ): DataFrame = {
+    // DataSketches ItemsSketch requires a power-of-2 map size; validate on
+    // the driver so a bad config fails fast, not mid-job on an executor
+    require(maxMapSize >= 8 && Integer.bitCount(maxMapSize) == 1,
+      s"maxMapSize must be a power of 2 >= 8, got $maxMapSize")
     val pairs = df
       .select(col(groupCol).cast(StringType).as("g"),
         col(valueCol).cast(StringType).as("v"))
@@ -249,7 +253,9 @@ object FrequentSketch {
       sketches: DataFrame,
       groupCol: String,
       maxMapSize: Int = 256
-  ): DataFrame =
+  ): DataFrame = {
+    require(maxMapSize >= 8 && Integer.bitCount(maxMapSize) == 1,
+      s"maxMapSize must be a power of 2 >= 8, got $maxMapSize")
     sketches
       .select(col(groupCol).cast(StringType).as("g"), col("fi"),
         col("n_rows"))
@@ -266,6 +272,7 @@ object FrequentSketch {
       }(rowEnc)
       .toDF("g", "fi", "n_rows")
       .withColumnRenamed("g", groupCol)
+  }
 
   /** Top-k heavy hitters per group from a sketch table:
     * (group, item, est, rank), NO_FALSE_NEGATIVES item set, ranked by
@@ -316,9 +323,12 @@ object OverlapSketch {
       valueCol: String,
       lgK: Int = 12
   ): DataFrame = {
+    // nulls are filtered before the fold so n_rows uniformly counts
+    // SKETCHED values, matching QuantileSketch/FrequentSketch semantics
     val pairs = df
       .select(col(groupCol).cast(StringType).as("g"),
         col(valueCol).cast(StringType).as("v"))
+      .filter(col("v").isNotNull)
       .as[(String, String)](Encoders.tuple(Encoders.STRING, Encoders.STRING))
     val perPartition = pairs.mapPartitions { it =>
       val acc = scala.collection.mutable.HashMap
@@ -326,7 +336,7 @@ object OverlapSketch {
       it.foreach { case (g, v) =>
         val (sk, n) = acc.getOrElseUpdate(
           g, (UpdateSketch.builder().setLogNominalEntries(lgK).build(), 0L))
-        if (v != null) sk.update(v)
+        sk.update(v)
         acc(g) = (sk, n + 1)
       }
       acc.iterator.map { case (g, (sk, n)) =>

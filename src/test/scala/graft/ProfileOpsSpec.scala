@@ -141,6 +141,26 @@ class ProfileOpsSpec extends SparkSpec {
     assert(math.abs(top(1)._2 - 500L) <= 7500L / 64, top.toString)
   }
 
+  test("FrequentSketch: non-power-of-2 maxMapSize fails fast on the driver") {
+    import graft.operators.FrequentSketch
+    val df = Seq(("g", "v")).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      FrequentSketch.build(df, "g", "v", maxMapSize = 100)
+    }
+    intercept[IllegalArgumentException] {
+      FrequentSketch.merge(df.withColumn("fi", lit(Array.empty[Byte]))
+        .withColumn("n_rows", lit(0L)), "g", maxMapSize = 4)
+    }
+  }
+
+  test("OverlapSketch: n_rows counts sketched (non-null) values only") {
+    import graft.operators.OverlapSketch
+    val df = Seq(("g", "a"), ("g", null), ("g", "b"), ("g", null))
+      .toDF("g", "v")
+    assert(OverlapSketch.build(df, "g", "v")
+      .select("n_rows").as[Long].head() == 2L)
+  }
+
   test("OverlapSketch: intersection estimate tracks the true overlap") {
     import graft.operators.OverlapSketch
     // A = 0..5999, B = 4000..9999 → |A∩B| = 2000, |A∪B| = 10000

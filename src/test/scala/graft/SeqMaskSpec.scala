@@ -249,6 +249,18 @@ class SeqMaskSpec extends SparkSpec {
       List(0L, 0L, 1L, 1L, 1L, 1L, 1L))
   }
 
+  test("TurnMasking: a turn with null ids is skipped, not conversation-nulling") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // middle turn has ids = NULL — flatten would null the whole row's
+    // output without the pre-filter
+    val df = Seq(1L).toDF("id").withColumn("turns", expr(
+      """array(named_struct('role','user','ids',array(1L,2L)),
+        |      named_struct('role','assistant','ids',cast(null as array<bigint>)),
+        |      named_struct('role','assistant','ids',array(5L)))""".stripMargin))
+    val out = rows(TurnMasking("turns")(df).select("input_ids", "loss_mask"))
+    assert(out.head == Seq(List(1L, 2L, 5L), List(0L, 0L, 1L)))
+  }
+
   test("FimTransform: sentinel layout, token conservation, PSM/SPM mix") {
     import org.apache.spark.sql.functions._
     val ids = (100L until 130L).toSeq
