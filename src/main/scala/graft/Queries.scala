@@ -5779,6 +5779,76 @@ object Queries {
     )
   )
 
+  /** The expanded promptsource pack in flight: four bundled (dataset,
+    * subset, template) keys — static-choice classification (imdb),
+    * per-row DYNAMIC answer_choices (piqa renders its choices jinja
+    * against each example), subset-addressed NLI (super_glue/rte), and
+    * choice-free summarization (xsum) — resolved offline from
+    * [[TemplateRegistry.builtin]] and rendered over documents-derived
+    * rows (promptsource.py:239-310 resolution semantics). The oracle
+    * replays each render as string concatenation + a label CASE. */
+  private val qPromptPack = Q(
+    "q187_prompt_pack",
+    (s, dir) => {
+      val d = docs(s, dir)
+      def tag(ds: String, out: DataFrame): DataFrame =
+        out.select(lit(ds).as("ds"), col("doc_id"), col("source"),
+          col("target"))
+      val imdb = tag("imdb",
+        PromptsourceMapper(TemplateRegistry.builtin, datasetName = "imdb",
+          templateName = "Movie Expressed Sentiment")(
+          d.select(col("doc_id"), col("text"),
+            (col("doc_id") % 2).cast(LongType).as("label"))))
+      val piqa = tag("piqa",
+        PromptsourceMapper(TemplateRegistry.builtin, datasetName = "piqa",
+          templateName = "what_is_the_correct_ending")(
+          d.select(col("doc_id"),
+            concat(lit("What is doc "), col("doc_id").cast(StringType),
+              lit("?")).as("goal"),
+            col("lang").as("sol1"), col("source").as("sol2"),
+            (col("doc_id") % 2).cast(LongType).as("label"))))
+      val rte = tag("super_glue/rte",
+        PromptsourceMapper(TemplateRegistry.builtin,
+          datasetName = "super_glue", subsetName = "rte",
+          templateName = "GPT-3 style")(
+          d.select(col("doc_id"), col("text").as("premise"),
+            concat(lit("This is "), col("lang"), lit(" text."))
+              .as("hypothesis"),
+            (col("doc_id") % 2).cast(LongType).as("label"))))
+      val xsum = tag("xsum",
+        PromptsourceMapper(TemplateRegistry.builtin, datasetName = "xsum",
+          templateName = "summarize_DOC")(
+          d.select(col("doc_id"), col("text").as("document"),
+            col("lang").as("summary"))))
+      imdb.unionByName(piqa).unionByName(rte).unionByName(xsum)
+        .orderBy("ds", "doc_id")
+    },
+    Some(
+      """SELECT 'imdb' AS ds, doc_id,
+        |  text || chr(10) || 'The sentiment expressed for the movie is' AS source,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'negative' ELSE 'positive' END AS target
+        |FROM documents
+        |UNION ALL
+        |SELECT 'piqa', doc_id,
+        |  'Goal: What is doc ' || CAST(doc_id AS VARCHAR) || '?' || chr(10) ||
+        |    'Which is the correct ending?' || chr(10) || '- ' || lang ||
+        |    chr(10) || '- ' || source || chr(10) || chr(10) || 'Answer:',
+        |  CASE WHEN doc_id % 2 = 0 THEN lang ELSE source END
+        |FROM documents
+        |UNION ALL
+        |SELECT 'super_glue/rte', doc_id,
+        |  text || chr(10) || 'Question: This is ' || lang || ' text. True or False?',
+        |  CASE WHEN doc_id % 2 = 0 THEN 'True' ELSE 'False' END
+        |FROM documents
+        |UNION ALL
+        |SELECT 'xsum', doc_id,
+        |  'Summarize this document: ' || text || chr(10) || 'Summary:',
+        |  lang
+        |FROM documents
+        |ORDER BY ds, doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -5830,7 +5900,8 @@ object Queries {
     qKllSketch, qThetaOverlap, qSnapshotDiff, qSpanCorruption, qMlmMasking,
     qBitextMargin, qPhraseRedact, qEditDistance, qBoilerplate, qFim,
     qOrcRoundtrip, qCdcChunks, qManifest, qTwoStage, qTurnMask,
-    qContrastive, qChunkDup, qCorpusCard, qContainment, qFrequent
+    qContrastive, qChunkDup, qCorpusCard, qContainment, qFrequent,
+    qPromptPack
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

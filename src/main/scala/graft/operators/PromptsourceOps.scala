@@ -37,9 +37,13 @@ object TemplateRegistry {
     * the reference's own resolution of that key
     * (tests/test_promptsource.py:64-88 golden: source
     * `"<context>\n\nQ: <question>\n\nA:"`, target `answers.text[0]`);
-    * the rest are representative of the public promptsource catalog's
-    * answer_choices-free shapes for those datasets. Merge with
-    * [[fromDirectory]] or a custom map for a fuller store. */
+    * the rest reproduce the public promptsource catalog's shapes for 18
+    * common datasets — classification with static `answer_choices`,
+    * multiple-choice with per-example DYNAMIC choices (piqa/cosmos_qa
+    * render their choices jinja against the row), NLI, QA,
+    * summarization, generation-from-concepts — each golden-pinned in
+    * PromptPackSpec. Merge with [[fromDirectory]] or a custom map for a
+    * fuller store. */
   val builtin: TemplateRegistry = TemplateRegistry(Map(
     ("squad", "", "given_context_answer_question_variation") ->
       "{{context}}\n\nQ: {{question}}\n\nA: |||{{answers.text[0]}}",
@@ -55,12 +59,103 @@ object TemplateRegistry {
     ("imdb", "", "review_sentiment") ->
       ("{{text}}\nHow does the reviewer feel about the movie? " +
         "|||{{sentiment | default('')}}"),
+    ("imdb", "", "Movie Expressed Sentiment") ->
+      ("{{text}}\nThe sentiment expressed for the movie is " +
+        "|||{{ answer_choices[label] }}"),
+    ("rotten_tomatoes", "", "Reviewer Sentiment Feeling") ->
+      ("{{text}}\nDid the reviewer find this movie good or bad? " +
+        "|||{{ answer_choices[label] }}"),
+    ("glue", "sst2", "positive negative after") ->
+      ("{{sentence}}\nQuestion: Was that sentence {{\"positive\"}} or " +
+        "{{\"negative\"}}?\nAnswer: |||{{ answer_choices[label] }}"),
+    ("glue", "mrpc", "equivalent") ->
+      ("Are the following two sentences {{\"equivalent\"}} or " +
+        "{{\"not equivalent\"}}?\n{{sentence1}}\n{{sentence2}}\n" +
+        "Answer: |||{{ answer_choices[label] }}"),
+    ("glue", "qqp", "duplicate") ->
+      ("Are these two questions asking the same thing?\n" +
+        "Question 1: {{question1}}\nQuestion 2: {{question2}}\n" +
+        "Answer: |||{{ answer_choices[label] }}"),
+    ("super_glue", "rte", "GPT-3 style") ->
+      ("{{premise}}\nQuestion: {{hypothesis}} True or False? " +
+        "|||{{ answer_choices[label] }}"),
+    ("super_glue", "cb", "GPT-3 style") ->
+      ("{{premise}}\nQuestion: {{hypothesis}} True, False, or Neither? " +
+        "|||{{ answer_choices[label] }}"),
+    ("super_glue", "boolq", "GPT-3 Style") ->
+      ("{{passage}}\nQuestion: {{question}}\nAnswer: " +
+        "|||{{ answer_choices[label] }}"),
+    ("anli", "", "GPT-3 style") ->
+      ("{{premise}}\nQuestion: {{hypothesis}} True, False, or Neither? " +
+        "|||{{ answer_choices[label] }}"),
+    ("snli", "", "GPT-3 style") ->
+      ("{{premise}}\nQuestion: {{hypothesis}} True, False, or Neither? " +
+        "|||{{ answer_choices[label] }}"),
+    ("piqa", "", "what_is_the_correct_ending") ->
+      ("Goal: {{goal}}\nWhich is the correct ending?\n- {{sol1}}\n" +
+        "- {{sol2}}\n\nAnswer: |||{{answer_choices[label]}}"),
+    ("cosmos_qa", "", "description_context_question_answer_text") ->
+      ("Read the following context and answer the question.\n" +
+        "Context: {{context}}\nQuestion: {{question}}\nAnswer: " +
+        "|||{{ answer_choices[label] }}"),
+    ("dbpedia_14", "", "given_list_what_category_does_the_paragraph_belong_to") ->
+      ("{{content}}\nGiven a list of categories: {{\"company, educational " +
+        "institution, artist, athlete, office holder, mean of " +
+        "transportation, building, natural place, village, animal, plant, " +
+        "album, film or written work\"}}, what category does the paragraph " +
+        "belong to? |||{{ answer_choices[label] }}"),
+    ("trec", "", "what_category_best_describe") ->
+      ("What category best describes: {{text}}\nAnswer: " +
+        "|||{{ answer_choices[label] }}"),
+    ("xsum", "", "summarize_DOC") ->
+      "Summarize this document: {{document}}\nSummary: |||{{summary}}",
+    ("gigaword", "", "write_a_title_for_this_sentence") ->
+      "Write a title for this sentence: {{document}}\nTitle: |||{{summary}}",
+    ("yelp_review_full", "", "so_i_would") ->
+      "{{text}}\nSo I would like to give it |||{{ answer_choices[label] }}",
+    ("common_gen", "", "Put together") ->
+      ("Put the concepts together to form a sentence: " +
+        "{{ concepts | join(\", \") }}.|||{{target}}"),
+    ("paws", "labeled_final", "task_description_no_label") ->
+      ("Determine if the following two sentences paraphrase each other " +
+        "or not.\nSent 1: {{sentence1}}\nSent 2: {{sentence2}}\n" +
+        "Answer: |||{{ answer_choices[label] }}"),
     ("boolq", "", "passage_question_yesno") ->
       "{{passage}}\n\nQuestion: {{question}}?\nAnswer: |||{{answer | default('')}}"
   ), answerChoices = Map(
+    ("paws", "labeled_final", "task_description_no_label") -> "No ||| Yes",
     ("ag_news", "", "classify_question_first") ->
-      "World politics ||| Sports ||| Business ||| Science and technology"
+      "World politics ||| Sports ||| Business ||| Science and technology",
+    ("imdb", "", "Movie Expressed Sentiment") -> "negative ||| positive",
+    ("rotten_tomatoes", "", "Reviewer Sentiment Feeling") -> "bad ||| good",
+    ("glue", "sst2", "positive negative after") -> "negative ||| positive",
+    ("glue", "mrpc", "equivalent") -> "not equivalent ||| equivalent",
+    ("glue", "qqp", "duplicate") -> "no ||| yes",
+    ("super_glue", "rte", "GPT-3 style") -> "True ||| False",
+    ("super_glue", "cb", "GPT-3 style") -> "True ||| False ||| Neither",
+    ("super_glue", "boolq", "GPT-3 Style") -> "No ||| Yes",
+    ("anli", "", "GPT-3 style") -> "True ||| Neither ||| False",
+    ("snli", "", "GPT-3 style") -> "True ||| Neither ||| False",
+    // dynamic choices: per-row jinja over the example's own fields
+    ("piqa", "", "what_is_the_correct_ending") -> "{{sol1}} ||| {{sol2}}",
+    ("cosmos_qa", "", "description_context_question_answer_text") ->
+      "{{answer0}} ||| {{answer1}} ||| {{answer2}} ||| {{answer3}}",
+    ("dbpedia_14", "", "given_list_what_category_does_the_paragraph_belong_to") ->
+      ("company ||| educational institution ||| artist ||| athlete ||| " +
+        "office holder ||| mean of transportation ||| building ||| " +
+        "natural place ||| village ||| animal ||| plant ||| album ||| " +
+        "film ||| written work"),
+    ("trec", "", "what_category_best_describe") ->
+      ("Description ||| Entity ||| Abbreviation ||| Person ||| Quantity " +
+        "||| Location"),
+    ("yelp_review_full", "", "so_i_would") ->
+      "1 star ||| 2 stars ||| 3 stars ||| 4 stars ||| 5 stars"
   ))
+
+  /** Every (dataset, subset, template) key the bundled pack resolves —
+    * the offline counterpart of promptsource's `all_template_names`. */
+  def builtinKeys: Seq[(String, String, String)] =
+    builtin.templates.keys.toSeq.sorted
 
   /** Load every `<dataset>/<subset>/<name>.jinja` under `dir`. */
   def fromDirectory(dir: String): TemplateRegistry = {
