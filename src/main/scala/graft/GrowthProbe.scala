@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× growth probe for the dedup family (SCALE.md §9): replicate the
+  * sf0.1 documents table 1× / 3× / 10× and time the three banded dedup
+  * paths the bench SF can't stress — minhash-LSH candidate pairing,
+  * exact-substring span removal (Lee et al.), and rare-shingle
+  * containment. Each replica's words get a per-replica suffix, so the
+  * corpus grows f× while its WITHIN-replica duplicate structure (and
+  * therefore the output's dup density) stays constant — growth in
+  * wall-time then measures the ENGINE's scaling, not a quadratically
+  * growing answer. Prints one JSON line per (factor, path).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.GrowthProbe [factors] */
+object GrowthProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factors =
+      if (args.nonEmpty) args(0).split(",").toSeq.map(_.toInt)
+      else Seq(1, 3, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    // warmup: reader + codegen init off the clock
+    base.select(sum(length(col("text")))).collect()
+
+    def replicated(f: Int): DataFrame =
+      (0 until f).map { i =>
+        base.select(
+          (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          // suffix every word with the replica index: replicas share no
+          // shingles/grams, so dup structure is per-replica constant
+          regexp_replace(col("text"), "(\\S+)", "$1" + i).as("text"))
+      }.reduce(_ unionByName _)
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      body
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      System.gc()
+      dt
+    }
+
+    factors.foreach { f =>
+      val docs = replicated(f)
+      val words = docs.withColumn("words", split(col("text"), "\\s+"))
+      val nRows = docs.count()
+      val tMinhash = time {
+        val sigs = MinHashSignature("words", 3, 16)(words)
+        MinHashLSH.candidatePairs(sigs, "doc_id", "minhash_sig",
+          bands = 4, sigLen = 16, maxBucketSize = Some(16)).count()
+      }
+      val tExact = time {
+        ExactSubstrDedup.removeDuplicateSpans(docs, "doc_id", "text",
+          gramLen = 20)
+          .select(sum(length(col("text")))).collect()
+      }
+      val tContain = time {
+        MinHashLSH.containmentPairs(words, "words", "doc_id",
+          shingleSize = 3, maxShingleDf = 5L, minContainment = 0.9).count()
+      }
+      println(f"""{"factor":$f,"rows":$nRows,"minhash_sec":$tMinhash%.1f,"exactsubstr_sec":$tExact%.1f,"containment_sec":$tContain%.1f}""")
+    }
+    spark.stop()
+  }
+}

@@ -2674,11 +2674,25 @@ object Queries {
   private val qFixText = Q(
     "q54_fix_text",
     (s, dir) =>
-      FixText(Seq("text"))(T(s, dir, "documents"))
-        .select(col("doc_id"), col("text").as("fixed"))
+      FixText(Seq("text", "dirty"))(
+        T(s, dir, "documents").withColumn(
+          "dirty",
+          // deterministic dirt exercising the fix chain: HTML4 named
+          // entities (incl. digit-bearing names), a latin ligature, a
+          // Greek entity, fullwidth chars + ideographic space, curly
+          // quotes — each repaired to a known literal the oracle replays
+          concat(
+            lit("&eacute;ﬁ &frac12;&Omega; ＡＢ　" +
+              "“q” &sum; "),
+            col("text"))))
+        .select(col("doc_id"), col("text").as("fixed"),
+          col("dirty").as("fixed2"))
         .orderBy("doc_id"),
-    // corpus is ASCII + NFC already: FixText must be the identity on it
-    Some("SELECT doc_id, text AS fixed FROM documents ORDER BY doc_id")
+    // corpus is ASCII + NFC already: FixText must be the identity on it,
+    // and the injected dirt must fix to the exact literal prefix
+    Some("""SELECT doc_id, text AS fixed,
+      |  'éfi ½Ω AB "q" ∑ ' || text AS fixed2
+      |FROM documents ORDER BY doc_id""".stripMargin)
   )
 
   private val qEnumerateOrder = Q(
@@ -5849,6 +5863,167 @@ object Queries {
     )
   )
 
+  /** [[HfTokenizerJson]] id-layout pin (q125's contract for the HF
+    * single-file format): a real-layout `tokenizer.json` — version,
+    * added_tokens with the full flag set, BertNormalizer,
+    * TemplateProcessing post-processor, WordPiece model — is written
+    * with a corpus-derived whole-word vocab ([PAD]=0 [UNK]=1 [CLS]=2
+    * [SEP]=3, words from 4 in sorted order), loaded through the format
+    * parser, and used to encode every document. The oracle re-derives
+    * each id as 3 + rank(word), so a hash match proves the loader's id
+    * layout, normalizer wiring, and template cls/sep selection all line
+    * up with the file. Driver state = the distinct-word vocab (bounded,
+    * q125's documented pattern). */
+  private val qTokenizerJson = Q(
+    "q188_tokenizer_json_ids",
+    (s, dir) => {
+      val words = docWords(s, dir)
+        .select(explode(col("words")).as("w")).distinct()
+        .orderBy("w").collect().map(_.getString(0))
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val rootN = m.createObjectNode()
+      rootN.put("version", "1.0")
+      val added = rootN.putArray("added_tokens")
+      Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]").zipWithIndex.foreach {
+        case (tok, i) =>
+          val t = added.addObject()
+          t.put("id", i); t.put("content", tok)
+          t.put("single_word", false); t.put("lstrip", false)
+          t.put("rstrip", false); t.put("normalized", false)
+          t.put("special", true)
+      }
+      val norm = rootN.putObject("normalizer")
+      norm.put("type", "BertNormalizer"); norm.put("clean_text", true)
+      norm.put("handle_chinese_chars", true); norm.put("lowercase", true)
+      rootN.putObject("pre_tokenizer").put("type", "BertPreTokenizer")
+      val pp = rootN.putObject("post_processor")
+      pp.put("type", "TemplateProcessing")
+      val single = pp.putArray("single")
+      single.addObject().putObject("SpecialToken")
+        .put("id", "[CLS]").put("type_id", 0)
+      single.addObject().putObject("Sequence")
+        .put("id", "A").put("type_id", 0)
+      single.addObject().putObject("SpecialToken")
+        .put("id", "[SEP]").put("type_id", 0)
+      val model = rootN.putObject("model")
+      model.put("type", "WordPiece"); model.put("unk_token", "[UNK]")
+      model.put("continuing_subword_prefix", "##")
+      model.put("max_input_chars_per_word", 100)
+      val vocabN = model.putObject("vocab")
+      Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]").zipWithIndex.foreach {
+        case (tok, i) => vocabN.put(tok, i)
+      }
+      words.zipWithIndex.foreach { case (w, i) => vocabN.put(w, i + 4) }
+      val f = java.nio.file.Paths.get("/tmp/graft_tokjson_q188.json")
+      java.nio.file.Files.write(f, m.writeValueAsBytes(rootN))
+      val t = HfTokenizerJson.load(f.toString)
+      TokenizerMapper(t, inputField = "text", returnAttentionMask = false)(
+        docs(s, dir))
+        .select(col("doc_id"), J("input_ids"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH words AS (SELECT doc_id, u.w AS w, u.i AS i FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len($W)),
+         |      i -> struct_pack(i := i, w := ($W)[i]))) AS u FROM documents) t),
+         |v AS (SELECT w, row_number() OVER (ORDER BY w) + 3 AS id
+         |      FROM (SELECT DISTINCT w FROM words)),
+         |ids AS (SELECT doc_id, list(v.id ORDER BY words.i) AS body
+         |        FROM words JOIN v USING (w) GROUP BY doc_id)
+         |SELECT doc_id,
+         |  to_json([CAST(2 AS BIGINT)] || body || [CAST(3 AS BIGINT)])::VARCHAR
+         |    AS input_ids
+         |FROM ids ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Streaming ↔ batch equivalence for incremental near-dup (the
+    * invariant-oracle pattern q95 established): the micro-batch path —
+    * [[graft.streaming.StreamingPipeline.streamingNearDup]]'s exact
+    * foreachBatch body, epoch by epoch over an epoch-partitioned parquet
+    * SIGNATURE STORE (flag against `epoch=<e'<e>` dirs, then overwrite
+    * own `epoch=<e>`) — must produce exactly what direct
+    * [[MinHashLSH.nearDupAgainst]] calls on in-memory DataFrames produce
+    * for the same epoch split. Both legs are computed; the oracle
+    * replays the batch formulation once and pins `dup_stream`,
+    * `dup_batch`, AND `agree`, so any divergence (store layout, epoch
+    * pruning, parquet round-trip) breaks the hash. */
+  private val qStreamBatchEquiv = Q(
+    "q189_streaming_neardup_equiv",
+    (s, dir) => {
+      import org.apache.hadoop.fs.{FileSystem, Path}
+      val nEpochs = 4
+      val store = s"/tmp/graft_sigstore_q189_$sigCacheToken"
+      val fs = FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(store), true)
+      val sigs = minhashSigs(s, dir)
+        .withColumn("epoch", (col("doc_id") % nEpochs).cast(LongType))
+      // STREAM leg: replay streamingNearDup's per-epoch body against the
+      // durable store (write-after-flag, prior-epoch pruning, parquet
+      // round-trip of sig + words)
+      val streamLeg = (0 until nEpochs).map { e =>
+        val batch = sigs.filter(col("epoch") === e)
+        val flagged =
+          if (e == 0) batch.withColumn("dup_of_existing", lit(false))
+          else {
+            val prior = s.read
+              .option("basePath", store)
+              .parquet((0 until e).map(p => s"$store/epoch=$p"): _*)
+            MinHashLSH.nearDupAgainst(prior, batch, "doc_id",
+              sigField = "sig", wordsField = "words",
+              bands = 4, sigLen = 8, minJaccard = 0.3,
+              hasher = c => md5(c))
+          }
+        // idempotent-epoch write, exactly like the streaming sink
+        batch.select("doc_id", "sig", "words")
+          .write.mode("overwrite").parquet(s"$store/epoch=$e")
+        flagged.select(col("doc_id"),
+          col("dup_of_existing").cast(LongType).as("dup_stream"))
+      }.reduce(_ unionByName _)
+      // BATCH leg: the same operator, no store round-trip
+      val batchLeg = (0 until nEpochs).map { e =>
+        if (e == 0)
+          sigs.filter(col("epoch") === e)
+            .select(col("doc_id"), lit(0L).as("dup_batch"))
+        else
+          MinHashLSH.nearDupAgainst(
+            sigs.filter(col("epoch") < e), sigs.filter(col("epoch") === e),
+            "doc_id", sigField = "sig", wordsField = "words",
+            bands = 4, sigLen = 8, minJaccard = 0.3, hasher = c => md5(c))
+            .select(col("doc_id"),
+              col("dup_of_existing").cast(LongType).as("dup_batch"))
+      }.reduce(_ unionByName _)
+      streamLeg.join(batchLeg, Seq("doc_id"))
+        .select(col("doc_id"), (col("doc_id") % nEpochs).as("epoch"),
+          col("dup_stream"), col("dup_batch"),
+          (col("dup_stream") === col("dup_batch")).cast(LongType).as("agree"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH $SIG_CTES,
+         |bq AS (SELECT doc_id,
+         |    unnest(generate_series(0, 3)) AS band,
+         |    unnest(list_transform(generate_series(0, 3),
+         |      b -> md5(array_to_string(list_slice(sig, b*2 + 1, b*2 + 2), '|')))) AS bh
+         |  FROM sigs),
+         |cand AS (SELECT DISTINCT i.doc_id AS in_id, e.doc_id AS ex_id
+         |  FROM bq i JOIN bq e ON i.band = e.band AND i.bh = e.bh
+         |  WHERE (e.doc_id % 4) < (i.doc_id % 4)),
+         |w AS (SELECT doc_id, list_distinct(words) AS uw FROM sigs),
+         |v AS (SELECT in_id,
+         |    CAST(len(list_filter(wa.uw, x -> list_contains(wb.uw, x))) AS DOUBLE) AS inter,
+         |    len(wa.uw) + len(wb.uw) AS tot
+         |  FROM cand JOIN w wa ON wa.doc_id = cand.in_id
+         |  JOIN w wb ON wb.doc_id = cand.ex_id),
+         |dup AS (SELECT DISTINCT in_id FROM v WHERE inter / (tot - inter) >= 0.3)
+         |SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS epoch,
+         |  CAST(doc_id IN (SELECT in_id FROM dup) AS BIGINT) AS dup_stream,
+         |  CAST(doc_id IN (SELECT in_id FROM dup) AS BIGINT) AS dup_batch,
+         |  CAST(1 AS BIGINT) AS agree
+         |FROM sigs ORDER BY doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -5901,7 +6076,7 @@ object Queries {
     qBitextMargin, qPhraseRedact, qEditDistance, qBoilerplate, qFim,
     qOrcRoundtrip, qCdcChunks, qManifest, qTwoStage, qTurnMask,
     qContrastive, qChunkDup, qCorpusCard, qContainment, qFrequent,
-    qPromptPack
+    qPromptPack, qTokenizerJson, qStreamBatchEquiv
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -736,6 +736,26 @@ class DedupContribSpec extends SparkSpec {
     assert(fixText("caf\u00e9 cr\u00e8me br\u00fbl\u00e9e") == "caf\u00e9 cr\u00e8me br\u00fbl\u00e9e")
   }
 
+  test("FixText: full HTML4 entity table \u2014 latin-1, greek, symbols, digit names") {
+    import graft.operators.FixText.fixText
+    // latin-1 run is positional: spot-check ends and middles
+    assert(fixText("&iexcl;&Agrave;&divide;&yuml;") == "\u00a1\u00c0\u00f7\u00ff")
+    // digit-bearing names need the widened entity regex
+    assert(fixText("&frac12; &sup2; &there4;") == "\u00bd \u00b2 \u2234")
+    // greek: two alphabet runs + the variant forms
+    assert(fixText("&Alpha;&Sigma;&Omega; &alpha;&sigmaf;&sigma;&omega; &piv;") ==
+      "\u0391\u03a3\u03a9 \u03b1\u03c2\u03c3\u03c9 \u03d6")
+    // symbols: arrows, operators, card suits
+    assert(fixText("&rarr;&hArr; &ne;&le;&infin; &spades;&hearts;") ==
+      "\u2192\u21d4 \u2260\u2264\u221e \u2660\u2665")
+    // curly-quote entities land in the uncurler like literal curls do
+    assert(fixText("&ldquo;x&rdquo;&rsquo;s &euro;5") == "\"x\"'s \u20ac5")
+    // nbsp keeps its documented plain-space mapping
+    assert(fixText("a&nbsp;b") == "a b")
+    // unknown names stay verbatim (never corrupt)
+    assert(fixText("&notanentity; &x9;") == "&notanentity; &x9;")
+  }
+
   test("FixText: MacRoman mojibake repairs with >=2 evidence pairs; math survives") {
     import graft.operators.FixText.fixText
     // UTF-8 seen through MacRoman: C3 A9 -> '√©'

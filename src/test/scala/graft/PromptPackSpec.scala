@@ -171,6 +171,28 @@ class PromptPackSpec extends AnyFunSuite {
         "A dog chases a ball in the park.")))
   }
 
+  test("unsupported Jinja constructs reject with a clear error, never mis-render") {
+    // the MiniJinja partial-depth contract: everything the bundled pack
+    // needs renders byte-exact (tests above); everything outside the
+    // subset is REJECTED at parse/eval time with an explanatory message —
+    // enumerated here so the boundary is pinned, not discovered in prod
+    val unsupportedTags =
+      Seq("{% macro m() %}{% endmacro %}", "{% call m() %}{% endcall %}",
+        "{% include 'x' %}", "{% extends 'x' %}", "{% block b %}{% endblock %}",
+        "{% filter upper %}{% endfilter %}", "{% raw %}{% endraw %}")
+    unsupportedTags.foreach { t =>
+      val e = intercept[IllegalArgumentException] { MiniJinja.parse(t) }
+      assert(e.getMessage.contains("Unsupported Jinja construct"), t)
+      assert(e.getMessage.contains("Supported:"), t)
+    }
+    // unsupported filters reject at eval with the filter name
+    val e = intercept[IllegalArgumentException] {
+      MiniJinja.parse("{{ x | urlencode }}").render(Map("x" -> "a b"))
+    }
+    assert(e.getMessage.contains("Unsupported filter"))
+    assert(e.getMessage.contains("urlencode"))
+  }
+
   test("squad + ag_news + boolq legacy entries still golden") {
     assert(render("squad", "", "given_context_answer_question_variation",
       Map("context" -> "Ctx.", "question" -> "Q?",
