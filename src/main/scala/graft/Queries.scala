@@ -6024,6 +6024,68 @@ object Queries {
     )
   )
 
+  /** Product-quantization ANN through [[ProductQuantizer]] (Jégou et
+    * al. 2011): deterministic codebooks from the first 16 corpus rows
+    * (M=8 subspaces × 8 dims), corpus encoded to 8 codes/vector, ADC
+    * top-5 for the first 5 queries. The oracle replays code assignment
+    * (argmin over per-subspace squared-L2, tie → lowest code — the
+    * same sequential folds, so doubles are bit-identical) and the
+    * asymmetric-distance ranking; the per-subspace ADC terms are
+    * generated STATICALLY because DuckDB lambdas cannot close over an
+    * outer lambda's variable. Distances floor-scale to BIGINT. */
+  private val qPqAdc = Q(
+    "q190_pq_adc_topk",
+    (s, dir) => {
+      val emb = embs(s, dir)
+      val rows = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select(col("embedding").cast(ArrayType(DoubleType)))
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      val cbs = ProductQuantizer.codebooksFrom(rows, m = 8)
+      val enc = ProductQuantizer.encode(emb, "embedding", cbs)
+      ProductQuantizer
+        .adcTopK(enc, emb.filter(col("vec_id") < 5), "embedding", "vec_id",
+          k = 5, cbs)
+        .select(col("query_id"), col("corpus_id"), col("adist"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      // ADC distance: one statically-generated squared-L2 fold per
+      // subspace, accumulated in subspace order (matches the Spark
+      // reduce's left fold)
+      val adcTerms = (0 until 8).map { mi =>
+        val cent = s"cbl.cbv[CAST(cl.cds[${mi + 1}] + 1 AS INT)]"
+        s"""list_reduce(list_transform(generate_series(1, 8),
+           |      i -> (q.qe[${mi * 8} + i] - $cent[${mi * 8} + i])
+           |         * (q.qe[${mi * 8} + i] - $cent[${mi * 8} + i])),
+           |      (x, y) -> x + y)""".stripMargin
+      }.mkString("\n    + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cb AS (SELECT vec_id AS code, e AS v FROM e WHERE vec_id < 16),
+         |sd AS (SELECT c.vec_id, m.m, cb.code,
+         |    list_reduce(list_transform(generate_series(1, 8),
+         |      i -> (c.e[m.m*8 + i] - cb.v[m.m*8 + i])
+         |         * (c.e[m.m*8 + i] - cb.v[m.m*8 + i])),
+         |      (x, y) -> x + y) AS d
+         |  FROM e c, generate_series(0, 7) AS m(m), cb),
+         |codes AS (SELECT vec_id, m, code FROM (
+         |    SELECT vec_id, m, code,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rk
+         |    FROM sd) WHERE rk = 1),
+         |cl AS (SELECT vec_id, list(code ORDER BY m) AS cds FROM codes GROUP BY vec_id),
+         |cbl AS (SELECT list(v ORDER BY code) AS cbv FROM cb),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < 5),
+         |adc AS (SELECT q.query_id, cl.vec_id AS corpus_id,
+         |    CAST(FLOOR(1000000 * ($adcTerms)) AS BIGINT) AS adist
+         |  FROM q, cl, cbl),
+         |r AS (SELECT query_id, corpus_id, adist,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adist, corpus_id) AS rank
+         |  FROM adc)
+         |SELECT query_id, corpus_id, adist, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    }
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -6076,7 +6138,7 @@ object Queries {
     qBitextMargin, qPhraseRedact, qEditDistance, qBoilerplate, qFim,
     qOrcRoundtrip, qCdcChunks, qManifest, qTwoStage, qTurnMask,
     qContrastive, qChunkDup, qCorpusCard, qContainment, qFrequent,
-    qPromptPack, qTokenizerJson, qStreamBatchEquiv
+    qPromptPack, qTokenizerJson, qStreamBatchEquiv, qPqAdc
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1122,6 +1122,110 @@ object CosineKnn {
   }
 }
 
+/** Product quantization ANN (Jégou et al. 2011, "Product Quantization
+  * for Nearest Neighbor Search"): each dim-D vector splits into M
+  * subvectors; subspace m has a small codebook and stores only the
+  * nearest code — M small ints instead of D floats (64-dim float32 →
+  * 8 bytes at M=8: 32× compression). Queries score against CODES via
+  * asymmetric distance (ADC): the query keeps its raw subvectors, the
+  * corpus contributes only codebook entries, so approximate distance is
+  * an M-term sum of subspace distances.
+  *
+  * THE 100-TB shape: at web scale the embedding table itself is the
+  * bottleneck (100 TB of float32 ≫ cluster RAM); PQ codes bring the
+  * scan set down ~30× so the ADC pass is IO-bound on a table 3% the
+  * size, and the codebooks (M × K × D/M doubles ≈ KBs) ship as plan
+  * literals — encode and scan are zero-shuffle codegen'd projections;
+  * the only shuffle is the per-query top-k. Compose with [[CosineKnn
+  * .ivfTopK]]'s cluster assignment to prune the scan set first (IVFADC
+  * without residual encoding — documented simplification).
+  *
+  * Determinism: subspace distances fold sequentially and accumulate in
+  * subspace order, ties break to the lowest code / corpus id, and the
+  * reported distance is floor-scaled to BIGINT — so any engine replays
+  * code assignment AND ranking bit-identically (q131's discipline). */
+object ProductQuantizer {
+
+  /** Squared L2 over two equal-length arrays, sequential fold. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Deterministic codebooks from the first `k` corpus rows in id order
+    * (driver-side, engine-replayable — pass k-means-refined rows for
+    * production recall): codebook(m)(j) = subvector m of row j. */
+  def codebooksFrom(rows: Seq[Seq[Double]], m: Int): Seq[Seq[Seq[Double]]] = {
+    require(rows.nonEmpty, "PQ codebooks need at least one row")
+    val d = rows.head.length
+    require(d % m == 0, s"dim $d not divisible by M=$m")
+    val w = d / m
+    (0 until m).map(mi => rows.map(r => r.slice(mi * w, (mi + 1) * w)))
+  }
+
+  /** Add `dest`: array of M codes (argmin squared-L2 per subspace, tie →
+    * lowest code). Codebooks inline as literals — zero shuffle. */
+  def encode(
+      df: DataFrame,
+      embField: String,
+      codebooks: Seq[Seq[Seq[Double]]],
+      dest: String = "pq_code"
+  ): DataFrame = {
+    val m = codebooks.length
+    val w = codebooks.head.head.length
+    val kk = codebooks.head.length
+    val e = col(embField).cast(ArrayType(DoubleType))
+    val codes = array((0 until m).map { mi =>
+      val sub = slice(e, mi * w + 1, w)
+      val cands = array(codebooks(mi).zipWithIndex.map { case (c, j) =>
+        struct(l2sq(sub, typedlit(c)).as("d"), lit(j.toLong).as("code"))
+      }: _*)
+      aggregate(
+        slice(cands, 2, kk - 1),
+        element_at(cands, 1),
+        (acc, x) => when(x.getField("d") < acc.getField("d"), x).otherwise(acc)
+      ).getField("code")
+    }: _*)
+    df.withColumn(dest, codes)
+  }
+
+  /** ADC top-k: corpus side carries ONLY (id, pq_code); queries carry raw
+    * embeddings and broadcast. Approximate distance = Σ_m l2sq(query
+    * subvector m, codebook(m)(code_m)), floor-scaled to BIGINT. */
+  def adcTopK(
+      corpusEncoded: DataFrame,
+      queries: DataFrame,
+      embField: String,
+      idField: String,
+      k: Int,
+      codebooks: Seq[Seq[Seq[Double]]],
+      codeField: String = "pq_code",
+      scale: Long = 1000000L
+  ): DataFrame = {
+    val m = codebooks.length
+    val w = codebooks.head.head.length
+    val qe = col(embField).cast(ArrayType(DoubleType))
+    val c = corpusEncoded.select(
+      col(idField).as("corpus_id"), col(codeField).as("__pq"))
+    val q = queries.select(col(idField).as("query_id"), qe.as("__qe"))
+    // subspace-order accumulation: d0 + d1 + ... (left fold, replayable)
+    val dist = (0 until m).map { mi =>
+      val cb = typedlit(codebooks(mi)) // k × w literal
+      l2sq(
+        slice(col("__qe"), mi * w + 1, w),
+        element_at(cb, (element_at(col("__pq"), mi + 1) + 1).cast("int")))
+    }.reduce(_ + _)
+    val scored = c
+      .crossJoin(broadcast(q))
+      .withColumn("adist", floor(lit(scale) * dist).cast(LongType))
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("corpus_id").asc)
+    scored
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "adist", "rank")
+  }
+}
+
 /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
   * Parallel Corpus Mining with Multilingual Sentence Embeddings" §3,
   * the LASER/CCMatrix recipe): candidate pair = x's nearest neighbor

@@ -116,6 +116,10 @@ object TemplateRegistry {
     ("common_gen", "", "Put together") ->
       ("Put the concepts together to form a sentence: " +
         "{{ concepts | join(\", \") }}.|||{{target}}"),
+    ("hellaswag", "", "complete_first_then") ->
+      ("Complete the description with an appropriate ending:\n" +
+        "First, {{ ctx_a.lower() }} Then, {{ ctx_b.lower() }} ...\n" +
+        "|||{{ answer_choices[label | int] }}"),
     ("paws", "labeled_final", "task_description_no_label") ->
       ("Determine if the following two sentences paraphrase each other " +
         "or not.\nSent 1: {{sentence1}}\nSent 2: {{sentence2}}\n" +
@@ -124,6 +128,8 @@ object TemplateRegistry {
       "{{passage}}\n\nQuestion: {{question}}?\nAnswer: |||{{answer | default('')}}"
   ), answerChoices = Map(
     ("paws", "labeled_final", "task_description_no_label") -> "No ||| Yes",
+    ("hellaswag", "", "complete_first_then") ->
+      "{{ ending0 }} ||| {{ ending1 }} ||| {{ ending2 }} ||| {{ ending3 }}",
     ("ag_news", "", "classify_question_first") ->
       "World politics ||| Sports ||| Business ||| Science and technology",
     ("imdb", "", "Movie Expressed Sentiment") -> "negative ||| positive",

@@ -269,6 +269,22 @@ object MiniJinja {
                   xs.sortBy(toNum)
                 else xs.map(show).sorted
             }
+          case ("split", rest) =>
+            // Python str.split semantics: no arg = whitespace runs,
+            // empties dropped; explicit separator = exact split, empties
+            // kept
+            val str = String.valueOf(v)
+            rest.headOption match {
+              case Some(sep) =>
+                str.split(java.util.regex.Pattern.quote(String.valueOf(sep)), -1)
+                  .toSeq
+              case None =>
+                str.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+            }
+          case ("startswith", p :: Nil) =>
+            String.valueOf(v).startsWith(String.valueOf(p))
+          case ("endswith", p :: Nil) =>
+            String.valueOf(v).endsWith(String.valueOf(p))
           case _ =>
             throw new IllegalArgumentException(s"Unsupported filter: $f($args)")
         }
@@ -642,10 +658,64 @@ object MiniJinja {
   private def parseIndexExpr(s: String): Expr =
     if (s.matches("-?\\d+")) Lit(s.toLong) else parseExpr(s)
 
+  /** Python string-method names promptsource templates call inline
+    * (`{{ ctx_a.lower() }}`, `{{ text.split("|") }}`) → the equivalent
+    * filter. Everything else after a '.(' rejects with a clear error. */
+  private val methodFilters = Map(
+    "lower" -> "lower", "upper" -> "upper", "title" -> "title",
+    "capitalize" -> "capitalize", "strip" -> "trim",
+    "replace" -> "replace", "split" -> "split",
+    "startswith" -> "startswith", "endswith" -> "endswith")
+
+  /** split a dotted path on '.' at depth zero (so `x.replace('.', ',')`
+    * keeps its argument dots). */
+  private def splitPath(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    s.foreach { c =>
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') { quote = c; cur += c }
+      else if (c == '(' || c == '[') { depth += 1; cur += c }
+      else if (c == ')' || c == ']') { depth -= 1; cur += c }
+      else if (c == '.' && depth == 0) { out += cur.result(); cur.clear() }
+      else cur += c
+    }
+    out += cur.result()
+    out.toSeq
+  }
+
+  private val methodCallRe = "^(\\w+)\\((.*)\\)$".r
+
   private def parseBase(s: String): Expr =
     if (s.startsWith("\"") || s.startsWith("'") || s.head.isDigit || s == "true" || s == "false")
       Lit(literal(s))
-    else Ref(s.split("\\.").toList)
+    else {
+      val segs = splitPath(s)
+      // leading run of plain attribute segments forms the Ref path;
+      // trailing `name(args)` segments chain as method-call filters
+      val firstCall = segs.indexWhere(seg => methodCallRe.findFirstIn(seg).isDefined)
+      if (firstCall < 0) Ref(segs.toList)
+      else {
+        require(firstCall > 0, s"Bad expression: $s")
+        val base: Expr = Ref(segs.take(firstCall).toList)
+        segs.drop(firstCall).foldLeft(base) { (acc, seg) =>
+          val m = methodCallRe.findFirstMatchIn(seg).getOrElse(
+            throw new IllegalArgumentException(
+              s"Attribute access after a method call is unsupported: $s"))
+          val name = m.group(1)
+          val filter = methodFilters.getOrElse(name,
+            throw new IllegalArgumentException(
+              s"Unsupported method call '.$name()'. Supported: " +
+                methodFilters.keys.toSeq.sorted.mkString(", ")))
+          val args = Option(m.group(2)).map(_.trim).filter(_.nonEmpty)
+            .map(a => splitTop(a, ',').map(x => literal(x.trim)).toList)
+            .getOrElse(Nil)
+          Filtered(acc, filter, args)
+        }
+      }
+    }
 
   private def literal(s: String): Any =
     if (s.startsWith("\"") && s.endsWith("\"")) s.drop(1).dropRight(1)

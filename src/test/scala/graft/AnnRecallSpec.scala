@@ -66,6 +66,42 @@ class AnnRecallSpec extends SparkSpec {
     ivf.foreach { case (q, got) => assert(got.contains(q)) }
   }
 
+  test("PQ: codes compress, exact copy ranks first, recall beats random") {
+    import graft.operators.ProductQuantizer
+    val rows = emb.orderBy("vec_id").limit(16)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val cbs = ProductQuantizer.codebooksFrom(rows, m = 8)
+    assert(cbs.length == 8 && cbs.head.length == 16 && cbs.head.head.length == 8)
+    val enc = ProductQuantizer.encode(emb, "embedding", cbs)
+    // M codes per vector, all within the codebook range
+    val codes = enc.select("pq_code").as[Seq[Long]].collect()
+    assert(codes.forall(c => c.length == 8 && c.forall(j => j >= 0 && j < 16)))
+    // a codebook row encodes to ITSELF in every subspace (d = 0 argmin)
+    val self = enc.filter(col("vec_id") === 3L)
+      .select("pq_code").as[Seq[Long]].head()
+    assert(self == Seq.fill(8)(3L))
+    // exact-copy query: the copy's codes are identical, so ADC distance
+    // is the minimum possible and the copy is in the top ranks
+    val queries = emb.filter(col("vec_id") < 8)
+    val top = ProductQuantizer.adcTopK(enc, queries, "embedding", "vec_id",
+      k = 10, cbs)
+    val got = topkMap(top)
+    got.foreach { case (q, ids) => assert(ids.contains(q), s"query $q lost itself") }
+    // ADC recall@10 against exact brute force beats random guessing
+    val exact = topkMap(CosineKnn.bruteForce(emb, queries, "embedding", "vec_id", 10))
+    val r = recallAt(10, got, exact)
+    assert(r > 0.25, s"PQ ADC recall@10 = $r")
+    // ranks are 1..k, distances non-decreasing within a query
+    val byRank = top.select("query_id", "rank", "adist")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    byRank.values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length))
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq)
+    }
+  }
+
   test("BitextMine: true pair out-margins the hub; threshold prunes") {
     import graft.operators.BitextMine
     // y-side: three axis directions + a diagonal

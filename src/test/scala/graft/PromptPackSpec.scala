@@ -171,6 +171,42 @@ class PromptPackSpec extends AnyFunSuite {
         "A dog chases a ball in the park.")))
   }
 
+  test("hellaswag complete_first_then: method calls + label|int + dynamic choices") {
+    assert(render("hellaswag", "", "complete_first_then",
+      Map("ctx_a" -> "A man Sits.", "ctx_b" -> "He Stands.",
+        "label" -> "2", // hellaswag labels are HF strings; | int coerces
+        "ending0" -> "e0", "ending1" -> "e1", "ending2" -> "e2",
+        "ending3" -> "e3")) ==
+      (("Complete the description with an appropriate ending:\n" +
+        "First, a man sits. Then, he stands. ...", "e2")))
+  }
+
+  test("Python string-method calls map to filters") {
+    def r(t: String, vars: Map[String, Any]): String =
+      MiniJinja.parse(t).render(vars)
+    assert(r("{{ x.lower() }}", Map("x" -> "AbC")) == "abc")
+    assert(r("{{ x.upper() }}", Map("x" -> "AbC")) == "ABC")
+    assert(r("{{ x.strip() }}", Map("x" -> "  a b  ")) == "a b")
+    assert(r("{{ x.title() }}", Map("x" -> "a b")) == "A B")
+    assert(r("{{ x.replace('.', ',') }}", Map("x" -> "a.b")) == "a,b")
+    // dotted path THEN a method call
+    assert(r("{{ a.b.lower() }}", Map("a" -> Map("b" -> "XY"))) == "xy")
+    // chained calls
+    assert(r("{{ x.strip().upper() }}", Map("x" -> " hi ")) == "HI")
+    // split: no-arg Python semantics (ws runs, empties dropped),
+    // explicit separator keeps empties; result is a list (join to see)
+    assert(r("{{ x.split() | join('-') }}", Map("x" -> " a  b c ")) == "a-b-c")
+    assert(r("{{ x.split('|') | join('/') }}", Map("x" -> "a||b")) == "a//b")
+    assert(r("{% if x.startswith('ab') %}y{% endif %}", Map("x" -> "abc")) == "y")
+    assert(r("{% if x.endswith('bc') %}y{% endif %}", Map("x" -> "abc")) == "y")
+    // unknown methods reject with the supported list
+    val e = intercept[IllegalArgumentException] {
+      MiniJinja.parse("{{ x.casefold() }}").render(Map("x" -> "a"))
+    }
+    assert(e.getMessage.contains("casefold"))
+    assert(e.getMessage.contains("Supported"))
+  }
+
   test("unsupported Jinja constructs reject with a clear error, never mis-render") {
     // the MiniJinja partial-depth contract: everything the bundled pack
     // needs renders byte-exact (tests above); everything outside the
