@@ -210,6 +210,54 @@ case class SimHash64Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** minhash_sig(shingles, k): k-element minhash signature of an
+  * array<string> in ONE pass — per shingle one STRING xxhash64, then k
+  * cheap long-hash chains (`xxhash64(sh, j)`'s exact two-step chain:
+  * seed 42 over the string, the result re-seeded over the literal j),
+  * keeping the running min per j. Bit-identical to the HOF formulation
+  * it replaces (`transform(seq(0,k-1), j -> array_min(transform(sh,
+  * s -> xxhash64(s, j))))`), which re-hashed every shingle STRING k
+  * times and allocated two arrays per row per j. Null shingle elements
+  * contribute hash(j, seed) exactly like the builtin (null children are
+  * skipped, not null-propagated); an empty shingle array yields an
+  * array of k nulls (array_min of empty). */
+case class MinHashSigExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+  require(numHashes > 0, "numHashes must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(shinglesAny: Any): Any = {
+    val shingles = shinglesAny.asInstanceOf[ArrayData]
+    val n = shingles.numElements()
+    if (n == 0) {
+      return new GenericArrayData(Array.fill[Any](numHashes)(null))
+    }
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h0 =
+        if (shingles.isNullAt(i)) 42L
+        else XxHash64Function.hash(shingles.getUTF8String(i), StringType, 42L)
+      var j = 0
+      while (j < numHashes) {
+        // the HOF's `sequence(0, k-1)` elements are INTs — hash j with
+        // IntegerType (4-byte XXH64 path), or the chain diverges
+        val hj = XxHash64Function.hash(j, IntegerType, h0)
+        if (hj < mins(j)) mins(j) = hj
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
 /** cdc_boundaries(text): 0-based code-point positions `i >= window-1`
   * where the rolling polynomial hash of the window ending at `i`
   * (fold `(h·31 + cp) mod m` over the window's code points) is ≡ 0
@@ -269,6 +317,9 @@ case class CdcBoundariesExpr(
 object functions {
   def simhash64(words: Column): Column =
     toCol(SimHash64Expr(expression(words)))
+
+  def minhash_sig(shingles: Column, numHashes: Int): Column =
+    toCol(MinHashSigExpr(expression(shingles), numHashes))
 
   def cosine_sim(a: Column, b: Column): Column =
     toCol(CosineSimilarity(expression(a), expression(b)))

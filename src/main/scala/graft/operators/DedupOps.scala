@@ -122,10 +122,11 @@ final case class MinHashSignature(
       TextShingles.shingles(col(wordsField), shingleSize)
     ).withColumn(
         outputField,
-        transform(
-          sequence(lit(0), lit(numHashes - 1)),
-          j => array_min(transform(col("__graft_sh"), sh => xxhash64(sh, j)))
-        )
+        // native one-pass kernel: one string xxhash64 per shingle + k
+        // long chains, vs the HOF formulation's k string re-hashes
+        // (bit-identical by MinHashSigExpr's contract; parity pinned in
+        // ExpressionSpec)
+        graft.functions.functions.minhash_sig(col("__graft_sh"), numHashes)
       )
       .drop("__graft_sh")
 }

@@ -134,4 +134,29 @@ class ExpressionSpec extends SparkSpec {
       .as[Seq[Long]].collect().toSeq
     assert(got == texts.map(naive), s"got=$got expected=${texts.map(naive)}")
   }
+
+  test("minhash_sig: native kernel is bit-identical to the HOF formulation") {
+    val k = 16
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("sh", split(col("text"), " "))
+    // corpus rows + edge cases: empty array, null element in the array
+    val edge = Seq(
+      (900001L, Seq.empty[String]),
+      (900002L, Seq("a", null, "b"))
+    ).toDF("doc_id", "sh")
+    val all = df.select("doc_id", "sh").unionByName(edge)
+    val hof = transform(
+      sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(col("sh"), sh => xxhash64(sh, j))))
+    val cmp = all.select(
+      col("doc_id"),
+      graft.functions.functions.minhash_sig(col("sh"), k).as("native"),
+      hof.as("ref"))
+    assert(cmp.filter(not(col("native") <=> col("ref"))).count() == 0)
+    // empty shingles: k nulls, matching array_min-of-empty
+    val empty = cmp.filter(col("doc_id") === 900001L)
+      .select("native").as[Seq[java.lang.Long]].head()
+    assert(empty == Seq.fill(k)(null: java.lang.Long))
+  }
 }
