@@ -6086,6 +6086,111 @@ object Queries {
     }
   )
 
+  /** MiniJinja macro + arithmetic + filter-block depth: a macro with a
+    * slice/join body called with expression arguments, a `{% filter %}`
+    * block, and filter-tighter-than-math precedence
+    * (`words | length - 1`) — the Jinja2 constructs the round-9 verdict
+    * flagged as the depth gap, each replayed by pure string SQL. */
+  private val qJinjaMacro = Q(
+    "q191_jinja_macro",
+    (s, dir) =>
+      JinjaMapper(
+        "{% macro head(ws, k) %}{{ ws[:k] | join(' ') }}{% endmacro %}" +
+          "{% filter upper %}{{ lang }}{% endfilter %}: {{ head(words, 3) }}" +
+          " ({{ words | length - 1 }} gaps)")(
+        docWords(s, dir).select("doc_id", "lang", "words"))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id"),
+    Some(
+      s"""SELECT doc_id,
+         |  upper(lang) || ': ' || array_to_string(list_slice($W, 1, 3), ' ')
+         |    || ' (' || CAST(len($W) - 1 AS VARCHAR) || ' gaps)' AS source
+         |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    * [[operators.Sampling.takeWeighted]]): the 40 docs with the largest
+    * u^(1/n_chars) under the salted md5 uniform — longer docs
+    * proportionally more likely, exact output size, no RNG state. The
+    * oracle replays the quantized ln(u)/w ordering key verbatim. */
+  private val qWeightedSample = Q(
+    "q192_weighted_sample",
+    (s, dir) =>
+      Sampling.takeWeighted(
+        docs(s, dir).select("doc_id", "n_chars"),
+        "doc_id", col("n_chars"), k = 40, salt = "aes", portable = true)
+        .orderBy("doc_id"),
+    Some(
+      """WITH h AS (SELECT doc_id, n_chars,
+        |  list_reduce(list_transform(generate_series(1, 6),
+        |    j -> CAST(strpos('0123456789abcdef',
+        |      substring(md5(CAST(doc_id AS VARCHAR) || 'aes'), CAST(j AS INT), 1)) - 1 AS BIGINT)),
+        |    (x, y) -> x * 16 + y) AS h24 FROM documents WHERE n_chars > 0),
+        |k AS (SELECT doc_id, n_chars,
+        |  CAST(FLOOR(ln((CAST(h24 AS DOUBLE) + 1.0) / 16777217.0)
+        |    / CAST(n_chars AS DOUBLE) * 1000000000.0) AS BIGINT) AS key FROM h)
+        |SELECT doc_id, n_chars FROM
+        |  (SELECT doc_id, n_chars FROM k ORDER BY key DESC, doc_id LIMIT 40)
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Distinct-n diversity per source
+    * ([[operators.CorpusStats.ngramDiversity]]): total vs distinct
+    * bigrams and their ratio — the repetitiveness signal per slice. The
+    * md5 leg makes the distinct-count key engine-portable; the ratio is
+    * one IEEE double division of two BIGINTs. */
+  private val qNgramDiversity = Q(
+    "q193_ngram_diversity",
+    (s, dir) =>
+      CorpusStats.ngramDiversity(docWords(s, dir), "words", n = 2,
+          groupField = "source", hasher = c => md5(c))
+        .orderBy("grp"),
+    Some(
+      s"""WITH e AS (SELECT source AS grp,
+         |  unnest(CASE WHEN len($W) >= 2
+         |    THEN list_transform(generate_series(1, len($W) - 1),
+         |      i -> array_to_string(list_slice($W, i, i + 1), ' '))
+         |    ELSE CAST([] AS VARCHAR[]) END) AS gram FROM documents)
+         |SELECT grp, count(*) AS total_ngrams,
+         |  CAST(count(DISTINCT md5(gram)) AS BIGINT) AS distinct_ngrams,
+         |  CAST(count(DISTINCT md5(gram)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS distinct_ratio
+         |FROM e GROUP BY grp ORDER BY grp""".stripMargin
+    )
+  )
+
+  /** Corpus-card source-similarity matrix
+    * ([[operators.SourceSimilarity.matrix]]): estimated Jaccard between
+    * every source pair from 8 corpus-level minhash agreements — the
+    * md5-window permutation family (two digests, four 32-bit windows
+    * each) is the same twin q82's signatures use, so DuckDB replays the
+    * identical mins. Only O(#sources × 8) rows ever shuffle. */
+  private val qSourceSimilarity = Q(
+    "q194_source_similarity",
+    (s, dir) =>
+      SourceSimilarity.matrix(docWords(s, dir), "source", "words",
+          shingleSize = 3, numHashes = 8,
+          permHash = (sh, j) =>
+            substring(md5(if (j < 4) sh else concat(lit("x"), sh)),
+              (j % 4) * 8 + 1, 8))
+        .orderBy("src_a", "src_b"),
+    Some(
+      s"""WITH d AS (SELECT source AS src, unnest($SHINGLES) AS sh FROM documents),
+         |g AS (SELECT src, j,
+         |    min(CASE WHEN j < 4 THEN substring(md5(sh), CAST(j*8 + 1 AS INT), 8)
+         |        ELSE substring(md5('x' || sh), CAST((j%4)*8 + 1 AS INT), 8) END) AS h
+         |  FROM d CROSS JOIN generate_series(0, 7) AS t(j) GROUP BY src, j)
+         |SELECT a.src AS src_a, b.src AS src_b,
+         |  CAST(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+         |  CAST(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS DOUBLE) / 8.0
+         |    AS est_jaccard
+         |FROM g a JOIN g b ON a.j = b.j AND a.src < b.src
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -6138,7 +6243,8 @@ object Queries {
     qBitextMargin, qPhraseRedact, qEditDistance, qBoilerplate, qFim,
     qOrcRoundtrip, qCdcChunks, qManifest, qTwoStage, qTurnMask,
     qContrastive, qChunkDup, qCorpusCard, qContainment, qFrequent,
-    qPromptPack, qTokenizerJson, qStreamBatchEquiv, qPqAdc
+    qPromptPack, qTokenizerJson, qStreamBatchEquiv, qPqAdc,
+    qJinjaMacro, qWeightedSample, qNgramDiversity, qSourceSimilarity
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -643,6 +643,40 @@ object CorpusStats {
       .orderBy(col("cnt").desc, col("gram"))
       .limit(k)
 
+  /** Distinct-n diversity per group: total n-grams, distinct n-grams,
+    * and their ratio — the standard generated-/training-text diversity
+    * signal (low distinct-2 ⇒ repetitive or template-stamped slice;
+    * compare sources or model outputs at a glance).
+    *
+    * Scale shape: the explode is linear in corpus tokens; both counts
+    * partial-aggregate map-side, and the distinct leg counts 8-byte
+    * `hasher` values, so the distinct shuffle is hashes, never gram
+    * text (the xxhash64 default's collision error over even 10¹²
+    * grams is ≪ 1e-7 relative — the same accounting ExactDedup's key
+    * uses; pass md5 for engine-portable replay). At 100 TB prefer the
+    * one-shuffle sketch leg: `approx_count_distinct` inside the same
+    * aggregate instead of the exact two-phase distinct. */
+  def ngramDiversity(
+      docs: DataFrame,
+      wordsField: String,
+      n: Int,
+      groupField: String,
+      hasher: Column => Column = c => xxhash64(c)
+  ): DataFrame =
+    docs
+      .select(
+        col(groupField).as("grp"),
+        explode(Decontaminate.ngrams(col(wordsField), n)).as("gram")
+      )
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("total_ngrams"),
+        countDistinct(hasher(col("gram"))).as("distinct_ngrams")
+      )
+      .withColumn("distinct_ratio",
+        col("distinct_ngrams").cast(DoubleType) /
+          col("total_ngrams").cast(DoubleType))
+
   // true BIGINT/DECIMAL integral division: graft.functions.integral_divide
   private def idiv(a: Column, b: Column): Column =
     graft.functions.functions.integral_divide(a, b)

@@ -331,6 +331,80 @@ object Sampling {
       .filter(col("__tps_rank") <= k)
       .drop("__tps_rank")
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, algorithm A-ES): keep the `k` rows with the largest
+    * u^(1/w), where u is a salted-hash uniform in (0,1) — rows are
+    * chosen with probability proportional to `weight`, no row twice,
+    * and (unlike weighted-with-replacement or per-row Bernoulli) the
+    * output size is exactly k. The ordering key is the monotone-
+    * equivalent ln(u)/w taken DESCENDING, quantized to a BIGINT
+    * (floor ×1e9) so engines agreeing to 1e-6 produce identical ranks,
+    * with the id as total-order tie-break.
+    *
+    * Scale shape: one global top-k — Spark compiles orderBy+limit to
+    * TakeOrderedAndProject (per-partition heap of k, then a k-sized
+    * merge on the driver side of the single result partition); nothing
+    * but k rows ever crosses the wire. `weight` is any numeric Column
+    * (quality score, token count, recency decay…); non-positive
+    * weights are rejected rows (w<=0 has no sampling meaning).
+    * `portable` swaps the 24-bit xxhash64 uniform for the md5-prefix
+    * twin so an external engine can replay the exact sample. */
+  def takeWeighted(
+      df: DataFrame,
+      idField: String,
+      weight: Column,
+      k: Int,
+      salt: String = "graft",
+      portable: Boolean = false
+  ): DataFrame = {
+    val key = aesKey(col(idField), weight, salt, portable)
+    df.filter(weight > 0)
+      .orderBy(key.desc, col(idField))
+      .limit(k)
+  }
+
+  /** Per-stratum A-ES: the [[takeWeighted]] key ranked inside each
+    * stratum (one partitioned window, stratum = partition key) — "the
+    * 10k highest-quality-weighted docs per language", exact quota,
+    * reproducible across runs and repartitioning. */
+  def takeWeightedPerStratum(
+      df: DataFrame,
+      idField: String,
+      strataField: String,
+      weight: Column,
+      k: Int,
+      salt: String = "graft",
+      portable: Boolean = false
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = aesKey(col(idField), weight, salt, portable)
+    df.filter(weight > 0)
+      .withColumn("__aes_rank",
+        row_number().over(Window.partitionBy(col(strataField))
+          .orderBy(key.desc, col(idField))))
+      .filter(col("__aes_rank") <= k)
+      .drop("__aes_rank")
+  }
+
+  /** floor(1e9 · ln(u)/w) with u = (h24+1)/(2^24+1) ∈ (0,1); h24 is the
+    * salted 24-bit id hash (xxhash64 production / md5-prefix portable —
+    * the same twin pair [[temperature]] uses). */
+  private def aesKey(
+      id: Column,
+      weight: Column,
+      salt: String,
+      portable: Boolean
+  ): Column = {
+    val h24 =
+      if (portable)
+        conv(substring(md5(concat(id.cast(StringType), lit(salt))), 1, 6),
+          16, 10).cast(LongType)
+      else pmod(xxhash64(concat(id.cast(StringType), lit(salt))),
+        lit(16777216L))
+    val u = (h24.cast(DoubleType) + lit(1.0)) / lit(16777217.0)
+    floor(log(u) / weight.cast(DoubleType) * lit(1000000000.0)).cast(LongType)
+  }
 }
 
 /** Deterministic global shuffle: order rows by a salted hash of their id

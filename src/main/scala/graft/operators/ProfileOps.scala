@@ -415,3 +415,59 @@ object QuantileClip {
       .drop("__qc_t")
   }
 }
+
+/** Dataset-level similarity: estimated Jaccard between each pair of
+  * sources (slices, snapshots, shards) from corpus-level minhash
+  * signatures — the corpus-card "how much do my sources overlap"
+  * number, and the cheap pre-check before a cross-source document
+  * dedup pass. Broder's estimator at the SET level: each source's
+  * signature is the elementwise min over the union of its docs'
+  * shingle hashes (min over a multiset = min over the set, so no
+  * per-source distinct is needed), and P[sig_a[j] = sig_b[j]] =
+  * J(shingles_a, shingles_b).
+  *
+  * Scale shape: one linear shingle explode; the `numHashes` perm
+  * hashes partial-aggregate map-side, so only O(#sources × numHashes)
+  * rows ever shuffle; the pairwise comparison runs on that tiny melted
+  * table (broadcast self-join keyed on the perm index). Nothing
+  * quadratic in documents anywhere — quadratic only in #sources.
+  *
+  * `permHash(shingle, j)`: the permutation family — production default
+  * `xxhash64(shingle, lit(j))`; pass the md5-window twin for
+  * engine-portable replay. */
+object SourceSimilarity {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.types.DoubleType
+
+  def matrix(
+      docs: DataFrame,
+      sourceField: String,
+      wordsField: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      permHash: (Column, Int) => Column = (sh, j) => xxhash64(sh, lit(j))
+  ): DataFrame = {
+    require(numHashes > 0, "numHashes must be positive")
+    val exploded = docs.select(
+      col(sourceField).cast(StringType).as("src"),
+      explode(TextShingles.shingles(col(wordsField), shingleSize)).as("__sh")
+    )
+    // one pass, numHashes min-aggregates — no row blowup before the agg
+    val aggs = (0 until numHashes)
+      .map(j => min(permHash(col("__sh"), j)).as(s"__h$j"))
+    val sigs = exploded.groupBy(col("src")).agg(aggs.head, aggs.tail: _*)
+    val melted = sigs.select(
+      col("src"),
+      posexplode(array((0 until numHashes).map(j => col(s"__h$j")): _*))
+        .as(Seq("j", "h"))
+    )
+    melted.alias("a")
+      .join(broadcast(melted.alias("b")),
+        col("a.j") === col("b.j") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(sum(when(col("a.h") === col("b.h"), 1L).otherwise(0L))
+        .as("agree"))
+      .withColumn("est_jaccard",
+        col("agree").cast(DoubleType) / lit(numHashes.toDouble))
+  }
+}

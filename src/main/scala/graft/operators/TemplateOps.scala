@@ -17,9 +17,15 @@ import org.apache.spark.sql.types._
   * promptsource-community set), `~` string concatenation, `in`/`not in`
   * membership tests, `{% for x in xs %}…{% endfor %}`,
   * `{% if cond %}…{% elif %}…{% else %}…{% endif %}` with comparisons
-  * (`== != < <= > >=`) and truthiness, and the reference's `|||`
-  * source/target split (promptsource.py:185-196). Unsupported constructs
-  * raise at parse time (on the driver) with a clear message.
+  * (`== != < <= > >=`) and truthiness, `{% set %}`, `{% macro
+  * name(p, q=default) %}…{% endmacro %}` with call expressions
+  * (`{{ name(x) }}`, closure + recursion semantics), the `range()`
+  * builtin, `{% filter name %}…{% endfilter %}` blocks, arithmetic
+  * (`+ - * / // %` with Python semantics and Jinja2 precedence: filters
+  * bind tighter than math, math tighter than `~`), and the
+  * reference's `|||` source/target split (promptsource.py:185-196).
+  * Unsupported constructs raise at parse time (on the driver) with a
+  * clear message.
   *
   * Templates parse ONCE on the driver into an AST; rows render inside
   * `mapPartitions` — the same boundary the tokenizer uses.
@@ -34,6 +40,19 @@ object MiniJinja {
   /** `{% set name = expr %}` — binds for the remainder of the enclosing
     * block (Jinja2 block scoping: a set inside for/if doesn't leak out). */
   final case class SetVar(name: String, e: Expr) extends Node
+  /** `{% macro name(p1, p2=default) %}…{% endmacro %}` — defines a
+    * callable; Jinja2 semantics: the macro closes over its definition
+    * scope, defaults evaluate at call time, and the name is visible to
+    * its own body (recursion works, depth-guarded). */
+  final case class MacroDef(
+      name: String,
+      params: List[(String, Option[Expr])],
+      body: List[Node]
+  ) extends Node
+  /** `{% filter upper %}…{% endfilter %}` — render the body, then pipe
+    * the rendered string through the named filter. */
+  final case class FilterBlock(filter: String, args: List[Any], body: List[Node])
+      extends Node
 
   sealed trait Expr
   final case class Ref(path: List[String]) extends Expr
@@ -47,6 +66,23 @@ object MiniJinja {
   final case class Index(e: Expr, i: Expr) extends Expr
   /** `xs[1:3]` / `s[:5]` — Python-style slice with clamping. */
   final case class Slice(e: Expr, from: Option[Expr], to: Option[Expr]) extends Expr
+  /** `name(args…)` at expression head — a macro invocation, or the
+    * `range(...)` builtin. (Method calls after a dot stay filters.) */
+  final case class Call(name: String, args: List[Expr]) extends Expr
+  /** Binary arithmetic `+ - * / // %` (Python semantics: `/` is true
+    * division, `//` floors, ints stay ints elsewhere; `+` also
+    * concatenates two strings or two lists, as in Jinja2). */
+  final case class Arith(op: String, l: Expr, r: Expr) extends Expr
+
+  /** Runtime value of a defined macro. `defEnv` is assigned AFTER the
+    * macro is bound into its defining scope so self-reference (recursion)
+    * resolves — the one place the otherwise-immutable env needs a knot. */
+  final class MacroValue(
+      val params: List[(String, Option[Expr])],
+      val body: List[Node]
+  ) extends Serializable {
+    var defEnv: Map[String, Any] = Map.empty
+  }
 
   final case class Template(nodes: List[Node]) extends Serializable {
     /** Variable names referenced at the top level (the reference infers
@@ -60,7 +96,11 @@ object MiniJinja {
         case Index(e, i)       => exprVars(e) ++ exprVars(i)
         case Slice(e, f, t) =>
           exprVars(e) ++ f.toSet.flatMap(exprVars) ++ t.toSet.flatMap(exprVars)
-        case _ => Set.empty
+        // the callee is a macro or builtin, never an input column — only
+        // the arguments can reference data
+        case Call(_, as)  => as.flatMap(exprVars).toSet
+        case Arith(_, l, r) => exprVars(l) ++ exprVars(r)
+        case _            => Set.empty
       }
       def walk(ns: List[Node], bound0: Set[String]): Set[String] = {
         var bound = bound0
@@ -79,6 +119,13 @@ object MiniJinja {
           case SetVar(n, e) =>
             out ++= (exprVars(e) -- bound)
             bound = bound + n // bound for the REST of this block
+          case MacroDef(n, params, body) =>
+            params.foreach { case (_, d) =>
+              out ++= (d.map(exprVars).getOrElse(Set.empty) -- bound)
+            }
+            out ++= walk(body, bound ++ params.map(_._1) + n)
+            bound = bound + n
+          case FilterBlock(_, _, body) => out ++= walk(body, bound)
         }
         out.toSet
       }
@@ -101,6 +148,14 @@ object MiniJinja {
         case Text(s)   => sb.append(s)
         case Output(e) => sb.append(show(eval(e, env)))
         case SetVar(n, e) => env = env + (n -> eval(e, env))
+        case MacroDef(n, params, body) =>
+          val mv = new MacroValue(params, body)
+          env = env + (n -> mv)
+          mv.defEnv = env // after binding, so the macro can call itself
+        case FilterBlock(f, args, body) =>
+          val inner = new StringBuilder
+          renderInto(body, env, inner)
+          sb.append(show(eval(Filtered(Lit(inner.result()), f, args), env)))
         case For(v, seqE, body) =>
           eval(seqE, env) match {
             case s: Seq[_] =>
@@ -132,8 +187,84 @@ object MiniJinja {
       }
     }
 
+    // guards runaway macro recursion (a Template instance is used by one
+    // thread: parsed per-partition inside mapPartitions, or on the driver)
+    @transient private var callDepth: Int = 0
+
     private def eval(e: Expr, vars: Map[String, Any]): Any = e match {
       case Lit(v) => v
+      case Call(name, args) =>
+        val argVals = args.map(eval(_, vars))
+        (name, vars.get(name)) match {
+          case (_, Some(m: MacroValue)) =>
+            require(
+              argVals.length <= m.params.length,
+              s"Macro '$name' takes ${m.params.length} argument(s), got ${argVals.length}"
+            )
+            val bound = m.params.zipWithIndex.map { case ((p, dflt), idx) =>
+              p -> (if (idx < argVals.length) argVals(idx)
+                    else
+                      dflt
+                        .map(eval(_, m.defEnv))
+                        .getOrElse(throw new IllegalArgumentException(
+                          s"Macro '$name' missing argument '$p'")))
+            }.toMap
+            callDepth += 1
+            try {
+              require(callDepth <= 64, s"Macro recursion too deep in '$name'")
+              val inner = new StringBuilder
+              renderInto(m.body, m.defEnv ++ bound, inner)
+              inner.result()
+            } finally callDepth -= 1
+          case ("range", None) =>
+            // Jinja2 range() builtin (half-open, like Python)
+            val ns = argVals.map(toNum(_).toLong)
+            ns match {
+              case Seq(stop)              => (0L until stop).toSeq
+              case Seq(start, stop)       => (start until stop).toSeq
+              case Seq(start, stop, step) =>
+                require(step != 0L, "range() step must not be zero")
+                (start until stop by step).toSeq
+              case _ =>
+                throw new IllegalArgumentException(
+                  s"range() takes 1-3 arguments, got ${argVals.length}")
+            }
+          case _ =>
+            throw new IllegalArgumentException(
+              s"Unknown callable '$name(...)': not a defined macro or builtin")
+        }
+      case Arith(op, le, re) =>
+        val l = eval(le, vars)
+        val r = eval(re, vars)
+        def integral(v: Any): Boolean = v match {
+          case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+              _: java.lang.Byte => true
+          case _ => false
+        }
+        (l, r) match {
+          case (a: String, b: String) if op == "+" => a + b
+          case (a: Seq[_], b: Seq[_]) if op == "+" => a ++ b
+          case _ if integral(l) && integral(r) && op != "/" =>
+            val (a, b) = (l.asInstanceOf[Number].longValue(),
+              r.asInstanceOf[Number].longValue())
+            op match {
+              case "+"  => a + b
+              case "-"  => a - b
+              case "*"  => a * b
+              case "//" => Math.floorDiv(a, b)
+              case "%"  => Math.floorMod(a, b) // python % sign convention
+            }
+          case _ =>
+            val (a, b) = (toNum(l), toNum(r))
+            op match {
+              case "+"  => a + b
+              case "-"  => a - b
+              case "*"  => a * b
+              case "/"  => a / b // python3 true division
+              case "//" => math.floor(a / b)
+              case "%"  => a - b * math.floor(a / b)
+            }
+        }
       case Ref(path) =>
         var cur: Any = vars.getOrElse(path.head, null)
         path.tail.foreach { seg =>
@@ -467,10 +598,47 @@ object MiniJinja {
                   .getOrElse(throw new IllegalArgumentException(s"Bad set: $body"))
                 out += SetVar(m.group(1), parseExpr(m.group(2)))
                 i += 1
+              case "macro" =>
+                val m = "^macro\\s+(\\w+)\\s*\\((.*)\\)$".r
+                  .findFirstMatchIn(body)
+                  .getOrElse(
+                    throw new IllegalArgumentException(s"Bad macro: $body"))
+                val params = splitTop(m.group(2), ',').map(_.trim)
+                  .filter(_.nonEmpty).map { p =>
+                    findTopKeyword(p, "=") match {
+                      case Some(eq) =>
+                        val name = p.substring(0, eq).trim
+                        require(name.matches("\\w+"), s"Bad macro param: $p")
+                        (name, Some(parseExpr(p.substring(eq + 1).trim)))
+                      case None =>
+                        require(p.matches("\\w+"), s"Bad macro param: $p")
+                        (p, None)
+                    }
+                  }
+                i += 1
+                val (inner, stop) = parseNodes(Set("endmacro"))
+                require(stop.contains("endmacro"), s"Unclosed macro: $body")
+                i += 1 // consume endmacro
+                out += MacroDef(m.group(1), params.toList, inner)
+              case "filter" =>
+                val spec = body.drop(6).trim
+                val m = "^(\\w+)(?:\\((.*)\\))?$".r
+                  .findFirstMatchIn(spec)
+                  .getOrElse(
+                    throw new IllegalArgumentException(s"Bad filter block: $body"))
+                val args = Option(m.group(2)).filter(_.nonEmpty)
+                  .map(a => splitTop(a, ',').map(x => literal(x.trim)).toList)
+                  .getOrElse(Nil)
+                i += 1
+                val (inner, stop) = parseNodes(Set("endfilter"))
+                require(stop.contains("endfilter"), s"Unclosed filter: $body")
+                i += 1 // consume endfilter
+                out += FilterBlock(m.group(1), args, inner)
               case other =>
                 throw new IllegalArgumentException(
                   s"Unsupported Jinja construct '{% $other %}'. Supported: " +
-                    "{{ var }}, {% for %}, {% if/elif/else %}, {% set %}"
+                    "{{ var }}, {% for %}, {% if/elif/else %}, {% set %}, " +
+                    "{% macro %}, {% filter %}"
                 )
             }
         }
@@ -554,10 +722,68 @@ object MiniJinja {
 
   private def parseConcat(s: String): Expr = {
     // `~` (Jinja string concat) folds left; tighter than comparisons,
-    // looser than |filters
+    // looser than arithmetic and |filters
     val parts = splitTop(s.trim, '~').map(_.trim).filter(_.nonEmpty)
-    if (parts.length > 1) parts.map(parseFiltered).reduceLeft(Cmp("~", _, _))
-    else parseFiltered(s.trim)
+    if (parts.length > 1) parts.map(parseAddSub).reduceLeft(Cmp("~", _, _))
+    else parseAddSub(s.trim)
+  }
+
+  // Jinja2 arithmetic precedence: ~  <  (+ -)  <  (* / // %)  <  unary-
+  // <  |filter — so `words | length - 1` is `(words|length) - 1`.
+  private def parseAddSub(s: String): Expr =
+    findLastArith(s.trim, Seq("+", "-")) match {
+      case Some((i, op)) =>
+        Arith(op, parseAddSub(s.trim.substring(0, i).trim),
+          parseMulDiv(s.trim.substring(i + op.length).trim))
+      case None => parseMulDiv(s.trim)
+    }
+
+  private def parseMulDiv(s: String): Expr =
+    findLastArith(s.trim, Seq("//", "*", "/", "%")) match {
+      case Some((i, op)) =>
+        Arith(op, parseMulDiv(s.trim.substring(0, i).trim),
+          parseUnary(s.trim.substring(i + op.length).trim))
+      case None => parseUnary(s.trim)
+    }
+
+  private def parseUnary(s: String): Expr =
+    if (s.startsWith("-")) Arith("-", Lit(0L), parseUnary(s.drop(1).trim))
+    else parseFiltered(s)
+
+  /** LAST top-level binary occurrence of any of `ops` (left
+    * associativity). An operator char is binary only when the preceding
+    * non-space char terminates an operand — so unary minus (`-1`,
+    * `(-n)`, `2 * -3`) is never split here. */
+  private def findLastArith(s: String, ops: Seq[String]): Option[(Int, String)] = {
+    val byLen = ops.sortBy(-_.length)
+    var depth = 0
+    var quote: Char = 0
+    var best: Option[(Int, String)] = None
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '(' || c == '[') depth += 1
+      else if (c == ')' || c == ']') depth -= 1
+      else if (depth == 0) {
+        byLen.find(op => s.regionMatches(i, op, 0, op.length)) match {
+          case Some(op) =>
+            var j = i - 1
+            while (j >= 0 && s.charAt(j) == ' ') j -= 1
+            val binary = j >= 0 && {
+              val p = s.charAt(j)
+              p.isLetterOrDigit || p == '_' || p == ')' || p == ']' ||
+                p == '"' || p == '\''
+            }
+            if (binary) best = Some((i, op))
+            i += op.length - 1 // don't re-scan inside a matched '//'
+          case None => ()
+        }
+      }
+      i += 1
+    }
+    best
   }
 
   /** index of `kw` at paren/quote depth zero, or None. */
@@ -689,7 +915,9 @@ object MiniJinja {
   private val methodCallRe = "^(\\w+)\\((.*)\\)$".r
 
   private def parseBase(s: String): Expr =
-    if (s.startsWith("\"") || s.startsWith("'") || s.head.isDigit || s == "true" || s == "false")
+    if (s.startsWith("\"") || s.startsWith("'") || s.head.isDigit ||
+      (s.length > 1 && s.head == '-' && s.charAt(1).isDigit) ||
+      s == "true" || s == "false")
       Lit(literal(s))
     else {
       val segs = splitPath(s)
@@ -697,7 +925,18 @@ object MiniJinja {
       // trailing `name(args)` segments chain as method-call filters
       val firstCall = segs.indexWhere(seg => methodCallRe.findFirstIn(seg).isDefined)
       if (firstCall < 0) Ref(segs.toList)
-      else {
+      else if (firstCall == 0) {
+        // `name(args…)` at the head: macro invocation or builtin like
+        // range(). Args are full expressions (unlike filter args, which
+        // Jinja2 also restricts less — but literals cover the pack).
+        require(segs.length == 1,
+          s"Attribute access after a call is unsupported: $s")
+        val m = methodCallRe.findFirstMatchIn(segs.head).get
+        val args = Option(m.group(2)).map(_.trim).filter(_.nonEmpty)
+          .map(a => splitTop(a, ',').map(x => parseExpr(x.trim)).toList)
+          .getOrElse(Nil)
+        Call(m.group(1), args)
+      } else {
         require(firstCall > 0, s"Bad expression: $s")
         val base: Expr = Ref(segs.take(firstCall).toList)
         segs.drop(firstCall).foldLeft(base) { (acc, seg) =>

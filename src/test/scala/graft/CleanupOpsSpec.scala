@@ -290,4 +290,49 @@ class CleanupOpsSpec extends SparkSpec {
     assert(stats(1)._3 > 500000L, s"doc2 dup_pct ${stats(1)._3}")
     assert(stats(2)._3 == 0L, s"doc3 dup_pct ${stats(2)._3}")
   }
+
+  test("takeWeighted (A-ES): exact k, repartition-stable, weight-sensitive") {
+    val df = (1L to 200L).map(i => (i, i)).toDF("id", "w") // weight = id
+    val a = Sampling.takeWeighted(df, "id", col("w"), k = 30)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(a.length == 30)
+    val b = Sampling.takeWeighted(df.repartition(7), "id", col("w"), k = 30)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(a == b) // no RNG state, order-independent
+    // expected inclusion probability of row i is ∝ w_i for the TOP slot
+    // and increasing in w overall: heavy rows dominate the sample
+    assert(a.count(_ > 100L) > a.count(_ <= 100L),
+      s"heavy half underrepresented: $a")
+    // a practically-infinite weight is always selected
+    val spiked = df.withColumn("w",
+      when($"id" === 7L, lit(1e12)).otherwise($"w".cast("double")))
+    val s = Sampling.takeWeighted(spiked, "id", col("w"), k = 5)
+      .select($"id").as[Long].collect().toSet
+    assert(s.contains(7L))
+    // non-positive weights are ineligible, k > eligible returns all
+    val few = Seq((1L, 5.0), (2L, 0.0), (3L, -1.0), (4L, 2.0)).toDF("id", "w")
+    assert(Sampling.takeWeighted(few, "id", col("w"), k = 10)
+      .select($"id").as[Long].collect().toSet == Set(1L, 4L))
+    // portable md5 leg is a different but equally deterministic sample
+    val p1 = Sampling.takeWeighted(df, "id", col("w"), k = 30, portable = true)
+      .select($"id").as[Long].collect().sorted.toSeq
+    val p2 = Sampling.takeWeighted(df.repartition(3), "id", col("w"), k = 30,
+      portable = true).select($"id").as[Long].collect().sorted.toSeq
+    assert(p1 == p2)
+  }
+
+  test("takeWeightedPerStratum: exact quota per stratum, same key as global") {
+    val df = (1L to 120L).map(i => (i, if (i % 2 == 0) "a" else "b", i))
+      .toDF("id", "s", "w")
+    val out = Sampling.takeWeightedPerStratum(df, "id", "s", col("w"), k = 10)
+    assert(out.groupBy("s").count().as[(String, Long)].collect().toMap ==
+      Map("a" -> 10L, "b" -> 10L))
+    // a one-stratum input reproduces the global top-k (same ordering key)
+    val one = df.withColumn("s", lit("x"))
+    val viaStratum = Sampling.takeWeightedPerStratum(one, "id", "s", col("w"), 15)
+      .select($"id").as[Long].collect().sorted.toSeq
+    val global = Sampling.takeWeighted(df, "id", col("w"), 15)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(viaStratum == global)
+  }
 }

@@ -434,4 +434,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(loose == Seq(Seq("banner\nunique a\nbanner"),
       Seq("banner\nunique b"), Seq("unique c"), Seq("banner")))
   }
+
+  test("ngramDiversity: golden counts, short docs drop, repetition lowers ratio") {
+    import graft.operators.CorpusStats
+    val df = Seq(
+      ("g1", Seq("a", "b", "a", "b")), // bigrams: "a b", "b a", "a b"
+      ("g1", Seq("a", "b", "c")),      // bigrams: "a b", "b c"
+      ("g1", Seq("x")),                // < n words: contributes nothing
+      ("g2", Seq("p", "p", "p", "p"))  // "p p" ×3 — maximal repetition
+    ).toDF("src", "words")
+    val out = CorpusStats.ngramDiversity(df, "words", n = 2, "src")
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0) == (("g1", 5L, 3L, 0.6)))
+    assert(out(1) == (("g2", 3L, 1L, 1.0/ 3.0)))
+    // hasher swap (md5) counts the same distincts
+    val md5Out = CorpusStats.ngramDiversity(df, "words", n = 2, "src",
+      hasher = c => md5(c)).orderBy("grp").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(md5Out.toSeq == Seq((5L, 3L), (3L, 1L)))
+  }
 }

@@ -181,4 +181,33 @@ class ProfileOpsSpec extends SparkSpec {
       OverlapSketch.build(a, "g", "v"),
       OverlapSketch.build(c, "g", "v"), "g").count() == 0)
   }
+
+  test("SourceSimilarity.matrix: identical sources ~1, disjoint ~0, bounds") {
+    import graft.operators.SourceSimilarity
+    val words = (i: Int) => (0 until 12).map(j => s"w${i}_$j")
+    // a and b share every doc; c is disjoint vocabulary
+    val docs = (
+      (0 until 5).map(i => ("a", words(i))) ++
+        (0 until 5).map(i => ("b", words(i))) ++
+        (0 until 5).map(i => ("c", (0 until 12).map(j => s"z${i}_$j")))
+    ).toDF("source", "words")
+    val m = SourceSimilarity.matrix(docs, "source", "words", numHashes = 16)
+      .orderBy("src_a", "src_b")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(m.map(t => (t._1, t._2)).toSeq ==
+      Seq(("a", "b"), ("a", "c"), ("b", "c"))) // each unordered pair once
+    val byPair = m.map(t => (t._1, t._2) -> t._4).toMap
+    assert(byPair(("a", "b")) == 1.0) // identical shingle sets: every min agrees
+    assert(byPair(("a", "c")) < 0.5)  // disjoint sets: agreement only by collision
+    m.foreach { case (_, _, agree, est) =>
+      assert(agree >= 0L && agree <= 16L && est == agree / 16.0)
+    }
+    // multiset invariance: duplicating docs changes no signature
+    val doubled = docs.union(docs.limit(5))
+    val m2 = SourceSimilarity.matrix(doubled, "source", "words", numHashes = 16)
+      .orderBy("src_a", "src_b").collect().map(r => r.getLong(2)).toSeq
+    assert(m2 == m.map(_._3).toSeq)
+  }
 }

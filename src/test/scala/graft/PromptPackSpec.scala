@@ -213,9 +213,9 @@ class PromptPackSpec extends AnyFunSuite {
     // subset is REJECTED at parse/eval time with an explanatory message —
     // enumerated here so the boundary is pinned, not discovered in prod
     val unsupportedTags =
-      Seq("{% macro m() %}{% endmacro %}", "{% call m() %}{% endcall %}",
+      Seq("{% call m() %}{% endcall %}",
         "{% include 'x' %}", "{% extends 'x' %}", "{% block b %}{% endblock %}",
-        "{% filter upper %}{% endfilter %}", "{% raw %}{% endraw %}")
+        "{% raw %}{% endraw %}")
     unsupportedTags.foreach { t =>
       val e = intercept[IllegalArgumentException] { MiniJinja.parse(t) }
       assert(e.getMessage.contains("Unsupported Jinja construct"), t)

@@ -244,7 +244,70 @@ class TokenizeTemplateSpec extends SparkSpec {
 
   test("MiniJinja rejects unsupported constructs with clear error") {
     val e = intercept[IllegalArgumentException](MiniJinja.parse("{% macro x %}"))
-    assert(e.getMessage.contains("macro"))
+    assert(e.getMessage.contains("macro")) // malformed: no parens
+    val e2 = intercept[IllegalArgumentException](MiniJinja.parse("{% raw %}x{% endraw %}"))
+    assert(e2.getMessage.contains("Unsupported Jinja construct"))
+  }
+
+  test("MiniJinja macro: definition, call, defaults, loop body") {
+    // Jinja2 golden: macros render to '' at the def site, calls expand
+    val t = MiniJinja.parse(
+      "{% macro qa(q, a='N/A') %}Q: {{ q }} A: {{ a }}{% endmacro %}" +
+        "{{ qa(question, answer) }}|{{ qa(question) }}")
+    assert(t.render(Map("question" -> "x?", "answer" -> "y")) ==
+      "Q: x? A: y|Q: x? A: N/A")
+    // inferred input fields exclude the macro name and its params
+    assert(t.variables == Set("question", "answer"))
+    // macro body may contain loops/ifs; arguments are full expressions
+    val t2 = MiniJinja.parse(
+      "{% macro bullets(xs) %}{% for x in xs %}- {{ x }}\n{% endfor %}{% endmacro %}" +
+        "{{ bullets(items[:2]) }}")
+    assert(t2.render(Map("items" -> Seq("a", "b", "c"))) == "- a\n- b\n")
+    // closure over the definition scope (Jinja2 semantics)
+    val t3 = MiniJinja.parse(
+      "{% set sep = '/' %}{% macro j(a, b) %}{{ a }}{{ sep }}{{ b }}{% endmacro %}" +
+        "{{ j('x', 'y') }}")
+    assert(t3.render(Map.empty) == "x/y")
+    // recursion resolves (the name is visible to its own body) + guard
+    val t4 = MiniJinja.parse(
+      "{% macro count(n) %}{{ n }}{% if n > 1 %},{{ count(n - 1) }}{% endif %}{% endmacro %}" +
+        "{{ count(3) }}")
+    assert(t4.render(Map.empty) == "3,2,1")
+    val deep = MiniJinja.parse(
+      "{% macro f(n) %}{{ f(n) }}{% endmacro %}{{ f(1) }}")
+    val e = intercept[IllegalArgumentException](deep.render(Map.empty))
+    assert(e.getMessage.contains("recursion"))
+    // arity errors are clear
+    val e2 = intercept[IllegalArgumentException](
+      MiniJinja.parse("{% macro m(a) %}{{ a }}{% endmacro %}{{ m(1, 2) }}")
+        .render(Map.empty))
+    assert(e2.getMessage.contains("argument"))
+    val e3 = intercept[IllegalArgumentException](
+      MiniJinja.parse("{% macro m(a, b) %}{{ b }}{% endmacro %}{{ m(1) }}")
+        .render(Map.empty))
+    assert(e3.getMessage.contains("missing argument"))
+    // calling an undefined name is an eval-time error, not silent ''
+    val e4 = intercept[IllegalArgumentException](
+      MiniJinja.parse("{{ nope(1) }}").render(Map.empty))
+    assert(e4.getMessage.contains("Unknown callable"))
+  }
+
+  test("MiniJinja range() builtin and filter blocks") {
+    assert(MiniJinja.parse("{% for i in range(3) %}{{ i }}{% endfor %}")
+      .render(Map.empty) == "012")
+    assert(MiniJinja.parse("{{ range(2, 5) | join('-') }}")
+      .render(Map.empty) == "2-3-4")
+    assert(MiniJinja.parse("{{ range(6, 0, -2) | join(',') }}")
+      .render(Map.empty) == "6,4,2")
+    assert(MiniJinja.parse("{% filter upper %}a{{ x }}c{% endfilter %}")
+      .render(Map("x" -> "b")) == "ABC")
+    assert(MiniJinja.parse("{% filter replace('a', 'o') %}bat{% endfilter %}")
+      .render(Map.empty) == "bot")
+    // macros compose with n-gram style loops: count 2-grams via range
+    val t = MiniJinja.parse(
+      "{% macro gram(ws, i) %}{{ ws[i] }} {{ ws[i + 1] }}{% endmacro %}" +
+        "{% for i in range(words | length - 1) %}[{{ gram(words, i) }}]{% endfor %}")
+    assert(t.render(Map("words" -> Seq("a", "b", "c"))) == "[a b][b c]")
   }
 
   test("bundled promptsource pack: squad key renders the reference golden") {
