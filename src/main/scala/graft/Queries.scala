@@ -6191,6 +6191,86 @@ object Queries {
     )
   )
 
+  /** Deterministic mojibake dirt for q195: five lead+continuation pairs
+    * (e-acute and e-grave through latin-1, two curly-quote triples and
+    * an nbsp through cp1252) plus one lone C1 control (U+009D, the
+    * misdecoded closing-quote tail byte). */
+  private val mojibakeDirt: String =
+    "\u00C3\u00A9\u00C3\u00A8 \u00E2\u20AC\u0153mojibake\u00E2\u20AC\u009D \u00C2\u00A0 "
+
+  /** ftfy-badness scoring ([[operators.MojibakeScore]]): the decide-
+    * before-you-fix signal — dirt is injected into every 7th doc and
+    * both engines count the identical lead+continuation pairs and lone
+    * C1 controls through the shared anchor-free character-class
+    * patterns; clean docs must score exactly zero. */
+  private val qMojibake = Q(
+    "q195_mojibake_badness",
+    (s, dir) => {
+      val d = docs(s, dir).withColumn(
+        "dirty",
+        when(col("doc_id") % 7 === 0, concat(lit(mojibakeDirt), col("text")))
+          .otherwise(col("text")))
+      MojibakeScoreMapper("dirty")(d)
+        .select(col("doc_id"),
+          col("mojibake_pairs").cast(LongType).as("mojibake_pairs"),
+          col("c1_controls").cast(LongType).as("c1_controls"),
+          col("badness_permille"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH d AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 0 THEN '$mojibakeDirt' || text ELSE text END AS dirty
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(dirty, '${MojibakeScore.pairPattern}')) AS BIGINT) AS mojibake_pairs,
+         |  CAST(len(regexp_extract_all(dirty, '${MojibakeScore.c1Pattern}')) AS BIGINT) AS c1_controls,
+         |  CAST(greatest(length(dirty), 1) AS BIGINT) AS n FROM d)
+         |SELECT doc_id, mojibake_pairs, c1_controls,
+         |  (1000 * (mojibake_pairs + c1_controls)) // n AS badness_permille
+         |FROM c ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Sentence segmentation ([[operators.TextToSentences]], rule mode):
+    * the corpus text carries no punctuation, so sentence structure is
+    * synthesized deterministically from the words array (terminator
+    * after every 4th word, `?` overriding on every 9th — exercising
+    * multi-char runs, varied terminators, and the final unterminated
+    * run) and both engines replay the split through the shared
+    * anchor-free pattern. */
+  private val qSentences = Q(
+    "q196_sentences",
+    (s, dir) => {
+      val synth = docWords(s, dir).withColumn(
+        "sent_text",
+        array_join(
+          transform(col("words"), (w, i) =>
+            concat(w,
+              when((i + 1) % 9 === 0, lit("? "))
+                .when((i + 1) % 4 === 0, lit(". "))
+                .otherwise(lit(" ")))),
+          ""))
+      TextToSentences(Seq("sent_text"))(synth)
+        .select(col("doc_id"),
+          size(col("sent_text")).cast(LongType).as("n_sent"),
+          to_json(col("sent_text")).as("sents"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH d AS (SELECT doc_id,
+         |  array_to_string(list_transform($W, (w, i) ->
+         |    w || CASE WHEN i % 9 = 0 THEN '? '
+         |              WHEN i % 4 = 0 THEN '. ' ELSE ' ' END), '') AS sent_text
+         |  FROM documents),
+         |x AS (SELECT doc_id, list_filter(list_transform(
+         |    regexp_extract_all(sent_text, '${SentenceSplitters.rulePattern}'),
+         |    t -> trim(t)), t -> t <> '') AS sents FROM d)
+         |SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sent,
+         |  to_json(sents)::VARCHAR AS sents
+         |FROM x ORDER BY doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -6244,7 +6324,8 @@ object Queries {
     qOrcRoundtrip, qCdcChunks, qManifest, qTwoStage, qTurnMask,
     qContrastive, qChunkDup, qCorpusCard, qContainment, qFrequent,
     qPromptPack, qTokenizerJson, qStreamBatchEquiv, qPqAdc,
-    qJinjaMacro, qWeightedSample, qNgramDiversity, qSourceSimilarity
+    qJinjaMacro, qWeightedSample, qNgramDiversity, qSourceSimilarity,
+    qMojibake, qSentences
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

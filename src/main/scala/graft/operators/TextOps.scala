@@ -638,3 +638,147 @@ final case class Pseudonymize(
           .otherwise(sha2(concat(lit(salt), col(f).cast(StringType)), 256)))
     }
 }
+
+/** ftfy's "badness" signal as first-class quality COLUMNS — scoring how
+  * mojibake-damaged a document is without fixing it (the reference's
+  * FtfyMapper delegates to ftfy, whose `badness` module decides WHEN a
+  * fix is warranted; exposed here as a corpus-filter signal the way
+  * quality classifiers expose theirs — rank, gate, or route documents
+  * to [[FixText]] only when the score says so, which at 100 TB turns a
+  * per-row UDF fix pass into a cheap codegen'd scan plus a fix pass
+  * over the tiny damaged fraction).
+  *
+  * Signal: UTF-8 text misdecoded through windows-1252/latin-1 turns
+  * each multibyte character into a LEAD char (bytes 0xC2-0xF4, which
+  * BOTH alphabets map to U+00C2-U+00F4) immediately followed by
+  * CONTINUATION chars (bytes 0x80-0xBF: latin-1 maps them to
+  * U+0080-U+00BF, cp1252 remaps 27 of them to the €‚ƒ… symbol class).
+  * Clean text essentially never contains those adjacent pairs, and
+  * never contains lone C1 controls (U+0080-U+009F) at all — the two
+  * counts are ftfy's core heuristic minus its language model.
+  *
+  * Engine parity: the patterns are plain character classes of literal
+  * chars — no anchors, no lookaround, nothing Java-regex-specific — so
+  * a DuckDB (RE2) oracle replays the exact counts, and the scaled
+  * score is an integral division. Row-local, codegen'd, zero shuffle. */
+object MojibakeScore {
+  import graft.functions.functions.integral_divide
+
+  private val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+
+  /** `[U+0080-U+00BF]` plus the 27 chars cp1252 remaps 0x80-0x9F to. */
+  val contClass: String = {
+    val remapped = (0x80 to 0xbf)
+      .map(b => new String(Array(b.toByte), cp1252).charAt(0))
+      .filter(_ > 0xbf).distinct.mkString
+    "[\u0080-\u00BF" + remapped + "]"
+  }
+
+  /** A misdecoded-UTF-8 pair: lead char then continuation char. */
+  val pairPattern: String = "[\u00C2-\u00F4]" + contClass
+
+  /** Lone C1 controls — absent from any clean text. */
+  val c1Pattern: String = "[\u0080-\u009F]"
+
+  def pairs(text: Column): Column =
+    size(regexp_extract_all(text, lit(pairPattern), lit(0)))
+
+  def c1Controls(text: Column): Column =
+    size(regexp_extract_all(text, lit(c1Pattern), lit(0)))
+
+  /** `floor(1000 * (pairs + c1) / chars)` — damage per 1000 chars. */
+  def badnessPermille(text: Column): Column =
+    integral_divide(
+      lit(1000L) * (pairs(text) + c1Controls(text)).cast(LongType),
+      greatest(length(text), lit(1)).cast(LongType))
+}
+
+/** Mapper wrapper over [[MojibakeScore]]: appends the three score
+  * columns next to the text field. */
+final case class MojibakeScoreMapper(textField: String) extends Mapper {
+  override def inputFields: Seq[String] = Seq(textField)
+  override def outputFields: Seq[String] =
+    Seq("mojibake_pairs", "c1_controls", "badness_permille")
+  override protected def build(df: DataFrame): DataFrame =
+    df.withColumn("mojibake_pairs", MojibakeScore.pairs(col(textField)))
+      .withColumn("c1_controls", MojibakeScore.c1Controls(col(textField)))
+      .withColumn("badness_permille",
+        MojibakeScore.badnessPermille(col(textField)))
+}
+
+/** Sentence segmentation — the unit between [[TextToWords]] words and
+  * whole documents that chunking, per-sentence dedup (the exact-substr
+  * family), and bitext mining all consume.
+  *
+  * Two modes, mirroring the word-splitter design ([[Splitters]]):
+  *   - `rule`: a deterministic terminator-run split whose pattern is
+  *     anchor-free Java-regex/RE2 common ground (`\z`, no lookaround —
+  *     RE2 has none), so a DuckDB oracle replays segmentation exactly:
+  *     a sentence is a maximal run of non-terminators followed by a
+  *     `[.!?]+` run and trailing whitespace, or the final unterminated
+  *     run. Abbreviation handling ("Mr. X") is out of scope for the
+  *     rule mode by design — that's what the ICU mode is for.
+  *   - `break_iterator`: `java.text.BreakIterator.getSentenceInstance`
+  *     (UAX #29), the documented JVM stand-in for model-based splitters
+  *     (blingfire) — locale-aware, spec-covered, not SQL-replayable.
+  * Both are row-local (narrow, zero shuffle). */
+object SentenceSplitters {
+  val Rule = "rule"
+  val BreakIter = "break_iterator"
+
+  /** Shared with oracles verbatim; `\z` not `$` (Java's `$` also
+    * matches before a final newline, RE2's does not). */
+  val rulePattern: String = "[^.!?]*[.!?]+\\s*|[^.!?]+\\z"
+
+  /** Strip leading/trailing whitespace with `\A`/`\z` (same reason). */
+  private def strip(c: Column): Column =
+    regexp_replace(c, "\\A\\s+|\\s+\\z", "")
+
+  private val breakSentencesUdf =
+    udf { (s: String) =>
+      if (s == null) null
+      else {
+        val bi =
+          java.text.BreakIterator.getSentenceInstance(java.util.Locale.ROOT)
+        bi.setText(s)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var start = bi.first()
+        var end = bi.next()
+        while (end != java.text.BreakIterator.DONE) {
+          val sent = s.substring(start, end).trim
+          if (sent.nonEmpty) out += sent
+          start = end
+          end = bi.next()
+        }
+        out.toSeq
+      }
+    }
+
+  def toColumn(c: Column, mode: String): Column = mode match {
+    case Rule =>
+      filter(
+        transform(regexp_extract_all(c, lit(rulePattern), lit(0)), strip(_)),
+        x => x =!= lit(""))
+    case BreakIter => breakSentencesUdf(c)
+    case other => throw new IllegalArgumentException(s"Unknown mode: $other")
+  }
+}
+
+/** Split text fields into sentence arrays (see [[SentenceSplitters]]). */
+final case class TextToSentences(
+    fields: Seq[String],
+    mode: String = SentenceSplitters.Rule
+) extends Mapper {
+  override def inputFields: Seq[String] = fields
+  override def outputFields: Seq[String] = fields
+  override protected def build(df: DataFrame): DataFrame =
+    fields.foldLeft(df) { (acc, f) =>
+      acc.schema(f).dataType match {
+        case StringType =>
+          acc.withColumn(f, SentenceSplitters.toColumn(col(f), mode))
+        case other =>
+          throw new IllegalArgumentException(
+            s"TextToSentences: field $f has type $other, expected string")
+      }
+    }
+}

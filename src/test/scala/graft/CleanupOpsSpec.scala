@@ -335,4 +335,50 @@ class CleanupOpsSpec extends SparkSpec {
       .select($"id").as[Long].collect().sorted.toSeq
     assert(viaStratum == global)
   }
+
+  test("MojibakeScore: clean text scores zero; each damage class counts") {
+    val dirt = "\u00C3\u00A9\u00C3\u00A8 \u00E2\u20AC\u0153q" +
+      "\u00E2\u20AC\u009D \u00C2\u00A0x"
+    val df = Seq(
+      (1L, "perfectly clean ascii text, no mojibake at all."),
+      (2L, dirt),                       // 5 pairs + 1 lone C1
+      (3L, "caf\u00E9 na\u00EFve r\u00E9sum\u00E9"), // real accents: no pairs
+      (4L, "\u0080\u009F")              // 2 lone C1 controls, no lead
+    ).toDF("doc_id", "text")
+    val out = MojibakeScoreMapper("text")(df)
+      .select($"doc_id", $"mojibake_pairs", $"c1_controls", $"badness_permille")
+      .as[(Long, Int, Int, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 0, 0, 0L)))
+    assert(out(2L)._2 == 5 && out(2L)._3 == 1)
+    assert(out(2L)._4 == 1000L * 6 / dirt.length)
+    assert(out(3L) == ((3L, 0, 0, 0L)))   // accented text is NOT mojibake
+    assert(out(4L)._2 == 0 && out(4L)._3 == 2 && out(4L)._4 == 1000L)
+  }
+
+  test("TextToSentences rule mode: terminator runs, no-space splits, tail") {
+    val df = Seq(
+      (1L, "First sentence. Second one! Really?! trailing fragment"),
+      (2L, "a.b"),                       // terminator without space still splits
+      (3L, "   only   spaces   "),       // no terminator: one stripped sentence
+      (4L, ""),                          // empty: empty array
+      (5L, "Ends clean.")
+    ).toDF("doc_id", "text")
+    val out = TextToSentences(Seq("text"))(df)
+      .select($"doc_id", $"text").as[(Long, Seq[String])]
+      .collect().map(r => r._1 -> r._2).toMap
+    assert(out(1L) == Seq("First sentence.", "Second one!", "Really?!",
+      "trailing fragment"))
+    assert(out(2L) == Seq("a.", "b"))
+    assert(out(3L) == Seq("only   spaces"))
+    assert(out(4L) == Seq.empty)
+    assert(out(5L) == Seq("Ends clean."))
+  }
+
+  test("TextToSentences break_iterator mode: UAX #29 boundaries") {
+    val df = Seq((1L, "Hello world. Second sentence! Third?"))
+      .toDF("doc_id", "text")
+    val out = TextToSentences(Seq("text"), SentenceSplitters.BreakIter)(df)
+      .select($"text").as[Seq[String]].collect().head
+    assert(out == Seq("Hello world.", "Second sentence!", "Third?"))
+  }
 }
