@@ -6271,6 +6271,66 @@ object Queries {
     )
   )
 
+  /** b-bit minhash ([[operators.BbitMinHash]]): signatures from the
+    * shared md5-window family parse to 32-bit longs, pack at b=4 (one
+    * 63-bit Horner word for k=8), and consecutive-doc pairs carry the
+    * 4-bit agreement count plus the Li-König debiased estimate next to
+    * the full-width agreement — all replayed by the oracle, including
+    * the packed word itself (so the storage format is pinned, not just
+    * the estimates). */
+  private val qBbitMinhash = Q(
+    "q197_bbit_minhash",
+    (s, dir) => {
+      val b = 4; val k = 8
+      val sigl = minhashSigs(s, dir)
+        .select(col("doc_id"),
+          transform(col("sig"), h => conv(h, 16, 10).cast(LongType)).as("sigl"))
+        .withColumn("packed", BbitMinHash.pack(col("sigl"), b))
+      val a = sigl.as("a")
+      val c = sigl.as("c")
+      a.join(c, col("c.doc_id") === col("a.doc_id") + 1)
+        .select(
+          col("a.doc_id").as("id_a"),
+          col("c.doc_id").as("id_b"),
+          element_at(col("a.packed"), 1).as("packed_a"),
+          BbitMinHash.agreements(col("a.packed"), col("c.packed"), b, k)
+            .as("agree_b4"),
+          BbitMinHash.estJaccardPpm(
+            BbitMinHash.agreements(col("a.packed"), col("c.packed"), b, k),
+            b, k).as("est_b4_ppm"),
+          aggregate(sequence(lit(1), lit(k)), lit(0L), (acc, j) =>
+            acc + when(element_at(col("a.sigl"), j) ===
+              element_at(col("c.sigl"), j), lit(1L)).otherwise(lit(0L)))
+            .as("agree_full"))
+        .withColumn("est_full_ppm",
+          graft.functions.functions.integral_divide(
+            lit(1000000L) * col("agree_full"), lit(k.toLong)))
+        .orderBy("id_a")
+    },
+    Some(
+      s"""WITH $SIG_CTES,
+         |p AS (SELECT doc_id,
+         |  list_transform(sig, h -> CAST(('0x' || h) AS BIGINT)) AS sigl,
+         |  CAST(list_sum(list_transform(generate_series(0, 7), j ->
+         |    (strpos('0123456789abcdef', substring(sig[j + 1], 8, 1)) - 1)
+         |      * (1::BIGINT << (4 * j)))) AS BIGINT) AS packed
+         |  FROM sigs),
+         |j AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b, a.packed AS packed_a,
+         |  CAST(list_sum(list_transform(generate_series(1, 8), i ->
+         |    CASE WHEN ((a.packed // (1::BIGINT << (4 * (i - 1)))) & 15)
+         |            = ((c.packed // (1::BIGINT << (4 * (i - 1)))) & 15)
+         |         THEN 1 ELSE 0 END)) AS BIGINT) AS agree_b4,
+         |  CAST(list_sum(list_transform(generate_series(1, 8), i ->
+         |    CASE WHEN a.sigl[i] = c.sigl[i] THEN 1 ELSE 0 END)) AS BIGINT)
+         |    AS agree_full
+         |  FROM p a JOIN p c ON c.doc_id = a.doc_id + 1)
+         |SELECT id_a, id_b, packed_a, agree_b4,
+         |  greatest(0, (1000000 * (16 * agree_b4 - 8)) // (8 * 15)) AS est_b4_ppm,
+         |  agree_full, (1000000 * agree_full) // 8 AS est_full_ppm
+         |FROM j ORDER BY id_a""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -6325,7 +6385,7 @@ object Queries {
     qContrastive, qChunkDup, qCorpusCard, qContainment, qFrequent,
     qPromptPack, qTokenizerJson, qStreamBatchEquiv, qPqAdc,
     qJinjaMacro, qWeightedSample, qNgramDiversity, qSourceSimilarity,
-    qMojibake, qSentences
+    qMojibake, qSentences, qBbitMinhash
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

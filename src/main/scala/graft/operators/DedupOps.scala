@@ -690,6 +690,87 @@ final case class SimHash(
     )
 }
 
+/** b-bit minhash (Li & König 2010, "b-Bit Minwise Hashing"): store only
+  * the lowest `b` bits of each of the `k` signature mins — a 64/b×
+  * compression of the signature store that the incremental-dedup path
+  * ([[MinHashLSH.nearDupAgainst]]'s durable store) re-reads on every
+  * epoch, which at 100 TB is the difference between a signature table
+  * that fits in the page cache and one that doesn't. The price is
+  * estimator variance, not bias: a non-matching min still collides on
+  * its low b bits with probability ~2^-b, and the Li-König correction
+  * removes exactly that term: Ĵ = (A/k − 2^-b)/(1 − 2^-b), computed
+  * here as the integral form (A·2^b − k) div (k·(2^b − 1)) so both
+  * engines replay it bit-for-bit.
+  *
+  * Packing puts 63/b values per BIGINT word (the sign bit stays 0 —
+  * a dense 64/b packing would need unsigned longs, which SQL engines
+  * and parquet readers disagree on), built by a Horner fold so every
+  * shift is a constant multiply. Unpack divides by an exact
+  * power-of-two (dynamic shifts don't exist in Spark's `shiftleft`;
+  * `pow(2,n)` is IEEE-exact for n ≤ 62). All row-local codegen'd
+  * HOFs, zero shuffle. */
+object BbitMinHash {
+  import graft.functions.functions.integral_divide
+
+  private def perWord(b: Int): Int = 63 / b
+
+  /** Pack `sig` (array<long>, each min masked to its low b bits) into
+    * ceil(k / (63/b)) BIGINT words; value j sits at bits [b·j, b·(j+1))
+    * of word j / (63/b). */
+  def pack(sig: Column, b: Int): Column = {
+    require(b >= 1 && b <= 31, s"b must be in [1,31], got $b")
+    val pw = perWord(b)
+    val mask = (1L << b) - 1
+    val lastWord = floor((size(sig) - 1).cast(DoubleType) / pw).cast(IntegerType)
+    transform(
+      sequence(lit(0), greatest(lastWord, lit(0))),
+      w =>
+        aggregate(
+          sequence(lit(pw - 1), lit(0), lit(-1)),
+          lit(0L),
+          (acc, i) => {
+            val pos = w * pw + i
+            acc * lit(1L << b) + when(
+              pos < size(sig),
+              element_at(sig, pos + 1).bitwiseAND(lit(mask))
+            ).otherwise(lit(0L))
+          }
+        )
+    )
+  }
+
+  /** Number of positions in [0, k) whose b-bit values agree. */
+  def agreements(pa: Column, pb: Column, b: Int, k: Int): Column = {
+    val pw = perWord(b)
+    val mask = (1L << b) - 1
+    aggregate(
+      sequence(lit(0), lit(k - 1)),
+      lit(0L),
+      (acc, pos) => {
+        val off = pmod(pos, lit(pw))
+        val w = floor((pos - off).cast(DoubleType) / pw).cast(IntegerType)
+        val factor = pow(lit(2.0), (off * b).cast(DoubleType)).cast(LongType)
+        val va = integral_divide(element_at(pa, w + 1), factor)
+          .bitwiseAND(lit(mask))
+        val vb = integral_divide(element_at(pb, w + 1), factor)
+          .bitwiseAND(lit(mask))
+        acc + when(va === vb, lit(1L)).otherwise(lit(0L))
+      }
+    )
+  }
+
+  /** Debiased Jaccard estimate in ppm, clamped at 0:
+    * `max(0, 1e6·(A·2^b − k) div (k·(2^b − 1)))`. */
+  def estJaccardPpm(agree: Column, b: Int, k: Int): Column =
+    greatest(
+      lit(0L),
+      integral_divide(
+        lit(1000000L) * (lit(1L << b) * agree - lit(k.toLong)),
+        lit(k.toLong * ((1L << b) - 1))
+      )
+    )
+}
+
 /** SimHash near-dup pairing — Manku et al. 2007 ("Detecting
   * Near-Duplicates for Web Crawling", §3): two docs are near-dups when
   * their simhashes differ in at most `maxHamming` bits. By pigeonhole,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.CosineKnn
+import graft.operators.{BbitMinHash, CosineKnn}
 import org.apache.spark.sql.functions._
 
 /** ANN quality: recall of the bucketed paths against the exact baseline
@@ -129,5 +129,58 @@ class AnnRecallSpec extends SparkSpec {
       k = 2, minMarginScaled = Some(m2._3 + 1))
       .collect().map(_.getLong(0)).toSeq
     assert(strict == Seq(1L))
+  }
+
+  test("BbitMinHash: pack layout, agreements, debiased estimate") {
+    val b = 4; val k = 8
+    // identical signatures agree everywhere -> est = 1e6 exactly
+    val sigA = Seq(0x10L, 0x21L, 0x32L, 0x43L, 0x54L, 0x65L, 0x76L, 0x87L)
+    // differs from sigA in the low nibble at positions 1 and 6 only
+    val sigB = Seq(0x10L, 0x2fL, 0x32L, 0x43L, 0x54L, 0x65L, 0x7eL, 0x87L)
+    val df = Seq((sigA, sigB)).toDF("a", "b")
+      .withColumn("pa", BbitMinHash.pack(col("a"), b))
+      .withColumn("pb", BbitMinHash.pack(col("b"), b))
+    val row = df.select(
+      $"pa", $"pb",
+      BbitMinHash.agreements($"pa", $"pa", b, k).as("self"),
+      BbitMinHash.agreements($"pa", $"pb", b, k).as("cross"),
+      BbitMinHash.estJaccardPpm(
+        BbitMinHash.agreements($"pa", $"pa", b, k), b, k).as("estSelf"),
+      BbitMinHash.estJaccardPpm(
+        BbitMinHash.agreements($"pa", $"pb", b, k), b, k).as("estCross")
+    ).collect().head
+    // Horner layout: nibble j at bits [4j, 4j+4); k=8 fits one word
+    val expected = sigA.zipWithIndex.map { case (v, j) => (v & 15L) << (4 * j) }.sum
+    assert(row.getSeq[Long](0) == Seq(expected))
+    assert(row.getLong(2) == 8L && row.getLong(4) == 1000000L)
+    assert(row.getLong(3) == 6L)
+    // (6/8 - 1/16) / (1 - 1/16) = (16*6 - 8) / (8*15) in ppm, floored
+    assert(row.getLong(5) == 1000000L * (16 * 6 - 8) / (8 * 15))
+    // estimate clamps at 0 when agreement is at/below the collision floor
+    val low = Seq((Seq.fill(8)(0L), Seq.fill(8)(1L))).toDF("a", "b")
+      .select(BbitMinHash.estJaccardPpm(
+        BbitMinHash.agreements(
+          BbitMinHash.pack(col("a"), b), BbitMinHash.pack(col("b"), b), b, k),
+        b, k).as("e")).collect().head.getLong(0)
+    assert(low == 0L)
+  }
+
+  test("BbitMinHash: multi-word packing past 63/b values round-trips") {
+    val b = 8; val k = 20 // perWord = 7 -> 3 words
+    val sig = (0 until k).map(i => (i * 37 + 5).toLong % 256)
+    val df = Seq(Tuple1(sig)).toDF("s")
+      .withColumn("p", BbitMinHash.pack(col("s"), b))
+    val packed = df.select($"p").collect().head.getSeq[Long](0)
+    assert(packed.length == 3)
+    // unpack by hand and compare
+    val unpacked = (0 until k).map { pos =>
+      val w = pos / 7; val off = pos % 7
+      (packed(w) >> (8 * off)) & 255L
+    }
+    assert(unpacked == sig.map(_ & 255L))
+    // self-agreement is k on the multi-word path too
+    val self = df.select(
+      BbitMinHash.agreements($"p", $"p", b, k).as("a")).collect().head.getLong(0)
+    assert(self == k.toLong)
   }
 }
