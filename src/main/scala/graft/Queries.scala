@@ -6331,6 +6331,68 @@ object Queries {
     )
   )
 
+  /** Winnowing fingerprints ([[operators.Winnowing]], the MOSS
+    * selection): window-min with rightmost tie-break over md5-window
+    * gram hashes, w=4 — both the selected (pos, hash) set (packed as
+    * hash·2²¹ + (n − pos), sorted) and the cross-doc shared-hash counts
+    * are replayed by the oracle, which encodes the rightmost-tie rule
+    * arithmetically (min of hash·2²¹ + (n − pos) prefers the larger
+    * pos among equal hashes — the same winner the Spark struct fold
+    * keeps). */
+  private val qWinnowing = Q(
+    "q198_winnowing",
+    (s, dir) => {
+      val w = 4
+      val base = docWords(s, dir).select(
+        col("doc_id"),
+        when(size(col("words")) >= 3, size(col("words")) - 2)
+          .otherwise(lit(1)).cast(LongType).as("n_grams"),
+        Winnowing.select(
+          Winnowing.gramHashes(col("words"), 3,
+            sh => conv(substring(md5(sh), 1, 8), 16, 10).cast(LongType)),
+          w).as("fps"))
+      val d = base.select(
+        col("doc_id"),
+        array_sort(transform(col("fps"), f =>
+          f.getField("hash") * lit(1L << 21) +
+            (col("n_grams") - f.getField("pos")))).as("fp_keys"),
+        array_distinct(transform(col("fps"), f => f.getField("hash")))
+          .as("hashes"))
+        .persist()
+      d.count() // one materialization feeds both the output and the freq leg
+      val e = d.select(col("doc_id"), explode(col("hashes")).as("h"))
+      val freq = e.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+      val shared = e.join(freq, "h").groupBy("doc_id")
+        .agg(sum(when(col("nd") > 1, 1L).otherwise(0L)).as("shared_fps"))
+      d.join(shared, "doc_id")
+        .select(col("doc_id"), size(col("fp_keys")).cast(LongType).as("n_fps"),
+          J("fp_keys"), col("shared_fps"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH g AS (SELECT doc_id,
+         |  list_transform($SHINGLES, s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS gh
+         |  FROM documents),
+         |c AS (SELECT doc_id, len(gh) AS n,
+         |  list_transform(generate_series(1, len(gh)),
+         |    i -> gh[i] * (1::BIGINT << 21) + (len(gh) - (i - 1))) AS comb
+         |  FROM g),
+         |sel AS (SELECT doc_id, n, list_sort(list_distinct(list_transform(
+         |    generate_series(0, greatest(n - 4, 0)),
+         |    i -> list_min(list_slice(comb, i + 1, i + 4))))) AS fp_keys
+         |  FROM c),
+         |e AS (SELECT doc_id, unnest(list_distinct(list_transform(fp_keys,
+         |    x -> x // (1::BIGINT << 21)))) AS h FROM sel),
+         |f AS (SELECT h, count(DISTINCT doc_id) AS nd FROM e GROUP BY h),
+         |sh AS (SELECT e.doc_id,
+         |    CAST(sum(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_fps
+         |  FROM e JOIN f ON e.h = f.h GROUP BY e.doc_id)
+         |SELECT s.doc_id, CAST(len(s.fp_keys) AS BIGINT) AS n_fps,
+         |  to_json(s.fp_keys)::VARCHAR AS fp_keys, sh.shared_fps
+         |FROM sel s JOIN sh ON sh.doc_id = s.doc_id ORDER BY s.doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -6385,7 +6447,7 @@ object Queries {
     qContrastive, qChunkDup, qCorpusCard, qContainment, qFrequent,
     qPromptPack, qTokenizerJson, qStreamBatchEquiv, qPqAdc,
     qJinjaMacro, qWeightedSample, qNgramDiversity, qSourceSimilarity,
-    qMojibake, qSentences, qBbitMinhash
+    qMojibake, qSentences, qBbitMinhash, qWinnowing
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

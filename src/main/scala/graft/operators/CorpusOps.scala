@@ -336,6 +336,68 @@ final case class PackSequences(
   * same per-bucket deterministic down-sample as
   * [[MinHashLSH.candidatePairs]] — join work capped at cap² per
   * fingerprint. */
+/** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003,
+  * "Winnowing: Local Algorithms for Document Fingerprinting" §5) — the
+  * MOSS selection scheme: slide a window of `w` consecutive k-gram
+  * hashes and keep each window's MINIMUM, rightmost on ties. Two
+  * guarantees the mod-p selection ([[TextAnalysis.fingerprint]])
+  * cannot give: every shared substring of at least w+k-1 words is
+  * detected (a window that fits inside the match must pick the same
+  * gram in both docs), and gaps between selected positions are at most
+  * w (density ~2/(w+1)) — no long unfingerprinted stretches for an
+  * adversarial or just unlucky document.
+  *
+  * Shape: row-local HOFs (O(n·w) fold per doc — w is small and
+  * constant; the windows stay inside one row, zero shuffle); cross-doc
+  * matching feeds the selected hashes to
+  * [[FingerprintOverlap.candidatePairs]]'s capped inverted-index join.
+  * The rightmost-tie fold works for any 64-bit hash family (struct
+  * accumulator, no packing tricks), so the production path runs
+  * xxhash64 grams while oracle-parity queries pass a 32-bit md5-window
+  * hasher. */
+object Winnowing {
+
+  /** Hashed word k-grams (whole-text fallback below k words, mirroring
+    * [[TextShingles.shingles]]). `hasher` must yield LongType. */
+  def gramHashes(
+      words: Column,
+      k: Int,
+      hasher: Column => Column = c => xxhash64(c)
+  ): Column =
+    transform(TextShingles.shingles(words, k), sh => hasher(sh))
+
+  /** Window-min selection over an array<long> of gram hashes: one
+    * struct<pos,hash> per distinct selection, pos = 0-based gram index.
+    * Fewer than `w` grams → the single whole-array minimum. */
+  def select(grams: Column, w: Int): Column = {
+    require(w >= 1, s"window must be >= 1, got $w")
+    val n = size(grams)
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(n - w, lit(0))),
+        i =>
+          aggregate(
+            sequence(i, least(i + w - 1, n - 1)),
+            struct(lit(-1).as("pos"), lit(Long.MaxValue).as("hash")),
+            (acc, j) => {
+              val h = element_at(grams, j + 1)
+              when(h <= acc.getField("hash"),
+                struct(j.as("pos"), h.as("hash"))).otherwise(acc)
+            }
+          )
+      )
+    )
+  }
+
+  /** Convenience: words → selected fingerprints in one call. */
+  def fingerprints(
+      words: Column,
+      k: Int,
+      w: Int,
+      hasher: Column => Column = c => xxhash64(c)
+  ): Column = select(gramHashes(words, k, hasher), w)
+}
+
 object FingerprintOverlap {
 
   def candidatePairs(

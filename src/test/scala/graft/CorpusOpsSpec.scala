@@ -454,4 +454,43 @@ class CorpusOpsSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2)))
     assert(md5Out.toSeq == Seq((5L, 3L), (3L, 1L)))
   }
+
+  // ---------------------------------------------------------------- Winnowing
+
+  test("Winnowing.select: window min, rightmost tie-break, short input") {
+    val df = Seq(Tuple1(Seq(5L, 3L, 3L, 7L, 2L, 9L))).toDF("g")
+    val fps = df.select(Winnowing.select(col("g"), 3).as("f"))
+      .collect().head.getSeq[Row](0)
+      .map(r => (r.getInt(0), r.getLong(1))).sorted
+    // [5,3,3]->pos2 (tie goes right), [3,3,7]->pos2, [3,7,2]->pos4, [7,2,9]->pos4
+    assert(fps == Seq((2, 3L), (4, 2L)))
+    val short = Seq(Tuple1(Seq(8L, 1L))).toDF("g")
+      .select(Winnowing.select(col("g"), 3).as("f"))
+      .collect().head.getSeq[Row](0).map(r => (r.getInt(0), r.getLong(1)))
+    assert(short == Seq((1, 1L)))
+  }
+
+  test("Winnowing: shared run of w+k-1 words guarantees a shared hash; gaps <= w") {
+    val k = 3; val w = 4
+    val common = "alpha beta gamma delta epsilon zeta".split(" ").toSeq // w+k-1 = 6
+    val a = Seq("one", "two", "three") ++ common ++ Seq("four", "five")
+    val b = Seq("six", "seven") ++ common ++ Seq("eight", "nine", "ten", "eleven")
+    val df = Seq((1L, a), (2L, b)).toDF("id", "words")
+      .select(col("id"), Winnowing.fingerprints(col("words"), k, w).as("f"))
+    val byId = df.collect().map(r => r.getLong(0) ->
+      r.getSeq[Row](1).map(x => (x.getInt(0), x.getLong(1)))).toMap
+    val hashesA = byId(1L).map(_._2).toSet
+    val hashesB = byId(2L).map(_._2).toSet
+    assert((hashesA intersect hashesB).nonEmpty,
+      "a shared substring of w+k-1 words must share a fingerprint")
+    // density guarantee: consecutive selected positions at most w apart
+    for ((_, fps) <- byId) {
+      val pos = fps.map(_._1).sorted
+      assert(pos.head <= w - 1)
+      pos.sliding(2).foreach {
+        case scala.collection.Seq(p1, p2) => assert(p2 - p1 <= w, s"gap $p1->$p2")
+        case _ =>
+      }
+    }
+  }
 }
