@@ -6393,6 +6393,58 @@ object Queries {
     )
   )
 
+  /** Unicode-script composition ([[operators.ScriptProfile]]): the
+    * ASCII corpus gets deterministic script injections (Cyrillic on
+    * doc_id%5, CJK+kana on %7, Greek on %11, Arabic on %13 — moduli
+    * coprime so mixes occur) and both engines count the identical
+    * explicit codepoint-range classes; `dominant` pins the
+    * first-maximal tie-break. */
+  private val qScriptProfile = Q(
+    "q199_script_profile",
+    (s, dir) => {
+      val d = docs(s, dir).withColumn(
+        "dirty",
+        concat(
+          col("text"),
+          when(col("doc_id") % 5 === 0, lit(" привет мир")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" 你好世界 こんにちは")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" γειά σου")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit(" مرحبا")).otherwise(lit(""))))
+      ScriptProfileMapper("dirty")(d)
+        .select(col("doc_id") +: ScriptProfile.classes.map(c =>
+          col(c._1 + "_pm")) :+ col("dominant"): _*)
+        .orderBy("doc_id")
+    },
+    Some {
+      val cls = ScriptProfile.classes
+      val countCols = cls.map { case (n, c) =>
+        s"  CAST(len(regexp_extract_all(dirty, '$c')) AS BIGINT) AS ${n}_c"
+      }.mkString(",\n")
+      val pmCols = cls.map { case (n, _) =>
+        s"  (1000 * ${n}_c) // nsc AS ${n}_pm"
+      }.mkString(",\n")
+      val mx = "greatest(" + cls.map(_._1 + "_c").mkString(", ") + ")"
+      val dom = cls.reverse.foldLeft("'other'") { case (acc, (n, _)) =>
+        s"CASE WHEN ${n}_c = mx AND mx > 0 THEN '$n' ELSE $acc END"
+      }
+      s"""WITH d AS (SELECT doc_id,
+         |  text || CASE WHEN doc_id % 5 = 0 THEN ' привет мир' ELSE '' END
+         |       || CASE WHEN doc_id % 7 = 0 THEN ' 你好世界 こんにちは' ELSE '' END
+         |       || CASE WHEN doc_id % 11 = 0 THEN ' γειά σου' ELSE '' END
+         |       || CASE WHEN doc_id % 13 = 0 THEN ' مرحبا' ELSE '' END AS dirty
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |$countCols,
+         |  CAST(greatest(length(replace(dirty, ' ', '')), 1) AS BIGINT) AS nsc
+         |  FROM d),
+         |m AS (SELECT *, $mx AS mx FROM c)
+         |SELECT doc_id,
+         |$pmCols,
+         |  $dom AS dominant
+         |FROM m ORDER BY doc_id""".stripMargin
+    }
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -6447,7 +6499,7 @@ object Queries {
     qContrastive, qChunkDup, qCorpusCard, qContainment, qFrequent,
     qPromptPack, qTokenizerJson, qStreamBatchEquiv, qPqAdc,
     qJinjaMacro, qWeightedSample, qNgramDiversity, qSourceSimilarity,
-    qMojibake, qSentences, qBbitMinhash, qWinnowing
+    qMojibake, qSentences, qBbitMinhash, qWinnowing, qScriptProfile
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

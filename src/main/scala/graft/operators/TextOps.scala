@@ -782,3 +782,65 @@ final case class TextToSentences(
       }
     }
 }
+
+/** Per-document Unicode-script composition — the routing signal next
+  * to [[TextAnalysis.langId]]'s n-gram guess: per-mille of non-space
+  * characters in each major script block, plus the dominant script.
+  * Mixed-script documents (spam, mojibake survivors, bilingual pages)
+  * show up as no-majority rows; per-script routing (different
+  * tokenizers, different quality models) keys on `dominant`.
+  *
+  * The classes are explicit codepoint RANGES, not `\p{script=...}`
+  * properties, so the patterns are shared verbatim with SQL oracles
+  * and immune to Unicode-version skew between regex engines (Java and
+  * RE2 ship different Unicode tables; U+4DBF moved blocks between
+  * versions). Covered blocks: basic Latin letters + Latin-1/Extended
+  * (incl. Extended-B), Cyrillic, Greek, CJK Unified + Hiragana/
+  * Katakana, Arabic, ASCII digits. Row-local codegen'd regex counts,
+  * zero shuffle. */
+object ScriptProfile {
+  import graft.functions.functions.integral_divide
+
+  /** (name, character-class) in dominance tie-break order. */
+  val classes: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\u00C0-\u024F]",
+    "cyrillic" -> "[\u0400-\u04FF]",
+    "greek" -> "[\u0370-\u03FF]",
+    "cjk" -> "[\u3040-\u30FF\u4E00-\u9FFF]",
+    "arabic" -> "[\u0600-\u06FF]",
+    "digit" -> "[0-9]"
+  )
+
+  def count(text: Column, cls: String): Column =
+    size(regexp_extract_all(text, lit(cls), lit(0))).cast(LongType)
+
+  /** Non-space character count (the per-mille denominator). */
+  def nonSpaceChars(text: Column): Column =
+    greatest(length(regexp_replace(text, " ", "")), lit(1)).cast(LongType)
+
+  def permille(text: Column, cls: String): Column =
+    integral_divide(lit(1000L) * count(text, cls), nonSpaceChars(text))
+
+  /** First maximal script in `classes` order (deterministic tie-break). */
+  def dominant(text: Column): Column = {
+    val counts = classes.map { case (n, c) => n -> count(text, c) }
+    val mx = greatest(counts.map(_._2): _*)
+    counts.foldRight(lit("other")) { case ((n, c), acc) =>
+      when(c === mx && mx > 0, lit(n)).otherwise(acc)
+    }
+  }
+}
+
+/** Mapper wrapper over [[ScriptProfile]]: appends `<name>_pm` per
+  * script class plus `dominant`. */
+final case class ScriptProfileMapper(textField: String) extends Mapper {
+  override def inputFields: Seq[String] = Seq(textField)
+  override def outputFields: Seq[String] =
+    ScriptProfile.classes.map(_._1 + "_pm") :+ "dominant"
+  override protected def build(df: DataFrame): DataFrame = {
+    val withPm = ScriptProfile.classes.foldLeft(df) { case (acc, (n, c)) =>
+      acc.withColumn(n + "_pm", ScriptProfile.permille(col(textField), c))
+    }
+    withPm.withColumn("dominant", ScriptProfile.dominant(col(textField)))
+  }
+}

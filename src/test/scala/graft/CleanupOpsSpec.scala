@@ -381,4 +381,26 @@ class CleanupOpsSpec extends SparkSpec {
       .select($"text").as[Seq[String]].collect().head
     assert(out == Seq("Hello world.", "Second sentence!", "Third?"))
   }
+
+  test("ScriptProfile: per-mille composition and dominant tie-break") {
+    val df = Seq(
+      (1L, "hello world"),                    // pure latin
+      (2L, "\u043f\u0440\u0438\u0432\u0435\u0442 hello"),  // cyrillic 6 vs latin 5
+      (3L, "\u4f60\u597d\u3053\u3093"),   // pure cjk (han + kana)
+      (4L, "12345"),                          // digits only
+      (5L, "ab \u0430\u0431"),              // latin 2 = cyrillic 2: first-maximal wins
+      (6L, "   "),                            // nothing: denominator clamps, dominant other
+      (7L, "\u03b3\u03b5\u03b9\u03ac \u0645\u0631\u062d")  // greek 4 vs arabic 3
+    ).toDF("doc_id", "text")
+    val out = ScriptProfileMapper("text")(df)
+      .select($"doc_id", $"latin_pm", $"cyrillic_pm", $"dominant")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1000L, 0L, "latin")))
+    assert(out(2L)._4 == "cyrillic" && out(2L)._2 == 1000L * 5 / 11)
+    assert(out(3L)._4 == "cjk")
+    assert(out(4L)._4 == "digit")
+    assert(out(5L)._4 == "latin")   // classes order is the tie-break
+    assert(out(6L) == ((6L, 0L, 0L, "other")))
+    assert(out(7L)._4 == "greek")
+  }
 }
