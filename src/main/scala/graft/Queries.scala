@@ -6445,6 +6445,94 @@ object Queries {
     }
   )
 
+  /** Mergeable Bloom-filter tables ([[operators.BloomSketch]]): per
+    * source, the full-corpus filter must equal the OR-merge of the two
+    * parity-shard builds (lossless merge, q165's discipline), every
+    * member value must probe positive (no false negatives — a set
+    * identity, not a tolerance), and 40 deterministic absent probes
+    * pin the false-positive count exactly. md5-derived positions and
+    * 63-bit words make the whole filter — not an estimate of it —
+    * SQL-replayable. */
+  private val qBloomSketch = Q(
+    "q200_bloom_sketch",
+    (s, dir) => {
+      val m = 1008; val k = 3
+      val d = docs(s, dir).select("doc_id", "source", "text")
+      val full = BloomSketch.build(d, Seq("source"), "text", m, k)
+      // the synthetic layout assigns source = doc_id % 20, so PARITY
+      // never splits a source; (doc_id div 20) alternates within one
+      val shards = BloomSketch
+        .build(d.filter((col("doc_id") / 20).cast(LongType) % 2 === 0),
+          Seq("source"), "text", m, k)
+        .unionByName(
+          BloomSketch.build(d.filter((col("doc_id") / 20).cast(LongType) % 2 === 1),
+            Seq("source"), "text", m, k))
+      val merged = BloomSketch.merge(shards, Seq("source"), m)
+      val mj = full.as("f").join(merged.as("g"), "source")
+        .select(col("source"), col("f.bloom").as("bloom"),
+          (col("f.bloom") === col("g.bloom")).as("merged_ok"),
+          col("f.n_rows").as("n_docs"))
+        .persist()
+      mj.count() // one build feeds the probe legs and the output
+      val contained = d.join(mj.select("source", "bloom"), "source")
+        .groupBy("source")
+        .agg(sum(when(
+          BloomSketch.mightContain(col("bloom"), col("text"), k, m), 1L)
+          .otherwise(0L)).as("n_contained"))
+      val fp = mj.select(col("source"), col("bloom"),
+          explode(transform(sequence(lit(0), lit(39)),
+            j => concat(lit("absent:"), j.cast(StringType)))).as("probe"))
+        .groupBy("source")
+        .agg(sum(when(
+          BloomSketch.mightContain(col("bloom"), col("probe"), k, m), 1L)
+          .otherwise(0L)).as("fp40"))
+      mj.join(contained, "source").join(fp, "source")
+        .select(col("source"), BloomSketch.bitsSet(col("bloom")).as("bits_set"),
+          col("merged_ok"), col("n_docs"), col("n_contained"), col("fp40"))
+        .orderBy("source")
+    },
+    Some {
+      def posOf(v: String, i: Int) =
+        s"CAST(('0x' || substring(md5($i || ':' || $v), 1, 8)) AS BIGINT) % 1008"
+      def bitSet(bloom: String, p: String) =
+        s"(($bloom[($p // 63) + 1] >> ($p % 63)) & 1) = 1"
+      def contains(bloom: String, v: String) =
+        (0 until 3).map(i => bitSet(bloom, posOf(v, i))).mkString(" AND ")
+      def blCte(name: String, pred: String) =
+        s"""${name}_p AS (SELECT source,
+           |    unnest(list_transform(generate_series(0, 2),
+           |      i -> CAST(('0x' || substring(md5(i || ':' || text), 1, 8)) AS BIGINT) % 1008)) AS p
+           |  FROM documents $pred),
+           |$name AS (SELECT source, list_transform(generate_series(0, 15), w ->
+           |    CAST(COALESCE(list_sum(list_transform(
+           |      list_filter(list(DISTINCT p), x -> x // 63 = w),
+           |      x -> (1::BIGINT << (x % 63)))), 0) AS BIGINT)) AS bloom
+           |  FROM ${name}_p GROUP BY source)""".stripMargin
+      s"""WITH ${blCte("bl", "")},
+         |${blCte("bl0", "WHERE (doc_id // 20) % 2 = 0")},
+         |${blCte("bl1", "WHERE (doc_id // 20) % 2 = 1")},
+         |mg AS (SELECT b0.source,
+         |    list_transform(generate_series(1, 16), ii -> b0.bloom[ii] | b1.bloom[ii]) AS bloom
+         |  FROM bl0 b0 JOIN bl1 b1 USING (source)),
+         |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+         |ct AS (SELECT d.source, CAST(sum(CASE WHEN ${contains("bl.bloom", "d.text")}
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_contained
+         |  FROM documents d JOIN bl ON bl.source = d.source GROUP BY d.source),
+         |ap AS (SELECT source, bloom, 'absent:' || CAST(j AS VARCHAR) AS probe
+         |  FROM (SELECT source, bloom, unnest(generate_series(0, 39)) AS j FROM bl)),
+         |fp AS (SELECT source, CAST(sum(CASE WHEN ${contains("bloom", "probe")}
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS fp40 FROM ap GROUP BY source)
+         |SELECT bl.source,
+         |  CAST(list_sum(list_transform(bl.bloom, w -> bit_count(w))) AS BIGINT) AS bits_set,
+         |  bl.bloom = mg.bloom AS merged_ok, nd.n_docs, ct.n_contained, fp.fp40
+         |FROM bl JOIN mg ON mg.source = bl.source
+         |  JOIN nd ON nd.source = bl.source
+         |  JOIN ct ON ct.source = bl.source
+         |  JOIN fp ON fp.source = bl.source
+         |ORDER BY bl.source""".stripMargin
+    }
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -6499,7 +6587,8 @@ object Queries {
     qContrastive, qChunkDup, qCorpusCard, qContainment, qFrequent,
     qPromptPack, qTokenizerJson, qStreamBatchEquiv, qPqAdc,
     qJinjaMacro, qWeightedSample, qNgramDiversity, qSourceSimilarity,
-    qMojibake, qSentences, qBbitMinhash, qWinnowing, qScriptProfile
+    qMojibake, qSentences, qBbitMinhash, qWinnowing, qScriptProfile,
+    qBloomSketch
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

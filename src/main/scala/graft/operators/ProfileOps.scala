@@ -307,6 +307,120 @@ object FrequentSketch {
   * Same 100-TB shape as [[QuantileSketch]]: per-partition fold to one
   * sketch per group, kilobyte rows through the shuffle, mergeable
   * across shards/days. */
+/** Mergeable per-group Bloom-filter tables — the MEMBERSHIP member of
+  * the sketch family ([[DistinctSketch]] counts, [[QuantileSketch]]
+  * ranks, [[OverlapSketch]] intersections, [[FrequentSketch]] heavy
+  * hitters; this one answers "might value v be in shard S?"): build
+  * once per shard, persist the O(m)-bit row per group, OR-merge across
+  * any shard union, and probe with no false negatives — the shape a
+  * rolling decontamination / "have we crawled this before" check needs
+  * when the raw corpus is 100 TB but the filter table is kilobytes.
+  *
+  * Engine parity by construction, unlike the DataSketches quartet: bit
+  * positions are md5-derived (`md5(i ":" value)` first 32-bit window,
+  * mod m), bits pack 63 per BIGINT word (sign bit unused, the
+  * [[BbitMinHash]] convention), and a set of DISTINCT positions means
+  * the word is a plain SUM of powers of two — so a SQL oracle replays
+  * the exact filter, not an estimate of it. Build is fully relational:
+  * k-row explode, bounded `collect_set` (≤ m positions per group),
+  * one partial-agg shuffle; nulls are excluded like the rest of the
+  * sketch family. */
+object BloomSketch {
+  import graft.functions.functions.integral_divide
+
+  /** k md5-derived bit positions of one value (array<int> in [0, m)). */
+  def positions(value: org.apache.spark.sql.Column, k: Int, mBits: Int)
+      : org.apache.spark.sql.Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      i =>
+        pmod(
+          conv(substring(md5(concat(i.cast(StringType), lit(":"), value)), 1, 8),
+            16, 10).cast(org.apache.spark.sql.types.LongType),
+          lit(mBits.toLong)).cast(org.apache.spark.sql.types.IntegerType))
+
+  private def numWords(mBits: Int): Int = (mBits + 62) / 63
+
+  /** Distinct positions → packed words (positions MUST be distinct —
+    * sum equals OR only then; [[build]] guarantees it via collect_set). */
+  private def wordsFromPositions(ps: org.apache.spark.sql.Column, mBits: Int)
+      : org.apache.spark.sql.Column =
+    transform(
+      sequence(lit(0), lit(numWords(mBits) - 1)),
+      w =>
+        aggregate(
+          filter(ps, p => (p - pmod(p, lit(63))) / 63 === w),
+          lit(0L),
+          (acc, p) =>
+            acc + pow(lit(2.0), pmod(p, lit(63)).cast(
+              org.apache.spark.sql.types.DoubleType))
+              .cast(org.apache.spark.sql.types.LongType)))
+
+  /** One Bloom filter per group: (groupCols*, bloom array<long>,
+    * n_rows). */
+  def build(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      mBits: Int = 1008,
+      k: Int = 3
+  ): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+
+        explode(positions(col(valueCol), k, mBits)).as("__bs_p"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        collect_set(col("__bs_p")).as("__bs_ps"),
+        (count(lit(1)) / k).cast(org.apache.spark.sql.types.LongType)
+          .as("n_rows"))
+      .select(groupCols.map(col) :+
+        wordsFromPositions(col("__bs_ps"), mBits).as("bloom") :+
+        col("n_rows"): _*)
+
+  /** OR-merge shard-built filter tables per group (input is the small
+    * sketch table — O(#shards) rows per group — same contract as
+    * [[DistinctSketch.mergedEstimate]]). */
+  def merge(sketches: DataFrame, groupCols: Seq[String], mBits: Int = 1008)
+      : DataFrame =
+    sketches
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        collect_list(col("bloom")).as("__bs_all"),
+        sum(col("n_rows")).as("n_rows"))
+      .select(groupCols.map(col) :+
+        aggregate(
+          col("__bs_all"),
+          array_repeat(lit(0L), numWords(mBits)),
+          (acc, b) => zip_with(acc, b, (x, y) => x.bitwiseOR(y))
+        ).as("bloom") :+
+        col("n_rows"): _*)
+
+  /** Membership probe: true iff every position's bit is set (no false
+    * negatives; false-positive rate ≈ (1 − e^{−kn/m})^k). */
+  def mightContain(
+      sketch: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column,
+      k: Int,
+      mBits: Int
+  ): org.apache.spark.sql.Column =
+    forall(
+      positions(value, k, mBits),
+      p =>
+        pmod(
+          integral_divide(
+            element_at(sketch, ((p - pmod(p, lit(63))) / 63)
+              .cast(org.apache.spark.sql.types.IntegerType) + 1),
+            pow(lit(2.0), pmod(p, lit(63)).cast(
+              org.apache.spark.sql.types.DoubleType))
+              .cast(org.apache.spark.sql.types.LongType)),
+          lit(2L)) === 1L)
+
+  /** Total set bits (the fill-ratio numerator for FPR estimates). */
+  def bitsSet(sketch: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(sketch, lit(0L), (acc, w) => acc + bit_count(w).cast(
+      org.apache.spark.sql.types.LongType))
+}
+
 object OverlapSketch {
   import org.apache.datasketches.theta.{CompactSketch, SetOperation, UpdateSketch}
   import org.apache.datasketches.memory.Memory

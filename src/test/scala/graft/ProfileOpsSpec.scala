@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{DistinctSketch, Profile, QuantileClip}
+import graft.operators.{BloomSketch, DistinctSketch, Profile, QuantileClip}
 import org.apache.spark.sql.functions._
 
 /** One-pass profiling and percentile-clip filter semantics. */
@@ -209,5 +209,39 @@ class ProfileOpsSpec extends SparkSpec {
     val m2 = SourceSimilarity.matrix(doubled, "source", "words", numHashes = 16)
       .orderBy("src_a", "src_b").collect().map(r => r.getLong(2)).toSeq
     assert(m2 == m.map(_._3).toSeq)
+  }
+
+  test("BloomSketch: no false negatives, lossless OR-merge, absent mostly out") {
+    val m = 1008; val k = 3
+    val vals = (0 until 200).map(i => (i.toLong, s"grp${i % 2}", s"value-$i"))
+    val d = vals.toDF("id", "grp", "v")
+    val full = BloomSketch.build(d, Seq("grp"), "v", m, k)
+    // shard on id parity (coprime to the 2 groups' id % 2? ids alternate
+    // groups, so shard on id / 2 % 2 to split both groups)
+    val sh = BloomSketch.build(d.filter(($"id" / 2).cast("long") % 2 === 0), Seq("grp"), "v", m, k)
+      .unionByName(BloomSketch.build(d.filter(($"id" / 2).cast("long") % 2 === 1), Seq("grp"), "v", m, k))
+    val merged = BloomSketch.merge(sh, Seq("grp"), m)
+    val cmp = full.as("f").join(merged.as("g"), "grp")
+      .select(($"f.bloom" === $"g.bloom").as("ok"), $"g.n_rows")
+      .collect()
+    assert(cmp.forall(_.getBoolean(0)), "merge must equal the one-shot build")
+    assert(cmp.map(_.getLong(1)).sorted.toSeq == Seq(100L, 100L))
+    // every member probes positive in its own group's filter
+    val probed = d.join(full, "grp")
+      .select(BloomSketch.mightContain($"bloom", $"v", k, m).as("c"))
+      .collect()
+    assert(probed.forall(_.getBoolean(0)), "Bloom filters never false-negative")
+    // absent values: fpr at n=100, m=1008, k=3 is ~2%; 50 probes stay low
+    val fp = full.select($"bloom")
+      .withColumn("p", explode(transform(sequence(lit(0), lit(49)),
+        j => concat(lit("missing-"), j.cast("string")))))
+      .select(BloomSketch.mightContain($"bloom", $"p", k, m).as("c"))
+      .collect().count(_.getBoolean(0))
+    assert(fp <= 10, s"false-positive count implausibly high: $fp/100")
+    // nulls are excluded like the rest of the sketch family
+    val withNull = d.union(Seq((999L, "grp0", null.asInstanceOf[String])).toDF("id", "grp", "v"))
+    val n = BloomSketch.build(withNull, Seq("grp"), "v", m, k)
+      .filter($"grp" === "grp0").select($"n_rows").collect().head.getLong(0)
+    assert(n == 100L)
   }
 }
