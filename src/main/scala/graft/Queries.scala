@@ -6533,6 +6533,51 @@ object Queries {
     }
   )
 
+  /** Right-to-erasure propagation ([[operators.DeletePropagation]]):
+    * one deletion request list applied consistently to the corpus AND
+    * its derived signature store, with the per-table accounting row
+    * (counts + order-independent survivor checksum) a deletion report
+    * is built from — both tables' audits replayed by the oracle. */
+  private val qDeleteProp = Q(
+    "q201_delete_propagation",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val sigs = minhashSigs(s, dir)
+      val deletes = d.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id").as("del_id"))
+      val ck: DataFrame => Column = df =>
+        if (df.columns.contains("text"))
+          conv(substring(md5(col("text")), 1, 8), 16, 10).cast(LongType)
+        else
+          conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
+            .cast(LongType)
+      DeletePropagation.audit(
+        Seq("documents" -> d, "signatures" -> sigs),
+        "doc_id", deletes, "del_id", ck)
+        .orderBy("table")
+    },
+    Some(
+      s"""WITH doc AS (SELECT 'documents' AS "table",
+         |    CAST(count(*) AS BIGINT) AS n_before,
+         |    CAST(sum(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+         |    CAST(sum(CASE WHEN doc_id % 17 <> 0
+         |      THEN CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS checksum_after
+         |  FROM documents),
+         |sig AS (SELECT 'signatures' AS "table",
+         |    CAST(count(*) AS BIGINT) AS n_before,
+         |    CAST(sum(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+         |    CAST(sum(CASE WHEN doc_id % 17 <> 0
+         |      THEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS checksum_after
+         |  FROM documents)
+         |SELECT "table", n_before, n_deleted,
+         |  n_before - n_deleted AS n_after, checksum_after
+         |FROM (SELECT * FROM doc UNION ALL SELECT * FROM sig)
+         |ORDER BY "table"""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -6588,7 +6633,7 @@ object Queries {
     qPromptPack, qTokenizerJson, qStreamBatchEquiv, qPqAdc,
     qJinjaMacro, qWeightedSample, qNgramDiversity, qSourceSimilarity,
     qMojibake, qSentences, qBbitMinhash, qWinnowing, qScriptProfile,
-    qBloomSketch
+    qBloomSketch, qDeleteProp
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

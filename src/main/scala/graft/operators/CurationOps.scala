@@ -612,3 +612,73 @@ object SnapshotDiff {
     diff(oldDf, newDf, keyCols, compareCols, includeUnchanged = true)
       .groupBy("change").agg(count(lit(1)).as("n"))
 }
+
+/** Right-to-erasure propagation (GDPR Art. 17 / CCPA deletion) across a
+  * corpus release and every table DERIVED from it: the delete list is
+  * tiny (user requests), but the deletion must land consistently in
+  * the corpus, its signature store, its fingerprint index, and any
+  * other keyed derivative — and a release needs PROOF it did. [[purge]]
+  * is one broadcast anti-join per table (the delete set ships to the
+  * scan; the 100-TB side never shuffles); [[audit]] emits the
+  * per-table accounting row a deletion report is built from, including
+  * an order-independent content checksum of the survivors (the
+  * [[Sinks]] manifest discipline — two runs with different
+  * partitioning produce the same sum, so the report replays).
+  *
+  * The delete list is deduplicated before counting so `n_deleted`
+  * means rows removed, not requests honored; keys absent from a table
+  * simply delete nothing there (the request may predate the shard). */
+object DeletePropagation {
+
+  /** Survivors of `df` after deleting every row whose `keyField` is in
+    * `deletes.deleteKey`. Broadcast by default — delete lists are
+    * request-sized; pass `broadcastHint = false` if yours is not. */
+  def purge(
+      df: DataFrame,
+      keyField: String,
+      deletes: DataFrame,
+      deleteKey: String,
+      broadcastHint: Boolean = true
+  ): DataFrame = {
+    val del0 = deletes.select(col(deleteKey).as("__dp_k")).distinct()
+    val del = if (broadcastHint) broadcast(del0) else del0
+    df.join(del, df(keyField) === del("__dp_k"), "left_anti")
+  }
+
+  /** One accounting row per named table:
+    * (table, n_before, n_deleted, n_after, checksum_after) where
+    * checksum_after is the commutative sum of `checksumOf` over the
+    * survivors (order/partitioning independent). */
+  def audit(
+      tables: Seq[(String, DataFrame)],
+      keyField: String,
+      deletes: DataFrame,
+      deleteKey: String,
+      checksumOf: DataFrame => Column,
+      broadcastHint: Boolean = true
+  ): DataFrame = {
+    require(tables.nonEmpty)
+    tables.map { case (name, df) =>
+      // one scan per table: flag doomed rows via the broadcast delete
+      // set, fold counts and the survivor checksum in a single
+      // partial-agg pass (no cross-join of singleton aggregates)
+      val del0 = deletes.select(col(deleteKey).as("__dp_k")).distinct()
+      val del = if (broadcastHint) broadcast(del0) else del0
+      val flagged = df
+        .join(del, df(keyField) === del("__dp_k"), "left_outer")
+        .withColumn("__dp_del", col("__dp_k").isNotNull)
+      flagged
+        .agg(
+          count(lit(1)).as("n_before"),
+          sum(col("__dp_del").cast(LongType)).as("n_deleted"),
+          coalesce(sum(when(!col("__dp_del"), checksumOf(flagged))), lit(0L))
+            .as("checksum_after"))
+        .select(
+          lit(name).as("table"),
+          col("n_before"),
+          col("n_deleted"),
+          (col("n_before") - col("n_deleted")).as("n_after"),
+          col("checksum_after"))
+    }.reduce(_ unionByName _)
+  }
+}

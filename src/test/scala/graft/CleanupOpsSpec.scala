@@ -403,4 +403,30 @@ class CleanupOpsSpec extends SparkSpec {
     assert(out(6L) == ((6L, 0L, 0L, "other")))
     assert(out(7L)._4 == "greek")
   }
+
+  test("DeletePropagation: consistent purge + audit across derived tables") {
+    val corpus = Seq(
+      (1L, "keep one"), (2L, "drop two"), (3L, "keep three"),
+      (4L, "drop four"), (5L, "keep five")).toDF("doc_id", "text")
+    val derived = corpus.select($"doc_id", length($"text").as("n"))
+    val deletes = Seq(2L, 4L, 99L).toDF("del_id") // 99 hits nothing
+    val purged = DeletePropagation.purge(corpus, "doc_id", deletes, "del_id")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(purged == Seq(1L, 3L, 5L))
+    val ck: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column =
+      _ => $"doc_id" * 10L
+    val audit = DeletePropagation.audit(
+      Seq("corpus" -> corpus, "derived" -> derived),
+      "doc_id", deletes, "del_id", ck)
+      .orderBy("table")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(audit == Seq(
+      ("corpus", 5L, 2L, 3L, 90L),   // survivors 1,3,5 -> 10+30+50
+      ("derived", 5L, 2L, 3L, 90L)))
+    // duplicate requests don't double-count deletions
+    val dup = deletes.union(deletes)
+    val a2 = DeletePropagation.audit(Seq("corpus" -> corpus),
+      "doc_id", dup, "del_id", ck).collect().head
+    assert(a2.getLong(2) == 2L && a2.getLong(3) == 3L)
+  }
 }
