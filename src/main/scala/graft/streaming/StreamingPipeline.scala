@@ -206,6 +206,70 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Streaming "seen before?" filter over a durable Bloom store — the
+    * rolling-decontamination / re-crawl check: each micro-batch is
+    * probed against the OR-merge of every PRIOR epoch's
+    * [[graft.operators.BloomSketch]] row, then contributes its own
+    * filter as `epoch=N`. Same durable-store replay discipline as
+    * [[streamingNearDup]] (a replayed epoch never probes its own failed
+    * write), but the store is O(m) BITS per epoch regardless of batch
+    * size — the whole history merges into one kilobyte row at the top
+    * of each batch. Probes have no false negatives; positives are
+    * `might_have_seen` (FPR ≈ (1−e^{−kn/m})^k — size m for the corpus,
+    * or fall back to [[streamingDedup]]'s exact keyed state). */
+  def streamingSeenFilter(
+      stream: DataFrame,
+      filterStoreDir: String,
+      checkpointDir: String,
+      valueField: String,
+      mBits: Int = 1 << 20,
+      k: Int = 3,
+      onBatch: (DataFrame, Long) => Unit
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stream.isStreaming, "streamingSeenFilter expects a stream")
+    import graft.operators.BloomSketch
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration)
+        val storePath = new org.apache.hadoop.fs.Path(filterStoreDir)
+        val priorEpochs =
+          if (!fs.exists(storePath)) Array.empty[org.apache.hadoop.fs.FileStatus]
+          else fs.listStatus(storePath).filter { st =>
+            val n = st.getPath.getName
+            n.startsWith("epoch=") &&
+              n.stripPrefix("epoch=").toLong < epochId
+          }
+        val keyed = batch.withColumn("__bloom_g", lit(0))
+        val flagged =
+          if (priorEpochs.isEmpty)
+            batch.withColumn("might_have_seen", lit(false))
+          else {
+            val merged = BloomSketch.merge(
+              spark.read
+                .option("basePath", filterStoreDir)
+                .parquet(priorEpochs.map(_.getPath.toString): _*)
+                .withColumn("__bloom_g", lit(0)),
+              Seq("__bloom_g"), mBits)
+            keyed
+              .join(broadcast(merged.select(col("__bloom_g"), col("bloom"))),
+                "__bloom_g")
+              .withColumn("might_have_seen",
+                BloomSketch.mightContain(col("bloom"), col(valueField), k, mBits))
+              .drop("__bloom_g", "bloom")
+          }
+        onBatch(flagged, epochId)
+        BloomSketch.build(keyed, Seq("__bloom_g"), valueField, mBits, k)
+          .drop("__bloom_g")
+          .write.mode("overwrite")
+          .parquet(s"$filterStoreDir/epoch=$epochId")
+        ()
+      }
+      .start()
+  }
+
   /** Streaming exact-dedup on a key (e.g. a text hash): emits only the
     * first occurrence of each key. Keyed state via flatMapGroupsWithState;
     * state per key is one boolean — at 100 TB/day the state store backs

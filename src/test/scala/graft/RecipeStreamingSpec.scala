@@ -330,4 +330,35 @@ class RecipeStreamingSpec extends SparkSpec {
     assert(epochs.length == 2, epochs.toSeq)
     q.stop()
   }
+
+  test("streamingSeenFilter: durable Bloom store flags re-crawled values") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sbf").toString
+    val mem = MemoryStream[(Long, String)]
+    val results = collection.concurrent.TrieMap.empty[Long, Boolean]
+    val q = StreamingPipeline.streamingSeenFilter(
+      mem.toDF().toDF("id", "url"),
+      filterStoreDir = s"$dir/store", checkpointDir = s"$dir/ckpt",
+      valueField = "url", mBits = 1008, k = 3,
+      onBatch = (df, _) =>
+        df.select("id", "might_have_seen").as[(Long, Boolean)]
+          .collect().foreach { case (id, f) => results(id) = f }
+    )
+    mem.addData((1L, "http://a.example/x"), (2L, "http://b.example/y"))
+    q.processAllAvailable()
+    assert(results.toMap == Map(1L -> false, 2L -> false))
+    // batch 2: one re-crawl (guaranteed flagged), one fresh URL
+    mem.addData((3L, "http://a.example/x"), (4L, "http://c.example/z"))
+    q.processAllAvailable()
+    assert(results(3L), "a re-crawled value can never be missed")
+    assert(!results(4L), "fresh URL false-positived (possible but ~0.1%)")
+    // batch 3 still sees batch-1 AND batch-2 values through the merge
+    mem.addData((5L, "http://b.example/y"), (6L, "http://c.example/z"))
+    q.processAllAvailable()
+    assert(results(5L) && results(6L), results.toMap)
+    val epochs = new java.io.File(s"$dir/store").listFiles()
+      .map(_.getName).filter(_.startsWith("epoch=")).sorted
+    assert(epochs.length == 3, epochs.toSeq)
+    q.stop()
+  }
 }
