@@ -368,9 +368,22 @@ object Winnowing {
 
   /** Window-min selection over an array<long> of gram hashes: one
     * struct<pos,hash> per distinct selection, pos = 0-based gram index.
-    * Fewer than `w` grams → the single whole-array minimum. */
+    * Fewer than `w` grams → the single whole-array minimum.
+    *
+    * The gram array is BOUND AS A LAMBDA VARIABLE before the window
+    * fold (the CdcChunker discipline): Catalyst's CollapseProject
+    * would otherwise inline an expression-valued `grams` (e.g. the md5
+    * hash chain from [[gramHashes]]) into every `element_at` of the
+    * O(n·w) fold — turning n hashes per row into n·w. A lambda
+    * variable is evaluated once per row, whatever feeds it. */
   def select(grams: Column, w: Int): Column = {
     require(w >= 1, s"window must be >= 1, got $w")
+    element_at(
+      transform(array(grams), g => selectBound(g, w)),
+      1)
+  }
+
+  private def selectBound(grams: Column, w: Int): Column = {
     val n = size(grams)
     array_distinct(
       transform(
