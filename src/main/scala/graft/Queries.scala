@@ -6578,6 +6578,51 @@ object Queries {
     )
   )
 
+  /** Per-source vocabulary statistics — the Heaps/Zipf corpus-card
+    * signals next to q184's sizes: type-token ratio (vocabulary
+    * richness; collapses on templated spam), hapax share (the Zipf
+    * tail — near-zero means boilerplate), and the head frequency. One
+    * (source, word) partial-agg then an O(#sources) rollup; ratios are
+    * scaled integral divisions. */
+  private val qVocabStats = Q(
+    "q202_vocab_stats",
+    (s, dir) => {
+      import graft.functions.functions.integral_divide
+      val w = docWords(s, dir)
+        .select(col("source"), explode(col("words")).as("word"))
+      w.groupBy("source", "word").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(
+          sum("c").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+          max("c").as("top_freq"))
+        .select(col("source"), col("n_tokens"), col("n_types"), col("hapax"),
+          integral_divide(lit(1000000L) * col("n_types"), col("n_tokens"))
+            .as("ttr_ppm"),
+          integral_divide(lit(1000000L) * col("hapax"), col("n_types"))
+            .as("hapax_ppm"),
+          col("top_freq"))
+        .orderBy("source")
+    },
+    Some(
+      s"""WITH w AS (SELECT source, unnest($W) AS word FROM documents),
+         |c AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c
+         |  FROM w GROUP BY source, word),
+         |g AS (SELECT source,
+         |    CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_types,
+         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         |    CAST(max(c) AS BIGINT) AS top_freq
+         |  FROM c GROUP BY source)
+         |SELECT source, n_tokens, n_types, hapax,
+         |  (1000000 * n_types) // n_tokens AS ttr_ppm,
+         |  (1000000 * hapax) // n_types AS hapax_ppm,
+         |  top_freq
+         |FROM g ORDER BY source""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -6633,7 +6678,7 @@ object Queries {
     qPromptPack, qTokenizerJson, qStreamBatchEquiv, qPqAdc,
     qJinjaMacro, qWeightedSample, qNgramDiversity, qSourceSimilarity,
     qMojibake, qSentences, qBbitMinhash, qWinnowing, qScriptProfile,
-    qBloomSketch, qDeleteProp
+    qBloomSketch, qDeleteProp, qVocabStats
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
