@@ -6623,6 +6623,86 @@ object Queries {
     )
   )
 
+  /** IVFADC ([[operators.ProductQuantizer.ivfAdcTopK]]): coarse
+    * clusters (8 literal centroids, floor-scaled cosine assignment)
+    * prune the q190 ADC scan to each query's 2 probed clusters — the
+    * FAISS IVF+PQ composition where the join is cluster-keyed instead
+    * of a full broadcast scan. The oracle replays centroid assignment,
+    * the probe lists, and every subspace distance fold. */
+  private val qIvfAdc = Q(
+    "q203_ivf_adc_topk",
+    (s, dir) => {
+      val emb = embs(s, dir)
+      val cents = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select(col("vec_id").cast(IntegerType),
+          col("embedding").cast(ArrayType(DoubleType)))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+      val rows = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select(col("embedding").cast(ArrayType(DoubleType)))
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      val cbs = ProductQuantizer.codebooksFrom(rows, m = 8)
+      val enc = ProductQuantizer.assignClusters(
+        ProductQuantizer.encode(emb, "embedding", cbs), "embedding", cents)
+      ProductQuantizer
+        .ivfAdcTopK(enc, emb.filter(col("vec_id") < 5), "embedding",
+          "vec_id", k = 5, cbs, cents, nProbe = 2)
+        .select(col("query_id"), col("corpus_id"), col("adist"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      val adcTerms = (0 until 8).map { mi =>
+        val cent = s"cbl.cbv[CAST(cl.cds[${mi + 1}] + 1 AS INT)]"
+        s"""list_reduce(list_transform(generate_series(1, 8),
+           |      i -> (q.qe[${mi * 8} + i] - $cent[${mi * 8} + i])
+           |         * (q.qe[${mi * 8} + i] - $cent[${mi * 8} + i])),
+           |      (x, y) -> x + y)""".stripMargin
+      }.mkString("\n    + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cb AS (SELECT vec_id AS code, e AS v FROM e WHERE vec_id < 16),
+         |sd AS (SELECT c.vec_id, m.m, cb.code,
+         |    list_reduce(list_transform(generate_series(1, 8),
+         |      i -> (c.e[m.m*8 + i] - cb.v[m.m*8 + i])
+         |         * (c.e[m.m*8 + i] - cb.v[m.m*8 + i])),
+         |      (x, y) -> x + y) AS d
+         |  FROM e c, generate_series(0, 7) AS m(m), cb),
+         |codes AS (SELECT vec_id, m, code FROM (
+         |    SELECT vec_id, m, code,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rk
+         |    FROM sd) WHERE rk = 1),
+         |cl AS (SELECT vec_id, list(code ORDER BY m) AS cds FROM codes GROUP BY vec_id),
+         |cbl AS (SELECT list(v ORDER BY code) AS cbv FROM cb),
+         |cents AS (SELECT vec_id AS cid, e AS cv FROM e WHERE vec_id < 8),
+         |sims AS (SELECT t.vec_id, c.cid,
+         |    -CAST(FLOOR(1000000 *
+         |      (list_reduce(list_transform(generate_series(1, len(t.e)), i -> t.e[i] * c.cv[i]), (x, y) -> x + y) /
+         |       (sqrt(list_reduce(list_transform(generate_series(1, len(t.e)), i -> t.e[i] * t.e[i]), (x, y) -> x + y)) *
+         |        sqrt(list_reduce(list_transform(generate_series(1, len(c.cv)), i -> c.cv[i] * c.cv[i]), (x, y) -> x + y))))
+         |      ) AS BIGINT) AS negsim
+         |  FROM e t, cents c),
+         |asg AS (SELECT vec_id, cid AS cluster FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY negsim, cid) AS rk
+         |    FROM sims) WHERE rk = 1),
+         |qp AS (SELECT vec_id AS query_id, cid AS cluster FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY negsim, cid) AS rk
+         |    FROM sims WHERE vec_id < 5) WHERE rk <= 2),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < 5),
+         |adc AS (SELECT q.query_id, cl.vec_id AS corpus_id,
+         |    CAST(FLOOR(1000000 * ($adcTerms)) AS BIGINT) AS adist
+         |  FROM q
+         |    JOIN qp ON qp.query_id = q.query_id
+         |    JOIN asg ON asg.cluster = qp.cluster
+         |    JOIN cl ON cl.vec_id = asg.vec_id, cbl),
+         |r AS (SELECT query_id, corpus_id, adist,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adist, corpus_id) AS rank
+         |  FROM adc)
+         |SELECT query_id, corpus_id, adist, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    }
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -6678,7 +6758,7 @@ object Queries {
     qPromptPack, qTokenizerJson, qStreamBatchEquiv, qPqAdc,
     qJinjaMacro, qWeightedSample, qNgramDiversity, qSourceSimilarity,
     qMojibake, qSentences, qBbitMinhash, qWinnowing, qScriptProfile,
-    qBloomSketch, qDeleteProp, qVocabStats
+    qBloomSketch, qDeleteProp, qVocabStats, qIvfAdc
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1306,6 +1306,93 @@ object ProductQuantizer {
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "adist", "rank")
   }
+
+  /** Coarse-cluster assignment for IVFADC: argmax floor-scaled cosine
+    * against the literal centroid list, ties to the lowest cid. The
+    * SCALED similarity decides (not the raw double), so any engine
+    * replays the same cluster for every row — the same parity rule the
+    * ADC distance itself follows. Zero shuffle. */
+  def assignClusters(
+      df: DataFrame,
+      embField: String,
+      centroids: Seq[(Int, Seq[Double])],
+      dest: String = "cluster",
+      scale: Long = 1000000L
+  ): DataFrame = {
+    require(centroids.nonEmpty, "assignClusters: empty centroid set")
+    val e = col(embField).cast(ArrayType(DoubleType))
+    val cands = array(centroids.map { case (cid, v) =>
+      struct(
+        (-floor(lit(scale) * CosineKnn.cosine(e, typedLit(v))))
+          .cast(LongType).as("negsim"),
+        lit(cid).as("cid"))
+    }: _*)
+    df.withColumn("__ivf_c", cands)
+      .withColumn(dest,
+        aggregate(
+          slice(col("__ivf_c"), 2, centroids.length - 1),
+          element_at(col("__ivf_c"), 1),
+          (acc, x) =>
+            when(x.getField("negsim") < acc.getField("negsim"), x)
+              .otherwise(acc))
+          .getField("cid"))
+      .drop("__ivf_c")
+  }
+
+  /** IVFADC (Jégou et al. 2011 §IV, minus residual encoding — the
+    * documented simplification): the coarse quantizer prunes the ADC
+    * scan to the query's `nProbe` nearest clusters, so the per-query
+    * work drops from |corpus| to ~nProbe/|C| of it, and the join is a
+    * cluster-keyed equi-join (broadcast query side) instead of
+    * [[adcTopK]]'s full broadcast scan. Probe lists sort by the same
+    * floor-scaled cosine as [[assignClusters]] (struct sort:
+    * (−simS, cid) ascending), so probing replays exactly. */
+  def ivfAdcTopK(
+      corpusEncoded: DataFrame,
+      queries: DataFrame,
+      embField: String,
+      idField: String,
+      k: Int,
+      codebooks: Seq[Seq[Seq[Double]]],
+      centroids: Seq[(Int, Seq[Double])],
+      nProbe: Int = 2,
+      codeField: String = "pq_code",
+      clusterField: String = "cluster",
+      scale: Long = 1000000L
+  ): DataFrame = {
+    val m = codebooks.length
+    val w = codebooks.head.head.length
+    val qe = col(embField).cast(ArrayType(DoubleType))
+    val cands = array(centroids.map { case (cid, v) =>
+      struct(
+        (-floor(lit(scale) * CosineKnn.cosine(qe, typedLit(v))))
+          .cast(LongType).as("negsim"),
+        lit(cid).as("cid"))
+    }: _*)
+    val q = queries
+      .select(col(idField).as("query_id"), qe.as("__qe"),
+        explode(slice(array_sort(cands), 1, nProbe)).as("__probe"))
+      .select(col("query_id"), col("__qe"),
+        col("__probe").getField("cid").as(clusterField))
+    val c = corpusEncoded.select(
+      col(idField).as("corpus_id"), col(codeField).as("__pq"),
+      col(clusterField))
+    val dist = (0 until m).map { mi =>
+      val cb = typedlit(codebooks(mi))
+      l2sq(
+        slice(col("__qe"), mi * w + 1, w),
+        element_at(cb, (element_at(col("__pq"), mi + 1) + 1).cast("int")))
+    }.reduce(_ + _)
+    val scored = c
+      .join(broadcast(q), Seq(clusterField))
+      .withColumn("adist", floor(lit(scale) * dist).cast(LongType))
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("corpus_id").asc)
+    scored
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "adist", "rank")
+  }
 }
 
 /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based

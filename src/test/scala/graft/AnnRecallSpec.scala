@@ -183,4 +183,42 @@ class AnnRecallSpec extends SparkSpec {
       BbitMinHash.agreements($"p", $"p", b, k).as("a")).collect().head.getLong(0)
     assert(self == k.toLong)
   }
+
+  test("IVFADC: cluster-pruned ADC finds self and tracks full-scan ADC") {
+    import graft.operators.ProductQuantizer
+    val cents = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select(col("vec_id").cast("int"),
+        col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    val rows = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val cbs = ProductQuantizer.codebooksFrom(rows, m = 8)
+    val enc = ProductQuantizer.assignClusters(
+      ProductQuantizer.encode(emb, "embedding", cbs), "embedding", cents)
+    val queries = emb.filter(col("vec_id") < 10)
+    val ivf = topkMap(ProductQuantizer.ivfAdcTopK(
+      enc, queries, "embedding", "vec_id", 10, cbs, cents, nProbe = 3))
+    val full = topkMap(ProductQuantizer.adcTopK(
+      enc, queries, "embedding", "vec_id", 10, cbs))
+    // pruning can only lose candidates outside the probed clusters;
+    // with 3 of 8 clusters probed recall must stay well above chance
+    val r = recallAt(10, ivf, full)
+    assert(r > 0.4, s"IVFADC recall@10 vs full ADC = $r")
+    // the query's own (zero-ADC-distance) code is in its own cluster,
+    // which is always the first probe -> self always found
+    ivf.foreach { case (q, got) => assert(got.contains(q), s"$q lost itself") }
+    // every IVFADC hit must also score identically in the full scan
+    val ivfD = ProductQuantizer.ivfAdcTopK(
+      enc, queries, "embedding", "vec_id", 10, cbs, cents, nProbe = 3)
+      .select($"query_id", $"corpus_id", $"adist").as[(Long, Long, Long)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val fullD = ProductQuantizer.adcTopK(
+      enc, queries, "embedding", "vec_id", 50, cbs)
+      .select($"query_id", $"corpus_id", $"adist").as[(Long, Long, Long)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    ivfD.foreach { case (key, d) =>
+      fullD.get(key).foreach(fd => assert(fd == d, s"distance mismatch at $key"))
+    }
+  }
 }
