@@ -6703,6 +6703,48 @@ object Queries {
     }
   )
 
+  /** Prefix-filtered exact similarity join
+    * ([[operators.PrefixFilterJoin]]): every pair with set-Jaccard
+    * ≥ 0.5, by identity rather than probability — rarest-first token
+    * ordering, integral prefix lengths, candidate equi-join and exact
+    * verification all replayed by the oracle. */
+  private val qPrefixJoin = Q(
+    "q204_prefix_filter_join",
+    (s, dir) =>
+      // shingle SETS, not word sets: the synthetic corpus draws words
+      // from a tiny shared vocabulary, so word-set Jaccard is
+      // degenerate (92k pairs >= 0.5); 3-gram shingles are the same
+      // similarity unit the minhash family banding approximates
+      PrefixFilterJoin.pairs(
+          docWords(s, dir).withColumn("sh",
+            TextShingles.shingles(col("words"), 3)),
+          "doc_id", "sh", minJaccardPpm = 500000L)
+        .orderBy("id_a", "id_b"),
+    Some(
+      s"""WITH t AS (SELECT doc_id, list_distinct($SHINGLES) AS toks FROM documents),
+         |ex AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY tok),
+         |ord AS (SELECT doc_id, list(tok ORDER BY df, tok) AS toks
+         |  FROM ex JOIN dfq USING (tok) GROUP BY doc_id),
+         |pl AS (SELECT doc_id, toks,
+         |    len(toks) - ((500000 * len(toks) + 999999) // 1000000) + 1 AS p
+         |  FROM ord),
+         |pref AS (SELECT doc_id, unnest(list_slice(toks, 1, p)) AS ptok FROM pl),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM pref a JOIN pref b ON a.ptok = b.ptok AND a.doc_id < b.doc_id),
+         |v AS (SELECT id_a, id_b,
+         |    CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS inter,
+         |    CAST(len(ta.toks) AS BIGINT) AS na, CAST(len(tb.toks) AS BIGINT) AS nb
+         |  FROM cand
+         |    JOIN ord ta ON ta.doc_id = cand.id_a
+         |    JOIN ord tb ON tb.doc_id = cand.id_b)
+         |SELECT id_a, id_b,
+         |  (1000000 * inter) // (na + nb - inter) AS jaccard_ppm
+         |FROM v WHERE (1000000 * inter) // (na + nb - inter) >= 500000
+         |ORDER BY id_a, id_b""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -6758,7 +6800,7 @@ object Queries {
     qPromptPack, qTokenizerJson, qStreamBatchEquiv, qPqAdc,
     qJinjaMacro, qWeightedSample, qNgramDiversity, qSourceSimilarity,
     qMojibake, qSentences, qBbitMinhash, qWinnowing, qScriptProfile,
-    qBloomSketch, qDeleteProp, qVocabStats, qIvfAdc
+    qBloomSketch, qDeleteProp, qVocabStats, qIvfAdc, qPrefixJoin
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -261,3 +261,76 @@ final case class PhraseReplace(
     df.withColumn(dest, f(col(textField)))
   }
 }
+
+/** Prefix-filtered EXACT similarity join (Bayardo, Ma & Srikant 2007,
+  * "Scaling Up All Pairs Similarity Search"; the PPJoin prefix-filter
+  * principle): two token SETS with Jaccard >= t MUST share at least one
+  * of each other's first p = |s| - ceil(t*|s|) + 1 tokens when every
+  * document orders its tokens the same way — so candidates come from an
+  * inverted-index equi-join on PREFIX tokens only, and recall is a SET
+  * IDENTITY, not a probability. This is the exact-threshold complement
+  * to [[MinHashLSH.candidatePairs]] (probabilistic banding, tunable
+  * S-curve) and [[MinHashLSH.containmentPairs]] (containment): when the
+  * contract is "every pair above t, provably", this is the operator.
+  *
+  * Tokens are ordered rarest-first (ascending document frequency, ties
+  * by token) — the canonical ordering that makes prefixes selective:
+  * the prefix carries a document's rarest tokens, so hot boilerplate
+  * words never generate candidates. Deterministic end to end (integral
+  * ceil, (df, token) struct sort, scaled-integral Jaccard), so a SQL
+  * oracle replays candidates AND survivors exactly.
+  *
+  * Scale shape: one df partial-agg, one (id, token) re-aggregation into
+  * ordered arrays, a prefix explode of <= p rows/doc, the inverted-index
+  * equi-join on the prefix token (AQE skew-split covers residual hot
+  * prefixes), and a row-local verify on the two candidate arrays —
+  * token arrays shuffle only for candidate pairs. */
+object PrefixFilterJoin {
+  import graft.functions.functions.integral_divide
+
+  /** All pairs (id_a < id_b) with set-Jaccard >= minJaccardPpm/1e6:
+    * (id_a, id_b, jaccard_ppm). */
+  def pairs(
+      df: DataFrame,
+      idField: String,
+      tokensField: String,
+      minJaccardPpm: Long
+  ): DataFrame = {
+    require(minJaccardPpm >= 1 && minJaccardPpm <= 1000000L,
+      s"threshold must be in (0, 1e6], got $minJaccardPpm")
+    val ex = df
+      .select(col(idField).as("__pf_id"),
+        explode(array_distinct(col(tokensField))).as("tok"))
+    val dfreq = ex.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ordered = ex.join(dfreq, "tok")
+      .groupBy("__pf_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("__st"))
+      .select(col("__pf_id"),
+        transform(col("__st"), s => s.getField("tok")).as("toks"))
+      .persist()
+    ordered.count() // one ordered-token build feeds prefix + both verify legs
+    val n = size(col("toks"))
+    val p = n - integral_divide(
+      lit(minJaccardPpm) * n.cast("long") + lit(999999L), lit(1000000L))
+      .cast("int") + 1
+    val pref = ordered.select(col("__pf_id"),
+      explode(slice(col("toks"), lit(1), p)).as("ptok"))
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.ptok") === col("b.ptok") && col("a.__pf_id") < col("b.__pf_id"))
+      .select(col("a.__pf_id").as("id_a"), col("b.__pf_id").as("id_b"))
+      .distinct()
+    val out = cand
+      .join(ordered.select(col("__pf_id").as("id_a"), col("toks").as("__ta")), "id_a")
+      .join(ordered.select(col("__pf_id").as("id_b"), col("toks").as("__tb")), "id_b")
+      .withColumn("__inter", size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .withColumn("jaccard_ppm",
+        integral_divide(lit(1000000L) * col("__inter"),
+          size(col("__ta")).cast("long") + size(col("__tb")).cast("long") - col("__inter")))
+      .filter(col("jaccard_ppm") >= minJaccardPpm)
+      .select("id_a", "id_b", "jaccard_ppm")
+      .localCheckpoint()
+    ordered.unpersist()
+    out
+  }
+}

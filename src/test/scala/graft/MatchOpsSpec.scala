@@ -112,4 +112,51 @@ class MatchOpsSpec extends SparkSpec {
         d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
     d(a.length)(b.length)
   }
+
+  test("PrefixFilterJoin: identical pair set to naive all-pairs (exact recall)") {
+    // token sets with controlled overlaps, including a pair exactly AT
+    // the threshold and one just under it
+    val rows = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "e")),      // J(1,2) = 3/5 = 0.6
+      (3L, Seq("a", "b", "c", "d")),      // J(1,3) = 1.0
+      (4L, Seq("x", "y", "z")),           // disjoint from 1-3
+      (5L, Seq("x", "y", "z", "w", "v")), // J(4,5) = 3/5 = 0.6
+      (6L, Seq("a", "q", "r", "s", "t")), // J(1,6) = 1/8 < t
+      (7L, Seq("b", "b", "c", "d", "a"))  // dup token; SET equals doc 1
+    ).toDF("id", "toks")
+    val t = 600000L
+    val got = PrefixFilterJoin.pairs(rows, "id", "toks", t)
+      .select($"id_a", $"id_b", $"jaccard_ppm").as[(Long, Long, Long)]
+      .collect().toSet
+    // naive all-pairs truth over distinct-token sets
+    val sets = Seq(
+      1L -> Set("a","b","c","d"), 2L -> Set("a","b","c","e"),
+      3L -> Set("a","b","c","d"), 4L -> Set("x","y","z"),
+      5L -> Set("x","y","z","w","v"), 6L -> Set("a","q","r","s","t"),
+      7L -> Set("b","c","d","a"))
+    val expect = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa intersect sb).size
+      ppm = 1000000L * inter / (sa.size + sb.size - inter)
+      if ppm >= t
+    } yield (ia, ib, ppm)).toSet
+    assert(got == expect, s"got=$got expect=$expect")
+    // the at-threshold pairs (0.6 exactly) are present — >= not >
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L))
+    assert(got.exists(p => p._1 == 4L && p._2 == 5L))
+  }
+
+  test("PrefixFilterJoin: rarest-first prefixes skip hot-token candidates") {
+    // every doc shares the hot token "the"; only 1-2 truly overlap
+    val rows = (1L to 30L).map(i =>
+      (i, Seq("the", s"u$i", s"v$i", s"w$i"))) ++
+      Seq((31L, Seq("the", "u1", "v1", "w1")))
+    val df = rows.toDF("id", "toks")
+    val got = PrefixFilterJoin.pairs(df, "id", "toks", 800000L)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // only (1, 31) survives: J = 4/4 = 1.0; everything else pairs
+    // solely through "the" (J = 1/7) and "the" never enters a prefix
+    assert(got == Set((1L, 31L)), got)
+  }
 }
