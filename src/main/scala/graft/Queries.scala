@@ -6745,6 +6745,40 @@ object Queries {
     )
   )
 
+  /** Rendezvous sharding ([[operators.RendezvousShard]]): HRW argmax
+    * assignment under 5 shards and under the same set minus one — the
+    * oracle replays both, and the `moved` column exhibits the
+    * minimal-disruption property (only the removed shard's keys move;
+    * the spec pins it as an invariant). */
+  private val qRendezvous = Q(
+    "q205_rendezvous_shard",
+    (s, dir) => {
+      val shards5 = (0 until 5).map(i => s"shard$i")
+      docs(s, dir).select(
+          col("doc_id"),
+          RendezvousShard.assign(col("doc_id"), shards5).as("shard5"),
+          RendezvousShard.assign(col("doc_id"), shards5.take(4)).as("shard4"))
+        .withColumn("moved", col("shard5") =!= col("shard4"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH w AS (SELECT doc_id, s.sh,
+         |    CAST(('0x' || substring(md5(s.sh || ':' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS wt
+         |  FROM documents,
+         |    (SELECT unnest(['shard0','shard1','shard2','shard3','shard4']) AS sh) s),
+         |a5 AS (SELECT doc_id, sh AS shard5 FROM (
+         |    SELECT doc_id, sh,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY wt DESC, sh) AS rk
+         |    FROM w) WHERE rk = 1),
+         |a4 AS (SELECT doc_id, sh AS shard4 FROM (
+         |    SELECT doc_id, sh,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY wt DESC, sh) AS rk
+         |    FROM w WHERE sh <> 'shard4') WHERE rk = 1)
+         |SELECT a5.doc_id, shard5, shard4, shard5 <> shard4 AS moved
+         |FROM a5 JOIN a4 ON a4.doc_id = a5.doc_id ORDER BY a5.doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -6800,7 +6834,8 @@ object Queries {
     qPromptPack, qTokenizerJson, qStreamBatchEquiv, qPqAdc,
     qJinjaMacro, qWeightedSample, qNgramDiversity, qSourceSimilarity,
     qMojibake, qSentences, qBbitMinhash, qWinnowing, qScriptProfile,
-    qBloomSketch, qDeleteProp, qVocabStats, qIvfAdc, qPrefixJoin
+    qBloomSketch, qDeleteProp, qVocabStats, qIvfAdc, qPrefixJoin,
+    qRendezvous
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

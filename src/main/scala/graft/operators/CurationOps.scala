@@ -682,3 +682,39 @@ object DeletePropagation {
     }.reduce(_ unionByName _)
   }
 }
+
+/** Rendezvous (highest-random-weight) sharding — Thaler & Ravishankar
+  * 1998: a key's shard is the argmax over shards of h(shard, key), so
+  * REMOVING a shard moves exactly that shard's keys and nothing else
+  * (and adding one steals only the keys it now wins) — the property
+  * modulo-sharding lacks (key % N reshuffles ~everything when N
+  * changes) and the reason corpus exports sharded this way stay
+  * diff-able across releases: [[SnapshotDiff]] on a re-sharded corpus
+  * sees only real changes, not assignment churn.
+  *
+  * Weights are md5-window derived (the engine-replayable hash family),
+  * ties break to the first shard in sorted order; assignment is one
+  * codegen'd fold over a literal shard list — zero shuffle, zero
+  * coordination state. */
+object RendezvousShard {
+
+  /** Shard name for `key` among `shards` (order-insensitive: the list
+    * is sorted internally so the same set always assigns the same). */
+  def assign(key: Column, shards: Seq[String]): Column = {
+    require(shards.nonEmpty && shards.distinct.size == shards.size,
+      "shards must be non-empty and unique")
+    val sorted = shards.sorted
+    val cands = array(sorted.map { sh =>
+      struct(
+        (-conv(substring(md5(concat(lit(sh), lit(":"), key.cast(StringType))),
+          1, 8), 16, 10).cast(LongType)).as("negw"),
+        lit(sh).as("shard"))
+    }: _*)
+    aggregate(
+      slice(cands, 2, sorted.length - 1),
+      element_at(cands, 1),
+      (acc, x) =>
+        when(x.getField("negw") < acc.getField("negw"), x).otherwise(acc))
+      .getField("shard")
+  }
+}

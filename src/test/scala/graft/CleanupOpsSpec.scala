@@ -429,4 +429,27 @@ class CleanupOpsSpec extends SparkSpec {
       "doc_id", dup, "del_id", ck).collect().head
     assert(a2.getLong(2) == 2L && a2.getLong(3) == 3L)
   }
+
+  test("RendezvousShard: minimal disruption, order-insensitive, balanced-ish") {
+    val shards = Seq("s0", "s1", "s2", "s3")
+    val keys = spark.range(0, 2000).toDF("k")
+    val both = keys.select($"k",
+      RendezvousShard.assign($"k", shards).as("a4"),
+      RendezvousShard.assign($"k", shards.take(3)).as("a3"),
+      RendezvousShard.assign($"k", shards.reverse).as("a4r"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    // shard-list order never matters
+    both.foreach { case (k, a4, _, a4r) => assert(a4 == a4r, s"key $k") }
+    // removing s3 moves EXACTLY s3's keys, each to a surviving shard
+    both.foreach { case (k, a4, a3, _) =>
+      if (a4 == "s3") assert(a3 != "s3", s"key $k kept a removed shard")
+      else assert(a3 == a4, s"key $k moved without cause: $a4 -> $a3")
+    }
+    // each shard holds a plausible share (expected 500 of 2000)
+    val byShard = both.groupBy(_._2).view.mapValues(_.length).toMap
+    shards.foreach { sh =>
+      val c = byShard.getOrElse(sh, 0)
+      assert(c > 300 && c < 700, s"$sh holds $c of 2000")
+    }
+  }
 }
