@@ -75,7 +75,21 @@ object GrowthProbe {
         MinHashLSH.containmentPairs(words, "words", "doc_id",
           shingleSize = 3, maxShingleDf = 5L, minContainment = 0.9).count()
       }
-      println(f"""{"factor":$f,"rows":$nRows,"minhash_sec":$tMinhash%.1f,"exactsubstr_sec":$tExact%.1f,"containment_sec":$tContain%.1f}""")
+      val tWinnow = time {
+        val fps = words.select(
+          col("doc_id"),
+          array_distinct(transform(
+            Winnowing.fingerprints(col("words"), k = 3, w = 4),
+            fp => fp.getField("hash"))).as("fps"))
+        FingerprintOverlap.candidatePairs(fps, "doc_id", "fps",
+          minShared = 2, maxBucketSize = Some(16)).count()
+      }
+      val tPrefix = time {
+        PrefixFilterJoin.pairs(
+          words.withColumn("sh", TextShingles.shingles(col("words"), 3)),
+          "doc_id", "sh", minJaccardPpm = 500000L).count()
+      }
+      println(f"""{"factor":$f,"rows":$nRows,"minhash_sec":$tMinhash%.1f,"exactsubstr_sec":$tExact%.1f,"containment_sec":$tContain%.1f,"winnowing_sec":$tWinnow%.1f,"prefixjoin_sec":$tPrefix%.1f}""")
     }
     spark.stop()
   }

@@ -6779,6 +6779,42 @@ object Queries {
     )
   )
 
+  /** Sorted-neighborhood blocking ([[operators.SortedNeighborhood]]):
+    * pair every document with its w−1 neighbors in the global
+    * (sort-key, id) order — key = first 16 chars lowercased — then
+    * verify candidates with exact Levenshtein. The oracle replays the
+    * DEFINITION (one global row_number + rank-gap self-join), so the
+    * hash match proves the bucketed two-level-rank + band-join
+    * implementation (no unpartitioned window, O(#buckets) driver
+    * state) equals the textbook global sort. */
+  private val qSortedNeighborhood = Q(
+    "q206_sorted_neighborhood",
+    (s, dir) => {
+      val keyed = docs(s, dir).select(
+        col("doc_id"),
+        lower(substring(col("text"), 1, 16)).as("k"))
+      SortedNeighborhood.pairs(keyed, "doc_id", "k", window = 6)
+        .join(keyed.select(col("doc_id").as("id_a"), col("k").as("__ka")), "id_a")
+        .join(keyed.select(col("doc_id").as("id_b"), col("k").as("__kb")), "id_b")
+        .withColumn("dist", levenshtein(col("__ka"), col("__kb")).cast(LongType))
+        .filter(col("dist") <= 4)
+        .select("id_a", "id_b", "gap", "dist")
+        .orderBy("id_a", "id_b")
+    },
+    Some(
+      """WITH k AS (SELECT doc_id, lower(substring(text, 1, 16)) AS k
+        |  FROM documents),
+        |r AS (SELECT doc_id, k,
+        |    CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT) AS g
+        |  FROM k)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, b.g - a.g AS gap,
+        |  CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+        |FROM r a JOIN r b ON b.g > a.g AND b.g - a.g < 6
+        |WHERE levenshtein(a.k, b.k) <= 4
+        |ORDER BY id_a, id_b""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -6835,7 +6871,7 @@ object Queries {
     qJinjaMacro, qWeightedSample, qNgramDiversity, qSourceSimilarity,
     qMojibake, qSentences, qBbitMinhash, qWinnowing, qScriptProfile,
     qBloomSketch, qDeleteProp, qVocabStats, qIvfAdc, qPrefixJoin,
-    qRendezvous
+    qRendezvous, qSortedNeighborhood
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

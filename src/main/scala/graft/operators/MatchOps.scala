@@ -334,3 +334,109 @@ object PrefixFilterJoin {
     out
   }
 }
+
+/** Sorted-neighborhood blocking (Hernández & Stolfo 1995, "The
+  * Merge/Purge Problem for Large Databases"): sort the corpus by a
+  * domain sort key and pair every record with its neighbors within a
+  * fixed WINDOW of the global sort order. The classic entity-resolution
+  * blocking complement to the similarity-keyed families here —
+  * LSH banding ([[MinHashLSH]]) needs set overlap, the deletion
+  * neighborhood ([[EditDistanceDedup]]) needs dist ≤ 1, the prefix
+  * filter ([[PrefixFilterJoin]]) needs a Jaccard threshold; SNM needs
+  * only that near-duplicates sort NEAR each other under some key
+  * (title prefix, normalized name, URL path), and its candidate count
+  * is exactly `n·(w-1) - w·(w-1)/2` — linear in the corpus by
+  * construction, whatever the data's duplicate structure.
+  *
+  * Scale shape — a global sort without a global window: (1) rows get a
+  * LOCAL rank from a window PARTITIONED by a monotone coarse bucket of
+  * the key (first chars by default); (2) per-bucket counts — O(#buckets)
+  * rows — come to the driver, whose exclusive prefix sum re-enters the
+  * plan as a broadcast offsets table (the PackSequences two-level
+  * prefix-sum discipline: only bucket sizes ever cross partitions);
+  * (3) global rank = bucket offset + local rank; (4) each row lands in
+  * band `rank div w` AND the band before it, so every pair within rank
+  * distance < w shares a band and candidates come from a band-keyed
+  * equi-join with bounded (≈2w) bucket width. No unpartitioned window,
+  * no sort of the full corpus on one node, band keys are dense 8-byte
+  * integers. Bucket ORDER is established by each bucket's MIN key via
+  * Spark's own ordering, so a monotone-but-gappy bucket function stays
+  * correct. */
+object SortedNeighborhood {
+  import graft.functions.functions.integral_divide
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  /** Pairs `(id_a, id_b, gap)` for all records within rank distance
+    * `[1, window)` of each other in the `(key, id)` sort order; `id_a`
+    * is the earlier record. Null keys are dropped (they have no sort
+    * position). `bucket` must be monotone non-decreasing in the key
+    * (equal keys → equal buckets, k1 < k2 → b(k1) <= b(k2)); it is
+    * cast to string for the offsets hand-off. */
+  def pairs(
+      df: DataFrame,
+      idField: String,
+      keyField: String,
+      window: Int,
+      bucket: Column => Column = k => substring(k, 1, 2)
+  ): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df
+      .filter(col(keyField).isNotNull)
+      .select(col(idField).as("__sn_id"), col(keyField).as("__sn_k"))
+      .withColumn("__sn_b", bucket(col("__sn_k")).cast(StringType))
+    val local = keyed
+      .withColumn(
+        "__sn_r",
+        row_number()
+          .over(Window.partitionBy(col("__sn_b"))
+            .orderBy(col("__sn_k"), col("__sn_id")))
+          .cast(LongType) - 1L)
+      .persist()
+    // O(#buckets) driver state: sizes ordered by each bucket's min key
+    // (Spark's ordering, not the driver's collation) -> prefix offsets.
+    val sizes = local
+      .groupBy(col("__sn_b"))
+      .agg(count(lit(1)).as("__sn_n"), min(col("__sn_k")).as("__sn_min"))
+      .orderBy(col("__sn_min"), col("__sn_b"))
+      .select(col("__sn_b"), col("__sn_n"))
+      .collect()
+    var acc = 0L
+    val offsets = sizes.map { r =>
+      val o = (r.getString(0), acc); acc += r.getLong(1); o
+    }.toSeq
+    val offDf = offsets.toDF("__sn_b", "__sn_off")
+    val ranked = local
+      .join(broadcast(offDf), "__sn_b")
+      .select(
+        col("__sn_id"),
+        (col("__sn_r") + col("__sn_off")).as("__sn_g"))
+    val w = lit(window.toLong)
+    val banded = ranked
+      .select(
+        col("__sn_id"),
+        col("__sn_g"),
+        explode(
+          array_distinct(
+            array(
+              integral_divide(col("__sn_g"), w),
+              integral_divide(col("__sn_g"), w) - 1L))).as("__sn_band"))
+      .filter(col("__sn_band") >= 0L)
+    val out = banded.as("a")
+      .join(
+        banded.as("b"),
+        col("a.__sn_band") === col("b.__sn_band") &&
+          col("b.__sn_g") > col("a.__sn_g") &&
+          col("b.__sn_g") - col("a.__sn_g") < w)
+      .select(
+        col("a.__sn_id").as("id_a"),
+        col("b.__sn_id").as("id_b"),
+        (col("b.__sn_g") - col("a.__sn_g")).as("gap"))
+      .distinct()
+      .localCheckpoint()
+    local.unpersist()
+    out
+  }
+}

@@ -160,3 +160,55 @@ class MatchOpsSpec extends SparkSpec {
     assert(got == Set((1L, 31L)), got)
   }
 }
+
+class SortedNeighborhoodSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Naive definition: global (key, id) sort, all pairs with rank
+    * distance in [1, window). */
+  private def naive(
+      rows: Seq[(Long, String)],
+      window: Int): Set[(Long, Long, Long)] = {
+    val ranked = rows.sortBy { case (id, k) => (k, id) }.zipWithIndex
+    (for {
+      (a, ra) <- ranked
+      (b, rb) <- ranked
+      if rb > ra && rb - ra < window
+    } yield (a._1, b._1, (rb - ra).toLong)).toSet
+  }
+
+  test("SortedNeighborhood equals the global-sort definition") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 120L).map { id =>
+      // small alphabet -> many shared prefixes, ties, and tiny buckets
+      (id, (0 until 1 + rnd.nextInt(6)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    }
+    val df = rows.toDF("id", "k")
+    for (w <- Seq(2, 5, 9)) {
+      val got = SortedNeighborhood
+        .pairs(df, "id", "k", w, bucket = k => substring(k, 1, 1))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == naive(rows, w), s"window=$w")
+    }
+  }
+
+  test("SortedNeighborhood: cross-bucket windows and null keys") {
+    // buckets of size 1 ("a", "b", "c", ...) force every pair across
+    // bucket borders; the null-key row must vanish from the output
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+    val df = (rows :+ ((6L, null.asInstanceOf[String]))).toDF("id", "k")
+    val got = SortedNeighborhood
+      .pairs(df, "id", "k", 3, bucket = k => substring(k, 1, 1))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == naive(rows, 3))
+    assert(!got.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
+  test("SortedNeighborhood: candidate count is the closed form") {
+    // n*(w-1) - w*(w-1)/2 pairs regardless of key distribution
+    val rows = (0L until 50L).map(id => (id, s"k${id % 7}"))
+    val w = 4
+    val got = SortedNeighborhood.pairs(rows.toDF("id", "k"), "id", "k", w)
+    assert(got.count() == 50L * (w - 1) - w.toLong * (w - 1) / 2)
+  }
+}
