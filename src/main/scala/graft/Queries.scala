@@ -6815,6 +6815,61 @@ object Queries {
     )
   )
 
+  /** Count-min join-size estimation ([[operators.CountMinSketch]]):
+    * one 4×64 sketch per source over its word multiset, then every
+    * source pair's equi-join size estimated from the two KB sketches
+    * (min-over-depths inner product) next to the exact answer — the
+    * "how big is this shuffle" planning primitive, with the ≥-exact
+    * guarantee visible in the output and pinned by spec. */
+  private val qCountMin = Q(
+    "q207_countmin_joinsize",
+    (s, dir) => {
+      val tok = docWords(s, dir)
+        .select(col("source"), explode(col("words")).as("w"))
+      val sk = CountMinSketch.build(tok, Seq("source"), "w",
+        width = 64, depth = 4)
+      val exact = tok.groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val exactPairs = exact.as("a")
+        .join(exact.as("b"),
+          col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(sum(col("a.c") * col("b.c")).as("exact_join_size"))
+      sk.as("x")
+        .join(sk.as("y"), col("x.source") < col("y.source"))
+        .select(
+          col("x.source").as("src_a"),
+          col("y.source").as("src_b"),
+          CountMinSketch.innerProduct(col("x.cm"), col("y.cm"), 64, 4)
+            .as("est_join_size"))
+        .join(exactPairs, Seq("src_a", "src_b"))
+        .select("src_a", "src_b", "est_join_size", "exact_join_size")
+        .orderBy("src_a", "src_b")
+    },
+    Some(
+      s"""WITH tok AS (SELECT source, unnest($W) AS w FROM documents),
+         |cnt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY source, w),
+         |cells AS (SELECT source, c, d.d * 64 +
+         |    (CAST(('0x' || substring(md5(CAST(d.d AS VARCHAR) || ':' || w), 1, 8)) AS BIGINT) % 64) AS i
+         |  FROM cnt, (SELECT unnest(generate_series(0, 3)) AS d) d),
+         |cellsum AS (SELECT source, i, CAST(sum(c) AS BIGINT) AS s
+         |  FROM cells GROUP BY source, i),
+         |ip AS (SELECT a.source AS src_a, b.source AS src_b, a.i // 64 AS d,
+         |    CAST(sum(a.s * b.s) AS BIGINT) AS p
+         |  FROM cellsum a JOIN cellsum b ON a.i = b.i AND a.source < b.source
+         |  GROUP BY 1, 2, 3),
+         |est AS (SELECT src_a, src_b, min(p) AS est_join_size
+         |  FROM ip GROUP BY 1, 2),
+         |ex AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(sum(a.c * b.c) AS BIGINT) AS exact_join_size
+         |  FROM cnt a JOIN cnt b ON a.w = b.w AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT est.src_a, est.src_b, est.est_join_size, ex.exact_join_size
+         |FROM est JOIN ex USING (src_a, src_b)
+         |ORDER BY src_a, src_b""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -6871,7 +6926,7 @@ object Queries {
     qJinjaMacro, qWeightedSample, qNgramDiversity, qSourceSimilarity,
     qMojibake, qSentences, qBbitMinhash, qWinnowing, qScriptProfile,
     qBloomSketch, qDeleteProp, qVocabStats, qIvfAdc, qPrefixJoin,
-    qRendezvous, qSortedNeighborhood
+    qRendezvous, qSortedNeighborhood, qCountMin
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

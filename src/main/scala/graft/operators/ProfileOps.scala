@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
 /** Dataset profiling + distribution-based filtering — the "look at your
   * data before you train on it" operators: per-column summary stats in
@@ -584,4 +584,121 @@ object SourceSimilarity {
       .withColumn("est_jaccard",
         col("agree").cast(DoubleType) / lit(numHashes.toDouble))
   }
+}
+
+/** Count-min sketch (Cormode & Muthukrishnan 2005, "An Improved Data
+  * Stream Summary: The Count-Min Sketch and its Applications") as a
+  * MERGEABLE, SQL-replayable table — the point-frequency member of the
+  * sketch suite ([[DistinctSketch]] cardinality, [[QuantileSketch]]
+  * ranks, [[FrequentSketch]] heavy hitters with deletion-safety,
+  * [[BloomSketch]] membership, [[OverlapSketch]] intersections). What
+  * CM uniquely adds: (1) ε-overestimate POINT queries over the full
+  * value domain, not just the top-k the frequent-items sketch retains,
+  * and (2) INNER-PRODUCT estimates between two sketched multisets —
+  * the classic equi-join SIZE estimator (est ≥ true size, always),
+  * i.e. "how big would this shuffle be" answered from two KB-sized
+  * summaries before any join runs. At 100 TB that is the planning
+  * primitive: per-source sketches are built in one pass each
+  * (exact-value partial agg first, so map-side combine collapses hot
+  * values before any shuffle; then depth cells per DISTINCT value),
+  * merge by cell-wise sum, and every downstream estimate is
+  * row-local arithmetic on two arrays.
+  *
+  * Determinism: md5-derived cell indices (the [[BloomSketch]] hashing
+  * discipline), so a DuckDB oracle replays sketches AND estimates
+  * bit-for-bit. The sketch is a flat array<long> of depth·width cells
+  * (cell d·width+c), summing under merge because each (d, value) maps
+  * to exactly one cell. */
+object CountMinSketch {
+
+  /** Column index of `value` in depth row `d` (both may be columns). */
+  def cell(value: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column,
+      width: Int): org.apache.spark.sql.Column =
+    pmod(
+      conv(substring(md5(concat(d.cast(StringType), lit(":"),
+        value.cast(StringType))), 1, 8), 16, 10).cast(LongType),
+      lit(width.toLong)).cast(IntegerType)
+
+  /** One sketch per group: (groupCols*, cm array<long> of depth·width,
+    * n_rows). Null values are not sketched (uniform with the suite). */
+  def build(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      width: Int = 64,
+      depth: Int = 4
+  ): DataFrame = {
+    require(width >= 2 && depth >= 1, s"bad shape ${depth}x$width")
+    val counts = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__cm_c"))
+    val cells = counts
+      .select(
+        groupCols.map(col) :+ col("__cm_c") :+
+          explode(
+            transform(
+              sequence(lit(0), lit(depth - 1)),
+              d => (d * width + cell(col(valueCol), d, width))
+                .cast(IntegerType))).as("__cm_i"): _*)
+      .groupBy((groupCols :+ "__cm_i").map(col): _*)
+      .agg(sum(col("__cm_c")).as("__cm_s"))
+    cells
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        map_from_entries(sort_array(
+          collect_list(struct(col("__cm_i"), col("__cm_s"))))).as("__cm_m"),
+        // every value contributes depth cells exactly once per row
+        (sum(col("__cm_s")) / depth).cast(LongType).as("n_rows"))
+      .select(
+        groupCols.map(col) :+
+          transform(
+            sequence(lit(0), lit(depth * width - 1)),
+            i => coalesce(element_at(col("__cm_m"), i), lit(0L))).as("cm") :+
+          col("n_rows"): _*)
+  }
+
+  /** Cell-wise-sum merge of shard-built sketch tables per group (input
+    * is the small sketch table — O(#shards) rows per group). */
+  def merge(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        collect_list(col("cm")).as("__cm_all"),
+        sum(col("n_rows")).as("n_rows"))
+      .select(
+        groupCols.map(col) :+
+          aggregate(
+            col("__cm_all"),
+            array_repeat(lit(0L),
+              org.apache.spark.sql.functions.size(element_at(col("__cm_all"), 1))),
+            (acc, s) => zip_with(acc, s, (x, y) => x + y),
+            a => a).as("cm") :+
+          col("n_rows"): _*)
+
+  /** Point estimate: min over depth rows of the value's cell — an
+    * overestimate of the true count, within ε·n with prob 1−δ for
+    * width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉. */
+  def estimate(sketch: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column, width: Int, depth: Int)
+      : org.apache.spark.sql.Column =
+    array_min(
+      transform(
+        sequence(lit(0), lit(depth - 1)),
+        d => element_at(sketch, d * width + cell(value, d, width) + 1)))
+
+  /** Inner-product (equi-join size) estimate between two sketched
+    * multisets: min over depth rows of Σ_c a[d][c]·b[d][c]. Always
+    * ≥ the true Σ_v count_a(v)·count_b(v). */
+  def innerProduct(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column, width: Int, depth: Int)
+      : org.apache.spark.sql.Column =
+    array_min(
+      transform(
+        sequence(lit(0), lit(depth - 1)),
+        d =>
+          aggregate(
+            sequence(lit(d * width), lit((d + 1) * width - 1)),
+            lit(0L),
+            (acc, i) => acc + element_at(a, i + 1) * element_at(b, i + 1))))
 }

@@ -245,3 +245,65 @@ class ProfileOpsSpec extends SparkSpec {
     assert(n == 100L)
   }
 }
+
+class CountMinSketchSpec extends SparkSpec {
+  import graft.operators.CountMinSketch
+  import spark.implicits._
+
+  private val W = 32
+  private val D = 4
+
+  private def multiset(n: Int, seed: Int): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(_ => s"w${rnd.nextInt(40)}")
+  }
+
+  test("point estimates overestimate, never underestimate") {
+    val vals = multiset(600, 3)
+    val truth = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val df = vals.map(v => ("g", v)).toDF("g", "v")
+    val sk = CountMinSketch.build(df, Seq("g"), "v", W, D)
+    val est = sk.select(
+      explode(
+        transform(typedLit(truth.keys.toSeq.sorted),
+          v => struct(v.as("v"),
+            CountMinSketch.estimate(col("cm"), v, W, D).as("e"))))
+        .as("x"))
+      .select("x.v", "x.e").as[(String, Long)].collect().toMap
+    truth.foreach { case (v, c) =>
+      assert(est(v) >= c, s"$v: est ${est(v)} < true $c")
+      assert(est(v) <= c + 600, s"$v: bound blown")
+    }
+    assert(sk.select("n_rows").as[Long].head() == 600L)
+  }
+
+  test("merge of shard sketches equals the sketch of the union") {
+    val a = multiset(300, 7).map(v => ("g", v))
+    val b = multiset(450, 8).map(v => ("g", v))
+    val whole = CountMinSketch
+      .build((a ++ b).toDF("g", "v"), Seq("g"), "v", W, D)
+      .select("g", "cm", "n_rows")
+    val shards = CountMinSketch.build(a.toDF("g", "v"), Seq("g"), "v", W, D)
+      .unionByName(CountMinSketch.build(b.toDF("g", "v"), Seq("g"), "v", W, D))
+    val merged = CountMinSketch.merge(shards, Seq("g"))
+      .select("g", "cm", "n_rows")
+    assert(merged.collect().toSeq == whole.collect().toSeq)
+  }
+
+  test("inner product bounds the exact equi-join size from above") {
+    val a = multiset(400, 11)
+    val b = multiset(500, 12)
+    val ca = a.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cb = b.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val exact = ca.keySet.intersect(cb.keySet)
+      .toSeq.map(v => ca(v) * cb(v)).sum
+    val ska = CountMinSketch.build(a.map(("g", _)).toDF("g", "v"), Seq("g"), "v", W, D)
+    val skb = CountMinSketch.build(b.map(("g", _)).toDF("g", "v"), Seq("g"), "v", W, D)
+    val est = ska.select(col("cm").as("cma"))
+      .crossJoin(skb.select(col("cm").as("cmb")))
+      .select(CountMinSketch.innerProduct(col("cma"), col("cmb"), W, D).as("ip"))
+      .as[Long].head()
+    assert(est >= exact, s"inner product $est < exact $exact")
+    assert(est <= exact * 3 + 2000, s"bound blown: $est vs $exact")
+  }
+}
