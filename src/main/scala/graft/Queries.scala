@@ -6870,6 +6870,63 @@ object Queries {
     )
   )
 
+  /** Stupid Backoff LM scoring ([[operators.StupidBackoff]]): every
+    * document scored against the src0-only reference corpus, so all
+    * three backoff branches fire (src0 docs mostly hit trigrams, the
+    * rest degrade through bigram/unigram). Integral ppm floors make
+    * the conditional-probability sums engine-portable. */
+  private val qStupidBackoff = Q(
+    "q208_stupid_backoff",
+    (s, dir) => {
+      val dw = docWords(s, dir)
+      StupidBackoff.score(
+          dw, "doc_id", "words",
+          dw.filter(col("source") === "src0"), "words",
+          outputField = "sb_score_ppm")
+        .select("doc_id", "n_trigrams", "sb_score_ppm")
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH w AS (SELECT doc_id, source, $W AS ws FROM documents),
+         |rt AS (SELECT unnest(ws) AS w FROM w WHERE source = 'src0'),
+         |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM rt GROUP BY w),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rt),
+         |r2 AS (SELECT ws[i] || ' ' || ws[i+1] AS g
+         |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+         |        FROM w WHERE source = 'src0' AND len(ws) >= 2)),
+         |c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM r2 GROUP BY g),
+         |r3 AS (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+         |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 2)) AS i
+         |        FROM w WHERE source = 'src0' AND len(ws) >= 3)),
+         |c3 AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM r3 GROUP BY g),
+         |pos AS (SELECT doc_id,
+         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g3,
+         |    ws[i] || ' ' || ws[i+1] AS g2h,
+         |    ws[i+1] || ' ' || ws[i+2] AS g2t,
+         |    ws[i+1] AS w2, ws[i+2] AS w3
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+         |        FROM w WHERE len(ws) >= 3)),
+         |sc AS (SELECT doc_id,
+         |    CASE WHEN c3.c IS NOT NULL THEN (1000000 * c3.c) // h2.c
+         |         WHEN t2.c IS NOT NULL THEN (1000000 * 2 * t2.c) // (5 * u2.c)
+         |         ELSE (1000000 * 4 * coalesce(u3.c, 0)) // (25 * (SELECT n FROM n))
+         |    END AS s
+         |  FROM pos
+         |  LEFT JOIN c3 ON c3.g = pos.g3
+         |  LEFT JOIN c2 h2 ON h2.g = pos.g2h
+         |  LEFT JOIN c2 t2 ON t2.g = pos.g2t
+         |  LEFT JOIN c1 u2 ON u2.w = pos.w2
+         |  LEFT JOIN c1 u3 ON u3.w = pos.w3),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |    CAST(sum(s) AS BIGINT) AS sb_score_ppm
+         |  FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(agg.n_trigrams, 0) AS n_trigrams,
+         |  coalesce(agg.sb_score_ppm, 0) AS sb_score_ppm
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -6926,7 +6983,7 @@ object Queries {
     qJinjaMacro, qWeightedSample, qNgramDiversity, qSourceSimilarity,
     qMojibake, qSentences, qBbitMinhash, qWinnowing, qScriptProfile,
     qBloomSketch, qDeleteProp, qVocabStats, qIvfAdc, qPrefixJoin,
-    qRendezvous, qSortedNeighborhood, qCountMin
+    qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

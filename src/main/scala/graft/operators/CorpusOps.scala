@@ -839,3 +839,103 @@ object CorpusStats {
       .limit(k)
   }
 }
+
+/** Stupid Backoff n-gram language-model scoring (Brants et al. 2007,
+  * "Large Language Models in Machine Translation" §4) — the
+  * distributed-counts LM the paper built for exactly this setting:
+  * corpus-scale gram tables where proper Kneser-Ney normalization
+  * would need another full pass per order, but an inexpensive
+  * backoff score ranks text just as well for selection. Each trigram
+  * position scores c(w₁w₂w₃)/c(w₁w₂), backing off to
+  * 0.4·c(w₂w₃)/c(w₂), then 0.4²·c(w₃)/N. Complements
+  * [[LmScore.familiarity]] (flat summed gram counts — no
+  * conditioning): Stupid Backoff scores CONDITIONAL predictability,
+  * so boilerplate built from individually-common words no longer
+  * outranks fluent rare-word text.
+  *
+  * Scale shape: three reference gram tables built with map-side
+  * combine (one row per DISTINCT gram survives each shuffle), one
+  * trigram-position explode of the scored docs, five left equi-joins
+  * on gram keys (head grams are hot on the probe side, unique on the
+  * build side — AQE skew-split territory), one per-doc aggregation.
+  * N (total reference tokens) is a single driver long. All arithmetic
+  * is floor-scaled ppm (the 0.4 factors fold as ×2/5 and ×4/25 inside
+  * the floor), so a SQL oracle replays scores exactly. */
+object StupidBackoff {
+  import graft.functions.functions.integral_divide
+
+  /** Append `outputField` (ppm sum over trigram positions) and
+    * `countField` (#positions) to `docs`, scoring `wordsField` against
+    * `reference`'s gram counts. Docs with <3 words score 0 over 0. */
+  def score(
+      docs: DataFrame,
+      idField: String,
+      wordsField: String,
+      reference: DataFrame,
+      refWordsField: String,
+      scale: Long = 1000000L,
+      outputField: String = "sb_score",
+      countField: String = "n_trigrams"
+  ): DataFrame = {
+    val refTok = reference.select(explode(col(refWordsField)).as("__sb_w"))
+    val c1 = refTok.groupBy(col("__sb_w")).agg(count(lit(1)).as("__sb_c1"))
+    val c2 = reference
+      .select(explode(Decontaminate.ngrams(col(refWordsField), 2)).as("__sb_g2"))
+      .groupBy(col("__sb_g2")).agg(count(lit(1)).as("__sb_c2"))
+    val c3 = reference
+      .select(explode(Decontaminate.ngrams(col(refWordsField), 3)).as("__sb_g3"))
+      .groupBy(col("__sb_g3")).agg(count(lit(1)).as("__sb_c3"))
+    // O(1) driver state: the unigram normalizer
+    val nTotal = refTok.count()
+    val w = col(wordsField)
+    val pos = docs
+      .select(
+        col(idField).as("__sb_id"),
+        explode(
+          when(
+            size(w) >= 3,
+            transform(
+              sequence(lit(0), size(w) - 3),
+              i =>
+                struct(
+                  concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2),
+                    element_at(w, i + 3)).as("g3"),
+                  concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))
+                    .as("g2h"),
+                  concat_ws(" ", element_at(w, i + 2), element_at(w, i + 3))
+                    .as("g2t"),
+                  element_at(w, i + 2).as("w2"),
+                  element_at(w, i + 3).as("w3"))))
+            .otherwise(array().cast(
+              "array<struct<g3:string,g2h:string,g2t:string,w2:string,w3:string>>")))
+          .as("__sb_p"))
+      .select(col("__sb_id"), col("__sb_p.*"))
+    val joined = pos
+      .join(c3, pos("g3") === c3("__sb_g3"), "left")
+      .join(c2.select(col("__sb_g2").as("__sb_g2h_k"), col("__sb_c2").as("__sb_c2h")),
+        pos("g2h") === col("__sb_g2h_k"), "left")
+      .join(c2.select(col("__sb_g2").as("__sb_g2t_k"), col("__sb_c2").as("__sb_c2t")),
+        pos("g2t") === col("__sb_g2t_k"), "left")
+      .join(c1.select(col("__sb_w").as("__sb_w2_k"), col("__sb_c1").as("__sb_c1w2")),
+        pos("w2") === col("__sb_w2_k"), "left")
+      .join(c1.select(col("__sb_w").as("__sb_w3_k"), col("__sb_c1").as("__sb_c1w3")),
+        pos("w3") === col("__sb_w3_k"), "left")
+    val s = when(col("__sb_c3").isNotNull,
+        integral_divide(lit(scale) * col("__sb_c3"), col("__sb_c2h")))
+      .otherwise(when(col("__sb_c2t").isNotNull,
+        integral_divide(lit(scale) * 2L * col("__sb_c2t"),
+          lit(5L) * col("__sb_c1w2")))
+      .otherwise(integral_divide(
+        lit(scale) * 4L * coalesce(col("__sb_c1w3"), lit(0L)),
+        lit(25L * nTotal))))
+    val agg = joined
+      .groupBy(col("__sb_id"))
+      .agg(count(lit(1)).as("__sb_n"), sum(s).as("__sb_s"))
+    docs
+      .join(agg, docs(idField) === agg("__sb_id"), "left")
+      .drop("__sb_id")
+      .withColumn(countField, coalesce(col("__sb_n"), lit(0L)))
+      .withColumn(outputField, coalesce(col("__sb_s"), lit(0L)))
+      .drop("__sb_n", "__sb_s")
+  }
+}

@@ -494,3 +494,43 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 }
+
+class StupidBackoffSpec extends SparkSpec {
+  import graft.operators.StupidBackoff
+  import spark.implicits._
+
+  // reference: tokens a,b,c,b,c,d -> N=6; c1 a=1 b=2 c=2 d=1;
+  // c2 "a b"=1 "b c"=2 "c d"=1; c3 "a b c"=1 "b c d"=1
+  private lazy val ref = Seq(Seq("a", "b", "c"), Seq("b", "c", "d"))
+    .toDF("words")
+
+  private def scored(docs: Seq[(Long, Seq[String])]): Map[Long, (Long, Long)] =
+    StupidBackoff.score(docs.toDF("id", "words"), "id", "words", ref, "words")
+      .select("id", "n_trigrams", "sb_score")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("all three backoff branches score their hand-computed values") {
+    val got = scored(Seq(
+      (1L, Seq("a", "b", "c", "d", "e")), // trigram hits + dead unigram
+      (2L, Seq("x", "b", "c", "y")),      // bigram backoff + dead unigram
+      (3L, Seq("x", "y", "d")),           // unigram backoff
+      (4L, Seq("q", "d"))))               // <3 words
+    // (a,b,c): 1e6*1/1; (b,c,d): 1e6*1/2; (c,d,e): unseen w3=e -> 0
+    assert(got(1L) == (3L, 1000000L + 500000L))
+    // (x,b,c): 0.4 * c2("b c")/c1(b) = 2/5*1e6*2/2; (b,c,y): 0
+    assert(got(2L) == (2L, 400000L))
+    // (x,y,d): 0.16 * c1(d)/N = floor(4e6*1/(25*6))
+    assert(got(3L) == (1L, 26666L))
+    assert(got(4L) == (0L, 0L))
+  }
+
+  test("conditional scoring outranks familiarity on gram-order violations") {
+    // same word multiset, scrambled order: familiarity can't tell them
+    // apart at the unigram level, Stupid Backoff collapses to the
+    // 0.4^2 unigram floor on every position
+    val fluent = scored(Seq((1L, Seq("a", "b", "c", "d"))))(1L)._2
+    val scrambled = scored(Seq((1L, Seq("d", "a", "c", "b"))))(1L)._2
+    assert(fluent > 10 * scrambled, s"$fluent vs $scrambled")
+  }
+}
