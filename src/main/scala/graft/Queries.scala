@@ -6927,6 +6927,62 @@ object Queries {
     )
   )
 
+  /** Per-group top-k as a bounded-heap aggregate
+    * ([[operators.GroupTopK.perGroup]]): top-3 documents per
+    * (source, lang) by length. The plan is two ObjectHashAggregate
+    * stages — only k survivors per group per partition cross the
+    * shuffle — where the window-rank idiom the oracle uses would
+    * shuffle every row. */
+  private val qGroupTopK = Q(
+    "q209_group_topk",
+    (s, dir) =>
+      GroupTopK
+        .perGroup(
+          T(s, dir, "documents"),
+          Seq("source", "lang"),
+          Seq(col("n_chars"), col("doc_id")),
+          k = 3)
+        .select("source", "lang", "rank", "n_chars", "doc_id")
+        .orderBy("source", "lang", "rank"),
+    Some(
+      """SELECT source, lang, rank, n_chars, doc_id FROM (
+        |  SELECT source, lang, n_chars, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source, lang
+        |      ORDER BY n_chars DESC, doc_id DESC) AS INTEGER) AS rank
+        |  FROM documents)
+        |WHERE rank <= 3
+        |ORDER BY source, lang, rank""".stripMargin
+    )
+  )
+
+  /** Exact-k deterministic per-group sampling in one aggregation pass
+    * ([[operators.GroupTopK.sampleK]]): 5 events per event_type,
+    * chosen by ascending md5(event_id) so any engine replays the same
+    * sample. Unlike rate-based sampling this needs no group-size
+    * knowledge and yields exactly min(k, |group|) rows. */
+  private val qGroupSample = Q(
+    "q210_group_sample",
+    (s, dir) =>
+      GroupTopK
+        .sampleK(
+          T(s, dir, "events").select("event_type", "event_id", "user_id"),
+          Seq("event_type"),
+          "event_id",
+          k = 5,
+          hasher = c => md5(c.cast("string")))
+        .select("event_type", "event_id", "user_id")
+        .orderBy("event_type", "event_id"),
+    Some(
+      """SELECT event_type, event_id, user_id FROM (
+        |  SELECT event_type, event_id, user_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 5
+        |ORDER BY event_type, event_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -6983,7 +7039,8 @@ object Queries {
     qJinjaMacro, qWeightedSample, qNgramDiversity, qSourceSimilarity,
     qMojibake, qSentences, qBbitMinhash, qWinnowing, qScriptProfile,
     qBloomSketch, qDeleteProp, qVocabStats, qIvfAdc, qPrefixJoin,
-    qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff
+    qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
+    qGroupTopK, qGroupSample
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
