@@ -6983,6 +6983,42 @@ object Queries {
     )
   )
 
+  /** Z-order clustering key ([[operators.ZOrderLayout.zvalue]] /
+    * [[graft.functions.InterleaveBitsExpr]]): the Morton interleave of
+    * (customer, order-day) every orders row would be range-partitioned
+    * and sorted by in an `OPTIMIZE ZORDER BY` rewrite. The oracle
+    * replays the interleave bit-by-bit with integer shifts, so the
+    * codegen'd expression is pinned exactly. (The layout step itself —
+    * sampled range bounds — is covered by LayoutOpsSpec; partition
+    * bounds are not oracle-expressible.) */
+  private val qZOrderKey = Q(
+    "q211_zorder_key",
+    (s, dir) =>
+      T(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          ZOrderLayout
+            .zvalue(
+              Seq(
+                col("o_custkey"),
+                datediff(col("o_orderdate").cast("date"),
+                  to_date(lit("1970-01-01")))),
+              bits = 21)
+            .as("zval"))
+        .orderBy("o_orderkey"),
+    Some(
+      """SELECT o_orderkey,
+        |  (SELECT CAST(sum((((o_custkey >> b.b) & 1) << (2*b.b)) +
+        |                   (((dd >> b.b) & 1) << (2*b.b + 1))) AS BIGINT)
+        |   FROM generate_series(0, 20) b(b)) AS zval
+        |FROM (SELECT o_orderkey, o_custkey,
+        |        CAST(datediff('day', DATE '1970-01-01',
+        |          CAST(o_orderdate AS DATE)) AS BIGINT) AS dd
+        |      FROM orders)
+        |ORDER BY o_orderkey""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -7040,7 +7076,7 @@ object Queries {
     qMojibake, qSentences, qBbitMinhash, qWinnowing, qScriptProfile,
     qBloomSketch, qDeleteProp, qVocabStats, qIvfAdc, qPrefixJoin,
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
-    qGroupTopK, qGroupSample
+    qGroupTopK, qGroupSample, qZOrderKey
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

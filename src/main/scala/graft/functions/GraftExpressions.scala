@@ -314,9 +314,79 @@ case class CdcBoundariesExpr(
 }
 
 /** Column-API wrappers. */
+/** interleave_bits(c1, c2[, c3], bits): Morton / Z-order interleave of
+  * the low `bits` bits of 2-3 non-negative long columns into one long —
+  * bit b of child i lands at position `b·n + i`. The data-layout
+  * primitive behind multi-dimensional file clustering (Delta/Iceberg
+  * `OPTIMIZE ZORDER BY`): range-partition + sort by the z-value and
+  * rows close in EVERY dimension land in the same file, so per-file
+  * min/max statistics prune scans for predicates on ANY prefix-free
+  * combination of the dimensions — the thing a single-column sort can
+  * only give you for its leading column. Pure long arithmetic with
+  * real whole-stage codegen; higher bits than `bits` are ignored
+  * (callers bucket/normalize first). */
+case class InterleaveBitsExpr(children: Seq[Expression], bits: Int)
+    extends Expression {
+  require(children.size >= 2 && children.size <= 3,
+    s"interleave_bits takes 2 or 3 columns, got ${children.size}")
+  require(bits >= 1 && children.size * bits <= 63,
+    s"need 1 <= bits and n*bits <= 63, got n=${children.size} bits=$bits")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def eval(input: InternalRow): Any = {
+    val n = children.size
+    var z = 0L
+    var i = 0
+    while (i < n) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      val x = v.asInstanceOf[Long]
+      var b = 0
+      while (b < bits) {
+        z |= ((x >>> b) & 1L) << (b * n + i)
+        b += 1
+      }
+      i += 1
+    }
+    z
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evals = children.map(_.genCode(ctx))
+    val n = children.size
+    val b = ctx.freshName("b")
+    val nullCond = evals.map(_.isNull.toString).mkString(" || ")
+    val body = evals.zipWithIndex
+      .map { case (e, i) =>
+        s"${ev.value} |= ((${e.value} >>> $b) & 1L) << ($b * $n + $i);"
+      }
+      .mkString("\n")
+    val childCode = evals.map(_.code).reduce(_ + _)
+    ev.copy(code = code"""
+      $childCode
+      boolean ${ev.isNull} = $nullCond;
+      long ${ev.value} = 0L;
+      if (!${ev.isNull}) {
+        for (int $b = 0; $b < $bits; $b++) {
+          $body
+        }
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): InterleaveBitsExpr =
+    copy(children = newChildren)
+}
+
 object functions {
   def simhash64(words: Column): Column =
     toCol(SimHash64Expr(expression(words)))
+
+  def interleave_bits(cols: Seq[Column], bits: Int = 21): Column =
+    toCol(InterleaveBitsExpr(cols.map(c => expression(c.cast("long"))), bits))
 
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     toCol(MinHashSigExpr(expression(shingles), numHashes))
