@@ -7019,6 +7019,134 @@ object Queries {
     )
   )
 
+  /** Cross-source score calibration
+    * ([[operators.ScoreCalibration.percentileRank]]): every document's
+    * length percentile WITHIN its source (integral rank arithmetic),
+    * plus the uniform top-20% survival flag a raw global threshold
+    * cannot deliver. Partitioned window — no global sort. */
+  private val qScoreCalibration = Q(
+    "q212_score_calibration",
+    (s, dir) =>
+      ScoreCalibration
+        .percentileRank(
+          T(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          Seq("source"),
+          "n_chars",
+          outputField = "cal_ppm")
+        .withColumn("kept_top20", (col("cal_ppm") >= 800000L).cast("int"))
+        .orderBy("doc_id"),
+    Some(
+      """SELECT doc_id, source, n_chars,
+        |  CAST(CASE WHEN n = 1 THEN 0
+        |       ELSE ((r - 1) * 1000000) // (n - 1) END AS BIGINT) AS cal_ppm,
+        |  CAST(CASE WHEN n = 1 THEN 0
+        |       ELSE ((r - 1) * 1000000) // (n - 1) END >= 800000
+        |    AS INTEGER) AS kept_top20
+        |FROM (SELECT doc_id, source, n_chars,
+        |        rank() OVER (PARTITION BY source ORDER BY n_chars) AS r,
+        |        count(*) OVER (PARTITION BY source) AS n
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Fellegi–Sunter record linkage ([[operators.RecordLinkage]]):
+    * sorted-neighborhood candidate pairs (consecutive doc_ids within a
+    * source — a partitioned window, no self-join), scored on three
+    * field agreements with driver-folded integer log-odds weights and
+    * split match/review/nonmatch. The oracle replays the same literal
+    * weights, so the whole decision surface is hash-pinned. */
+  private val qRecordLinkage = {
+    val (awLang, dwLang) = RecordLinkage.weights(950000, 300000)
+    val (awLen, dwLen) = RecordLinkage.weights(800000, 100000)
+    val (awT8, dwT8) = RecordLinkage.weights(700000, 10000)
+    Q(
+      "q213_record_linkage",
+      (s, dir) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+        val pairs = T(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+            substring(col("text"), 1, 8).as("t8"))
+          .withColumn("r_doc_id", lead("doc_id", 1).over(w))
+          .withColumn("r_lang", lead("lang", 1).over(w))
+          .withColumn("r_nc", lead("n_chars", 1).over(w))
+          .withColumn("r_t8", lead("t8", 1).over(w))
+          .filter(col("r_doc_id").isNotNull)
+        RecordLinkage
+          .classify(
+            RecordLinkage.score(pairs, Seq(
+              RecordLinkage.Field(col("lang") === col("r_lang"), 950000, 300000),
+              RecordLinkage.Field(
+                floor(col("n_chars") / lit(100)) === floor(col("r_nc") / lit(100)),
+                800000, 100000),
+              RecordLinkage.Field(col("t8") === col("r_t8"), 700000, 10000))),
+            upperMilli = 3000, lowerMilli = 0)
+          .select("doc_id", "r_doc_id", "fs_score_milli", "fs_class")
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH p AS (
+           |  SELECT doc_id, lang, n_chars, substring(text, 1, 8) AS t8,
+           |    lead(doc_id) OVER w AS r_doc_id,
+           |    lead(lang) OVER w AS r_lang,
+           |    lead(n_chars) OVER w AS r_nc,
+           |    lead(substring(text, 1, 8)) OVER w AS r_t8
+           |  FROM documents
+           |  WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+           |sc AS (
+           |  SELECT doc_id, r_doc_id, CAST(
+           |      CASE WHEN lang = r_lang THEN $awLang ELSE $dwLang END
+           |    + CASE WHEN floor(n_chars / 100) = floor(r_nc / 100)
+           |        THEN $awLen ELSE $dwLen END
+           |    + CASE WHEN t8 = r_t8 THEN $awT8 ELSE $dwT8 END AS BIGINT)
+           |      AS fs_score_milli
+           |  FROM p WHERE r_doc_id IS NOT NULL)
+           |SELECT doc_id, r_doc_id, fs_score_milli,
+           |  CASE WHEN fs_score_milli >= 3000 THEN 'match'
+           |       WHEN fs_score_milli <= 0 THEN 'nonmatch'
+           |       ELSE 'review' END AS fs_class
+           |FROM sc ORDER BY doc_id""".stripMargin
+      )
+    )
+  }
+
+  /** Data-quality expectations ([[operators.Expectations]]): the
+    * one-pass audit (per-check violation counts) plus the quarantine
+    * head-count, over four invariants on documents. Oracle replays the
+    * same CASE arithmetic; the audit shuffles O(#checks) rows. */
+  private val qExpectations = Q(
+    "q214_expectations",
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+      val checks = Seq(
+        Expectations.notNull("text"),
+        Expectations.oneOf("lang", Seq("en", "de", "fr", "es")),
+        Expectations.inRange("n_chars", 200, 100000))
+      Expectations
+        .audit(d, checks)
+        .orderBy("check_name")
+    },
+    Some(
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+        |    CAST(sum(CASE WHEN lang NOT IN ('en','de','fr','es')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_lang,
+        |    CAST(sum(CASE WHEN n_chars IS NULL OR n_chars < 200
+        |      OR n_chars > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS v_range
+        |  FROM documents)
+        |SELECT check_name, n_rows, n_violations,
+        |  CAST(n_violations = 0 AS INTEGER) AS pass FROM (
+        |  SELECT 'not_null:text' AS check_name, n AS n_rows,
+        |    v_null AS n_violations FROM a
+        |  UNION ALL
+        |  SELECT 'one_of:lang', n, v_lang FROM a
+        |  UNION ALL
+        |  SELECT 'in_range:n_chars', n, v_range FROM a)
+        |ORDER BY check_name""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -7076,7 +7204,7 @@ object Queries {
     qMojibake, qSentences, qBbitMinhash, qWinnowing, qScriptProfile,
     qBloomSketch, qDeleteProp, qVocabStats, qIvfAdc, qPrefixJoin,
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
-    qGroupTopK, qGroupSample, qZOrderKey
+    qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -440,3 +440,77 @@ object SortedNeighborhood {
     out
   }
 }
+
+/** Fellegi–Sunter probabilistic record-linkage scoring (Fellegi &
+  * Sunter 1969, "A Theory for Record Linkage") — the decision layer on
+  * top of the blocking operators ([[SortedNeighborhood]],
+  * [[EditDistanceDedup]]'s deletion neighborhoods, LSH buckets): each
+  * candidate pair gets a log-odds score summing per-field agreement
+  * weights log2(m/u) / disagreement weights log2((1-m)/(1-u)), where m
+  * is the field's agreement probability among true matches and u among
+  * non-matches. Scores above an upper threshold auto-link, below a
+  * lower threshold auto-reject, between them go to clerical review —
+  * the three-way split that bounds BOTH error rates.
+  *
+  * Engine parity: the logs are evaluated ONCE on the driver and
+  * folded into per-field integer milli-weights (the m/u estimates are
+  * configuration, not data), so the pair scoring itself is pure
+  * integer addition over codegen'd `when` branches — exact in any
+  * engine, no floating point in the distributed path.
+  *
+  * Scale shape: a narrow projection over the (already-blocked) pair
+  * table — no shuffle, no state; cost is proportional to candidate
+  * pairs, which blocking already bounded. */
+object RecordLinkage {
+
+  /** Per-field match evidence: `agree` is any boolean Column over the
+    * pair row (exact equality, normalized equality, edit-distance
+    * bound...); `mPpm`/`uPpm` are the field's agreement rates (ppm)
+    * among matches / non-matches. */
+  final case class Field(agree: Column, mPpm: Long, uPpm: Long) {
+    require(mPpm > 0 && mPpm < 1000000L, s"mPpm out of (0,1e6): $mPpm")
+    require(uPpm > 0 && uPpm < 1000000L, s"uPpm out of (0,1e6): $uPpm")
+    require(mPpm > uPpm, s"a discriminating field needs m > u ($mPpm <= $uPpm)")
+  }
+
+  /** Driver-side weight fold: (agreement, disagreement) log2-odds in
+    * milli-units. */
+  def weights(mPpm: Long, uPpm: Long, scale: Long = 1000L): (Long, Long) = {
+    val log2 = math.log(2.0)
+    val m = mPpm / 1e6
+    val u = uPpm / 1e6
+    (math.round(math.log(m / u) / log2 * scale),
+      math.round(math.log((1 - m) / (1 - u)) / log2 * scale))
+  }
+
+  /** Append `outputField`: the summed milli-weight log-odds score. */
+  def score(
+      pairs: DataFrame,
+      fields: Seq[Field],
+      outputField: String = "fs_score_milli",
+      scale: Long = 1000L
+  ): DataFrame = {
+    require(fields.nonEmpty, "record linkage needs at least one field")
+    val terms = fields.map { f =>
+      val (aw, dw) = weights(f.mPpm, f.uPpm, scale)
+      when(f.agree, lit(aw)).otherwise(lit(dw))
+    }
+    pairs.withColumn(outputField, terms.reduce(_ + _))
+  }
+
+  /** Three-way Fellegi–Sunter decision: match / review / nonmatch. */
+  def classify(
+      scored: DataFrame,
+      scoreField: String = "fs_score_milli",
+      upperMilli: Long = 3000L,
+      lowerMilli: Long = 0L,
+      outputField: String = "fs_class"
+  ): DataFrame = {
+    require(upperMilli >= lowerMilli, "upper threshold below lower")
+    scored.withColumn(
+      outputField,
+      when(col(scoreField) >= upperMilli, lit("match"))
+        .when(col(scoreField) <= lowerMilli, lit("nonmatch"))
+        .otherwise(lit("review")))
+  }
+}

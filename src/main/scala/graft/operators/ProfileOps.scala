@@ -702,3 +702,63 @@ object CountMinSketch {
             lit(0L),
             (acc, i) => acc + element_at(a, i + 1) * element_at(b, i + 1))))
 }
+
+/** Cross-source score calibration — make quality scores COMPARABLE
+  * across sources before any global threshold touches them. A raw
+  * score distribution is source-conditional (a fastText-style quality
+  * 0.6 on web crawl and 0.6 on curated books mean different things);
+  * thresholding the raw value silently over-keeps whichever source's
+  * classifier runs hot, skewing the mixture. The standard fix (CCNet's
+  * per-language buckets generalized) is rank calibration: replace each
+  * score by its percentile WITHIN its source, then threshold the
+  * percentile — every source keeps the same fraction, and downstream
+  * temperature/quota mixing starts from a level field.
+  *
+  * Engine parity: the percentile is the integral
+  * `(rank-1)·scale div (n-1)` (rank ties share a value, n=1 maps to
+  * 0), no IEEE division anywhere, so any engine replays it exactly.
+  *
+  * Scale shape: one PARTITIONED window per source (each source sorts
+  * only its own rows — no global sort, no driver state); the group
+  * count rides the same exchange as the rank. At 100 TB a hot source
+  * is one sorted shuffle partition-set, not a single machine's sort.
+  */
+object ScoreCalibration {
+
+  /** Append `outputField`: the 0..`scale` integral percentile rank of
+    * `scoreCol` within its `groupCols` population. */
+  def percentileRank(
+      df: DataFrame,
+      groupCols: Seq[String],
+      scoreCol: String,
+      outputField: String = "score_ppm",
+      scale: Long = 1000000L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.functions.integral_divide
+    require(groupCols.nonEmpty, "calibration needs at least one group column")
+    val byGroup = Window.partitionBy(groupCols.map(col): _*)
+    val r = rank().over(byGroup.orderBy(col(scoreCol)))
+    val n = count(lit(1)).over(byGroup)
+    df.withColumn(
+      outputField,
+      when(n === 1, lit(0L)).otherwise(
+        integral_divide((r.cast("long") - 1) * scale, n.cast("long") - 1)))
+  }
+
+  /** Keep the top `fraction` of every group by calibrated score — the
+    * uniform-survival-rate filter raw thresholds can't give you. */
+  def keepTopFraction(
+      df: DataFrame,
+      groupCols: Seq[String],
+      scoreCol: String,
+      fraction: Double,
+      scale: Long = 1000000L
+  ): DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"bad fraction $fraction")
+    val cutoff = scale - (fraction * scale).toLong
+    percentileRank(df, groupCols, scoreCol, "__sc_ppm", scale)
+      .filter(col("__sc_ppm") >= cutoff)
+      .drop("__sc_ppm")
+  }
+}

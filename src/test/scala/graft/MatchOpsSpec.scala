@@ -212,3 +212,54 @@ class SortedNeighborhoodSpec extends SparkSpec {
     assert(got.count() == 50L * (w - 1) - w.toLong * (w - 1) / 2)
   }
 }
+
+class RecordLinkageSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.RecordLinkage
+  import graft.operators.RecordLinkage.Field
+
+  test("weights: hand-checked log2 odds in milli-units") {
+    // m=0.5, u=0.25 -> log2(2)=1 -> 1000; log2(0.5/0.75)=-0.585 -> -585
+    assert(RecordLinkage.weights(500000, 250000) == (1000L, -585L))
+    // m=0.9, u=0.1 -> log2(9)=3.1699 -> 3170; log2(0.1/0.9) -> -3170
+    assert(RecordLinkage.weights(900000, 100000) == (3170L, -3170L))
+  }
+
+  test("score sums per-field agreement/disagreement weights; classify splits 3-way") {
+    val pairs = Seq(
+      (1L, true, true),   // both agree: 1000 + 3170 = 4170 -> match
+      (2L, true, false),  // 1000 - 3170 = -2170 -> nonmatch
+      (3L, false, true),  // -585 + 3170 = 2585 -> review
+      (4L, false, false)  // -585 - 3170 = -3755 -> nonmatch
+    ).toDF("id", "a1", "a2")
+    val out = RecordLinkage.classify(
+      RecordLinkage.score(pairs, Seq(
+        Field(col("a1"), 500000, 250000),
+        Field(col("a2"), 900000, 100000))),
+      upperMilli = 3000, lowerMilli = 0)
+      .select("id", "fs_score_milli", "fs_class")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == (4170L, "match"))
+    assert(out(2L) == (-2170L, "nonmatch"))
+    assert(out(3L) == (2585L, "review"))
+    assert(out(4L) == (-3755L, "nonmatch"))
+  }
+
+  test("non-discriminating or degenerate field configs are rejected") {
+    intercept[IllegalArgumentException](Field(lit(true), 300000, 300000))
+    intercept[IllegalArgumentException](Field(lit(true), 1000000, 10))
+    intercept[IllegalArgumentException](
+      RecordLinkage.score(Seq((1L, true)).toDF("id", "a"), Nil))
+  }
+
+  test("scoring is a pure projection — no shuffle, no window") {
+    val pairs = spark.range(100).select(
+      col("id"), (col("id") % 2 === 0).as("a1"), (col("id") % 3 === 0).as("a2"))
+    val plan = RecordLinkage.score(pairs, Seq(
+      Field(col("a1"), 500000, 250000),
+      Field(col("a2"), 900000, 100000))).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Window"), plan)
+  }
+}

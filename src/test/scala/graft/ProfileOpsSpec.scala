@@ -307,3 +307,45 @@ class CountMinSketchSpec extends SparkSpec {
     assert(est <= exact * 3 + 2000, s"bound blown: $est vs $exact")
   }
 }
+
+class ScoreCalibrationSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.ScoreCalibration
+
+  private lazy val df = Seq(
+    ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 20L), ("a", 4L, 40L),
+    ("a", 5L, 50L),
+    ("b", 6L, 999L), // singleton group
+    ("c", 7L, 1L), ("c", 8L, 2L)
+  ).toDF("src", "id", "score")
+
+  test("percentileRank: integral rank calibration, ties share, n=1 -> 0") {
+    val got = ScoreCalibration
+      .percentileRank(df, Seq("src"), "score")
+      .select("id", "score_ppm").as[(Long, Long)].collect().toMap
+    // group a (n=5): ranks 1,2,2,4,5 -> (r-1)*1e6 div 4
+    assert(got(1L) == 0L && got(2L) == 250000L && got(3L) == 250000L)
+    assert(got(4L) == 750000L && got(5L) == 1000000L)
+    assert(got(6L) == 0L) // singleton
+    assert(got(7L) == 0L && got(8L) == 1000000L)
+  }
+
+  test("keepTopFraction keeps a uniform per-group fraction") {
+    val kept = ScoreCalibration
+      .keepTopFraction(df, Seq("src"), "score", 0.25)
+      .select("id").as[Long].collect().toSet
+    // cutoff 750000: a keeps ranks >= 4 (ids 4,5); b's singleton (0) drops;
+    // c keeps its max (id 8)
+    assert(kept == Set(4L, 5L, 8L))
+    assert(ScoreCalibration.keepTopFraction(df, Seq("src"), "score", 1.0)
+      .count() == 8) // fraction 1 keeps everything (cutoff 0)
+  }
+
+  test("window is partitioned — no global sort in the plan") {
+    val plan = ScoreCalibration
+      .percentileRank(df, Seq("src"), "score")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+    assert(!plan.toLowerCase.contains("singlepartition"), plan)
+  }
+}
