@@ -7147,6 +7147,49 @@ object Queries {
     )
   )
 
+  /** DCT perceptual hash ([[operators.ImagePHash]]): 64-bit pHash per
+    * media row over the deterministic byte-fallback decode (corpus
+    * payloads are not images — the real-codec leg is pinned by
+    * ImagePHashSpec). The integer cosine table is evaluated once on
+    * the driver and interpolated into BOTH engines, so the full
+    * 2-D DCT + median threshold replays bit-for-bit; HUGEINT
+    * accumulation then two's-complement to BIGINT as in q162. */
+  private val qImagePHash = {
+    val ct = Multimodal.pHashCosTable.flatten.mkString("[", ", ", "]")
+    Q(
+      "q215_image_phash",
+      (s, dir) =>
+        ImagePHash("media", "phash")(
+          docs(s, dir).withColumn(
+            "media",
+            Multimodal.asMedia(col("text").cast(BinaryType),
+              "application/octet-stream")))
+          .select("doc_id", "phash")
+          .orderBy("doc_id"),
+      Some(
+        s"""WITH ct AS (SELECT $ct::BIGINT[] AS c),
+           |px AS (SELECT doc_id, list_transform(range(1024),
+           |    i -> ord(substring(text, CAST(i % length(text) AS INT) + 1, 1))) AS l
+           |  FROM documents),
+           |f AS (SELECT doc_id, k, CAST(sum(
+           |      c[(k // 8) * 32 + x + 1] * c[(k % 8) * 32 + y + 1]
+           |        * l[y * 32 + x + 1]) AS BIGINT) AS coef
+           |  FROM px, ct, range(64) tk(k), range(32) tx(x), range(32) ty(y)
+           |  GROUP BY doc_id, k),
+           |fl AS (SELECT doc_id, list(coef ORDER BY k) AS fs FROM f GROUP BY doc_id),
+           |th AS (SELECT doc_id, fs, list_sort(fs[2:64])[32] AS t FROM fl),
+           |hv AS (SELECT doc_id,
+           |    coalesce((SELECT sum(CASE WHEN fs[k + 1] > t
+           |        THEN 1::HUGEINT << CAST(k AS INT) ELSE 0::HUGEINT END)
+           |      FROM range(64) q(k)), 0::HUGEINT) AS v
+           |  FROM th)
+           |SELECT doc_id, CAST(CASE WHEN v >= (1::HUGEINT << 63)
+           |    THEN v - (1::HUGEINT << 64) ELSE v END AS BIGINT) AS phash
+           |FROM hv ORDER BY doc_id""".stripMargin
+      )
+    )
+  }
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -7204,7 +7247,7 @@ object Queries {
     qMojibake, qSentences, qBbitMinhash, qWinnowing, qScriptProfile,
     qBloomSketch, qDeleteProp, qVocabStats, qIvfAdc, qPrefixJoin,
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
-    qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations
+    qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

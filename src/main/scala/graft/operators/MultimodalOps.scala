@@ -253,6 +253,77 @@ object Multimodal {
     h
   }
 
+  /** Integer DCT-II cosine table for [[imagePHash]]:
+    * round(cos((2x+1)·u·π/64) · 10000) for u ∈ [0,8), x ∈ [0,32).
+    * Evaluated ONCE on the driver from `math.cos` and interpolated
+    * literally into the SQL oracle, so both engines multiply the same
+    * integers — no trig in the distributed path. */
+  lazy val pHashCosTable: Array[Array[Long]] =
+    Array.tabulate(8, 32)((u, x) =>
+      math.round(math.cos((2 * x + 1) * u * math.Pi / 64) * 10000))
+
+  /** DCT perceptual hash (Krawetz pHash shape): 32×32 luma decode →
+    * integer 2-D DCT-II (no normalization constants — thresholding
+    * only compares coefficients) → top-left 8×8 low-frequency block →
+    * bit k set when coefficient k exceeds the MEDIAN of the 63 non-DC
+    * coefficients (32nd smallest — 31 below, 31 at-or-above). Where
+    * [[imageDHash]] keys on local gradients (robust to recompression,
+    * brittle to resizing), the DCT footprint survives resize/rescale
+    * and mild blur — the two hashes band into the same pigeonhole
+    * pairing layer and catch complementary near-dup classes. All
+    * arithmetic is exact BIGINT (|coef| ≤ 255·10⁸·1024 < 2⁶³), and the
+    * separable row/column evaluation is plain integer-sum
+    * reassociation, so any engine replays the hash bit-for-bit. */
+  def imagePHash(bytes: Array[Byte]): Long = {
+    if (bytes == null || bytes.isEmpty) return 0L
+    val luma = decodeImage(bytes, 32, 32)
+    val c = pHashCosTable
+    // g(u)(y) = Σ_x C[u][x] · l[y·32+x]   (luma is integer-valued)
+    val g = Array.ofDim[Long](8, 32)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 32) {
+        var s = 0L
+        var x = 0
+        while (x < 32) {
+          s += c(u)(x) * luma(y * 32 + x).toLong
+          x += 1
+        }
+        g(u)(y) = s
+        y += 1
+      }
+      u += 1
+    }
+    // f(u·8+v) = Σ_y C[v][y] · g(u)(y)
+    val f = new Array[Long](64)
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var y = 0
+        while (y < 32) {
+          s += c(v)(y) * g(u)(y)
+          y += 1
+        }
+        f(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val sorted = java.util.Arrays.copyOfRange(f, 1, 64)
+    java.util.Arrays.sort(sorted)
+    val t = sorted(31)
+    var h = 0L
+    var k = 0
+    while (k < 64) {
+      if (f(k) > t) h |= 1L << k
+      k += 1
+    }
+    h
+  }
+
   /** Audio fingerprint, dHash-style: decode the first `65·win` samples
     * ([[decodeAudio]] — real WAV/AIFF/AU PCM, deterministic byte
     * fallback), take 65 contiguous windows' absolute-amplitude energy,
@@ -321,6 +392,22 @@ final case class ImageDHash(
   override protected def build(df: DataFrame): DataFrame = {
     val dhash = udf { (bytes: Array[Byte]) => Multimodal.imageDHash(bytes) }
     df.withColumn(outputField, dhash(col(s"$mediaField.bytes")))
+  }
+}
+
+/** DCT perceptual hash per media row ([[Multimodal.imagePHash]]):
+  * resize-robust complement to [[ImageDHash]], same 64-bit output,
+  * same banded pairing layer downstream. Narrow, partition-parallel;
+  * raw image bytes never shuffle. */
+final case class ImagePHash(
+    mediaField: String,
+    outputField: String = "phash"
+) extends Mapper {
+  override def inputFields: Seq[String] = Seq(mediaField)
+  override def outputFields: Seq[String] = Seq(outputField)
+  override protected def build(df: DataFrame): DataFrame = {
+    val phash = udf { (bytes: Array[Byte]) => Multimodal.imagePHash(bytes) }
+    df.withColumn(outputField, phash(col(s"$mediaField.bytes")))
   }
 }
 

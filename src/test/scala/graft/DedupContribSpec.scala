@@ -975,3 +975,65 @@ class DedupContribSpec extends SparkSpec {
     assert(out == Seq((3L, 2L, 4L), (7L, 1L, 2L), (9L, 1L, 1L)))
   }
 }
+
+class ImagePHashSpec extends SparkSpec {
+  import graft.operators.Multimodal
+
+  private def png(side: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until side; x <- 0 until side) {
+      val g = gray(x, y) & 0xff
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  private def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+
+  test("cos table matches the analytic anchor values") {
+    val c = Multimodal.pHashCosTable
+    assert(c(0).forall(_ == 10000L)) // u=0 row is cos(0)=1
+    assert(c(4)(0) == math.round(math.cos(math.Pi / 16) * 10000))
+    // C[u][x] at (2x+1)u = 32 is cos(pi/2) = 0
+    assert(c(1)(15) == math.round(math.cos(31 * math.Pi / 64) * 10000))
+  }
+
+  test("pHash survives 2x resize where the content is identical") {
+    def pattern(x: Int, y: Int, s: Int) =
+      if ((x * 7 / s + y * 5 / s) % 3 == 0) 220 else 40
+    val small = png(32, (x, y) => pattern(x, y, 4))
+    val big = png(64, (x, y) => pattern(x, y, 8))
+    val h1 = Multimodal.imagePHash(small)
+    val h2 = Multimodal.imagePHash(big)
+    assert(ham(h1, h2) <= 8, s"resize drifted ${ham(h1, h2)} bits")
+  }
+
+  test("distinct structure lands far; tiny edits on textured images land near") {
+    // textured (non-degenerate-spectrum) images — the realistic case;
+    // grid-aligned synthetic patterns put exact zeros at most
+    // frequencies, where any median threshold is noise (true of pHash
+    // generally, not this implementation)
+    val rnd = new scala.util.Random(7)
+    val grays = Array.fill(1024)(rnd.nextInt(256))
+    val edited = grays.clone(); edited(200) = (grays(200) + 8) % 256
+    val base = png(32, (x, y) => grays(y * 32 + x))
+    val hB = Multimodal.imagePHash(base)
+    val hE = Multimodal.imagePHash(png(32, (x, y) => edited(y * 32 + x)))
+    val hI = Multimodal.imagePHash(png(32, (x, y) => 255 - grays(y * 32 + x)))
+    assert(ham(hB, hE) <= 6, s"one-pixel edit drifted ${ham(hB, hE)} bits")
+    assert(ham(hB, hI) >= 16, s"inverted image only ${ham(hB, hI)} away")
+  }
+
+  test("deterministic, and null/empty/unreadable payloads are total") {
+    val b = png(32, (x, y) => (x * 8 + y) % 256)
+    assert(Multimodal.imagePHash(b) == Multimodal.imagePHash(b.clone()))
+    assert(Multimodal.imagePHash(null) == 0L)
+    assert(Multimodal.imagePHash(Array.emptyByteArray) == 0L)
+    // unreadable payload -> stub decode, still a stable 64-bit value
+    val junk = Array.tabulate[Byte](100)(i => (i * 37 % 251).toByte)
+    assert(Multimodal.imagePHash(junk) == Multimodal.imagePHash(junk.clone()))
+  }
+}
