@@ -362,3 +362,47 @@ class RecipeStreamingSpec extends SparkSpec {
     q.stop()
   }
 }
+
+class StreamingExpectationsSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import graft.operators.Expectations
+
+  test("quarantine split runs unchanged on a stream; audit via foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val checks = Seq(
+      Expectations.notNull("text"),
+      Expectations.inRange("n_chars", 1, 100))
+    val df = mem.toDF().toDF("id", "text", "n_chars")
+    // annotate/filter are narrow projections -> stream-legal as-is
+    val (clean, bad) = Expectations.quarantine(df, checks)
+    val q1 = clean.writeStream.format("memory").queryName("graft_exp_clean")
+      .outputMode("append").start()
+    val q2 = bad.writeStream.format("memory").queryName("graft_exp_bad")
+      .outputMode("append").start()
+    // the per-batch audit (an agg) rides foreachBatch on the micro-batch
+    val audits = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val q3 = df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Expectations.audit(batch, checks)
+          .collect()
+          .foreach(r => audits.synchronized {
+            audits += ((r.getString(0), r.getLong(2)))
+          })
+        ()
+      }
+      .start()
+    mem.addData((1L, "ok", 5L), (2L, null, 5L), (3L, "long", 500L))
+    q1.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
+    assert(spark.sql("SELECT id FROM graft_exp_clean").as[Long].collect()
+      .toSet == Set(1L))
+    val badRows = spark.sql("SELECT id, violations FROM graft_exp_bad")
+      .as[(Long, Seq[String])].collect().toMap
+    assert(badRows(2L) == Seq("not_null:text"))
+    assert(badRows(3L) == Seq("in_range:n_chars"))
+    assert(audits.synchronized(audits.toMap) ==
+      Map("not_null:text" -> 1L, "in_range:n_chars" -> 1L))
+    q1.stop(); q2.stop(); q3.stop()
+  }
+}

@@ -146,3 +146,46 @@ class SinkSaltSpec extends SparkSpec {
     assert(a._1 != b._1)
   }
 }
+
+class BloomFilteredParquetSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Sinks
+  import scala.jdk.CollectionConverters._
+
+  test("written files carry a working bloom filter for the requested column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    val df = spark.range(10000).select(
+      col("id"), concat(lit("url-"), col("id") * 7).as("url"))
+    Sinks.bloomFilteredParquet(df, dir, Seq("url"),
+      expectedNdv = 10000, numFiles = Some(2))
+
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+      spark.sessionState.newHadoopConf())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val rg = reader.getFooter.getBlocks.get(0)
+      val urlChunk = rg.getColumns.asScala
+        .find(_.getPath.toDotString == "url").get
+      assert(urlChunk.getBloomFilterOffset > 0, "no bloom filter written")
+      val bf = reader.readBloomFilter(urlChunk)
+      assert(bf != null)
+      // a value present in THIS file's rows must hit; a never-written
+      // value must (overwhelmingly) miss at the default 1% fpp
+      val present = spark.read.parquet(part.getAbsolutePath)
+        .select("url").as[String].head()
+      import org.apache.parquet.io.api.Binary
+      assert(bf.findHash(bf.hash(Binary.fromString(present))))
+      val misses = (0 until 200).count { i =>
+        !bf.findHash(bf.hash(Binary.fromString(s"absent-$i")))
+      }
+      assert(misses >= 190, s"only $misses/200 absent probes missed")
+      // the un-filtered column has no bloom
+      val idChunk = rg.getColumns.asScala
+        .find(_.getPath.toDotString == "id").get
+      assert(idChunk.getBloomFilterOffset <= 0)
+    } finally reader.close()
+  }
+}
