@@ -7190,6 +7190,85 @@ object Queries {
     )
   }
 
+  /** Greedy k-center coreset ([[operators.CoresetSelect]]): 5-round
+    * farthest-first trajectory over the embeddings table. Every round's
+    * cosines floor-scale to ppm BEFORE the max/argmin, so the greedy
+    * path is engine-exact; the oracle unrolls the k rounds as chained
+    * CTEs generated from the same k. */
+  private val qCoreset = {
+    val k = 5
+    def cosSql(v: String, w: String): String =
+      s"list_reduce(list_transform(generate_series(1, len($v)), i -> $v[i] * $w[i]), (x, y) -> x + y) / " +
+        s"(sqrt(list_reduce(list_transform(generate_series(1, len($v)), i -> $v[i] * $v[i]), (x, y) -> x + y)) * " +
+        s"sqrt(list_reduce(list_transform(generate_series(1, len($w)), i -> $w[i] * $w[i]), (x, y) -> x + y)))"
+    val ctes = new StringBuilder(
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n" +
+        "s1 AS (SELECT min(vec_id) AS id FROM e),\n" +
+        "v1 AS (SELECT e.v AS w FROM e, s1 WHERE e.vec_id = s1.id)")
+    for (r <- 2 to k) {
+      val prev = (1 until r).toSeq
+      val sims = prev
+        .map(p => s"CAST(FLOOR(1e6 * ${cosSql("e.v", s"v$p.w")}) AS BIGINT)")
+      val m = if (sims.size == 1) sims.head else s"GREATEST(${sims.mkString(", ")})"
+      val vrefs = prev.map(p => s"v$p").mkString(", ")
+      val excl = prev.map(p => s"SELECT id FROM s$p").mkString(" UNION ")
+      ctes.append(
+        s""",
+           |c$r AS (SELECT e.vec_id, $m AS m FROM e, $vrefs
+           |  WHERE e.vec_id NOT IN ($excl)),
+           |s$r AS (SELECT vec_id AS id, m FROM c$r ORDER BY m, vec_id LIMIT 1),
+           |v$r AS (SELECT e.v AS w FROM e, s$r WHERE e.vec_id = s$r.id)""".stripMargin)
+    }
+    val rounds =
+      s"SELECT CAST(0 AS INTEGER) AS round, s1.id AS vec_id, CAST(0 AS BIGINT) AS max_sim_ppm FROM s1" +:
+        (2 to k).map(r =>
+          s"SELECT CAST(${r - 1} AS INTEGER), s$r.id, s$r.m FROM s$r")
+    val sql = ctes.toString + "\n" + rounds.mkString("\nUNION ALL\n") +
+      "\nORDER BY round"
+    Q(
+      "q216_kcenter_coreset",
+      (s, dir) =>
+        CoresetSelect
+          .greedyKCenter(T(s, dir, "embeddings"), "vec_id", "embedding", k)
+          .orderBy("round"),
+      Some(sql)
+    )
+  }
+
+  /** Packed chunks WITH document boundaries
+    * ([[operators.PackSequences.packChunksWithBoundaries]]): q119's
+    * packing plus `seq_lens` — the per-chunk segment lengths a varlen
+    * flash-attention consumer prefix-sums into cu_seqlens to keep
+    * tokens from attending across documents. Oracle replays the
+    * chunking and derives the segments as per-doc counts ordered by
+    * first position. */
+  private val qPackBoundaries = Q(
+    "q217_pack_boundaries",
+    (s, dir) =>
+      PackSequences
+        .packChunksWithBoundaries(docIds(s, dir).select("doc_id", "ids"),
+          "doc_id", "ids", chunkSize = 32, bucketSpan = 64)
+        .select(col("chunk"), J("tokens"), J("seq_lens"))
+        .orderBy("chunk"),
+    Some(
+      s"""WITH w AS (SELECT doc_id, $IDS AS ids FROM documents),
+         |c AS (SELECT doc_id, ids, CAST(coalesce(sum(len(ids)) OVER (
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS BIGINT) AS o FROM w),
+         |t AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ids)),
+         |    i -> {'p': o + i - 1, 'v': ids[i]})) AS u FROM c),
+         |g AS (SELECT doc_id, u.p // 32 AS chunk, u.p AS p, u.v AS v FROM t),
+         |tok AS (SELECT chunk, to_json(list(v ORDER BY p))::VARCHAR AS tokens
+         |  FROM g GROUP BY chunk),
+         |seg AS (SELECT chunk, to_json(list(c ORDER BY mp))::VARCHAR AS seq_lens
+         |  FROM (SELECT chunk, doc_id, CAST(count(*) AS BIGINT) AS c,
+         |          min(p) AS mp FROM g GROUP BY chunk, doc_id)
+         |  GROUP BY chunk)
+         |SELECT chunk, tokens, seq_lens FROM tok JOIN seg USING (chunk)
+         |ORDER BY chunk""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -7247,7 +7326,7 @@ object Queries {
     qMojibake, qSentences, qBbitMinhash, qWinnowing, qScriptProfile,
     qBloomSketch, qDeleteProp, qVocabStats, qIvfAdc, qPrefixJoin,
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
-    qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash
+    qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

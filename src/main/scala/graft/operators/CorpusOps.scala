@@ -594,6 +594,60 @@ object PackSequences {
     if (dropLast) chunks.filter(size(col("tokens")) === chunkSize)
     else chunks
   }
+
+  /** [[packChunks]] plus DOCUMENT BOUNDARIES: each chunk also carries
+    * `seq_lens` — the in-order lengths of the document segments packed
+    * into it (a doc straddling a chunk boundary contributes one
+    * segment to each side). This is the varlen-attention input
+    * (`cu_seqlens` = its prefix sum): without it a packed-training
+    * consumer cannot build the block-diagonal mask that stops tokens
+    * attending across document boundaries, or reset position ids per
+    * document. Same shuffle as [[packChunks]] (one row per token keyed
+    * by dense chunk id); the segment extraction is a native HOF pass
+    * over each chunk's already-sorted struct array. */
+  def packChunksWithBoundaries(
+      df: DataFrame,
+      idField: String,
+      tokensField: String,
+      chunkSize: Long,
+      bucketSpan: Long = 1L << 20,
+      dropLast: Boolean = false
+  ): DataFrame = {
+    val withN = df.withColumn("__pc_n", size(col(tokensField)).cast(LongType))
+    val offsets =
+      PackSequences(idField, "__pc_n", chunkSize, bucketSpan)(withN)
+    val toks = offsets
+      .select(
+        col(idField).as("__pc_doc"),
+        col("start_offset"),
+        posexplode(col(tokensField)).as(Seq("__pc_i", "__pc_tok"))
+      )
+      .withColumn("__pc_pos", col("start_offset") + col("__pc_i"))
+      .withColumn("chunk", expr(s"__pc_pos div ${chunkSize}L"))
+    val a = col("__pc_ps")
+    val bnds = filter(
+      transform(a, (s, i) =>
+        when(
+          i === 0 ||
+            element_at(a, i).getField("__pc_doc") =!= s.getField("__pc_doc"),
+          i).otherwise(lit(-1))),
+      x => x >= 0)
+    val ends = concat(slice(bnds, lit(2), size(bnds) - 1), array(size(a)))
+    val chunks = toks
+      .groupBy(col("chunk"))
+      .agg(
+        sort_array(collect_list(
+          struct(col("__pc_pos"), col("__pc_tok"), col("__pc_doc"))))
+          .as("__pc_ps")
+      )
+      .select(
+        col("chunk"),
+        transform(a, p => p.getField("__pc_tok")).as("tokens"),
+        zip_with(bnds, ends, (s, e) => (e - s).cast(LongType)).as("seq_lens")
+      )
+    if (dropLast) chunks.filter(size(col("tokens")) === chunkSize)
+    else chunks
+  }
 }
 
 /** Exact-substring deduplication — the ExactSubstr policy of Lee et al.

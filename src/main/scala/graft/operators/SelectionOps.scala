@@ -222,3 +222,74 @@ object ContrastivePairs {
     canonPos.withColumn("label", lit(1L)).unionByName(negs)
   }
 }
+
+/** Greedy k-center coreset selection (Gonzalez 1985 farthest-first
+  * traversal, the 2-approximation for k-center) — DIVERSITY-maximizing
+  * subset selection over an embedding column: repeatedly add the point
+  * whose maximum similarity to the already-selected set is smallest.
+  * The selection-family complement to [[DsirScore]] (match a target
+  * distribution) and SemDeDup (drop redundancy): k-center PICKS the
+  * spanning exemplars — seed sets for active learning, eval-set
+  * construction, prototype picking per cluster.
+  *
+  * Scale shape: the selected set is O(k·dim) DRIVER state shipped as
+  * literal arrays (the ivfTopK pattern); each round is one
+  * partial-aggregated min-of-struct pass over the corpus — no shuffle
+  * of rows, no window, k passes total. Per-selected cosines are
+  * sequential left-folds floor-scaled to BIGINT ppm BEFORE the max and
+  * argmin, so the entire greedy trajectory replays exactly in any
+  * engine (floor is monotone, so flooring before the max changes
+  * nothing).
+  */
+object CoresetSelect {
+
+  /** Returns (round, id, max_sim_ppm): round 0 is the seed (ppm 0 by
+    * convention), round r > 0 the point minimizing max cosine-ppm to
+    * rounds < r (ties by min id). `seedId` defaults to the min id. */
+  def greedyKCenter(
+      df: DataFrame,
+      idField: String,
+      embField: String,
+      k: Int,
+      seedId: Option[Long] = None
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val base = df.select(
+      col(idField).cast("long").as("__cs_id"),
+      col(embField).cast(ArrayType(DoubleType)).as("__cs_v"))
+    val seed = seedId.getOrElse(
+      base.agg(min(col("__cs_id"))).head().getLong(0))
+    def vecOf(id: Long): Seq[Double] =
+      base.filter(col("__cs_id") === id).head().getSeq[Double](1)
+
+    def cosPpm(sel: Seq[Double]): Column = {
+      def dot(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      val w = typedlit(sel)
+      floor(
+        lit(1e6) * dot(col("__cs_v"), w) /
+          (sqrt(dot(col("__cs_v"), col("__cs_v"))) * sqrt(dot(w, w))))
+        .cast("long")
+    }
+
+    val selected = scala.collection.mutable.ArrayBuffer((seed, 0L, vecOf(seed)))
+    var r = 1
+    while (r < k) {
+      val sims = selected.map { case (_, _, v) => cosPpm(v.toIndexedSeq) }
+      val maxSim = sims.reduce((a, b) => greatest(a, b))
+      val next = base
+        .filter(!col("__cs_id").isin(selected.map(_._1).toSeq: _*))
+        .agg(min(struct(maxSim.as("m"), col("__cs_id").as("i"))))
+        .head().getStruct(0)
+      val nid = next.getLong(1)
+      selected += ((nid, next.getLong(0), vecOf(nid)))
+      r += 1
+    }
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((id, m, _), i) => (i, id, m) }
+      .toDF("round", idField, "max_sim_ppm")
+  }
+}

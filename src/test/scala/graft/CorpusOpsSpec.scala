@@ -534,3 +534,48 @@ class StupidBackoffSpec extends SparkSpec {
     assert(fluent > 10 * scrambled, s"$fluent vs $scrambled")
   }
 }
+
+class PackBoundariesSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.PackSequences
+
+  test("seq_lens partition each chunk by document, straddlers split") {
+    // docs: a=5 toks, b=4, c=3 -> stream of 12, chunkSize 4:
+    // chunk0 = a a a a            -> [4]
+    // chunk1 = a b b b            -> [1, 3]
+    // chunk2 = b c c c            -> [1, 3]
+    val df = Seq(
+      (1L, Seq(10L, 11L, 12L, 13L, 14L)),
+      (2L, Seq(20L, 21L, 22L, 23L)),
+      (3L, Seq(30L, 31L, 32L))
+    ).toDF("doc_id", "ids")
+    val got = PackSequences
+      .packChunksWithBoundaries(df, "doc_id", "ids", chunkSize = 4,
+        bucketSpan = 8)
+      .orderBy("chunk")
+      .as[(Long, Seq[Long], Seq[Long])].collect().toSeq
+    assert(got == Seq(
+      (0L, Seq(10L, 11L, 12L, 13L), Seq(4L)),
+      (1L, Seq(14L, 20L, 21L, 22L), Seq(1L, 3L)),
+      (2L, Seq(23L, 30L, 31L, 32L), Seq(1L, 3L))))
+    // invariant: sum(seq_lens) == chunk length, everywhere
+    got.foreach { case (_, toks, lens) => assert(lens.sum == toks.size) }
+  }
+
+  test("tokens identical to packChunks; dropLast trims the short tail") {
+    val df = Seq(
+      (1L, Seq(1L, 2L, 3L)), (2L, Seq(4L, 5L)), (3L, Seq(6L, 7L, 8L, 9L))
+    ).toDF("doc_id", "ids")
+    val plain = PackSequences
+      .packChunks(df, "doc_id", "ids", 4, 8).orderBy("chunk")
+      .as[(Long, Seq[Long])].collect().toSeq
+    val withB = PackSequences
+      .packChunksWithBoundaries(df, "doc_id", "ids", 4, 8).orderBy("chunk")
+      .as[(Long, Seq[Long], Seq[Long])].collect().toSeq
+    assert(plain == withB.map(t => (t._1, t._2)))
+    val trimmed = PackSequences
+      .packChunksWithBoundaries(df, "doc_id", "ids", 4, 8, dropLast = true)
+      .as[(Long, Seq[Long], Seq[Long])].collect().toSeq
+    assert(trimmed.forall(_._2.size == 4))
+  }
+}

@@ -126,3 +126,48 @@ class SelectionOpsSpec extends SparkSpec {
     assert(again.sorted.toSeq == out.sorted.toSeq)
   }
 }
+
+class CoresetSelectSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.CoresetSelect
+
+  // four unit-ish vectors: two near-duplicates along x, one along y,
+  // one along z — k-center must pick the three axes before the dup
+  private lazy val vecs = Seq(
+    (1L, Seq(1.0, 0.01, 0.0)),
+    (2L, Seq(0.99, 0.02, 0.0)), // near-dup of 1
+    (3L, Seq(0.0, 1.0, 0.0)),
+    (4L, Seq(0.0, 0.0, 1.0))
+  ).toDF("vec_id", "embedding")
+
+  test("farthest-first picks the spanning exemplars before near-dups") {
+    val got = CoresetSelect.greedyKCenter(vecs, "vec_id", "embedding", 4)
+      .as[(Int, Long, Long)].collect().toSeq
+    // vec4 is exactly orthogonal to the seed (sim 0) while vec3 has the
+    // 0.01 leak -> 4 strictly farther than 3; the near-dup comes LAST
+    assert(got.map(_._2) == Seq(1L, 4L, 3L, 2L))
+    assert(got.head == (0, 1L, 0L))
+    // the near-dup's max similarity to the selected set is ~cos(1,2)
+    assert(got.last._3 > 990000L, got.toString)
+    // the axis picks were near-orthogonal to everything selected
+    assert(got(1)._3 < 100000L && got(2)._3 < 100000L)
+  }
+
+  test("deterministic under reshuffling and custom seed") {
+    val shuffled = vecs.repartition(7)
+    val a = CoresetSelect.greedyKCenter(vecs, "vec_id", "embedding", 3)
+    val b = CoresetSelect.greedyKCenter(shuffled, "vec_id", "embedding", 3)
+    assert(rows(a) == rows(b))
+    val seeded = CoresetSelect
+      .greedyKCenter(vecs, "vec_id", "embedding", 2, seedId = Some(3L))
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(seeded.head._2 == 3L)
+    // farthest from y-axis among {1,2,4}: 4 (z-axis, sim 0) wins by id tie? no —
+    // 1 and 2 also ~orthogonal to y; min (ppm, id) picks the smallest id among
+    // the equally-far -> verify it matches the brute-force argmin
+    val sims = Map(1L -> 0.01, 2L -> 0.02 / (math.sqrt(0.99 * 0.99 + 0.02 * 0.02)), 4L -> 0.0)
+    val want = sims.toSeq
+      .map { case (id, s) => (math.floor(1e6 * s).toLong, id) }.min._2
+    assert(seeded(1)._2 == want)
+  }
+}
