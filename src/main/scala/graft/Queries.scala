@@ -7269,6 +7269,62 @@ object Queries {
     )
   )
 
+  /** Cavnar–Trenkle n-gram language ID ([[operators.LangIdNgram]]):
+    * profiles trained on the even-doc_id half of the corpus, the odd
+    * half classified by integer out-of-place distance — the full
+    * train→classify round trip in one plan, every rank and distance
+    * replayed by the oracle. (The synthetic corpus draws every lang's
+    * text from one shared vocabulary, so the hit rate here sits at
+    * chance BY CONSTRUCTION of the data; LangIdOpsSpec pins real
+    * discrimination on genuinely distinct languages.) */
+  private val qLangIdNgram = Q(
+    "q218_langid_ngram",
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+      val profiles = LangIdNgram.trainProfiles(
+        d.filter(col("doc_id") % 2 === 0), "lang", "text", topN = 100, n = 3)
+      LangIdNgram
+        .classify(
+          d.filter(col("doc_id") % 2 === 1)
+            .select(col("doc_id"), col("lang").as("true_lang"), col("text")),
+          "doc_id", "text", profiles, topN = 100, n = 3)
+        .select(col("doc_id"), col("true_lang"), col("pred_lang"),
+          col("dist"),
+          (col("pred_lang") === col("true_lang")).cast("int").as("hit"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH tr AS (SELECT lang, lower(text) AS t FROM documents WHERE doc_id % 2 = 0),
+        |tg AS (SELECT lang, unnest(list_transform(generate_series(1, length(t) - 2),
+        |    i -> substring(t, i, 3))) AS gram FROM tr),
+        |pc AS (SELECT lang, gram, count(*) AS c FROM tg GROUP BY lang, gram),
+        |prof AS (SELECT lang, gram, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY c DESC, gram) AS BIGINT) AS rank FROM pc QUALIFY rank <= 100),
+        |te AS (SELECT doc_id, lang AS true_lang, lower(text) AS t
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |dg AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(t) - 2),
+        |    i -> substring(t, i, 3))) AS gram FROM te),
+        |dc AS (SELECT doc_id, gram, count(*) AS c FROM dg GROUP BY doc_id, gram),
+        |dt AS (SELECT doc_id, gram, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY c DESC, gram) AS BIGINT) AS dr FROM dc QUALIFY dr <= 100),
+        |ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM dt GROUP BY doc_id),
+        |langs AS (SELECT DISTINCT lang FROM prof),
+        |m AS (SELECT dt.doc_id, prof.lang, CAST(sum(abs(dt.dr - prof.rank)) AS BIGINT) AS md,
+        |    CAST(count(*) AS BIGINT) AS nm
+        |  FROM dt JOIN prof USING (gram) GROUP BY dt.doc_id, prof.lang),
+        |d AS (SELECT ng.doc_id, langs.lang,
+        |    coalesce(m.md, 0) + (ng.ng - coalesce(m.nm, 0)) * 100 AS dist
+        |  FROM ng CROSS JOIN langs
+        |  LEFT JOIN m ON m.doc_id = ng.doc_id AND m.lang = langs.lang),
+        |b AS (SELECT doc_id, lang AS pred_lang, dist,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn
+        |  FROM d QUALIFY rn = 1)
+        |SELECT te.doc_id, te.true_lang, b.pred_lang, CAST(b.dist AS BIGINT) AS dist,
+        |  CAST(b.pred_lang = te.true_lang AS INTEGER) AS hit
+        |FROM te JOIN b USING (doc_id) ORDER BY te.doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -7326,7 +7382,7 @@ object Queries {
     qMojibake, qSentences, qBbitMinhash, qWinnowing, qScriptProfile,
     qBloomSketch, qDeleteProp, qVocabStats, qIvfAdc, qPrefixJoin,
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
-    qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries
+    qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Character-n-gram language identification (Cavnar & Trenkle 1994,
+  * "N-Gram-Based Text Categorization") — the profile method fastText
+  * descends from: a language is its ranked top-N character n-grams;
+  * a document is classified to the profile minimizing the OUT-OF-PLACE
+  * distance (Σ |doc rank − profile rank|, missing grams costing the
+  * maximum `topN`). Upgrades the stopword-ratio heuristic (q87) to a
+  * real classifier trainable from any labeled slice of the corpus
+  * itself — no model file, no UDF, and every rank and distance is an
+  * integer, so the full train→classify round trip replays exactly in
+  * any engine.
+  *
+  * Scale shape: training is one n-gram explode + partial-agg count +
+  * per-LANGUAGE window (partitioned, #langs-way parallel) truncated to
+  * topN — the profile table is O(#langs · topN) rows and broadcasts.
+  * Classification explodes each doc's grams once, ranks them with a
+  * per-DOC partitioned window (bounded by doc length), joins the tiny
+  * profile table on gram, and argmins per doc with a min-of-struct
+  * aggregate — no window over the corpus, no driver state beyond the
+  * broadcast. */
+object LangIdNgram {
+
+  /** Sliding character n-grams of lowercased text (positions are
+    * codepoint-based in both Spark and DuckDB). */
+  def charNgrams(text: Column, n: Int): Column = grams(text, n)
+
+  private def grams(text: Column, n: Int): Column = {
+    val t = lower(text)
+    // sequence(1, 0) would generate the DESCENDING [1, 0] — short texts
+    // need the explicit empty case
+    when(length(t) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), length(t) - (n - 1)),
+          i => t.substr(i, lit(n))))
+  }
+
+  /** (lang, gram, rank) profile table: each language's `topN` most
+    * frequent n-grams, rank 1 = most frequent, ties broken by gram. */
+  def trainProfiles(
+      df: DataFrame,
+      langField: String,
+      textField: String,
+      topN: Int = 100,
+      n: Int = 3
+  ): DataFrame = {
+    val counts = df
+      .select(col(langField).as("lang"),
+        explode(grams(col(textField), n)).as("gram"))
+      .groupBy("lang", "gram")
+      .agg(count(lit(1)).as("__li_c"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("__li_c").desc, col("gram"))
+    counts
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= topN)
+      .select("lang", "gram", "rank")
+  }
+
+  /** Classify each row: (idField…, pred_lang, dist). Distance =
+    * Σ over the doc's own top-`topN` grams of |docRank − profileRank|,
+    * with grams absent from a profile costing `topN`; ties in the
+    * argmin break toward the lexicographically smaller language. */
+  def classify(
+      df: DataFrame,
+      idField: String,
+      textField: String,
+      profiles: DataFrame,
+      topN: Int = 100,
+      n: Int = 3
+  ): DataFrame = {
+    val docGrams = df
+      .select(col(idField).as("__li_id"),
+        explode(grams(col(textField), n)).as("gram"))
+      .groupBy("__li_id", "gram")
+      .agg(count(lit(1)).as("__li_c"))
+    val dw = Window.partitionBy("__li_id")
+      .orderBy(col("__li_c").desc, col("gram"))
+    val docTop = docGrams
+      .withColumn("__li_dr", row_number().over(dw).cast(LongType))
+      .filter(col("__li_dr") <= topN)
+      .select("__li_id", "gram", "__li_dr")
+    val nDocGrams = docTop.groupBy("__li_id")
+      .agg(count(lit(1)).as("__li_ng"))
+    val langs = profiles.select(col("lang")).distinct()
+    val matched = docTop
+      .join(broadcast(profiles), Seq("gram"))
+      .groupBy("__li_id", "lang")
+      .agg(
+        sum(abs(col("__li_dr") - col("rank"))).as("__li_md"),
+        count(lit(1)).as("__li_nm"))
+    val dist = nDocGrams
+      .crossJoin(broadcast(langs))
+      .join(matched, Seq("__li_id", "lang"), "left")
+      .withColumn(
+        "__li_dist",
+        coalesce(col("__li_md"), lit(0L)) +
+          (col("__li_ng") - coalesce(col("__li_nm"), lit(0L))) * topN)
+    val best = dist
+      .groupBy("__li_id")
+      .agg(min(struct(col("__li_dist").as("d"), col("lang").as("l"))).as("__li_b"))
+      .select(
+        col("__li_id").as(idField),
+        col("__li_b.l").as("pred_lang"),
+        col("__li_b.d").as("dist"))
+    df.join(best, Seq(idField))
+  }
+}

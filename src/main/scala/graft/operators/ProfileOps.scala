@@ -762,3 +762,29 @@ object ScoreCalibration {
       .drop("__sc_ppm")
   }
 }
+
+/** Shuffle-health diagnostics: per-partition row counts + the summary
+  * numbers that tell you whether a plan's partitioning survived contact
+  * with the data (max/mean skew factor, empties). Run it on the OUTPUT
+  * of a suspect stage — a skew factor of 30 on a joined table is the
+  * "one reducer does everything" smoking gun that motivates salting /
+  * AQE skew-join before a 100-TB run burns a day on one straggler.
+  * Cost: one `spark_partition_id` groupBy — O(#partitions) output. */
+object PartitionSkew {
+
+  /** (partition_id, n) — one row per non-empty partition. */
+  def counts(df: DataFrame): DataFrame =
+    df.groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("n"))
+
+  /** One-row summary: n_partitions (non-empty), n_rows, max_n, min_n,
+    * skew_x1000 = 1000·max/mean over non-empty partitions. */
+  def summary(df: DataFrame): DataFrame =
+    counts(df).agg(
+      count(lit(1)).as("n_partitions"),
+      sum(col("n")).as("n_rows"),
+      max(col("n")).as("max_n"),
+      min(col("n")).as("min_n"),
+      (lit(1000L) * max(col("n")) * count(lit(1)) / sum(col("n")))
+        .cast(LongType).as("skew_x1000"))
+}

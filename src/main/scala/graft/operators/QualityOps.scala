@@ -324,3 +324,58 @@ final case class GroupQualityGate(
     if (keepOnly) out.filter(col("group_pass")) else out
   }
 }
+
+/** Compression-ratio quality signal — the "does this text look like
+  * language" proxy used alongside Gopher/C4 rules (gibberish and
+  * template spam compress very differently from prose): ratio_ppm =
+  * 1e6 · deflate(text).length / text.utf8.length. Low ratios flag
+  * highly repetitive boilerplate (near-zero entropy); ratios near or
+  * above 1e6 flag random-looking strings (already-compressed blobs,
+  * base64, minified junk) that n-gram heuristics misread.
+  *
+  * Determinism: java.util.zip.Deflater at a FIXED level with a fresh
+  * deflater per value — byte-identical output for identical input on
+  * a given JVM (zlib version pinned by the runtime), which is the
+  * reproducibility contract the engine can honor; the byte stream is
+  * NOT replayable in SQL, so this operator is spec-verified (like
+  * tokenizer training) rather than oracle-verified. Row-local, zero
+  * shuffle; the deflater is per-row but allocation-cheap at corpus
+  * text sizes.
+  */
+object CompressionSignal {
+
+  def deflatedLength(bytes: Array[Byte], level: Int = 6): Int = {
+    if (bytes == null || bytes.isEmpty) return 0
+    val d = new java.util.zip.Deflater(level)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
+  /** ratio_ppm = 1e6 · compressed/raw (0 for empty text). */
+  def ratioPpm(text: String, level: Int = 6): Long = {
+    if (text == null || text.isEmpty) return 0L
+    val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    1000000L * deflatedLength(raw, level) / raw.length
+  }
+}
+
+/** Appends `outputField` = deflate-ratio ppm of `textField`. */
+final case class CompressionRatio(
+    textField: String,
+    outputField: String = "compress_ppm",
+    level: Int = 6
+) extends Mapper {
+  override def inputFields: Seq[String] = Seq(textField)
+  override def outputFields: Seq[String] = Seq(outputField)
+  override protected def build(df: DataFrame): DataFrame = {
+    val lv = level
+    val f = udf { (t: String) => CompressionSignal.ratioPpm(t, lv) }
+    df.withColumn(outputField, f(col(textField)))
+  }
+}

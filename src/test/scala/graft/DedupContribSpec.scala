@@ -1037,3 +1037,32 @@ class ImagePHashSpec extends SparkSpec {
     assert(Multimodal.imagePHash(junk) == Multimodal.imagePHash(junk.clone()))
   }
 }
+
+class CompressionSignalSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.{CompressionRatio, CompressionSignal}
+
+  test("prose sits between boilerplate and random noise") {
+    val prose = "The quick brown fox jumps over the lazy dog. " * 8
+    val boiler = "spam " * 72
+    val rnd = new scala.util.Random(11)
+    val noise = Array.fill(360)((33 + rnd.nextInt(90)).toChar).mkString
+    val p = CompressionSignal.ratioPpm(prose)
+    val b = CompressionSignal.ratioPpm(boiler)
+    val z = CompressionSignal.ratioPpm(noise)
+    assert(b < p && p < z, s"boiler=$b prose=$p noise=$z")
+    assert(b < 120000L, s"boilerplate should collapse, got $b")
+    assert(z > 700000L, s"noise should resist compression, got $z")
+  }
+
+  test("deterministic, total on null/empty, and the mapper wires through") {
+    assert(CompressionSignal.ratioPpm(null) == 0L)
+    assert(CompressionSignal.ratioPpm("") == 0L)
+    val s = "some repeated text, some repeated text"
+    assert(CompressionSignal.ratioPpm(s) == CompressionSignal.ratioPpm(s))
+    val out = CompressionRatio("text")(
+      Seq((1L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa")).toDF("id", "text"))
+      .select("compress_ppm").as[Long].head()
+    assert(out > 0L && out < 500000L)
+  }
+}

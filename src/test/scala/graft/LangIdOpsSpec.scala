@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.LangIdNgram
+
+class LangIdOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val labeled = Seq(
+    ("en", 1L, "the cat and the dog and the bird"),
+    ("en", 2L, "this is the thing that the people said"),
+    ("de", 3L, "der hund und die katze und der vogel"),
+    ("de", 4L, "das ist der dingen dass der leute")
+  ).toDF("lang", "id", "text")
+
+  test("charNgrams: sliding lowercase codepoint trigrams") {
+    val got = Seq("AbCd").toDF("t")
+      .select(LangIdNgram.charNgrams(col("t"), 3).as("g"))
+      .as[Seq[String]].head()
+    assert(got == Seq("abc", "bcd"))
+    assert(Seq("ab").toDF("t")
+      .select(LangIdNgram.charNgrams(col("t"), 3).as("g"))
+      .as[Seq[String]].head().isEmpty)
+  }
+
+  test("profiles: per-language ranked top-N, ties by gram") {
+    val p = LangIdNgram.trainProfiles(labeled, "lang", "text", topN = 5)
+      .as[(String, String, Long)].collect()
+    val en = p.filter(_._1 == "en").sortBy(_._3)
+    assert(en.size == 5 && en.head._3 == 1L)
+    // space-grams count (Cavnar-Trenkle keeps them): " th" leads en
+    assert(en.head._2 == " th")
+    assert(p.filter(_._1 == "de").size == 5)
+  }
+
+  test("classification recovers the training language on held-out text") {
+    val profiles = LangIdNgram.trainProfiles(labeled, "lang", "text", topN = 40)
+    val unseen = Seq(
+      (10L, "the small dog said that this is the end"),
+      (11L, "der kleine hund und die katze sind da")
+    ).toDF("id", "text")
+    val got = LangIdNgram
+      .classify(unseen, "id", "text", profiles, topN = 40)
+      .select("id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(got == Map(10L -> "en", 11L -> "de"))
+  }
+
+  test("distance is total and deterministic for profile-disjoint text") {
+    val profiles = LangIdNgram.trainProfiles(labeled, "lang", "text", topN = 10)
+    val got = LangIdNgram
+      .classify(Seq((1L, "zzzqqqxxx")).toDF("id", "text"), "id", "text",
+        profiles, topN = 10)
+      .select("pred_lang", "dist").as[(String, Long)].head()
+    // nothing matches either profile: dist = #docGrams * topN for both
+    // languages; the tie breaks to the lexicographically smaller lang
+    assert(got == ("de", 7L * 10L))
+  }
+
+  test("plan: profile join is broadcast; no corpus-wide window") {
+    val profiles = LangIdNgram.trainProfiles(labeled, "lang", "text", topN = 10)
+    val plan = LangIdNgram
+      .classify(labeled.select("id", "text"), "id", "text", profiles, topN = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}

@@ -349,3 +349,23 @@ class ScoreCalibrationSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("singlepartition"), plan)
   }
 }
+
+class PartitionSkewSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.PartitionSkew
+
+  test("uniform repartition shows ~1.0x skew; single hot key shows ~Px") {
+    val even = spark.range(4000).toDF("id").repartition(8, col("id"))
+    val s1 = PartitionSkew.summary(even)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(s1._2 == 4000L)
+    assert(s1._5 < 1300L, s"uniform skew ${s1._5}")
+    // every row shares one key -> all rows land in one partition
+    val hot = spark.range(4000).toDF("id")
+      .withColumn("k", lit(1)).repartition(8, col("k"))
+    val s2 = PartitionSkew.summary(hot)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(s2._1 == 1L && s2._5 == 1000L) // one non-empty partition
+    assert(PartitionSkew.counts(hot).count() == 1L)
+  }
+}
