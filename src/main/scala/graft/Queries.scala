@@ -7325,6 +7325,54 @@ object Queries {
     )
   )
 
+  /** Luhn-validated card redaction ([[operators.PiiRedact.redactCards]]):
+    * per doc, a 16-digit number derived from doc_id gets a CORRECT
+    * check digit on even ids and a broken one on odd ids — redaction
+    * must fire on exactly the valid half (a bare `\d{16}` would shred
+    * both). The oracle recomputes the checksum and the expected
+    * replacement independently. */
+  private val qLuhnRedact = Q(
+    "q219_luhn_redact",
+    (s, dir) => {
+      val base15 = lpad((col("doc_id") * 37 + 100000000L).cast("string"), 15, "0")
+      val sum0 = PiiRedact.luhnSum(concat(base15, lit("0")))
+      val checkOk = (lit(10) - sum0 % 10) % 10
+      val check = when(col("doc_id") % 2 === 0, checkOk)
+        .otherwise((checkOk + 1) % 10)
+      val card = concat(base15, check.cast("string"))
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("pay "), card, lit(" ref 123")).as("text"))
+        .withColumn("redacted", PiiRedact.redactCards(col("text")))
+        .select("doc_id", "text", "redacted")
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH c AS (SELECT doc_id,
+        |    lpad(CAST(doc_id * 37 + 100000000 AS VARCHAR), 15, '0') AS b15
+        |  FROM documents),
+        |s0 AS (SELECT doc_id, b15,
+        |    list_reduce(list_transform(generate_series(1, 16), i ->
+        |      CASE WHEN i % 2 = 1
+        |        THEN CAST(substring(b15 || '0', 17 - i, 1) AS INT)
+        |        ELSE CASE WHEN 2 * CAST(substring(b15 || '0', 17 - i, 1) AS INT) > 9
+        |          THEN 2 * CAST(substring(b15 || '0', 17 - i, 1) AS INT) - 9
+        |          ELSE 2 * CAST(substring(b15 || '0', 17 - i, 1) AS INT) END
+        |      END), (a, b) -> a + b) AS s
+        |  FROM c),
+        |k AS (SELECT doc_id, b15,
+        |    CASE WHEN doc_id % 2 = 0 THEN (10 - s % 10) % 10
+        |         ELSE ((10 - s % 10) % 10 + 1) % 10 END AS d,
+        |    doc_id % 2 = 0 AS ok
+        |  FROM s0),
+        |t AS (SELECT doc_id, 'pay ' || b15 || CAST(d AS VARCHAR) || ' ref 123' AS text,
+        |    ok FROM k)
+        |SELECT doc_id, text,
+        |  CASE WHEN ok THEN 'pay <CARD> ref 123' ELSE text END AS redacted
+        |FROM t ORDER BY doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -7382,7 +7430,7 @@ object Queries {
     qMojibake, qSentences, qBbitMinhash, qWinnowing, qScriptProfile,
     qBloomSketch, qDeleteProp, qVocabStats, qIvfAdc, qPrefixJoin,
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
-    qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram
+    qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

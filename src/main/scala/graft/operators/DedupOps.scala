@@ -1571,6 +1571,44 @@ object PiiRedact {
         regexp_replace(text, emailRe, "<EMAIL>"),
         phoneRe, "<PHONE>"),
       ipv4Re, "<IP>")
+
+  /** Luhn checksum over a digit string (ISO/IEC 7812) — the validation
+    * step that separates a real card number from any 16-digit id, so
+    * card redaction doesn't shred order numbers and EAN codes the way
+    * a bare `\d{16}` does. Pure integer HOF fold, oracle-replayable. */
+  /** The doubled-digit checksum sum itself (digits indexed from the
+    * RIGHT, odd positions kept, even positions doubled with 9-cast). */
+  def luhnSum(num: Column): Column = {
+    val n = length(num)
+    aggregate(
+      sequence(lit(1), n),
+      lit(0),
+      (acc, i) => {
+        val d = num.substr(n - i + 1, lit(1)).cast("int")
+        acc + when(i % 2 === 1, d)
+          .otherwise(when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+      })
+  }
+
+  def luhnValid(num: Column): Column = {
+    val n = length(num)
+    n >= 13 && n <= 19 && luhnSum(num) % 10 === 0
+  }
+
+  val cardRe = "\\b\\d{13,19}\\b"
+
+  /** Replace every Luhn-VALID 13-19 digit run with `<CARD>`; invalid
+    * runs (order ids, timestamps) are left alone. Candidates come from
+    * one regexp scan; the conditional replacement folds over the
+    * candidate list — a regexp_replace cannot express the checksum
+    * condition. Row-local, zero shuffle. */
+  def redactCards(text: Column): Column =
+    aggregate(
+      regexp_extract_all(text, lit(cardRe), lit(0)),
+      text,
+      (acc, c) =>
+        when(luhnValid(c), call_function("replace", acc, c, lit("<CARD>")))
+          .otherwise(acc))
 }
 
 /** Mapper wrapper: redact PII in the listed text fields. */

@@ -27,19 +27,28 @@ import org.apache.spark.sql.types.LongType
 object LangIdNgram {
 
   /** Sliding character n-grams of lowercased text (positions are
-    * codepoint-based in both Spark and DuckDB). */
-  def charNgrams(text: Column, n: Int): Column = grams(text, n)
+    * codepoint-based in both Spark and DuckDB).
+    *
+    * Two performance traps shape this expression. (1) Any computed
+    * child referenced inside a `transform` lambda re-evaluates PER
+    * ELEMENT — so the char split is bound as a lambda variable via the
+    * single-element-array trick (the Winnowing fix), evaluating
+    * `split(lower(text))` exactly once per row. (2) `substr(i, n)` on a
+    * string re-scans from the start to find codepoint i (UTF-8 is
+    * variable-width), turning a 500-char doc into an O(len²) scan; the
+    * char ARRAY makes each gram three O(1) `element_at` probes. */
+  def charNgrams(text: Column, n: Int): Column =
+    flatten(transform(array(split(lower(text), "")), ch => grams(ch, n)))
 
-  private def grams(text: Column, n: Int): Column = {
-    val t = lower(text)
+  /** `ch` must be a bound char-array lambda variable (see above). */
+  private def grams(ch: Column, n: Int): Column =
     // sequence(1, 0) would generate the DESCENDING [1, 0] — short texts
     // need the explicit empty case
-    when(length(t) < n, array().cast("array<string>"))
+    when(size(ch) < n, array().cast("array<string>"))
       .otherwise(
         transform(
-          sequence(lit(1), length(t) - (n - 1)),
-          i => t.substr(i, lit(n))))
-  }
+          sequence(lit(1), size(ch) - (n - 1)),
+          i => concat((0 until n).map(k => element_at(ch, i + k)): _*)))
 
   /** (lang, gram, rank) profile table: each language's `topN` most
     * frequent n-grams, rank 1 = most frequent, ties broken by gram. */
@@ -52,7 +61,7 @@ object LangIdNgram {
   ): DataFrame = {
     val counts = df
       .select(col(langField).as("lang"),
-        explode(grams(col(textField), n)).as("gram"))
+        explode(charNgrams(col(textField), n)).as("gram"))
       .groupBy("lang", "gram")
       .agg(count(lit(1)).as("__li_c"))
     val w = Window.partitionBy("lang")
@@ -77,7 +86,7 @@ object LangIdNgram {
   ): DataFrame = {
     val docGrams = df
       .select(col(idField).as("__li_id"),
-        explode(grams(col(textField), n)).as("gram"))
+        explode(charNgrams(col(textField), n)).as("gram"))
       .groupBy("__li_id", "gram")
       .agg(count(lit(1)).as("__li_c"))
     val dw = Window.partitionBy("__li_id")
@@ -86,23 +95,17 @@ object LangIdNgram {
       .withColumn("__li_dr", row_number().over(dw).cast(LongType))
       .filter(col("__li_dr") <= topN)
       .select("__li_id", "gram", "__li_dr")
-    val nDocGrams = docTop.groupBy("__li_id")
-      .agg(count(lit(1)).as("__li_ng"))
+    // per-gram cost formulation: Σ (matched ? |dr−pr| : topN) — no
+    // group-size bookkeeping, so the whole distance is ONE aggregation
+    // over docTop × langs (langs is a handful of broadcast rows)
     val langs = profiles.select(col("lang")).distinct()
-    val matched = docTop
-      .join(broadcast(profiles), Seq("gram"))
-      .groupBy("__li_id", "lang")
-      .agg(
-        sum(abs(col("__li_dr") - col("rank"))).as("__li_md"),
-        count(lit(1)).as("__li_nm"))
-    val dist = nDocGrams
+    val cost = when(col("rank").isNull, lit(topN.toLong))
+      .otherwise(abs(col("__li_dr") - col("rank")))
+    val best = docTop
       .crossJoin(broadcast(langs))
-      .join(matched, Seq("__li_id", "lang"), "left")
-      .withColumn(
-        "__li_dist",
-        coalesce(col("__li_md"), lit(0L)) +
-          (col("__li_ng") - coalesce(col("__li_nm"), lit(0L))) * topN)
-    val best = dist
+      .join(broadcast(profiles), Seq("gram", "lang"), "left")
+      .groupBy("__li_id", "lang")
+      .agg(sum(cost).as("__li_dist"))
       .groupBy("__li_id")
       .agg(min(struct(col("__li_dist").as("d"), col("lang").as("l"))).as("__li_b"))
       .select(

@@ -1066,3 +1066,35 @@ class CompressionSignalSpec extends SparkSpec {
     assert(out > 0L && out < 500000L)
   }
 }
+
+class LuhnRedactSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.PiiRedact
+
+  private def valid(nums: String*): Seq[Boolean] =
+    nums.toSeq.toDF("n")
+      .select(PiiRedact.luhnValid(col("n")).as("v"))
+      .as[Boolean].collect().toSeq
+
+  test("luhnValid: known card test numbers pass, perturbations fail") {
+    // standard ISO 7812 test numbers
+    assert(valid("4111111111111111", "5500005555555559", "378282246310005")
+      == Seq(true, true, true))
+    assert(valid("4111111111111112", "1234567890123456") == Seq(false, false))
+    // length gate: 12 digits can sum to 0 mod 10 but is not a PAN
+    assert(valid("000000000000") == Seq(false))
+  }
+
+  test("redactCards replaces only checksum-valid runs") {
+    val got = Seq(
+      "pay 4111111111111111 ref 1234567890123456 done",
+      "order 999 total 55",
+      "cards 4111111111111111 and 378282246310005"
+    ).toDF("t").select(PiiRedact.redactCards(col("t")).as("r"))
+      .as[String].collect().toSeq
+    assert(got == Seq(
+      "pay <CARD> ref 1234567890123456 done",
+      "order 999 total 55",
+      "cards <CARD> and <CARD>"))
+  }
+}
