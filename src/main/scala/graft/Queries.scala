@@ -7373,6 +7373,89 @@ object Queries {
     )
   )
 
+  /** k-anonymity + l-diversity release audit
+    * ([[operators.PrivacyAudit.audit]]): QI = (nation, market segment),
+    * sensitive = account balance in whole thousands. One groupBy over
+    * the QI tuple; output is O(#equivalence classes). The oracle
+    * replays the class sizes, distinct-sensitive counts, and both
+    * flags. */
+  private val qPrivacyAudit = Q(
+    "q220_k_anonymity",
+    (s, dir) => {
+      val c = T(s, dir, "customer")
+        .withColumn("bal_k", floor(col("c_acctbal") / 1000).cast(LongType))
+      PrivacyAudit
+        .audit(c, Seq("c_nationkey", "c_mktsegment"), "bal_k", k = 10, l = 5)
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+    Some(
+      """WITH c AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k
+        |  FROM customer)
+        |SELECT c_nationkey, c_mktsegment,
+        |  count(*) AS class_n,
+        |  count(DISTINCT bal_k) AS sensitive_l,
+        |  count(*) >= 10 AS k_ok,
+        |  count(DISTINCT bal_k) >= 5 AS l_ok
+        |FROM c GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+    )
+  )
+
+  /** Zipf/Heaps corpus health ([[operators.CorpusHealth.zipfHeaps]]):
+    * integer-OLS fits of the rank-frequency slope (top-64 terms) and the
+    * vocabulary-growth exponent (10 id-order prefixes) using
+    * ilog2(x) = length(bin(x))-1, exact in both engines. The oracle
+    * replays the whole pipeline: term stats, broadcast-join ranks,
+    * prefix buckets, cumulative sums, and both OLS fits. */
+  private val qCorpusHealth = Q(
+    "q221_corpus_health",
+    (s, dir) =>
+      CorpusHealth.zipfHeaps(docTextWords(s, dir), "doc_id", "words"),
+    Some(
+      s"""WITH w AS (SELECT doc_id, $W AS ws FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        |terms AS (SELECT term, count(*) AS c, min(doc_id) AS fd
+        |  FROM tok GROUP BY term),
+        |top AS (SELECT term, c FROM terms ORDER BY c DESC, term LIMIT 64),
+        |ranked AS (SELECT
+        |    length(bin(1 + (SELECT count(*) FROM top b
+        |      WHERE b.c > a.c OR (b.c = a.c AND b.term < a.term)))) - 1 AS x,
+        |    length(bin(a.c)) - 1 AS y
+        |  FROM top a),
+        |zipf AS (SELECT CAST(
+        |    (CAST(SUM(x) AS BIGINT) * CAST(SUM(y) AS BIGINT)
+        |      - count(*) * CAST(SUM(x * y) AS BIGINT)) * 1000
+        |    // (count(*) * CAST(SUM(x * x) AS BIGINT)
+        |      - CAST(SUM(x) AS BIGINT) * CAST(SUM(x) AS BIGINT))
+        |    AS BIGINT) AS zipf_neg_slope_milli FROM ranked),
+        |mx AS (SELECT max(doc_id) + 1 AS n FROM documents),
+        |db AS (SELECT least(10, CAST(floor(doc_id * 10.0 / n) AS BIGINT) + 1)
+        |    AS b, len(ws) AS t FROM w, mx),
+        |tb AS (SELECT b, CAST(SUM(t) AS BIGINT) AS toks FROM db GROUP BY b),
+        |vb AS (SELECT least(10, CAST(floor(fd * 10.0 / n) AS BIGINT) + 1)
+        |    AS b, count(*) AS v FROM terms, mx GROUP BY 1),
+        |cum AS (SELECT a.b,
+        |    (SELECT CAST(SUM(x.toks) AS BIGINT) FROM tb x WHERE x.b <= a.b)
+        |      AS tc,
+        |    (SELECT CAST(SUM(y.v) AS BIGINT) FROM vb y WHERE y.b <= a.b)
+        |      AS vc
+        |  FROM tb a),
+        |hp AS (SELECT length(bin(tc)) - 1 AS x, length(bin(vc)) - 1 AS y
+        |  FROM cum),
+        |heaps AS (SELECT CAST(
+        |    (count(*) * CAST(SUM(x * y) AS BIGINT)
+        |      - CAST(SUM(x) AS BIGINT) * CAST(SUM(y) AS BIGINT)) * 1000
+        |    // (count(*) * CAST(SUM(x * x) AS BIGINT)
+        |      - CAST(SUM(x) AS BIGINT) * CAST(SUM(x) AS BIGINT))
+        |    AS BIGINT) AS heaps_beta_milli FROM hp),
+        |tot AS (SELECT count(*) AS n_terms, CAST(SUM(c) AS BIGINT) AS n_tokens
+        |  FROM terms)
+        |SELECT n_terms, n_tokens, zipf_neg_slope_milli, heaps_beta_milli
+        |FROM tot, zipf, heaps""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -7430,7 +7513,7 @@ object Queries {
     qMojibake, qSentences, qBbitMinhash, qWinnowing, qScriptProfile,
     qBloomSketch, qDeleteProp, qVocabStats, qIvfAdc, qPrefixJoin,
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
-    qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact
+    qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

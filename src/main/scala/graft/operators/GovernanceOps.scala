@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Privacy-governance release gates — the checks a dataset has to pass
+  * before it ships to anyone outside the curation team.
+  *
+  * k-anonymity (Sweeney 2002): every combination of quasi-identifier
+  * values must describe at least k rows, else those rows are
+  * re-identifiable by linking the QI tuple to an external table.
+  * l-diversity (Machanavelli et al. 2007) strengthens it: each QI
+  * equivalence class must also contain at least l DISTINCT values of
+  * the sensitive attribute, else membership in the class leaks the
+  * sensitive value even when the class is large.
+  *
+  * Scale shape: ONE hash-partitioned groupBy over the QI columns with
+  * map-side combine (count + distinct-sensitive per class); output is
+  * O(#equivalence classes), never the data. `suppress` joins the
+  * violating classes back as a broadcast (the violator list is small by
+  * construction when k is small) and nulls the QI columns — the
+  * standard suppression remedy, shuffle-free on the data side.
+  */
+object PrivacyAudit {
+
+  /** Per-equivalence-class audit: QI columns + `class_n` (rows in the
+    * class), `sensitive_l` (distinct sensitive values), `k_ok`,
+    * `l_ok`. A release gate passes when every row has both flags. */
+  def audit(
+      df: DataFrame,
+      quasiIdentifiers: Seq[String],
+      sensitiveField: String,
+      k: Int,
+      l: Int
+  ): DataFrame = {
+    require(quasiIdentifiers.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 1 && l >= 1, s"k and l must be >= 1, got k=$k l=$l")
+    df.groupBy(quasiIdentifiers.map(col): _*)
+      .agg(
+        count(lit(1)).as("class_n"),
+        count_distinct(col(sensitiveField)).as("sensitive_l"))
+      .withColumn("k_ok", col("class_n") >= k)
+      .withColumn("l_ok", col("sensitive_l") >= l)
+  }
+
+  /** One-row gate summary: #classes, #violating classes, #rows in
+    * violating classes — the number the release checklist records. */
+  def gate(
+      df: DataFrame,
+      quasiIdentifiers: Seq[String],
+      sensitiveField: String,
+      k: Int,
+      l: Int
+  ): DataFrame =
+    audit(df, quasiIdentifiers, sensitiveField, k, l)
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(when(!col("k_ok") || !col("l_ok"), 1L).otherwise(0L))
+          .as("n_bad_classes"),
+        sum(when(!col("k_ok") || !col("l_ok"), col("class_n"))
+          .otherwise(0L)).cast(LongType).as("n_bad_rows"))
+
+  /** Suppression remedy: null out the QI columns of every row whose
+    * equivalence class violates k-anonymity or l-diversity. The
+    * violator-class list is broadcast (small when the gate is close to
+    * passing); the data itself never shuffles. */
+  def suppress(
+      df: DataFrame,
+      quasiIdentifiers: Seq[String],
+      sensitiveField: String,
+      k: Int,
+      l: Int
+  ): DataFrame = {
+    val bad = audit(df, quasiIdentifiers, sensitiveField, k, l)
+      .filter(!col("k_ok") || !col("l_ok"))
+      .select(quasiIdentifiers.map(c => col(c).as(s"__pa_$c")): _*)
+      .withColumn("__pa_bad", lit(true))
+    val joinCond = quasiIdentifiers
+      .map(c => col(c) <=> col(s"__pa_$c"))
+      .reduce(_ && _)
+    val joined = df.join(broadcast(bad), joinCond, "left")
+    val suppressed = quasiIdentifiers.foldLeft(joined) { (d, c) =>
+      d.withColumn(c,
+        when(coalesce(col("__pa_bad"), lit(false)), lit(null))
+          .otherwise(col(c)))
+    }
+    suppressed.drop(bad.columns.filter(_.startsWith("__pa_")): _*)
+  }
+}
+
+/** Mapper wrapper: suppress QI columns of k/l-violating rows. */
+case class SuppressQuasiIdentifiers(
+    quasiIdentifiers: Seq[String],
+    sensitiveField: String,
+    k: Int,
+    l: Int = 1
+) extends graft.Mapper {
+  override def inputFields: Seq[String] = quasiIdentifiers :+ sensitiveField
+  override protected def build(df: DataFrame): DataFrame =
+    PrivacyAudit.suppress(df, quasiIdentifiers, sensitiveField, k, l)
+}

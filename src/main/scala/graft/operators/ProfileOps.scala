@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
@@ -787,4 +787,112 @@ object PartitionSkew {
       min(col("n")).as("min_n"),
       (lit(1000L) * max(col("n")) * count(lit(1)) / sum(col("n")))
         .cast(LongType).as("skew_x1000"))
+}
+
+/** Corpus-statistics health check — does this corpus LOOK like natural
+  * language at the distribution level? Two classic laws:
+  *
+  *   - Zipf: term frequency ~ rank^(-s), s ≈ 1 for natural text. A
+  *     slope far below 1 means near-uniform junk (random tokens,
+  *     minified code); far above means a few tokens dominate
+  *     (boilerplate, template spam).
+  *   - Heaps: vocabulary V(n) ~ K·n^beta over corpus prefixes,
+  *     beta ≈ 0.4-0.6 for natural text. beta → 1 means vocabulary
+  *     grows linearly with tokens (ids / hashes / noise); beta → 0
+  *     means the corpus stopped saying new things (duplication).
+  *
+  * Both exponents are fit by integer OLS over integer-log2 points:
+  * ilog2(x) = length(bin(x)) - 1 is exact and identical in any engine
+  * with a binary-string conversion, so the fitted slopes replay
+  * bit-for-bit in SQL — no floating log anywhere.
+  *
+  * Scale shape: ONE explode + groupBy(term) pass computes (count,
+  * first_doc) per term with map-side combine; the Zipf fit sees only
+  * the top-K rows (TakeOrderedAndProject, K=64); the Heaps fit sees
+  * O(#buckets) rows. Rank and cumulative sums use tiny broadcast
+  * self-joins instead of global windows (the catalog bans
+  * unpartitioned windows). Driver state: none. */
+object CorpusHealth {
+
+  /** floor(log2(x)) for x >= 1, as `length(bin(x)) - 1`. */
+  def ilog2(x: Column): Column =
+    (length(bin(x.cast(LongType))) - 1).cast(LongType)
+
+  /** One-row corpus health summary over (idField, wordsField):
+    * `n_terms`, `n_tokens`, `zipf_neg_slope_milli` (1000·s, positive),
+    * `heaps_beta_milli` (1000·beta). */
+  def zipfHeaps(
+      df: DataFrame,
+      idField: String,
+      wordsField: String,
+      topK: Int = 64,
+      buckets: Int = 10
+  ): DataFrame = {
+    val terms = df
+      .select(col(idField).as("__ch_id"), explode(col(wordsField)).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("c"), min(col("__ch_id")).as("fd"))
+
+    // ---- Zipf leg: integer OLS of ilog2(count) on ilog2(rank), top-K
+    val top = terms.select("term", "c").orderBy(col("c").desc, col("term"))
+      .limit(topK)
+    val topB = top.select(col("term").as("bterm"), col("c").as("bc"))
+    val ranked = top
+      .join(broadcast(topB),
+        col("bc") > col("c") ||
+          (col("bc") === col("c") && col("bterm") < col("term")),
+        "left")
+      .groupBy("term", "c")
+      .agg((count(col("bterm")) + 1).as("r"))
+      .select(ilog2(col("r")).as("x"), ilog2(col("c")).as("y"))
+    val zipf = ranked
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(expr(
+        "(sx * sy - n * sxy) * 1000 div (n * sxx - sx * sx)")
+        .as("zipf_neg_slope_milli"))
+
+    // ---- Heaps leg: cumulative (tokens, vocab) at id-order prefixes
+    val mx = df.agg((max(col(idField)) + 1).as("__ch_n"))
+    val bucketed = df
+      .crossJoin(broadcast(mx))
+      .select(
+        least(lit(buckets),
+          floor(col(idField) * buckets / col("__ch_n")).cast(LongType) + 1)
+          .as("b"),
+        size(col(wordsField)).cast(LongType).as("t"))
+    val tokB = bucketed.groupBy("b").agg(sum(col("t")).as("toks"))
+    val vocB = terms
+      .crossJoin(broadcast(mx))
+      .select(least(lit(buckets),
+        floor(col("fd") * buckets / col("__ch_n")).cast(LongType) + 1).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("v"))
+    val cumSrc = tokB.select(col("b"), col("toks"))
+      .join(broadcast(vocB.select(col("b").as("vb"), col("v"))),
+        col("vb") <= col("b"), "left")
+    val cumTok = tokB.select(col("b").as("tb2"), col("toks").as("toks2"))
+    val cum = cumSrc
+      .groupBy("b", "toks")
+      .agg(sum(col("v")).as("vc"))
+      .join(broadcast(cumTok), col("tb2") <= col("b"))
+      .groupBy("b", "vc")
+      .agg(sum(col("toks2")).as("tc"))
+      .select(ilog2(col("tc")).as("x"), ilog2(col("vc")).as("y"))
+    val heaps = cum
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(expr(
+        "(n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx)")
+        .as("heaps_beta_milli"))
+
+    val totals = terms.agg(
+      count(lit(1)).as("n_terms"),
+      sum(col("c")).as("n_tokens"))
+
+    totals.crossJoin(broadcast(zipf)).crossJoin(broadcast(heaps))
+      .select("n_terms", "n_tokens", "zipf_neg_slope_milli",
+        "heaps_beta_milli")
+  }
 }

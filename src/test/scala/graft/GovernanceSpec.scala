@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{PrivacyAudit, SuppressQuasiIdentifiers}
+
+class PrivacyAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  // QI = (zip, age); sensitive = diagnosis.
+  // Class (10001, 30): 3 rows, 3 distinct diagnoses  -> k=3,l=3 ok
+  // Class (10001, 40): 2 rows, 1 distinct diagnosis  -> k fails at 3, l fails at 2
+  // Class (10002, 30): 3 rows, 1 distinct diagnosis  -> k ok, l fails at 2
+  private def data =
+    Seq(
+      ("10001", 30, "a"), ("10001", 30, "b"), ("10001", 30, "c"),
+      ("10001", 40, "a"), ("10001", 40, "a"),
+      ("10002", 30, "b"), ("10002", 30, "b"), ("10002", 30, "b")
+    ).toDF("zip", "age", "diag")
+
+  test("audit computes class sizes, distinct sensitive counts, flags") {
+    val got = rows(
+      PrivacyAudit.audit(data, Seq("zip", "age"), "diag", 3, 2)
+        .orderBy("zip", "age"))
+    assert(got == Seq(
+      Seq("10001", 30, 3L, 3L, true, true),
+      Seq("10001", 40, 2L, 1L, false, false),
+      Seq("10002", 30, 3L, 1L, true, false)))
+  }
+
+  test("gate summarizes violating classes and rows") {
+    val got = rows(PrivacyAudit.gate(data, Seq("zip", "age"), "diag", 3, 2))
+    assert(got == Seq(Seq(3L, 2L, 5L)))
+  }
+
+  test("suppress nulls QI columns of exactly the violating classes") {
+    val out = PrivacyAudit
+      .suppress(data, Seq("zip", "age"), "diag", 3, 2)
+      .orderBy(col("diag"), col("zip").asc_nulls_last)
+    assert(out.columns.toSeq == Seq("zip", "age", "diag"))
+    val got = rows(out)
+    // (10001,40) and (10002,30) classes suppressed; (10001,30) intact
+    assert(got.count(r => r(0) == null && r(1) == null) == 5)
+    assert(got.filter(_(2) == "c") == Seq(Seq("10001", 30, "c")))
+  }
+
+  test("mapper wrapper runs suppression") {
+    val out = SuppressQuasiIdentifiers(Seq("zip", "age"), "diag", k = 3, l = 2)(data)
+    assert(out.filter(col("zip").isNull).count() == 5)
+  }
+
+  test("suppression treats null QI values as a class of their own") {
+    val d = Seq((Option.empty[String], "x"), (None, "y"), (Some("z"), "x"))
+      .toDF("zip", "diag")
+    // null-zip class has 2 rows -> passes k=2; ("z") class fails
+    val out = PrivacyAudit.suppress(d, Seq("zip"), "diag", 2, 1)
+    assert(out.filter(col("diag") === "x" && col("zip").isNull).count() == 2)
+  }
+}
+
+class CorpusHealthSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.CorpusHealth
+
+  private def run(rows: Seq[(Long, Seq[String])]) =
+    CorpusHealth.zipfHeaps(rows.toDF("doc_id", "words"), "doc_id", "words")
+      .collect()(0)
+
+  test("ilog2 matches length(bin(x)) - 1") {
+    val got = Seq(1L, 2L, 3L, 4L, 1023L, 1024L).toDF("x")
+      .select(CorpusHealth.ilog2(col("x"))).as[Long].collect().toSeq
+    assert(got == Seq(0L, 1L, 1L, 2L, 9L, 10L))
+  }
+
+  test("uniform term counts give zero zipf slope") {
+    // every term appears exactly twice -> y constant -> slope 0
+    val r = run(Seq((0L, Seq("a", "b", "c", "d")), (1L, Seq("a", "b", "c", "d"))))
+    assert(r.getAs[Long]("zipf_neg_slope_milli") == 0L)
+    assert(r.getAs[Long]("n_terms") == 4L)
+    assert(r.getAs[Long]("n_tokens") == 8L)
+  }
+
+  test("skewed counts give a steeper zipf slope than mild ones") {
+    val skewed = run(Seq((0L, Seq.fill(64)("the") ++ Seq("a", "b", "c", "d"))))
+      .getAs[Long]("zipf_neg_slope_milli")
+    val mild = run(Seq((0L, Seq("the", "the", "a", "b", "c", "d"))))
+      .getAs[Long]("zipf_neg_slope_milli")
+    assert(skewed > mild && mild >= 0L)
+  }
+
+  test("heaps beta: fresh-vocabulary corpus near 1000, repetitive near 0") {
+    val fresh = run((0L until 40L).map(i =>
+      (i, Seq(s"w${i}a", s"w${i}b", s"w${i}c"))))
+      .getAs[Long]("heaps_beta_milli")
+    val stale = run((0L until 40L).map(i => (i, Seq("x", "y", "z"))))
+      .getAs[Long]("heaps_beta_milli")
+    assert(fresh > 900L && fresh <= 1100L, s"fresh=$fresh")
+    assert(stale == 0L, s"stale=$stale")
+  }
+}
