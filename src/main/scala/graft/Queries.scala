@@ -7456,6 +7456,47 @@ object Queries {
     )
   )
 
+  /** Small-file compaction plan ([[operators.CompactionPlan.plan]]):
+    * documents stands in for a file manifest (source = partition,
+    * doc_id = file, n_chars = bytes); greedy 50k-byte bins in file
+    * order via the native GreedyPackBreaks scan. The oracle replays the
+    * greedy fold with an encoded (bin, count, cum) integer state:
+    * state = bin·10⁹ + count·10⁶ + cum, valid because per-bin byte
+    * totals stay far below 10⁶ at oracle scale. */
+  private val qCompactionPlan = Q(
+    "q222_compaction_plan",
+    (s, dir) =>
+      CompactionPlan.plan(
+        T(s, dir, "documents").select("source", "doc_id", "n_chars"),
+        "source", "doc_id", "n_chars",
+        targetBytes = 50000L, maxFiles = 64)
+        .select(col("source"), col("bin"), col("n_files"), col("bin_bytes"),
+          J("files"))
+        .orderBy("source", "bin"),
+    Some(
+      """WITH st AS (SELECT source,
+        |    list(n_chars ORDER BY doc_id) AS xs,
+        |    list(doc_id ORDER BY doc_id) AS fs
+        |  FROM documents GROUP BY source),
+        |b AS (SELECT source, xs, fs,
+        |    list_transform(generate_series(1, len(xs)), i ->
+        |      list_reduce([CAST(0 AS BIGINT)] || xs[1:i], (a, l) ->
+        |        CASE WHEN (a // 1000000) % 1000 > 0
+        |              AND ((a % 1000000) + l > 50000
+        |                   OR (a // 1000000) % 1000 >= 64)
+        |          THEN (a // 1000000000 + 1) * 1000000000 + 1000000 + l
+        |          ELSE a + 1000000 + l END) // 1000000000) AS bins
+        |  FROM st),
+        |u AS (SELECT source, unnest(bins) AS bin, unnest(xs) AS sz,
+        |    unnest(fs) AS f FROM b)
+        |SELECT source, bin, count(*) AS n_files,
+        |  CAST(SUM(sz) AS BIGINT) AS bin_bytes,
+        |  '[' || string_agg(CAST(f AS VARCHAR), ',' ORDER BY f) || ']'
+        |    AS files
+        |FROM u GROUP BY source, bin ORDER BY source, bin""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -7513,7 +7554,7 @@ object Queries {
     qMojibake, qSentences, qBbitMinhash, qWinnowing, qScriptProfile,
     qBloomSketch, qDeleteProp, qVocabStats, qIvfAdc, qPrefixJoin,
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
-    qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth
+    qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

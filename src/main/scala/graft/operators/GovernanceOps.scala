@@ -100,3 +100,65 @@ case class SuppressQuasiIdentifiers(
   override protected def build(df: DataFrame): DataFrame =
     PrivacyAudit.suppress(df, quasiIdentifiers, sensitiveField, k, l)
 }
+
+/** Small-file compaction planning — the 100-TB table-maintenance chore:
+  * a partitioned corpus accumulates thousands of undersized files per
+  * partition (streaming micro-batches, per-executor writes), and read
+  * throughput collapses under per-file open cost. The fix is periodic
+  * compaction: group each partition's files into target-size bins and
+  * rewrite one file per bin.
+  *
+  * This operator emits the PLAN (which files merge into which bin),
+  * reusing the same native [[graft.functions.GreedyPackBreaks]] greedy
+  * scan as sequence packing: files ordered by name, a new bin whenever
+  * the running byte total would exceed `targetBytes` (or `maxFiles`
+  * accumulate). Deterministic: same manifest → same plan, so a
+  * re-run resumes instead of re-shuffling files between bins.
+  *
+  * Scale shape: ONE groupBy(partition) collecting (file, size) pairs —
+  * the manifest is O(#files), tiny next to the data — then a row-local
+  * greedy scan and a posexplode to O(#bins) rows. The data files
+  * themselves are never read. */
+object CompactionPlan {
+
+  /** Per-bin plan rows: (groupField, bin, n_files, bin_bytes).
+    * Bins are numbered 0.. within each group, in file-name order. */
+  def plan(
+      manifest: DataFrame,
+      groupField: String,
+      fileField: String,
+      sizeField: String,
+      targetBytes: Long,
+      maxFiles: Int = 1 << 20
+  ): DataFrame = {
+    require(targetBytes > 0 && maxFiles > 0)
+    val packed = manifest
+      .groupBy(col(groupField))
+      .agg(sort_array(collect_list(struct(
+        col(fileField).as("f"), col(sizeField).cast(LongType).as("sz"))))
+        .as("__cp_fs"))
+      .withColumn("__cp_szs", transform(col("__cp_fs"), f => f("sz")))
+      .withColumn("__cp_starts",
+        graft.functions.functions.greedy_pack_breaks(
+          col("__cp_szs"), lit(maxFiles.toLong), lit(targetBytes)))
+    packed
+      .select(col(groupField), col("__cp_szs"), col("__cp_fs"),
+        col("__cp_starts"),
+        posexplode(col("__cp_starts")).as(Seq("bin", "__cp_s")))
+      .withColumn("__cp_e",
+        coalesce(element_at(col("__cp_starts"), col("bin") + 2),
+          size(col("__cp_szs")).cast(LongType)))
+      .select(
+        col(groupField),
+        col("bin").cast(LongType).as("bin"),
+        (col("__cp_e") - col("__cp_s")).as("n_files"),
+        aggregate(
+          slice(col("__cp_szs"), col("__cp_s").cast("int") + 1,
+            (col("__cp_e") - col("__cp_s")).cast("int")),
+          lit(0L), (acc, x) => acc + x).as("bin_bytes"),
+        transform(
+          slice(col("__cp_fs"), col("__cp_s").cast("int") + 1,
+            (col("__cp_e") - col("__cp_s")).cast("int")),
+          f => f("f")).as("files"))
+  }
+}

@@ -97,3 +97,38 @@ class CorpusHealthSpec extends SparkSpec {
     assert(stale == 0L, s"stale=$stale")
   }
 }
+
+class CompactionPlanSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.CompactionPlan
+
+  test("greedy byte-budget bins in file-name order, per group") {
+    val m = Seq(
+      ("p1", "a", 60L), ("p1", "b", 30L), ("p1", "c", 30L), ("p1", "d", 50L),
+      ("p2", "e", 10L)
+    ).toDF("part", "file", "bytes")
+    val got = rows(
+      CompactionPlan.plan(m, "part", "file", "bytes", targetBytes = 100L)
+        .orderBy("part", "bin"))
+    // p1: a(60)+b(30)=90, +c(30) would be 120 -> break; c(30)+d(50)=80
+    assert(got == Seq(
+      Seq("p1", 0L, 2L, 90L, List("a", "b")),
+      Seq("p1", 1L, 2L, 80L, List("c", "d")),
+      Seq("p2", 0L, 1L, 10L, List("e"))))
+  }
+
+  test("maxFiles caps a bin even under budget") {
+    val m = (1 to 5).map(i => ("p", f"f$i", 1L)).toDF("part", "file", "bytes")
+    val got = rows(
+      CompactionPlan.plan(m, "part", "file", "bytes", 100L, maxFiles = 2)
+        .orderBy("bin"))
+    assert(got.map(_(2)) == Seq(2L, 2L, 1L))
+  }
+
+  test("an oversized single file gets its own bin, plan covers all files") {
+    val m = Seq(("p", "big", 500L), ("p", "tiny", 1L)).toDF("part", "file", "bytes")
+    val got = rows(CompactionPlan.plan(m, "part", "file", "bytes", 100L)
+      .orderBy("bin"))
+    assert(got.map(_(3)) == Seq(500L, 1L))
+  }
+}
