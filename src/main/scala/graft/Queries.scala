@@ -7497,6 +7497,58 @@ object Queries {
     )
   )
 
+  /** Distributed perceptron training, oracle-verified end to end
+    * ([[operators.PerceptronTrainer]]): 3 full-batch rounds on hashed
+    * unigram features (dim 32, portable md5 bucket), label = whether
+    * the document is English. Every update is a sum of signed integer
+    * token counts, so the DuckDB oracle replays the ENTIRE training
+    * trajectory — the one classifier trainer whose distributed run is
+    * hash-checked, not just spec-checked. */
+  private val qPerceptron = Q(
+    "q223_perceptron_train",
+    (s, dir) => {
+      val dim = 32
+      PerceptronTrainer.trainWeights(
+        docTextWords(s, dir)
+          .withColumn("y", when(col("lang") === "en", 1L).otherwise(-1L)),
+        "words", "y", dim, rounds = 3,
+        t => QualityClassifier.md5Index(t, dim))
+        .orderBy("j")
+    },
+    Some(
+      s"""WITH d AS (SELECT doc_id, $W AS toks,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y FROM documents),
+        |e AS (SELECT doc_id, y, list_transform(toks, tk ->
+        |    list_reduce(list_transform(generate_series(1, 8),
+        |      j2 -> CAST(strpos('0123456789abcdef',
+        |        substring(md5(tk), CAST(j2 AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, x) -> a * 16 + x) % 32) AS hs
+        |  FROM d),
+        |idx AS (SELECT unnest(generate_series(0, 31)) AS i),
+        |u1 AS (SELECT unnest(hs) AS j, y FROM e),
+        |g1 AS (SELECT j, CAST(SUM(y) AS BIGINT) AS dd FROM u1 GROUP BY j),
+        |d1 AS (SELECT idx.i, coalesce(g1.dd, 0) AS v
+        |  FROM idx LEFT JOIN g1 ON g1.j = idx.i),
+        |w1 AS (SELECT list(v ORDER BY i) AS w FROM d1),
+        |m2 AS (SELECT e.y, e.hs FROM e, w1
+        |  WHERE e.y * list_reduce([CAST(0 AS BIGINT)] ||
+        |    list_transform(e.hs, h -> w1.w[h + 1]), (a, b) -> a + b) <= 0),
+        |u2 AS (SELECT unnest(hs) AS j, y FROM m2),
+        |g2 AS (SELECT j, CAST(SUM(y) AS BIGINT) AS dd FROM u2 GROUP BY j),
+        |d2 AS (SELECT idx.i, w1.w[idx.i + 1] + coalesce(g2.dd, 0) AS v
+        |  FROM idx CROSS JOIN w1 LEFT JOIN g2 ON g2.j = idx.i),
+        |w2 AS (SELECT list(v ORDER BY i) AS w FROM d2),
+        |m3 AS (SELECT e.y, e.hs FROM e, w2
+        |  WHERE e.y * list_reduce([CAST(0 AS BIGINT)] ||
+        |    list_transform(e.hs, h -> w2.w[h + 1]), (a, b) -> a + b) <= 0),
+        |u3 AS (SELECT unnest(hs) AS j, y FROM m3),
+        |g3 AS (SELECT j, CAST(SUM(y) AS BIGINT) AS dd FROM u3 GROUP BY j),
+        |d3 AS (SELECT idx.i, w2.w[idx.i + 1] + coalesce(g3.dd, 0) AS v
+        |  FROM idx CROSS JOIN w2 LEFT JOIN g3 ON g3.j = idx.i)
+        |SELECT i AS j, v AS weight FROM d3 ORDER BY j""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -7554,7 +7606,7 @@ object Queries {
     qMojibake, qSentences, qBbitMinhash, qWinnowing, qScriptProfile,
     qBloomSketch, qDeleteProp, qVocabStats, qIvfAdc, qPrefixJoin,
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
-    qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan
+    qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

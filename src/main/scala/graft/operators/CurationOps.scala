@@ -718,3 +718,88 @@ object RendezvousShard {
       .getField("shard")
   }
 }
+
+/** Distributed INTEGER-EXACT perceptron training (Rosenblatt 1958,
+  * batch variant) over hashed bag-of-words features — the only
+  * classifier trainer in the catalog whose every step replays
+  * bit-for-bit in SQL. [[QualityClassifier.train]] fits real logistic
+  * regression (spark.ml L-BFGS, float math, spec-verified);
+  * PerceptronTrainer trades model quality for full oracle
+  * verifiability: weights live in Z^dim, updates are sums of signed
+  * token counts, and the whole T-round trajectory is a deterministic
+  * function of the corpus.
+  *
+  * Per round, fully distributed: margins are a row-local fold over
+  * each doc's tokens against the broadcast one-row weight vector;
+  * misclassified docs (y·margin <= 0) explode their tokens into ONE
+  * map-side-combined groupBy(bucket) producing the O(dim) update;
+  * the update merges into the weight array via a broadcast of one
+  * row. Nothing but O(dim) state ever leaves the executors, and the
+  * corpus is re-scanned, never shuffled. */
+object PerceptronTrainer {
+
+  /** One-row DataFrame holding the weight array after `rounds`
+    * full-batch perceptron rounds. `labelField` must be +1/-1. */
+  def train(
+      df: DataFrame,
+      wordsField: String,
+      labelField: String,
+      dim: Int,
+      rounds: Int,
+      indexOf: Column => Column
+  ): DataFrame = {
+    require(dim > 0 && rounds >= 1)
+    val sp = df.sparkSession
+    val docs = df.select(
+      col(wordsField).as("__pt_toks"),
+      col(labelField).cast(LongType).as("__pt_y"))
+    var w: DataFrame = sp.range(1).select(
+      transform(sequence(lit(0), lit(dim - 1)), _ => lit(0L)).as("__pt_w"))
+    for (_ <- 0 until rounds) {
+      val mis = docs
+        .crossJoin(broadcast(w))
+        .withColumn("__pt_m",
+          aggregate(col("__pt_toks"), lit(0L), (acc, t) =>
+            acc + element_at(col("__pt_w"),
+              (indexOf(t) + 1).cast(IntegerType))))
+        .filter(col("__pt_y") * col("__pt_m") <= 0)
+      val delta = mis
+        .select(col("__pt_y"), explode(col("__pt_toks")).as("__pt_t"))
+        .groupBy(indexOf(col("__pt_t")).cast(LongType).as("__pt_j"))
+        .agg(sum(col("__pt_y")).as("__pt_d"))
+        .agg(map_from_entries(collect_list(
+          struct(col("__pt_j"), col("__pt_d")))).as("__pt_dm"))
+      w = w.crossJoin(broadcast(delta))
+        .select(transform(col("__pt_w"), (wi, i) =>
+          wi + coalesce(element_at(col("__pt_dm"), i.cast(LongType)), lit(0L)))
+          .as("__pt_w"))
+    }
+    w
+  }
+
+  /** Trained weights as (j, weight) rows, j = 0..dim-1. */
+  def trainWeights(
+      df: DataFrame,
+      wordsField: String,
+      labelField: String,
+      dim: Int,
+      rounds: Int,
+      indexOf: Column => Column
+  ): DataFrame =
+    train(df, wordsField, labelField, dim, rounds, indexOf)
+      .select(posexplode(col("__pt_w")).as(Seq("j", "weight")))
+      .select(col("j").cast(LongType).as("j"), col("weight"))
+
+  /** Integer margin of a token array under literal trained weights —
+    * the inference fold ([[QualityClassifier.logit]]'s exact-integer
+    * cousin). */
+  def margin(
+      words: Column,
+      weights: Seq[Long],
+      indexOf: Column => Column
+  ): Column = {
+    val w = typedLit(weights)
+    aggregate(words, lit(0L), (acc, t) =>
+      acc + element_at(w, (indexOf(t) + 1).cast(IntegerType)))
+  }
+}

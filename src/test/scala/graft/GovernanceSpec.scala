@@ -132,3 +132,48 @@ class CompactionPlanSpec extends SparkSpec {
     assert(got.map(_(3)) == Seq(500L, 1L))
   }
 }
+
+class PerceptronTrainerSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.{PerceptronTrainer, QualityClassifier}
+
+  private val dim = 16
+  private val idx = (t: org.apache.spark.sql.Column) =>
+    QualityClassifier.md5Index(t, dim)
+
+  private val toy = Seq(
+    (Seq("good", "fine", "nice"), 1L),
+    (Seq("good", "nice"), 1L),
+    (Seq("bad", "awful"), -1L),
+    (Seq("bad", "awful", "worse"), -1L)
+  ).toDF("words", "y")
+
+  test("round 1 from zero weights is the signed token-count sum") {
+    val got = PerceptronTrainer
+      .trainWeights(toy, "words", "y", dim, rounds = 1, idx)
+      .filter(col("weight") =!= 0L).orderBy("j")
+    // every doc misclassified at w=0 (y*0 <= 0): weight[j] = sum of y
+    // over tokens hashing to j
+    val expect = toy.select(col("y"), explode(col("words")).as("t"))
+      .groupBy(idx(col("t")).as("j")).agg(sum("y").as("weight"))
+      .filter(col("weight") =!= 0L).orderBy("j")
+    assert(rows(got) == rows(expect))
+  }
+
+  test("trained weights separate a separable toy corpus") {
+    val w = PerceptronTrainer
+      .train(toy, "words", "y", dim, rounds = 3, idx)
+      .collect()(0).getSeq[Long](0)
+    val margins = toy.select(
+      PerceptronTrainer.margin(col("words"), w, idx).as("m"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(margins.forall { case (m, y) => m * y > 0 },
+      s"margins=${margins.toSeq}")
+  }
+
+  test("training is deterministic across runs") {
+    def go() = PerceptronTrainer
+      .trainWeights(toy, "words", "y", dim, 3, idx).orderBy("j")
+    assert(rows(go()) == rows(go()))
+  }
+}
