@@ -7549,6 +7549,89 @@ object Queries {
     )
   )
 
+  /** Per-language stopword induction
+    * ([[operators.StopwordInduction.topByDf]]): top-20 words per
+    * language by document frequency — the multilingual bootstrap for
+    * the Gopher-style stopword probe (a curated list exists for
+    * English; the other languages get theirs induced). Window is
+    * partitioned by lang; df_ppm is an integral division. */
+  private val qStopwords = Q(
+    "q224_stopword_induction",
+    (s, dir) =>
+      StopwordInduction.topByDf(docWords(s, dir), "lang", "words", 20)
+        .orderBy("lang", "rank"),
+    Some(
+      s"""WITH nd AS (SELECT lang, count(*) AS n FROM documents
+        |  GROUP BY lang),
+        |w AS (SELECT lang, unnest(list_distinct($W)) AS word
+        |  FROM documents),
+        |d AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS df
+        |  FROM w GROUP BY lang, word),
+        |r AS (SELECT lang, word, df, CAST(row_number() OVER (
+        |    PARTITION BY lang ORDER BY df DESC, word) AS BIGINT) AS rnk
+        |  FROM d)
+        |SELECT r.lang, word, df, (1000000 * df) // n AS df_ppm,
+        |  rnk AS "rank"
+        |FROM r JOIN nd ON r.lang = nd.lang
+        |WHERE rnk <= 20 ORDER BY r.lang, rnk""".stripMargin
+    )
+  )
+
+  /** Per-language tokenizer fertility ([[operators.TokenizerEval]]):
+    * subword pieces per whitespace word + chars per piece, the
+    * multilingual tokenizer-bias report. One groupBy(lang). */
+  private val qFertility = Q(
+    "q225_tokenizer_fertility",
+    (s, dir) =>
+      TokenizerEval.fertility(docTextWords(s, dir), "lang", "text", "words")
+        .orderBy("lang"),
+    Some(
+      s"""WITH g AS (SELECT lang, count(*) AS n_docs,
+        |    CAST(SUM(len($W)) AS BIGINT) AS n_words,
+        |    CAST(SUM(len(regexp_extract_all(text, '\\w+|[^\\w\\s]+')))
+        |      AS BIGINT) AS n_pieces,
+        |    CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY lang)
+        |SELECT lang, n_docs, n_words, n_pieces, n_chars,
+        |  (1000000 * n_pieces) // n_words AS fertility_ppm,
+        |  (1000 * n_chars) // n_pieces AS chars_per_piece_milli
+        |FROM g ORDER BY lang""".stripMargin
+    )
+  )
+
+  /** Degenerate-repetition run detection ([[operators.RepetitionRun]]):
+    * longest immediate word-repeat run per doc, the generation-loop /
+    * keyword-stuffing signal fraction-based repetition stats miss.
+    * Row-local integer-state fold; the oracle replays the same encoded
+    * (cur, best) fold. */
+  private val qRepetitionRun = Q(
+    "q226_repetition_run",
+    (s, dir) =>
+      docWords(s, dir)
+        .select(col("doc_id"),
+          RepetitionRun.maxRun(col("words")).as("max_run"))
+        .withColumn("loopy", col("max_run") >= 3)
+        .orderBy("doc_id"),
+    Some(
+      s"""WITH w AS (SELECT doc_id, $W AS ws FROM documents),
+        |f AS (SELECT doc_id, ws, list_transform(generate_series(2, len(ws)),
+        |    i -> CASE WHEN ws[CAST(i AS INT)] = ws[CAST(i AS INT) - 1]
+        |      THEN 1 ELSE 0 END) AS flags FROM w),
+        |r AS (SELECT doc_id,
+        |    CASE WHEN len(ws) = 0 THEN 0 ELSE
+        |      list_reduce([CAST(1000001 AS BIGINT)] || flags, (st, fl) ->
+        |        CASE WHEN fl = 1
+        |          THEN ((st // 1000000) + 1) * 1000000
+        |               + greatest(st % 1000000, st // 1000000 + 1)
+        |          ELSE 1000000 + greatest(st % 1000000, 1) END)
+        |      % 1000000 END AS max_run
+        |  FROM f)
+        |SELECT doc_id, CAST(max_run AS BIGINT) AS max_run,
+        |  max_run >= 3 AS loopy
+        |FROM r ORDER BY doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -7606,7 +7689,7 @@ object Queries {
     qMojibake, qSentences, qBbitMinhash, qWinnowing, qScriptProfile,
     qBloomSketch, qDeleteProp, qVocabStats, qIvfAdc, qPrefixJoin,
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
-    qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron
+    qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron, qStopwords, qFertility, qRepetitionRun
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

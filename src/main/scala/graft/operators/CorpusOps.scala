@@ -993,3 +993,47 @@ object StupidBackoff {
       .drop("__sb_n", "__sb_s")
   }
 }
+
+/** Corpus-specific stopword induction — the trainer-side counterpart of
+  * the Gopher stopword PROBE ([[GopherQualityGate]] checks docs against
+  * a fixed English list): induce each language's own list as the
+  * highest-document-frequency words. Multilingual pipelines need this
+  * because a hand-curated list exists for English and not for the other
+  * hundred languages in the corpus; df-based induction is the standard
+  * bootstrap (stopwords appear in nearly every document BY DEFINITION).
+  *
+  * Scale shape: array_distinct per doc (row-local) → explode → ONE
+  * map-side-combined groupBy(lang, word) for df; per-language doc
+  * totals are an O(#langs) broadcast back; ranking is a window
+  * PARTITIONED by lang (never global). Output O(#langs · k). */
+object StopwordInduction {
+
+  /** Top-k words per language by document frequency:
+    * (lang, word, df, df_ppm, rank), rank 1 = most common, ties broken
+    * by word. */
+  def topByDf(
+      df: DataFrame,
+      langField: String,
+      wordsField: String,
+      k: Int
+  ): DataFrame = {
+    import graft.functions.functions.integral_divide
+    val docsPerLang = df.groupBy(col(langField).as("lang"))
+      .agg(count(lit(1)).as("__sw_nd"))
+    val dfs = df
+      .select(col(langField).as("lang"),
+        explode(array_distinct(col(wordsField))).as("word"))
+      .groupBy("lang", "word")
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("df").desc, col("word"))
+    dfs
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .join(broadcast(docsPerLang), Seq("lang"))
+      .select(col("lang"), col("word"), col("df"),
+        integral_divide(lit(1000000L) * col("df"), col("__sw_nd"))
+          .as("df_ppm"),
+        col("rank"))
+  }
+}

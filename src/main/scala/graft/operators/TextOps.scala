@@ -844,3 +844,72 @@ final case class ScriptProfileMapper(textField: String) extends Mapper {
     withPm.withColumn("dominant", ScriptProfile.dominant(col(textField)))
   }
 }
+
+/** Tokenizer-evaluation aggregates — the per-language cost report a
+  * team reads before committing to a tokenizer: FERTILITY (subword
+  * pieces per whitespace word; high fertility on a language means its
+  * text costs more sequence length per word, the classic multilingual
+  * tokenizer-bias metric) and compression (characters per piece).
+  * One map-side-combined groupBy(lang); ratios are integral divisions
+  * so the report replays exactly in SQL. */
+object TokenizerEval {
+
+  /** Per-language fertility using the ws-word / BPE-ish piece counters
+    * (same counters as the per-doc q89 signals):
+    * (lang, n_docs, n_words, n_pieces, n_chars, fertility_ppm,
+    * chars_per_piece_milli). */
+  def fertility(
+      df: DataFrame,
+      langField: String,
+      textField: String,
+      wordsField: String
+  ): DataFrame = {
+    import graft.functions.functions.integral_divide
+    df.groupBy(col(langField).as("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col(wordsField)).cast(LongType)).as("n_words"),
+        sum(size(regexp_extract_all(col(textField),
+          lit("\\w+|[^\\w\\s]+"), lit(0))).cast(LongType)).as("n_pieces"),
+        sum(length(col(textField)).cast(LongType)).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_pieces"),
+        col("n_chars"),
+        integral_divide(lit(1000000L) * col("n_pieces"), col("n_words"))
+          .as("fertility_ppm"),
+        integral_divide(lit(1000L) * col("n_chars"), col("n_pieces"))
+          .as("chars_per_piece_milli"))
+  }
+}
+
+/** Degenerate-repetition detection — the "buy now buy now buy now"
+  * filter: longest run of consecutive IDENTICAL words per document.
+  * Gopher's repetition stats catch global duplicate fractions; a long
+  * immediate-repeat run is a sharper signal for generation loops and
+  * keyword-stuffed spam, and it's invisible to fraction-based stats on
+  * long documents. Row-local fold with an integer (current-run,
+  * best-run) state — zero shuffle, SQL-replayable. */
+object RepetitionRun {
+
+  /** Longest run of equal consecutive elements (>= 1 for non-empty,
+    * 0 for empty arrays). State = cur·1000000 + best; word arrays are
+    * bounded far below 10^6 elements per row. */
+  def maxRun(words: Column): Column = {
+    val flags = zip_with(
+      slice(words, lit(1), greatest(size(words) - 1, lit(0))),
+      slice(words, lit(2), greatest(size(words) - 1, lit(0))),
+      (a, b) => when(a === b, 1L).otherwise(0L))
+    val folded = aggregate(
+      flags,
+      lit(1000001L), // cur=1, best=1
+      (st, f) => {
+        // integer field extraction; st < 10^12 so the double division
+        // truncates exactly
+        val cur = (st / lit(1000000L)).cast(LongType)
+        val best = st % lit(1000000L)
+        val ncur = when(f === 1L, cur + 1L).otherwise(lit(1L))
+        ncur * lit(1000000L) + greatest(best, ncur)
+      })
+    when(size(words) === 0, lit(0L))
+      .otherwise(folded % lit(1000000L))
+  }
+}

@@ -177,3 +177,62 @@ class PerceptronTrainerSpec extends SparkSpec {
     assert(rows(go()) == rows(go()))
   }
 }
+
+class StopwordInductionSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.StopwordInduction
+
+  test("per-language df ranking with within-doc dedup and ppm scaling") {
+    val d = Seq(
+      ("en", Seq("the", "the", "cat")),   // "the" counted once per doc
+      ("en", Seq("the", "dog")),
+      ("en", Seq("a", "dog")),
+      ("fr", Seq("le", "chat")),
+      ("fr", Seq("le", "chien"))
+    ).toDF("lang", "words")
+    val got = rows(StopwordInduction.topByDf(d, "lang", "words", 2)
+      .orderBy("lang", "rank"))
+    // "dog" and "the" tie at df=2; ties break by word ascending
+    assert(got == Seq(
+      Seq("en", "dog", 2L, 666666L, 1L),
+      Seq("en", "the", 2L, 666666L, 2L),
+      Seq("fr", "le", 2L, 1000000L, 1L),
+      Seq("fr", "chat", 1L, 500000L, 2L)))
+  }
+}
+
+class TokenizerEvalSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.TokenizerEval
+
+  test("fertility and compression per language, integral ratios") {
+    val d = Seq(
+      ("en", "hello world", Seq("hello", "world")),   // 2 pieces
+      ("en", "it's fine", Seq("it's", "fine")),       // it + ' + s + fine = 4
+      ("fr", "l'eau", Seq("l'eau"))                   // l + ' + eau = 3
+    ).toDF("lang", "text", "words")
+    val got = rows(TokenizerEval.fertility(d, "lang", "text", "words")
+      .orderBy("lang"))
+    assert(got == Seq(
+      Seq("en", 2L, 4L, 6L, 20L, 1500000L, 3333L),
+      Seq("fr", 1L, 1L, 3L, 5L, 3000000L, 1666L)))
+  }
+}
+
+class RepetitionRunSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.RepetitionRun
+
+  test("longest immediate-repeat run") {
+    val got = Seq(
+      Seq.empty[String],
+      Seq("a"),
+      Seq("a", "b", "c"),
+      Seq("a", "a", "a", "b"),
+      Seq("x", "b", "b", "c", "c", "c"),
+      Seq("z", "z")
+    ).toDF("w").select(RepetitionRun.maxRun(col("w")).as("r"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(0L, 1L, 1L, 3L, 3L, 2L))
+  }
+}
