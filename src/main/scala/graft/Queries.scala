@@ -7632,6 +7632,36 @@ object Queries {
     )
   )
 
+  /** Ingest-rate anomaly detection ([[operators.RateAnomaly]]):
+    * hourly per-type event volumes vs a 6-hour trailing baseline,
+    * integral spike ratio. Window partitioned by event_type over the
+    * hourly COUNT table, never the raw events. */
+  private val qRateAnomaly = Q(
+    "q227_rate_anomaly",
+    (s, dir) =>
+      RateAnomaly.hourlySpikes(events(s, dir), "event_type", "ts")
+        .select(col("key"), unix_micros(col("hour")).as("hour_us"),
+          col("n"), col("prev_n"), col("prev_sum"), col("ratio_milli"),
+          col("spike"))
+        .orderBy("key", "hour_us"),
+    Some(
+      """WITH c AS (SELECT event_type AS key, date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |w AS (SELECT key, hour, n,
+        |    CAST(count(*) OVER win AS BIGINT) AS prev_n,
+        |    CAST(SUM(n) OVER win AS BIGINT) AS prev_sum
+        |  FROM c WINDOW win AS (PARTITION BY key ORDER BY hour
+        |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+        |SELECT key, epoch_us(hour) AS hour_us, n, prev_n, prev_sum,
+        |  CASE WHEN prev_sum > 0 THEN (1000 * n * prev_n) // prev_sum
+        |    END AS ratio_milli,
+        |  coalesce(CASE WHEN prev_sum > 0
+        |    THEN (1000 * n * prev_n) // prev_sum END >= 3000, false)
+        |    AS spike
+        |FROM w ORDER BY key, hour_us""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -7689,7 +7719,7 @@ object Queries {
     qMojibake, qSentences, qBbitMinhash, qWinnowing, qScriptProfile,
     qBloomSketch, qDeleteProp, qVocabStats, qIvfAdc, qPrefixJoin,
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
-    qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron, qStopwords, qFertility, qRepetitionRun
+    qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron, qStopwords, qFertility, qRepetitionRun, qRateAnomaly
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

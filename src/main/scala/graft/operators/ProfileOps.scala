@@ -896,3 +896,42 @@ object CorpusHealth {
         "heaps_beta_milli")
   }
 }
+
+/** Ingest-rate anomaly detection — pipeline observability over an
+  * event/ingest log: per-key hourly volumes against a trailing-window
+  * baseline, flagging spikes (a crawler gone rogue, a source suddenly
+  * dumping duplicates) BEFORE they poison downstream dedup and mixing
+  * stages. Integer ratio = 1000·n·prev_n / prev_sum, so the report is
+  * SQL-replayable; the window is PARTITIONED by key (never global) and
+  * runs over the O(#keys·#hours) count table, not the raw events. */
+object RateAnomaly {
+
+  /** Per (key, hour): n, trailing prev_n/prev_sum, ratio_milli
+    * (1000 = at baseline), spike flag. First hours with an empty
+    * trailing window report null ratio, spike=false. */
+  def hourlySpikes(
+      df: DataFrame,
+      keyField: String,
+      tsField: String,
+      trailing: Int = 6,
+      spikeRatioMilli: Long = 3000L
+  ): DataFrame = {
+    import graft.functions.functions.integral_divide
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .groupBy(col(keyField).as("key"),
+        date_trunc("hour", col(tsField)).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("key").orderBy("hour")
+      .rowsBetween(-trailing, -1)
+    counts
+      .withColumn("prev_n", count(lit(1)).over(w))
+      .withColumn("prev_sum", sum(col("n")).over(w))
+      .withColumn("ratio_milli",
+        when(col("prev_sum") > 0,
+          integral_divide(lit(1000L) * col("n") * col("prev_n"),
+            col("prev_sum"))))
+      .withColumn("spike",
+        coalesce(col("ratio_milli") >= spikeRatioMilli, lit(false)))
+  }
+}

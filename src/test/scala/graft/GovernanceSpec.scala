@@ -236,3 +236,29 @@ class RepetitionRunSpec extends SparkSpec {
     assert(got == Seq(0L, 1L, 1L, 3L, 3L, 2L))
   }
 }
+
+class RateAnomalySpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.RateAnomaly
+  import java.sql.Timestamp
+
+  private def t(h: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:30:00")
+
+  test("trailing baseline flags a volume spike, first hour has no baseline") {
+    // key "a": hours 0..2 have 2 events each, hour 3 has 12 -> spike
+    val rows0 =
+      (0 to 2).flatMap(h => Seq.fill(2)(("a", t(h)))) ++
+        Seq.fill(12)(("a", t(3))) ++ Seq(("b", t(0)))
+    val out = RateAnomaly.hourlySpikes(rows0.toDF("k", "ts"), "k", "ts",
+      trailing = 6, spikeRatioMilli = 3000L)
+      .orderBy("key", "hour")
+    val got = rows(out.select("key", "n", "prev_n", "prev_sum",
+      "ratio_milli", "spike"))
+    assert(got == Seq(
+      Seq("a", 2L, 0L, null, null, false),
+      Seq("a", 2L, 1L, 2L, 1000L, false),
+      Seq("a", 2L, 2L, 4L, 1000L, false),
+      Seq("a", 12L, 3L, 6L, 6000L, true),
+      Seq("b", 1L, 0L, null, null, false)))
+  }
+}
