@@ -7662,6 +7662,99 @@ object Queries {
     )
   )
 
+  /** Vocabulary drift between snapshots ([[operators.VocabDrift]]):
+    * even-doc_id docs stand in for last release, odd for this one;
+    * top-40 terms by |ppm share delta| with min total count 5. The
+    * oracle replays counts, totals, and the ordered cut. */
+  private val qVocabDrift = Q(
+    "q228_vocab_drift",
+    (s, dir) => {
+      val w = docWords(s, dir)
+      VocabDrift.topChanges(
+        w.filter(col("doc_id") % 2 === 0),
+        w.filter(col("doc_id") % 2 === 1),
+        "words", k = 40, minCount = 5L)
+    },
+    Some(
+      s"""WITH b AS (SELECT unnest($W) AS term FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |bc AS (SELECT term, CAST(count(*) AS BIGINT) AS c_before
+        |  FROM b GROUP BY term),
+        |a2 AS (SELECT unnest($W) AS term FROM documents
+        |  WHERE doc_id % 2 = 1),
+        |ac AS (SELECT term, CAST(count(*) AS BIGINT) AS c_after
+        |  FROM a2 GROUP BY term),
+        |bt AS (SELECT CAST(SUM(c_before) AS BIGINT) AS tb FROM bc),
+        |at2 AS (SELECT CAST(SUM(c_after) AS BIGINT) AS ta FROM ac),
+        |j AS (SELECT coalesce(bc.term, ac.term) AS term,
+        |    coalesce(c_before, 0) AS c_before,
+        |    coalesce(c_after, 0) AS c_after
+        |  FROM bc FULL OUTER JOIN ac ON bc.term = ac.term),
+        |f AS (SELECT term, c_before, c_after,
+        |    (1000000 * c_before) // tb AS ppm_before,
+        |    (1000000 * c_after) // ta AS ppm_after
+        |  FROM j, bt, at2 WHERE c_before + c_after >= 5)
+        |SELECT term, c_before, c_after, ppm_before, ppm_after,
+        |  ppm_after - ppm_before AS delta_ppm
+        |FROM f ORDER BY abs(ppm_after - ppm_before) DESC, term
+        |LIMIT 40""".stripMargin
+    )
+  )
+
+  /** Term burstiness ([[operators.Burstiness.topBursty]]): top-30
+    * terms by collection-frequency / document-frequency ratio —
+    * template and spam signatures concentrate, common words don't. */
+  private val qBurstiness = Q(
+    "q229_burstiness",
+    (s, dir) =>
+      Burstiness.topBursty(docWords(s, dir), "doc_id", "words",
+        k = 30, minCf = 10L),
+    Some(
+      s"""WITH w AS (SELECT doc_id, unnest($W) AS term FROM documents),
+        |g AS (SELECT term, CAST(count(*) AS BIGINT) AS cf,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM w GROUP BY term)
+        |SELECT term, cf, df, (1000 * cf) // df AS burst_milli
+        |FROM g WHERE cf >= 10
+        |ORDER BY burst_milli DESC, term LIMIT 30""".stripMargin
+    )
+  )
+
+  /** WARC-shape container round-trip ([[operators.WarcCodec]]): every
+    * payload embeds BOTH the record marker and the header separator, so
+    * only a Content-Length-honoring parser survives; blobs are rendered
+    * per source, parsed back, and the oracle recomputes the expected
+    * records INDEPENDENTLY from documents — the round trip must land
+    * exactly on the original rows. */
+  private val qWarcRoundtrip = Q(
+    "q230_warc_roundtrip",
+    (s, dir) => {
+      val adversarial = concat(col("text"),
+        lit("\r\nWARC/1.0\r\nfake\r\n\r\n"), col("text"))
+      val blobs = WarcCodec.render(
+        T(s, dir, "documents")
+          .select(col("source"), col("doc_id"), adversarial.as("payload")),
+        "source", "doc_id", "payload")
+      WarcCodec.parse(blobs, "group", "blob")
+        .select(col("group"), col("rid"), col("content_length"),
+          length(col("payload")).cast(LongType).as("payload_len"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("group", "rid")
+    },
+    Some(
+      """WITH p AS (SELECT source, CAST(doc_id AS VARCHAR) AS rid,
+        |    text || chr(13) || chr(10) || 'WARC/1.0' || chr(13) || chr(10)
+        |      || 'fake' || chr(13) || chr(10) || chr(13) || chr(10)
+        |      || text AS pay
+        |  FROM documents)
+        |SELECT source AS "group", rid,
+        |  CAST(length(pay) AS BIGINT) AS content_length,
+        |  CAST(length(pay) AS BIGINT) AS payload_len,
+        |  md5(pay) AS payload_md5
+        |FROM p ORDER BY "group", rid""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -7719,7 +7812,7 @@ object Queries {
     qMojibake, qSentences, qBbitMinhash, qWinnowing, qScriptProfile,
     qBloomSketch, qDeleteProp, qVocabStats, qIvfAdc, qPrefixJoin,
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
-    qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron, qStopwords, qFertility, qRepetitionRun, qRateAnomaly
+    qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron, qStopwords, qFertility, qRepetitionRun, qRateAnomaly, qVocabDrift, qBurstiness, qWarcRoundtrip
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1037,3 +1037,35 @@ object StopwordInduction {
         col("rank"))
   }
 }
+
+/** Term burstiness (Church & Gale 1995 shape) — collection frequency
+  * over document frequency: a term that occurs 400 times in 6 documents
+  * is a template/spam signature; one that occurs 400 times in 390
+  * documents is just common. Complements [[StopwordInduction]] (high
+  * df) and [[VocabDrift]] (share change) from the same single
+  * (term, cf, df) stats pass; top-k is a TakeOrderedAndProject. */
+object Burstiness {
+
+  /** Top-k burstiest terms: (term, cf, df, burst_milli = 1000·cf/df),
+    * restricted to cf >= minCf. */
+  def topBursty(
+      df: DataFrame,
+      idField: String,
+      wordsField: String,
+      k: Int,
+      minCf: Long = 10L
+  ): DataFrame = {
+    import graft.functions.functions.integral_divide
+    df.select(col(idField).as("__bu_id"),
+        explode(col(wordsField)).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cf"),
+        count_distinct(col("__bu_id")).as("df"))
+      .filter(col("cf") >= minCf)
+      .select(col("term"), col("cf"), col("df"),
+        integral_divide(lit(1000L) * col("cf"), col("df"))
+          .as("burst_milli"))
+      .orderBy(col("burst_milli").desc, col("term"))
+      .limit(k)
+  }
+}

@@ -803,3 +803,49 @@ object PerceptronTrainer {
       acc + element_at(w, (indexOf(t) + 1).cast(IntegerType)))
   }
 }
+
+/** Vocabulary drift between corpus snapshots — the release-accounting
+  * counterpart of [[SnapshotDiff]] at the TERM level: which words
+  * gained or lost frequency share between last month's corpus and this
+  * month's. A sudden top-drift list full of one template's tokens means
+  * a source started dumping boilerplate; a benchmark's vocabulary
+  * drifting IN means contamination. Rates are per-million integral so
+  * differently-sized snapshots compare exactly.
+  *
+  * Scale shape: one map-side-combined groupBy(term) per snapshot, a
+  * shuffled full-outer join on term, totals broadcast back as one-row
+  * frames, and a TakeOrderedAndProject top-k — no global window. */
+object VocabDrift {
+
+  /** Top-k terms by |delta_ppm| between two snapshots:
+    * (term, c_before, c_after, ppm_before, ppm_after, delta_ppm).
+    * Terms with c_before + c_after < minCount are ignored (noise). */
+  def topChanges(
+      before: DataFrame,
+      after: DataFrame,
+      wordsField: String,
+      k: Int,
+      minCount: Long = 1L
+  ): DataFrame = {
+    import graft.functions.functions.integral_divide
+    def counts(df: DataFrame, name: String): DataFrame =
+      df.select(explode(col(wordsField)).as("term"))
+        .groupBy("term").agg(count(lit(1)).as(name))
+    val b = counts(before, "c_before")
+    val a = counts(after, "c_after")
+    val bt = b.agg(sum(col("c_before")).as("__vd_tb"))
+    val at = a.agg(sum(col("c_after")).as("__vd_ta"))
+    b.join(a, Seq("term"), "full_outer")
+      .na.fill(0L, Seq("c_before", "c_after"))
+      .filter(col("c_before") + col("c_after") >= minCount)
+      .crossJoin(broadcast(bt)).crossJoin(broadcast(at))
+      .select(col("term"), col("c_before"), col("c_after"),
+        integral_divide(lit(1000000L) * col("c_before"), col("__vd_tb"))
+          .as("ppm_before"),
+        integral_divide(lit(1000000L) * col("c_after"), col("__vd_ta"))
+          .as("ppm_after"))
+      .withColumn("delta_ppm", col("ppm_after") - col("ppm_before"))
+      .orderBy(abs(col("delta_ppm")).desc, col("term"))
+      .limit(k)
+  }
+}

@@ -262,3 +262,70 @@ class RateAnomalySpec extends SparkSpec {
       Seq("b", 1L, 0L, null, null, false)))
   }
 }
+
+class VocabDriftSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.VocabDrift
+
+  test("rate deltas catch terms drifting in and out") {
+    val before = Seq(Seq("a", "a", "b", "c")).toDF("words")  // total 4
+    val after = Seq(Seq("a", "b", "b", "b")).toDF("words")   // total 4
+    val got = rows(VocabDrift.topChanges(before, after, "words", 10))
+    // a: 500000 -> 250000 (-250000); b: 250000 -> 750000 (+500000);
+    // c: 250000 -> 0 (-250000). Order: |delta| desc, term asc.
+    assert(got == Seq(
+      Seq("b", 1L, 3L, 250000L, 750000L, 500000L),
+      Seq("a", 2L, 1L, 500000L, 250000L, -250000L),
+      Seq("c", 1L, 0L, 250000L, 0L, -250000L)))
+  }
+
+  test("minCount drops noise terms") {
+    val before = Seq(Seq("x", "y")).toDF("words")
+    val after = Seq(Seq("x", "x", "x")).toDF("words")
+    val got = rows(VocabDrift.topChanges(before, after, "words", 10, minCount = 3L))
+    assert(got.map(_(0)) == Seq("x"))
+  }
+}
+
+class BurstinessSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Burstiness
+
+  test("cf/df ratio ranks template terms over common ones") {
+    val d = Seq(
+      (0L, Seq.fill(6)("spamword") ++ Seq("the")),
+      (1L, Seq("the", "cat")),
+      (2L, Seq("the", "dog"))
+    ).toDF("doc_id", "words")
+    val got = rows(Burstiness.topBursty(d, "doc_id", "words", 5, minCf = 2L))
+    // spamword: cf 6, df 1 -> 6000; the: cf 3, df 3 -> 1000
+    assert(got == Seq(
+      Seq("spamword", 6L, 1L, 6000L),
+      Seq("the", 3L, 3L, 1000L)))
+  }
+}
+
+class WarcCodecSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.WarcCodec
+
+  test("render/parse round-trips, honoring Content-Length framing on adversarial payloads") {
+    // payloads embed BOTH the record marker and the header separator —
+    // a split-on-delimiter parser would shred them
+    val adversarial = "before\r\n\r\nWARC/1.0\r\nWARC-Record-ID: fake\r\n\r\nafter"
+    val d = Seq(
+      ("g1", "1", "plain text"),
+      ("g1", "2", adversarial),
+      ("g2", "3", "")
+    ).toDF("g", "id", "p")
+    val blobs = WarcCodec.render(d, "g", "id", "p")
+    assert(blobs.count() == 2)
+    val back = WarcCodec.parse(blobs, "group", "blob")
+      .orderBy("group", "rid")
+    val got = rows(back)
+    assert(got == Seq(
+      Seq("g1", "1", 10L, "plain text"),
+      Seq("g1", "2", adversarial.length.toLong, adversarial),
+      Seq("g2", "3", 0L, "")))
+  }
+}
