@@ -7731,10 +7731,15 @@ object Queries {
     (s, dir) => {
       val adversarial = concat(col("text"),
         lit("\r\nWARC/1.0\r\nfake\r\n\r\n"), col("text"))
+      // ~100-record blobs (a realistic WARC-file grain): the fold cost
+      // per blob stays bounded no matter the corpus size, and blobs are
+      // the parallelism unit
+      val shard = concat(col("source"), lit("_"),
+        lpad((col("doc_id") / 100).cast(LongType).cast(StringType), 4, "0"))
       val blobs = WarcCodec.render(
         T(s, dir, "documents")
-          .select(col("source"), col("doc_id"), adversarial.as("payload")),
-        "source", "doc_id", "payload")
+          .select(shard.as("shard"), col("doc_id"), adversarial.as("payload")),
+        "shard", "doc_id", "payload")
       WarcCodec.parse(blobs, "group", "blob")
         .select(col("group"), col("rid"), col("content_length"),
           length(col("payload")).cast(LongType).as("payload_len"),
@@ -7742,16 +7747,53 @@ object Queries {
         .orderBy("group", "rid")
     },
     Some(
-      """WITH p AS (SELECT source, CAST(doc_id AS VARCHAR) AS rid,
+      """WITH p AS (SELECT
+        |    source || '_' || lpad(CAST(doc_id // 100 AS VARCHAR), 4, '0')
+        |      AS shard,
+        |    CAST(doc_id AS VARCHAR) AS rid,
         |    text || chr(13) || chr(10) || 'WARC/1.0' || chr(13) || chr(10)
         |      || 'fake' || chr(13) || chr(10) || chr(13) || chr(10)
         |      || text AS pay
         |  FROM documents)
-        |SELECT source AS "group", rid,
+        |SELECT shard AS "group", rid,
         |  CAST(length(pay) AS BIGINT) AS content_length,
         |  CAST(length(pay) AS BIGINT) AS payload_len,
         |  md5(pay) AS payload_md5
         |FROM p ORDER BY "group", rid""".stripMargin
+    )
+  )
+
+  /** Cross-source near-duplication matrix: which sources copy from
+    * which — per (source_a, source_b) counts of verified near-dup
+    * pairs (q92's banded+verified pipeline), the release analytics
+    * behind "drop the mirror crawl". Pair table joined to the tiny
+    * (doc_id, source) projection; output O(#sources²). */
+  private val qCrossSourceDup = Q(
+    "q231_cross_source_dup",
+    (s, dir) => {
+      val src = docs(s, dir).select(col("doc_id"), col("source"))
+      md5VerifiedPairs(s, dir)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+          Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+          Seq("id_b"))
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    },
+    Some(
+      s"""WITH $SIG_CTES,
+        |$VPAIR_CTES,
+        |m AS (SELECT least(da.source, db.source) AS source_a,
+        |    greatest(da.source, db.source) AS source_b
+        |  FROM vp
+        |  JOIN documents da ON vp.id_a = da.doc_id
+        |  JOIN documents db ON vp.id_b = db.doc_id)
+        |SELECT source_a, source_b, count(*) AS n_pairs
+        |FROM m GROUP BY source_a, source_b
+        |ORDER BY source_a, source_b""".stripMargin
     )
   )
 
@@ -7812,7 +7854,7 @@ object Queries {
     qMojibake, qSentences, qBbitMinhash, qWinnowing, qScriptProfile,
     qBloomSketch, qDeleteProp, qVocabStats, qIvfAdc, qPrefixJoin,
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
-    qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron, qStopwords, qFertility, qRepetitionRun, qRateAnomaly, qVocabDrift, qBurstiness, qWarcRoundtrip
+    qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron, qStopwords, qFertility, qRepetitionRun, qRateAnomaly, qVocabDrift, qBurstiness, qWarcRoundtrip, qCrossSourceDup
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

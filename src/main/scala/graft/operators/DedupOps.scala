@@ -535,6 +535,31 @@ object MinHashLSH {
     val losers = clusterSurvivorLosers(comps, quality, idField)
     df.join(losers, Seq(idField), "left_anti")
   }
+
+  /** Banding parameter planner (Leskovec-Rajaraman-Ullman ch. 3): pick
+    * (bands, rows) with bands·rows = nPerm whose S-curve threshold
+    * (1/bands)^(1/rows) lands closest to the target Jaccard — the
+    * driver-side design step before any LSH run, so callers stop
+    * hand-guessing band counts. Pure integer/double driver math, no
+    * Spark. Returns (bands, rows, curveThresholdMilli). */
+  def planBands(nPerm: Int, targetJaccard: Double): (Int, Int, Long) = {
+    require(nPerm > 0 && targetJaccard > 0 && targetJaccard < 1)
+    val options = (1 to nPerm).filter(nPerm % _ == 0).map { b =>
+      val r = nPerm / b
+      val t = math.pow(1.0 / b, 1.0 / r)
+      (b, r, t)
+    }
+    val (b, r, t) = options.minBy { case (_, _, t) =>
+      (math.abs(t - targetJaccard), t)
+    }
+    (b, r, math.floor(t * 1000).toLong)
+  }
+
+  /** Candidate-pair probability at similarity `s` for a (bands, rows)
+    * plan: 1 − (1 − s^rows)^bands, in ppm — the S-curve a reviewer
+    * reads to see what recall a plan buys at each similarity level. */
+  def sCurvePpm(bands: Int, rows: Int, s: Double): Long =
+    math.floor((1.0 - math.pow(1.0 - math.pow(s, rows), bands)) * 1e6).toLong
 }
 
 /** Distributed connected components over candidate-pair edges:

@@ -329,3 +329,27 @@ class WarcCodecSpec extends SparkSpec {
       Seq("g2", "3", 0L, "")))
   }
 }
+
+class BandPlannerSpec extends SparkSpec {
+  import graft.operators.MinHashLSH
+
+  test("planBands picks the divisor pair nearest the target threshold") {
+    // 128 perms, target 0.5: b=32,r=4 gives (1/32)^(1/4) ~ 0.420;
+    // b=16,r=8 gives (1/16)^(1/8) ~ 0.707 — 0.420 is closer to 0.5
+    val (b, r, tMilli) = MinHashLSH.planBands(128, 0.5)
+    assert(b * r == 128)
+    assert((b, r) == (32, 4), s"got ($b,$r)")
+    assert(tMilli == 420L)
+    // high target -> few bands, long rows
+    val (b2, r2, t2) = MinHashLSH.planBands(128, 0.9)
+    assert(b2 * r2 == 128 && t2 > 800L && r2 > r)
+  }
+
+  test("sCurve is monotone and steep around the plan threshold") {
+    val lo = MinHashLSH.sCurvePpm(32, 4, 0.2)
+    val mid = MinHashLSH.sCurvePpm(32, 4, 0.42)
+    val hi = MinHashLSH.sCurvePpm(32, 4, 0.7)
+    assert(lo < mid && mid < hi)
+    assert(lo < 55000L && hi > 990000L, s"lo=$lo hi=$hi")
+  }
+}
