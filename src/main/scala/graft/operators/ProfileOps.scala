@@ -922,6 +922,21 @@ object RateAnomaly {
       .groupBy(col(keyField).as("key"),
         date_trunc("hour", col(tsField)).as("hour"))
       .agg(count(lit(1)).as("n"))
+    spikesFromCounts(counts, trailing, spikeRatioMilli)
+  }
+
+  /** Same scoring over a PRE-AGGREGATED (key, hour, n) table — the
+    * production split: hourly counts accumulate incrementally (e.g.
+    * from a Structured Streaming windowed aggregation into a store),
+    * and the anomaly report is a cheap batch pass over that tiny
+    * table. Batch/stream parity is pinned by spec. */
+  def spikesFromCounts(
+      counts: DataFrame,
+      trailing: Int = 6,
+      spikeRatioMilli: Long = 3000L
+  ): DataFrame = {
+    import graft.functions.functions.integral_divide
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("key").orderBy("hour")
       .rowsBetween(-trailing, -1)
     counts

@@ -353,3 +353,37 @@ class BandPlannerSpec extends SparkSpec {
     assert(lo < 55000L && hi > 990000L, s"lo=$lo hi=$hi")
   }
 }
+
+class StreamingRateAnomalySpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import graft.operators.RateAnomaly
+  import graft.streaming.StreamingPipeline
+  import java.sql.Timestamp
+
+  test("hourly counts stream incrementally; anomaly report over the store matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val df = mem.toDF().toDF("k", "ts")
+    // incremental leg: watermarked 1h windowed counts into a store
+    val counts = StreamingPipeline.windowedCounts(df, "ts", "k",
+      windowDur = "1 hour", slide = "1 hour", watermark = "0 seconds")
+    val q = counts.writeStream.format("memory")
+      .queryName("graft_rate_counts").outputMode("complete").start()
+    def t(h: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:15:00")
+    val events =
+      (0 to 2).flatMap(h => Seq.fill(2)(("a", t(h)))) ++
+        Seq.fill(12)(("a", t(3))) ++ Seq(("b", t(0)))
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    val store = spark.sql(
+      "SELECT k AS key, window.start AS hour, n FROM graft_rate_counts")
+    val streamed = rows(RateAnomaly.spikesFromCounts(store)
+      .orderBy("key", "hour"))
+    val batch = rows(RateAnomaly.hourlySpikes(
+      events.toDF("k", "ts"), "k", "ts").orderBy("key", "hour"))
+    assert(streamed == batch)
+    assert(streamed.exists(r => r(6) == true)) // the hour-3 spike
+    q.stop()
+  }
+}
