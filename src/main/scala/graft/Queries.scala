@@ -7797,6 +7797,98 @@ object Queries {
     )
   )
 
+  /** Contamination-SPAN audit ([[Decontaminate.spanStats]]): not just
+    * "does this doc overlap the benchmark" (q109) but HOW MUCH in one
+    * contiguous stretch — the longest run of consecutive contaminated
+    * 5-gram positions, re-expressed in words. Only hit positions
+    * shuffle; the corpus itself never does. The run fold's encoded
+    * integer state is replayed in the oracle via the classic
+    * position-minus-rank run grouping (provably the same quantity). */
+  private val qContaminationSpan = Q(
+    "q232_contamination_span",
+    (s, dir) => {
+      val dw = docWords(s, dir)
+      val bench = dw.filter(col("doc_id") < 10).select("words")
+      Decontaminate
+        .spanStats(dw, "doc_id", "words", bench, "words", n = 5,
+          hasher = c => md5(c))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH w AS (SELECT doc_id, $W AS w FROM documents),
+         |wp AS (SELECT doc_id, w,
+         |    unnest(CASE WHEN len(w) >= 5 THEN range(1, len(w) - 3)
+         |      ELSE [] END) AS i
+         |  FROM w),
+         |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+         |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+         |      || ' ' || w[i+4] AS gram
+         |  FROM wp),
+         |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10),
+         |h AS (SELECT g.doc_id, g.p FROM g JOIN bg USING (gram)),
+         |h2 AS (SELECT doc_id, p,
+         |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+         |  FROM h),
+         |r AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS max_run
+         |  FROM (SELECT doc_id, grp, count(*) AS cnt FROM h2
+         |        GROUP BY doc_id, grp)
+         |  GROUP BY doc_id),
+         |hg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS hit_grams
+         |  FROM h GROUP BY doc_id)
+         |SELECT w.doc_id,
+         |  CAST(greatest(len(w.w) - 4, 0) AS BIGINT) AS n_grams,
+         |  coalesce(hg.hit_grams, 0) AS hit_grams,
+         |  coalesce(r.max_run, 0) AS max_run,
+         |  CASE WHEN coalesce(r.max_run, 0) > 0
+         |    THEN r.max_run + 4 ELSE 0 END AS span_words
+         |FROM w LEFT JOIN hg USING (doc_id) LEFT JOIN r USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Merkle tree over a release manifest ([[MerkleManifest.levels]]):
+    * q179's flat checksum says "something diverged"; the tree locates
+    * WHICH shard in O(log n) node comparisons and its root is a
+    * tamper-evident release id. Leaves here are 32 doc_id-bucket
+    * "shards" with q179's commutative per-row content hash; the oracle
+    * unrolls the 5 pairing levels as chained CTEs (q216's pattern —
+    * sf0.01 pins 500 docs → 32 leaves; the Spark side loops to any
+    * width). */
+  private val qMerkleRoot = Q(
+    "q233_merkle_manifest",
+    (s, dir) => {
+      val rowHash = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":"), col("text"))), 1, 8), 16, 10).cast(LongType)
+      val man = docs(s, dir)
+        .groupBy(lpad((col("doc_id") / 16).cast(LongType).cast("string"),
+          4, "0").as("file"))
+        .agg(sum(rowHash).as("rows_hash"))
+      MerkleManifest.levels(man, "file", "rows_hash")
+        .orderBy("level", "idx")
+    },
+    Some {
+      val steps = (1 to 5).map(k =>
+        s"""l$k AS (SELECT CAST($k AS BIGINT) AS level, idx // 2 AS idx,
+           |  md5(arg_min(node, idx) || arg_max(node, idx)) AS node
+           |  FROM l${k - 1} GROUP BY idx // 2)""".stripMargin).mkString(",\n")
+      s"""WITH leaves AS (SELECT
+         |    lpad(CAST(doc_id // 16 AS VARCHAR), 4, '0') AS f,
+         |    CAST(SUM(('0x'||substring(md5(doc_id||':'||text),1,8))::BIGINT)
+         |      AS BIGINT) AS h
+         |  FROM documents GROUP BY 1),
+         |l0 AS (SELECT CAST(0 AS BIGINT) AS level,
+         |    CAST(row_number() OVER (ORDER BY f) - 1 AS BIGINT) AS idx,
+         |    md5(f || ':' || CAST(h AS VARCHAR)) AS node
+         |  FROM leaves),
+         |$steps
+         |SELECT level, idx, node FROM (
+         |  SELECT * FROM l0 UNION ALL SELECT * FROM l1
+         |  UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
+         |  UNION ALL SELECT * FROM l4 UNION ALL SELECT * FROM l5)
+         |ORDER BY level, idx""".stripMargin
+    }
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -7854,7 +7946,8 @@ object Queries {
     qMojibake, qSentences, qBbitMinhash, qWinnowing, qScriptProfile,
     qBloomSketch, qDeleteProp, qVocabStats, qIvfAdc, qPrefixJoin,
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
-    qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron, qStopwords, qFertility, qRepetitionRun, qRateAnomaly, qVocabDrift, qBurstiness, qWarcRoundtrip, qCrossSourceDup
+    qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron, qStopwords, qFertility, qRepetitionRun, qRateAnomaly, qVocabDrift, qBurstiness, qWarcRoundtrip, qCrossSourceDup,
+    qContaminationSpan, qMerkleRoot
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

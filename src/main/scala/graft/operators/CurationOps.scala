@@ -104,6 +104,79 @@ object Decontaminate {
       .withColumn(outputField, coalesce(col(outputField), lit(false)))
   }
 
+  /** Contamination-SPAN audit — the release-notes companion to [[flag]]:
+    * a boolean tells you a doc overlaps a benchmark; the LENGTH of the
+    * longest contiguous contaminated stretch separates "quoted one
+    * sentence" (short span — maybe keep + cite) from "contains the
+    * whole eval item" (long span — must drop). Per doc: total grams,
+    * hit grams, the longest run of CONSECUTIVE contaminated gram
+    * positions, and that run re-expressed in words (run + n - 1).
+    *
+    * Scale shape: the benchmark gram-hash set broadcasts (same bound as
+    * [[flag]]); the corpus explodes to (id, pos, gram-hash) INSIDE the
+    * scan stage and the broadcast join filters it to HITS before
+    * anything shuffles — only contaminated gram positions (two longs a
+    * row, sparse by construction) reach the per-doc aggregate. The
+    * longest-consecutive-run fold runs over each doc's sorted hit
+    * positions (an O(#hits) array), and the result re-joins the corpus
+    * as a broadcast. The corpus itself never shuffles. */
+  def spanStats(
+      docs: DataFrame,
+      idField: String,
+      wordsField: String,
+      bench: DataFrame,
+      benchWordsField: String,
+      n: Int = 13,
+      hasher: Column => Column = c => xxhash64(c)
+  ): DataFrame = {
+    val bg = bench
+      .select(explode(ngrams(col(benchWordsField), n)).as("__g"))
+      .select(hasher(col("__g")).as("__gh"))
+      .distinct()
+    val hitPos = docs
+      .select(col(idField), posexplode(ngrams(col(wordsField), n))
+        .as(Seq("__p", "__g")))
+      .select(col(idField), col("__p").cast(LongType).as("__p"),
+        hasher(col("__g")).as("__gh"))
+      .join(broadcast(bg), Seq("__gh"))
+      .groupBy(col(idField))
+      .agg(
+        count(lit(1)).as("hit_grams"),
+        sort_array(collect_list(col("__p"))).as("__ps"))
+    // longest run of consecutive integers in the sorted position list:
+    // fold state = prev*10^12 + cur*10^6 + best (positions < 10^6/doc;
+    // state reaches ~10^18, so field extraction uses IntegralDivide —
+    // long `/` detours through doubles past 2^53)
+    val idiv = graft.functions.functions.integral_divide _
+    val run = aggregate(
+      col("__ps"),
+      lit(0L), // prev=0 is safe: positions are 0-based, cur starts 0
+      (st, p) => {
+        // lastStored = lastPos + 1 (0 = none yet)
+        val lastStored = idiv(st, lit(1000000000000L))
+        val cur = pmod(idiv(st, lit(1000000L)), lit(1000000L))
+        val best = pmod(st, lit(1000000L))
+        val ncur = when(cur > 0L && p === lastStored, cur + 1L)
+          .otherwise(lit(1L))
+        (p + 1L) * lit(1000000000000L) + ncur * lit(1000000L) +
+          greatest(best, ncur)
+      },
+      st => pmod(st, lit(1000000L)))
+    val spans = hitPos.withColumn("max_run", run).drop("__ps")
+    docs
+      .select(col(idField), size(ngrams(col(wordsField), n))
+        .cast(LongType).as("n_grams"))
+      .join(broadcast(spans), Seq(idField), "left")
+      .select(
+        col(idField),
+        col("n_grams"),
+        coalesce(col("hit_grams"), lit(0L)).as("hit_grams"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"),
+        when(coalesce(col("max_run"), lit(0L)) > 0L,
+          coalesce(col("max_run"), lit(0L)) + (n - 1))
+          .otherwise(lit(0L)).as("span_words"))
+  }
+
   /** Drop contaminated docs. */
   def remove(
       docs: DataFrame,

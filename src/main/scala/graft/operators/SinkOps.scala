@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, StringType}
 
 /** Sinks + physical-layout helpers.
   *
@@ -166,6 +168,75 @@ object Sinks {
       count(lit(1)).as("n_files"),
       sum(col("n_rows")).as("n_rows"),
       sum(col("rows_hash")).as("total_hash"))
+}
+
+/** Merkle tree over a release manifest's per-file checksums — the
+  * integrity upgrade on [[Sinks.manifestTotals]]'s flat sum: the flat
+  * total says "SOMETHING diverged" after a copy; comparing Merkle trees
+  * locates WHICH file in O(log #files) node comparisons, and the root
+  * alone is a tamper-evident release id (publishing it commits to every
+  * file's content + name, unlike a commutative sum which collides under
+  * swapped-between-files rows).
+  *
+  * Shape: leaves are the manifest rows ordered by file name (stable
+  * across scan order), each level pairs adjacent nodes (odd node pairs
+  * with itself, the classic duplication rule), levels build with one
+  * tiny groupBy each — log2(#files) jobs over O(#files) rows. The one
+  * count() is over the manifest (bounded by #files). The leaf-order
+  * window uses the constant-valued partition key (SCALE.md §8): the
+  * manifest is O(#files) by construction, never corpus-sized. */
+object MerkleManifest {
+
+  private def idiv(a: Column, b: Column): Column =
+    graft.functions.functions.integral_divide(a, b)
+
+  /** All tree levels: (level, idx, node) with level 0 = leaves in file
+    * order, the top level a single root row. Leaf hash binds file NAME
+    * and checksum; inner hash = md5(left || right). */
+  def levels(
+      manifest: DataFrame,
+      fileField: String = "file",
+      hashField: String = "rows_hash"
+  ): DataFrame = {
+    val w = Window
+      .partitionBy(pmod(length(col(fileField)), lit(1)))
+      .orderBy(col(fileField))
+    var cur = manifest
+      .select(col(fileField),
+        md5(concat_ws(":", col(fileField),
+          col(hashField).cast(StringType))).as("node"))
+      .withColumn("idx", row_number().over(w).cast(LongType) - 1L)
+      .select(col("idx"), col("node"))
+    var width = cur.count()
+    var level = 0
+    var out = cur.withColumn("level", lit(0L))
+    while (width > 1) {
+      level += 1
+      cur = cur
+        .groupBy(idiv(col("idx"), lit(2L)).as("pidx"))
+        .agg(
+          min(struct(col("idx").as("i"), col("node").as("h"))).as("l"),
+          max(struct(col("idx").as("i"), col("node").as("h"))).as("r"))
+        .select(col("pidx").as("idx"),
+          md5(concat(col("l.h"), col("r.h"))).as("node"))
+      width = (width + 1) / 2
+      out = out.union(cur.withColumn("level", lit(level.toLong)))
+    }
+    out.select(col("level"), col("idx"), col("node"))
+  }
+
+  /** Just the root row: (n_leaves, levels, root). */
+  def root(
+      manifest: DataFrame,
+      fileField: String = "file",
+      hashField: String = "rows_hash"
+  ): DataFrame = {
+    val lv = levels(manifest, fileField, hashField)
+    lv.agg(
+      sum(when(col("level") === 0L, 1L).otherwise(0L)).as("n_leaves"),
+      (max(col("level")) + 1L).as("levels"),
+      max_by(col("node"), col("level")).as("root"))
+  }
 }
 
 /** Deterministic salting for skewed keys (SURVEY "skewed keys → salting

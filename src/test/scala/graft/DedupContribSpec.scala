@@ -277,6 +277,35 @@ class DedupContribSpec extends SparkSpec {
     assert(kept == Set(2L, 3L))
   }
 
+  test("Decontaminate.spanStats: run length in grams and words, zero for clean docs") {
+    // bench doc: 8 words -> four 5-grams covering "a b c d e f g h"
+    val bench = Seq("a b c d e f g h").toDF("btext")
+      .withColumn("bwords", split(col("btext"), " "))
+    val corpus = Seq(
+      // full 8-word copy inside noise: 4 consecutive hit grams, span 8
+      (1L, "x a b c d e f g h y"),
+      // only the first 5 bench words: 1 hit gram, span 5
+      (2L, "p q a b c d e r s t"),
+      // two separate 5-word stretches with a break: runs of 1, not 2
+      (3L, "a b c d e XX d e f g h"),
+      // clean
+      (4L, "nothing shared with the benchmark at all"),
+      // 4 words: no 5-grams at all
+      (5L, "a b c d")
+    ).toDF("doc_id", "text")
+      .withColumn("words", split(col("text"), " "))
+    val out = Decontaminate
+      .spanStats(corpus, "doc_id", "words", bench, "bwords", n = 5)
+      .select("doc_id", "n_grams", "hit_grams", "max_run", "span_words")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((6L, 4L, 4L, 8L)), s"got ${out(1L)}")
+    assert(out(2L) == ((6L, 1L, 1L, 5L)), s"got ${out(2L)}")
+    assert(out(3L) == ((7L, 2L, 1L, 5L)), s"got ${out(3L)}")
+    assert(out(4L) == ((3L, 0L, 0L, 0L)), s"got ${out(4L)}")
+    assert(out(5L) == ((0L, 0L, 0L, 0L)), s"got ${out(5L)}")
+  }
+
   test("DeterministicSample: reproducible, fraction-accurate, stratified") {
     val df = (0L until 4000L).toDF("doc_id")
       .withColumn("lang", when(col("doc_id") % 2 === 0, "en").otherwise("de"))

@@ -147,6 +147,54 @@ class SinkSaltSpec extends SparkSpec {
   }
 }
 
+class MerkleManifestSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.MerkleManifest
+
+  private def man(rows: (String, Long)*) =
+    rows.toSeq.toDF("file", "rows_hash")
+
+  test("levels: power-of-2 leaf count builds a perfect tree; root is scan-order stable") {
+    val m = man(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L))
+    val lv = MerkleManifest.levels(m).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(lv.count(_._1 == 0L) == 4 && lv.count(_._1 == 1L) == 2 &&
+      lv.count(_._1 == 2L) == 1)
+    // same rows, different incoming order -> identical tree
+    val shuffled = man(("d", 4L), ("b", 2L), ("a", 1L), ("c", 3L))
+    val lv2 = MerkleManifest.levels(shuffled).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(lv.toSet == lv2.toSet)
+  }
+
+  test("odd node duplicates itself; root changes iff any leaf changes") {
+    val m3 = man(("a", 1L), ("b", 2L), ("c", 3L))
+    val lv = MerkleManifest.levels(m3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // 3 leaves -> level1 has 2 nodes (c pairs with itself) -> 1 root
+    assert(lv.count(_._1 == 1L) == 2 && lv.count(_._1 == 2L) == 1)
+    val cLeaf = lv.find(t => t._1 == 0L && t._2 == 2L).get._3
+    val oddParent = lv.find(t => t._1 == 1L && t._2 == 1L).get._3
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dup = md.digest((cLeaf + cLeaf).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(oddParent == dup, "odd node must pair with itself")
+    def rootOf(df: org.apache.spark.sql.DataFrame) =
+      MerkleManifest.root(df).collect().head
+    val r0 = rootOf(m3)
+    assert(r0.getLong(0) == 3L && r0.getLong(1) == 3L)
+    val r1 = rootOf(man(("a", 1L), ("b", 2L), ("c", 999L)))
+    assert(r0.getString(2) != r1.getString(2), "leaf change flips root")
+    // a diverged copy is LOCATED by walking differing nodes: exactly one
+    // leaf differs between the two trees
+    val lvB = MerkleManifest.levels(man(("a", 1L), ("b", 2L), ("c", 999L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val diffLeaves = lv.filter(_._1 == 0L).toSet
+      .diff(lvB.filter(_._1 == 0L).toSet)
+    assert(diffLeaves.map(_._2) == Set(2L))
+  }
+}
+
 class BloomFilteredParquetSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.Sinks
