@@ -7889,6 +7889,30 @@ object Queries {
     }
   )
 
+  /** Positional phrase search ([[CorpusStats.phraseMatches]]): exact
+    * word-sequence lookup — not expressible as a term-set conjunction.
+    * The posting explode is filtered to the 3 query terms in the scan
+    * stage; the chain joins see only those sparse positions. Oracle
+    * replays row-locally over the words list. */
+  private val qPhraseSearch = Q(
+    "q234_phrase_search",
+    (s, dir) =>
+      CorpusStats.phraseMatches(docWords(s, dir), "doc_id", "words",
+        Seq("slow", "hash", "batch"))
+        .orderBy("doc_id"),
+    Some(
+      s"""WITH w AS (SELECT doc_id, $W AS w FROM documents),
+         |m AS (SELECT doc_id,
+         |    list_filter(range(1, len(w) - 1), i ->
+         |      w[i] = 'slow' AND w[i+1] = 'hash' AND w[i+2] = 'batch')
+         |      AS starts
+         |  FROM w)
+         |SELECT doc_id, CAST(len(starts) AS BIGINT) AS n_matches,
+         |  CAST(starts[1] - 1 AS BIGINT) AS first_pos
+         |FROM m WHERE len(starts) > 0 ORDER BY doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -7947,7 +7971,7 @@ object Queries {
     qBloomSketch, qDeleteProp, qVocabStats, qIvfAdc, qPrefixJoin,
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
     qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron, qStopwords, qFertility, qRepetitionRun, qRateAnomaly, qVocabDrift, qBurstiness, qWarcRoundtrip, qCrossSourceDup,
-    qContaminationSpan, qMerkleRoot
+    qContaminationSpan, qMerkleRoot, qPhraseSearch
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

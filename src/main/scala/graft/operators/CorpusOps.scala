@@ -847,6 +847,43 @@ object CorpusStats {
       )
   }
 
+  /** Positional phrase search over the posting shape — "which docs
+    * contain this EXACT word sequence", the retrieval counterpart to
+    * [[invertedIndex]]'s term lookup (a phrase is not expressible as a
+    * term-set conjunction: "new york" ≠ contains(new) AND contains(york)).
+    *
+    * Scale shape: the (doc, pos, term) explode is cut to the QUERY's
+    * terms by a filter INSIDE the scan stage — postings for the other
+    * ~whole vocabulary never materialize, so the k-1 chain joins see
+    * only the phrase terms' (sparse) positions, equi-keyed on
+    * (doc, aligned start position). No window, no cartesian; the text
+    * column itself never shuffles. Emits one row per matching doc with
+    * the match count and first start position (0-based). */
+  def phraseMatches(
+      docs: DataFrame,
+      idField: String,
+      wordsField: String,
+      phrase: Seq[String]
+  ): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one word")
+    val postings = docs.select(
+      col(idField),
+      posexplode(col(wordsField)).as(Seq("__pos", "__term")))
+    def leg(term: String, i: Int): DataFrame =
+      postings
+        .filter(col("__term") === term)
+        .select(col(idField),
+          (col("__pos").cast(LongType) - i.toLong).as("__start"))
+    val starts = phrase.zipWithIndex
+      .map { case (t, i) => leg(t, i) }
+      .reduce((a, b) => a.join(b, Seq(idField, "__start")))
+    starts
+      .groupBy(col(idField))
+      .agg(
+        count(lit(1)).as("n_matches"),
+        min(col("__start")).as("first_pos"))
+  }
+
   /** Top-`k` adjacent-bigram collocations by PMI rank. PMI =
     * log(c_xy·N² / (c_x·c_y·B)) — but N²/B is constant across pairs, so
     * the RANKING only needs `c_xy / (c_x·c_y)`, computed here as the

@@ -394,6 +394,29 @@ class CorpusOpsSpec extends SparkSpec {
     ))
   }
 
+  test("CorpusStats.phraseMatches: adjacency required, overlaps counted, dup-word phrases") {
+    val docs = Seq(
+      (1L, Seq("new", "york", "city")), // match at 0
+      (2L, Seq("york", "new")), // both terms, wrong order: NO match
+      (3L, Seq("new", "jersey", "york")), // both terms, not adjacent: NO
+      (4L, Seq("a", "new", "york", "b", "new", "york")), // two matches
+      (5L, Seq("new")) // too short
+    ).toDF("doc_id", "words")
+    val out = CorpusStats.phraseMatches(docs, "doc_id", "words",
+      Seq("new", "york"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(1L -> ((1L, 0L)), 4L -> ((2L, 1L))))
+    // overlapping + repeated-word phrase: "a a" in "a a a" starts at 0 and 1
+    val rep = Seq((9L, Seq("a", "a", "a"))).toDF("doc_id", "words")
+    val r = CorpusStats.phraseMatches(rep, "doc_id", "words", Seq("a", "a"))
+      .as[(Long, Long, Long)].collect()
+    assert(r.toSeq == Seq((9L, 2L, 0L)))
+    // single-word phrase degenerates to term positions
+    val one = CorpusStats.phraseMatches(docs, "doc_id", "words", Seq("york"))
+      .as[(Long, Long, Long)].collect().map(x => x._1 -> x._2).toMap
+    assert(one == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
   test("CorpusStats.topCollocations: integer lift replicated by hand") {
     // corpus: "a b" ×3 plus lone c's; unigrams a=3 b=3 c=4
     val docs = Seq(
