@@ -7319,9 +7319,10 @@ object Queries {
         |b AS (SELECT doc_id, lang AS pred_lang, dist,
         |    row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn
         |  FROM d QUALIFY rn = 1)
-        |SELECT te.doc_id, te.true_lang, b.pred_lang, CAST(b.dist AS BIGINT) AS dist,
-        |  CAST(b.pred_lang = te.true_lang AS INTEGER) AS hit
-        |FROM te JOIN b USING (doc_id) ORDER BY te.doc_id""".stripMargin
+        |SELECT te.doc_id, te.true_lang,
+        |  coalesce(b.pred_lang, 'und') AS pred_lang, CAST(b.dist AS BIGINT) AS dist,
+        |  CAST(coalesce(b.pred_lang, 'und') = te.true_lang AS INTEGER) AS hit
+        |FROM te LEFT JOIN b USING (doc_id) ORDER BY te.doc_id""".stripMargin
     )
   )
 

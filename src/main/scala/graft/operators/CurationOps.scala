@@ -829,6 +829,12 @@ object PerceptronTrainer {
     var w: DataFrame = sp.range(1).select(
       transform(sequence(lit(0), lit(dim - 1)), _ => lit(0L)).as("__pt_w"))
     for (_ <- 0 until rounds) {
+      // Materialize the O(dim) weight row to the driver each round and
+      // re-inject it as a literal: without this, round r's broadcast
+      // plan nests every prior round's full-corpus aggregation
+      // (O(rounds^2) corpus scans and unbounded plan depth).
+      val wLit = typedlit(w.head().getSeq[Long](0).toIndexedSeq)
+      w = sp.range(1).select(wLit.as("__pt_w"))
       val mis = docs
         .crossJoin(broadcast(w))
         .withColumn("__pt_m",

@@ -75,7 +75,10 @@ object LangIdNgram {
   /** Classify each row: (idField…, pred_lang, dist). Distance =
     * Σ over the doc's own top-`topN` grams of |docRank − profileRank|,
     * with grams absent from a profile costing `topN`; ties in the
-    * argmin break toward the lexicographically smaller language. */
+    * argmin break toward the lexicographically smaller language.
+    * Documents whose text yields NO char n-grams (null/empty text, or
+    * shorter than `n`) are kept with `pred_lang = 'und'` and a null
+    * `dist` — they never silently disappear from the output. */
   def classify(
       df: DataFrame,
       idField: String,
@@ -112,6 +115,7 @@ object LangIdNgram {
         col("__li_id").as(idField),
         col("__li_b.l").as("pred_lang"),
         col("__li_b.d").as("dist"))
-    df.join(best, Seq(idField))
+    df.join(best, Seq(idField), "left")
+      .withColumn("pred_lang", coalesce(col("pred_lang"), lit("und")))
   }
 }

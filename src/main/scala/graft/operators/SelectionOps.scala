@@ -276,16 +276,23 @@ object CoresetSelect {
 
     val selected = scala.collection.mutable.ArrayBuffer((seed, 0L, vecOf(seed)))
     var r = 1
-    while (r < k) {
+    var exhausted = false
+    while (r < k && !exhausted) {
       val sims = selected.map { case (_, _, v) => cosPpm(v.toIndexedSeq) }
       val maxSim = sims.reduce((a, b) => greatest(a, b))
       val next = base
         .filter(!col("__cs_id").isin(selected.map(_._1).toSeq: _*))
         .agg(min(struct(maxSim.as("m"), col("__cs_id").as("i"))))
         .head().getStruct(0)
-      val nid = next.getLong(1)
-      selected += ((nid, next.getLong(0), vecOf(nid)))
-      r += 1
+      // min(...) over an EMPTY remainder yields a null aggregate row:
+      // k exceeded the row count, so stop with what we have rather
+      // than throwing an opaque NPE.
+      if (next == null) exhausted = true
+      else {
+        val nid = next.getLong(1)
+        selected += ((nid, next.getLong(0), vecOf(nid)))
+        r += 1
+      }
     }
     import spark.implicits._
     selected.toSeq.zipWithIndex

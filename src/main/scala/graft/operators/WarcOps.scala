@@ -55,11 +55,19 @@ object WarcCodec {
           .as("blob"))
 
   /** Parse blobs back to (group, rid, content_length, payload) rows.
-    * A sequential fold walks each blob: read the bounded header, jump
-    * the payload by its Content-Length, repeat. The iteration budget is
-    * the marker-occurrence count (an upper bound — payload-embedded
-    * fake markers inflate it; surplus steps no-op once the cursor
-    * passes the end). */
+    * A sequential fold walks each blob: read the header (bounded by the
+    * header/payload separator, wherever it falls — record ids of any
+    * length are safe), jump the payload by its Content-Length, repeat.
+    * The iteration budget is the marker-occurrence count (an upper
+    * bound — payload-embedded fake markers inflate it; surplus steps
+    * no-op once the cursor passes the end).
+    *
+    * Scale note: the fold's `concat(out, …)` copies the accumulated
+    * record array each step, and the per-step separator scan reads the
+    * blob tail — both make the per-blob cost quadratic in record
+    * count. Keep the grouping grain at ~100 records per blob (the
+    * q230 shard convention); for bigger containers, split groups
+    * before rendering. */
   def parse(df: DataFrame, groupField: String, blobField: String): DataFrame = {
     val blob = col(blobField)
     val blobLen = length(blob).cast(LongType)
@@ -76,11 +84,16 @@ object WarcCodec {
       (st, _) => {
         val pos = st("pos")
         val out = st("out")
-        val hdr = blob.substr(pos, lit(200L))
+        // Header window ends at the header/payload separator, located
+        // in the blob tail — not a fixed-width substr, so a record id
+        // long enough to push Content-Length past any fixed window
+        // cannot corrupt the parse.
+        val tail = blob.substr(pos, blobLen)
+        val sepAt = instr(tail, Sep).cast(LongType) // 1-based within tail
+        val hdr = tail.substr(lit(1L), sepAt + lit(3L))
         val rid = regexp_extract(hdr, "WARC-Record-ID: ([^\r]+)", 1)
         val clen = regexp_extract(hdr, "Content-Length: ([0-9]+)", 1)
           .cast(LongType)
-        val sepAt = instr(hdr, Sep).cast(LongType) // 1-based within hdr
         val payloadStart = pos + sepAt + 3
         val payload = blob.substr(payloadStart, clen)
         val stepped = struct(

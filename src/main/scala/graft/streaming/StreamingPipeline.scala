@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.Mapper
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -231,43 +231,87 @@ object StreamingPipeline {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val spark = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-          spark.sparkContext.hadoopConfiguration)
-        val storePath = new org.apache.hadoop.fs.Path(filterStoreDir)
-        val priorEpochs =
-          if (!fs.exists(storePath)) Array.empty[org.apache.hadoop.fs.FileStatus]
-          else fs.listStatus(storePath).filter { st =>
-            val n = st.getPath.getName
-            n.startsWith("epoch=") &&
-              n.stripPrefix("epoch=").toLong < epochId
-          }
-        val keyed = batch.withColumn("__bloom_g", lit(0))
-        val flagged =
-          if (priorEpochs.isEmpty)
-            batch.withColumn("might_have_seen", lit(false))
-          else {
-            val merged = BloomSketch.merge(
-              spark.read
-                .option("basePath", filterStoreDir)
-                .parquet(priorEpochs.map(_.getPath.toString): _*)
-                .withColumn("__bloom_g", lit(0)),
-              Seq("__bloom_g"), mBits)
-            keyed
-              .join(broadcast(merged.select(col("__bloom_g"), col("bloom"))),
-                "__bloom_g")
-              .withColumn("might_have_seen",
-                BloomSketch.mightContain(col("bloom"), col(valueField), k, mBits))
-              .drop("__bloom_g", "bloom")
-          }
-        onBatch(flagged, epochId)
-        BloomSketch.build(keyed, Seq("__bloom_g"), valueField, mBits, k)
-          .drop("__bloom_g")
-          .write.mode("overwrite")
-          .parquet(s"$filterStoreDir/epoch=$epochId")
-        ()
+        onBatch(
+          seenFilterProbe(batch, filterStoreDir, valueField, mBits, k, epochId),
+          epochId)
+        seenFilterAppend(batch, filterStoreDir, valueField, mBits, k, epochId)
       }
       .start()
+  }
+
+  /** One micro-batch's probe leg of [[streamingSeenFilter]] — exposed
+    * for batch replays and direct testing. Every input row survives:
+    * the prior-epoch merge rides a LEFT join with a null-guard, so a
+    * store whose prior epochs carry zero rows (or no store at all)
+    * flags `might_have_seen = false` instead of silently dropping the
+    * batch. */
+  private[graft] def seenFilterProbe(
+      batch: DataFrame,
+      filterStoreDir: String,
+      valueField: String,
+      mBits: Int,
+      k: Int,
+      epochId: Long
+  ): DataFrame = {
+    import graft.operators.BloomSketch
+    val spark = batch.sparkSession
+    val priorEpochs = listPriorEpochs(spark, filterStoreDir, epochId)
+    if (priorEpochs.isEmpty)
+      batch.withColumn("might_have_seen", lit(false))
+    else {
+      val merged = BloomSketch.merge(
+        spark.read
+          .option("basePath", filterStoreDir)
+          .parquet(priorEpochs: _*)
+          .withColumn("__bloom_g", lit(0)),
+        Seq("__bloom_g"), mBits)
+      batch.withColumn("__bloom_g", lit(0))
+        .join(broadcast(merged.select(col("__bloom_g"), col("bloom"))),
+          Seq("__bloom_g"), "left")
+        .withColumn("might_have_seen",
+          when(col("bloom").isNull, lit(false)).otherwise(
+            BloomSketch.mightContain(col("bloom"), col(valueField), k, mBits)))
+        .drop("__bloom_g", "bloom")
+    }
+  }
+
+  /** One micro-batch's store-append leg of [[streamingSeenFilter]].
+    * Zero-row micro-batches write NOTHING: an empty agg would leave a
+    * rowless `epoch=` file in the store for every later merge to read
+    * (and, pre-fix, for the probe's old inner join to be emptied by). */
+  private[graft] def seenFilterAppend(
+      batch: DataFrame,
+      filterStoreDir: String,
+      valueField: String,
+      mBits: Int,
+      k: Int,
+      epochId: Long
+  ): Unit = {
+    import graft.operators.BloomSketch
+    val built = BloomSketch.build(
+        batch.withColumn("__bloom_g", lit(0)),
+        Seq("__bloom_g"), valueField, mBits, k)
+      .drop("__bloom_g")
+    if (!built.isEmpty)
+      built.write.mode("overwrite")
+        .parquet(s"$filterStoreDir/epoch=$epochId")
+  }
+
+  private def listPriorEpochs(
+      spark: SparkSession,
+      storeDir: String,
+      epochId: Long
+  ): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    if (!fs.exists(storePath)) Seq.empty
+    else fs.listStatus(storePath).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("epoch=") && n.stripPrefix("epoch=").toLong < epochId
+      }
+      .map(_.getPath.toString)
   }
 
   /** Streaming exact-dedup on a key (e.g. a text hash): emits only the

@@ -328,6 +328,23 @@ class WarcCodecSpec extends SparkSpec {
       Seq("g1", "2", adversarial.length.toLong, adversarial),
       Seq("g2", "3", 0L, "")))
   }
+
+  test("record ids longer than any fixed header window parse intact") {
+    // pre-fix, parse read headers from a fixed 200-char substr: an id
+    // pushing Content-Length past it yielded a null clen and corrupted
+    // the rest of the blob
+    val longId = "urn:uuid:" + ("x" * 300)
+    val d = Seq(
+      ("g1", longId, "first payload"),
+      ("g1", "zz-short", "second payload")
+    ).toDF("g", "id", "p")
+    val back = WarcCodec.parse(
+        WarcCodec.render(d, "g", "id", "p"), "group", "blob")
+      .orderBy("rid")
+    assert(rows(back) == Seq(
+      Seq("g1", longId, 13L, "first payload"),
+      Seq("g1", "zz-short", 14L, "second payload")))
+  }
 }
 
 class BandPlannerSpec extends SparkSpec {

@@ -56,6 +56,21 @@ class LangIdOpsSpec extends SparkSpec {
     assert(got == ("de", 7L * 10L))
   }
 
+  test("gram-less docs survive classification as 'und' with null dist") {
+    val profiles = LangIdNgram.trainProfiles(labeled, "lang", "text", topN = 10)
+    val got = LangIdNgram
+      .classify(
+        Seq((1L, "the cat and the dog"), (2L, "ab"), (3L, null.asInstanceOf[String]))
+          .toDF("id", "text"),
+        "id", "text", profiles, topN = 10)
+      .select("id", "pred_lang")
+      .as[(Long, String)].collect().toMap
+    // ids 2 (shorter than n=3) and 3 (null) yield no grams — they must
+    // stay in the output with the documented 'und' default, not vanish
+    assert(got.keySet == Set(1L, 2L, 3L), got)
+    assert(got(1L) == "en" && got(2L) == "und" && got(3L) == "und")
+  }
+
   test("plan: profile join is broadcast; no corpus-wide window") {
     val profiles = LangIdNgram.trainProfiles(labeled, "lang", "text", topN = 10)
     val plan = LangIdNgram

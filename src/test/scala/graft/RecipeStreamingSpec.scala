@@ -361,6 +361,39 @@ class RecipeStreamingSpec extends SparkSpec {
     assert(epochs.length == 3, epochs.toSeq)
     q.stop()
   }
+
+  test("seenFilter: zero-row prior epochs never swallow the batch") {
+    import graft.operators.BloomSketch
+    val dir = java.nio.file.Files.createTempDirectory("graft_sbf0").toString
+    // a store whose only prior epoch carries ZERO rows (the shape an
+    // empty micro-batch used to write): the probe's merge table is
+    // empty, and pre-fix the inner join dropped every current row
+    BloomSketch.build(
+        Seq.empty[(Int, String)].toDF("__bloom_g", "url"),
+        Seq("__bloom_g"), "url", 1008, 3)
+      .drop("__bloom_g")
+      .write.parquet(s"$dir/store/epoch=0")
+    val batch = Seq((1L, "http://a.example/x"), (2L, "http://b.example/y"))
+      .toDF("id", "url")
+    val flagged = StreamingPipeline
+      .seenFilterProbe(batch, s"$dir/store", "url", 1008, 3, epochId = 1L)
+      .select("id", "might_have_seen").as[(Long, Boolean)].collect().toMap
+    assert(flagged == Map(1L -> false, 2L -> false), flagged)
+    // and the append leg refuses to write a zero-row epoch at all
+    StreamingPipeline.seenFilterAppend(
+      Seq.empty[(Long, String)].toDF("id", "url"),
+      s"$dir/store", "url", 1008, 3, epochId = 1L)
+    assert(!new java.io.File(s"$dir/store/epoch=1").exists())
+    // a real epoch still probes true through the same left-join path
+    StreamingPipeline.seenFilterAppend(
+      batch, s"$dir/store", "url", 1008, 3, epochId = 1L)
+    val again = StreamingPipeline
+      .seenFilterProbe(
+        Seq((3L, "http://a.example/x"), (4L, "http://c.example/z")).toDF("id", "url"),
+        s"$dir/store", "url", 1008, 3, epochId = 2L)
+      .select("id", "might_have_seen").as[(Long, Boolean)].collect().toMap
+    assert(again(3L) && !again(4L), again)
+  }
 }
 
 class StreamingExpectationsSpec extends SparkSpec {

@@ -170,4 +170,14 @@ class CoresetSelectSpec extends SparkSpec {
       .map { case (id, s) => (math.floor(1e6 * s).toLong, id) }.min._2
     assert(seeded(1)._2 == want)
   }
+
+  test("k larger than the row count stops cleanly with all rows selected") {
+    // pre-fix this threw an opaque NPE: min(...) over the exhausted
+    // remainder returns a null aggregate row mid-loop
+    val got = CoresetSelect.greedyKCenter(vecs, "vec_id", "embedding", 10)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got.size == 4, got)
+    assert(got.map(_._2).toSet == Set(1L, 2L, 3L, 4L))
+    assert(got.map(_._1) == Seq(0, 1, 2, 3))
+  }
 }
