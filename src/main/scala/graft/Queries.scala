@@ -7914,6 +7914,134 @@ object Queries {
     )
   )
 
+  /** IBAN redaction gated on the ISO 13616 mod-97 checksum
+    * ([[PiiRedact.redactIbans]]): per doc, a DE-format IBAN built from
+    * doc_id gets CORRECT check digits on even ids and broken ones on
+    * odd ids — redaction must fire on exactly the valid half (q219's
+    * Luhn pattern, with the 26-char fold the oracle replays digit by
+    * digit through `list_reduce`). */
+  private val qIbanRedact = Q(
+    "q235_iban_redact",
+    (s, dir) => {
+      val bban = lpad((col("doc_id") * 91 + 12345).cast("string"), 18, "0")
+      // check digits: 98 − mod97(BBAN ++ "131400") (DE mapped: D=13,E=14)
+      val s0 = concat(bban, lit("131400"))
+      val r = aggregate(sequence(lit(1), length(s0)), lit(0L),
+        (acc, i) =>
+          (acc * 10L + (ascii(s0.substr(i, lit(1))) - 48).cast("long")) % 97L)
+      val checkOk = lit(98L) - r
+      val check = when(col("doc_id") % 2 === 0, checkOk)
+        .otherwise(when(checkOk === 98L, lit(2L)).otherwise(checkOk + 1L))
+      val iban = concat(lit("DE"), lpad(check.cast("string"), 2, "0"), bban)
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("wire "), iban, lit(" ok")).as("text"))
+        .withColumn("redacted", PiiRedact.redactIbans(col("text")))
+        .select("doc_id", "text", "redacted")
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH c AS (SELECT doc_id,
+        |    lpad(CAST(doc_id * 91 + 12345 AS VARCHAR), 18, '0') AS bban
+        |  FROM documents),
+        |r AS (SELECT doc_id, bban,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, 24), i ->
+        |        CAST(ascii(substring(bban || '131400', i, 1)) - 48 AS BIGINT))),
+        |      (acc, d) -> (acc * 10 + d) % 97) AS rem
+        |  FROM c),
+        |k AS (SELECT doc_id, bban, 98 - rem AS ck,
+        |    CASE WHEN doc_id % 2 = 0 THEN 98 - rem
+        |      WHEN 98 - rem = 98 THEN 2 ELSE 99 - rem END AS chosen
+        |  FROM r),
+        |ib AS (SELECT doc_id,
+        |    'DE' || lpad(CAST(chosen AS VARCHAR), 2, '0') || bban AS iban
+        |  FROM k),
+        |v AS (SELECT doc_id, iban, 'wire ' || iban || ' ok' AS text,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, 22), i ->
+        |        CAST(ascii(substring(substring(iban, 5) || substring(iban, 1, 4),
+        |          i, 1)) AS BIGINT))),
+        |      (acc, a) -> CASE WHEN a >= 65 THEN (acc * 100 + a - 55) % 97
+        |        ELSE (acc * 10 + a - 48) % 97 END) AS rem
+        |  FROM ib)
+        |SELECT doc_id, text,
+        |  CASE WHEN rem = 1 THEN replace(text, iban, '<IBAN>')
+        |    ELSE text END AS redacted
+        |FROM v ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Flesch readability metrics ([[operators.ReadabilityScore]]):
+    * heuristic syllable counts, sentence-terminator runs, and both
+    * fixed-point formulas over a common denominator — every number an
+    * integer the oracle reproduces exactly. One codegen'd projection
+    * on the Spark side (the 100-TB shape: no shuffle at all). */
+  private val qReadability = Q(
+    "q236_readability",
+    (s, dir) =>
+      ReadabilityScore("text", "words")(docTextWords(s, dir))
+        .select("doc_id", "n_words", "n_sentences", "n_syllables",
+          "fk_grade_centi", "fre_milli")
+        .orderBy("doc_id"),
+    Some(
+      s"""WITH w AS (SELECT doc_id, text, $W AS w FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) AS n_words,
+         |    greatest(CAST(1 AS BIGINT),
+         |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+         |      AS n_sentences,
+         |    CAST(list_sum(list_transform(w, x ->
+         |      CASE WHEN len(regexp_extract_all(lower(x), '[aeiouy]+')) = 0 THEN 0
+         |        ELSE greatest(1, len(regexp_extract_all(lower(x), '[aeiouy]+'))
+         |          - CASE WHEN regexp_matches(lower(x), '[^aeiouy]e$$')
+         |              THEN 1 ELSE 0 END) END)) AS BIGINT) AS n_syllables
+         |  FROM w)
+         |SELECT doc_id, n_words, n_sentences,
+         |  coalesce(n_syllables, 0) AS n_syllables,
+         |  CASE WHEN n_words > 0 THEN
+         |    (39 * n_words * n_words + 1180 * n_syllables * n_sentences)
+         |      // (n_sentences * n_words) - 1559 END AS fk_grade_centi,
+         |  CASE WHEN n_words > 0 THEN
+         |    206835 - (1015 * n_words * n_words + 84600 * n_syllables * n_sentences)
+         |      // (n_sentences * n_words) END AS fre_milli
+         |FROM m ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Shard n-gram novelty curve ([[CorpusStats.shardNovelty]]): docs
+    * bucketed into doc_id-order "crawl" shards; per shard, the
+    * fraction of its distinct 3-shingles no earlier shard contains —
+    * the diminishing-returns curve that tells a 100-TB pipeline when
+    * another snapshot of a source stops adding tokens. Grams group on
+    * one key, per-gram state is the shard set. */
+  private val qShardNovelty = Q(
+    "q237_shard_novelty",
+    (s, dir) =>
+      CorpusStats.shardNovelty(
+        docWords(s, dir)
+          .withColumn("shard", floor(col("doc_id") / 50).cast("long"))
+          .withColumn("grams", TextShingles.shingles(col("words"), 3)),
+        "shard", "grams")
+        .orderBy("shard"),
+    Some(
+      s"""WITH w AS (SELECT doc_id // 50 AS shard, $W AS w FROM documents),
+         |g AS (SELECT DISTINCT shard, unnest(CASE WHEN len(w) >= 3
+         |    THEN list_transform(generate_series(1, len(w) - 2), i ->
+         |      w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         |    ELSE [array_to_string(w, ' ')] END) AS gram
+         |  FROM w),
+         |f AS (SELECT gram, min(shard) AS first FROM g GROUP BY gram)
+         |SELECT g.shard, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN f.first = g.shard THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  (1000000 * CAST(sum(CASE WHEN f.first = g.shard THEN 1 ELSE 0 END)
+         |    AS BIGINT)) // CAST(count(*) AS BIGINT) AS novelty_ppm
+         |FROM g JOIN f USING (gram)
+         |GROUP BY g.shard ORDER BY g.shard""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -7972,7 +8100,8 @@ object Queries {
     qBloomSketch, qDeleteProp, qVocabStats, qIvfAdc, qPrefixJoin,
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
     qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron, qStopwords, qFertility, qRepetitionRun, qRateAnomaly, qVocabDrift, qBurstiness, qWarcRoundtrip, qCrossSourceDup,
-    qContaminationSpan, qMerkleRoot, qPhraseSearch
+    qContaminationSpan, qMerkleRoot, qPhraseSearch,
+    qIbanRedact, qReadability, qShardNovelty
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -772,6 +772,37 @@ object CorpusStats {
       .orderBy(col("cnt").desc, col("gram"))
       .limit(k)
 
+  /** Per-shard n-gram novelty curve: for shards ordered by their key
+    * (crawl snapshot, ingest batch, source tranche), the fraction of
+    * each shard's DISTINCT grams not seen in any earlier shard — the
+    * "is the next crawl still adding anything?" signal that decides
+    * when more of a source stops paying for its tokens.
+    *
+    * Shape: distinct (gram, shard) pairs partial-aggregate map-side;
+    * one shuffle keyed on the gram groups each gram's shard set
+    * (state per gram = O(#shards), a handful of longs); the re-explode
+    * shuffles #distinct-pairs rows keyed on the shard. Grams cross the
+    * wire as given — at 100 TB pass pre-hashed grams
+    * (`xxhash64(gram)`) so the shuffle moves 8-byte keys, never text
+    * (the [[ExactDedup]] accounting; md5 for engine-portable replay). */
+  def shardNovelty(
+      docs: DataFrame,
+      shardField: String,
+      gramsField: String
+  ): DataFrame =
+    docs
+      .select(col(shardField).cast(LongType).as("__sn_s"),
+        explode(col(gramsField)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(min(col("__sn_s")).as("__sn_first"),
+        collect_set(col("__sn_s")).as("__sn_shards"))
+      .select(col("__sn_first"), explode(col("__sn_shards")).as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("__sn_first") === col("shard")).cast(LongType)).as("n_novel"))
+      .withColumn("novelty_ppm",
+        floor(lit(1000000L) * col("n_novel") / col("n_grams")).cast(LongType))
+
   /** Distinct-n diversity per group: total n-grams, distinct n-grams,
     * and their ratio — the standard generated-/training-text diversity
     * signal (low distinct-2 ⇒ repetitive or template-stamped slice;

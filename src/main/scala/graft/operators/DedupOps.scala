@@ -1634,6 +1634,45 @@ object PiiRedact {
       (acc, c) =>
         when(luhnValid(c), call_function("replace", acc, c, lit("<CARD>")))
           .otherwise(acc))
+
+  /** IBAN remainder (ISO 13616 mod-97-10): move the first 4 chars to
+    * the end, map A..Z to 10..35, and take the resulting decimal
+    * number mod 97 — valid iff the remainder is 1. The number runs to
+    * 30+ digits, far past any integer type, so the remainder folds one
+    * char at a time: digits step `acc = (acc*10 + d) % 97`, letters
+    * `acc = (acc*100 + v) % 97`. Pure integer HOF fold,
+    * oracle-replayable, same discipline as [[luhnSum]]. */
+  def ibanMod97(iban: Column): Column = {
+    val re = concat(iban.substr(lit(5), length(iban)),
+      iban.substr(lit(1), lit(4)))
+    aggregate(
+      sequence(lit(1), length(re)),
+      lit(0L),
+      (acc, i) => {
+        val a = ascii(re.substr(i, lit(1))).cast(LongType)
+        when(a >= 65, (acc * 100L + (a - 55L)) % 97L)
+          .otherwise((acc * 10L + (a - 48L)) % 97L)
+      })
+  }
+
+  def ibanValid(iban: Column): Column =
+    length(iban) >= 15 && length(iban) <= 34 && ibanMod97(iban) === 1L
+
+  /** Country code + check digits + 11-30 alphanumeric BBAN. A word
+    * boundary on each side keeps hex blobs and base64 runs out. */
+  val ibanRe = "\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b"
+
+  /** Replace every checksum-VALID IBAN-shaped run with `<IBAN>`;
+    * invalid runs (ticket ids, tracking codes that merely look like
+    * IBANs) are left alone — [[redactCards]]' exact pattern with the
+    * mod-97 test in place of Luhn. Row-local, zero shuffle. */
+  def redactIbans(text: Column): Column =
+    aggregate(
+      regexp_extract_all(text, lit(ibanRe), lit(0)),
+      text,
+      (acc, c) =>
+        when(ibanValid(c), call_function("replace", acc, c, lit("<IBAN>")))
+          .otherwise(acc))
 }
 
 /** Mapper wrapper: redact PII in the listed text fields. */

@@ -602,3 +602,57 @@ class PackBoundariesSpec extends SparkSpec {
     assert(trimmed.forall(_._2.size == 4))
   }
 }
+
+class ReadabilitySpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.{Readability, ReadabilityScore}
+
+  test("syllables: vowel-group heuristic with silent-e and floor-at-1") {
+    val got = Seq("cat", "hello", "code", "idea", "rhythm", "strengths", "zzz")
+      .toDF("w").select(Readability.syllables(col("w")).as("s"))
+      .as[Int].collect().toSeq
+    //           cat hello code idea rhythm strengths zzz(no vowels)
+    assert(got == Seq(1, 2, 1, 2, 1, 1, 0))
+  }
+
+  test("Flesch formulas: integer fixed-point over the common denominator") {
+    val got = ReadabilityScore("text", "words")(
+      Seq(("The cat sat.", Seq("The", "cat", "sat.")))
+        .toDF("text", "words"))
+      .select("n_words", "n_sentences", "n_syllables",
+        "fk_grade_centi", "fre_milli")
+      .as[(Long, Long, Long, Long, Long)].head()
+    // W=3 S=1 Syl=3: FK = floor((39*9+1180*3)/3)-1559 = 1297-1559
+    assert(got == ((3L, 1L, 3L, -262L, 119190L)))
+  }
+
+  test("no words -> null scores, zero syllables; no sentences floors at 1") {
+    val r = ReadabilityScore("text", "words")(
+      Seq(("", Seq.empty[String])).toDF("text", "words"))
+      .select("n_sentences", "n_syllables", "fk_grade_centi")
+      .collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 0L && r.isNullAt(2))
+  }
+}
+
+class ShardNoveltySpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.CorpusStats
+
+  test("novelty = fraction of distinct grams first seen in this shard") {
+    val df = Seq(
+      (0L, Seq("a", "b")),
+      (0L, Seq("b")), // duplicate within shard: counted once
+      (1L, Seq("b", "c")),
+      (2L, Seq("a", "c"))
+    ).toDF("shard", "grams")
+    val got = CorpusStats.shardNovelty(df, "shard", "grams")
+      .orderBy("shard")
+      .select("shard", "n_grams", "n_novel", "novelty_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 2L, 1000000L),
+      (1L, 2L, 1L, 500000L),
+      (2L, 2L, 0L, 0L)))
+  }
+}

@@ -1127,3 +1127,40 @@ class LuhnRedactSpec extends SparkSpec {
       "cards <CARD> and <CARD>"))
   }
 }
+
+class IbanRedactSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.PiiRedact
+
+  private def validIban(xs: String*): Seq[Boolean] =
+    xs.toSeq.toDF("n")
+      .select(PiiRedact.ibanValid(col("n")).as("v"))
+      .as[Boolean].collect().toSeq
+
+  test("ibanValid: published example IBANs pass, perturbations fail") {
+    // the ISO 13616 / ECBS published examples
+    assert(validIban(
+      "GB82WEST12345698765432", // UK example from the standard
+      "DE89370400440532013000", // Bundesbank example
+      "FR1420041010050500013M02606" // with letters in the BBAN
+    ) == Seq(true, true, true))
+    // one digit off, transposed chars, too short
+    assert(validIban(
+      "GB82WEST12345698765433",
+      "DE98370400440532013000",
+      "GB82WEST123") == Seq(false, false, false))
+  }
+
+  test("redactIbans replaces only mod-97-valid runs") {
+    val got = Seq(
+      "wire GB82WEST12345698765432 ref GB82WEST12345698765433 end",
+      "no candidates here 12345",
+      "both DE89370400440532013000 and FR1420041010050500013M02606"
+    ).toDF("t").select(PiiRedact.redactIbans(col("t")).as("r"))
+      .as[String].collect().toSeq
+    assert(got == Seq(
+      "wire <IBAN> ref GB82WEST12345698765433 end",
+      "no candidates here 12345",
+      "both <IBAN> and <IBAN>"))
+  }
+}
