@@ -8042,6 +8042,87 @@ object Queries {
     )
   )
 
+  /** Per-document tf·idf top terms ([[CorpusStats.tfIdfTopTerms]]):
+    * linear-idf scoring keeps every rank integer-exact (no logs to
+    * diverge across engines); the window is doc-partitioned, df is a
+    * term-keyed agg off the already-grouped tf table, N broadcasts. */
+  private val qTfIdf = Q(
+    "q238_tfidf_topterms",
+    (s, dir) =>
+      CorpusStats.tfIdfTopTerms(docWords(s, dir), "doc_id", "words", 5)
+        .orderBy("doc_id", "rank"),
+    Some(
+      s"""WITH w AS (SELECT doc_id, $W AS w FROM documents),
+         |tfc AS (SELECT doc_id, unnest(w) AS term FROM w),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tfc GROUP BY doc_id, term),
+         |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |  FROM tf GROUP BY term),
+         |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+         |  FROM documents),
+         |sc AS (SELECT doc_id, term, tf, df,
+         |    (1000000 * tf * n.n) // df AS score_ppm
+         |  FROM tf JOIN dft USING (term) CROSS JOIN n),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score_ppm DESC, term) AS BIGINT) AS rank
+         |  FROM sc QUALIFY rank <= 5)
+         |SELECT doc_id, term, tf, df, score_ppm, rank
+         |FROM r ORDER BY doc_id, rank""".stripMargin
+    )
+  )
+
+  /** Anchor-text index ([[Html.anchorIndex]]): links synthesized so
+    * targets collide across documents (doc_id mod 7) with varying
+    * anchor texts (doc_id mod 3, some with nested markup) — per
+    * target: total refs, distinct referrers, modal anchor. The oracle
+    * replays tag extraction, inner-markup strip, and both
+    * aggregations. */
+  private val qAnchorIndex = Q(
+    "q239_anchor_index",
+    (s, dir) => {
+      val html = concat(
+        lit("<p>intro</p><a href=\"https://ex.com/t"),
+        (col("doc_id") % 7).cast(StringType),
+        lit("\">site <b>"), (col("doc_id") % 3).cast(StringType),
+        lit("</b></a>"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("<a class=\"x\" href=\"/rel\">Rel  page</a>")))
+          .otherwise(lit("")))
+      Html.anchorIndex(
+          T(s, dir, "documents").select(col("doc_id"), html.as("html")),
+          "doc_id", "html")
+        .select("href", "n_refs", "top_anchor", "top_anchor_n", "n_docs")
+        .orderBy("href")
+    },
+    Some(
+      """WITH u AS (SELECT doc_id,
+        |    '<p>intro</p><a href="https://ex.com/t' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '">site <b>' || CAST(doc_id % 3 AS VARCHAR) || '</b></a>'
+        |    || CASE WHEN doc_id % 2 = 0
+        |      THEN '<a class="x" href="/rel">Rel  page</a>' ELSE '' END AS html
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |    regexp_extract(t, '(?is)<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>', 1)
+        |      AS href,
+        |    trim(regexp_replace(regexp_replace(
+        |      regexp_extract(t, '(?is)<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>', 2),
+        |      '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS anchor
+        |  FROM u, unnest(regexp_extract_all(u.html,
+        |    '(?is)<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>', 0)) AS z(t)),
+        |ba AS (SELECT href, anchor, CAST(count(*) AS BIGINT) AS n
+        |  FROM p GROUP BY href, anchor),
+        |tp AS (SELECT href, CAST(sum(n) AS BIGINT) AS n_refs,
+        |    max(struct_pack(n := n, a := anchor)).a AS top_anchor,
+        |    CAST(max(struct_pack(n := n, a := anchor)).n AS BIGINT)
+        |      AS top_anchor_n
+        |  FROM ba GROUP BY href),
+        |nd AS (SELECT href, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM p GROUP BY href)
+        |SELECT href, n_refs, top_anchor, top_anchor_n, n_docs
+        |FROM tp JOIN nd USING (href) ORDER BY href""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -8101,7 +8182,7 @@ object Queries {
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
     qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron, qStopwords, qFertility, qRepetitionRun, qRateAnomaly, qVocabDrift, qBurstiness, qWarcRoundtrip, qCrossSourceDup,
     qContaminationSpan, qMerkleRoot, qPhraseSearch,
-    qIbanRedact, qReadability, qShardNovelty
+    qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -772,6 +772,47 @@ object CorpusStats {
       .orderBy(col("cnt").desc, col("gram"))
       .limit(k)
 
+  /** Top-`k` distinctive terms per document by tf·idf with LINEAR
+    * inverse document frequency (`score = tf · N/df`, ppm-scaled):
+    * comparing `tf₁·N/df₁` against `tf₂·N/df₂` needs no logarithm, so
+    * the whole ranking is integer-exact and engine-replayable — the
+    * log-damped variant reorders only where `tf` ratios and `df`
+    * ratios pull in opposite directions (swap in `ln` via
+    * `functions.log` when exactness isn't required). Keyword
+    * extraction / per-doc topical signature, the retrieval classic.
+    *
+    * Shape: tf partial-aggregates map-side; df is one term-keyed agg
+    * off the already-grouped tf table; N broadcasts as a one-row agg;
+    * the final rank is a window PARTITIONED by doc. Scale note: the
+    * ppm scale bounds `1e6·tf·N` — at corpus sizes where that nears
+    * 2^63 (N ≳ 10¹⁰ with tf ~10³), drop the scale to 1e3 or pre-cap
+    * tf; wired as-is for the test SFs. */
+  def tfIdfTopTerms(
+      docs: DataFrame,
+      idField: String,
+      wordsField: String,
+      k: Int
+  ): DataFrame = {
+    val tf = docs
+      .select(col(idField).as("__ti_id"), explode(col(wordsField)).as("term"))
+      .groupBy("__ti_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(col(idField)).distinct()
+      .agg(count(lit(1)).as("__ti_n"))
+    val w = Window.partitionBy("__ti_id")
+      .orderBy(col("score_ppm").desc, col("term"))
+    tf.join(dft, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score_ppm",
+        floor((lit(1000000L) * col("tf") * col("__ti_n")).cast(DoubleType)
+          / col("df")).cast(LongType))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("__ti_id").as(idField), col("term"), col("tf"),
+        col("df"), col("score_ppm"), col("rank"))
+  }
+
   /** Per-shard n-gram novelty curve: for shards ordered by their key
     * (crawl snapshot, ingest batch, source tranche), the fraction of
     * each shard's DISTINCT grams not seen in any earlier shard — the

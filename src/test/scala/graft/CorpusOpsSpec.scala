@@ -656,3 +656,34 @@ class ShardNoveltySpec extends SparkSpec {
       (2L, 2L, 0L, 0L)))
   }
 }
+
+class TfIdfSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.CorpusStats
+
+  test("linear-idf top terms: corpus-wide terms sink, unique terms rise") {
+    val df = Seq(
+      (1L, Seq("the", "the", "cat", "sat")),
+      (2L, Seq("the", "dog", "sat")),
+      (3L, Seq("the", "bird"))
+    ).toDF("doc_id", "words")
+    val got = CorpusStats.tfIdfTopTerms(df, "doc_id", "words", 2)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "term", "score_ppm", "rank")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // doc1: cat (1*3/1=3e6) beats the (2*3/3=2e6) beats sat (1*3/2=1.5e6)
+    assert(got.filter(_._1 == 1L).map(_._2) == Seq("cat", "the"))
+    assert(got.filter(_._1 == 1L).map(_._3) == Seq(3000000L, 2000000L))
+    // doc3: bird (unique) outranks the (everywhere)
+    assert(got.filter(_._1 == 3L).map(_._2) == Seq("bird", "the"))
+  }
+
+  test("plan: doc-partitioned window, broadcast N, no cartesian blowup") {
+    val df = Seq((1L, Seq("a", "b")), (2L, Seq("b"))).toDF("doc_id", "words")
+    val plan = CorpusStats.tfIdfTopTerms(df, "doc_id", "words", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}

@@ -36,3 +36,32 @@ class HtmlOpsSpec extends SparkSpec {
     assert(one("", Html.collapseRepeatedLines(_)) == "")
   }
 }
+
+class AnchorTextSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Html
+
+  test("anchorPairs: href + markup-stripped, whitespace-collapsed inner text") {
+    val html = """<a href="/a">Plain</a> mid <a class="x" href="/b">has <b>bold</b>
+                 |  text</a> <a name="no-href">skipped</a>""".stripMargin
+    val got = Seq(html).toDF("h")
+      .select(explode(Html.anchorPairs(col("h"))).as("p"))
+      .select("p.href", "p.anchor").as[(String, String)].collect().toSeq
+    assert(got == Seq(("/a", "Plain"), ("/b", "has bold text")))
+  }
+
+  test("anchorIndex: modal anchor per target, distinct referrer count") {
+    val df = Seq(
+      (1L, """<a href="/t">Home</a><a href="/t">Home</a>"""),
+      (2L, """<a href="/t">home page</a><a href="/u">U</a>"""),
+      (3L, """<a href="/t">Home</a>""")
+    ).toDF("doc_id", "html")
+    val got = Html.anchorIndex(df, "doc_id", "html")
+      .orderBy("href")
+      .select("href", "n_refs", "top_anchor", "top_anchor_n", "n_docs")
+      .as[(String, Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("/t", 4L, "Home", 3L, 3L),
+      ("/u", 1L, "U", 1L, 1L)))
+  }
+}
