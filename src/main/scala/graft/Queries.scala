@@ -8123,6 +8123,74 @@ object Queries {
     )
   )
 
+  /** Gale–Church alignment cost ([[operators.GaleChurch]]): per doc, a
+    * synthetic "translation" side — even ids get the doc's own
+    * sentence lengths mildly shifted (parallel pair), odd ids lose
+    * their first sentence too (forces a skip bead). The full O(m·n)
+    * dynamic program, row-local on both engines: the oracle folds the
+    * identical two-row DP state through nested `list_reduce`s. */
+  private val qGaleChurch = Q(
+    "q240_galechurch_align",
+    (s, dir) => {
+      val src = GaleChurch.sentenceLengths(col("text"))
+      val shifted = transform(src, x => x + col("doc_id") % 7)
+      val tgt = when(col("doc_id") % 2 === 0, shifted)
+        .otherwise(slice(shifted, lit(2), greatest(size(shifted) - 1, lit(0))))
+      GaleChurch.scorePairs(
+          T(s, dir, "documents")
+            .select(col("doc_id"), src.as("src"), tgt.as("tgt")),
+          "src", "tgt")
+        .select("doc_id", "n_src", "n_tgt", "gc_cost", "gc_cost_per_bead")
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH s0 AS (SELECT doc_id,
+        |    list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+        |      x -> CAST(length(trim(x)) AS BIGINT)), l -> l > 0) AS src
+        |  FROM documents),
+        |s AS (SELECT doc_id, src,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN list_transform(src, x -> x + doc_id % 7)
+        |      ELSE list_transform(src, x -> x + doc_id % 7)[2:len(src)]
+        |    END AS tgt
+        |  FROM s0),
+        |d AS (SELECT doc_id, src AS a, tgt AS b, len(src) AS m, len(tgt) AS n,
+        |  list_reduce(
+        |    list_prepend(
+        |      list_transform(generate_series(1, len(tgt) + 1),
+        |        x -> 1000000000000000::BIGINT)
+        |        || list_transform(generate_series(0, len(tgt)),
+        |          j -> (j * 450)::BIGINT),
+        |      list_transform(generate_series(1, len(src)), i -> [i])),
+        |    (st, xi) ->
+        |      st[len(tgt) + 2 : 2 * len(tgt) + 2] ||
+        |      list_reduce(
+        |        list_prepend([st[len(tgt) + 2] + 450],
+        |          list_transform(generate_series(1, len(tgt)), j -> [j])),
+        |        (row, xj) ->
+        |          list_append(row, least(
+        |            st[len(tgt) + 2 + xj[1]] + 450,
+        |            row[xj[1]] + 450,
+        |            st[len(tgt) + 1 + xj[1]]
+        |              + (1000 * abs(src[xi[1]] - tgt[xj[1]]))
+        |                // (src[xi[1]] + tgt[xj[1]] + 1),
+        |            CASE WHEN xi[1] >= 2 THEN st[xj[1]] + 230
+        |              + (1000 * abs(src[xi[1]-1] + src[xi[1]] - tgt[xj[1]]))
+        |                // (src[xi[1]-1] + src[xi[1]] + tgt[xj[1]] + 1)
+        |              ELSE 1000000000000000 END,
+        |            CASE WHEN xj[1] >= 2 THEN st[len(tgt) + xj[1]] + 230
+        |              + (1000 * abs(src[xi[1]] - tgt[xj[1]-1] - tgt[xj[1]]))
+        |                // (src[xi[1]] + tgt[xj[1]-1] + tgt[xj[1]] + 1)
+        |              ELSE 1000000000000000 END)))
+        |  ) AS fin
+        |  FROM s)
+        |SELECT doc_id, m AS n_src, n AS n_tgt,
+        |  fin[2 * n + 2] AS gc_cost,
+        |  fin[2 * n + 2] // greatest(m + n, 1) AS gc_cost_per_bead
+        |FROM d ORDER BY doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -8182,7 +8250,7 @@ object Queries {
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
     qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron, qStopwords, qFertility, qRepetitionRun, qRateAnomaly, qVocabDrift, qBurstiness, qWarcRoundtrip, qCrossSourceDup,
     qContaminationSpan, qMerkleRoot, qPhraseSearch,
-    qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex
+    qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
