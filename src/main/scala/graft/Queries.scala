@@ -8191,6 +8191,82 @@ object Queries {
     )
   )
 
+  /** Hard-wrap repair ([[operators.TextRepair]]): wrapped text
+    * synthesized per doc (a mid-word hyphen+newline seam, a single
+    * wrap, a 3-newline run, a real paragraph break) — repair must
+    * rejoin the split word, flatten the wrap, normalize the run, and
+    * keep the paragraph break. Both engines run the identical RE2
+    * passes. */
+  private val qTextRepair = Q(
+    "q241_text_repair",
+    (s, dir) => {
+      val wrapped = concat(
+        substring(col("text"), 1, 40), lit("-\n"),
+        substring(col("text"), 41, 40), lit("\n"),
+        substring(col("text"), 81, 30), lit("\n\n\n\nend of "),
+        col("lang"), lit(" doc\n\ntail"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), wrapped.as("wrapped"))
+        .withColumn("repaired", TextRepair.repair(col("wrapped")))
+        .select("doc_id", "wrapped", "repaired")
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH u AS (SELECT doc_id,
+        |    substring(text, 1, 40) || '-' || chr(10) || substring(text, 41, 40)
+        |    || chr(10) || substring(text, 81, 30)
+        |    || chr(10) || chr(10) || chr(10) || chr(10) || 'end of ' || lang
+        |    || ' doc' || chr(10) || chr(10) || 'tail' AS wrapped
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, wrapped, regexp_replace(wrapped,
+        |    '(\p{L})-[ \t]*' || chr(10) || '[ \t]*(\p{L})', '\1\2', 'g') AS t
+        |  FROM u),
+        |s2 AS (SELECT doc_id, wrapped, regexp_replace(t,
+        |    chr(10) || '{3,}', chr(10) || chr(10), 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, wrapped, replace(
+        |    regexp_replace(replace(t, chr(10) || chr(10), chr(1)),
+        |      chr(10), ' ', 'g'),
+        |    chr(1), chr(10) || chr(10)) AS repaired FROM s2)
+        |SELECT doc_id, wrapped, repaired FROM s3 ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Cohen's kappa ([[operators.Agreement.cohenKappa]]): two synthetic
+    * raters over documents — rater 2 systematically flips every 4th
+    * label — so n/agree/marginals/kappa are all fully determined. The
+    * oracle replays the marginal product and the ppm floor (explicit
+    * floor-of-double on BOTH engines: DuckDB `//` truncates toward
+    * zero on negatives, floor does not). */
+  private val qCohenKappa = Q(
+    "q242_cohen_kappa",
+    (s, dir) => {
+      val r1 = (col("doc_id") % 3).cast(StringType)
+      val r2 = when(col("doc_id") % 4 === 0,
+        ((col("doc_id") + 1) % 3).cast(StringType)).otherwise(r1)
+      Agreement.cohenKappa(
+        T(s, dir, "documents").select(r1.as("r1"), r2.as("r2")),
+        "r1", "r2")
+    },
+    Some(
+      """WITH b AS (SELECT CAST(doc_id % 3 AS VARCHAR) AS a,
+        |    CASE WHEN doc_id % 4 = 0 THEN CAST((doc_id + 1) % 3 AS VARCHAR)
+        |      ELSE CAST(doc_id % 3 AS VARCHAR) END AS bb
+        |  FROM documents),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a = bb THEN 1 ELSE 0 END) AS BIGINT) AS agree
+        |  FROM b),
+        |ma AS (SELECT a AS lbl, CAST(count(*) AS BIGINT) AS ca FROM b GROUP BY a),
+        |mb AS (SELECT bb AS lbl, CAST(count(*) AS BIGINT) AS cb FROM b GROUP BY bb),
+        |pe AS (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS pe_num
+        |  FROM ma JOIN mb USING (lbl))
+        |SELECT n, agree, pe_num,
+        |  CASE WHEN n * n = pe_num THEN NULL
+        |    ELSE CAST(floor(CAST(1000000 * (n * agree - pe_num) AS DOUBLE)
+        |      / (n * n - pe_num)) AS BIGINT) END AS kappa_ppm
+        |FROM t CROSS JOIN pe""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -8250,7 +8326,7 @@ object Queries {
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
     qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron, qStopwords, qFertility, qRepetitionRun, qRateAnomaly, qVocabDrift, qBurstiness, qWarcRoundtrip, qCrossSourceDup,
     qContaminationSpan, qMerkleRoot, qPhraseSearch,
-    qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch
+    qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch, qTextRepair, qCohenKappa
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -928,3 +928,45 @@ object VocabDrift {
       .limit(k)
   }
 }
+
+/** Inter-annotator agreement for labeled training data (Cohen 1960):
+  * observed agreement corrected for the agreement two raters would
+  * reach by chance from their own label marginals. The QA gate on any
+  * human- or model-labeled slice before its labels train anything.
+  *
+  * Integer-exact formulation: with n rows, `agree` matching pairs, and
+  * pe_num = Σ_label count_a(label)·count_b(label),
+  * κ = (n·agree − pe_num) / (n² − pe_num); emitted ppm-scaled with an
+  * explicit floor-of-double (κ can be negative — floor and truncate
+  * disagree there, so BOTH engines must floor; exact below 2^53).
+  *
+  * Shape: one count/sum aggregate + two label-marginal aggregates
+  * joined label-to-label (labels are few: broadcast); O(#labels)
+  * intermediate, one output row. n² caps the exact path near n ≈ 3·10⁹
+  * rows — past that, compute κ per shard and pool, or sample. */
+object Agreement {
+
+  def cohenKappa(df: DataFrame, aField: String, bField: String): DataFrame = {
+    val base = df.select(
+      col(aField).cast(StringType).as("__ag_a"),
+      col(bField).cast(StringType).as("__ag_b"))
+    val tot = base.agg(
+      count(lit(1)).as("n"),
+      sum((col("__ag_a") === col("__ag_b")).cast(LongType)).as("agree"))
+    val ma = base.groupBy(col("__ag_a").as("lbl"))
+      .agg(count(lit(1)).as("__ag_ca"))
+    val mb = base.groupBy(col("__ag_b").as("lbl"))
+      .agg(count(lit(1)).as("__ag_cb"))
+    val pe = ma.join(mb, Seq("lbl"))
+      .agg(coalesce(sum(col("__ag_ca") * col("__ag_cb")), lit(0L))
+        .as("pe_num"))
+    tot.crossJoin(broadcast(pe))
+      .withColumn("kappa_ppm",
+        when(col("n") * col("n") === col("pe_num"), lit(null).cast(LongType))
+          .otherwise(floor(
+            (lit(1000000L) * (col("n") * col("agree") - col("pe_num")))
+              .cast(DoubleType)
+              / (col("n") * col("n") - col("pe_num"))).cast(LongType)))
+      .select("n", "agree", "pe_num", "kappa_ppm")
+  }
+}

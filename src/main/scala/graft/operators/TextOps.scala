@@ -913,3 +913,50 @@ object RepetitionRun {
       .otherwise(folded % lit(1000000L))
   }
 }
+
+/** Hard-wrap repair for extraction artifacts (PDF/OCR/plain-text email
+  * corpora): words hyphen-split across line breaks are rejoined, and
+  * single newlines inside a paragraph become spaces while paragraph
+  * breaks (blank lines) survive. Every step is an RE2-safe regex (no
+  * lookaround — DuckDB and Spark replay the identical passes), so the
+  * whole repair is one codegen'd scan-stage projection: zero shuffle.
+  *
+  * Pass order matters and is part of the contract:
+  *   1. de-hyphenate `letter-\n letter` seams (the split word rejoins
+  *      BEFORE unwrapping would turn the break into a space);
+  *   2. collapse 3+ newline runs to exactly one blank line;
+  *   3. protect `\n\n` with a U+0001 sentinel, flatten remaining
+  *      single `\n` to spaces, restore the sentinel (lookaround-free
+  *      paragraph preservation).
+  */
+object TextRepair {
+
+  private val Sentinel = "\u0001"
+
+  def dehyphenate(text: Column): Column =
+    regexp_replace(text, "(\\p{L})-[ \\t]*\\n[ \\t]*(\\p{L})", "$1$2")
+
+  def normalizeBlankRuns(text: Column): Column =
+    regexp_replace(text, "\\n{3,}", "\n\n")
+
+  def unwrapSingleNewlines(text: Column): Column = {
+    val guarded = call_function("replace",
+      text, lit("\n\n"), lit(Sentinel))
+    call_function("replace",
+      regexp_replace(guarded, "\\n", " "),
+      lit(Sentinel), lit("\n\n"))
+  }
+
+  /** The full repair chain. */
+  def repair(text: Column): Column =
+    unwrapSingleNewlines(normalizeBlankRuns(dehyphenate(text)))
+}
+
+/** Mapper: repair hard-wrapped text fields in place. */
+final case class RepairText(fields: Seq[String]) extends Mapper {
+  override def inputFields: Seq[String] = fields
+  override def outputFields: Seq[String] = fields
+  override protected def build(df: DataFrame): DataFrame =
+    fields.foldLeft(df)((acc, f) =>
+      acc.withColumn(f, TextRepair.repair(col(f))))
+}

@@ -453,3 +453,66 @@ class CleanupOpsSpec extends SparkSpec {
     }
   }
 }
+
+class TextRepairSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.TextRepair
+
+  private def fix(t: String): String =
+    Seq(t).toDF("t").select(TextRepair.repair(col("t")).as("r"))
+      .as[String].head()
+
+  test("de-hyphenates split words before unwrapping") {
+    assert(fix("an exam-\nple here") == "an example here")
+    assert(fix("co-\n  operate") == "cooperate")
+    // a hyphen NOT followed by a newline+letter is left alone
+    assert(fix("state-of-the-art") == "state-of-the-art")
+    // digit-hyphen-newline is not a split word
+    assert(fix("sum is 5-\n6 range") == "sum is 5- 6 range")
+  }
+
+  test("single newlines become spaces, paragraph breaks survive") {
+    assert(fix("line one\nline two\n\npara two\nstill") ==
+      "line one line two\n\npara two still")
+  }
+
+  test("3+ newline runs normalize to one blank line first") {
+    assert(fix("a\n\n\n\nb") == "a\n\nb")
+  }
+}
+
+class CohenKappaSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Agreement
+
+  test("perfect agreement is 1e6; independent-looking raters drop toward 0") {
+    val perfect = Agreement.cohenKappa(
+      Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("r1", "r2"), "r1", "r2")
+      .select("kappa_ppm").as[Long].head()
+    assert(perfect == 1000000L)
+    // classic textbook example: n=50, agree=35, marginals a:(25,25) b:(30,20)
+    // pe_num = 25*30+25*20 = 1250; kappa = (50*35-1250)/(2500-1250) = 0.4
+    val rows = (1 to 20).map(_ => ("y", "y")) ++ (1 to 15).map(_ => ("n", "n")) ++
+      (1 to 10).map(_ => ("y", "n")) ++ (1 to 5).map(_ => ("n", "y"))
+    val got = Agreement.cohenKappa(rows.toDF("r1", "r2"), "r1", "r2")
+      .select("n", "agree", "pe_num", "kappa_ppm")
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == ((50L, 35L, 1250L, 400000L)))
+  }
+
+  test("all-one-label degenerate case yields null (pe = 1)") {
+    val got = Agreement.cohenKappa(
+      Seq(("a", "a"), ("a", "a")).toDF("r1", "r2"), "r1", "r2")
+      .select("kappa_ppm").collect().head
+    assert(got.isNullAt(0))
+  }
+
+  test("systematic disagreement goes negative with exact floor") {
+    val got = Agreement.cohenKappa(
+      Seq(("a", "b"), ("b", "a"), ("a", "b")).toDF("r1", "r2"), "r1", "r2")
+      .select("kappa_ppm").as[Long].head()
+    // n=3 agree=0; ma a:2,b:1; mb b:2,a:1; pe_num = 2*1? a:2*1=2? a count_a=2,count_b=1 ->2; b:1*2=2; pe=4
+    // kappa = (0-4)/(9-4) = -0.8 -> floor(-800000)
+    assert(got == -800000L)
+  }
+}
