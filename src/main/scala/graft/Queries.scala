@@ -8267,6 +8267,97 @@ object Queries {
     )
   )
 
+  /** Link-density boilerplate segmentation ([[Html.extractContent]]):
+    * per doc, a nav block (all links), a long prose paragraph, a short
+    * fragment, and a footer — extraction must keep exactly the prose.
+    * The oracle replays block splitting, per-block visible/anchor char
+    * counts, the permille density, and both gates. */
+  private val qBlockDensity = Q(
+    "q243_block_density",
+    (s, dir) => {
+      val html = concat(
+        lit("<div><a href=\"/n1\">Home</a> <a href=\"/n2\">About us</a> "),
+        lit("<a href=\"/n3\">Products</a></div><p>"),
+        substring(col("text"), 1, 120),
+        lit("</p><p>"), substring(col("text"), 121, 12),
+        lit("</p><footer><a href=\"/c\">Contact</a> legal</footer>"))
+      Html.extractContent(
+          T(s, dir, "documents").select(col("doc_id"), html.as("html")),
+          "doc_id", "html")
+        .select("doc_id", "n_blocks", "n_content_blocks",
+          "content_chars", "boiler_chars", "content")
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH u AS (SELECT doc_id,
+        |    '<div><a href="/n1">Home</a> <a href="/n2">About us</a> '
+        |    || '<a href="/n3">Products</a></div><p>' || substring(text, 1, 120)
+        |    || '</p><p>' || substring(text, 121, 12)
+        |    || '</p><footer><a href="/c">Contact</a> legal</footer>' AS html
+        |  FROM documents),
+        |b0 AS (SELECT doc_id, list_filter(list_transform(
+        |    regexp_split_to_array(html,
+        |      '(?i)</?(?:p|div|li|h[1-6]|td|tr|ul|ol|table|section|article|header|footer|nav|br)[^>]*>'),
+        |    s -> struct_pack(
+        |      t := trim(regexp_replace(regexp_replace(s, '<[^>]*>', ' ', 'g'),
+        |        '\s+', ' ', 'g')),
+        |      lc := CAST(coalesce(list_sum(list_transform(
+        |        regexp_extract_all(s, '(?is)<a(?:\s[^>]*)?>(.*?)</a>', 1),
+        |        x -> length(trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'),
+        |          '\s+', ' ', 'g'))))), 0) AS BIGINT))),
+        |    b -> length(b.t) > 0) AS blocks
+        |  FROM u),
+        |b1 AS (SELECT doc_id, list_transform(blocks, b -> struct_pack(
+        |    t := b.t, n := CAST(length(b.t) AS BIGINT), lc := b.lc,
+        |    ok := length(b.t) >= 25
+        |      AND (b.lc * 1000) // length(b.t) <= 330)) AS blocks
+        |  FROM b0)
+        |SELECT doc_id,
+        |  CAST(len(blocks) AS BIGINT) AS n_blocks,
+        |  CAST(len(list_filter(blocks, b -> b.ok)) AS BIGINT)
+        |    AS n_content_blocks,
+        |  CAST(coalesce(list_sum(list_transform(list_filter(blocks, b -> b.ok),
+        |    b -> b.n)), 0) AS BIGINT) AS content_chars,
+        |  CAST(coalesce(list_sum(list_transform(blocks, b -> b.n)), 0) AS BIGINT)
+        |    - CAST(coalesce(list_sum(list_transform(list_filter(blocks,
+        |        b -> b.ok), b -> b.n)), 0) AS BIGINT) AS boiler_chars,
+        |  array_to_string(list_transform(list_filter(blocks, b -> b.ok),
+        |    b -> b.t), chr(10) || chr(10)) AS content
+        |FROM b1 ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Co-citation pairing ([[operators.CoCitation.pairs]]): every doc
+    * links two modular targets plus one corpus-wide hot target; the
+    * degree cap must drop the hot target BEFORE pairing (else the join
+    * is quadratic in the corpus) and the remaining pairs count shared
+    * targets exactly. */
+  private val qCoCitation = Q(
+    "q244_cocitation_pairs",
+    (s, dir) => {
+      val hrefs = array(
+        concat(lit("/t"), (col("doc_id") % 97).cast(StringType)),
+        concat(lit("/u"), (col("doc_id") % 89).cast(StringType)),
+        lit("/hot"))
+      CoCitation.pairs(
+          T(s, dir, "documents").select(col("doc_id"), hrefs.as("hrefs")),
+          "doc_id", "hrefs", minShared = 1, maxDocsPerTarget = 50)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(
+      """WITH e AS (SELECT DISTINCT doc_id AS id, href FROM (
+        |    SELECT doc_id, unnest(['/t' || CAST(doc_id % 97 AS VARCHAR),
+        |      '/u' || CAST(doc_id % 89 AS VARCHAR), '/hot']) AS href
+        |    FROM documents)),
+        |deg AS (SELECT href FROM e GROUP BY href HAVING count(*) <= 50),
+        |ek AS (SELECT id, href FROM e JOIN deg USING (href))
+        |SELECT l.id AS doc_a, r.id AS doc_b, CAST(count(*) AS BIGINT) AS shared
+        |FROM ek l JOIN ek r ON l.href = r.href AND l.id < r.id
+        |GROUP BY 1, 2 HAVING count(*) >= 1
+        |ORDER BY doc_a, doc_b""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -8326,7 +8417,7 @@ object Queries {
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
     qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron, qStopwords, qFertility, qRepetitionRun, qRateAnomaly, qVocabDrift, qBurstiness, qWarcRoundtrip, qCrossSourceDup,
     qContaminationSpan, qMerkleRoot, qPhraseSearch,
-    qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch, qTextRepair, qCohenKappa
+    qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch, qTextRepair, qCohenKappa, qBlockDensity, qCoCitation
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -86,3 +86,46 @@ object GraphOps {
     rank
   }
 }
+
+/** Co-citation document pairing: documents sharing link targets are
+  * topically related (Small 1973's co-citation / Kessler's
+  * bibliographic coupling, on the web link graph) — a candidate-pair
+  * generator for clustering and related-docs retrieval that needs no
+  * embeddings, only the hrefs [[Html.extractLinks]] already produces.
+  *
+  * Scale shape: distinct (doc, target) pairs partial-aggregate
+  * map-side; targets hotter than `maxDocsPerTarget` are DROPPED before
+  * pairing (a target half the web links to — a homepage, a tracker —
+  * carries no topical signal and would make the within-target join
+  * quadratic on one key; same hot-bucket discipline as MinHashLSH's
+  * cap, and the drop is exact-recall-loss-documented, not silent: the
+  * dropped targets are identifiable from the degree table). Pair
+  * generation is a within-target self-join bounded by cap² per target;
+  * the pair aggregate shuffles (id, id) longs only.
+  */
+object CoCitation {
+
+  def pairs(
+      df: DataFrame,
+      idField: String,
+      hrefsField: String,
+      minShared: Int = 2,
+      maxDocsPerTarget: Int = 1000
+  ): DataFrame = {
+    val e = df
+      .select(col(idField).cast(LongType).as("__cc_id"),
+        explode(col(hrefsField)).as("href"))
+      .distinct()
+    val kept = e
+      .groupBy("href")
+      .agg(count(lit(1)).as("__cc_deg"))
+      .filter(col("__cc_deg") <= maxDocsPerTarget)
+    val ek = e.join(kept.select("href"), Seq("href"))
+    ek.as("l")
+      .join(ek.as("r"), col("l.href") === col("r.href")
+        && col("l.__cc_id") < col("r.__cc_id"))
+      .groupBy(col("l.__cc_id").as("doc_a"), col("r.__cc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+}

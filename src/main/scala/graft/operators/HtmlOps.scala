@@ -88,6 +88,73 @@ object Html {
     top.join(refs, Seq("href"))
   }
 
+  private val blockSplitRe =
+    "(?i)</?(?:p|div|li|h[1-6]|td|tr|ul|ol|table|section|article|header|footer|nav|br)[^>]*>"
+
+  private def visible(s: Column): Column =
+    trim(regexp_replace(regexp_replace(s, "<[^>]*>", " "), "\\s+", " "))
+
+  /** Link-density block segmentation — the jusText/Arc90 boilerplate
+    * heuristic: split on block-level tag boundaries, and per block
+    * measure visible chars vs chars inside anchor tags. Navigation,
+    * footers, and link farms are mostly anchor text (high density);
+    * body prose is long and link-sparse. `is_content` =
+    * `n_chars ≥ minChars AND density ≤ maxPermille`. Row-local regex
+    * + HOFs only — zero shuffle, scan-stage, RE2-replayable. */
+  def blockStats(
+      html: Column,
+      minChars: Int = 25,
+      maxPermille: Int = 330
+  ): Column = {
+    val anchorInnerRe = "(?is)<a(?:\\s[^>]*)?>(.*?)</a>"
+    filter(
+      transform(split(html, blockSplitRe), s => {
+        val text = visible(s)
+        val n = length(text).cast(LongType)
+        val linkChars = aggregate(
+          regexp_extract_all(s, lit(anchorInnerRe), lit(1)),
+          lit(0L),
+          (acc, x) => acc + length(visible(x)).cast(LongType))
+        val density = when(n > 0L,
+          integralPermille(linkChars, n)).otherwise(lit(0L))
+        struct(
+          text.as("text"),
+          n.as("n_chars"),
+          linkChars.as("link_chars"),
+          density.as("link_density_permille"),
+          (n >= minChars.toLong && density <= maxPermille.toLong)
+            .as("is_content"))
+      }),
+      b => b("n_chars") > 0L)
+  }
+
+  private def integralPermille(num: Column, den: Column): Column =
+    graft.functions.functions.integral_divide(num * lit(1000L), den)
+
+  /** Per document: block counts and the content-only text (content
+    * blocks joined with blank lines) — the jusText-shaped WET
+    * extraction that drops nav/footer link farms instead of inlining
+    * them into training text. Zero shuffle. */
+  def extractContent(
+      df: DataFrame,
+      idField: String,
+      htmlField: String,
+      minChars: Int = 25,
+      maxPermille: Int = 330
+  ): DataFrame = {
+    val blocks = blockStats(col(htmlField), minChars, maxPermille)
+    val content = filter(blocks, b => b("is_content"))
+    df.withColumn("n_blocks", size(blocks).cast(LongType))
+      .withColumn("n_content_blocks", size(content).cast(LongType))
+      .withColumn("content_chars",
+        aggregate(content, lit(0L), (acc, b) => acc + b("n_chars")))
+      .withColumn("boiler_chars",
+        aggregate(blocks, lit(0L), (acc, b) => acc + b("n_chars"))
+          - col("content_chars"))
+      .withColumn("content",
+        array_join(transform(content, b => b("text")), "\n\n"))
+  }
+
   /** Collapse CONSECUTIVE duplicate lines inside one document — the
     * row-local cousin of the corpus-wide [[ParagraphDedup]]: repeated
     * nav/boilerplate lines collapse to one occurrence while distant

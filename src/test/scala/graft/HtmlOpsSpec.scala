@@ -65,3 +65,69 @@ class AnchorTextSpec extends SparkSpec {
       ("/u", 1L, "U", 1L, 1L)))
   }
 }
+
+class BlockDensitySpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Html
+
+  private val page =
+    """<div><a href="/a">Nav</a> <a href="/b">Links</a> <a href="/c">More</a></div>
+      |<p>This is a long enough content paragraph talking about real things.</p>
+      |<footer><a href="/d">Contact</a></footer>""".stripMargin.replace("\n", "")
+
+  test("blockStats: link-dense nav is boiler, prose paragraph is content") {
+    val got = Seq(page).toDF("h")
+      .select(explode(Html.blockStats(col("h"))).as("b"))
+      .select("b.text", "b.n_chars", "b.link_chars",
+        "b.link_density_permille", "b.is_content")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.size == 3, got)
+    val nav = got.head
+    assert(nav._1 == "Nav Links More" && nav._3 == 12L && !nav._5)
+    assert(nav._4 == 12000L / 14L)
+    val para = got(1)
+    assert(para._5 && para._3 == 0L && para._4 == 0L)
+    assert(!got(2)._5) // footer: short + all-link
+  }
+
+  test("extractContent: counts split boiler vs content, joins content text") {
+    val got = Html.extractContent(
+        Seq((7L, page)).toDF("doc_id", "html"), "doc_id", "html")
+      .select("n_blocks", "n_content_blocks", "content_chars", "content")
+      .as[(Long, Long, Long, String)].head()
+    assert(got._1 == 3L && got._2 == 1L)
+    assert(got._4.startsWith("This is a long enough"))
+    assert(got._3 == got._4.length.toLong)
+  }
+}
+
+class CoCitationSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.CoCitation
+
+  private val docs = Seq(
+    (1L, Seq("/x", "/y")),
+    (2L, Seq("/x", "/y", "/z", "/z")), // dup href counted once
+    (3L, Seq("/y")),
+    (4L, Seq("/w"))
+  ).toDF("doc_id", "hrefs")
+
+  test("pairs share counts; minShared filters") {
+    val all = CoCitation.pairs(docs, "doc_id", "hrefs", minShared = 1)
+      .orderBy("doc_a", "doc_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(all == Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    val strict = CoCitation.pairs(docs, "doc_id", "hrefs", minShared = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(strict == Seq((1L, 2L, 2L)))
+  }
+
+  test("hot targets above the cap are dropped before pairing") {
+    val got = CoCitation.pairs(docs, "doc_id", "hrefs",
+        minShared = 1, maxDocsPerTarget = 2)
+      .orderBy("doc_a", "doc_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    // /y (degree 3) is dropped; only /x still pairs 1-2
+    assert(got == Seq((1L, 2L, 1L)))
+  }
+}
