@@ -8358,6 +8358,96 @@ object Queries {
     )
   )
 
+  /** Markdown section outline ([[operators.MarkdownOutline]]): per doc
+    * a synthetic 3-heading markdown body; sectionize must report
+    * level/title/0-based line/stretch/section text, every section
+    * running to the next heading or EOF. The oracle replays line
+    * splitting, heading detection, and the inclusive-slice joins. */
+  private val qMarkdownOutline = Q(
+    "q245_markdown_outline",
+    (s, dir) => {
+      val md = concat(
+        lit("# Doc "), col("doc_id").cast(StringType), lit("\n"),
+        substring(col("text"), 1, 50), lit("\n## "), col("lang"),
+        lit(" section\n"), substring(col("text"), 51, 40),
+        lit("\n### Sub\n"), substring(col("text"), 91, 20))
+      MarkdownOutline.sectionize(
+          T(s, dir, "documents").select(col("doc_id"), md.as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id", "line_no")
+    },
+    Some(
+      """WITH u AS (SELECT doc_id,
+        |    '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+        |    || substring(text, 1, 50) || chr(10) || '## ' || lang
+        |    || ' section' || chr(10) || substring(text, 51, 40)
+        |    || chr(10) || '### Sub' || chr(10) || substring(text, 91, 20) AS md
+        |  FROM documents),
+        |l AS (SELECT doc_id, string_split(md, chr(10)) AS lines FROM u),
+        |h AS (SELECT doc_id, lines,
+        |    list_filter(generate_series(1, len(lines)),
+        |      i -> regexp_matches(lines[i], '^#{1,6} ')) AS hs
+        |  FROM l),
+        |s AS (SELECT doc_id, lines, hs,
+        |    unnest(generate_series(1, len(hs))) AS k FROM h)
+        |SELECT doc_id,
+        |  CAST(length(regexp_extract(lines[hs[k]], '^(#{1,6}) ', 1)) AS BIGINT)
+        |    AS level,
+        |  regexp_extract(lines[hs[k]], '^#{1,6} +(.*)$', 1) AS title,
+        |  CAST(hs[k] - 1 AS BIGINT) AS line_no,
+        |  CAST((CASE WHEN k + 1 <= len(hs) THEN hs[k+1]
+        |    ELSE len(lines) + 1 END) - hs[k] AS BIGINT) AS n_lines,
+        |  array_to_string(lines[hs[k] : (CASE WHEN k + 1 <= len(hs)
+        |    THEN hs[k+1] ELSE len(lines) + 1 END) - 1], chr(10)) AS sec_text
+        |FROM s ORDER BY doc_id, line_no""".stripMargin
+    )
+  )
+
+  /** ROUGE-L overlap ([[operators.LcsOverlap.rougeL]]): each doc's
+    * first 40 words vs a copy with every 3rd word replaced — LCS must
+    * credit exactly the surviving in-order words (n-gram containment
+    * would see almost nothing). The oracle folds the identical one-row
+    * LCS DP through nested `list_reduce`s, q240's pattern. */
+  private val qRougeL = Q(
+    "q246_rouge_l",
+    (s, dir) => {
+      val a = slice(col("words"), 1, 40)
+      val b = transform(sequence(lit(1), size(a)),
+        i => when(i % 3 === 0, lit("XX")).otherwise(element_at(a, i)))
+      LcsOverlap.rougeL(
+          docWords(s, dir).select(col("doc_id"), a.as("a"), b.as("b")),
+          "a", "b")
+        .select("doc_id", "n_a", "n_b", "lcs_len", "rouge_l_f_ppm")
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH w AS (SELECT doc_id, ($W)[1:40] AS a FROM documents),
+         |p AS (SELECT doc_id, a,
+         |    list_transform(generate_series(1, len(a)), i ->
+         |      CASE WHEN i % 3 = 0 THEN 'XX' ELSE a[i] END) AS b
+         |  FROM w),
+         |d AS (SELECT doc_id, a, b, len(a) AS m, len(b) AS n,
+         |  list_reduce(
+         |    list_prepend(
+         |      list_transform(generate_series(0, len(b)), x -> 0::BIGINT),
+         |      list_transform(generate_series(1, len(a)), i -> [i])),
+         |    (prev, xi) ->
+         |      list_reduce(
+         |        list_prepend([0::BIGINT],
+         |          list_transform(generate_series(1, len(b)), j -> [j])),
+         |        (row, xj) -> list_append(row,
+         |          CASE WHEN a[xi[1]] = b[xj[1]] THEN prev[xj[1]] + 1
+         |            ELSE greatest(prev[xj[1] + 1], row[xj[1]]) END))
+         |  ) AS fin
+         |  FROM p)
+         |SELECT doc_id, CAST(m AS BIGINT) AS n_a, CAST(n AS BIGINT) AS n_b,
+         |  fin[n + 1] AS lcs_len,
+         |  CASE WHEN m + n > 0 THEN (2000000 * fin[n + 1]) // (m + n)
+         |    ELSE 0 END AS rouge_l_f_ppm
+         |FROM d ORDER BY doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -8417,7 +8507,7 @@ object Queries {
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
     qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron, qStopwords, qFertility, qRepetitionRun, qRateAnomaly, qVocabDrift, qBurstiness, qWarcRoundtrip, qCrossSourceDup,
     qContaminationSpan, qMerkleRoot, qPhraseSearch,
-    qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch, qTextRepair, qCohenKappa, qBlockDensity, qCoCitation
+    qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch, qTextRepair, qCohenKappa, qBlockDensity, qCoCitation, qMarkdownOutline, qRougeL
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

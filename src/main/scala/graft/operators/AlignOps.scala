@@ -95,6 +95,9 @@ object GaleChurch {
       transform(split(text, "[.!?]+"), s => length(trim(s)).cast(LongType)),
       l => l > 0L)
 
+  /** Exposed for the sibling DP operators below. */
+  private[operators] def seq1toCol(c: Column): Column = seq1to(c)
+
   /** Score candidate pairs: appends `n_src`/`n_tgt` sentence counts,
     * the DP `gc_cost`, and `gc_cost_per_bead` (cost ÷ (n_src+n_tgt),
     * ‰-scale like the cost itself) — the size-comparable number to
@@ -114,4 +117,98 @@ object GaleChurch {
       .withColumn("gc_cost_per_bead",
         integral_divide(col("gc_cost"),
           greatest(col("n_src") + col("n_tgt"), lit(1L))))
+}
+
+/** Longest-common-subsequence overlap between word sequences —
+  * ROUGE-L (Lin 2004), the order-aware overlap measure: unlike n-gram
+  * containment (q185/q232's family), LCS credits in-order but
+  * non-contiguous overlap, which is what paraphrased or lightly-edited
+  * reuse looks like. Use it to score eval-set contamination at
+  * summary granularity or to verify near-dup candidates where edits
+  * break contiguous grams.
+  *
+  * Integer-exact: `lcs_len` is the classic DP; the F-measure
+  * 2·P·R/(P+R) with P = lcs/n, R = lcs/m collapses to 2·lcs/(m+n),
+  * emitted as a ppm floor — one integral divide, no doubles. The DP is
+  * ROW-LOCAL (one O(n) state row folded over the m source words,
+  * O(m·n) per pair, zero shuffle); cap word counts upstream for
+  * pathological pairs — the counts are output columns.
+  */
+object LcsOverlap {
+
+  /** LCS length of two `array<string>` columns. */
+  def lcsLen(aWords: Column, bWords: Column): Column = {
+    val n = size(bWords)
+    val row0 = transform(sequence(lit(0), n), _ => lit(0L))
+    val fin = aggregate(
+      GaleChurch.seq1toCol(size(aWords)),
+      row0,
+      (prev, i) =>
+        aggregate(
+          GaleChurch.seq1toCol(n),
+          array(lit(0L)),
+          (row, j) => concat(row, array(
+            when(element_at(aWords, i) === element_at(bWords, j),
+              element_at(prev, j) + 1L)
+              .otherwise(greatest(
+                element_at(prev, j + 1),
+                element_at(row, j)))))))
+    element_at(fin, n + 1)
+  }
+
+  /** Appends `n_a`/`n_b`/`lcs_len`/`rouge_l_f_ppm` to candidate
+    * pairs. */
+  def rougeL(pairs: DataFrame, aField: String, bField: String): DataFrame =
+    pairs
+      .withColumn("n_a", size(col(aField)).cast(LongType))
+      .withColumn("n_b", size(col(bField)).cast(LongType))
+      .withColumn("lcs_len", lcsLen(col(aField), col(bField)))
+      .withColumn("rouge_l_f_ppm",
+        when(col("n_a") + col("n_b") > 0L,
+          integral_divide(lit(2000000L) * col("lcs_len"),
+            col("n_a") + col("n_b"))).otherwise(lit(0L)))
+}
+
+/** Markdown section outline — heading-aware long-document structure
+  * for section-level chunking (RAG passages, per-section quality
+  * gates, structure-preserving striding): every ATX heading
+  * (`#`..`######`) opens a section running to the next heading or the
+  * document end. Row-local `split` + HOFs over the line array, zero
+  * shuffle; both the outline and each section's text come out of ONE
+  * projection.
+  */
+object MarkdownOutline {
+
+  /** array<struct<level,title,line_no,n_lines,sec_text>> per doc,
+    * empty when the text has no headings; `line_no` is 0-based. */
+  def sections(text: Column): Column = {
+    val lines = split(coalesce(text, lit("")), "\n")
+    val hIdx = filter(
+      sequence(lit(1), size(lines)),
+      i => element_at(lines, i).rlike("^#{1,6} "))
+    val ks = filter(
+      sequence(lit(1), greatest(size(hIdx), lit(1))),
+      k => k <= size(hIdx))
+    transform(ks, k => {
+      val i = element_at(hIdx, k)
+      val line = element_at(lines, i)
+      val next = when(k + 1 <= size(hIdx), element_at(hIdx, k + 1))
+        .otherwise(size(lines) + 1)
+      struct(
+        length(regexp_extract(line, "^(#{1,6}) ", 1)).cast(LongType)
+          .as("level"),
+        regexp_extract(line, "^#{1,6} +(.*)$", 1).as("title"),
+        (i - 1).cast(LongType).as("line_no"),
+        (next - i).cast(LongType).as("n_lines"),
+        array_join(slice(lines, i, next - i), "\n").as("sec_text"))
+    })
+  }
+
+  /** Explode to one row per section (docs without headings disappear;
+    * keep them with a left anti-join on the result if needed). */
+  def sectionize(df: DataFrame, idField: String, textField: String): DataFrame =
+    df.select(col(idField), explode(sections(col(textField))).as("s"))
+      .select(col(idField), col("s.level").as("level"),
+        col("s.title").as("title"), col("s.line_no").as("line_no"),
+        col("s.n_lines").as("n_lines"), col("s.sec_text").as("sec_text"))
 }

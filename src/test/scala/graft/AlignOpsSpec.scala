@@ -49,3 +49,69 @@ class AlignOpsSpec extends SparkSpec {
     assert(got(1L) < 20L && got(2L) > 100L, got.toString)
   }
 }
+
+class LcsOverlapSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.LcsOverlap
+  import org.apache.spark.sql.functions._
+
+  private def lcs(a: Seq[String], b: Seq[String]): Long =
+    Seq((a, b)).toDF("a", "b")
+      .select(LcsOverlap.lcsLen(col("a"), col("b")).as("c")).as[Long].head()
+
+  test("classic LCS cases") {
+    assert(lcs(Seq("a", "b", "c", "d"), Seq("a", "x", "c", "d")) == 3L)
+    assert(lcs(Seq("a", "b", "c"), Seq("c", "b", "a")) == 1L)
+    assert(lcs(Seq("a", "b"), Seq("a", "b")) == 2L)
+    assert(lcs(Seq.empty, Seq("a")) == 0L)
+    assert(lcs(Seq("a"), Seq.empty) == 0L)
+  }
+
+  test("non-contiguous in-order overlap is credited (the ROUGE-L point)") {
+    // insertion every other word breaks all bigrams but LCS survives
+    val a = Seq("the", "cat", "sat", "on", "the", "mat")
+    val b = Seq("the", "X", "cat", "Y", "sat", "Z", "on", "W", "the", "V", "mat")
+    assert(lcs(a, b) == 6L)
+    val got = LcsOverlap.rougeL(Seq((a, b)).toDF("a", "b"), "a", "b")
+      .select("rouge_l_f_ppm").as[Long].head()
+    assert(got == 2000000L * 6L / 17L)
+  }
+}
+
+class MarkdownOutlineSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.MarkdownOutline
+  import org.apache.spark.sql.functions._
+
+  private val md =
+    "preamble\n# Title\nintro line\n\n## Part A\na1\na2\n## Part B\nb1\n### Sub\ns1"
+
+  test("sections: level, title, 0-based line, span, text") {
+    val got = MarkdownOutline.sectionize(
+        Seq((1L, md)).toDF("doc_id", "text"), "doc_id", "text")
+      .select("level", "title", "line_no", "n_lines")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "Title", 1L, 3L),
+      (2L, "Part A", 4L, 3L),
+      (2L, "Part B", 7L, 2L),
+      (3L, "Sub", 9L, 2L)))
+    val texts = MarkdownOutline.sectionize(
+        Seq((1L, md)).toDF("doc_id", "text"), "doc_id", "text")
+      .select("sec_text").as[String].collect().toSeq
+    assert(texts.head == "# Title\nintro line\n")
+    assert(texts(1) == "## Part A\na1\na2")
+  }
+
+  test("no headings -> empty outline; null text safe") {
+    val got = Seq((1L, "just text\nno headings"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .select(size(MarkdownOutline.sections(col("text"))).as("n"))
+      .as[Int].collect().toSeq
+    assert(got == Seq(0, 0))
+    // '#illegal' (no space) is not a heading
+    assert(Seq("#nope\n####### seven").toDF("text")
+      .select(size(MarkdownOutline.sections(col("text"))).as("n"))
+      .as[Int].head() == 0)
+  }
+}
