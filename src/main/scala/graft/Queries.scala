@@ -8448,6 +8448,146 @@ object Queries {
     )
   )
 
+  /** Chat-format validation ([[operators.ChatOps.annotate]]):
+    * conversations synthesized from documents with every failure mode
+    * planted on a modular schedule (extra trailing user turn on %7,
+    * possibly-empty contents when the text runs short) — every flag
+    * and count replayed struct-by-struct by the oracle. */
+  private val qChatValid = Q(
+    "q247_chat_valid",
+    (s, dir) => {
+      def turn(role: String, content: Column) =
+        struct(lit(role).as("role"), content.as("content"))
+      val sys = turn("system", lit("You are helpful."))
+      val u1 = turn("user", substring(col("text"), 1, 40))
+      val a1 = turn("assistant", substring(col("text"), 41, 40))
+      val u2 = turn("user", substring(col("text"), 81, 30))
+      val a2 = turn("assistant", substring(col("text"), 111, 20))
+      val stray = turn("user", substring(col("text"), 131, 10))
+      val base = when(col("doc_id") % 3 === 0, array(sys, u1, a1))
+        .otherwise(array(u1, a1))
+      val extended = when(col("doc_id") % 2 === 0,
+        concat(base, array(u2, a2))).otherwise(base)
+      val conv = when(col("doc_id") % 7 === 0,
+        concat(extended, array(stray))).otherwise(extended)
+      ChatOps.annotate(
+          T(s, dir, "documents").select(col("doc_id"), conv.as("conv")),
+          "conv")
+        .select("doc_id", "n_turns", "has_system", "n_user", "n_assistant",
+          "chars_user", "chars_assistant", "alternates", "ends_assistant",
+          "no_empty", "chat_valid")
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH c0 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      [struct_pack(role := 'system', content := 'You are helpful.'),
+        |       struct_pack(role := 'user', content := substring(text, 1, 40)),
+        |       struct_pack(role := 'assistant', content := substring(text, 41, 40))]
+        |    ELSE
+        |      [struct_pack(role := 'user', content := substring(text, 1, 40)),
+        |       struct_pack(role := 'assistant', content := substring(text, 41, 40))]
+        |    END AS base,
+        |    [struct_pack(role := 'user', content := substring(text, 81, 30)),
+        |     struct_pack(role := 'assistant', content := substring(text, 111, 20))]
+        |      AS more,
+        |    [struct_pack(role := 'user', content := substring(text, 131, 10))]
+        |      AS stray
+        |  FROM documents),
+        |c1 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN base || more ELSE base END AS c,
+        |    stray FROM c0),
+        |c2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN c || stray ELSE c END AS conv
+        |  FROM c1),
+        |m AS (SELECT doc_id, conv, CAST(len(conv) AS BIGINT) AS n,
+        |    (len(conv) >= 1 AND conv[1].role = 'system') AS has_system
+        |  FROM c2),
+        |m2 AS (SELECT *,
+        |    CASE WHEN has_system THEN 1 ELSE 0 END AS off,
+        |    n - CASE WHEN has_system THEN 1 ELSE 0 END AS bodyn
+        |  FROM m)
+        |SELECT doc_id, n AS n_turns, has_system,
+        |  CAST(len(list_filter(conv, t -> t.role = 'user')) AS BIGINT) AS n_user,
+        |  CAST(len(list_filter(conv, t -> t.role = 'assistant')) AS BIGINT)
+        |    AS n_assistant,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    list_filter(conv, t -> t.role = 'user'),
+        |    t -> length(coalesce(t.content, '')))), 0) AS BIGINT) AS chars_user,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    list_filter(conv, t -> t.role = 'assistant'),
+        |    t -> length(coalesce(t.content, '')))), 0) AS BIGINT)
+        |    AS chars_assistant,
+        |  (len(list_filter(generate_series(1, bodyn), k ->
+        |    conv[k + off].role <> (CASE WHEN k % 2 = 1 THEN 'user'
+        |      ELSE 'assistant' END))) = 0
+        |   AND len(list_filter(generate_series(1, bodyn), k ->
+        |    conv[k + off].role = 'system')) = 0) AS alternates,
+        |  (bodyn >= 2 AND bodyn % 2 = 0 AND conv[n].role = 'assistant')
+        |    AS ends_assistant,
+        |  (len(list_filter(conv, t -> length(coalesce(t.content, '')) = 0)) = 0)
+        |    AS no_empty,
+        |  ((len(list_filter(generate_series(1, bodyn), k ->
+        |      conv[k + off].role <> (CASE WHEN k % 2 = 1 THEN 'user'
+        |        ELSE 'assistant' END))) = 0
+        |    AND len(list_filter(generate_series(1, bodyn), k ->
+        |      conv[k + off].role = 'system')) = 0)
+        |   AND (bodyn >= 2 AND bodyn % 2 = 0 AND conv[n].role = 'assistant')
+        |   AND (len(list_filter(conv, t ->
+        |     length(coalesce(t.content, '')) = 0)) = 0)) AS chat_valid
+        |FROM m2 ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Filter-attrition funnel ([[Expectations.funnel]]): three gates in
+    * release order over documents — per stage the survivors entering,
+    * first-failures, keeps, plus each gate's order-free totals and its
+    * UNIQUE catches. One aggregate row; the oracle replays the CASE
+    * cascade. */
+  private val qFilterFunnel = Q(
+    "q248_filter_funnel",
+    (s, dir) =>
+      Expectations.funnel(
+        T(s, dir, "documents"),
+        Seq(
+          Expectations.inRange("n_chars", 100, 2000),
+          Expectations.oneOf("lang", Seq("en", "de", "fr")),
+          Expectations.matches("text", "[0-9]")))
+        .orderBy("stage"),
+    Some(
+      """WITH f AS (SELECT
+        |    (n_chars IS NULL OR n_chars < 100 OR n_chars > 2000) AS v1,
+        |    (lang NOT IN ('en', 'de', 'fr')) AS v2,
+        |    (NOT regexp_matches(text, '[0-9]')) AS v3
+        |  FROM documents),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN v1 THEN 1 ELSE 0 END) AS BIGINT) AS ff1,
+        |    CAST(sum(CASE WHEN NOT v1 AND v2 THEN 1 ELSE 0 END) AS BIGINT) AS ff2,
+        |    CAST(sum(CASE WHEN NOT v1 AND NOT v2 AND v3 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ff3,
+        |    CAST(sum(CASE WHEN v1 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+        |    CAST(sum(CASE WHEN v2 THEN 1 ELSE 0 END) AS BIGINT) AS t2,
+        |    CAST(sum(CASE WHEN v3 THEN 1 ELSE 0 END) AS BIGINT) AS t3,
+        |    CAST(sum(CASE WHEN v1 AND NOT v2 AND NOT v3 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS u1,
+        |    CAST(sum(CASE WHEN v2 AND NOT v1 AND NOT v3 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS u2,
+        |    CAST(sum(CASE WHEN v3 AND NOT v1 AND NOT v2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS u3
+        |  FROM f)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'in_range:n_chars' AS check_name,
+        |    n AS n_in, ff1 AS n_failed_here, n - ff1 AS n_kept,
+        |    t1 AS n_fail_total, u1 AS n_unique_fail FROM a
+        |  UNION ALL
+        |  SELECT 2, 'one_of:lang', n - ff1, ff2, n - ff1 - ff2, t2, u2 FROM a
+        |  UNION ALL
+        |  SELECT 3, 'matches:text', n - ff1 - ff2, ff3, n - ff1 - ff2 - ff3,
+        |    t3, u3 FROM a)
+        |ORDER BY stage""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -8507,7 +8647,7 @@ object Queries {
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
     qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron, qStopwords, qFertility, qRepetitionRun, qRateAnomaly, qVocabDrift, qBurstiness, qWarcRoundtrip, qCrossSourceDup,
     qContaminationSpan, qMerkleRoot, qPhraseSearch,
-    qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch, qTextRepair, qCohenKappa, qBlockDensity, qCoCitation, qMarkdownOutline, qRougeL
+    qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch, qTextRepair, qCohenKappa, qBlockDensity, qCoCitation, qMarkdownOutline, qRougeL, qChatValid, qFilterFunnel
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

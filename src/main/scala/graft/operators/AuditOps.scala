@@ -59,6 +59,48 @@ object Expectations {
     row.select(explode(array(entries: _*)).as("e")).select("e.*")
   }
 
+  /** Sequential filter-attrition funnel — the release-notes view of a
+    * gate chain: applying `checks` IN ORDER, how many rows enter each
+    * stage, fail there first, and survive; plus each check's
+    * order-independent total failures and its UNIQUE failures (rows no
+    * other check would catch — the number that justifies keeping the
+    * check at all). One pass, one aggregate row, O(#checks) output;
+    * rows never shuffle. */
+  def funnel(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "funnel needs at least one check")
+    // first failing stage per row, 0 = passes everything
+    val firstFail = checks.zipWithIndex.reverse
+      .foldLeft(lit(0L): Column) { case (acc, (c, i)) =>
+        when(c.violated, lit(i + 1L)).otherwise(acc)
+      }
+    val aggs = checks.zipWithIndex.flatMap { case (c, i) =>
+      val othersPass = checks.zipWithIndex
+        .filter(_._2 != i)
+        .map { case (o, _) => !o.violated }
+        .reduceOption(_ && _).getOrElse(lit(true))
+      Seq(
+        sum((firstFail === (i + 1L)).cast("long")).as(s"__fn_ff_$i"),
+        sum(c.violated.cast("long")).as(s"__fn_tot_$i"),
+        sum((c.violated && othersPass).cast("long")).as(s"__fn_uniq_$i"))
+    }
+    val row = df.agg(count(lit(1)).as("__fn_n"), aggs: _*)
+    val entries = checks.zipWithIndex.map { case (c, i) =>
+      val enter = (0 until i).foldLeft(col("__fn_n"): Column) { (acc, j) =>
+        acc - coalesce(col(s"__fn_ff_$j"), lit(0L))
+      }
+      val failedHere = coalesce(col(s"__fn_ff_$i"), lit(0L))
+      struct(
+        lit(i + 1L).as("stage"),
+        lit(c.name).as("check_name"),
+        enter.as("n_in"),
+        failedHere.as("n_failed_here"),
+        (enter - failedHere).as("n_kept"),
+        coalesce(col(s"__fn_tot_$i"), lit(0L)).as("n_fail_total"),
+        coalesce(col(s"__fn_uniq_$i"), lit(0L)).as("n_unique_fail"))
+    }
+    row.select(explode(array(entries: _*)).as("e")).select("e.*")
+  }
+
   /** Annotate every row with the names of the checks it fails
     * (`violationsField`, possibly empty) — the narrow projection both
     * split halves share. */

@@ -61,3 +61,86 @@ class AuditOpsSpec extends SparkSpec {
     assert(got == Seq(("a", 2L)))
   }
 }
+
+class FilterFunnelSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Expectations
+  import org.apache.spark.sql.functions._
+
+  test("sequential attrition + order-free totals + unique failures") {
+    // rows: (len, lang) — check1: len >= 10; check2: lang in {en, de}
+    val df = Seq(
+      (50L, "en"), // passes both
+      (5L, "en"),  // fails 1 only
+      (50L, "xx"), // fails 2 only
+      (3L, "yy"),  // fails both (first-fails at 1)
+      (60L, "de")  // passes both
+    ).toDF("len", "lang")
+    val checks = Seq(
+      Expectations.inRange("len", 10, 1000),
+      Expectations.oneOf("lang", Seq("en", "de")))
+    val got = Expectations.funnel(df, checks)
+      .orderBy("stage")
+      .select("stage", "n_in", "n_failed_here", "n_kept",
+        "n_fail_total", "n_unique_fail")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 2L, 3L, 2L, 1L),
+      (2L, 3L, 1L, 2L, 2L, 1L)))
+  }
+}
+
+class ChatOpsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.ChatOps
+  import org.apache.spark.sql.functions._
+
+  private def conv(turns: (String, String)*) = turns.toSeq
+
+  private def check(turns: Seq[(String, String)]): (Boolean, Boolean, Boolean, Boolean) = {
+    val df = Seq(Tuple1(turns)).toDF("c")
+      .select(transform(col("c"),
+        t => struct(t.getField("_1").as("role"), t.getField("_2").as("content")))
+        .as("conv"))
+    ChatOps.annotate(df, "conv")
+      .select("alternates", "ends_assistant", "no_empty", "chat_valid")
+      .as[(Boolean, Boolean, Boolean, Boolean)].head()
+  }
+
+  test("valid shapes: with and without system turn, multi-round") {
+    assert(check(conv("user" -> "hi", "assistant" -> "hello"))._4)
+    assert(check(conv("system" -> "be nice", "user" -> "hi",
+      "assistant" -> "hello", "user" -> "more", "assistant" -> "sure"))._4)
+  }
+
+  test("invalid shapes: each rule fires separately") {
+    // ends on user
+    val endsUser = check(conv("user" -> "hi", "assistant" -> "a", "user" -> "again"))
+    assert(!endsUser._2 && !endsUser._4)
+    // double user (no alternation)
+    val doubleUser = check(conv("user" -> "hi", "user" -> "again", "assistant" -> "a"))
+    assert(!doubleUser._1 && !doubleUser._4)
+    // mid-conversation system turn
+    val staleSystem = check(conv("user" -> "hi", "system" -> "x", "assistant" -> "a"))
+    assert(!staleSystem._1 && !staleSystem._4)
+    // empty content
+    val empty = check(conv("user" -> "", "assistant" -> "a"))
+    assert(!empty._3 && !empty._4)
+    // system-only / single-turn
+    assert(!check(conv("system" -> "s"))._4)
+    assert(!check(conv("user" -> "hi"))._4)
+  }
+
+  test("stats: counts and char shares per role") {
+    val df = Seq(Tuple1(conv("system" -> "sys", "user" -> "abcd",
+        "assistant" -> "ab", "user" -> "x", "assistant" -> "yz"))).toDF("c")
+      .select(transform(col("c"),
+        t => struct(t.getField("_1").as("role"), t.getField("_2").as("content")))
+        .as("conv"))
+    val got = ChatOps.annotate(df, "conv")
+      .select("n_turns", "has_system", "n_user", "n_assistant",
+        "chars_user", "chars_assistant")
+      .as[(Long, Boolean, Long, Long, Long, Long)].head()
+    assert(got == ((5L, true, 2L, 2L, 5L, 4L)))
+  }
+}
