@@ -8588,6 +8588,47 @@ object Queries {
     )
   )
 
+  /** Per-label centroid cosine map ([[operators.CentroidMap]]): the
+    * embeddings table grouped by its label column; per-row floor
+    * quantization makes the per-dim sums order-independent BIGINTs,
+    * and the pairwise cosine runs on integer-valued doubles both
+    * engines fold identically. */
+  private val qCentroidMap = Q(
+    "q249_centroid_map",
+    (s, dir) =>
+      CentroidMap.pairwise(T(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("grp_a", "grp_b"),
+    Some(
+      """WITH q AS (SELECT label AS grp, i AS pos,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qv
+        |  FROM embeddings,
+        |    unnest(generate_series(1, len(embedding))) AS t(i)),
+        |ds AS (SELECT grp, pos, CAST(sum(qv) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM q GROUP BY grp, pos),
+        |v AS (SELECT grp, max(c) AS n,
+        |    list_transform(list_sort(list(struct_pack(p := pos, s := s))),
+        |      e -> CAST(e.s AS DOUBLE)) AS vec
+        |  FROM ds GROUP BY grp),
+        |pr AS (SELECT l.grp AS grp_a, r.grp AS grp_b, l.n AS n_a, r.n AS n_b,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(generate_series(1, len(l.vec)),
+        |        i -> l.vec[i] * r.vec[i])), (acc, x) -> acc + x) AS ab,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(generate_series(1, len(l.vec)),
+        |        i -> l.vec[i] * l.vec[i])), (acc, x) -> acc + x) AS aa,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(generate_series(1, len(r.vec)),
+        |        i -> r.vec[i] * r.vec[i])), (acc, x) -> acc + x) AS bb
+        |  FROM v l JOIN v r ON l.grp < r.grp)
+        |SELECT grp_a, grp_b, n_a, n_b,
+        |  CASE WHEN aa > 0 AND bb > 0
+        |    THEN CAST(floor(1000000.0 * (ab / (sqrt(aa) * sqrt(bb)))) AS BIGINT)
+        |  END AS cos_ppm
+        |FROM pr ORDER BY grp_a, grp_b""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -8647,7 +8688,7 @@ object Queries {
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
     qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron, qStopwords, qFertility, qRepetitionRun, qRateAnomaly, qVocabDrift, qBurstiness, qWarcRoundtrip, qCrossSourceDup,
     qContaminationSpan, qMerkleRoot, qPhraseSearch,
-    qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch, qTextRepair, qCohenKappa, qBlockDensity, qCoCitation, qMarkdownOutline, qRougeL, qChatValid, qFilterFunnel
+    qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch, qTextRepair, qCohenKappa, qBlockDensity, qCoCitation, qMarkdownOutline, qRougeL, qChatValid, qFilterFunnel, qCentroidMap
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

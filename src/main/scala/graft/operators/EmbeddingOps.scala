@@ -68,3 +68,68 @@ final case class DequantizeEmbeddings(
   override protected def build(df: DataFrame): DataFrame =
     df.withColumn(dest, Embeddings.dequantize(col(quantField)))
 }
+
+/** Per-group embedding centroids and the group-to-group cosine map —
+  * the "source atlas": how close one source's (or cluster's, or
+  * snapshot's) embedding mass sits to another's, for mix design,
+  * drift tracking between releases, and spotting a crawl that is a
+  * rebranded copy of another (the embedding-space cousin of the
+  * vocabulary-based source-similarity matrix).
+  *
+  * Exactness: per-row values floor-quantize to integers FIRST, so the
+  * per-dim sums are order-independent BIGINTs (doubles never sum
+  * across rows); cosine is scale-invariant, so the SUM vector stands
+  * in for the mean with no division. The final cosine runs on
+  * integer-valued doubles (exact below 2^53) through the sequential
+  * fold both engines replay bit-for-bit.
+  *
+  * Shape: one posexplode + (group, dim)-keyed partial-aggregated sum
+  * (#groups·dim rows), one re-assembly per group, and an O(#groups²)
+  * pairwise join over a broadcast-sized table. The corpus is touched
+  * once; nothing about it shuffles except the quantized (group, dim,
+  * value) triples.
+  */
+object CentroidMap {
+
+  /** (grp, n, vec): per-group row count and dim-ordered array of
+    * quantized per-dim sums (as exact doubles, ready for cosine). */
+  def centroidSums(
+      df: DataFrame,
+      groupField: String,
+      embField: String,
+      scale: Long = 1000L
+  ): DataFrame =
+    df.select(col(groupField).as("grp"),
+        posexplode(col(embField).cast(ArrayType(DoubleType)))
+          .as(Seq("__cm_p", "__cm_x")))
+      .groupBy("grp", "__cm_p")
+      .agg(sum(floor(col("__cm_x") * scale).cast(LongType)).as("__cm_s"),
+        count(lit(1)).as("__cm_c"))
+      .groupBy("grp")
+      .agg(
+        max(col("__cm_c")).as("n"),
+        transform(
+          sort_array(collect_list(struct(col("__cm_p"), col("__cm_s")))),
+          p => p("__cm_s").cast(DoubleType)).as("vec"))
+
+  /** Pairwise cosine (ppm) between group centroids; grp_a < grp_b. */
+  def pairwise(
+      df: DataFrame,
+      groupField: String,
+      embField: String,
+      scale: Long = 1000L
+  ): DataFrame = {
+    val cs = centroidSums(df, groupField, embField, scale)
+    val dot = CosineKnn.dot _
+    cs.as("l").join(broadcast(cs.as("r")),
+        col("l.grp") < col("r.grp"))
+      .select(
+        col("l.grp").as("grp_a"), col("r.grp").as("grp_b"),
+        col("l.n").as("n_a"), col("r.n").as("n_b"),
+        when(
+          dot(col("l.vec"), col("l.vec")) > 0.0 &&
+            dot(col("r.vec"), col("r.vec")) > 0.0,
+          floor(lit(1000000.0) * CosineKnn.cosine(col("l.vec"), col("r.vec")))
+            .cast(LongType)).as("cos_ppm"))
+  }
+}

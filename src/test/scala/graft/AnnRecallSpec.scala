@@ -222,3 +222,36 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 }
+
+class CentroidMapSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.CentroidMap
+  import org.apache.spark.sql.functions._
+
+  test("sum-vector cosine equals mean-vector cosine; quantization exact") {
+    val df = Seq(
+      (0, Seq(1.0f, 0.0f)), (0, Seq(1.0f, 0.02f)),   // group 0 ~ x-axis
+      (1, Seq(0.0f, 1.0f)), (1, Seq(0.02f, 1.0f)),   // group 1 ~ y-axis
+      (2, Seq(1.0f, 0.01f))                          // group 2 ~ x-axis
+    ).toDF("label", "embedding")
+    val got = CentroidMap.pairwise(df, "label", "embedding")
+      .orderBy("grp_a", "grp_b")
+      .select("grp_a", "grp_b", "n_a", "n_b", "cos_ppm")
+      .as[(Int, Int, Long, Long, Long)].collect().toSeq
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) ==
+      Seq((0, 1, 2L, 2L), (0, 2, 2L, 1L), (1, 2, 2L, 1L)))
+    val cos = got.map(t => ((t._1, t._2), t._5)).toMap
+    assert(cos((0, 2)) > 990000L)            // both x-ish: near 1
+    assert(cos((0, 1)) < 30000L)             // orthogonal-ish: near 0
+    assert(cos((1, 2)) < 30000L)
+  }
+
+  test("repartition-stable: per-row quantization makes sums exact") {
+    val data = (1 to 50).map(i => (i % 4, Seq(i * 0.013f, 1.0f - i * 0.007f)))
+    val a = CentroidMap.pairwise(data.toDF("label", "embedding"),
+      "label", "embedding").orderBy("grp_a", "grp_b")
+    val b = CentroidMap.pairwise(data.toDF("label", "embedding").repartition(13),
+      "label", "embedding").orderBy("grp_a", "grp_b")
+    assert(rows(a) == rows(b))
+  }
+}
