@@ -8629,6 +8629,44 @@ object Queries {
     )
   )
 
+  /** Cluster medoid ([[operators.Medoid.perCluster]]): the label
+    * column clusters the embeddings table; the medoid is the member
+    * with the largest ppm-floored summed cosine to its mates (ties to
+    * the lower id). The oracle replays the capped pairwise sums and
+    * the argmax. */
+  private val qMedoid = Q(
+    "q250_cluster_medoid",
+    (s, dir) =>
+      Medoid.perCluster(T(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", cap = 1000)
+        .orderBy("cluster"),
+    Some(
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS cluster, vec_id,
+        |    embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT l.cluster, l.vec_id,
+        |    CAST(floor(1000000.0 * (
+        |      list_reduce(list_transform(generate_series(1, len(l.v)),
+        |        i -> l.v[i] * r.v[i]), (x, y) -> x + y) /
+        |      (sqrt(list_reduce(list_transform(generate_series(1, len(l.v)),
+        |        i -> l.v[i] * l.v[i]), (x, y) -> x + y)) *
+        |       sqrt(list_reduce(list_transform(generate_series(1, len(r.v)),
+        |        i -> r.v[i] * r.v[i]), (x, y) -> x + y)))
+        |    )) AS BIGINT) AS c
+        |  FROM e l JOIN e r ON l.cluster = r.cluster
+        |    AND l.vec_id <> r.vec_id),
+        |sc AS (SELECT e.cluster, e.vec_id,
+        |    CAST(coalesce(s.s, 0) AS BIGINT) AS score
+        |  FROM e LEFT JOIN (SELECT cluster, vec_id, sum(c) AS s
+        |    FROM p GROUP BY cluster, vec_id) s
+        |    ON e.cluster = s.cluster AND e.vec_id = s.vec_id)
+        |SELECT cluster,
+        |  min(struct_pack(ns := -score, i := vec_id)).i AS medoid_id,
+        |  -min(struct_pack(ns := -score, i := vec_id)).ns AS sim_sum_ppm,
+        |  CAST(count(*) AS BIGINT) AS n_members
+        |FROM sc GROUP BY cluster ORDER BY cluster""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -8688,7 +8726,7 @@ object Queries {
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
     qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron, qStopwords, qFertility, qRepetitionRun, qRateAnomaly, qVocabDrift, qBurstiness, qWarcRoundtrip, qCrossSourceDup,
     qContaminationSpan, qMerkleRoot, qPhraseSearch,
-    qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch, qTextRepair, qCohenKappa, qBlockDensity, qCoCitation, qMarkdownOutline, qRougeL, qChatValid, qFilterFunnel, qCentroidMap
+    qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch, qTextRepair, qCohenKappa, qBlockDensity, qCoCitation, qMarkdownOutline, qRougeL, qChatValid, qFilterFunnel, qCentroidMap, qMedoid
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -133,3 +133,68 @@ object CentroidMap {
             .cast(LongType)).as("cos_ppm"))
   }
 }
+
+/** Cluster medoid selection — the most-central MEMBER of each cluster
+  * (argmax of summed cosine to its cluster-mates): the exemplar a
+  * catalog shows for a near-dup cluster, the doc kept when "keep the
+  * most representative" beats quality heuristics, the label candidate
+  * for a topic cluster. Unlike a centroid it is a real row, so
+  * everything attached to it (text, url, license) comes along.
+  *
+  * Exactness: per-pair cosines floor to ppm BEFORE summing (the
+  * order-independent-integer rule), so the argmax is engine-exact;
+  * ties break to the lower id. Shape: members above `cap` per cluster
+  * are deterministically down-sampled (salted-hash rank — the
+  * MinHashLSH hot-bucket discipline) so the within-cluster pairwise
+  * join is bounded by cap² per cluster; pair rows carry (cluster, id,
+  * ppm) longs only.
+  */
+object Medoid {
+
+  def perCluster(
+      df: DataFrame,
+      idField: String,
+      embField: String,
+      clusterField: String,
+      cap: Int = 1000
+  ): DataFrame = {
+    val base = df.select(
+      col(clusterField).cast(LongType).as("cluster"),
+      col(idField).cast(LongType).as("__md_id"),
+      col(embField).cast(ArrayType(DoubleType)).as("__md_e"))
+    val capped = base
+      .withColumn("__md_rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cluster"))
+            .orderBy(xxhash64(concat_ws("|", col("cluster"), col("__md_id"))),
+              col("__md_id"))))
+      .filter(col("__md_rn") <= cap)
+      .drop("__md_rn")
+    val pairs = capped.as("l")
+      .join(capped.as("r"),
+        col("l.cluster") === col("r.cluster") &&
+          col("l.__md_id") =!= col("r.__md_id"))
+      .select(col("l.cluster").as("cluster"),
+        col("l.__md_id").as("__md_id"),
+        floor(lit(1000000.0) *
+          CosineKnn.cosine(col("l.__md_e"), col("r.__md_e")))
+          .cast(LongType).as("__md_c"))
+    val scored = capped.select("cluster", "__md_id")
+      .join(
+        pairs.groupBy("cluster", "__md_id")
+          .agg(sum(col("__md_c")).as("__md_s")),
+        Seq("cluster", "__md_id"), "left")
+      .withColumn("__md_s", coalesce(col("__md_s"), lit(0L)))
+    scored
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n_members"),
+        min(struct((-col("__md_s")).as("ns"), col("__md_id").as("i")))
+          .as("__md_b"))
+      .select(col("cluster"),
+        col("__md_b.i").as("medoid_id"),
+        (-col("__md_b.ns")).as("sim_sum_ppm"),
+        col("n_members"))
+  }
+}

@@ -255,3 +255,36 @@ class CentroidMapSpec extends SparkSpec {
     assert(rows(a) == rows(b))
   }
 }
+
+class MedoidSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Medoid
+  import org.apache.spark.sql.functions._
+
+  test("medoid is the member closest to its cluster-mates; singletons kept") {
+    val df = Seq(
+      // cluster 0: 10/11 point x-ish, 12 is the outlier; 11 sits between
+      (10L, 0, Seq(1.0f, 0.0f)),
+      (11L, 0, Seq(0.9f, 0.3f)),
+      (12L, 0, Seq(0.0f, 1.0f)),
+      // cluster 1: singleton
+      (20L, 1, Seq(0.5f, 0.5f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Medoid.perCluster(df, "vec_id", "embedding", "label")
+      .orderBy("cluster")
+      .select("cluster", "medoid_id", "n_members")
+      .as[(Long, Long, Long)].collect().toSeq
+    // 11 has high cos to BOTH 10 (0.948) and 12 (0.316); 10's sum is
+    // 0.948 + 0, 12's is 0.316 + 0 -> 11 wins
+    assert(got == Seq((0L, 11L, 3L), (1L, 20L, 1L)))
+  }
+
+  test("cap bounds the pairwise work deterministically") {
+    val df = (1 to 30).map(i => (i.toLong, 0, Seq(1.0f, i * 0.01f)))
+      .toDF("vec_id", "label", "embedding")
+    val a = Medoid.perCluster(df, "vec_id", "embedding", "label", cap = 10)
+    val b = Medoid.perCluster(df.repartition(7), "vec_id", "embedding", "label", cap = 10)
+    assert(rows(a) == rows(b))
+    assert(a.select("n_members").as[Long].head() == 10L)
+  }
+}
