@@ -8667,6 +8667,85 @@ object Queries {
     )
   )
 
+  /** Ranking agreement ([[operators.RankAgreement]]): per doc, two
+    * top-10 id lists (same items, deterministically rotated) scored
+    * with truncated RBO, and two 20-long score permutations scored
+    * with Kendall τ-b — the geometric RBO weights and the τ
+    * normalization run the identical IEEE sequence on both engines
+    * before the single ppm floor. */
+  private val qRankAgreement = Q(
+    "q251_rank_agreement",
+    (s, dir) => {
+      val a = transform(sequence(lit(0), lit(9)),
+        i => (col("doc_id") * 7 + i * 3) % 50)
+      val b = transform(sequence(lit(0), lit(9)),
+        i => (col("doc_id") * 7 + ((i + col("doc_id") % 3) % 10) * 3) % 50)
+      val x = transform(sequence(lit(1), lit(20)), i => i.cast(LongType))
+      val y = transform(sequence(lit(1), lit(20)),
+        i => (i * 7 + col("doc_id")) % 20)
+      T(s, dir, "documents")
+        .select(col("doc_id"), a.as("a"), b.as("b"), x.as("x"), y.as("y"))
+        .select(col("doc_id"),
+          RankAgreement.rboPpm(col("a"), col("b")).as("rbo_ppm"),
+          RankAgreement.kendallTauPpm(col("x"), col("y")).as("tau_ppm"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH u AS (SELECT doc_id,
+        |    list_transform(generate_series(0, 9),
+        |      i -> (doc_id * 7 + i * 3) % 50) AS a,
+        |    list_transform(generate_series(0, 9),
+        |      i -> (doc_id * 7 + ((i + doc_id % 3) % 10) * 3) % 50) AS b,
+        |    list_transform(generate_series(1, 20), i -> CAST(i AS BIGINT)) AS x,
+        |    list_transform(generate_series(1, 20),
+        |      i -> (i * 7 + doc_id) % 20) AS y
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend([0.0::DOUBLE, 1.0::DOUBLE, 0.0::DOUBLE],
+        |      list_transform(generate_series(1, 10), d -> [CAST(d AS DOUBLE)])),
+        |    (st, xd) -> [
+        |      st[1] + (CASE
+        |        WHEN a[CAST(xd[1] AS BIGINT)] = b[CAST(xd[1] AS BIGINT)] THEN 1.0
+        |        ELSE (CASE WHEN list_contains(b[1 : CAST(xd[1] AS BIGINT) - 1],
+        |            a[CAST(xd[1] AS BIGINT)]) THEN 1.0 ELSE 0.0 END)
+        |          + (CASE WHEN list_contains(a[1 : CAST(xd[1] AS BIGINT) - 1],
+        |            b[CAST(xd[1] AS BIGINT)]) THEN 1.0 ELSE 0.0 END) END),
+        |      st[2] * 0.9,
+        |      st[3] + st[2] * (st[1] + (CASE
+        |        WHEN a[CAST(xd[1] AS BIGINT)] = b[CAST(xd[1] AS BIGINT)] THEN 1.0
+        |        ELSE (CASE WHEN list_contains(b[1 : CAST(xd[1] AS BIGINT) - 1],
+        |            a[CAST(xd[1] AS BIGINT)]) THEN 1.0 ELSE 0.0 END)
+        |          + (CASE WHEN list_contains(a[1 : CAST(xd[1] AS BIGINT) - 1],
+        |            b[CAST(xd[1] AS BIGINT)]) THEN 1.0 ELSE 0.0 END) END)) / xd[1]
+        |    ]) AS rst,
+        |  list_reduce(
+        |    list_prepend([0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT],
+        |      list_transform(generate_series(1, 19), i -> [i])),
+        |    (st, xi) -> list_reduce(
+        |      list_prepend(st,
+        |        list_transform(generate_series(xi[1] + 1, 20), j -> [j])),
+        |      (s2, xj) -> [
+        |        s2[1] + CASE WHEN sign(x[xi[1]] - x[xj[1]])
+        |          * sign(y[xi[1]] - y[xj[1]]) > 0 THEN 1 ELSE 0 END,
+        |        s2[2] + CASE WHEN sign(x[xi[1]] - x[xj[1]])
+        |          * sign(y[xi[1]] - y[xj[1]]) < 0 THEN 1 ELSE 0 END,
+        |        s2[3] + CASE WHEN x[xi[1]] = x[xj[1]] THEN 1 ELSE 0 END,
+        |        s2[4] + CASE WHEN y[xi[1]] = y[xj[1]] THEN 1 ELSE 0 END
+        |      ])) AS kst
+        |  FROM u)
+        |SELECT doc_id,
+        |  CAST(floor(100000.0 * rst[3]) AS BIGINT) AS rbo_ppm,
+        |  CASE WHEN (190 - kst[3]) > 0 AND (190 - kst[4]) > 0
+        |    THEN CAST(floor(1000000.0 * CAST(kst[1] - kst[2] AS DOUBLE)
+        |      / (CASE WHEN kst[3] = kst[4] THEN CAST(190 - kst[3] AS DOUBLE)
+        |         ELSE sqrt(CAST(190 - kst[3] AS DOUBLE))
+        |           * sqrt(CAST(190 - kst[4] AS DOUBLE)) END)) AS BIGINT)
+        |  END AS tau_ppm
+        |FROM r ORDER BY doc_id""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -8726,7 +8805,7 @@ object Queries {
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
     qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron, qStopwords, qFertility, qRepetitionRun, qRateAnomaly, qVocabDrift, qBurstiness, qWarcRoundtrip, qCrossSourceDup,
     qContaminationSpan, qMerkleRoot, qPhraseSearch,
-    qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch, qTextRepair, qCohenKappa, qBlockDensity, qCoCitation, qMarkdownOutline, qRougeL, qChatValid, qFilterFunnel, qCentroidMap, qMedoid
+    qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch, qTextRepair, qCohenKappa, qBlockDensity, qCoCitation, qMarkdownOutline, qRougeL, qChatValid, qFilterFunnel, qCentroidMap, qMedoid, qRankAgreement
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

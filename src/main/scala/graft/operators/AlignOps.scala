@@ -212,3 +212,90 @@ object MarkdownOutline {
         col("s.title").as("title"), col("s.line_no").as("line_no"),
         col("s.n_lines").as("n_lines"), col("s.sec_text").as("sec_text"))
 }
+
+/** Ranking agreement — comparing two rankers over the same items: a
+  * BM25 run vs an embedding run, yesterday's quality scorer vs
+  * today's, two near-dup survivor policies. Two complementary
+  * measures:
+  *
+  *  - **RBO** (rank-biased overlap, Webber et al. 2010), truncated at
+  *    the list length: top-weighted prefix-overlap agreement between
+  *    two RANKED ID LISTS — disagreement at rank 1 costs more than at
+  *    rank 10. `(1−p)·Σ p^(d−1)·X_d/d` with the standard incremental
+  *    X_d; the geometric weights fold sequentially in doubles, so both
+  *    engines produce the identical IEEE value before the one ppm
+  *    floor.
+  *  - **Kendall τ-b** between two parallel SCORE ARRAYS: concordant −
+  *    discordant over all pairs with the standard tie corrections; the
+  *    four counters are exact integers, the final normalization is one
+  *    deterministic sqrt expression.
+  *
+  * Both are ROW-LOCAL O(k²) folds — zero shuffle; list lengths are the
+  * caller's k (tens to hundreds), not corpus sizes.
+  */
+object RankAgreement {
+
+  /** Truncated RBO (ppm) of two ranked id lists (compared over the
+    * shorter length; p = top-weightedness, 0.9 ≈ top-10 emphasis). */
+  def rboPpm(a: Column, b: Column, p: Double = 0.9): Column = {
+    val k = least(size(a), size(b))
+    val fin = aggregate(
+      GaleChurch.seq1toCol(k),
+      array(lit(0.0), lit(1.0), lit(0.0)), // [X_d, p^(d-1), acc]
+      (st, d) => {
+        val xPrev = element_at(st, 1)
+        val pw = element_at(st, 2)
+        val acc = element_at(st, 3)
+        val ad = element_at(a, d)
+        val bd = element_at(b, d)
+        val inc =
+          when(ad === bd, lit(1.0)).otherwise(
+            array_contains(slice(b, lit(1), d - 1), ad).cast("double") +
+              array_contains(slice(a, lit(1), d - 1), bd).cast("double"))
+        val xd = xPrev + inc
+        array(xd, pw * p, acc + pw * xd / d.cast("double"))
+      })
+    // the ppm scale folds (1−p) into ONE exact pre-rounded constant:
+    // 1.0 − 0.9 is not the double 0.1, and a replaying engine's decimal
+    // literal would be — so neither form is used; both sides multiply
+    // by round(1e6·(1−p)) instead
+    val w = math.round(1000000.0 * (1.0 - p)).toDouble
+    when(k > 0,
+      floor(lit(w) * element_at(fin, 3)).cast(LongType))
+  }
+
+  /** Kendall τ-b (ppm) between two parallel numeric arrays. Null when
+    * either side is all-ties (zero denominator) or under 2 items. */
+  def kendallTauPpm(x: Column, y: Column): Column = {
+    val n = least(size(x), size(y))
+    val counts = aggregate(
+      GaleChurch.seq1toCol(n - 1),
+      transform(sequence(lit(1), lit(4)), _ => lit(0L)), // [c, d, t1, t2]
+      (st, i) =>
+        aggregate(
+          filter(sequence(lit(1), greatest(n, lit(1))), j => j > i && j <= n),
+          st,
+          (s2, j) => {
+            val dx = signum(element_at(x, i) - element_at(x, j))
+            val dy = signum(element_at(y, i) - element_at(y, j))
+            array(
+              element_at(s2, 1) + (dx * dy > 0).cast(LongType),
+              element_at(s2, 2) + (dx * dy < 0).cast(LongType),
+              element_at(s2, 3) + (dx === 0).cast(LongType),
+              element_at(s2, 4) + (dy === 0).cast(LongType))
+          }))
+    val c = element_at(counts, 1)
+    val d = element_at(counts, 2)
+    val t1 = element_at(counts, 3)
+    val t2 = element_at(counts, 4)
+    val n0 = (n.cast(LongType) * (n - 1).cast(LongType)) / lit(2L)
+    // equal tie corrections (the common no-ties case included) skip the
+    // sqrt pair: sqrt(v)·sqrt(v) ≠ v in doubles, and a perfect ±1 must
+    // come out as exactly ±1e6, not ∓1e6∓1
+    val den = when(t1 === t2, (n0 - t1).cast("double"))
+      .otherwise(
+        sqrt((n0 - t1).cast("double")) * sqrt((n0 - t2).cast("double")))
+    when(n >= 2 && (n0 - t1) > 0L && (n0 - t2) > 0L,
+      floor(lit(1000000.0) * (c - d).cast("double") / den).cast(LongType))
+  }
+}

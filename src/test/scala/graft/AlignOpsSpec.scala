@@ -115,3 +115,38 @@ class MarkdownOutlineSpec extends SparkSpec {
       .as[Int].head() == 0)
   }
 }
+
+class RankAgreementSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.RankAgreement
+  import org.apache.spark.sql.functions._
+
+  private def rbo(a: Seq[Long], b: Seq[Long]): Long =
+    Seq((a, b)).toDF("a", "b")
+      .select(RankAgreement.rboPpm(col("a"), col("b")).as("r"))
+      .as[Long].head()
+
+  private def tau(x: Seq[Long], y: Seq[Long]): Option[Long] =
+    Seq((x, y)).toDF("x", "y")
+      .select(RankAgreement.kendallTauPpm(col("x"), col("y")).as("t"))
+      .collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+
+  test("RBO: identical lists = 1 - p^k; disjoint = 0; top swaps cost more") {
+    // identical, k=3, p=0.9: (1-p)*sum p^(d-1)*1 = 1 - 0.9^3 = 0.271
+    assert(rbo(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)) == 271000L)
+    assert(rbo(Seq(1L, 2L, 3L), Seq(7L, 8L, 9L)) == 0L)
+    // swapping ranks 1/2 hurts more than swapping 2/3
+    val top = rbo(Seq(2L, 1L, 3L), Seq(1L, 2L, 3L))
+    val low = rbo(Seq(1L, 3L, 2L), Seq(1L, 2L, 3L))
+    assert(top < low && low < 271000L, s"$top $low")
+  }
+
+  test("Kendall tau-b: perfect, inverted, and tied cases") {
+    assert(tau(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)).contains(1000000L))
+    assert(tau(Seq(1L, 2L, 3L), Seq(3L, 2L, 1L)).contains(-1000000L))
+    // x=[1,2,3], y=[1,1,2]: c=2, d=0, t2=1 -> 2/(sqrt(3)*sqrt(2))
+    assert(tau(Seq(1L, 2L, 3L), Seq(1L, 1L, 2L)).contains(816496L))
+    // degenerate: all y tied -> null
+    assert(tau(Seq(1L, 2L, 3L), Seq(5L, 5L, 5L)).isEmpty)
+  }
+}
