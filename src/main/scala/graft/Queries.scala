@@ -7852,16 +7852,19 @@ object Queries {
     * WHICH shard in O(log n) node comparisons and its root is a
     * tamper-evident release id. Leaves here are 32 doc_id-bucket
     * "shards" with q179's commutative per-row content hash; the oracle
-    * unrolls the 5 pairing levels as chained CTEs (q216's pattern —
-    * sf0.01 pins 500 docs → 32 leaves; the Spark side loops to any
-    * width). */
+    * unrolls the 5 pairing levels as chained CTEs (q216's pattern).
+    * Leaves bucket by doc_id MOD 32 so the leaf width — and the
+    * oracle's unroll depth — is the same at EVERY SF (the round-10
+    * doc_id/16 bucketing broke at sf0.1: 313 leaves → 9 Spark levels
+    * vs the oracle's fixed 5); the Spark side still loops to any
+    * width. */
   private val qMerkleRoot = Q(
     "q233_merkle_manifest",
     (s, dir) => {
       val rowHash = conv(substring(md5(concat(col("doc_id").cast("string"),
         lit(":"), col("text"))), 1, 8), 16, 10).cast(LongType)
       val man = docs(s, dir)
-        .groupBy(lpad((col("doc_id") / 16).cast(LongType).cast("string"),
+        .groupBy(lpad((col("doc_id") % 32).cast(LongType).cast("string"),
           4, "0").as("file"))
         .agg(sum(rowHash).as("rows_hash"))
       MerkleManifest.levels(man, "file", "rows_hash")
@@ -7873,7 +7876,7 @@ object Queries {
            |  md5(arg_min(node, idx) || arg_max(node, idx)) AS node
            |  FROM l${k - 1} GROUP BY idx // 2)""".stripMargin).mkString(",\n")
       s"""WITH leaves AS (SELECT
-         |    lpad(CAST(doc_id // 16 AS VARCHAR), 4, '0') AS f,
+         |    lpad(CAST(doc_id % 32 AS VARCHAR), 4, '0') AS f,
          |    CAST(SUM(('0x'||substring(md5(doc_id||':'||text),1,8))::BIGINT)
          |      AS BIGINT) AS h
          |  FROM documents GROUP BY 1),
@@ -8746,6 +8749,84 @@ object Queries {
     )
   )
 
+  /** Round-11 composition pipeline: hard-wrapped extraction text →
+    * [[TextRepair]] → ws words → [[ReadabilityScore]] → readability
+    * gate → [[CorpusStats.tfIdfTopTerms]] over the SURVIVORS (so the
+    * idf denominator is the gated corpus, like a real pipeline). One
+    * catalog entry proving four round-11 operators compose under one
+    * oracle. */
+  private val qWebPipeline = Q(
+    "q252_web_pipeline",
+    (s, dir) => {
+      val wrapped = concat(
+        substring(col("text"), 1, 40), lit("-\n"),
+        substring(col("text"), 41, 40), lit("\n"),
+        substring(col("text"), 81, 40))
+      val base = T(s, dir, "documents")
+        .select(col("doc_id"), TextRepair.repair(wrapped).as("rtext"))
+        .withColumn("words", Splitters.toColumn(col("rtext"), Splitters.Ws))
+      val kept = ReadabilityScore("rtext", "words")(base)
+        .filter(col("n_words") >= 15 && col("fre_milli") >= 0)
+      CorpusStats.tfIdfTopTerms(kept, "doc_id", "words", 3)
+        .join(kept.select("doc_id", "n_words", "fk_grade_centi"), Seq("doc_id"))
+        .select("doc_id", "n_words", "fk_grade_centi", "term",
+          "score_ppm", "rank")
+        .orderBy("doc_id", "rank")
+    },
+    Some(
+      """WITH u AS (SELECT doc_id,
+        |    substring(text, 1, 40) || '-' || chr(10) || substring(text, 41, 40)
+        |    || chr(10) || substring(text, 81, 40) AS wrapped
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(wrapped,
+        |    '(\p{L})-[ \t]*' || chr(10) || '[ \t]*(\p{L})', '\1\2', 'g') AS t
+        |  FROM u),
+        |s2 AS (SELECT doc_id, regexp_replace(t,
+        |    chr(10) || '{3,}', chr(10) || chr(10), 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, replace(
+        |    regexp_replace(replace(t, chr(10) || chr(10), chr(1)),
+        |      chr(10), ' ', 'g'),
+        |    chr(1), chr(10) || chr(10)) AS rtext FROM s2),
+        |w AS (SELECT doc_id, rtext,
+        |    list_filter(regexp_split_to_array(rtext, '\s+'), x -> x <> '') AS w
+        |  FROM s3),
+        |m AS (SELECT doc_id, w,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    greatest(CAST(1 AS BIGINT),
+        |      CAST(len(regexp_extract_all(rtext, '[.!?]+')) AS BIGINT))
+        |      AS n_sentences,
+        |    CAST(coalesce(list_sum(list_transform(w, x ->
+        |      CASE WHEN len(regexp_extract_all(lower(x), '[aeiouy]+')) = 0 THEN 0
+        |        ELSE greatest(1, len(regexp_extract_all(lower(x), '[aeiouy]+'))
+        |          - CASE WHEN regexp_matches(lower(x), '[^aeiouy]e$')
+        |              THEN 1 ELSE 0 END) END)), 0) AS BIGINT) AS n_syllables
+        |  FROM w),
+        |k AS (SELECT doc_id, w, n_words,
+        |    (39 * n_words * n_words + 1180 * n_syllables * n_sentences)
+        |      // (n_sentences * n_words) - 1559 AS fk_grade_centi,
+        |    206835 - (1015 * n_words * n_words + 84600 * n_syllables * n_sentences)
+        |      // (n_sentences * n_words) AS fre_milli
+        |  FROM m WHERE n_words >= 15),
+        |kk AS (SELECT * FROM k WHERE fre_milli >= 0),
+        |tf AS (SELECT doc_id, unnest(w) AS term FROM kk),
+        |tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tf GROUP BY doc_id, term),
+        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM tfc GROUP BY term),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM kk),
+        |sc AS (SELECT doc_id, term, tf, df,
+        |    (1000000 * tf * n.n) // df AS score_ppm
+        |  FROM tfc JOIN dft USING (term) CROSS JOIN n),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_ppm DESC, term) AS BIGINT) AS rank
+        |  FROM sc QUALIFY rank <= 3)
+        |SELECT r.doc_id, kk.n_words, kk.fk_grade_centi, r.term,
+        |  r.score_ppm, r.rank
+        |FROM r JOIN kk ON r.doc_id = kk.doc_id
+        |ORDER BY r.doc_id, r.rank""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -8805,7 +8886,7 @@ object Queries {
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
     qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron, qStopwords, qFertility, qRepetitionRun, qRateAnomaly, qVocabDrift, qBurstiness, qWarcRoundtrip, qCrossSourceDup,
     qContaminationSpan, qMerkleRoot, qPhraseSearch,
-    qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch, qTextRepair, qCohenKappa, qBlockDensity, qCoCitation, qMarkdownOutline, qRougeL, qChatValid, qFilterFunnel, qCentroidMap, qMedoid, qRankAgreement
+    qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch, qTextRepair, qCohenKappa, qBlockDensity, qCoCitation, qMarkdownOutline, qRougeL, qChatValid, qFilterFunnel, qCentroidMap, qMedoid, qRankAgreement, qWebPipeline
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
