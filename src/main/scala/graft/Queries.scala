@@ -8827,6 +8827,91 @@ object Queries {
     )
   )
 
+  /** Label-noise detection ([[operators.LabelNoise]]): a slice of the
+    * embeddings table (vec_id % 10 = 0 — the audit-sized labeled
+    * subset the operator is FOR) with every 7th slice-member's label
+    * corrupted; kNN disagreement must rank the corrupted vectors. The
+    * oracle replays pairwise ppm cosines, the k-cut, the vote, and the
+    * strict-disagreement flag. */
+  private val qLabelNoise = Q(
+    "q253_label_noise",
+    (s, dir) => {
+      val slice = T(s, dir, "embeddings")
+        .filter(col("vec_id") % 10 === 0)
+        .withColumn("y",
+          when(col("vec_id") % 70 === 0, (col("label") + 5) % 10)
+            .otherwise(col("label")))
+      LabelNoise.knnDisagreement(slice, "vec_id", "embedding", "y", k = 5)
+        .orderBy("vec_id")
+    },
+    Some(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    CASE WHEN vec_id % 70 = 0 THEN (label + 5) % 10
+        |      ELSE label END AS y
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |p AS (SELECT l.vec_id, l.y, r.vec_id AS nid, r.y AS ny,
+        |    CAST(floor(1000000.0 * (
+        |      list_reduce(list_transform(generate_series(1, len(l.v)),
+        |        i -> l.v[i] * r.v[i]), (x, y2) -> x + y2) /
+        |      (sqrt(list_reduce(list_transform(generate_series(1, len(l.v)),
+        |        i -> l.v[i] * l.v[i]), (x, y2) -> x + y2)) *
+        |       sqrt(list_reduce(list_transform(generate_series(1, len(r.v)),
+        |        i -> r.v[i] * r.v[i]), (x, y2) -> x + y2)))
+        |    )) AS BIGINT) AS c
+        |  FROM e l JOIN e r ON l.vec_id <> r.vec_id),
+        |t AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY c DESC, nid) AS rn FROM p QUALIFY rn <= 5),
+        |v AS (SELECT vec_id, y, ny, CAST(count(*) AS BIGINT) AS nv
+        |  FROM t GROUP BY vec_id, y, ny),
+        |m AS (SELECT vec_id, CAST(y AS BIGINT) AS label,
+        |    CAST(min(struct_pack(nv := -nv, l := ny)).l AS BIGINT)
+        |      AS majority_label,
+        |    CAST(-min(struct_pack(nv := -nv, l := ny)).nv AS BIGINT)
+        |      AS majority_votes,
+        |    CAST(coalesce(sum(CASE WHEN ny = y THEN nv END), 0) AS BIGINT)
+        |      AS n_agree
+        |  FROM v GROUP BY vec_id, y)
+        |SELECT vec_id, label, majority_label, majority_votes, n_agree,
+        |  (majority_label <> label AND majority_votes > n_agree) AS flagged
+        |FROM m ORDER BY vec_id""".stripMargin
+    )
+  )
+
+  /** Histogram drift ([[operators.HistogramDrift.totalVariation]]):
+    * even- vs odd-doc length histograms (bucket = n_chars/100) — TV is
+    * the exact integral form |ca·nb − cb·na| summed before ONE
+    * division, so the ppm replays bit-for-bit. */
+  private val qHistDrift = Q(
+    "q254_histogram_drift",
+    (s, dir) =>
+      HistogramDrift.totalVariation(
+        T(s, dir, "documents")
+          .select(
+            when(col("doc_id") % 2 === 0, lit("a")).otherwise(lit("b"))
+              .as("slice"),
+            floor(col("n_chars") / 100).cast("long").as("bucket")),
+        "slice", "bucket", "a", "b"),
+    Some(
+      """WITH f AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END
+        |    AS slice, n_chars // 100 AS bucket FROM documents),
+        |c AS (SELECT bucket,
+        |    CAST(sum(CASE WHEN slice = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN slice = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM f GROUP BY bucket),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM c)
+        |SELECT na, nb, CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(floor(CAST(1000000 * sum(abs(ca * nb - cb * na)) AS DOUBLE)
+        |    / (2 * na * nb)) AS BIGINT) AS tv_ppm,
+        |  max(struct_pack(c := abs(ca * nb - cb * na), b := bucket)).b
+        |    AS top_bucket,
+        |  CAST(floor(CAST(1000000 *
+        |      max(struct_pack(c := abs(ca * nb - cb * na), b := bucket)).c
+        |      AS DOUBLE) / (2 * na * nb)) AS BIGINT) AS top_contrib_ppm
+        |FROM c CROSS JOIN t GROUP BY na, nb""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -8886,7 +8971,7 @@ object Queries {
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
     qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron, qStopwords, qFertility, qRepetitionRun, qRateAnomaly, qVocabDrift, qBurstiness, qWarcRoundtrip, qCrossSourceDup,
     qContaminationSpan, qMerkleRoot, qPhraseSearch,
-    qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch, qTextRepair, qCohenKappa, qBlockDensity, qCoCitation, qMarkdownOutline, qRougeL, qChatValid, qFilterFunnel, qCentroidMap, qMedoid, qRankAgreement, qWebPipeline
+    qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch, qTextRepair, qCohenKappa, qBlockDensity, qCoCitation, qMarkdownOutline, qRougeL, qChatValid, qFilterFunnel, qCentroidMap, qMedoid, qRankAgreement, qWebPipeline, qLabelNoise, qHistDrift
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

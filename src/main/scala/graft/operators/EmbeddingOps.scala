@@ -198,3 +198,66 @@ object Medoid {
         col("n_members"))
   }
 }
+
+/** Label-noise detection by neighborhood disagreement ("confident
+  * learning lite"): a labeled vector whose k nearest neighbors mostly
+  * carry a DIFFERENT label is either mislabeled or sits on a class
+  * boundary — either way it is what a labeled-slice audit wants on
+  * top of the queue. Output per vector: its label, the neighborhood
+  * majority, the agreement count, and the flag.
+  *
+  * Exactness: per-pair cosines floor to ppm before ranking (ties by
+  * neighbor id), so the k-set and the vote are engine-exact. Shape:
+  * this is the BRUTE pairwise baseline (the q93/q86 discipline) —
+  * audit-grade for a labeled SLICE (labeled data is the small
+  * fraction); at corpus scale route the same vote through the IVF/LSH
+  * candidate front ends and this operator's ranking+vote unchanged.
+  */
+object LabelNoise {
+
+  def knnDisagreement(
+      df: DataFrame,
+      idField: String,
+      embField: String,
+      labelField: String,
+      k: Int = 5
+  ): DataFrame = {
+    val base = df.select(
+      col(idField).cast(LongType).as("__ln_id"),
+      col(embField).cast(ArrayType(DoubleType)).as("__ln_e"),
+      col(labelField).cast(LongType).as("__ln_y"))
+    val pairs = base.as("l")
+      .join(broadcast(base.as("r")), col("l.__ln_id") =!= col("r.__ln_id"))
+      .select(
+        col("l.__ln_id").as("__ln_id"), col("l.__ln_y").as("__ln_y"),
+        col("r.__ln_id").as("__ln_nid"), col("r.__ln_y").as("__ln_ny"),
+        floor(lit(1000000.0) *
+          CosineKnn.cosine(col("l.__ln_e"), col("r.__ln_e")))
+          .cast(LongType).as("__ln_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__ln_id")
+      .orderBy(col("__ln_c").desc, col("__ln_nid"))
+    val top = pairs
+      .withColumn("__ln_rn", row_number().over(w))
+      .filter(col("__ln_rn") <= k)
+    val votes = top
+      .groupBy("__ln_id", "__ln_y", "__ln_ny")
+      .agg(count(lit(1)).as("__ln_v"))
+    // majority = most votes, ties to the SMALLER label (deterministic);
+    // flagged only on STRICT disagreement (majority outvotes the own-label
+    // neighbors) — a tie is boundary evidence, not noise evidence
+    votes
+      .groupBy(col("__ln_id").as(idField), col("__ln_y").as("label"))
+      .agg(
+        min(struct((-col("__ln_v")).as("nv"), col("__ln_ny").as("l")))
+          .as("__ln_m"),
+        coalesce(sum(when(col("__ln_ny") === col("__ln_y"),
+          col("__ln_v"))), lit(0L)).as("n_agree"))
+      .select(col(idField), col("label"),
+        col("__ln_m.l").as("majority_label"),
+        (-col("__ln_m.nv")).as("majority_votes"),
+        col("n_agree"),
+        (col("__ln_m.l") =!= col("label") &&
+          -col("__ln_m.nv") > col("n_agree")).as("flagged"))
+  }
+}

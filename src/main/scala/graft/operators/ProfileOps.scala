@@ -582,7 +582,7 @@ object SourceSimilarity {
       .agg(sum(when(col("a.h") === col("b.h"), 1L).otherwise(0L))
         .as("agree"))
       .withColumn("est_jaccard",
-        col("agree").cast(DoubleType) / lit(numHashes.toDouble))
+        col("agree").cast("double") / lit(numHashes.toDouble))
   }
 }
 
@@ -948,5 +948,56 @@ object RateAnomaly {
             col("prev_sum"))))
       .withColumn("spike",
         coalesce(col("ratio_milli") >= spikeRatioMilli, lit(false)))
+  }
+}
+
+/** Histogram drift between two slices (epochs, snapshots, sources) as
+  * EXACT total-variation distance: TV = ½·Σ_b |ca/na − cb/nb| =
+  * Σ_b |ca·nb − cb·na| / (2·na·nb) — the numerator is an
+  * order-independent BIGINT sum, the single division happens once at
+  * the end, so the ppm result replays exactly on any engine (the
+  * ln-based PSI deliberately does not — its logs are not
+  * cross-engine-exact). The per-bucket contribution identifies WHAT
+  * drifted, not just how much.
+  *
+  * Shape: one bucket-keyed count aggregate (partial map-side), two
+  * scalar totals broadcast back, one O(#buckets) reduction. Nothing
+  * scales with rows except the first count. */
+object HistogramDrift {
+
+  /** One row: (na, nb, n_buckets, tv_ppm, top_bucket,
+    * top_contrib_ppm). `sliceField` must take exactly the two values
+    * `a` and `b`; other rows are ignored. */
+  def totalVariation(
+      df: DataFrame,
+      sliceField: String,
+      bucketField: String,
+      a: String,
+      b: String
+  ): DataFrame = {
+    val counts = df
+      .filter(col(sliceField).cast(StringType).isin(a, b))
+      .groupBy(col(bucketField).cast(LongType).as("bucket"))
+      .agg(
+        sum((col(sliceField).cast(StringType) === a).cast(LongType)).as("ca"),
+        sum((col(sliceField).cast(StringType) === b).cast(LongType)).as("cb"))
+    val tot = counts.agg(
+      sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("__hd_num", abs(col("ca") * col("nb") - col("cb") * col("na")))
+      .groupBy("na", "nb")
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("__hd_num")).as("__hd_sum"),
+        max(struct(col("__hd_num").as("c"), col("bucket").as("b")))
+          .as("__hd_top"))
+      .select(
+        col("na"), col("nb"), col("n_buckets"),
+        floor((lit(1000000L) * col("__hd_sum")).cast("double")
+          / (lit(2L) * col("na") * col("nb"))).cast(LongType).as("tv_ppm"),
+        col("__hd_top.b").as("top_bucket"),
+        floor((lit(1000000L) * col("__hd_top.c")).cast("double")
+          / (lit(2L) * col("na") * col("nb"))).cast(LongType)
+          .as("top_contrib_ppm"))
   }
 }

@@ -288,3 +288,50 @@ class MedoidSpec extends SparkSpec {
     assert(a.select("n_members").as[Long].head() == 10L)
   }
 }
+
+class LabelNoiseSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.LabelNoise
+  import org.apache.spark.sql.functions._
+
+  test("a mislabeled vector inside a tight cluster gets flagged") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.00f), 0L),
+      (2L, Seq(1.0f, 0.01f), 0L),
+      (3L, Seq(1.0f, 0.02f), 9L), // mislabeled: sits among label-0 vecs
+      (4L, Seq(0.0f, 1.00f), 1L),
+      (5L, Seq(0.01f, 1.0f), 1L),
+      (6L, Seq(0.02f, 1.0f), 1L)
+    ).toDF("vec_id", "embedding", "label")
+    val got = LabelNoise.knnDisagreement(df, "vec_id", "embedding", "label", k = 2)
+      .orderBy("vec_id")
+      .select("vec_id", "label", "majority_label", "n_agree", "flagged")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(3L)._3 == 0L && byId(3L)._4 == 0L && byId(3L)._5)
+    assert(!byId(1L)._5 && !byId(4L)._5 && !byId(5L)._5)
+  }
+}
+
+class HistogramDriftSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.HistogramDrift
+  import org.apache.spark.sql.functions._
+
+  test("identical slices -> 0; disjoint -> 1e6; partial shift exact") {
+    def tv(rows: Seq[(String, Long)]): (Long, Long, Long) =
+      HistogramDrift.totalVariation(rows.toDF("slice", "bucket"),
+          "slice", "bucket", "a", "b")
+        .select("tv_ppm", "top_bucket", "n_buckets")
+        .as[(Long, Long, Long)].head()
+    // identical
+    assert(tv(Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)))._1 == 0L)
+    // disjoint buckets
+    val dis = tv(Seq(("a", 1L), ("a", 1L), ("b", 2L)))
+    assert(dis._1 == 1000000L)
+    // a: {1:2, 2:2}; b: {1:1, 2:3} -> TV = 0.5*(|.5-.25| + |.5-.75|) = 0.25
+    val part = tv(Seq(("a", 1L), ("a", 1L), ("a", 2L), ("a", 2L),
+      ("b", 1L), ("b", 2L), ("b", 2L), ("b", 2L)))
+    assert(part._1 == 250000L && part._3 == 2L)
+  }
+}
