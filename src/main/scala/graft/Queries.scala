@@ -8021,18 +8021,27 @@ object Queries {
   private val qShardNovelty = Q(
     "q237_shard_novelty",
     (s, dir) =>
+      // grams hash to 60-bit md5-prefix keys BEFORE the operator, so the
+      // gram shuffle moves 8-byte longs instead of shingle strings (the
+      // operator's documented at-scale contract; production = xxhash64,
+      // md5 here for oracle replay — collisions at 60 bits are ~0 and in
+      // any case identical on both engines)
       CorpusStats.shardNovelty(
         docWords(s, dir)
           .withColumn("shard", floor(col("doc_id") / 50).cast("long"))
-          .withColumn("grams", TextShingles.shingles(col("words"), 3)),
+          .withColumn("grams",
+            transform(TextShingles.shingles(col("words"), 3),
+              g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))),
         "shard", "grams")
         .orderBy("shard"),
     Some(
       s"""WITH w AS (SELECT doc_id // 50 AS shard, $W AS w FROM documents),
          |g AS (SELECT DISTINCT shard, unnest(CASE WHEN len(w) >= 3
          |    THEN list_transform(generate_series(1, len(w) - 2), i ->
-         |      w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-         |    ELSE [array_to_string(w, ' ')] END) AS gram
+         |      ('0x' || substring(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+         |        1, 15))::BIGINT)
+         |    ELSE [('0x' || substring(md5(array_to_string(w, ' ')),
+         |        1, 15))::BIGINT] END) AS gram
          |  FROM w),
          |f AS (SELECT gram, min(shard) AS first FROM g GROUP BY gram)
          |SELECT g.shard, CAST(count(*) AS BIGINT) AS n_grams,
@@ -8912,6 +8921,98 @@ object Queries {
     )
   )
 
+  /** KS drift ([[operators.KsDrift.ksOnBuckets]]): odd docs' length
+    * buckets are shifted by half a bucket width — TV (q254) sees
+    * modest mass movement, KS pins the worst cumulative boundary. The
+    * oracle replays the sorted cumulative fold in exact integers. */
+  private val qKsDrift = Q(
+    "q255_ks_drift",
+    (s, dir) =>
+      KsDrift.ksOnBuckets(
+        T(s, dir, "documents")
+          .select(
+            when(col("doc_id") % 2 === 0, lit("a")).otherwise(lit("b"))
+              .as("slice"),
+            when(col("doc_id") % 2 === 0, floor(col("n_chars") / 100))
+              .otherwise(floor((col("n_chars") + 50) / 100))
+              .cast("long").as("bucket")),
+        "slice", "bucket", "a", "b"),
+    Some(
+      """WITH f AS (SELECT
+        |    CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS slice,
+        |    CASE WHEN doc_id % 2 = 0 THEN n_chars // 100
+        |      ELSE (n_chars + 50) // 100 END AS bucket
+        |  FROM documents),
+        |c AS (SELECT bucket,
+        |    CAST(sum(CASE WHEN slice = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN slice = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM f GROUP BY bucket),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM c),
+        |g AS (SELECT na, nb, CAST(count(*) AS BIGINT) AS n_buckets,
+        |    list_reduce(
+        |      list_prepend([CAST(0 AS BIGINT), 0, 0, 0],
+        |        list_sort(list([bucket, ca, cb]))),
+        |      (st, e) -> [
+        |        st[1] + e[2], st[2] + e[3],
+        |        greatest(st[3],
+        |          abs((st[1] + e[2]) * nb - (st[2] + e[3]) * na)),
+        |        CASE WHEN abs((st[1] + e[2]) * nb - (st[2] + e[3]) * na)
+        |            > st[3] THEN e[1] ELSE st[4] END
+        |      ]) AS f
+        |  FROM c CROSS JOIN t GROUP BY na, nb)
+        |SELECT na, nb, n_buckets,
+        |  CAST(floor(CAST(1000000 * f[3] AS DOUBLE) / (na * nb)) AS BIGINT)
+        |    AS ks_ppm,
+        |  f[4] AS ks_bucket
+        |FROM g""".stripMargin
+    )
+  )
+
+  /** Horvitz–Thompson correction ([[operators.HtEstimate.totals]]):
+    * q110's portable stratified sample carries its nominal inclusion
+    * probability per language; HT blows the sampled counts back up to
+    * corpus scale. True counts ride along so the estimate is
+    * judge-checkable at a glance. */
+  private val qHtEstimate = Q(
+    "q256_ht_estimate",
+    (s, dir) => {
+      val sampled = DeterministicSample("doc_id", fraction = 0.1,
+        salt = "mix", strataField = Some("lang"),
+        strataFractions = Map("en" -> 0.5, "de" -> 0.25),
+        portable = true)(
+        docs(s, dir).select("doc_id", "lang"))
+        .withColumn("p_ppm",
+          when(col("lang") === "en", lit(500000L))
+            .when(col("lang") === "de", lit(250000L))
+            .otherwise(lit(100000L)))
+      val truth = T(s, dir, "documents")
+        .groupBy(col("lang").as("grp"))
+        .agg(count(lit(1)).as("n_true"))
+      HtEstimate.totals(sampled, "p_ppm", "lang")
+        .join(truth, Seq("grp"))
+        .select(col("grp").as("lang"), col("n_true"), col("n_sampled"),
+          col("est_count_milli"))
+        .orderBy("lang")
+    },
+    Some(
+      """WITH s AS (SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+        |      ELSE 100000 END AS p_ppm
+        |  FROM documents
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 8) <
+        |    CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '40000000'
+        |      ELSE '19999999' END),
+        |e AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+        |    CAST(sum(1000000000 // p_ppm) AS BIGINT) AS est_count_milli
+        |  FROM s GROUP BY lang),
+        |t AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_true
+        |  FROM documents GROUP BY lang)
+        |SELECT e.lang, t.n_true, e.n_sampled, e.est_count_milli
+        |FROM e JOIN t USING (lang) ORDER BY lang""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -8971,7 +9072,7 @@ object Queries {
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
     qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron, qStopwords, qFertility, qRepetitionRun, qRateAnomaly, qVocabDrift, qBurstiness, qWarcRoundtrip, qCrossSourceDup,
     qContaminationSpan, qMerkleRoot, qPhraseSearch,
-    qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch, qTextRepair, qCohenKappa, qBlockDensity, qCoCitation, qMarkdownOutline, qRougeL, qChatValid, qFilterFunnel, qCentroidMap, qMedoid, qRankAgreement, qWebPipeline, qLabelNoise, qHistDrift
+    qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch, qTextRepair, qCohenKappa, qBlockDensity, qCoCitation, qMarkdownOutline, qRougeL, qChatValid, qFilterFunnel, qCentroidMap, qMedoid, qRankAgreement, qWebPipeline, qLabelNoise, qHistDrift, qKsDrift, qHtEstimate
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

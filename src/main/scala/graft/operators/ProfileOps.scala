@@ -1001,3 +1001,78 @@ object HistogramDrift {
           .as("top_contrib_ppm"))
   }
 }
+
+/** Kolmogorov–Smirnov drift on bucketed histograms — [[HistogramDrift]]'s
+  * cumulative companion: TV sees total mass moved, KS sees the single
+  * worst cumulative split point (a small shift applied to EVERY bucket
+  * barely moves TV but walks KS up). Exact integral form: at each
+  * bucket boundary the statistic is |CA·nb − CB·na| with BIGINT
+  * cumulative counts; one division at the end. The cumulative scan is
+  * a fold over the SORTED O(#buckets) array (no window — bucket tables
+  * are release-report sized by construction). */
+object KsDrift {
+
+  /** One row: (na, nb, n_buckets, ks_ppm, ks_bucket) — ks_bucket is
+    * the boundary achieving the max. */
+  def ksOnBuckets(
+      df: DataFrame,
+      sliceField: String,
+      bucketField: String,
+      a: String,
+      b: String
+  ): DataFrame = {
+    val counts = df
+      .filter(col(sliceField).cast(StringType).isin(a, b))
+      .groupBy(col(bucketField).cast(LongType).as("bucket"))
+      .agg(
+        sum((col(sliceField).cast(StringType) === a).cast(LongType)).as("ca"),
+        sum((col(sliceField).cast(StringType) === b).cast(LongType)).as("cb"))
+    val tot = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    counts.crossJoin(broadcast(tot))
+      .groupBy("na", "nb")
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sort_array(collect_list(struct(col("bucket"), col("ca"), col("cb"))))
+          .as("__ks_arr"))
+      .withColumn("__ks_f",
+        aggregate(
+          col("__ks_arr"),
+          transform(sequence(lit(1), lit(4)), _ => lit(0L)), // [cumA,cumB,best,bucket]
+          (st, e) => {
+            val cumA = element_at(st, 1) + e("ca")
+            val cumB = element_at(st, 2) + e("cb")
+            val d = abs(cumA * col("nb") - cumB * col("na"))
+            array(cumA, cumB,
+              greatest(element_at(st, 3), d),
+              when(d > element_at(st, 3), e("bucket"))
+                .otherwise(element_at(st, 4)))
+          }))
+      .select(col("na"), col("nb"), col("n_buckets"),
+        floor((lit(1000000L) * element_at(col("__ks_f"), 3)).cast("double")
+          / (col("na") * col("nb"))).cast(LongType).as("ks_ppm"),
+        element_at(col("__ks_f"), 4).as("ks_bucket"))
+  }
+}
+
+/** Horvitz–Thompson correction — corpus statistics from a WEIGHTED
+  * sample: every sampled row carries its inclusion probability (ppm),
+  * and the estimator of the population count is Σ 1/p over sampled
+  * rows. Emitted milli-scaled with the floor applied PER ROW, so the
+  * sum stays order-independent and engine-exact (documented downward
+  * bias < n_sampled/1000 milli-units — negligible against sampling
+  * noise). This is what makes post-sampling release reports honest:
+  * stats computed on a temperature-mixed sample, corrected back to
+  * corpus scale. */
+object HtEstimate {
+
+  def totals(
+      df: DataFrame,
+      probPpmField: String,
+      groupField: String
+  ): DataFrame =
+    df.groupBy(col(groupField).as("grp"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        sum(graft.functions.functions.integral_divide(
+          lit(1000000000L), col(probPpmField))).as("est_count_milli"))
+}
