@@ -9013,6 +9013,119 @@ object Queries {
     )
   )
 
+  /** Quotation profile ([[operators.QuoteStats.annotate]]): quotes
+    * synthesized into each doc (one long, one short-below-minWords,
+    * odd docs get an extra) — counts, quoted-char share, and the
+    * longest quote replayed by the oracle. */
+  private val qQuoteStats = Q(
+    "q257_quote_stats",
+    (s, dir) => {
+      val t = concat(
+        substring(col("text"), 1, 30),
+        lit(" \"he said exactly this long thing\" mid \"no\" "),
+        when(col("doc_id") % 2 === 1,
+          concat(lit("\""), substring(col("text"), 31, 25), lit("\" ")))
+          .otherwise(lit("")),
+        substring(col("text"), 61, 20))
+      QuoteStats.annotate(
+          T(s, dir, "documents").select(col("doc_id"), t.as("text")),
+          "text", minWords = 3)
+        .select("doc_id", "n_quotes", "quote_chars", "quote_char_ppm",
+          "longest_quote_words")
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH u AS (SELECT doc_id,
+        |    substring(text, 1, 30) || ' "he said exactly this long thing" mid "no" '
+        |    || CASE WHEN doc_id % 2 = 1
+        |      THEN '"' || substring(text, 31, 25) || '" ' ELSE '' END
+        |    || substring(text, 61, 20) AS t
+        |  FROM documents),
+        |q AS (SELECT doc_id, t,
+        |    list_filter(regexp_extract_all(t, '"([^"]{1,400})"', 1),
+        |      x -> len(list_filter(string_split_regex(x, '\s+'),
+        |        w -> length(w) > 0)) >= 3) AS qs
+        |  FROM u)
+        |SELECT doc_id,
+        |  CAST(len(qs) AS BIGINT) AS n_quotes,
+        |  CAST(coalesce(list_sum(list_transform(qs, x -> length(x))), 0)
+        |    AS BIGINT) AS quote_chars,
+        |  CASE WHEN length(t) > 0 THEN CAST(floor(
+        |    CAST(1000000 * coalesce(list_sum(list_transform(qs,
+        |      x -> length(x))), 0) AS DOUBLE) / length(t)) AS BIGINT)
+        |    ELSE 0 END AS quote_char_ppm,
+        |  CAST(coalesce(list_max(list_transform(qs, x ->
+        |    len(list_filter(string_split_regex(x, '\s+'),
+        |      w -> length(w) > 0)))), 0) AS BIGINT) AS longest_quote_words
+        |FROM q ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** OOV rate per source ([[operators.OovRate.perSlice]]): vocabulary
+    * = the 30 most frequent even-doc words (count desc, term — a total
+    * order); odd docs probe it per source. The oracle replays the
+    * vocab cut and the per-slice rate. */
+  private val qOovRate = Q(
+    "q258_oov_rate",
+    (s, dir) => {
+      val even = docWords(s, dir).filter(col("doc_id") % 2 === 0)
+      val vocab = even
+        .select(explode(col("words")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("__c"))
+        .orderBy(col("__c").desc, col("term"))
+        .limit(30)
+        .select("term")
+      OovRate.perSlice(
+          docWords(s, dir).filter(col("doc_id") % 2 === 1)
+            .select(col("source"), col("words")),
+          "source", "words", vocab)
+        .orderBy("slice")
+    },
+    Some(
+      s"""WITH ew AS (SELECT doc_id, $W AS w FROM documents WHERE doc_id % 2 = 0),
+         |vc AS (SELECT unnest(w) AS term FROM ew),
+         |v AS (SELECT term FROM (SELECT term, count(*) AS c FROM vc GROUP BY term
+         |    ORDER BY c DESC, term LIMIT 30)),
+         |ow AS (SELECT source, unnest($W) AS term FROM documents
+         |  WHERE doc_id % 2 = 1)
+         |SELECT ow.source AS slice,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  CAST(floor(CAST(1000000 * sum(CASE WHEN v.term IS NULL THEN 1
+         |    ELSE 0 END) AS DOUBLE) / count(*)) AS BIGINT) AS oov_ppm
+         |FROM ow LEFT JOIN v ON ow.term = v.term
+         |GROUP BY ow.source ORDER BY slice""".stripMargin
+    )
+  )
+
+  /** Embedding dimension health ([[operators.EmbeddingHealth]]): exact
+    * quantized per-dim count/mean/variance over the embeddings table —
+    * an O(dim) report the oracle replays sum-for-sum. */
+  private val qDimHealth = Q(
+    "q259_dim_health",
+    (s, dir) =>
+      EmbeddingHealth.dimStats(T(s, dir, "embeddings"), "embedding")
+        .orderBy("dim"),
+    Some(
+      """WITH q AS (SELECT i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qv
+        |  FROM embeddings,
+        |    unnest(generate_series(1, len(embedding))) AS t(i)),
+        |a AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(qv) AS BIGINT) AS sum_q,
+        |    CAST(sum(qv * qv) AS BIGINT) AS sum_q2
+        |  FROM q GROUP BY dim)
+        |SELECT dim, n, sum_q, sum_q2,
+        |  CAST(floor(CAST(sum_q AS DOUBLE) / n) AS BIGINT) AS mean_milli,
+        |  CAST(floor(CAST(n * sum_q2 - sum_q * sum_q AS DOUBLE)
+        |    / (n * n)) AS BIGINT) AS var_micro,
+        |  (CAST(floor(CAST(n * sum_q2 - sum_q * sum_q AS DOUBLE)
+        |    / (n * n)) AS BIGINT) < 1000) AS is_dead
+        |FROM a ORDER BY dim""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -9072,7 +9185,7 @@ object Queries {
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
     qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron, qStopwords, qFertility, qRepetitionRun, qRateAnomaly, qVocabDrift, qBurstiness, qWarcRoundtrip, qCrossSourceDup,
     qContaminationSpan, qMerkleRoot, qPhraseSearch,
-    qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch, qTextRepair, qCohenKappa, qBlockDensity, qCoCitation, qMarkdownOutline, qRougeL, qChatValid, qFilterFunnel, qCentroidMap, qMedoid, qRankAgreement, qWebPipeline, qLabelNoise, qHistDrift, qKsDrift, qHtEstimate
+    qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch, qTextRepair, qCohenKappa, qBlockDensity, qCoCitation, qMarkdownOutline, qRougeL, qChatValid, qFilterFunnel, qCentroidMap, qMedoid, qRankAgreement, qWebPipeline, qLabelNoise, qHistDrift, qKsDrift, qHtEstimate, qQuoteStats, qOovRate, qDimHealth
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1178,3 +1178,35 @@ object Burstiness {
       .limit(k)
   }
 }
+
+/** Out-of-vocabulary rate per slice — the tokenizer/vocab fitness
+  * check per source, language, or time bucket: a source whose tokens
+  * fall outside the working vocabulary will fragment into long
+  * subword sequences (see the fertility report) or map to UNK. The
+  * vocabulary broadcasts; tokens probe it in the scan stage, and only
+  * (slice, flag) pairs reach the one aggregate — the corpus never
+  * shuffles its text. */
+object OovRate {
+
+  /** `vocab` = one `term` column (deduped). Output per slice:
+    * n_tokens, n_oov, oov_ppm. */
+  def perSlice(
+      docs: DataFrame,
+      sliceField: String,
+      wordsField: String,
+      vocab: DataFrame
+  ): DataFrame = {
+    val v = vocab.select(col("term")).distinct()
+      .withColumn("__ov_in", lit(1L))
+    docs
+      .select(col(sliceField).as("slice"), explode(col(wordsField)).as("term"))
+      .join(broadcast(v), Seq("term"), "left")
+      .groupBy("slice")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__ov_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm",
+        floor((lit(1000000L) * col("n_oov")).cast("double") / col("n_tokens"))
+          .cast(LongType))
+  }
+}

@@ -261,3 +261,34 @@ object LabelNoise {
           -col("__ln_m.nv") > col("n_agree")).as("flagged"))
   }
 }
+
+/** Embedding dimension health — per-dimension count/mean/variance over
+  * the corpus, from per-row floor-quantized values so every sum is an
+  * order-independent BIGINT: dead dimensions (near-zero variance —
+  * projector bugs, truncated exports) and scale anomalies show up as
+  * rows in an O(dim) table instead of silently degrading every
+  * downstream ANN/cosine operator. Variance is the exact rational
+  * (n·Σq² − (Σq)²)/n², kept in exact q² (micro) units. */
+object EmbeddingHealth {
+
+  def dimStats(
+      df: DataFrame,
+      embField: String,
+      scale: Long = 1000L,
+      deadVarMicro: Long = 1000L
+  ): DataFrame =
+    df.select(posexplode(col(embField).cast(ArrayType(DoubleType)))
+        .as(Seq("dim", "__eh_x")))
+      .groupBy(col("dim").cast(LongType).as("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("__eh_x") * scale).cast(LongType)).as("sum_q"),
+        sum(floor(col("__eh_x") * scale).cast(LongType)
+          * floor(col("__eh_x") * scale).cast(LongType)).as("sum_q2"))
+      .withColumn("mean_milli",
+        floor(col("sum_q").cast("double") / col("n")).cast(LongType))
+      .withColumn("var_micro",
+        floor((col("n") * col("sum_q2") - col("sum_q") * col("sum_q"))
+          .cast("double") / (col("n") * col("n"))).cast(LongType))
+      .withColumn("is_dead", col("var_micro") < deadVarMicro)
+}

@@ -335,3 +335,28 @@ class HistogramDriftSpec extends SparkSpec {
     assert(part._1 == 250000L && part._3 == 2L)
   }
 }
+
+class EmbeddingHealthSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.EmbeddingHealth
+  import org.apache.spark.sql.functions._
+
+  test("dead dims flagged; mean/var exact from quantized sums") {
+    val df = Seq(
+      Seq(1.0f, 0.5f, 0.001f),
+      Seq(-1.0f, 0.5f, 0.001f),
+      Seq(1.0f, 0.5f, 0.001f)
+    ).toDF("embedding")
+    val got = EmbeddingHealth.dimStats(df, "embedding")
+      .orderBy("dim")
+      .select("dim", "n", "mean_milli", "var_micro", "is_dead")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    // dim0: q = [1000,-1000,1000] mean=333.33->333 var=(3*3e6-1e6)/9*1000
+    assert(got(0)._3 == 333L && !got(0)._5)
+    assert(got(0)._4 == (3L * 3000000L - 1000000L) / 9L)
+    // dim1: constant 0.5 -> q=500, var=0 -> dead
+    assert(got(1)._4 == 0L && got(1)._5)
+    // dim2: 0.001f quantizes to q=1 -> constant -> dead
+    assert(got(2)._5)
+  }
+}

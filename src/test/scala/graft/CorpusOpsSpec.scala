@@ -687,3 +687,41 @@ class TfIdfSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 }
+
+class QuoteStatsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.QuoteStats
+  import org.apache.spark.sql.functions._
+
+  test("counts quotes of >= minWords only; density and longest exact") {
+    val t = """He said "this is a long quote here" then "no" and "two words"."""
+    val got = QuoteStats.annotate(Seq(t).toDF("text"), "text", minWords = 3)
+      .select("n_quotes", "quote_chars", "longest_quote_words")
+      .as[(Long, Long, Long)].head()
+    // only "this is a long quote here" (6 words, 25 chars) qualifies
+    assert(got == ((1L, 25L, 6L)))
+    val none = QuoteStats.annotate(Seq("no quotes at all").toDF("text"), "text")
+      .select("n_quotes", "quote_char_ppm").as[(Long, Long)].head()
+    assert(none == ((0L, 0L)))
+  }
+}
+
+class OovRateSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.OovRate
+  import org.apache.spark.sql.functions._
+
+  test("per-slice token counts and OOV share against a broadcast vocab") {
+    val docs = Seq(
+      ("s1", Seq("a", "b", "x")),
+      ("s1", Seq("a")),
+      ("s2", Seq("y", "z"))
+    ).toDF("source", "words")
+    val vocab = Seq("a", "b").toDF("term")
+    val got = OovRate.perSlice(docs, "source", "words", vocab)
+      .orderBy("slice")
+      .select("slice", "n_tokens", "n_oov", "oov_ppm")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("s1", 4L, 1L, 250000L), ("s2", 2L, 2L, 1000000L)))
+  }
+}
