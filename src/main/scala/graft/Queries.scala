@@ -9126,6 +9126,49 @@ object Queries {
     )
   )
 
+  /** Neyman allocation ([[operators.NeymanAllocation.plan]]): a
+    * 100-row sampling budget split over languages by N_h·S_h of
+    * n_chars (scale=1 — the values are already integers, which also
+    * keeps n·Σq² far from 2^63). The oracle replays the one
+    * sqrt-of-BIGINT weight, the integral base shares, and the
+    * largest-remainder hand-out; allocations sum to the budget
+    * exactly. */
+  private val qNeyman = Q(
+    "q260_neyman_allocation",
+    (s, dir) =>
+      NeymanAllocation.plan(
+        T(s, dir, "documents").select(col("lang"), col("n_chars")),
+        "lang", "n_chars", budget = 100L, scale = 1L)
+        .orderBy("stratum"),
+    Some(
+      """WITH q AS (SELECT lang AS stratum,
+        |    CAST(floor(CAST(n_chars AS DOUBLE)) AS BIGINT) AS q
+        |  FROM documents),
+        |st AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(q) AS BIGINT) AS s, CAST(sum(q * q) AS BIGINT) AS s2
+        |  FROM q GROUP BY stratum),
+        |w AS (SELECT stratum, n_rows,
+        |    CAST(floor(1000.0 * sqrt(CAST(n_rows * s2 - s * s AS DOUBLE)))
+        |      AS BIGINT) AS w_milli
+        |  FROM st),
+        |t AS (SELECT CAST(sum(w_milli) AS BIGINT) AS tw,
+        |    CAST(sum(n_rows) AS BIGINT) AS tn FROM w),
+        |sh AS (SELECT stratum, n_rows, w_milli,
+        |    CASE WHEN t.tw > 0 THEN w_milli ELSE n_rows END AS wt,
+        |    greatest(CASE WHEN t.tw > 0 THEN t.tw ELSE t.tn END, 1) AS den
+        |  FROM w CROSS JOIN t),
+        |b AS (SELECT stratum, n_rows, w_milli,
+        |    (100 * wt) // den AS base, (100 * wt) % den AS rem FROM sh),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, stratum) - 1
+        |      AS idx,
+        |    sum(base) OVER () AS sum_base FROM b)
+        |SELECT stratum, n_rows, w_milli,
+        |  CAST(base + CASE WHEN idx < 100 - sum_base THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_alloc
+        |FROM r ORDER BY stratum""".stripMargin
+    )
+  )
+
   // ------------------------------------------------------------------
 
   val all: Vector[Q] = Vector(
@@ -9185,7 +9228,7 @@ object Queries {
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
     qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron, qStopwords, qFertility, qRepetitionRun, qRateAnomaly, qVocabDrift, qBurstiness, qWarcRoundtrip, qCrossSourceDup,
     qContaminationSpan, qMerkleRoot, qPhraseSearch,
-    qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch, qTextRepair, qCohenKappa, qBlockDensity, qCoCitation, qMarkdownOutline, qRougeL, qChatValid, qFilterFunnel, qCentroidMap, qMedoid, qRankAgreement, qWebPipeline, qLabelNoise, qHistDrift, qKsDrift, qHtEstimate, qQuoteStats, qOovRate, qDimHealth
+    qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch, qTextRepair, qCohenKappa, qBlockDensity, qCoCitation, qMarkdownOutline, qRougeL, qChatValid, qFilterFunnel, qCentroidMap, qMedoid, qRankAgreement, qWebPipeline, qLabelNoise, qHistDrift, qKsDrift, qHtEstimate, qQuoteStats, qOovRate, qDimHealth, qNeyman
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

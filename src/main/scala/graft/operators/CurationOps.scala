@@ -970,3 +970,73 @@ object Agreement {
       .select("n", "agree", "pe_num", "kappa_ppm")
   }
 }
+
+/** Neyman-optimal sample allocation (Neyman 1934) — the sampling-design
+  * planner: given a budget of rows to draw, allocate per stratum
+  * proportionally to N_h·S_h (stratum size × standard deviation), which
+  * minimizes estimator variance vs plain proportional allocation. This
+  * is the step BEFORE [[DeterministicSample]]: the plan says how much
+  * of each stratum to draw, the sampler draws it reproducibly.
+  *
+  * Exactness: values floor-quantize per row, so N_h·S_h =
+  * √(n_h·Σq² − (Σq)²) — ONE sqrt of an exact BIGINT, floored to milli
+  * — and everything after is integer: base share = ⌊budget·w_h / W⌋,
+  * leftovers by largest integer remainder (budget·w_h mod W), ties to
+  * the lexicographically smaller stratum. Allocations sum to the
+  * budget exactly. The apportionment runs over a one-row collected
+  * array (O(#strata)) — no window, nothing scales with rows past the
+  * first aggregate. */
+object NeymanAllocation {
+
+  def plan(
+      df: DataFrame,
+      strataField: String,
+      valueField: String,
+      budget: Long,
+      scale: Long = 1000L
+  ): DataFrame = {
+    val q = floor(col(valueField).cast("double") * scale).cast(LongType)
+    val st = df
+      .select(col(strataField).cast(StringType).as("stratum"), q.as("__na_q"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__na_q")).as("__na_s"),
+        sum(col("__na_q") * col("__na_q")).as("__na_s2"))
+      .withColumn("w_milli",
+        floor(lit(1000.0) * sqrt(
+          (col("n_rows") * col("__na_s2") - col("__na_s") * col("__na_s"))
+            .cast("double"))).cast(LongType))
+    val tot = st.agg(
+      coalesce(sum(col("w_milli")), lit(0L)).as("__na_W"),
+      coalesce(sum(col("n_rows")), lit(0L)).as("__na_N"))
+    // an all-constant corpus has W = 0 — fall back to PROPORTIONAL
+    // allocation (weight = stratum size), the textbook degenerate case
+    val shares = st.crossJoin(broadcast(tot))
+      .withColumn("__na_wt",
+        when(col("__na_W") > 0, col("w_milli")).otherwise(col("n_rows")))
+      .withColumn("__na_den",
+        greatest(when(col("__na_W") > 0, col("__na_W"))
+          .otherwise(col("__na_N")), lit(1L)))
+      .withColumn("base",
+        graft.functions.functions.integral_divide(
+          lit(budget) * col("__na_wt"), col("__na_den")))
+      .withColumn("__na_rem",
+        pmod(lit(budget) * col("__na_wt"), col("__na_den")))
+    shares
+      .agg(
+        sum(col("base")).as("__na_sumBase"),
+        sort_array(collect_list(struct(
+          (-col("__na_rem")).as("nr"), col("stratum").as("st"),
+          col("n_rows").as("n"), col("w_milli").as("w"),
+          col("base").as("b")))).as("__na_arr"))
+      .select(col("__na_sumBase"),
+        posexplode(col("__na_arr")).as(Seq("__na_i", "e")))
+      .select(
+        col("e.st").as("stratum"),
+        col("e.n").as("n_rows"),
+        col("e.w").as("w_milli"),
+        (col("e.b") + when(
+          col("__na_i") < lit(budget) - col("__na_sumBase"), 1L)
+          .otherwise(0L)).as("n_alloc"))
+  }
+}

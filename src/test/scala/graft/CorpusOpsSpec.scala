@@ -725,3 +725,41 @@ class OovRateSpec extends SparkSpec {
     assert(got == Seq(("s1", 4L, 1L, 250000L), ("s2", 2L, 2L, 1000000L)))
   }
 }
+
+class NeymanAllocationSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.NeymanAllocation
+  import org.apache.spark.sql.functions._
+
+  test("allocation proportional to N_h*S_h, sums exactly to budget") {
+    // s1: high-variance values; s2: same size, low variance; s3: constant
+    val df = Seq(
+      ("s1", 0.0), ("s1", 10.0), ("s1", 0.0), ("s1", 10.0),
+      ("s2", 5.0), ("s2", 5.2), ("s2", 5.0), ("s2", 5.2),
+      ("s3", 7.0), ("s3", 7.0), ("s3", 7.0), ("s3", 7.0)
+    ).toDF("stratum", "v")
+    val got = NeymanAllocation.plan(df, "stratum", "v", budget = 100)
+      .orderBy("stratum")
+      .select("stratum", "n_rows", "n_alloc")
+      .as[(String, Long, Long)].collect().toSeq
+    val byS = got.map(r => r._1 -> r._3).toMap
+    assert(got.map(_._3).sum == 100L, got.toString)
+    // variance ratio is (5)^2 vs (0.1)^2 -> s1 takes ~98% of the budget
+    assert(byS("s1") > 90L && byS("s3") == 0L, byS.toString)
+    assert(byS("s1") + byS("s2") + byS("s3") == 100L)
+  }
+
+  test("deterministic under repartition; zero-variance corpus -> leftovers by stratum order") {
+    val flat = Seq(("a", 1.0), ("a", 1.0), ("b", 1.0)).toDF("stratum", "v")
+    val got = NeymanAllocation.plan(flat, "stratum", "v", budget = 5)
+      .orderBy("stratum").select("stratum", "n_alloc")
+      .as[(String, Long)].collect().toSeq
+    // W = 0 -> proportional fallback: weights (2,1), base (3,1), the
+    // leftover goes to b (larger remainder 2 vs 1)
+    assert(got == Seq(("a", 3L), ("b", 2L)))
+    val re = NeymanAllocation.plan(flat.repartition(5), "stratum", "v", 5)
+      .orderBy("stratum").select("stratum", "n_alloc")
+      .as[(String, Long)].collect().toSeq
+    assert(re == got)
+  }
+}
