@@ -6745,6 +6745,61 @@ object Queries {
     )
   )
 
+  /** CAPPED prefix-filter join ([[operators.PrefixFilterJoin]] with
+    * `maxPrefixDf`): the scale leg for the one operator the r10 growth
+    * probe measured super-linear (q204: 13.9→91.1→189.7 s at
+    * 1×/3×/10×). Hot prefix postings keep only the 8 members ranked
+    * first by a salted md5 hash, bounding each posting's candidate
+    * work at 8² — and the oracle replays the DOWN-SAMPLE ITSELF
+    * row-for-row (md5 rank, ties by id), so the hash match certifies
+    * the capped semantics, not just the everything-fits case. cap=8
+    * is a measured no-op at sf0.01 (max posting = 3 — pins the
+    * capped ≡ uncapped identity) and BITES at sf0.1 (max posting 10,
+    * 4812 postings over cap — pins the replayed down-sample).
+    * Survivors remain exact (the verify stage is unchanged);
+    * recall loss is confined to pairs whose entire shared prefix is
+    * hyper-hot tokens — the documented [[operators.MinHashLSH]]
+    * `maxBucketSize` trade. */
+  private val qPrefixJoinCapped = Q(
+    "q261_prefix_join_capped",
+    (s, dir) =>
+      PrefixFilterJoin.pairs(
+          docWords(s, dir).withColumn("sh",
+            TextShingles.shingles(col("words"), 3)),
+          "doc_id", "sh", minJaccardPpm = 500000L,
+          maxPrefixDf = Some(8),
+          hasher = c => substring(md5(c), 1, 8))
+        .orderBy("id_a", "id_b"),
+    Some(
+      s"""WITH t AS (SELECT doc_id, list_distinct($SHINGLES) AS toks FROM documents),
+         |ex AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY tok),
+         |ord AS (SELECT doc_id, list(tok ORDER BY df, tok) AS toks
+         |  FROM ex JOIN dfq USING (tok) GROUP BY doc_id),
+         |pl AS (SELECT doc_id, toks,
+         |    len(toks) - ((500000 * len(toks) + 999999) // 1000000) + 1 AS p
+         |  FROM ord),
+         |pref AS (SELECT doc_id, unnest(list_slice(toks, 1, p)) AS ptok FROM pl),
+         |prefc AS (SELECT doc_id, ptok FROM (
+         |    SELECT doc_id, ptok, row_number() OVER (PARTITION BY ptok
+         |        ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || '|' || ptok), 1, 8),
+         |          doc_id) AS rn
+         |    FROM pref) WHERE rn <= 8),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM prefc a JOIN prefc b ON a.ptok = b.ptok AND a.doc_id < b.doc_id),
+         |v AS (SELECT id_a, id_b,
+         |    CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS inter,
+         |    CAST(len(ta.toks) AS BIGINT) AS na, CAST(len(tb.toks) AS BIGINT) AS nb
+         |  FROM cand
+         |    JOIN ord ta ON ta.doc_id = cand.id_a
+         |    JOIN ord tb ON tb.doc_id = cand.id_b)
+         |SELECT id_a, id_b,
+         |  (1000000 * inter) // (na + nb - inter) AS jaccard_ppm
+         |FROM v WHERE (1000000 * inter) // (na + nb - inter) >= 500000
+         |ORDER BY id_a, id_b""".stripMargin
+    )
+  )
+
   /** Rendezvous sharding ([[operators.RendezvousShard]]): HRW argmax
     * assignment under 5 shards and under the same set minus one — the
     * oracle replays both, and the `moved` column exhibits the
@@ -8424,7 +8479,10 @@ object Queries {
     "q246_rouge_l",
     (s, dir) => {
       val a = slice(col("words"), 1, 40)
-      val b = transform(sequence(lit(1), size(a)),
+      // guarded 1..n (empty when n < 1): raw sequence(1, 0) yields the
+      // DESCENDING [1, 0] for a zero-word doc while the oracle's
+      // generate_series(1, 0) is empty
+      val b = transform(GaleChurch.seq1toCol(size(a)),
         i => when(i % 3 === 0, lit("XX")).otherwise(element_at(a, i)))
       LcsOverlap.rougeL(
           docWords(s, dir).select(col("doc_id"), a.as("a"), b.as("b")),
@@ -8644,17 +8702,26 @@ object Queries {
   /** Cluster medoid ([[operators.Medoid.perCluster]]): the label
     * column clusters the embeddings table; the medoid is the member
     * with the largest ppm-floored summed cosine to its mates (ties to
-    * the lower id). The oracle replays the capped pairwise sums and
-    * the argmax. */
+    * the lower id). cap=25 BITES at every test SF (clusters are 44-59
+    * members at sf0.01, 182-218 at sf0.1) and the portable md5 rank
+    * lets the oracle replay the down-sample row-for-row — so the
+    * capped leg itself is what's hash-verified, not just the
+    * everything-fits case. */
   private val qMedoid = Q(
     "q250_cluster_medoid",
     (s, dir) =>
       Medoid.perCluster(T(s, dir, "embeddings"),
-          "vec_id", "embedding", "label", cap = 1000)
+          "vec_id", "embedding", "label", cap = 25, portable = true)
         .orderBy("cluster"),
     Some(
-      """WITH e AS (SELECT CAST(label AS BIGINT) AS cluster, vec_id,
+      """WITH e0 AS (SELECT CAST(label AS BIGINT) AS cluster, vec_id,
         |    embedding::DOUBLE[] AS v FROM embeddings),
+        |er AS (SELECT cluster, vec_id, v, row_number() OVER (
+        |    PARTITION BY cluster ORDER BY substring(md5(
+        |      CAST(cluster AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR)),
+        |      1, 8), vec_id) AS rn
+        |  FROM e0),
+        |e AS (SELECT cluster, vec_id, v FROM er WHERE rn <= 25),
         |p AS (SELECT l.cluster, l.vec_id,
         |    CAST(floor(1000000.0 * (
         |      list_reduce(list_transform(generate_series(1, len(l.v)),
@@ -8992,7 +9059,7 @@ object Queries {
       HtEstimate.totals(sampled, "p_ppm", "lang")
         .join(truth, Seq("grp"))
         .select(col("grp").as("lang"), col("n_true"), col("n_sampled"),
-          col("est_count_milli"))
+          col("n_invalid"), col("est_count_milli"))
         .orderBy("lang")
     },
     Some(
@@ -9004,11 +9071,15 @@ object Queries {
         |    CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '40000000'
         |      ELSE '19999999' END),
         |e AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
-        |    CAST(sum(1000000000 // p_ppm) AS BIGINT) AS est_count_milli
+        |    CAST(sum(CASE WHEN p_ppm IS NULL OR p_ppm <= 0 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n_invalid,
+        |    CAST(sum(CASE WHEN p_ppm > 0 THEN 1000000000 // p_ppm ELSE 0
+        |      END) AS BIGINT) AS est_count_milli
         |  FROM s GROUP BY lang),
         |t AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_true
         |  FROM documents GROUP BY lang)
-        |SELECT e.lang, t.n_true, e.n_sampled, e.est_count_milli
+        |SELECT e.lang, t.n_true, e.n_sampled, e.n_invalid,
+        |  e.est_count_milli
         |FROM e JOIN t USING (lang) ORDER BY lang""".stripMargin
     )
   )
@@ -9228,7 +9299,8 @@ object Queries {
     qRendezvous, qSortedNeighborhood, qCountMin, qStupidBackoff,
     qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron, qStopwords, qFertility, qRepetitionRun, qRateAnomaly, qVocabDrift, qBurstiness, qWarcRoundtrip, qCrossSourceDup,
     qContaminationSpan, qMerkleRoot, qPhraseSearch,
-    qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch, qTextRepair, qCohenKappa, qBlockDensity, qCoCitation, qMarkdownOutline, qRougeL, qChatValid, qFilterFunnel, qCentroidMap, qMedoid, qRankAgreement, qWebPipeline, qLabelNoise, qHistDrift, qKsDrift, qHtEstimate, qQuoteStats, qOovRate, qDimHealth, qNeyman
+    qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch, qTextRepair, qCohenKappa, qBlockDensity, qCoCitation, qMarkdownOutline, qRougeL, qChatValid, qFilterFunnel, qCentroidMap, qMedoid, qRankAgreement, qWebPipeline, qLabelNoise, qHistDrift, qKsDrift, qHtEstimate, qQuoteStats, qOovRate, qDimHealth, qNeyman,
+    qPrefixJoinCapped
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

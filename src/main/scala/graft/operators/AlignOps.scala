@@ -96,7 +96,7 @@ object GaleChurch {
       l => l > 0L)
 
   /** Exposed for the sibling DP operators below. */
-  private[operators] def seq1toCol(c: Column): Column = seq1to(c)
+  private[graft] def seq1toCol(c: Column): Column = seq1to(c)
 
   /** Score candidate pairs: appends `n_src`/`n_tgt` sentence counts,
     * the DP `gc_cost`, and `gc_cost_per_bead` (cost ÷ (n_src+n_tgt),
@@ -236,7 +236,10 @@ object MarkdownOutline {
 object RankAgreement {
 
   /** Truncated RBO (ppm) of two ranked id lists (compared over the
-    * shorter length; p = top-weightedness, 0.9 ≈ top-10 emphasis). */
+    * shorter length; p = top-weightedness, 0.9 ≈ top-10 emphasis).
+    * Null when either list is empty — the same no-evidence contract as
+    * [[kendallTauPpm]] (an empty prefix carries no agreement signal
+    * either way, and 0 would read as "maximal disagreement"). */
   def rboPpm(a: Column, b: Column, p: Double = 0.9): Column = {
     val k = least(size(a), size(b))
     val fin = aggregate(
@@ -262,6 +265,7 @@ object RankAgreement {
     val w = math.round(1000000.0 * (1.0 - p)).toDouble
     when(k > 0,
       floor(lit(w) * element_at(fin, 3)).cast(LongType))
+      .otherwise(lit(null).cast(LongType))
   }
 
   /** Kendall τ-b (ppm) between two parallel numeric arrays. Null when

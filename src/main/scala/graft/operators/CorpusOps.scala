@@ -784,9 +784,10 @@ object CorpusStats {
     * Shape: tf partial-aggregates map-side; df is one term-keyed agg
     * off the already-grouped tf table; N broadcasts as a one-row agg;
     * the final rank is a window PARTITIONED by doc. Scale note: the
-    * ppm scale bounds `1e6·tf·N` — at corpus sizes where that nears
-    * 2^63 (N ≳ 10¹⁰ with tf ~10³), drop the scale to 1e3 or pre-cap
-    * tf; wired as-is for the test SFs. */
+    * score is pure BIGINT arithmetic (`integral_divide`, never a
+    * double detour), so the bound is 2^63 on `1e6·tf·N` — at corpus
+    * sizes where that nears 2^63 (N ≳ 10¹³ with tf ~10³), drop the
+    * scale to 1e3 or pre-cap tf; wired as-is for the test SFs. */
   def tfIdfTopTerms(
       docs: DataFrame,
       idField: String,
@@ -805,8 +806,8 @@ object CorpusStats {
     tf.join(dft, "term")
       .crossJoin(broadcast(n))
       .withColumn("score_ppm",
-        floor((lit(1000000L) * col("tf") * col("__ti_n")).cast(DoubleType)
-          / col("df")).cast(LongType))
+        graft.functions.functions.integral_divide(
+          lit(1000000L) * col("tf") * col("__ti_n"), col("df")))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select(col("__ti_id").as(idField), col("term"), col("tf"),

@@ -147,7 +147,11 @@ object CentroidMap {
   * are deterministically down-sampled (salted-hash rank — the
   * MinHashLSH hot-bucket discipline) so the within-cluster pairwise
   * join is bounded by cap² per cluster; pair rows carry (cluster, id,
-  * ppm) longs only.
+  * ppm) longs only. `portable` swaps the cap's xxhash64 rank order
+  * for the first-8-md5-hex twin (the [[DeterministicSample]]
+  * discipline) so a replaying engine reproduces the SAME down-sample
+  * — without it an oracle silently pairs everything once a cluster
+  * outgrows the cap while this side caps (SF-dependent divergence).
   */
 object Medoid {
 
@@ -156,19 +160,22 @@ object Medoid {
       idField: String,
       embField: String,
       clusterField: String,
-      cap: Int = 1000
+      cap: Int = 1000,
+      portable: Boolean = false
   ): DataFrame = {
     val base = df.select(
       col(clusterField).cast(LongType).as("cluster"),
       col(idField).cast(LongType).as("__md_id"),
       col(embField).cast(ArrayType(DoubleType)).as("__md_e"))
+    val capKey = concat_ws("|", col("cluster"), col("__md_id"))
+    val capHash: Column =
+      if (portable) substring(md5(capKey), 1, 8) else xxhash64(capKey)
     val capped = base
       .withColumn("__md_rn",
         row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("cluster"))
-            .orderBy(xxhash64(concat_ws("|", col("cluster"), col("__md_id"))),
-              col("__md_id"))))
+            .orderBy(capHash, col("__md_id"))))
       .filter(col("__md_rn") <= cap)
       .drop("__md_rn")
     val pairs = capped.as("l")

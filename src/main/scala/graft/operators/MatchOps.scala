@@ -284,9 +284,24 @@ final case class PhraseReplace(
   * ordered arrays, a prefix explode of <= p rows/doc, the inverted-index
   * equi-join on the prefix token (AQE skew-split covers residual hot
   * prefixes), and a row-local verify on the two candidate arrays —
-  * token arrays shuffle only for candidate pairs. */
+  * token arrays shuffle only for candidate pairs.
+  *
+  * `maxPrefixDf` is the deterministic hot-postings cap — the
+  * [[MinHashLSH.candidatePairs]] `maxBucketSize` discipline applied to
+  * the inverted index: a prefix token kept by more than `cap` documents
+  * retains only the `cap` members ranked first by a salted hash (ties
+  * by id), bounding every posting list's candidate contribution at
+  * cap² and making total candidate work LINEAR in the corpus. The
+  * trade is documented partial recall on pairs whose ENTIRE shared
+  * prefix is hyper-hot tokens (survivors are still exact — the verify
+  * stage never admits a false positive); when no posting list exceeds
+  * the cap, capped ≡ uncapped, a set identity. The uncapped leg
+  * remains the exact audit. `hasher` is the cap's rank order
+  * (production xxhash64; pass an md5-prefix for engine-replayable
+  * oracles, the [[Medoid]]/[[DeterministicSample]] portable twin). */
 object PrefixFilterJoin {
   import graft.functions.functions.integral_divide
+  import org.apache.spark.sql.expressions.Window
 
   /** All pairs (id_a < id_b) with set-Jaccard >= minJaccardPpm/1e6:
     * (id_a, id_b, jaccard_ppm). */
@@ -294,10 +309,14 @@ object PrefixFilterJoin {
       df: DataFrame,
       idField: String,
       tokensField: String,
-      minJaccardPpm: Long
+      minJaccardPpm: Long,
+      maxPrefixDf: Option[Int] = None,
+      hasher: Column => Column = c => xxhash64(c)
   ): DataFrame = {
     require(minJaccardPpm >= 1 && minJaccardPpm <= 1000000L,
       s"threshold must be in (0, 1e6], got $minJaccardPpm")
+    require(maxPrefixDf.forall(_ >= 2),
+      s"maxPrefixDf must be >= 2 (a 1-doc posting pairs nothing), got $maxPrefixDf")
     val ex = df
       .select(col(idField).as("__pf_id"),
         explode(array_distinct(col(tokensField))).as("tok"))
@@ -313,8 +332,24 @@ object PrefixFilterJoin {
     val p = n - integral_divide(
       lit(minJaccardPpm) * n.cast("long") + lit(999999L), lit(1000000L))
       .cast("int") + 1
-    val pref = ordered.select(col("__pf_id"),
+    val prefAll = ordered.select(col("__pf_id"),
       explode(slice(col("toks"), lit(1), p)).as("ptok"))
+    val pref = maxPrefixDf match {
+      case Some(cap) =>
+        // one extra window-shuffle keyed on the prefix token, in
+        // exchange for bounding the candidate join's per-posting
+        // quadratic work at cap²; the rank hash is salted with the
+        // token so a hot document is not the one dropped everywhere
+        prefAll
+          .withColumn("__pf_rn",
+            row_number().over(
+              Window.partitionBy(col("ptok"))
+                .orderBy(hasher(concat_ws("|", col("__pf_id"), col("ptok"))),
+                  col("__pf_id"))))
+          .filter(col("__pf_rn") <= cap)
+          .drop("__pf_rn")
+      case None => prefAll
+    }
     val cand = pref.as("a")
       .join(pref.as("b"),
         col("a.ptok") === col("b.ptok") && col("a.__pf_id") < col("b.__pf_id"))

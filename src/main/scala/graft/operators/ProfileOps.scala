@@ -1062,17 +1062,27 @@ object KsDrift {
   * bias < n_sampled/1000 milli-units — negligible against sampling
   * noise). This is what makes post-sampling release reports honest:
   * stats computed on a temperature-mixed sample, corrected back to
-  * corpus scale. */
+  * corpus scale.
+  *
+  * Rows whose inclusion probability is null or ≤ 0 are INVALID (an
+  * HT weight for them is undefined): they contribute nothing to
+  * `est_count_milli` and are surfaced in `n_invalid` instead of being
+  * silently dropped — a non-zero `n_invalid` means the sampler's
+  * bookkeeping is broken upstream and the estimate is a lower bound. */
 object HtEstimate {
 
   def totals(
       df: DataFrame,
       probPpmField: String,
       groupField: String
-  ): DataFrame =
+  ): DataFrame = {
+    val p = col(probPpmField)
     df.groupBy(col(groupField).as("grp"))
       .agg(
         count(lit(1)).as("n_sampled"),
-        sum(graft.functions.functions.integral_divide(
-          lit(1000000000L), col(probPpmField))).as("est_count_milli"))
+        sum(when(p.isNull || p <= 0L, 1L).otherwise(0L)).as("n_invalid"),
+        sum(when(p > 0L,
+          graft.functions.functions.integral_divide(lit(1000000000L), p))
+          .otherwise(lit(0L))).as("est_count_milli"))
+  }
 }

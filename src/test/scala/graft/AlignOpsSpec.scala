@@ -141,6 +141,19 @@ class RankAgreementSpec extends SparkSpec {
     assert(top < low && low < 271000L, s"$top $low")
   }
 
+  test("RBO: empty list on either side -> null (explicit, not a " +
+    "missing-otherwise accident)") {
+    def rboOpt(a: Seq[Long], b: Seq[Long]): Option[Long] =
+      Seq((a, b)).toDF("a", "b")
+        .select(RankAgreement.rboPpm(col("a"), col("b")).as("r"))
+        .collect().headOption
+        .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(rboOpt(Seq.empty, Seq(1L, 2L)).isEmpty)
+    assert(rboOpt(Seq(1L, 2L), Seq.empty).isEmpty)
+    assert(rboOpt(Seq.empty, Seq.empty).isEmpty)
+    assert(rboOpt(Seq(1L), Seq(1L)).contains(100000L)) // (1-p)·1 = 0.1
+  }
+
   test("Kendall tau-b: perfect, inverted, and tied cases") {
     assert(tau(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)).contains(1000000L))
     assert(tau(Seq(1L, 2L, 3L), Seq(3L, 2L, 1L)).contains(-1000000L))

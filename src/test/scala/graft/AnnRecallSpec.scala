@@ -287,6 +287,31 @@ class MedoidSpec extends SparkSpec {
     assert(rows(a) == rows(b))
     assert(a.select("n_members").as[Long].head() == 10L)
   }
+
+  test("portable cap: same schema, caps to the same size, and is a " +
+    "no-op (≡ uncapped, ≡ xxhash leg) when no cluster exceeds the cap") {
+    val df = (1 to 30).map(i =>
+      (i.toLong, i % 3, Seq(1.0f, i * 0.01f, (i % 7) * 0.1f)))
+      .toDF("vec_id", "label", "embedding")
+    // clusters of 10 each; cap=10 binds exactly, cap=1000 not at all
+    val un = Medoid.perCluster(df, "vec_id", "embedding", "label")
+    val x10 = Medoid.perCluster(df, "vec_id", "embedding", "label", cap = 10)
+    val p10 = Medoid.perCluster(df, "vec_id", "embedding", "label",
+      cap = 10, portable = true)
+    assert(rows(un) == rows(x10) && rows(un) == rows(p10))
+    // cap below cluster size: both legs cap to the same COUNT (the
+    // sampled membership differs by hash — that's the point of the
+    // portable twin existing), and schemas agree
+    val x2 = Medoid.perCluster(df, "vec_id", "embedding", "label", cap = 2)
+    val p2 = Medoid.perCluster(df, "vec_id", "embedding", "label",
+      cap = 2, portable = true)
+    assert(x2.schema == p2.schema)
+    assert(x2.select("n_members").as[Long].collect().forall(_ == 2L))
+    assert(p2.select("n_members").as[Long].collect().forall(_ == 2L))
+    // portable leg is partitioning-invariant like the xxhash one
+    assert(rows(p2) == rows(Medoid.perCluster(df.repartition(7),
+      "vec_id", "embedding", "label", cap = 2, portable = true)))
+  }
 }
 
 class LabelNoiseSpec extends SparkSpec {

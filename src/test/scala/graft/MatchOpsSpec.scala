@@ -159,6 +159,45 @@ class MatchOpsSpec extends SparkSpec {
     // solely through "the" (J = 1/7) and "the" never enters a prefix
     assert(got == Set((1L, 31L)), got)
   }
+
+  test("PrefixFilterJoin: maxPrefixDf is a NO-OP when no posting list " +
+    "exceeds it (capped == uncapped, both hashers), and it bounds the " +
+    "prefix index when it bites — survivors still exact") {
+    val rows = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "e")),
+      (3L, Seq("a", "b", "c", "d")),
+      (4L, Seq("x", "y", "z")),
+      (5L, Seq("x", "y", "z", "w", "v"))
+    ).toDF("id", "toks")
+    val t = 600000L
+    def pairSet(d: org.apache.spark.sql.DataFrame) =
+      d.select($"id_a", $"id_b", $"jaccard_ppm")
+        .as[(Long, Long, Long)].collect().toSet
+    val un = pairSet(PrefixFilterJoin.pairs(rows, "id", "toks", t))
+    // every prefix posting here has <= 3 docs: cap=5 changes nothing
+    val capX = pairSet(PrefixFilterJoin.pairs(rows, "id", "toks", t,
+      maxPrefixDf = Some(5)))
+    val capM = pairSet(PrefixFilterJoin.pairs(rows, "id", "toks", t,
+      maxPrefixDf = Some(5), hasher = c => substring(md5(c), 1, 8)))
+    assert(capX == un && capM == un)
+    // a biting cap: 40 docs all sharing one rare-but-identical prefix
+    // token. Uncapped candidates = C(40,2) = 780; cap=4 keeps 4
+    // postings -> C(4,2) = 6 candidates max. Survivors that DO emerge
+    // are exact (verified Jaccard), and every emitted pair is a true
+    // >= t pair of the uncapped result.
+    val hot = (1L to 40L).map(i => (i, Seq("zz", s"u$i", s"v$i")))
+      .toDF("id", "toks")
+    val unHot = pairSet(PrefixFilterJoin.pairs(hot, "id", "toks", 300000L))
+    val capHot = pairSet(PrefixFilterJoin.pairs(hot, "id", "toks", 300000L,
+      maxPrefixDf = Some(4)))
+    assert(capHot.subsetOf(unHot), "capped leg invented a pair")
+    assert(capHot.size <= 6, s"cap failed to bound candidates: ${capHot.size}")
+    // determinism: same cap, same result, any partitioning
+    val capHot2 = pairSet(PrefixFilterJoin.pairs(hot.repartition(7),
+      "id", "toks", 300000L, maxPrefixDf = Some(4)))
+    assert(capHot2 == capHot)
+  }
 }
 
 class SortedNeighborhoodSpec extends SparkSpec {

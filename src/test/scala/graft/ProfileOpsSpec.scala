@@ -369,3 +369,34 @@ class PartitionSkewSpec extends SparkSpec {
     assert(PartitionSkew.counts(hot).count() == 1L)
   }
 }
+
+class HtEstimateSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.HtEstimate
+  import org.apache.spark.sql.functions._
+
+  test("invalid inclusion probabilities (null / 0 / negative) are " +
+    "counted in n_invalid, not silently dropped from the estimate") {
+    val df = Seq(
+      ("a", Some(500000L)), // weight 2.000
+      ("a", Some(250000L)), // weight 4.000
+      ("a", None),          // invalid: null
+      ("b", Some(0L)),      // invalid: zero
+      ("b", Some(-5L)),     // invalid: negative
+      ("b", Some(1000000L)) // weight 1.000
+    ).toDF("grp0", "p_ppm")
+    val got = HtEstimate.totals(df, "p_ppm", "grp0")
+      .orderBy("grp")
+      .select("grp", "n_sampled", "n_invalid", "est_count_milli")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 3L, 1L, 6000L), ("b", 3L, 2L, 1000L)))
+  }
+
+  test("all-invalid group estimates 0 (not null) with full n_invalid") {
+    val df = Seq(("z", Option.empty[Long]), ("z", Some(0L))).toDF("g", "p")
+    val got = HtEstimate.totals(df, "p", "g")
+      .select("n_sampled", "n_invalid", "est_count_milli")
+      .as[(Long, Long, Long)].head()
+    assert(got == ((2L, 2L, 0L)))
+  }
+}
