@@ -75,9 +75,33 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val sideDir = java.nio.file.Paths.get("/tmp/graft_bench")
     java.nio.file.Files.createDirectories(sideDir)
+    val detailJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"retimed":${retimed.size},"coldsum":${fmt(coldSum)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(
-      sideDir.resolve("queries.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"retimed":${retimed.size},"coldsum":${fmt(coldSum)},"sf":"$sfDir"}""".getBytes("UTF-8"))
+      sideDir.resolve("queries.json"), detailJson.getBytes("UTF-8"))
+    // per-query history IN-REPO: /tmp/graft_bench/queries.json is
+    // overwritten every run, so a cross-round per-query regression used
+    // to require re-running the old commit. Stamp the full map into
+    // bench_detail/rNN.json (round inferred from the driver's
+    // BENCH_r*.json artifacts in cwd; SPARK_GRAFT_ROUND overrides;
+    // skipped when neither is present — e.g. ad-hoc runs outside the
+    // repo root). Only full-catalog runs are stamped: a filtered
+    // SPARK_GRAFT_ONLY run would shadow the round's real numbers.
+    val round: Option[Int] = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
+      .orElse {
+        val rx = "BENCH_r(\\d+)\\.json".r
+        val cwd = new java.io.File(".").listFiles()
+        Option(cwd).map(_.toSeq.flatMap(f => f.getName match {
+          case rx(n) => Some(n.toInt)
+          case _ => None
+        })).filter(_.nonEmpty).map(_.max + 1)
+      }
+    if (only.isEmpty) round.foreach { r =>
+      val dDir = java.nio.file.Paths.get("bench_detail")
+      java.nio.file.Files.createDirectories(dDir)
+      java.nio.file.Files.write(
+        dDir.resolve(f"r$r%02d.json"), detailJson.getBytes("UTF-8"))
+    }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"all":${fmt(total)}},"nq":${results.size},"retimed":${retimed.size},"coldsum":${fmt(coldSum)},"sf":"$sfDir"}""")
     spark.stop()
   }

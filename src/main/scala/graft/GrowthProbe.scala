@@ -39,6 +39,22 @@ object GrowthProbe {
     // warmup: reader + codegen init off the clock
     base.select(sum(length(col("text")))).collect()
 
+    // IVFADC fixtures: centroids/codebooks/queries come from the BASE
+    // table and stay fixed across factors, so growth measures only the
+    // corpus-side assignment + bucket-probe work (the q203 shapes)
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val cents = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select(col("vec_id").cast(IntegerType),
+        col("embedding").cast(ArrayType(DoubleType)))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    val cbRows = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(col("embedding").cast(ArrayType(DoubleType)))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val cbs = ProductQuantizer.codebooksFrom(cbRows, m = 8)
+    val queries = emb.filter(col("vec_id") < 5)
+
     def replicated(f: Int): DataFrame =
       (0 until f).map { i =>
         base.select(
@@ -89,7 +105,33 @@ object GrowthProbe {
           words.withColumn("sh", TextShingles.shingles(col("words"), 3)),
           "doc_id", "sh", minJaccardPpm = 500000L).count()
       }
-      println(f"""{"factor":$f,"rows":$nRows,"minhash_sec":$tMinhash%.1f,"exactsubstr_sec":$tExact%.1f,"containment_sec":$tContain%.1f,"winnowing_sec":$tWinnow%.1f,"prefixjoin_sec":$tPrefix%.1f}""")
+      val tPrefixCapped = time {
+        PrefixFilterJoin.pairs(
+          words.withColumn("sh", TextShingles.shingles(col("words"), 3)),
+          "doc_id", "sh", minJaccardPpm = 500000L,
+          maxPrefixDf = Some(8)).count()
+      }
+      val tNovelty = time {
+        CorpusStats.shardNovelty(
+          words
+            .withColumn("shard", pmod(col("doc_id"), lit(8L)))
+            .withColumn("grams",
+              transform(TextShingles.shingles(col("words"), 3),
+                g => xxhash64(g))),
+          "shard", "grams").count()
+      }
+      val tIvfAdc = time {
+        val embRep = (0 until f).map { i =>
+          emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+            col("embedding"))
+        }.reduce(_ unionByName _)
+        val enc = ProductQuantizer.assignClusters(
+          ProductQuantizer.encode(embRep, "embedding", cbs),
+          "embedding", cents)
+        ProductQuantizer.ivfAdcTopK(enc, queries, "embedding",
+          "vec_id", k = 5, cbs, cents, nProbe = 2).count()
+      }
+      println(f"""{"factor":$f,"rows":$nRows,"minhash_sec":$tMinhash%.1f,"exactsubstr_sec":$tExact%.1f,"containment_sec":$tContain%.1f,"winnowing_sec":$tWinnow%.1f,"prefixjoin_sec":$tPrefix%.1f,"prefixjoin_capped_sec":$tPrefixCapped%.1f,"shardnovelty_sec":$tNovelty%.1f,"ivfadc_sec":$tIvfAdc%.1f}""")
     }
     spark.stop()
   }

@@ -6800,6 +6800,138 @@ object Queries {
     )
   )
 
+  /** Promptsource YAML loading ([[operators.PromptsourceYaml]] →
+    * [[operators.PromptsourceMapper]]): a `templates.yaml` fixture in
+    * the community store's REAL on-disk format (!Template tag,
+    * !TemplateMetadata subtree, single-quoted multiline jinja with YAML
+    * flow folding, plain answer_choices) is written to disk, loaded
+    * through the FILE loader, and rendered over the documents table —
+    * alongside the same render from the hand-ported bundled pack. The
+    * `same_as_builtin` column pins byte-equality of the two paths INSIDE
+    * the hashed result; the oracle replays the rendered strings and
+    * asserts TRUE. */
+  private val qPromptsourceYaml = Q(
+    "q262_promptsource_yaml",
+    (s, dir) => {
+      val yaml =
+        """dataset: ag_news
+          |templates:
+          |  24e44a81-a18a-42dd-a71c-5b31b2d2cb39: !Template
+          |    answer_choices: World politics ||| Sports ||| Business ||| Science and technology
+          |    id: 24e44a81-a18a-42dd-a71c-5b31b2d2cb39
+          |    jinja: 'What label best describes this news article?
+          |
+          |      {{text}}|||{{answer_choices[label]}}'
+          |    metadata: !TemplateMetadata
+          |      choices_in_prompt: false
+          |      languages:
+          |      - en
+          |      metrics:
+          |      - Accuracy
+          |      original_task: true
+          |    name: classify_question_first
+          |    reference: ''
+          |""".stripMargin
+      val tmp = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("/tmp/graft_ps_yaml"))
+      val f = tmp.resolve("templates.yaml")
+      java.nio.file.Files.write(f, yaml.getBytes("UTF-8"))
+      val reg = TemplateRegistry.fromYamlFile(f.toString)
+      val in = docs(s, dir).select(col("doc_id"), col("text"),
+        (col("doc_id") % 4).cast(LongType).as("label"))
+      val fromYaml = PromptsourceMapper(reg, datasetName = "ag_news",
+        templateName = "classify_question_first")(in)
+        .select(col("doc_id"), col("source"), col("target"))
+      val fromBuiltin = PromptsourceMapper(TemplateRegistry.builtin,
+        datasetName = "ag_news",
+        templateName = "classify_question_first")(in)
+        .select(col("doc_id"), col("source").as("b_source"),
+          col("target").as("b_target"))
+      fromYaml.join(fromBuiltin, "doc_id")
+        .select(col("doc_id"), col("source"), col("target"),
+          (col("source") === col("b_source") &&
+            col("target") === col("b_target")).as("same_as_builtin"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id,
+        |  'What label best describes this news article?' || chr(10) || text
+        |    AS source,
+        |  CASE CAST(doc_id % 4 AS BIGINT)
+        |    WHEN 0 THEN 'World politics' WHEN 1 THEN 'Sports'
+        |    WHEN 2 THEN 'Business' ELSE 'Science and technology'
+        |  END AS target,
+        |  TRUE AS same_as_builtin
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Streaming parity for the scan-stage quality gates
+    * ([[graft.streaming.StreamingPipeline]] over
+    * [[operators.GopherQualityFilter]] + [[operators.C4LineFilter]] +
+    * [[operators.BlocklistFilter]]): the SAME Mapper pipeline runs once
+    * as a batch plan and once as a REAL Structured Streaming query
+    * (parquet file source → Trigger.AvailableNow → memory sink), and
+    * the per-doc quarantine decisions must agree row for row — the
+    * q189 batch↔stream discipline applied to the stateless filter
+    * family (trivially equivalent in theory; this pins that the Mapper
+    * lowering, the file-source schema path, and the sink round-trip
+    * don't break it in practice). Invariant oracle (q95's pattern):
+    * the oracle replays doc_ids and pins agree=TRUE; the gates' own
+    * semantics are hash-verified by q105/q145/q146. */
+  private val qStreamingQuality = Q(
+    "q263_streaming_quality_equiv",
+    (s, dir) => {
+      import graft.streaming.StreamingPipeline
+      import org.apache.spark.sql.streaming.Trigger
+      val blocked = Seq("casino", "viagra", "xxx")
+      val gate = graft.Pipeline(Vector(
+        GopherQualityFilter("text", "words"),
+        C4LineFilter(),
+        BlocklistFilter(blocked)))
+      def withWords(df: DataFrame): DataFrame =
+        df.withColumn("words", Splitters.toColumn(col("text"), Splitters.Ws))
+      def quarantineCols(df: DataFrame): DataFrame =
+        df.select(col("doc_id"),
+          (!col("gopher_pass") || !col("c4_pass") || col("blocklist_hit"))
+            .cast(LongType).as("quarantined"))
+      // the gate's n-gram char fractions are interpreted HOFs (the
+      // documented non-codegen boundary) — spread them across cores on
+      // BOTH legs, exactly like the batch catalog's docs() helper; a
+      // single-partition leg runs the whole corpus serially
+      val par = s.sparkContext.defaultParallelism
+      val batchLeg =
+        quarantineCols(gate(withWords(
+          T(s, dir, "documents").repartition(par, col("doc_id")))))
+          .withColumnRenamed("quarantined", "q_batch")
+      // the streaming file source reads DIRECTORIES (an ingest-drop
+      // shape); stage the single-file table into one
+      val srcDir = "/tmp/graft_q263_src"
+      T(s, dir, "documents").write.mode("overwrite").parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema).parquet(srcDir)
+        .repartition(par, col("doc_id"))
+      val gated = quarantineCols(StreamingPipeline(gate, withWords(stream)))
+      val memName = "q263_mem_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val sq = gated.writeStream.format("memory").queryName(memName)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      val streamLeg = s.table(memName)
+        .withColumnRenamed("quarantined", "q_stream")
+      // inner join: a doc dropped or duplicated by either leg breaks the
+      // oracle's row count; agree pins the per-doc decision equality
+      batchLeg.join(streamLeg, Seq("doc_id"))
+        .select(col("doc_id"),
+          (col("q_batch") === col("q_stream")).cast(LongType).as("agree"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id, CAST(1 AS BIGINT) AS agree
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
   /** Rendezvous sharding ([[operators.RendezvousShard]]): HRW argmax
     * assignment under 5 shards and under the same set minus one — the
     * oracle replays both, and the `moved` column exhibits the
@@ -9300,7 +9432,7 @@ object Queries {
     qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron, qStopwords, qFertility, qRepetitionRun, qRateAnomaly, qVocabDrift, qBurstiness, qWarcRoundtrip, qCrossSourceDup,
     qContaminationSpan, qMerkleRoot, qPhraseSearch,
     qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch, qTextRepair, qCohenKappa, qBlockDensity, qCoCitation, qMarkdownOutline, qRougeL, qChatValid, qFilterFunnel, qCentroidMap, qMedoid, qRankAgreement, qWebPipeline, qLabelNoise, qHistDrift, qKsDrift, qHtEstimate, qQuoteStats, qOovRate, qDimHealth, qNeyman,
-    qPrefixJoinCapped
+    qPrefixJoinCapped, qPromptsourceYaml, qStreamingQuality
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -163,6 +163,37 @@ object TemplateRegistry {
   def builtinKeys: Seq[(String, String, String)] =
     builtin.templates.keys.toSeq.sorted
 
+  /** Load a user-supplied promptsource `templates.yaml` (the community
+    * registry's actual on-disk format — see [[PromptsourceYaml]]). */
+  def fromYamlFile(path: String): TemplateRegistry =
+    PromptsourceYaml.registryFromString(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8"))
+
+  /** Walk a promptsource checkout's `templates/` tree:
+    * `<dataset>[/<subset>]/templates.yaml`, each parsed with
+    * [[PromptsourceYaml]] and merged into one registry. */
+  def fromYamlDirectory(root: String): TemplateRegistry = {
+    val rootF = new java.io.File(root)
+    val yamls = for {
+      ds <- Option(rootF.listFiles()).getOrElse(Array.empty).toSeq
+        if ds.isDirectory
+      f <- ds.listFiles().toSeq.flatMap { e =>
+        if (e.isDirectory)
+          Option(e.listFiles()).getOrElse(Array.empty).toSeq
+            .filter(_.getName == "templates.yaml")
+        else if (e.getName == "templates.yaml") Seq(e)
+        else Seq.empty
+      }
+    } yield f
+    yamls.map(f => PromptsourceYaml.registryFromString(
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")))
+      .foldLeft(TemplateRegistry(Map.empty)) { (acc, r) =>
+        TemplateRegistry(acc.templates ++ r.templates,
+          acc.answerChoices ++ r.answerChoices)
+      }
+  }
+
   /** Load every `<dataset>/<subset>/<name>.jinja` under `dir`. */
   def fromDirectory(dir: String): TemplateRegistry = {
     val root = new java.io.File(dir)
@@ -197,4 +228,290 @@ final case class PromptsourceMapper(
   )
   override def outputFields: Seq[String] = inner.outputFields
   override protected def build(df: DataFrame): DataFrame = inner(df)
+}
+
+/** Parser for the promptsource community registry's on-disk template
+  * format — the `templates.yaml` files the reference resolves through
+  * the promptsource package (promptsource.py:239-310; upstream store:
+  * bigscience-workshop/promptsource, `templates/<dataset>[/<subset>]/
+  * templates.yaml`). With this, a user-supplied YAML file loads into
+  * [[TemplateRegistry]] directly — no more hand-ported Scala literals.
+  *
+  * The format is a narrow YAML subset, parsed natively (no YAML
+  * dependency is available offline, and none is needed for this shape):
+  *
+  * {{{
+  * dataset: glue
+  * subset: mrpc            # optional
+  * templates:
+  *   <uuid>: !Template
+  *     answer_choices: not equivalent ||| equivalent   # or null
+  *     id: <uuid>
+  *     jinja: 'Does ... {{sentence1}}
+  *
+  *       {{sentence2}} ||| {{answer_choices[label]}}'
+  *     metadata: !TemplateMetadata   # nested block — skipped
+  *       choices_in_prompt: false
+  *     name: equivalent
+  *     reference: ''
+  * }}}
+  *
+  * Scalar styles handled per YAML flow rules, because the store uses
+  * all of them: PLAIN (with continuation folding), SINGLE-QUOTED
+  * (doubled quote = literal quote; line breaks FOLD — one break →
+  * space, n breaks → n−1 newlines, surrounding indentation stripped),
+  * DOUBLE-QUOTED (backslash escapes incl. newline/tab/quote/backslash
+  * and 4-hex unicode; same folding), and LITERAL/FOLDED BLOCKS
+  * (pipe / greater-than headers with clip and strip chomping).
+  * Unknown per-template keys and the metadata subtree are skipped
+  * structurally (by indent), so upstream additions don't break
+  * loading. */
+object PromptsourceYaml {
+
+  final case class ParsedTemplate(
+      name: String,
+      jinja: String,
+      answerChoices: Option[String])
+
+  final case class ParsedFile(
+      dataset: String,
+      subset: String,
+      templates: Seq[ParsedTemplate])
+
+  /** Parse one templates.yaml document. */
+  def parse(content: String): ParsedFile = {
+    val lines = content.replace("\r\n", "\n").split("\n", -1).toIndexedSeq
+    def indentOf(s: String): Int = s.takeWhile(_ == ' ').length
+    def isBlank(s: String): Boolean = s.trim.isEmpty || s.trim.startsWith("#")
+
+    // --- scalar readers -------------------------------------------------
+    // Each returns (value, indexOfNextUnconsumedLine). `rest` is the text
+    // on the key's own line after "key:".
+
+    /** YAML flow folding over raw line fragments: 1 break → space,
+      * n breaks → n−1 newlines; fragment edges already trimmed. */
+    def fold(fragments: Seq[String]): String = {
+      val sb = new StringBuilder(fragments.headOption.getOrElse(""))
+      var pendingBreaks = 0
+      fragments.drop(1).foreach { frag =>
+        if (frag.isEmpty) pendingBreaks += 1
+        else {
+          sb.append(if (pendingBreaks == 0) " " else "\n" * pendingBreaks)
+          sb.append(frag)
+          pendingBreaks = 0
+        }
+      }
+      if (pendingBreaks > 0) sb.append("\n" * pendingBreaks)
+      sb.toString
+    }
+
+    /** Quoted scalar: consume from `first` (text after the opening
+      * quote) across lines until the closing quote. Returns fold-ready
+      * per-line fragments and the next line index. */
+    def readQuoted(first: String, firstIdx: Int, quote: Char)
+        : (Seq[String], Int) = {
+      val frags = scala.collection.mutable.ArrayBuffer.empty[String]
+      var cur = new StringBuilder
+      var i = firstIdx
+      var line = first
+      var pos = 0
+      var done = false
+      var isFirstLine = true
+      def flushFrag(): Unit = {
+        frags += (if (isFirstLine) cur.toString
+          else cur.toString.replaceAll("^\\s+", ""))
+        cur = new StringBuilder
+      }
+      while (!done) {
+        if (pos >= line.length) {
+          // line exhausted without the closing quote: continuation
+          cur = new StringBuilder(cur.toString.replaceAll("\\s+$", ""))
+          flushFrag()
+          isFirstLine = false
+          i += 1
+          require(i < lines.length, s"unterminated $quote-quoted scalar")
+          line = lines(i)
+          pos = indentOf(line)
+        } else {
+          val c = line.charAt(pos)
+          if (quote == '\'' && c == '\'') {
+            if (pos + 1 < line.length && line.charAt(pos + 1) == '\'') {
+              cur.append('\''); pos += 2
+            } else { done = true; pos += 1 }
+          } else if (quote == '"' && c == '\\') {
+            require(pos + 1 < line.length,
+              "escaped line breaks in double-quoted scalars not supported")
+            line.charAt(pos + 1) match {
+              case 'n' => cur.append('\n'); pos += 2
+              case 't' => cur.append('\t'); pos += 2
+              case 'r' => cur.append('\r'); pos += 2
+              case '"' => cur.append('"'); pos += 2
+              case '\\' => cur.append('\\'); pos += 2
+              case '\'' => cur.append('\''); pos += 2
+              case 'u' =>
+                cur.append(Integer.parseInt(
+                  line.substring(pos + 2, pos + 6), 16).toChar)
+                pos += 6
+              case other =>
+                throw new IllegalArgumentException(
+                  s"unsupported escape \\$other in double-quoted scalar")
+            }
+          } else if (quote == '"' && c == '"') { done = true; pos += 1 }
+          else { cur.append(c); pos += 1 }
+        }
+      }
+      flushFrag()
+      (frags.toSeq, i + 1)
+    }
+
+    /** Literal (|) / folded (>) block scalar. */
+    def readBlock(header: String, keyIndent: Int, startIdx: Int)
+        : (String, Int) = {
+      val folded = header.startsWith(">")
+      val chomp = header.drop(1).headOption // Some('-')/Some('+')/None
+      var i = startIdx
+      val body = scala.collection.mutable.ArrayBuffer.empty[String]
+      var blockIndent = -1
+      var continue = true
+      while (continue && i < lines.length) {
+        val l = lines(i)
+        if (l.trim.isEmpty) { body += ""; i += 1 }
+        else if (indentOf(l) > keyIndent) {
+          if (blockIndent < 0) blockIndent = indentOf(l)
+          body += l.drop(blockIndent)
+          i += 1
+        } else continue = false
+      }
+      while (body.nonEmpty && body.last.isEmpty && !chomp.contains('+'))
+        body.remove(body.length - 1)
+      val text =
+        if (folded) fold(body.toSeq)
+        else body.mkString("\n")
+      val out = chomp match {
+        case Some('-') => text
+        case _ => text + "\n" // clip (default) and keep: one trailing break
+      }
+      (out, i)
+    }
+
+    /** Plain scalar with continuation folding. */
+    def readPlain(rest: String, keyIndent: Int, startIdx: Int)
+        : (String, Int) = {
+      val frags = scala.collection.mutable.ArrayBuffer(rest.trim)
+      var i = startIdx
+      var continue = true
+      while (continue && i < lines.length) {
+        val l = lines(i)
+        if (l.trim.isEmpty) { frags += ""; i += 1 }
+        else if (indentOf(l) > keyIndent && !l.trim.startsWith("- ") &&
+          !l.contains(": ") && !l.trim.endsWith(":")) {
+          frags += l.trim; i += 1
+        } else continue = false
+      }
+      while (frags.nonEmpty && frags.last.isEmpty) frags.remove(frags.length - 1)
+      (fold(frags.toSeq), i)
+    }
+
+    /** Dispatch on the first character of the value. */
+    def readScalar(rest: String, keyIndent: Int, nextIdx: Int)
+        : (String, Int) = {
+      val t = rest.trim
+      if (t.startsWith("'")) {
+        // locate the opening quote on the key line so column math
+        // stays on the ORIGINAL line (indentation is significant)
+        val keyLine = lines(nextIdx - 1)
+        val open = keyLine.indexOf('\'')
+        val (frags, ni) =
+          readQuoted(keyLine.substring(open + 1), nextIdx - 1, '\'')
+        (fold(frags), ni)
+      } else if (t.startsWith("\"")) {
+        val keyLine = lines(nextIdx - 1)
+        val open = keyLine.indexOf('"')
+        val (frags, ni) =
+          readQuoted(keyLine.substring(open + 1), nextIdx - 1, '"')
+        (fold(frags), ni)
+      } else if (t.startsWith("|") || t.startsWith(">")) {
+        readBlock(t, keyIndent, nextIdx)
+      } else readPlain(t, keyIndent, nextIdx)
+    }
+
+    // --- document walk --------------------------------------------------
+    var dataset = ""
+    var subset = ""
+    val out = scala.collection.mutable.ArrayBuffer.empty[ParsedTemplate]
+    var i = 0
+    var inTemplates = false
+    var curName: Option[String] = None
+    var curJinja: Option[String] = None
+    var curChoices: Option[String] = None
+    var sawTemplate = false
+    def flush(): Unit = {
+      if (sawTemplate) (curName, curJinja) match {
+        case (Some(n), Some(j)) => out += ParsedTemplate(n, j, curChoices)
+        case (Some(n), None) =>
+          throw new IllegalArgumentException(s"template '$n' has no jinja")
+        case (None, _) =>
+          throw new IllegalArgumentException("template block has no name")
+      }
+      curName = None; curJinja = None; curChoices = None
+      sawTemplate = false
+    }
+    while (i < lines.length) {
+      val l = lines(i)
+      if (isBlank(l)) i += 1
+      else {
+        val ind = indentOf(l)
+        val t = l.trim
+        if (ind == 0) {
+          flush()
+          inTemplates = false
+          if (t.startsWith("dataset:")) {
+            val (v, ni) = readScalar(t.stripPrefix("dataset:"), 0, i + 1)
+            dataset = v; i = ni
+          } else if (t.startsWith("subset:")) {
+            val (v, ni) = readScalar(t.stripPrefix("subset:"), 0, i + 1)
+            subset = v; i = ni
+          } else if (t == "templates:") { inTemplates = true; i += 1 }
+          else i += 1 // unknown top-level key; its value lines are indented
+        } else if (inTemplates && ind == 2 && t.endsWith("!Template")) {
+          flush(); sawTemplate = true; i += 1
+        } else if (inTemplates && ind == 4 && sawTemplate && t.contains(":")) {
+          val key = t.takeWhile(_ != ':')
+          val rest = t.drop(key.length + 1)
+          key match {
+            case "jinja" =>
+              val (v, ni) = readScalar(rest, 4, i + 1)
+              curJinja = Some(v); i = ni
+            case "name" =>
+              val (v, ni) = readScalar(rest, 4, i + 1)
+              curName = Some(v); i = ni
+            case "answer_choices" =>
+              val (v, ni) = readScalar(rest, 4, i + 1)
+              curChoices =
+                if (v == "null" || v.isEmpty) None else Some(v)
+              i = ni
+            case _ =>
+              // id / reference / metadata (incl. its !TemplateMetadata
+              // subtree) / future keys: consume the value structurally
+              i += 1
+              while (i < lines.length && (isBlank(lines(i)) ||
+                indentOf(lines(i)) > 4)) i += 1
+          }
+        } else i += 1
+      }
+    }
+    flush()
+    require(dataset.nonEmpty, "templates.yaml has no `dataset:` key")
+    ParsedFile(dataset, subset, out.toSeq)
+  }
+
+  /** Parse + index into a [[TemplateRegistry]]. */
+  def registryFromString(content: String): TemplateRegistry = {
+    val f = parse(content)
+    TemplateRegistry(
+      f.templates.map(t =>
+        (f.dataset, f.subset, t.name) -> t.jinja).toMap,
+      f.templates.flatMap(t =>
+        t.answerChoices.map((f.dataset, f.subset, t.name) -> _)).toMap)
+  }
 }

@@ -53,6 +53,14 @@ object MiniJinja {
     * the rendered string through the named filter. */
   final case class FilterBlock(filter: String, args: List[Any], body: List[Node])
       extends Node
+  /** `{% set name %}…{% endset %}` — Jinja2 block assignment: the body
+    * renders to a STRING bound to `name` for the rest of the enclosing
+    * block (same scoping as [[SetVar]]). */
+  final case class SetBlock(name: String, body: List[Node]) extends Node
+
+  /** A `name=value` keyword argument in a filter call
+    * (`map(attribute='x')`, `sum(attribute='n')`). */
+  final case class KwArg(name: String, value: Any)
 
   sealed trait Expr
   final case class Ref(path: List[String]) extends Expr
@@ -126,6 +134,9 @@ object MiniJinja {
             out ++= walk(body, bound ++ params.map(_._1) + n)
             bound = bound + n
           case FilterBlock(_, _, body) => out ++= walk(body, bound)
+          case SetBlock(n, body) =>
+            out ++= walk(body, bound)
+            bound = bound + n // bound for the REST of this block
         }
         out.toSet
       }
@@ -156,6 +167,10 @@ object MiniJinja {
           val inner = new StringBuilder
           renderInto(body, env, inner)
           sb.append(show(eval(Filtered(Lit(inner.result()), f, args), env)))
+        case SetBlock(n, body) =>
+          val inner = new StringBuilder
+          renderInto(body, env, inner)
+          env = env + (n -> inner.result())
         case For(v, seqE, body) =>
           eval(seqE, env) match {
             case s: Seq[_] =>
@@ -379,12 +394,18 @@ object MiniJinja {
             val prec = rest.headOption.collect { case n: Long => n.toInt }.getOrElse(0)
             val scale = math.pow(10, prec)
             math.rint(toNum(v) * scale) / scale
-          case ("min" | "max" | "sum" | "sort", _) =>
-            val xs = v match {
+          case ("min" | "max" | "sum" | "sort", fargs) =>
+            val raw = v match {
               case s: Seq[_] => s
               case other =>
                 throw new IllegalArgumentException(s"$f over non-list: $other")
             }
+            // sum(attribute='n') / min(attribute=...): fold the named
+            // attribute of each item instead of the item itself
+            val xs = fargs.collectFirst {
+              case KwArg("attribute", a) =>
+                raw.map(getAttr(_, String.valueOf(a))).filter(_ != null)
+            }.getOrElse(raw)
             f match {
               case "sum" => xs.map(toNum).sum
               case "min" | "max" if xs.isEmpty => null
@@ -416,6 +437,45 @@ object MiniJinja {
             String.valueOf(v).startsWith(String.valueOf(p))
           case ("endswith", p :: Nil) =>
             String.valueOf(v).endsWith(String.valueOf(p))
+          // --- the map/select sequence-filter family (Jinja2 builtins
+          // used by community promptsource templates) ----------------
+          case ("list", _) => v match {
+            case s: Seq[_] => s
+            case s: String => s.map(String.valueOf(_)).toSeq
+            case null      => Seq.empty
+            case other     => Seq(other)
+          }
+          case ("unique", _) => asSeq(v).distinct
+          case ("map", KwArg("attribute", a) :: rest) =>
+            val mapped = asSeq(v).map(getAttr(_, String.valueOf(a)))
+            rest.collectFirst { case KwArg("default", d) => d } match {
+              case Some(d) => mapped.map(x => if (x == null) d else x)
+              case None    => mapped
+            }
+          case ("map", (fname: String) :: fargs) =>
+            asSeq(v).map(item =>
+              eval(Filtered(Lit(item), fname, fargs), vars))
+          case ("select", Nil) => asSeq(v).filter(truthy)
+          case ("select", (test: String) :: targs) =>
+            asSeq(v).filter(item => applyTest(item, test, targs))
+          case ("reject", Nil) => asSeq(v).filterNot(truthy)
+          case ("reject", (test: String) :: targs) =>
+            asSeq(v).filterNot(item => applyTest(item, test, targs))
+          case ("selectattr", (attr: String) :: rest) => rest match {
+            case Nil => asSeq(v).filter(item => truthy(getAttr(item, attr)))
+            case (test: String) :: targs =>
+              asSeq(v).filter(item => applyTest(getAttr(item, attr), test, targs))
+            case other => throw new IllegalArgumentException(
+              s"Bad selectattr args: $other")
+          }
+          case ("rejectattr", (attr: String) :: rest) => rest match {
+            case Nil => asSeq(v).filterNot(item => truthy(getAttr(item, attr)))
+            case (test: String) :: targs =>
+              asSeq(v).filterNot(item =>
+                applyTest(getAttr(item, attr), test, targs))
+            case other => throw new IllegalArgumentException(
+              s"Bad rejectattr args: $other")
+          }
           case _ =>
             throw new IllegalArgumentException(s"Unsupported filter: $f($args)")
         }
@@ -505,6 +565,43 @@ object MiniJinja {
       case _          => true
     }
 
+    private def asSeq(v: Any): Seq[Any] = v match {
+      case s: Seq[_] => s
+      case null      => Seq.empty
+      case s: String => s.map(String.valueOf(_)).toSeq
+      case other =>
+        throw new IllegalArgumentException(s"not a sequence: $other")
+    }
+
+    /** item attribute lookup for map/selectattr (Map / Row / null). */
+    private def getAttr(item: Any, name: String): Any = item match {
+      case null => null
+      case m: Map[_, _] =>
+        m.asInstanceOf[Map[String, Any]].getOrElse(name, null)
+      case r: Row =>
+        try MiniJinja.toTemplateValue(r.getAs[Any](name))
+        catch { case _: Exception => null }
+      case _ => null
+    }
+
+    /** The Jinja2 test subset select/reject accept: equalto/eq/==,
+      * ne/!=, plus the argless defined/none/odd/even handled by the
+      * zero-arg dispatch. Numbers compare numerically (3 == 3.0). */
+    private def applyTest(item: Any, test: String, args: List[Any]): Boolean =
+      (test, args) match {
+        case ("equalto" | "eq" | "==", x :: Nil) => (item, x) match {
+          case (a: Number, b: Number) => a.doubleValue() == b.doubleValue()
+          case (a, b)                 => a == b
+        }
+        case ("ne" | "!=", x :: Nil) => !applyTest(item, "equalto", List(x))
+        case ("defined", Nil) => item != null
+        case ("none", Nil)    => item == null
+        case ("odd", Nil)     => Math.floorMod(toNum(item).toLong, 2L) == 1L
+        case ("even", Nil)    => Math.floorMod(toNum(item).toLong, 2L) == 0L
+        case other =>
+          throw new IllegalArgumentException(s"Unsupported test: $other")
+      }
+
     private def show(v: Any): String = v match {
       case null       => ""
       case b: Boolean => if (b) "True" else "False" // python/Jinja2 repr
@@ -593,11 +690,22 @@ object MiniJinja {
                 }
                 out += If(branches.toList)
               case "set" =>
-                val m = "^set\\s+(\\w+)\\s*=\\s*(.+)$".r
-                  .findFirstMatchIn(body)
-                  .getOrElse(throw new IllegalArgumentException(s"Bad set: $body"))
-                out += SetVar(m.group(1), parseExpr(m.group(2)))
-                i += 1
+                "^set\\s+(\\w+)\\s*=\\s*(.+)$".r.findFirstMatchIn(body) match {
+                  case Some(m) =>
+                    out += SetVar(m.group(1), parseExpr(m.group(2)))
+                    i += 1
+                  case None =>
+                    // block form: {% set name %}body{% endset %}
+                    val mb = "^set\\s+(\\w+)$".r.findFirstMatchIn(body)
+                      .getOrElse(throw new IllegalArgumentException(
+                        s"Bad set: $body"))
+                    i += 1
+                    val (inner, stop) = parseNodes(Set("endset"))
+                    require(stop.contains("endset"),
+                      s"Unclosed set block: $body")
+                    i += 1
+                    out += SetBlock(mb.group(1), inner)
+                }
               case "macro" =>
                 val m = "^macro\\s+(\\w+)\\s*\\((.*)\\)$".r
                   .findFirstMatchIn(body)
@@ -811,7 +919,13 @@ object MiniJinja {
         .findFirstMatchIn(f)
         .getOrElse(throw new IllegalArgumentException(s"Bad filter: $f"))
       val args = Option(m.group(2)).filter(_.nonEmpty)
-        .map(a => splitTop(a, ',').map(x => literal(x.trim)).toList)
+        .map(a => splitTop(a, ',').map { x =>
+          val t = x.trim
+          "^(\\w+)\\s*=(?!=)\\s*(.+)$".r.findFirstMatchIn(t) match {
+            case Some(kw) => KwArg(kw.group(1), literal(kw.group(2).trim))
+            case None => literal(t)
+          }
+        }.toList)
         .getOrElse(Nil)
       Filtered(acc, m.group(1), args)
     }

@@ -24,6 +24,9 @@ package graft.operators
   *
   * @param pieces piece → (id, logProb). Ids must not collide with the
   *               four special ids.
+  * @param addDummyPrefix prepend the dummy `▁` (sentencepiece
+  *               add_dummy_prefix / HF Metaspace prepend_scheme
+  *               "always"); `false` mirrors prepend_scheme "never".
   */
 final case class UnigramTokenizer(
     pieces: Map[String, (Long, Double)],
@@ -31,7 +34,8 @@ final case class UnigramTokenizer(
     bosId: Long = 1L,
     eosId: Long = 2L,
     unkId: Long = 3L,
-    unkScore: Double = -100.0
+    unkScore: Double = -100.0,
+    addDummyPrefix: Boolean = true
 ) extends GraftTokenizer {
 
   override def bosIds: Seq[Long] = Seq(bosId)
@@ -51,7 +55,7 @@ final case class UnigramTokenizer(
   private def normalizeWithMap(text: String): (String, Array[Int]) = {
     val sb = new java.lang.StringBuilder(text.length + 1)
     val map = scala.collection.mutable.ArrayBuffer.empty[Int]
-    sb.append(Space); map += 0 // dummy prefix
+    if (addDummyPrefix) { sb.append(Space); map += 0 } // dummy prefix
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
@@ -114,9 +118,10 @@ final case class UnigramTokenizer(
     if (text.isEmpty) return Array.empty
     val (norm, map) = normalizeWithMap(text)
     viterbi(norm).map { case (id, a, b) =>
-      // normalized span → original chars; the dummy prefix is zero-width
-      val so = if (a == 0) 0 else map(a)
-      val eo = map(b - 1) + (if (b - 1 == 0) 0 else 1)
+      // normalized span → original chars; the dummy prefix (when
+      // present) occupies normalized position 0 with zero width
+      val so = if (addDummyPrefix && a == 0) 0 else map(a)
+      val eo = map(b - 1) + (if (addDummyPrefix && b - 1 == 0) 0 else 1)
       (id, so, eo)
     }
   }

@@ -140,6 +140,128 @@ class HfTokenizerJsonSpec extends AnyFunSuite {
     assert(e.getMessage.contains("supported"))
   }
 
+  test("cased WordPiece with explicit strip_accents=true strips accents " +
+    "but keeps case (the multilingual-cased layout)") {
+    val path = write("wpsa", """{
+      "added_tokens": [{"id": 0, "content": "[UNK]", "special": true}],
+      "normalizer": {"type": "BertNormalizer", "clean_text": true,
+        "handle_chinese_chars": true, "strip_accents": true,
+        "lowercase": false},
+      "pre_tokenizer": {"type": "BertPreTokenizer"},
+      "model": {"type": "WordPiece", "unk_token": "[UNK]",
+        "continuing_subword_prefix": "##",
+        "vocab": {"[UNK]": 0, "Cafe": 1, "cafe": 2, "Café": 3}}
+    }""")
+    val t = HfTokenizerJson.load(path)
+    // é -> e (accent stripped), C stays upper: "Café" -> "Cafe" = id 1
+    assert(t.encode("Café", addSpecialTokens = false).toSeq == Seq(1L))
+    assert(t.encode("cafe", addSpecialTokens = false).toSeq == Seq(2L))
+  }
+
+  test("NFKC normalizer chain: compatibility forms fold before lookup") {
+    val path = write("nfkc", """{
+      "added_tokens": [{"id": 0, "content": "<unk>", "special": true}],
+      "normalizer": {"type": "Sequence", "normalizers": [
+        {"type": "NFKC"}]},
+      "model": {"type": "Unigram", "unk_id": 0,
+        "vocab": [["<unk>", 0.0], ["▁fi", -1.0], ["▁", -2.0]]}
+    }""")
+    val t = HfTokenizerJson.load(path)
+    // U+FB01 LATIN SMALL LIGATURE FI -> "fi" under NFKC
+    assert(t.encode("ﬁ", addSpecialTokens = false).toSeq == Seq(1L))
+  }
+
+  test("Llama-style Unigram: Prepend+Replace normalizer absorbed into " +
+    "the engine's space-marking (no double prefix), ids unchanged vs " +
+    "the plain file") {
+    val plain = write("uplain", """{
+      "added_tokens": [],
+      "model": {"type": "Unigram", "unk_id": 0,
+        "vocab": [["<unk>", 0.0], ["▁the", -2.0], ["▁cat", -3.0],
+          ["s", -4.0], ["▁", -5.0]]}
+    }""")
+    val llama = write("ullama", """{
+      "added_tokens": [],
+      "normalizer": {"type": "Sequence", "normalizers": [
+        {"type": "Prepend", "prepend": "▁"},
+        {"type": "Replace", "pattern": {"String": " "}, "content": "▁"}]},
+      "model": {"type": "Unigram", "unk_id": 0,
+        "vocab": [["<unk>", 0.0], ["▁the", -2.0], ["▁cat", -3.0],
+          ["s", -4.0], ["▁", -5.0]]}
+    }""")
+    val tp = HfTokenizerJson.load(plain)
+    val tl = HfTokenizerJson.load(llama)
+    assert(tp.encode("the cats", addSpecialTokens = false).toSeq ==
+      tl.encode("the cats", addSpecialTokens = false).toSeq)
+  }
+
+  test("Metaspace prepend_scheme never turns the dummy prefix off") {
+    def uni(pretok: String) = write("umeta", s"""{
+      "added_tokens": [],
+      "pre_tokenizer": $pretok,
+      "model": {"type": "Unigram", "unk_id": 0,
+        "vocab": [["<unk>", 0.0], ["▁the", -2.0], ["the", -3.0]]}
+    }""")
+    val always = HfTokenizerJson.load(uni(
+      """{"type": "Metaspace", "replacement": "▁",
+         "prepend_scheme": "always"}"""))
+    val never = HfTokenizerJson.load(uni(
+      """{"type": "Metaspace", "replacement": "▁",
+         "prepend_scheme": "never"}"""))
+    // with the dummy prefix "the" sees a leading marker -> ▁the (id 1);
+    // without it the bare-piece "the" (id 2) wins
+    assert(always.encode("the", addSpecialTokens = false).toSeq == Seq(1L))
+    assert(never.encode("the", addSpecialTokens = false).toSeq == Seq(2L))
+  }
+
+  test("ByteLevel add_prefix_space chains a leading space for BPE") {
+    def bpe(pretok: String) = write("blps", s"""{
+      "added_tokens": [],
+      "pre_tokenizer": $pretok,
+      "model": {"type": "BPE",
+        "vocab": {"a": 0, "Ġ": 1, "Ġa": 2},
+        "merges": ["Ġ a"]}
+    }""")
+    val without = HfTokenizerJson.load(bpe(
+      """{"type": "ByteLevel", "add_prefix_space": false,
+         "trim_offsets": true, "use_regex": true}"""))
+    val withPs = HfTokenizerJson.load(bpe(
+      """{"type": "ByteLevel", "add_prefix_space": true,
+         "trim_offsets": true, "use_regex": true}"""))
+    // Ġ is the byte-level image of the space; with add_prefix_space the
+    // bare word encodes as the space-prefixed merge
+    assert(without.encode("a", addSpecialTokens = false).toSeq == Seq(0L))
+    assert(withPs.encode("a", addSpecialTokens = false).toSeq == Seq(2L))
+  }
+
+  test("unsupported normalizer / pre_tokenizer / populated Precompiled " +
+    "reject with clear errors") {
+    val badNorm = write("badn", """{
+      "normalizer": {"type": "Nmt"},
+      "model": {"type": "BPE", "vocab": {"a": 0}, "merges": []}
+    }""")
+    val e1 = intercept[IllegalArgumentException] {
+      HfTokenizerJson.load(badNorm)
+    }
+    assert(e1.getMessage.contains("Nmt"))
+    val badPre = write("badp", """{
+      "pre_tokenizer": {"type": "Digits"},
+      "model": {"type": "BPE", "vocab": {"a": 0}, "merges": []}
+    }""")
+    val e2 = intercept[IllegalArgumentException] {
+      HfTokenizerJson.load(badPre)
+    }
+    assert(e2.getMessage.contains("Digits"))
+    val badPc = write("badpc", """{
+      "normalizer": {"type": "Precompiled", "precompiled_charsmap": "AAEC"},
+      "model": {"type": "Unigram", "unk_id": 0, "vocab": [["<unk>", 0.0]]}
+    }""")
+    val e3 = intercept[IllegalArgumentException] {
+      HfTokenizerJson.load(badPc)
+    }
+    assert(e3.getMessage.contains("Precompiled"))
+  }
+
   test("non-## continuation prefix is rejected, not silently wrong") {
     val path = write("pre", """{
       "model": {"type": "WordPiece", "unk_token": "[UNK]",

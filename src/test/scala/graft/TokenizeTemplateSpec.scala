@@ -110,6 +110,62 @@ class TokenizeTemplateSpec extends SparkSpec {
     assert(out == "bonono/none/fallback/alpha beta gamma/alpha b…/alpha.../42/7/4")
   }
 
+  test("MiniJinja {% set %}...{% endset %} block assignment: body renders " +
+    "to a string, scoped like set-expression") {
+    val t = MiniJinja.parse(
+      "{% set intro %}Dear {{ name | title }},{% endset %}" +
+        "{{ intro }} {{ intro | length }}")
+    assert(t.variables == Set("name"))
+    assert(t.render(Map("name" -> "ada")) == "Dear Ada, 9")
+    // unclosed block rejects at parse time
+    intercept[IllegalArgumentException] {
+      MiniJinja.parse("{% set x %}no end")
+    }
+  }
+
+  test("MiniJinja map/select filter family") {
+    // map('filter'), map(attribute=...), join after map
+    val t1 = MiniJinja.parse("{{ ws | map('upper') | join('-') }}")
+    assert(t1.render(Map("ws" -> Seq("a", "b"))) == "A-B")
+    val t2 = MiniJinja.parse(
+      "{{ people | map(attribute='name') | join(', ') }}")
+    assert(t2.render(Map("people" -> Seq(
+      Map("name" -> "ann"), Map("name" -> "bo")))) == "ann, bo")
+    // select/reject: truthy and equalto test forms
+    val t3 = MiniJinja.parse(
+      "{{ xs | select | join(',') }}/{{ xs | reject | length }}" +
+        "/{{ ns | select('equalto', 2) | length }}" +
+        "/{{ ns | reject('ne', 2) | join(',') }}" +
+        "/{{ ns | select('odd') | join(',') }}")
+    assert(t3.render(Map(
+      "xs" -> Seq("a", "", "b"),
+      "ns" -> Seq(1L, 2L, 2L, 3L))) == "a,b/1/2/2,2/1,3")
+    // selectattr/rejectattr with and without a test
+    val t4 = MiniJinja.parse(
+      "{{ rows | selectattr('ok') | map(attribute='v') | join(',') }}" +
+        "/{{ rows | rejectattr('ok') | length }}" +
+        "/{{ rows | selectattr('v', 'equalto', 'y') | length }}")
+    assert(t4.render(Map("rows" -> Seq(
+      Map("ok" -> true, "v" -> "x"),
+      Map("ok" -> false, "v" -> "y"),
+      Map("ok" -> true, "v" -> "z")))) == "x,z/1/1")
+    // list / unique / sum (plain and attribute forms)
+    val t5 = MiniJinja.parse(
+      "{{ s | list | length }}/{{ ds | unique | join(',') }}" +
+        "/{{ ns | sum }}/{{ rows | sum(attribute='n') }}")
+    assert(t5.render(Map(
+      "s" -> "abc",
+      "ds" -> Seq("b", "a", "b"),
+      "ns" -> Seq(1L, 2L, 3L),
+      "rows" -> Seq(Map("n" -> 10L), Map("n" -> 5L)))) == "3/b,a/6/15")
+    // unsupported test still rejects with a clear error
+    val e = intercept[IllegalArgumentException] {
+      MiniJinja.parse("{{ xs | select('divisibleby', 3) | length }}")
+        .render(Map("xs" -> Seq(1L)))
+    }
+    assert(e.getMessage.contains("divisibleby"))
+  }
+
   test("MiniJinja {% set %}: binds for the rest of the block, scoped inside for") {
     val t = MiniJinja.parse(
       "{% set n = ws | length %}n={{ n }};" +
