@@ -70,6 +70,12 @@ object MiniJinja {
   /** `not expr` — Jinja2 boolean negation (binds tighter than and/or,
     * looser than comparisons: `not a == b` is `not (a == b)`). */
   final case class Not(e: Expr) extends Expr
+  /** `x is defined` / `x is not none` / `x is equalto(y)` — the Jinja2
+    * test syntax (promptsource templates guard optional fields with
+    * it). Our variable model folds undefined and None together, so
+    * `defined` means non-null. */
+  final case class IsTest(e: Expr, test: String, args: List[Any],
+      negated: Boolean) extends Expr
   /** `xs[2]` / `xs[-1]` — Python-style index (negative wraps). */
   final case class Index(e: Expr, i: Expr) extends Expr
   /** `xs[1:3]` / `s[:5]` — Python-style slice with clamping. */
@@ -101,6 +107,7 @@ object MiniJinja {
         case Filtered(e, _, _) => exprVars(e)
         case Cmp(_, l, r)      => exprVars(l) ++ exprVars(r)
         case Not(e)            => exprVars(e)
+        case IsTest(e, _, _, _) => exprVars(e)
         case Index(e, i)       => exprVars(e) ++ exprVars(i)
         case Slice(e, f, t) =>
           exprVars(e) ++ f.toSet.flatMap(exprVars) ++ t.toSet.flatMap(exprVars)
@@ -520,6 +527,9 @@ object MiniJinja {
           case other => throw new IllegalArgumentException(s"cannot slice $other")
         }
       case Not(inner) => !truthy(eval(inner, vars))
+      case IsTest(inner, test, args, negated) =>
+        val r = applyTest(eval(inner, vars), test, args)
+        if (negated) !r else r
       case Cmp(op, le, re) =>
         val l = eval(le, vars)
         val r = eval(re, vars)
@@ -595,9 +605,22 @@ object MiniJinja {
         }
         case ("ne" | "!=", x :: Nil) => !applyTest(item, "equalto", List(x))
         case ("defined", Nil) => item != null
+        case ("undefined", Nil) => item == null
         case ("none", Nil)    => item == null
         case ("odd", Nil)     => Math.floorMod(toNum(item).toLong, 2L) == 1L
         case ("even", Nil)    => Math.floorMod(toNum(item).toLong, 2L) == 0L
+        case ("string", Nil)  => item.isInstanceOf[String]
+        case ("number", Nil)  => item.isInstanceOf[Number]
+        case ("boolean", Nil) => item.isInstanceOf[Boolean]
+        case ("iterable" | "sequence", Nil) => item match {
+          case _: Seq[_] | _: String => true
+          case _ => false
+        }
+        case ("mapping", Nil) => item.isInstanceOf[Map[_, _]]
+        case ("true", Nil)    => item == true
+        case ("false", Nil)   => item == false
+        case ("divisibleby", (n: Long) :: Nil) =>
+          Math.floorMod(toNum(item).toLong, n) == 0L
         case other =>
           throw new IllegalArgumentException(s"Unsupported test: $other")
       }
@@ -781,6 +804,25 @@ object MiniJinja {
     else parseCmp(s)
 
   private def parseCmp(s: String): Expr = {
+    // `is [not] <test>[(args)]` — same precedence tier as comparisons
+    def parseIs(i: Int, kwLen: Int, negated: Boolean): Expr = {
+      val lhs = parseConcat(s.substring(0, i).trim)
+      val spec = s.substring(i + kwLen).trim
+      val m = "^(\\w+)(?:\\((.*)\\))?$".r.findFirstMatchIn(spec)
+        .getOrElse(throw new IllegalArgumentException(s"Bad is-test: $s"))
+      val args = Option(m.group(2)).filter(_.nonEmpty)
+        .map(a => splitTop(a, ',').map(x => literal(x.trim)).toList)
+        .getOrElse(Nil)
+      IsTest(lhs, m.group(1), args, negated)
+    }
+    findTopKeyword(s, " is not ") match {
+      case Some(i) => return parseIs(i, 8, negated = true)
+      case None    => ()
+    }
+    findTopKeyword(s, " is ") match {
+      case Some(i) => return parseIs(i, 4, negated = false)
+      case None    => ()
+    }
     // comparison/membership binds LOOSEST (Jinja2 precedence: `a ~ b == c`
     // is `(a ~ b) == c`), so split it first; `~` folds inside each operand
     findTopKeyword(s, " not in ") match {

@@ -158,12 +158,36 @@ class TokenizeTemplateSpec extends SparkSpec {
       "ds" -> Seq("b", "a", "b"),
       "ns" -> Seq(1L, 2L, 3L),
       "rows" -> Seq(Map("n" -> 10L), Map("n" -> 5L)))) == "3/b,a/6/15")
+    // supported test names work inside select too
+    assert(MiniJinja.parse("{{ xs | select('divisibleby', 3) | length }}")
+      .render(Map("xs" -> Seq(3L, 4L, 9L))) == "2")
     // unsupported test still rejects with a clear error
     val e = intercept[IllegalArgumentException] {
-      MiniJinja.parse("{{ xs | select('divisibleby', 3) | length }}")
+      MiniJinja.parse("{{ xs | select('greaterthan', 3) | length }}")
         .render(Map("xs" -> Seq(1L)))
     }
-    assert(e.getMessage.contains("divisibleby"))
+    assert(e.getMessage.contains("greaterthan"))
+  }
+
+  test("MiniJinja `is` tests: defined/none/equalto/odd/string, negated " +
+    "forms, and precedence under not/and") {
+    val t = MiniJinja.parse(
+      "{% if x is defined %}D{% endif %}" +
+        "{% if y is not defined %}U{% endif %}" +
+        "{% if x is none %}N{% else %}V{% endif %}" +
+        "{% if n is odd %}O{% endif %}" +
+        "{% if n is equalto(3) %}E{% endif %}" +
+        "{% if s is string and n is number %}SN{% endif %}" +
+        "{% if xs is iterable %}I{% endif %}" +
+        "{% if n is divisibleby(3) %}3{% endif %}")
+    assert(t.variables == Set("x", "y", "n", "s", "xs"))
+    assert(t.render(Map("x" -> "v", "n" -> 3L, "s" -> "a",
+      "xs" -> Seq(1L))) == "DUVOESNI3")
+    // unknown test rejects with the test's name in the message
+    val e = intercept[IllegalArgumentException] {
+      MiniJinja.parse("{{ 1 is lower_than(2) }}").render(Map.empty)
+    }
+    assert(e.getMessage.contains("lower_than"))
   }
 
   test("MiniJinja {% set %}: binds for the rest of the block, scoped inside for") {
