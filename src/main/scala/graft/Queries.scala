@@ -6932,6 +6932,241 @@ object Queries {
     )
   )
 
+  /** Multi-language document segmentation
+    * ([[operators.LangSegment.segments]]): code-switched fixtures —
+    * each odd doc's text, its even neighbor's text (often another
+    * language), and a 2-char tail too short for any trigram — are
+    * split per paragraph, classified with the q218 Cavnar–Trenkle
+    * distance against profiles trained on the even half, and collapsed
+    * into consecutive same-language segments. The oracle replays
+    * paragraphs, per-unit gram ranks, the distance argmin, the 'und'
+    * fallback for the short tail, and the run collapse. */
+  private val qLangSegments = Q(
+    "q264_lang_segments",
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+      val profiles = LangIdNgram.trainProfiles(
+        d.filter(col("doc_id") % 2 === 0), "lang", "text",
+        topN = 100, n = 3)
+      val test = d.as("a").filter(col("a.doc_id") % 2 === 1)
+        .join(d.as("b"), col("b.doc_id") === col("a.doc_id") - 1)
+        .select(col("a.doc_id").as("doc_id"),
+          concat_ws("\n\n", col("a.text"), col("b.text"), lit("ok"))
+            .as("text"))
+      LangSegment.segments(test, "doc_id", "text", profiles,
+          topN = 100, n = 3)
+        .orderBy("doc_id", "seg_idx")
+    },
+    Some(
+      """WITH tr AS (SELECT lang, lower(text) AS t FROM documents WHERE doc_id % 2 = 0),
+        |tg AS (SELECT lang, unnest(list_transform(generate_series(1, length(t) - 2),
+        |    i -> substring(t, i, 3))) AS gram FROM tr),
+        |pc AS (SELECT lang, gram, count(*) AS c FROM tg GROUP BY lang, gram),
+        |prof AS (SELECT lang, gram, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY c DESC, gram) AS BIGINT) AS rank FROM pc QUALIFY rank <= 100),
+        |d2 AS (SELECT a.doc_id,
+        |    a.text || chr(10) || chr(10) || b.text || chr(10) || chr(10) || 'ok' AS text
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id - 1
+        |  WHERE a.doc_id % 2 = 1),
+        |pl AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM d2),
+        |paras AS (SELECT doc_id, i - 1 AS p, ps[i] AS para
+        |  FROM pl, unnest(generate_series(1, len(ps))) AS t(i)
+        |  WHERE length(ps[i]) > 0),
+        |ug AS (SELECT doc_id, p, unnest(list_transform(
+        |    generate_series(1, length(lower(para)) - 2),
+        |    i -> substring(lower(para), i, 3))) AS gram FROM paras),
+        |uc AS (SELECT doc_id, p, gram, count(*) AS c FROM ug GROUP BY ALL),
+        |ut AS (SELECT doc_id, p, gram, CAST(row_number() OVER (
+        |    PARTITION BY doc_id, p ORDER BY c DESC, gram) AS BIGINT) AS dr
+        |  FROM uc QUALIFY dr <= 100),
+        |ng AS (SELECT doc_id, p, CAST(count(*) AS BIGINT) AS ng
+        |  FROM ut GROUP BY ALL),
+        |langs AS (SELECT DISTINCT lang FROM prof),
+        |m AS (SELECT ut.doc_id, ut.p, prof.lang,
+        |    CAST(sum(abs(ut.dr - prof.rank)) AS BIGINT) AS md,
+        |    CAST(count(*) AS BIGINT) AS nm
+        |  FROM ut JOIN prof USING (gram) GROUP BY ALL),
+        |dist AS (SELECT ng.doc_id, ng.p, langs.lang,
+        |    coalesce(m.md, 0) + (ng.ng - coalesce(m.nm, 0)) * 100 AS dist
+        |  FROM ng CROSS JOIN langs
+        |  LEFT JOIN m ON m.doc_id = ng.doc_id AND m.p = ng.p
+        |    AND m.lang = langs.lang),
+        |pred0 AS (SELECT doc_id, p, lang AS pred_lang,
+        |    row_number() OVER (PARTITION BY doc_id, p ORDER BY dist, lang) AS rn
+        |  FROM dist QUALIFY rn = 1),
+        |pred AS (SELECT paras.doc_id, paras.p, length(paras.para) AS len,
+        |    coalesce(pred0.pred_lang, 'und') AS pred_lang
+        |  FROM paras LEFT JOIN pred0
+        |    ON pred0.doc_id = paras.doc_id AND pred0.p = paras.p),
+        |runs AS (SELECT doc_id, p, len, pred_lang,
+        |    CASE WHEN lag(pred_lang) OVER (PARTITION BY doc_id ORDER BY p)
+        |        IS DISTINCT FROM pred_lang THEN 1 ELSE 0 END AS nw
+        |  FROM pred),
+        |segs AS (SELECT doc_id, p, len, pred_lang,
+        |    CAST(sum(nw) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS seg_idx
+        |  FROM runs)
+        |SELECT doc_id, seg_idx, min(pred_lang) AS lang,
+        |  CAST(min(p) AS BIGINT) AS start_para,
+        |  CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(sum(len) AS BIGINT) AS n_chars
+        |FROM segs GROUP BY doc_id, seg_idx
+        |ORDER BY doc_id, seg_idx""".stripMargin
+    )
+  )
+
+  /** Sliding-window lexicon density
+    * ([[operators.WindowLexiconDensity]]): hits injected at controlled
+    * positions — clustered (3 in one 10-word window → flagged), spread
+    * (2 hits 25 words apart → max 1, clean), none — over the real word
+    * arrays; the oracle replays the hit-anchored window counts, the
+    * earliest-start argmax, and the gate. */
+  private val qWindowLexicon = Q(
+    "q265_window_lexicon_density",
+    (s, dir) => {
+      val base = slice(col("words"), 1, 30)
+      val injected = transform(sequence(lit(0), lit(29)), i =>
+        when(col("doc_id") % 3 === 0 &&
+            (i === 5 || i === 7 || i === 9), lit("zzbad"))
+          .when(col("doc_id") % 3 === 1 && (i === 0 || i === 25),
+            lit("zzbad"))
+          .otherwise(coalesce(element_at(base, i + 1), lit("w"))))
+      WindowLexiconDensity(Seq("zzbad"), "words",
+          windowWords = 10, minHits = 3)(
+        docWords(s, dir).select(col("doc_id"), injected.as("words")))
+        .select(col("doc_id"), col("lex_hits"), col("max_window_hits"),
+          col("window_start"), col("density_hit"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH w0 AS (SELECT doc_id, ($W)[1:30] AS base FROM documents),
+         |w AS (SELECT doc_id, list_transform(generate_series(0, 29), i ->
+         |    CASE WHEN doc_id % 3 = 0 AND (i = 5 OR i = 7 OR i = 9)
+         |      THEN 'zzbad'
+         |    WHEN doc_id % 3 = 1 AND (i = 0 OR i = 25) THEN 'zzbad'
+         |    ELSE coalesce(base[i + 1], 'w') END) AS ws
+         |  FROM w0),
+         |h AS (SELECT doc_id,
+         |    list_filter(list_transform(generate_series(1, len(ws)),
+         |      i -> i - 1), i -> ws[i + 1] = 'zzbad') AS ps
+         |  FROM w),
+         |b AS (SELECT doc_id, ps, CAST(len(ps) AS BIGINT) AS lex_hits,
+         |    CASE WHEN len(ps) > 0 THEN list_max(list_transform(ps, p ->
+         |      struct_pack(c := CAST(len(list_filter(ps,
+         |        x -> x >= p AND x < p + 10)) AS BIGINT),
+         |        np := CAST(-p AS BIGINT)))) END AS best
+         |  FROM h)
+         |SELECT doc_id, lex_hits,
+         |  coalesce(best.c, 0) AS max_window_hits,
+         |  CASE WHEN lex_hits > 0 THEN -best.np END AS window_start,
+         |  coalesce(best.c, 0) >= 3 AS density_hit
+         |FROM b ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** License detection ([[operators.LicenseTag.annotate]]): marker
+    * phrases appended per doc_id class — Apache, a CC-BY + CC-BY-NC
+    * double marker, all-rights-reserved, MIT, and unmarked — and the
+    * oracle replays every family's contains-probe, the sorted tag
+    * list, the permissiveness-priority primary, and the restricted
+    * gate. */
+  private val qLicenseTag = Q(
+    "q266_license_tag",
+    (s, dir) => {
+      val marker = when(col("doc_id") % 5 === 0,
+          lit(" Licensed under the Apache License, Version 2.0 "))
+        .when(col("doc_id") % 5 === 1,
+          lit(" CC BY 4.0 creativecommons.org/licenses/by-nc/4.0 "))
+        .when(col("doc_id") % 5 === 2, lit(" All Rights Reserved "))
+        .when(col("doc_id") % 5 === 3, lit(" MIT License "))
+        .otherwise(lit(""))
+      LicenseTag.annotate(
+          docs(s, dir).select(col("doc_id"),
+            concat(col("text"), marker).as("text")),
+          "text")
+        .select(col("doc_id"), J("license_tags"), col("license_primary"),
+          col("license_restricted"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH d AS (SELECT doc_id, lower(text ||
+        |    CASE CAST(doc_id % 5 AS BIGINT)
+        |      WHEN 0 THEN ' Licensed under the Apache License, Version 2.0 '
+        |      WHEN 1 THEN ' CC BY 4.0 creativecommons.org/licenses/by-nc/4.0 '
+        |      WHEN 2 THEN ' All Rights Reserved '
+        |      WHEN 3 THEN ' MIT License '
+        |      ELSE '' END) AS t
+        |  FROM documents),
+        |hits AS (SELECT doc_id,
+        |    list_sort(list_filter([
+        |      CASE WHEN contains(t, 'creativecommons.org/publicdomain/zero')
+        |        OR contains(t, 'cc0 1.0')
+        |        OR contains(t, 'no rights reserved') THEN 'cc0' END,
+        |      CASE WHEN contains(t, 'creativecommons.org/licenses/by/')
+        |        OR contains(t, 'cc by 4.0') OR contains(t, 'cc-by 4.0')
+        |        OR contains(t, 'cc by 3.0') THEN 'cc-by' END,
+        |      CASE WHEN contains(t, 'creativecommons.org/licenses/by-sa')
+        |        OR contains(t, 'cc by-sa')
+        |        OR contains(t, 'cc-by-sa') THEN 'cc-by-sa' END,
+        |      CASE WHEN contains(t, 'creativecommons.org/licenses/by-nc')
+        |        OR contains(t, 'cc by-nc')
+        |        OR contains(t, 'cc-by-nc') THEN 'cc-by-nc' END,
+        |      CASE WHEN contains(t, 'mit license')
+        |        OR contains(t, 'permission is hereby granted, free of charge')
+        |        THEN 'mit' END,
+        |      CASE WHEN contains(t, 'apache license, version 2.0')
+        |        OR contains(t, 'apache-2.0')
+        |        OR contains(t, 'licensed under the apache license')
+        |        THEN 'apache-2.0' END,
+        |      CASE WHEN contains(t, 'gnu general public license')
+        |        OR contains(t, 'gpl-2.0') OR contains(t, 'gpl-3.0')
+        |        OR contains(t, 'gnu gpl') THEN 'gpl' END,
+        |      CASE WHEN contains(t, 'all rights reserved')
+        |        THEN 'all-rights-reserved' END
+        |    ], x -> x IS NOT NULL)) AS tags
+        |  FROM d)
+        |SELECT doc_id, to_json(tags)::VARCHAR AS license_tags,
+        |  coalesce(
+        |    CASE WHEN list_contains(tags, 'cc0') THEN 'cc0'
+        |      WHEN list_contains(tags, 'cc-by') THEN 'cc-by'
+        |      WHEN list_contains(tags, 'cc-by-sa') THEN 'cc-by-sa'
+        |      WHEN list_contains(tags, 'cc-by-nc') THEN 'cc-by-nc'
+        |      WHEN list_contains(tags, 'mit') THEN 'mit'
+        |      WHEN list_contains(tags, 'apache-2.0') THEN 'apache-2.0'
+        |      WHEN list_contains(tags, 'gpl') THEN 'gpl'
+        |      WHEN list_contains(tags, 'all-rights-reserved')
+        |        THEN 'all-rights-reserved' END,
+        |    'unmarked') AS license_primary,
+        |  list_contains(tags, 'cc-by-nc') OR list_contains(tags, 'gpl')
+        |    OR list_contains(tags, 'all-rights-reserved')
+        |    AS license_restricted
+        |FROM hits ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** PCA whitening ([[operators.PcaWhiten]]): covariance fit in one
+    * (i,j)-keyed aggregation, driver-side Jacobi eigensolve, row-local
+    * projection — then [[operators.PcaWhiten.whitenCheck]] asserts the
+    * WHITENING IDENTITY on the output: every dimension's variance
+    * within 0.1 of 1 and every covariance within 0.1 of 0 (float noise
+    * from partition-order summation lives ~6 orders below that gate).
+    * Toleranced-invariant oracle (the q165 `est_ok` discipline —
+    * iterative eigensolves don't replay exactly across engines). */
+  private val qPcaWhiten = Q(
+    "q267_pca_whiten",
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val model = PcaWhiten.fit(emb, "embedding")
+      val whitened = PcaWhiten.project(emb, "embedding", model)
+      PcaWhiten.whitenCheck(whitened, "whitened", tolMilli = 100L)
+        .orderBy("dim")
+    },
+    Some(
+      """SELECT CAST(i AS BIGINT) AS dim, TRUE AS var_ok, TRUE AS cov_ok
+        |FROM generate_series(0, 63) t(i) ORDER BY dim""".stripMargin
+    )
+  )
+
   /** Rendezvous sharding ([[operators.RendezvousShard]]): HRW argmax
     * assignment under 5 shards and under the same set minus one — the
     * oracle replays both, and the `moved` column exhibits the
@@ -9432,7 +9667,8 @@ object Queries {
     qGroupTopK, qGroupSample, qZOrderKey, qScoreCalibration, qRecordLinkage, qExpectations, qImagePHash, qCoreset, qPackBoundaries, qLangIdNgram, qLuhnRedact, qPrivacyAudit, qCorpusHealth, qCompactionPlan, qPerceptron, qStopwords, qFertility, qRepetitionRun, qRateAnomaly, qVocabDrift, qBurstiness, qWarcRoundtrip, qCrossSourceDup,
     qContaminationSpan, qMerkleRoot, qPhraseSearch,
     qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch, qTextRepair, qCohenKappa, qBlockDensity, qCoCitation, qMarkdownOutline, qRougeL, qChatValid, qFilterFunnel, qCentroidMap, qMedoid, qRankAgreement, qWebPipeline, qLabelNoise, qHistDrift, qKsDrift, qHtEstimate, qQuoteStats, qOovRate, qDimHealth, qNeyman,
-    qPrefixJoinCapped, qPromptsourceYaml, qStreamingQuality
+    qPrefixJoinCapped, qPromptsourceYaml, qStreamingQuality, qLangSegments,
+    qWindowLexicon, qLicenseTag, qPcaWhiten
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

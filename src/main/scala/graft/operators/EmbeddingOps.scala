@@ -299,3 +299,184 @@ object EmbeddingHealth {
           .cast("double") / (col("n") * col("n"))).cast(LongType))
       .withColumn("is_dead", col("var_micro") < deadVarMicro)
 }
+
+/** PCA WHITENING for embedding columns — the standard pre-ANN /
+  * pre-clustering conditioning step (decorrelate + unit-variance):
+  * whitened cosine ≈ Mahalanobis similarity, IVF/LSH bucket balance
+  * improves, and dominant nuisance directions (length, boilerplate)
+  * stop swamping the metric.
+  *
+  * Scale shape, the part that matters at 100 TB: the covariance fit is
+  * ONE aggregation — each row emits its d² dimension-pair products via
+  * a row-local transform, and a single (i, j)-keyed partial-aggregated
+  * groupBy folds them (the shuffle carries d² keys, never rows); the
+  * d×d eigensolve is DRIVER-side (cyclic Jacobi — d is 16-1024 in
+  * practice, microseconds to milliseconds); the projection is a
+  * row-local expression over literal arrays (zip_with dot products),
+  * zero shuffle. Nothing corpus-sized ever concentrates anywhere.
+  *
+  * Determinism: double sums fold in partition order, so the fitted
+  * model carries float noise in the last ulps — model-dependent
+  * outputs are therefore gated through TOLERANCED invariants (the HLL
+  * `est_ok` discipline), not exact replay: [[whitenCheck]] emits
+  * per-dimension unit-variance and zero-covariance booleans with a
+  * milli tolerance that dwarfs the noise. */
+object PcaWhiten {
+
+  final case class Model(
+      means: Array[Double],
+      eigvals: Array[Double],
+      /** rows = eigenvectors (descending eigenvalue). */
+      components: Array[Array[Double]])
+
+  /** Covariance fit: one (i,j)-keyed aggregation + driver Jacobi. */
+  def fit(df: DataFrame, embField: String): Model = {
+    val e = col(embField).cast(ArrayType(DoubleType))
+    val pairs = df
+      .select(explode(flatten(transform(e, (xi, i) =>
+        transform(e, (xj, j) =>
+          struct(i.as("i"), j.as("j"), (xi * xj).as("p"),
+            xi.as("x")))))).as("s"))
+      .select(col("s.i"), col("s.j"), col("s.p"), col("s.x"))
+      .groupBy("i", "j")
+      .agg(sum(col("p")).as("sp"), sum(col("x")).as("sx"),
+        count(lit(1)).as("n"))
+      .collect()
+    val d = pairs.map(_.getInt(0)).max + 1
+    val n = pairs.head.getLong(4).toDouble
+    val sums = Array.ofDim[Double](d)
+    val sprod = Array.ofDim[Double](d, d)
+    pairs.foreach { r =>
+      sprod(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      if (r.getInt(1) == 0) sums(r.getInt(0)) = r.getDouble(3)
+    }
+    val means = sums.map(_ / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      sprod(i)(j) / n - means(i) * means(j))
+    val (vals, vecs) = jacobi(cov)
+    val order = vals.indices.sortBy(k => -vals(k))
+    Model(means,
+      order.map(vals).toArray,
+      order.map(k => vecs.map(_(k))).toArray)
+  }
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix: returns
+    * (eigenvalues, eigenvector MATRIX with vectors in COLUMNS). */
+  private[graft] def jacobi(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(a)
+    while (off > 1e-12 && sweep < 64) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > 1e-15) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            // sign convention must map theta = 0 to +1 (equal diagonal
+            // entries still need the full 45-degree rotation)
+            val sgn = if (theta >= 0.0) 1.0 else -1.0
+            val t = sgn /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiag(a)
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    for (i <- a.indices; j <- a.indices if i != j) s += a(i)(j) * a(i)(j)
+    s
+  }
+
+  /** Project + whiten: appends `dest` = diag(1/√(λ+eps)) · Vᵀ (x − μ).
+    * Row-local literal-array arithmetic, zero shuffle. */
+  def project(
+      df: DataFrame,
+      embField: String,
+      model: Model,
+      dest: String = "whitened",
+      eps: Double = 1e-9
+  ): DataFrame = {
+    val mLit = array(model.means.map(lit): _*)
+    val wRows = model.components.zip(model.eigvals).map {
+      case (row, lam) =>
+        val sc = 1.0 / math.sqrt(math.max(lam, 0.0) + eps)
+        array(row.map(x => lit(x * sc)): _*)
+    }
+    val wLit = array(wRows: _*)
+    val e = col(embField).cast(ArrayType(DoubleType))
+    val centered = zip_with(e, mLit, (x, m) => x - m)
+    // bind `centered` once via the single-element-array trick
+    val out = flatten(transform(array(centered), cArr =>
+      transform(wLit, row =>
+        aggregate(zip_with(row, cArr, (w, x) => w * x),
+          lit(0.0), (acc, x) => acc + x))))
+    df.withColumn(dest, out)
+  }
+
+  /** Release check: per output dimension, |variance − 1| and the max
+    * |covariance| against every LOWER dimension, both milli-floored and
+    * gated with `tolMilli` — the toleranced-invariant oracle surface
+    * (float noise lives orders of magnitude below the gate). */
+  def whitenCheck(
+      whitened: DataFrame,
+      field: String = "whitened",
+      tolMilli: Long = 100L
+  ): DataFrame = {
+    val e = col(field)
+    val pairs = whitened
+      .select(explode(flatten(transform(e, (xi, i) =>
+        transform(e, (xj, j) =>
+          struct(i.as("i"), j.as("j"), (xi * xj).as("p"),
+            xi.as("x")))))).as("s"))
+      .select(col("s.i"), col("s.j"), col("s.p"), col("s.x"))
+      .groupBy("i", "j")
+      .agg(sum(col("p")).as("sp"), sum(col("x")).as("sx"),
+        count(lit(1)).as("n"))
+      .withColumn("cov",
+        col("sp") / col("n") -
+          (col("sx") / col("n")) * (col("sx") / col("n")))
+    val diag = pairs.filter(col("i") === col("j"))
+      .select(col("i").cast(LongType).as("dim"),
+        floor(abs(col("cov") - 1.0) * 1000.0).cast(LongType)
+          .as("var_err_milli"))
+    val offd = pairs.filter(col("i") > col("j"))
+      .groupBy(col("i").cast(LongType).as("dim"))
+      .agg(floor(max(abs(col("cov"))) * 1000.0).cast(LongType)
+        .as("max_cov_milli"))
+    diag.join(offd, Seq("dim"), "left")
+      .withColumn("max_cov_milli", coalesce(col("max_cov_milli"), lit(0L)))
+      .withColumn("var_ok", col("var_err_milli") <= tolMilli)
+      .withColumn("cov_ok", col("max_cov_milli") <= tolMilli)
+      .select("dim", "var_ok", "cov_ok")
+  }
+}

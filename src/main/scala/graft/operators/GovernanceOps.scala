@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StringType}
 
 /** Privacy-governance release gates — the checks a dataset has to pass
   * before it ships to anyone outside the curation team.
@@ -160,5 +160,69 @@ object CompactionPlan {
           slice(col("__cp_fs"), col("__cp_s").cast("int") + 1,
             (col("__cp_e") - col("__cp_s")).cast("int")),
           f => f("f")).as("files"))
+  }
+}
+
+/** License detection over document text — the provenance gate a
+  * training-data release needs: pages carrying an explicit license
+  * marker route to the matching policy bucket (CC-family kept,
+  * "all rights reserved" quarantined, code-license text routed to the
+  * code pipeline), pages with NO marker fall to the corpus default.
+  * Detection is marker-phrase scanning (the C4/ROOTS practice), NOT
+  * legal inference: `license_tags` lists every family whose marker
+  * appears (sorted, deduplicated), `license_primary` resolves multiple
+  * hits by a fixed permissiveness priority (cc0 > cc-by > cc-by-sa >
+  * cc-by-nc > mit > apache-2.0 > gpl > all-rights-reserved), and
+  * `license_restricted` gates the quarantine set (nc / gpl /
+  * all-rights-reserved).
+  *
+  * Shape: a handful of literal `contains` probes on the lowercased
+  * text — one codegen'd row-local projection in the scan stage, zero
+  * shuffle, free at any corpus size. */
+object LicenseTag {
+
+  /** (family, marker phrases) — matched on lowercased text. */
+  val families: Seq[(String, Seq[String])] = Seq(
+    "cc0" -> Seq("creativecommons.org/publicdomain/zero", "cc0 1.0",
+      "no rights reserved"),
+    "cc-by" -> Seq("creativecommons.org/licenses/by/", "cc by 4.0",
+      "cc-by 4.0", "cc by 3.0"),
+    "cc-by-sa" -> Seq("creativecommons.org/licenses/by-sa", "cc by-sa",
+      "cc-by-sa"),
+    "cc-by-nc" -> Seq("creativecommons.org/licenses/by-nc", "cc by-nc",
+      "cc-by-nc"),
+    "mit" -> Seq("mit license", "permission is hereby granted, free of charge"),
+    "apache-2.0" -> Seq("apache license, version 2.0", "apache-2.0",
+      "licensed under the apache license"),
+    "gpl" -> Seq("gnu general public license", "gpl-2.0", "gpl-3.0",
+      "gnu gpl"),
+    "all-rights-reserved" -> Seq("all rights reserved")
+  )
+
+  /** Priority order for `license_primary` (most permissive first). */
+  val priority: Seq[String] = Seq("cc0", "cc-by", "cc-by-sa", "cc-by-nc",
+    "mit", "apache-2.0", "gpl", "all-rights-reserved")
+
+  private val restricted = Set("cc-by-nc", "gpl", "all-rights-reserved")
+
+  def annotate(df: DataFrame, textField: String): DataFrame = {
+    val t = lower(col(textField))
+    val tagHit: Seq[(String, Column)] = families.map { case (tag, ms) =>
+      tag -> ms.map(m => t.contains(m)).reduce(_ || _)
+    }
+    val tags = array_sort(filter(
+      array(tagHit.map { case (tag, hit) =>
+        when(hit, lit(tag)).otherwise(lit(null).cast(StringType))
+      }: _*),
+      x => x.isNotNull))
+    val primary = priority.foldRight(lit(null).cast(StringType)) {
+      case (tag, rest) => when(array_contains(tags, tag), lit(tag))
+        .otherwise(rest)
+    }
+    df.withColumn("license_tags", tags)
+      .withColumn("license_primary", coalesce(primary, lit("unmarked")))
+      .withColumn("license_restricted",
+        arrays_overlap(col("license_tags"),
+          array(restricted.toSeq.sorted.map(lit): _*)))
   }
 }

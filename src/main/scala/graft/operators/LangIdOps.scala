@@ -119,3 +119,67 @@ object LangIdNgram {
       .withColumn("pred_lang", coalesce(col("pred_lang"), lit("und")))
   }
 }
+
+/** Multi-language DOCUMENT SEGMENTATION — the curation step for
+  * code-switched web pages: a page that is 80% English with a German
+  * boilerplate footer should not be dropped by a document-level
+  * language gate, and a bitext-ish page should split into its
+  * monolingual spans before per-language routing. Each paragraph
+  * (blank-line separated by default) is classified with the
+  * [[LangIdNgram]] Cavnar–Trenkle distance, then CONSECUTIVE
+  * same-language paragraphs collapse into one segment row:
+  * `(id, seg_idx, lang, start_para, n_paras, n_chars)`.
+  *
+  * Shape at 100 TB: the paragraph explode is linear in corpus bytes;
+  * classification is the q218 shape (per-unit gram agg, profile
+  * BROADCAST join, one distance aggregation); the run collapse is two
+  * windows PARTITIONED by document (per-doc paragraph counts are
+  * bounded, never corpus-sized). Empty paragraphs are dropped (their
+  * indices remain visible via `start_para` gaps); paragraphs too short
+  * to yield an n-gram classify as `und` and form their own segments —
+  * they never silently disappear. Deterministic end to end, so a SQL
+  * oracle replays paragraphs, distances, argmin, and the collapse
+  * exactly. */
+object LangSegment {
+  import org.apache.spark.sql.expressions.Window
+
+  def segments(
+      df: DataFrame,
+      idField: String,
+      textField: String,
+      profiles: DataFrame,
+      topN: Int = 100,
+      n: Int = 3,
+      sep: String = "\n\n"
+  ): DataFrame = {
+    val paras = df
+      .select(col(idField).as("__ls_id"),
+        posexplode(split(col(textField),
+          java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__ls_p", "__ls_para")))
+      .filter(length(col("__ls_para")) > 0)
+      .withColumn("__ls_u", struct(col("__ls_id"), col("__ls_p")))
+    val classified = LangIdNgram
+      .classify(paras, "__ls_u", "__ls_para", profiles, topN, n)
+      .select(col("__ls_id"), col("__ls_p"), col("__ls_para"),
+        col("pred_lang"))
+    val w = Window.partitionBy("__ls_id").orderBy("__ls_p")
+    classified
+      .withColumn("__ls_new",
+        when(lag(col("pred_lang"), 1).over(w).isNull ||
+          lag(col("pred_lang"), 1).over(w) =!= col("pred_lang"), 1L)
+          .otherwise(0L))
+      .withColumn("seg_idx",
+        sum(col("__ls_new"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - 1L)
+      .groupBy(col("__ls_id"), col("seg_idx"))
+      .agg(
+        min(col("pred_lang")).as("lang"), // constant within a run
+        min(col("__ls_p")).cast(LongType).as("start_para"),
+        count(lit(1)).as("n_paras"),
+        sum(length(col("__ls_para"))).cast(LongType).as("n_chars"))
+      .select(col("__ls_id").as(idField), col("seg_idx"), col("lang"),
+        col("start_para"), col("n_paras"), col("n_chars"))
+  }
+}

@@ -451,3 +451,67 @@ final case class ReadabilityScore(
         freMilli(col("n_words"), col("n_sentences"), col("n_syllables")))
   }
 }
+
+/** Sliding-window lexicon density — the context-LOCAL complement to the
+  * document-level [[Blocklist]] ratio: a 5,000-word page with one
+  * paragraph of concentrated profanity/NSFW terms passes any whole-doc
+  * hit-ratio gate (the hits are diluted 100:1), yet that paragraph is
+  * exactly what a safety filter must catch. This operator reports, per
+  * document, the maximum number of lexicon hits inside ANY sliding
+  * window of `windowWords` consecutive words, the word index where
+  * that window starts, and the gate flag `density_hit` (max >=
+  * `minHits`).
+  *
+  * Exactness: a maximal window can always be anchored AT a hit (sliding
+  * a window left until its first hit enters costs nothing), so the scan
+  * enumerates only hit positions — count of hits in [p, p+W) per hit
+  * position p, argmax with ties to the EARLIEST start. Deterministic
+  * integers end to end; a SQL oracle replays it with the same list
+  * algebra.
+  *
+  * Shape at 100 TB: row-local higher-order functions, zero shuffle.
+  * Work per row is O(n_words + h²) where h = lexicon hits in the doc —
+  * h is near-zero on clean corpora, so the quadratic term never
+  * materializes at scale; the O(n·W) naive window sum is exactly what
+  * this formulation avoids. */
+final case class WindowLexiconDensity(
+    lexicon: Seq[String],
+    wordsField: String = "words",
+    windowWords: Int = 100,
+    minHits: Int = 3,
+    caseFold: Boolean = true
+) extends Mapper {
+  override def inputFields: Seq[String] = Seq(wordsField)
+  override def outputFields: Seq[String] =
+    Seq("lex_hits", "max_window_hits", "window_start", "density_hit")
+  override protected def build(df: DataFrame): DataFrame = {
+    val probe = array(lexicon.sorted.map(lit): _*)
+    val ws =
+      if (caseFold) transform(col(wordsField), w => lower(w))
+      else col(wordsField)
+    // 0-based word positions of lexicon hits (bound via the
+    // single-element-array trick so `ws` evaluates once per row)
+    val hitPos = flatten(transform(array(ws), w =>
+      filter(
+        transform(sequence(lit(1), greatest(size(w), lit(1))), i => i - 1),
+        i => size(w) > 0 && array_contains(probe, element_at(w, i + 1)))))
+    val perAnchor = (ps: Column) =>
+      transform(ps, p =>
+        struct(
+          size(filter(ps, x => x >= p && x < p + windowWords))
+            .cast(LongType).as("c"),
+          (-p).cast(LongType).as("np"))) // max picks EARLIEST on ties
+    df.withColumn("__wl_ps", hitPos)
+      .withColumn("lex_hits", size(col("__wl_ps")).cast(LongType))
+      .withColumn("__wl_best",
+        when(col("lex_hits") > 0,
+          array_max(flatten(transform(array(col("__wl_ps")), perAnchor)))))
+      .withColumn("max_window_hits",
+        coalesce(col("__wl_best.c"), lit(0L)))
+      .withColumn("window_start",
+        when(col("lex_hits") > 0, -col("__wl_best.np"))
+          .otherwise(lit(null).cast(LongType)))
+      .withColumn("density_hit", col("max_window_hits") >= minHits)
+      .drop("__wl_ps", "__wl_best")
+  }
+}

@@ -385,3 +385,56 @@ class EmbeddingHealthSpec extends SparkSpec {
     assert(got(2)._5)
   }
 }
+
+class PcaWhitenSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.PcaWhiten
+  import org.apache.spark.sql.functions._
+
+  test("jacobi: known symmetric 2x2 eigensystem") {
+    val (vals, vecs) = PcaWhiten.jacobi(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(vals.sorted.zip(Seq(1.0, 3.0)).forall {
+      case (a, b) => math.abs(a - b) < 1e-9 })
+    // eigenvector for lambda=3 is (1,1)/sqrt(2): |x| == |y|
+    val k = vals.indexWhere(v => math.abs(v - 3.0) < 1e-9)
+    assert(math.abs(math.abs(vecs(0)(k)) - math.abs(vecs(1)(k))) < 1e-9)
+  }
+
+  test("whitening a correlated cloud yields unit variance and zero " +
+    "covariance in every output dimension") {
+    // y strongly correlated with x; z an independent small-variance dim
+    val rows = (0 until 400).map { i =>
+      val x = (i % 20).toDouble - 9.5
+      val y = 2.0 * x + ((i * 7) % 5).toDouble - 2.0
+      val z = ((i * 13) % 3).toDouble * 0.1
+      Tuple1(Seq(x, y, z))
+    }
+    val df = rows.toDF("embedding")
+    val model = PcaWhiten.fit(df, "embedding")
+    assert(model.eigvals.length == 3 &&
+      model.eigvals.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    val white = PcaWhiten.project(df, "embedding", model)
+    val checks = PcaWhiten.whitenCheck(white, "whitened", tolMilli = 10L)
+      .select("dim", "var_ok", "cov_ok")
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(checks.length == 3)
+    assert(checks.forall(c => c._2 && c._3), checks.mkString(", "))
+    // model is partition-layout tolerant: refit on a repartition stays
+    // inside the same tolerance gates
+    val model2 = PcaWhiten.fit(df.repartition(7), "embedding")
+    val white2 = PcaWhiten.project(df, "embedding", model2)
+    assert(PcaWhiten.whitenCheck(white2, "whitened", tolMilli = 10L)
+      .filter(!col("var_ok") || !col("cov_ok")).count() == 0L)
+  }
+
+  test("constant dimension: eps floor keeps the projection finite") {
+    val df = (0 until 50).map(i =>
+      Tuple1(Seq((i % 10).toDouble, 4.2))).toDF("embedding")
+    val model = PcaWhiten.fit(df, "embedding")
+    val out = PcaWhiten.project(df, "embedding", model)
+      .select(col("whitened"))
+      .as[Seq[Double]].collect()
+    assert(out.forall(_.forall(v => !v.isNaN && !v.isInfinite)))
+  }
+}

@@ -404,3 +404,69 @@ class StreamingRateAnomalySpec extends SparkSpec {
     q.stop()
   }
 }
+
+class LicenseTagSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.LicenseTag
+  import org.apache.spark.sql.functions._
+
+  test("marker families, priority, restricted gate, unmarked default") {
+    val rows = Seq(
+      (1L, "foo Licensed under the Apache License, Version 2.0 bar"),
+      (2L, "x CC BY 4.0 and creativecommons.org/licenses/by-nc/4.0 y"),
+      (3L, "plain page, no marker"),
+      (4L, "ALL RIGHTS RESERVED"), // case-folded matching
+      (5L, "gnu general public license v3 plus mit license text")
+    ).toDF("id", "text")
+    val got = LicenseTag.annotate(rows, "text")
+      .select("id", "license_tags", "license_primary", "license_restricted")
+      .as[(Long, Seq[String], String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((Seq("apache-2.0"), "apache-2.0", false)))
+    // double marker: cc-by outranks cc-by-nc as primary, but the nc
+    // marker still trips the restricted gate
+    assert(got(2L) == ((Seq("cc-by", "cc-by-nc"), "cc-by", true)))
+    assert(got(3L) == ((Seq(), "unmarked", false)))
+    assert(got(4L) == ((Seq("all-rights-reserved"), "all-rights-reserved", true)))
+    assert(got(5L) == ((Seq("gpl", "mit"), "mit", true)))
+  }
+}
+
+class WindowLexiconDensitySpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.WindowLexiconDensity
+  import org.apache.spark.sql.functions._
+
+  private def run(words: Seq[String], w: Int, k: Int) =
+    WindowLexiconDensity(Seq("bad", "evil"), "ws", windowWords = w,
+        minHits = k)(Seq(Tuple1(words)).toDF("ws"))
+      .select("lex_hits", "max_window_hits", "window_start", "density_hit")
+      .as[(Long, Long, Option[Long], Boolean)].head()
+
+  test("clustered hits flag, diluted hits don't, ties take earliest") {
+    // 3 hits inside positions 2..4: any 5-window catches all 3
+    assert(run(Seq("a", "b", "bad", "evil", "bad", "c", "d"), 5, 3) ==
+      ((3L, 3L, Some(2L), true)))
+    // same 3 hits spread at 0, 10, 20 with window 5: max is 1
+    val spread = (0 until 25).map(i =>
+      if (i % 10 == 0) "bad" else s"w$i")
+    assert(run(spread, 5, 3) == ((3L, 1L, Some(0L), false)))
+    // no hits: zero max, null start
+    assert(run(Seq("clean", "words"), 5, 1) == ((0L, 0L, None, false)))
+    // case folding: BAD counts by default
+    assert(run(Seq("BAD", "Evil"), 5, 2) == ((2L, 2L, Some(0L), true)))
+    // tie between two equally dense windows -> earliest start
+    assert(run(Seq("bad", "x", "bad", "y", "bad"), 3, 2)._3 == Some(0L))
+  }
+
+  test("whole-doc ratio dilution is exactly what the window catches") {
+    // 3 hits clustered in a 200-word doc: doc-level ratio 1.5% looks
+    // clean; the 10-word window sees all 3
+    val doc = (0 until 200).map {
+      case 100 | 102 | 104 => "evil"
+      case i => s"w$i"
+    }
+    val got = run(doc, 10, 3)
+    assert(got == ((3L, 3L, Some(100L), true)))
+  }
+}

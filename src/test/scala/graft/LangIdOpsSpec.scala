@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.LangIdNgram
+import graft.operators.{LangIdNgram, LangSegment}
 
 class LangIdOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -69,6 +69,32 @@ class LangIdOpsSpec extends SparkSpec {
     // stay in the output with the documented 'und' default, not vanish
     assert(got.keySet == Set(1L, 2L, 3L), got)
     assert(got(1L) == "en" && got(2L) == "und" && got(3L) == "und")
+  }
+
+  test("LangSegment: consecutive same-language paragraphs collapse, " +
+    "short tails segment as 'und', empty paragraphs leave index gaps") {
+    val profiles = LangIdNgram.trainProfiles(labeled, "lang", "text", topN = 10)
+    val doc =
+      "the cat and the dog" + "\n\n" +         // p0 en ┐ one segment
+        "this is the thing the people said" + "\n\n" + // p1 en ┘
+        "" + "\n\n" +                            // p2 empty: dropped
+        "der hund und die katze" + "\n\n" +      // p3 de
+        "ok"                                     // p4 und (2 chars)
+    val got = LangSegment.segments(
+        Seq((7L, doc)).toDF("id", "text"), "id", "text", profiles, topN = 10)
+      .orderBy("seg_idx")
+      .select("seg_idx", "lang", "start_para", "n_paras", "n_chars")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, "en", 0L, 2L, 19L + 33L),
+      (1L, "de", 3L, 1L, 22L),
+      (2L, "und", 4L, 1L, 2L)), got)
+    // partitioning invariance
+    val two = Seq((7L, doc), (8L, "der hund und die katze")).toDF("id", "text")
+    assert(rows(LangSegment.segments(two, "id", "text", profiles, topN = 10)
+        .orderBy("id", "seg_idx")) ==
+      rows(LangSegment.segments(two.repartition(5), "id", "text", profiles,
+        topN = 10).orderBy("id", "seg_idx")))
   }
 
   test("plan: profile join is broadcast; no corpus-wide window") {
