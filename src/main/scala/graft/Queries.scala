@@ -6900,14 +6900,16 @@ object Queries {
       // BOTH legs, exactly like the batch catalog's docs() helper; a
       // single-partition leg runs the whole corpus serially
       val par = s.sparkContext.defaultParallelism
+      val needed = T(s, dir, "documents").select("doc_id", "text")
       val batchLeg =
         quarantineCols(gate(withWords(
-          T(s, dir, "documents").repartition(par, col("doc_id")))))
+          needed.repartition(par, col("doc_id")))))
           .withColumnRenamed("quarantined", "q_batch")
       // the streaming file source reads DIRECTORIES (an ingest-drop
-      // shape); stage the single-file table into one
+      // shape); stage the single-file table into one — only the two
+      // columns the gate reads, so the round-trip I/O is minimal
       val srcDir = "/tmp/graft_q263_src"
-      T(s, dir, "documents").write.mode("overwrite").parquet(srcDir)
+      needed.write.mode("overwrite").parquet(srcDir)
       val schema = s.read.parquet(srcDir).schema
       val stream = s.readStream.schema(schema).parquet(srcDir)
         .repartition(par, col("doc_id"))
