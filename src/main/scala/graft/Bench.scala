@@ -87,7 +87,15 @@ object Bench {
     // skipped when neither is present — e.g. ad-hoc runs outside the
     // repo root). Only full-catalog runs are stamped: a filtered
     // SPARK_GRAFT_ONLY run would shadow the round's real numbers.
-    val round: Option[Int] = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
+    // Malformed SPARK_GRAFT_ROUND must not crash the bench after all
+    // queries already ran — warn and fall through to inference.
+    val round: Option[Int] = sys.env.get("SPARK_GRAFT_ROUND")
+      .flatMap { v =>
+        val p = scala.util.Try(v.toInt).toOption
+        if (p.isEmpty)
+          System.err.println(s"[bench] ignoring malformed SPARK_GRAFT_ROUND=$v")
+        p
+      }
       .orElse {
         val rx = "BENCH_r(\\d+)\\.json".r
         val cwd = new java.io.File(".").listFiles()

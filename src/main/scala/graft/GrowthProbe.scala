@@ -131,7 +131,36 @@ object GrowthProbe {
         ProductQuantizer.ivfAdcTopK(enc, queries, "embedding",
           "vec_id", k = 5, cbs, cents, nProbe = 2).count()
       }
-      println(f"""{"factor":$f,"rows":$nRows,"minhash_sec":$tMinhash%.1f,"exactsubstr_sec":$tExact%.1f,"containment_sec":$tContain%.1f,"winnowing_sec":$tWinnow%.1f,"prefixjoin_sec":$tPrefix%.1f,"prefixjoin_capped_sec":$tPrefixCapped%.1f,"shardnovelty_sec":$tNovelty%.1f,"ivfadc_sec":$tIvfAdc%.1f}""")
+      // PcaWhiten covariance fold at d=256 (the judge-flagged scale
+      // hazard of the superseded explode leg): tile the 64-dim base
+      // embedding 4x with per-copy affine jitter; fold work is n*d^2/2
+      // FMAs so the probe must grow linearly in f at fixed d.
+      val tPcaWhiten = time {
+        val embRep = (0 until f).map { i =>
+          emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+            col("embedding"))
+        }.reduce(_ unionByName _)
+        val emb256 = embRep.withColumn("emb256",
+          flatten(array((0 until 4).map(c =>
+            transform(col("embedding").cast(
+                org.apache.spark.sql.types.ArrayType(DoubleType)),
+              x => x * lit(1.0 + 0.1 * c) + lit(0.01 * c))): _*)))
+        PcaWhiten.covFold(emb256, "emb256")
+      }
+      // LangSegment (q264 shape): profiles broadcast fixed from the
+      // BASE table; the replicated corpus is re-paragraphed on
+      // sentence ends so every doc yields multiple classify units.
+      val langProfiles = LangIdNgram.trainProfiles(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .filter(col("doc_id") % 2 === 0),
+        "lang", "text", topN = 100, n = 3)
+      val tLangSegment = time {
+        LangSegment.segments(
+          docs.withColumn("text",
+            regexp_replace(col("text"), "\\. ", ".\n\n")),
+          "doc_id", "text", langProfiles, topN = 100, n = 3).count()
+      }
+      println(f"""{"factor":$f,"rows":$nRows,"minhash_sec":$tMinhash%.1f,"exactsubstr_sec":$tExact%.1f,"containment_sec":$tContain%.1f,"winnowing_sec":$tWinnow%.1f,"prefixjoin_sec":$tPrefix%.1f,"prefixjoin_capped_sec":$tPrefixCapped%.1f,"shardnovelty_sec":$tNovelty%.1f,"ivfadc_sec":$tIvfAdc%.1f,"pcawhiten256_sec":$tPcaWhiten%.1f,"langsegment_sec":$tLangSegment%.1f}""")
     }
     spark.stop()
   }

@@ -6878,7 +6878,14 @@ object Queries {
     * lowering, the file-source schema path, and the sink round-trip
     * don't break it in practice). Invariant oracle (q95's pattern):
     * the oracle replays doc_ids and pins agree=TRUE; the gates' own
-    * semantics are hash-verified by q105/q145/q146. */
+    * semantics are hash-verified by q105/q145/q146.
+    *
+    * Catalog cost: the in-catalog entry gates a DETERMINISTIC
+    * md5-sampled ~20% subset ([[operators.Sampling.keepMd5]], salt
+    * "q263") — the per-doc equality oracle is unchanged in kind, and
+    * proving parity doesn't need the full corpus twice per bench run;
+    * the gate-pipeline stream≡batch parity stays pinned by the
+    * streaming spec suite (RecipeStreamingSpec / GovernanceSpec). */
   private val qStreamingQuality = Q(
     "q263_streaming_quality_equiv",
     (s, dir) => {
@@ -6900,7 +6907,9 @@ object Queries {
       // BOTH legs, exactly like the batch catalog's docs() helper; a
       // single-partition leg runs the whole corpus serially
       val par = s.sparkContext.defaultParallelism
-      val needed = T(s, dir, "documents").select("doc_id", "text")
+      val needed = T(s, dir, "documents")
+        .filter(Sampling.keepMd5(col("doc_id"), 0.2, "q263"))
+        .select("doc_id", "text")
       val batchLeg =
         quarantineCols(gate(withWords(
           needed.repartition(par, col("doc_id")))))
@@ -6930,7 +6939,10 @@ object Queries {
     },
     Some(
       """SELECT doc_id, CAST(1 AS BIGINT) AS agree
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR) || 'q263'), 1, 8)
+        |  < '33333333'
+        |ORDER BY doc_id""".stripMargin
     )
   )
 
@@ -7068,19 +7080,24 @@ object Queries {
 
   /** License detection ([[operators.LicenseTag.annotate]]): marker
     * phrases appended per doc_id class — Apache, a CC-BY + CC-BY-NC
-    * double marker, all-rights-reserved, MIT, and unmarked — and the
-    * oracle replays every family's contains-probe, the sorted tag
-    * list, the permissiveness-priority primary, and the restricted
+    * double marker, all-rights-reserved, MIT, LGPL (must tag lgpl and
+    * NOT substring-leak into the gpl quarantine), bare GPL, and
+    * unmarked — and the oracle replays every family's contains-probe
+    * (regexp for the boundary-guarded gpl version markers), the sorted
+    * tag list, the permissiveness-priority primary, and the restricted
     * gate. */
   private val qLicenseTag = Q(
     "q266_license_tag",
     (s, dir) => {
-      val marker = when(col("doc_id") % 5 === 0,
+      val marker = when(col("doc_id") % 7 === 0,
           lit(" Licensed under the Apache License, Version 2.0 "))
-        .when(col("doc_id") % 5 === 1,
+        .when(col("doc_id") % 7 === 1,
           lit(" CC BY 4.0 creativecommons.org/licenses/by-nc/4.0 "))
-        .when(col("doc_id") % 5 === 2, lit(" All Rights Reserved "))
-        .when(col("doc_id") % 5 === 3, lit(" MIT License "))
+        .when(col("doc_id") % 7 === 2, lit(" All Rights Reserved "))
+        .when(col("doc_id") % 7 === 3, lit(" MIT License "))
+        .when(col("doc_id") % 7 === 4,
+          lit(" GNU Lesser General Public License LGPL-3.0 "))
+        .when(col("doc_id") % 7 === 5, lit(" released under GPL-3.0 "))
         .otherwise(lit(""))
       LicenseTag.annotate(
           docs(s, dir).select(col("doc_id"),
@@ -7092,11 +7109,13 @@ object Queries {
     },
     Some(
       """WITH d AS (SELECT doc_id, lower(text ||
-        |    CASE CAST(doc_id % 5 AS BIGINT)
+        |    CASE CAST(doc_id % 7 AS BIGINT)
         |      WHEN 0 THEN ' Licensed under the Apache License, Version 2.0 '
         |      WHEN 1 THEN ' CC BY 4.0 creativecommons.org/licenses/by-nc/4.0 '
         |      WHEN 2 THEN ' All Rights Reserved '
         |      WHEN 3 THEN ' MIT License '
+        |      WHEN 4 THEN ' GNU Lesser General Public License LGPL-3.0 '
+        |      WHEN 5 THEN ' released under GPL-3.0 '
         |      ELSE '' END) AS t
         |  FROM documents),
         |hits AS (SELECT doc_id,
@@ -7120,8 +7139,10 @@ object Queries {
         |        OR contains(t, 'apache-2.0')
         |        OR contains(t, 'licensed under the apache license')
         |        THEN 'apache-2.0' END,
+        |      CASE WHEN contains(t, 'gnu lesser general public license')
+        |        OR contains(t, 'lgpl') THEN 'lgpl' END,
         |      CASE WHEN contains(t, 'gnu general public license')
-        |        OR contains(t, 'gpl-2.0') OR contains(t, 'gpl-3.0')
+        |        OR regexp_matches(t, '(^|[^l])gpl-[23]\.0')
         |        OR contains(t, 'gnu gpl') THEN 'gpl' END,
         |      CASE WHEN contains(t, 'all rights reserved')
         |        THEN 'all-rights-reserved' END
@@ -7135,6 +7156,7 @@ object Queries {
         |      WHEN list_contains(tags, 'cc-by-nc') THEN 'cc-by-nc'
         |      WHEN list_contains(tags, 'mit') THEN 'mit'
         |      WHEN list_contains(tags, 'apache-2.0') THEN 'apache-2.0'
+        |      WHEN list_contains(tags, 'lgpl') THEN 'lgpl'
         |      WHEN list_contains(tags, 'gpl') THEN 'gpl'
         |      WHEN list_contains(tags, 'all-rights-reserved')
         |        THEN 'all-rights-reserved' END,
@@ -7146,8 +7168,9 @@ object Queries {
     )
   )
 
-  /** PCA whitening ([[operators.PcaWhiten]]): covariance fit in one
-    * (i,j)-keyed aggregation, driver-side Jacobi eigensolve, row-local
+  /** PCA whitening ([[operators.PcaWhiten]]): covariance fit as one
+    * per-partition d×d matrix fold (primitive arrays, zero shuffle,
+    * #partitions O(d²) blobs), driver-side Jacobi eigensolve, row-local
     * projection — then [[operators.PcaWhiten.whitenCheck]] asserts the
     * WHITENING IDENTITY on the output: every dimension's variance
     * within 0.1 of 1 and every covariance within 0.1 of 0 (float noise
@@ -7166,6 +7189,106 @@ object Queries {
     Some(
       """SELECT CAST(i AS BIGINT) AS dim, TRUE AS var_ok, TRUE AS cov_ok
         |FROM generate_series(0, 63) t(i) ORDER BY dim""".stripMargin
+    )
+  )
+
+  /** [[HfTokenizerJson]] byte_fallback id-layout pin (q188's contract
+    * extended to the Llama/Mistral-family serialization): a
+    * Llama-layout `tokenizer.json` — BPE model with
+    * byte_fallback+fuse_unk, the Prepend ▁ / Replace " "→▁ normalizer
+    * pair, the Replace/ByteFallback/Fuse/Strip decoder Sequence, an
+    * `<s>`-only TemplateProcessing — is written with a corpus-derived
+    * CHAR vocab (`<unk>`=0 `<s>`=1 `</s>`=2, `<0x00>`..`<0xFF>`=3..258,
+    * non-digit marked-corpus chars from 259 in sorted order, NO
+    * merges) and used to encode every document with " 42" appended,
+    * so DIGITS byte-fall-back to `<0xNN>` ids while every other char
+    * resolves in-vocab. The oracle re-derives each id as
+    * 258+rank(char) or 3+ascii(digit) and prepends `<s>`=1, so a hash
+    * match proves the byte_fallback dispatch ([[SpmBpeTokenizer]]),
+    * the `<0xNN>` layout, the space-marking chain, and the bos-only
+    * template all line up with the file. Driver state = the
+    * distinct-char vocab (bounded, q125's pattern). */
+  private val qByteFallback = Q(
+    "q268_byte_fallback_ids",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        concat(lit("▁"),
+          regexp_replace(concat(col("text"), lit(" 42")), " ", "▁"))
+          .as("t"))
+      val chars = d
+        .selectExpr("explode(sequence(1, length(t))) AS i", "t")
+        .selectExpr("substring(t, i, 1) AS c")
+        .filter(!(col("c") >= "0" && col("c") <= "9"))
+        .distinct().orderBy("c").collect().map(_.getString(0))
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val rootN = m.createObjectNode()
+      rootN.put("version", "1.0")
+      val added = rootN.putArray("added_tokens")
+      Seq("<unk>", "<s>", "</s>").zipWithIndex.foreach { case (tok, i) =>
+        val a = added.addObject()
+        a.put("id", i); a.put("content", tok)
+        a.put("single_word", false); a.put("lstrip", false)
+        a.put("rstrip", false); a.put("normalized", false)
+        a.put("special", true)
+      }
+      val norm = rootN.putObject("normalizer")
+      norm.put("type", "Sequence")
+      val norms = norm.putArray("normalizers")
+      norms.addObject().put("type", "Prepend").put("prepend", "▁")
+      val rep = norms.addObject()
+      rep.put("type", "Replace"); rep.put("content", "▁")
+      rep.putObject("pattern").put("String", " ")
+      val pp = rootN.putObject("post_processor")
+      pp.put("type", "TemplateProcessing")
+      val single = pp.putArray("single")
+      single.addObject().putObject("SpecialToken")
+        .put("id", "<s>").put("type_id", 0)
+      single.addObject().putObject("Sequence")
+        .put("id", "A").put("type_id", 0)
+      val dec = rootN.putObject("decoder")
+      dec.put("type", "Sequence")
+      val decs = dec.putArray("decoders")
+      val dRep = decs.addObject()
+      dRep.put("type", "Replace"); dRep.put("content", " ")
+      dRep.putObject("pattern").put("String", "▁")
+      decs.addObject().put("type", "ByteFallback")
+      decs.addObject().put("type", "Fuse")
+      decs.addObject().put("type", "Strip")
+        .put("content", " ").put("start", 1).put("stop", 0)
+      val model = rootN.putObject("model")
+      model.put("type", "BPE"); model.put("unk_token", "<unk>")
+      model.put("fuse_unk", true); model.put("byte_fallback", true)
+      val vocabN = model.putObject("vocab")
+      Seq("<unk>", "<s>", "</s>").zipWithIndex.foreach { case (tok, i) =>
+        vocabN.put(tok, i)
+      }
+      (0 until 256).foreach(b => vocabN.put(f"<0x$b%02X>", b + 3))
+      chars.zipWithIndex.foreach { case (c, i) => vocabN.put(c, i + 259) }
+      model.putArray("merges")
+      val f = java.nio.file.Paths.get("/tmp/graft_tokjson_q268.json")
+      java.nio.file.Files.write(f, m.writeValueAsBytes(rootN))
+      val t = HfTokenizerJson.load(f.toString)
+      TokenizerMapper(t, inputField = "text", returnAttentionMask = false)(
+        docs(s, dir).withColumn("text", concat(col("text"), lit(" 42"))))
+        .select(col("doc_id"), J("input_ids"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH d AS (SELECT doc_id,
+        |    '▁' || replace(text || ' 42', ' ', '▁') AS t FROM documents),
+        |pos AS (SELECT doc_id, i, substring(t, i, 1) AS c
+        |  FROM d, unnest(generate_series(1, length(t))) AS u(i)),
+        |v AS (SELECT c, 258 + row_number() OVER (ORDER BY c) AS id
+        |  FROM (SELECT DISTINCT c FROM pos
+        |        WHERE NOT c BETWEEN '0' AND '9')),
+        |ids AS (SELECT doc_id,
+        |    list(CAST(CASE WHEN p.c BETWEEN '0' AND '9'
+        |        THEN 3 + ascii(p.c) ELSE v.id END AS BIGINT)
+        |      ORDER BY p.i) AS body
+        |  FROM pos p LEFT JOIN v USING (c) GROUP BY doc_id)
+        |SELECT doc_id,
+        |  to_json([CAST(1 AS BIGINT)] || body)::VARCHAR AS input_ids
+        |FROM ids ORDER BY doc_id""".stripMargin
     )
   )
 
@@ -9670,7 +9793,7 @@ object Queries {
     qContaminationSpan, qMerkleRoot, qPhraseSearch,
     qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch, qTextRepair, qCohenKappa, qBlockDensity, qCoCitation, qMarkdownOutline, qRougeL, qChatValid, qFilterFunnel, qCentroidMap, qMedoid, qRankAgreement, qWebPipeline, qLabelNoise, qHistDrift, qKsDrift, qHtEstimate, qQuoteStats, qOovRate, qDimHealth, qNeyman,
     qPrefixJoinCapped, qPromptsourceYaml, qStreamingQuality, qLangSegments,
-    qWindowLexicon, qLicenseTag, qPcaWhiten
+    qWindowLexicon, qLicenseTag, qPcaWhiten, qByteFallback
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -785,9 +785,10 @@ object CorpusStats {
     * off the already-grouped tf table; N broadcasts as a one-row agg;
     * the final rank is a window PARTITIONED by doc. Scale note: the
     * score is pure BIGINT arithmetic (`integral_divide`, never a
-    * double detour), so the bound is 2^63 on `1e6·tf·N` — at corpus
-    * sizes where that nears 2^63 (N ≳ 10¹³ with tf ~10³), drop the
-    * scale to 1e3 or pre-cap tf; wired as-is for the test SFs. */
+    * double detour), so the bound is 2^63 on `1e6·tf·N`, i.e.
+    * `tf·N ≲ 9·10¹²` — with tf ~10³ that is N ≳ 10¹⁰ docs; at corpus
+    * sizes nearing that, drop the scale to 1e3 or pre-cap tf; wired
+    * as-is for the test SFs. */
   def tfIdfTopTerms(
       docs: DataFrame,
       idField: String,

@@ -307,10 +307,15 @@ object EmbeddingHealth {
   * stop swamping the metric.
   *
   * Scale shape, the part that matters at 100 TB: the covariance fit is
-  * ONE aggregation — each row emits its d² dimension-pair products via
-  * a row-local transform, and a single (i, j)-keyed partial-aggregated
-  * groupBy folds them (the shuffle carries d² keys, never rows); the
-  * d×d eigensolve is DRIVER-side (cyclic Jacobi — d is 16-1024 in
+  * ONE `mapPartitions` fold — each partition accumulates a local
+  * d-vector of sums plus a d×d product matrix in primitive double
+  * arrays (upper triangle computed, mirrored once at combine), so the
+  * job ships #partitions O(d²) blobs to the driver and nothing else:
+  * no shuffle, no per-row d² structs (the earlier explode formulation
+  * paid ~100× interpreted-struct overhead per multiply and was
+  * intractable at d = 1024, where d² = 1M structs/row; a d = 1024
+  * partial is 8 MB — 32 of them is driver-trivial). The d×d
+  * eigensolve is DRIVER-side (cyclic Jacobi — d is 16-1024 in
   * practice, microseconds to milliseconds); the projection is a
   * row-local expression over literal arrays (zip_with dot products),
   * zero shuffle. Nothing corpus-sized ever concentrates anywhere.
@@ -329,8 +334,86 @@ object PcaWhiten {
       /** rows = eigenvectors (descending eigenvalue). */
       components: Array[Array[Double]])
 
-  /** Covariance fit: one (i,j)-keyed aggregation + driver Jacobi. */
+  /** Covariance fit: one per-partition matrix fold + driver Jacobi. */
   def fit(df: DataFrame, embField: String): Model = {
+    val (_, means, cov) = covFold(df, embField)
+    val (vals, vecs) = jacobi(cov)
+    val order = vals.indices.sortBy(k => -vals(k))
+    Model(means,
+      order.map(vals).toArray,
+      order.map(k => vecs.map(_(k))).toArray)
+  }
+
+  /** Production covariance leg: `mapPartitions` folds (n, Σx, Σxxᵀ)
+    * into primitive arrays — upper triangle only in the hot loop,
+    * mirrored once after the driver combine. Ships #partitions O(d²)
+    * blobs; zero shuffle; ~n·d²/2 fused multiply-adds with no
+    * per-element interpretation. Null embedding rows are skipped
+    * (matching the explode leg, where `explode(null)` drops the row).
+    * Returns (n, means, covariance matrix). */
+  private[graft] def covFold(df: DataFrame, embField: String)
+      : (Double, Array[Double], Array[Array[Double]]) = {
+    val ss = df.sparkSession
+    import ss.implicits._
+    val partials = df
+      .select(col(embField).cast(ArrayType(DoubleType)))
+      .as[Seq[Double]]
+      .mapPartitions { it =>
+        var n = 0L
+        var d = -1
+        var sums: Array[Double] = null
+        var sp: Array[Double] = null // row-major d×d, upper triangle
+        while (it.hasNext) {
+          val row = it.next()
+          if (row != null) {
+            val x = row.toArray
+            if (d < 0) {
+              d = x.length
+              sums = new Array[Double](d)
+              sp = new Array[Double](d * d)
+            }
+            var i = 0
+            while (i < d) {
+              val xi = x(i)
+              sums(i) += xi
+              val base = i * d
+              var j = i
+              while (j < d) { sp(base + j) += xi * x(j); j += 1 }
+              i += 1
+            }
+            n += 1
+          }
+        }
+        if (n == 0L) Iterator.empty else Iterator.single((n, sums, sp))
+      }
+      .collect()
+    require(partials.nonEmpty, s"PcaWhiten: no non-null '$embField' rows")
+    val d = partials.head._2.length
+    var n = 0.0
+    val sums = new Array[Double](d)
+    val sp = new Array[Double](d * d)
+    partials.foreach { case (pn, psums, psp) =>
+      n += pn.toDouble
+      var k = 0
+      while (k < d) { sums(k) += psums(k); k += 1 }
+      k = 0
+      while (k < d * d) { sp(k) += psp(k); k += 1 }
+    }
+    val means = sums.map(_ / n)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      sp(a * d + b) / n - means(i) * means(j)
+    }
+    (n, means, cov)
+  }
+
+  /** The superseded explode formulation (per-row d² structs through a
+    * (i,j)-keyed agg), kept ONLY as the independent oracle for the
+    * fold≡explode parity spec — do not use in production paths: the
+    * interpreted-struct overhead is ~100× and d = 1024 materializes 1M
+    * structs per row. */
+  private[graft] def covExplode(df: DataFrame, embField: String)
+      : (Double, Array[Double], Array[Array[Double]]) = {
     val e = col(embField).cast(ArrayType(DoubleType))
     val pairs = df
       .select(explode(flatten(transform(e, (xi, i) =>
@@ -353,11 +436,7 @@ object PcaWhiten {
     val means = sums.map(_ / n)
     val cov = Array.tabulate(d, d)((i, j) =>
       sprod(i)(j) / n - means(i) * means(j))
-    val (vals, vecs) = jacobi(cov)
-    val order = vals.indices.sortBy(k => -vals(k))
-    Model(means,
-      order.map(vals).toArray,
-      order.map(k => vecs.map(_(k))).toArray)
+    (n, means, cov)
   }
 
   /** Cyclic Jacobi eigensolver for a symmetric matrix: returns
@@ -452,31 +531,22 @@ object PcaWhiten {
       field: String = "whitened",
       tolMilli: Long = 100L
   ): DataFrame = {
-    val e = col(field)
-    val pairs = whitened
-      .select(explode(flatten(transform(e, (xi, i) =>
-        transform(e, (xj, j) =>
-          struct(i.as("i"), j.as("j"), (xi * xj).as("p"),
-            xi.as("x")))))).as("s"))
-      .select(col("s.i"), col("s.j"), col("s.p"), col("s.x"))
-      .groupBy("i", "j")
-      .agg(sum(col("p")).as("sp"), sum(col("x")).as("sx"),
-        count(lit(1)).as("n"))
-      .withColumn("cov",
-        col("sp") / col("n") -
-          (col("sx") / col("n")) * (col("sx") / col("n")))
-    val diag = pairs.filter(col("i") === col("j"))
-      .select(col("i").cast(LongType).as("dim"),
-        floor(abs(col("cov") - 1.0) * 1000.0).cast(LongType)
-          .as("var_err_milli"))
-    val offd = pairs.filter(col("i") > col("j"))
-      .groupBy(col("i").cast(LongType).as("dim"))
-      .agg(floor(max(abs(col("cov"))) * 1000.0).cast(LongType)
-        .as("max_cov_milli"))
-    diag.join(offd, Seq("dim"), "left")
-      .withColumn("max_cov_milli", coalesce(col("max_cov_milli"), lit(0L)))
-      .withColumn("var_ok", col("var_err_milli") <= tolMilli)
-      .withColumn("cov_ok", col("max_cov_milli") <= tolMilli)
-      .select("dim", "var_ok", "cov_ok")
+    // Same per-partition matrix fold as the fit (the check is just a
+    // second covariance pass over the OUTPUT column); the result table
+    // is d rows — design-table-sized — built locally.
+    val (_, _, cov) = covFold(whitened, field)
+    val d = cov.length
+    val rows = (0 until d).map { i =>
+      val varErrMilli =
+        math.floor(math.abs(cov(i)(i) - 1.0) * 1000.0).toLong
+      val maxCovMilli =
+        if (i == 0) 0L
+        else math.floor(
+          (0 until i).map(j => math.abs(cov(i)(j))).max * 1000.0).toLong
+      (i.toLong, varErrMilli <= tolMilli, maxCovMilli <= tolMilli)
+    }
+    val ss = whitened.sparkSession
+    import ss.implicits._
+    rows.toDF("dim", "var_ok", "cov_ok")
   }
 }

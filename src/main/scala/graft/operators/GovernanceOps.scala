@@ -181,7 +181,12 @@ object CompactionPlan {
   * shuffle, free at any corpus size. */
 object LicenseTag {
 
-  /** (family, marker phrases) — matched on lowercased text. */
+  /** (family, marker phrases) — matched on lowercased text. A marker
+    * prefixed `re:` is a regex (`rlike`) instead of a substring probe:
+    * the gpl version markers need a non-`l` left boundary so that
+    * `lgpl-2.0`/`lgpl-3.0` identifiers don't substring-match into the
+    * gpl family (weak-copyleft LGPL pages must NOT be routed to the
+    * restricted quarantine). */
   val families: Seq[(String, Seq[String])] = Seq(
     "cc0" -> Seq("creativecommons.org/publicdomain/zero", "cc0 1.0",
       "no rights reserved"),
@@ -194,21 +199,24 @@ object LicenseTag {
     "mit" -> Seq("mit license", "permission is hereby granted, free of charge"),
     "apache-2.0" -> Seq("apache license, version 2.0", "apache-2.0",
       "licensed under the apache license"),
-    "gpl" -> Seq("gnu general public license", "gpl-2.0", "gpl-3.0",
+    "lgpl" -> Seq("gnu lesser general public license", "lgpl"),
+    "gpl" -> Seq("gnu general public license", "re:(^|[^l])gpl-[23]\\.0",
       "gnu gpl"),
     "all-rights-reserved" -> Seq("all rights reserved")
   )
 
   /** Priority order for `license_primary` (most permissive first). */
   val priority: Seq[String] = Seq("cc0", "cc-by", "cc-by-sa", "cc-by-nc",
-    "mit", "apache-2.0", "gpl", "all-rights-reserved")
+    "mit", "apache-2.0", "lgpl", "gpl", "all-rights-reserved")
 
   private val restricted = Set("cc-by-nc", "gpl", "all-rights-reserved")
 
   def annotate(df: DataFrame, textField: String): DataFrame = {
     val t = lower(col(textField))
     val tagHit: Seq[(String, Column)] = families.map { case (tag, ms) =>
-      tag -> ms.map(m => t.contains(m)).reduce(_ || _)
+      tag -> ms.map(m =>
+        if (m.startsWith("re:")) t.rlike(m.stripPrefix("re:"))
+        else t.contains(m)).reduce(_ || _)
     }
     val tags = array_sort(filter(
       array(tagHit.map { case (tag, hit) =>

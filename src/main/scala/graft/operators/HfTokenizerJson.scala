@@ -15,8 +15,13 @@ import com.fasterxml.jackson.databind.JsonNode
   * Honored config:
   *  - `model`: WordPiece (vocab, unk_token, continuing_subword_prefix,
   *    max_input_chars_per_word), BPE (vocab + merges in both public
-  *    layouts — `"a b"` strings and `["a","b"]` pairs), Unigram
-  *    (positional `[piece, score]` vocab + unk_id).
+  *    layouts — `"a b"` strings and `["a","b"]` pairs; `byte_fallback:
+  *    true` routes to the sentencepiece-BPE engine
+  *    [[SpmBpeTokenizer]] — the Llama/Mistral-family serialization,
+  *    with unknown pieces decomposing to `<0xNN>` byte tokens and the
+  *    Replace/ByteFallback/Fuse/Strip decoder chain), Unigram
+  *    (positional `[piece, score]` vocab + unk_id; `byte_fallback`
+  *    honored the same way).
   *  - `normalizer`: BertNormalizer.lowercase / Lowercase (possibly
   *    inside a Sequence) set the WordPiece lowercase flag (which
   *    carries bert-uncased's accent-strip). The REST of the public
@@ -376,6 +381,8 @@ object HfTokenizerJson {
     }.toMap
     val added = addedTokens(root)
     added.foreach { case (tok, id, _) => vocab(tok) = id }
+    if (Option(model.get("byte_fallback")).exists(_.asBoolean()))
+      return loadSpmBpe(root, model, path, vocab.toMap, merges)
     val specials = added.collect { case (tok, id, true) => tok -> id }.toMap
     val eot = specials.keys.find(_ == "<|endoftext|>")
       .orElse(specials.keys.headOption).getOrElse("<|endoftext|>")
@@ -385,6 +392,108 @@ object HfTokenizerJson {
       preTokenizerSteps(root, "BPE", path)
     wrap(chain, bpe)
   }
+
+  /** Llama/Mistral-family sentencepiece-BPE (`byte_fallback: true`):
+    * [[SpmBpeTokenizer]] behind the normalizer chain. The family's
+    * space-marking may arrive as the normalizer pair (Prepend ▁ +
+    * Replace " "→▁, kept as chain steps — the engine consumes marked
+    * text) or as a Metaspace pre_tokenizer (mapped onto the same
+    * steps); any splitting pre_tokenizer rejects. The decoder chain
+    * (`Replace`/`ByteFallback`/`Fuse`/`Strip`, possibly in a Sequence)
+    * is what the engine's decode implements — other decoder types
+    * reject rather than silently mis-decode. bos/eos placement comes
+    * from the TemplateProcessing single-sequence template (`<s>` only,
+    * in the family's files). */
+  private def loadSpmBpe(
+      root: JsonNode, model: JsonNode, path: String,
+      vocab: Map[String, Long],
+      merges: Map[(String, String), Int]): GraftTokenizer = {
+    val unk = Option(model.get("unk_token")).filterNot(_.isNull)
+      .map(_.asText()).getOrElse("<unk>")
+    val fuseUnk = Option(model.get("fuse_unk")).forall(_.asBoolean())
+    // space marking: normalizer chain steps pass through; a Metaspace
+    // pre_tokenizer contributes the equivalent steps
+    val normSteps = flatNormalizers(root)
+      .flatMap(stepsOf(_, absorbLowercase = false, path))
+    val metaSteps = flatPreTokenizers(root).flatMap { n =>
+      Option(n.get("type")).map(_.asText()).getOrElse("missing") match {
+        case "Metaspace" =>
+          val repl = Option(n.get("replacement")).map(_.asText())
+            .getOrElse("▁")
+          require(repl == "▁",
+            s"$path: Metaspace replacement `$repl` unsupported (need ▁)")
+          val prepend = Option(n.get("prepend_scheme")).map(_.asText()) match {
+            case Some("never") => false
+            case Some(_)       => true
+            case None =>
+              Option(n.get("add_prefix_space")).forall(_.asBoolean())
+          }
+          (if (prepend) Seq(NormStep.Prepend("▁")) else Seq.empty) ++
+            Seq(NormStep.Replace(" ", isRegex = false, "▁"))
+        case other =>
+          throw new IllegalArgumentException(
+            s"$path: unsupported pre_tokenizer `$other` for " +
+              "byte_fallback BPE (supported: Metaspace or none)")
+      }
+    }
+    // reject decoder types outside the chain the engine implements
+    validateByteFallbackDecoder(root, path)
+    val (addBos, addEos) = bosEosOf(root, vocab.keySet)
+    val spm = SpmBpeTokenizer(vocab, merges,
+      unkToken = unk, fuseUnk = fuseUnk, byteFallback = true,
+      addBos = addBos, addEos = addEos)
+    wrap(normSteps ++ metaSteps, spm)
+  }
+
+  /** The family's decoder algebra: Replace / ByteFallback / Fuse /
+    * Strip (flattened through Sequence) — exactly what the engines'
+    * decode implements. Anything else rejects with a clear error. */
+  private def validateByteFallbackDecoder(root: JsonNode,
+      path: String): Unit = {
+    def flat(n: JsonNode): Seq[JsonNode] =
+      Option(n.get("type")).map(_.asText()) match {
+        case Some("Sequence") =>
+          Option(n.get("decoders")).toSeq.flatMap(ns =>
+            (0 until ns.size).flatMap(i => flat(ns.get(i))))
+        case _ => Seq(n)
+      }
+    val ok = Set("Replace", "ByteFallback", "Fuse", "Strip")
+    Option(root.get("decoder")).filterNot(_.isNull).toSeq
+      .flatMap(flat).foreach { n =>
+        val t = Option(n.get("type")).map(_.asText()).getOrElse("missing")
+        if (!ok.contains(t))
+          throw new IllegalArgumentException(
+            s"$path: unsupported decoder type `$t` for byte_fallback " +
+              "models (supported: Replace, ByteFallback, Fuse, Strip, " +
+              "Sequence)")
+      }
+  }
+
+  /** (addBos, addEos) from the TemplateProcessing single-sequence
+    * template: a SpecialToken before the `A` Sequence adds bos, one
+    * after adds eos. Default (no/other post_processor): bos only when
+    * `<s>` exists in the vocab — the family convention. */
+  private def bosEosOf(root: JsonNode,
+      vocabKeys: Set[String]): (Boolean, Boolean) =
+    Option(root.get("post_processor")).filterNot(_.isNull).flatMap { pp =>
+      Option(pp.get("type")).map(_.asText()) match {
+        case Some("TemplateProcessing") =>
+          Option(pp.get("single")).map { single =>
+            var before = false
+            var after = false
+            var seenA = false
+            (0 until single.size).foreach { i =>
+              val item = single.get(i)
+              if (item.has("Sequence")) seenA = true
+              else if (item.has("SpecialToken")) {
+                if (seenA) after = true else before = true
+              }
+            }
+            (before, after)
+          }
+        case _ => None
+      }
+    }.getOrElse((vocabKeys.contains("<s>"), false))
 
   private def loadUnigram(
       root: JsonNode, model: JsonNode, path: String): GraftTokenizer = {
@@ -430,9 +539,24 @@ object HfTokenizerJson {
         dummyPrefixOf(root)
       else if (hasSpaceMark) hasPrependMark // llama-style normalizer
       else true // sentencepiece default add_dummy_prefix
+    // byte fallback: the model flag, or a ByteFallback decoder in the
+    // chain (some exports carry only the latter)
+    val byteFb = Option(model.get("byte_fallback")).exists(_.asBoolean()) ||
+      {
+        def hasByteFb(n: JsonNode): Boolean =
+          Option(n.get("type")).map(_.asText()) match {
+            case Some("ByteFallback") => true
+            case Some("Sequence") =>
+              Option(n.get("decoders")).exists(ns =>
+                (0 until ns.size).exists(i => hasByteFb(ns.get(i))))
+            case _ => false
+          }
+        Option(root.get("decoder")).filterNot(_.isNull).exists(hasByteFb)
+      }
+    if (byteFb) validateByteFallbackDecoder(root, path)
     val uni = UnigramTokenizer(pieces.result(),
       padId = alloc(pad), bosId = alloc(bos), eosId = alloc(eos),
-      unkId = unkIdx, addDummyPrefix = addDummy)
+      unkId = unkIdx, addDummyPrefix = addDummy, byteFallback = byteFb)
     wrap(chain, uni)
   }
 }

@@ -186,13 +186,19 @@ object TemplateRegistry {
         else Seq.empty
       }
     } yield f
-    yamls.map(f => PromptsourceYaml.registryFromString(
-        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")))
-      .foldLeft(TemplateRegistry(Map.empty)) { (acc, r) =>
-        TemplateRegistry(acc.templates ++ r.templates,
-          acc.answerChoices ++ r.answerChoices)
-      }
+    merged(yamls.map(f => PromptsourceYaml.registryFromString(
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))))
   }
+
+  /** Per-template merge, later registries winning: a later registry
+    * redefining (dataset,subset,name) WITHOUT answer_choices must also
+    * evict the earlier one's stale answerChoices for that key, or the
+    * old choices would pair with the new jinja. */
+  def merged(regs: Seq[TemplateRegistry]): TemplateRegistry =
+    regs.foldLeft(TemplateRegistry(Map.empty)) { (acc, r) =>
+      TemplateRegistry(acc.templates ++ r.templates,
+        (acc.answerChoices -- r.templates.keySet) ++ r.answerChoices)
+    }
 
   /** Load every `<dataset>/<subset>/<name>.jinja` under `dir`. */
   def fromDirectory(dir: String): TemplateRegistry = {

@@ -485,7 +485,11 @@ final case class WindowLexiconDensity(
   override def outputFields: Seq[String] =
     Seq("lex_hits", "max_window_hits", "window_start", "density_hit")
   override protected def build(df: DataFrame): DataFrame = {
-    val probe = array(lexicon.sorted.map(lit): _*)
+    // caseFold must fold BOTH sides: a mixed-case lexicon entry would
+    // otherwise never match the lowercased words.
+    val probe = array(
+      (if (caseFold) lexicon.map(_.toLowerCase) else lexicon)
+        .distinct.sorted.map(lit): _*)
     val ws =
       if (caseFold) transform(col(wordsField), w => lower(w))
       else col(wordsField)

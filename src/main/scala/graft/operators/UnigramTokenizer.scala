@@ -27,6 +27,13 @@ package graft.operators
   * @param addDummyPrefix prepend the dummy `▁` (sentencepiece
   *               add_dummy_prefix / HF Metaspace prepend_scheme
   *               "always"); `false` mirrors prepend_scheme "never".
+  * @param byteFallback sentencepiece byte fallback: spans no piece
+  *               covers decompose into their UTF-8 bytes' `<0xNN>`
+  *               vocab tokens instead of emitting `<unk>` (and decode
+  *               re-fuses byte-token runs back to UTF-8, invalid
+  *               sequences → U+FFFD). Only applies when the byte
+  *               tokens exist in `pieces`; a span with any missing
+  *               byte token falls back to `<unk>`.
   */
 final case class UnigramTokenizer(
     pieces: Map[String, (Long, Double)],
@@ -35,7 +42,8 @@ final case class UnigramTokenizer(
     eosId: Long = 2L,
     unkId: Long = 3L,
     unkScore: Double = -100.0,
-    addDummyPrefix: Boolean = true
+    addDummyPrefix: Boolean = true,
+    byteFallback: Boolean = false
 ) extends GraftTokenizer {
 
   override def bosIds: Seq[Long] = Seq(bosId)
@@ -46,6 +54,13 @@ final case class UnigramTokenizer(
     pieces.map { case (p, (id, _)) => id -> p }
   @transient private lazy val maxPieceLen: Int =
     if (pieces.isEmpty) 1 else pieces.keysIterator.map(_.length).max
+
+  /** `<0xNN>` piece id per byte value, -1 when absent. */
+  @transient private lazy val byteIds: Array[Long] =
+    Array.tabulate(256)(b =>
+      pieces.get(f"<0x$b%02X>").map(_._1).getOrElse(-1L))
+  @transient private lazy val byteTokenIds: Set[Long] =
+    if (byteFallback) byteIds.filter(_ >= 0L).toSet else Set.empty
 
   private val Space = '▁'
 
@@ -117,12 +132,21 @@ final case class UnigramTokenizer(
   override def encodePieces(text: String): Array[(Long, Int, Int)] = {
     if (text.isEmpty) return Array.empty
     val (norm, map) = normalizeWithMap(text)
-    viterbi(norm).map { case (id, a, b) =>
+    viterbi(norm).flatMap { case (id, a, b) =>
       // normalized span → original chars; the dummy prefix (when
       // present) occupies normalized position 0 with zero width
       val so = if (addDummyPrefix && a == 0) 0 else map(a)
       val eo = map(b - 1) + (if (addDummyPrefix && b - 1 == 0) 0 else 1)
-      (id, so, eo)
+      if (id == unkId && byteFallback) {
+        // byte fallback: the uncovered NORMALIZED span decomposes into
+        // its UTF-8 bytes' <0xNN> tokens (all spanning the same chars);
+        // any missing byte token keeps the <unk> emission instead
+        val bytes = norm.substring(a, b)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (bytes.nonEmpty && bytes.forall(x => byteIds(x & 0xff) >= 0L))
+          bytes.toSeq.map(x => (byteIds(x & 0xff), so, eo))
+        else Seq((id, so, eo))
+      } else Seq((id, so, eo))
     }
   }
 
@@ -134,16 +158,33 @@ final case class UnigramTokenizer(
   override def decode(ids: Seq[Long], skipSpecialTokens: Boolean): String = {
     val specials = Set(padId, bosId, eosId)
     val sb = new StringBuilder
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def flushBytes(): Unit =
+      if (buf.nonEmpty) {
+        sb.append(new String(buf.toArray,
+          java.nio.charset.StandardCharsets.UTF_8))
+        buf.clear()
+      }
     ids.foreach { id =>
       if (specials.contains(id)) {
+        flushBytes()
         if (!skipSpecialTokens) sb.append(
           if (id == padId) "<pad>" else if (id == bosId) "<s>" else "</s>")
       } else if (id == unkId) {
+        flushBytes()
         // <unk> is a special too: HF skip_special_tokens drops it, and the
         // WordPiece sibling (TokenizeOps) skips unk in that mode
         if (!skipSpecialTokens) sb.append("<unk>")
-      } else sb.append(inv.getOrElse(id, ""))
+      } else if (byteTokenIds.contains(id)) {
+        // ByteFallback + Fuse: byte-token runs collapse back to UTF-8
+        val tok = inv(id)
+        buf += Integer.parseInt(tok.substring(3, 5), 16).toByte
+      } else {
+        flushBytes()
+        sb.append(inv.getOrElse(id, ""))
+      }
     }
+    flushBytes()
     sb.toString.replace(Space, ' ').stripPrefix(" ")
   }
 }

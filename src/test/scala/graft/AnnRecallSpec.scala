@@ -437,4 +437,40 @@ class PcaWhitenSpec extends SparkSpec {
       .as[Seq[Double]].collect()
     assert(out.forall(_.forall(v => !v.isNaN && !v.isInfinite)))
   }
+
+  test("parity: per-partition matrix fold == explode-formulation " +
+    "covariance (means, cov, n) to float tolerance") {
+    val rows = (0 until 300).map { i =>
+      Tuple1(Seq.tabulate(8)(k =>
+        math.sin(i * 0.37 + k) * (k + 1) + (i % 11) * 0.2))
+    }
+    val df = rows.toDF("embedding").repartition(5)
+    val (nF, meansF, covF) = PcaWhiten.covFold(df, "embedding")
+    val (nE, meansE, covE) = PcaWhiten.covExplode(df, "embedding")
+    assert(nF == nE)
+    meansF.zip(meansE).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"mean $a vs $b") }
+    for (i <- covF.indices; j <- covF.indices)
+      assert(math.abs(covF(i)(j) - covE(i)(j)) < 1e-9,
+        s"cov($i)($j): ${covF(i)(j)} vs ${covE(i)(j)}")
+    // symmetry of the mirrored triangle
+    for (i <- covF.indices; j <- covF.indices)
+      assert(covF(i)(j) == covF(j)(i))
+  }
+
+  test("fold skips null embedding rows like explode(null) drops them") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(Seq(1.0, 2.0)),
+        org.apache.spark.sql.Row(null),
+        org.apache.spark.sql.Row(Seq(3.0, 4.0)))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = true))))
+    val (n, means, _) = PcaWhiten.covFold(df, "embedding")
+    assert(n == 2.0)
+    assert(math.abs(means(0) - 2.0) < 1e-12 &&
+      math.abs(means(1) - 3.0) < 1e-12)
+  }
 }

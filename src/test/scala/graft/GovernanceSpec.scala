@@ -416,7 +416,11 @@ class LicenseTagSpec extends SparkSpec {
       (2L, "x CC BY 4.0 and creativecommons.org/licenses/by-nc/4.0 y"),
       (3L, "plain page, no marker"),
       (4L, "ALL RIGHTS RESERVED"), // case-folded matching
-      (5L, "gnu general public license v3 plus mit license text")
+      (5L, "gnu general public license v3 plus mit license text"),
+      // LGPL must tag lgpl, NOT substring-leak into the gpl quarantine
+      (6L, "GNU Lesser General Public License, see LGPL-2.1 for terms"),
+      (7L, "distributed under GPL-2.0 only"),
+      (8L, "starts with gpl-3.0 at offset zero") // ^-boundary branch
     ).toDF("id", "text")
     val got = LicenseTag.annotate(rows, "text")
       .select("id", "license_tags", "license_primary", "license_restricted")
@@ -429,6 +433,9 @@ class LicenseTagSpec extends SparkSpec {
     assert(got(3L) == ((Seq(), "unmarked", false)))
     assert(got(4L) == ((Seq("all-rights-reserved"), "all-rights-reserved", true)))
     assert(got(5L) == ((Seq("gpl", "mit"), "mit", true)))
+    assert(got(6L) == ((Seq("lgpl"), "lgpl", false)))
+    assert(got(7L) == ((Seq("gpl"), "gpl", true)))
+    assert(got(8L) == ((Seq("gpl"), "gpl", true)))
   }
 }
 
@@ -455,6 +462,10 @@ class WindowLexiconDensitySpec extends SparkSpec {
     assert(run(Seq("clean", "words"), 5, 1) == ((0L, 0L, None, false)))
     // case folding: BAD counts by default
     assert(run(Seq("BAD", "Evil"), 5, 2) == ((2L, 2L, Some(0L), true)))
+    // mixed-case LEXICON entries must fold too
+    assert(WindowLexiconDensity(Seq("Bad", "EVIL"), "ws", windowWords = 5,
+        minHits = 2)(Seq(Tuple1(Seq("bad", "evil"))).toDF("ws"))
+      .select("max_window_hits").as[Long].head() == 2L)
     // tie between two equally dense windows -> earliest start
     assert(run(Seq("bad", "x", "bad", "y", "bad"), 3, 2)._3 == Some(0L))
   }

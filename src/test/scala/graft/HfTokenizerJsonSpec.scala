@@ -270,4 +270,111 @@ class HfTokenizerJsonSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] { HfTokenizerJson.load(path) }
     assert(e.getMessage.contains("@@"))
   }
+
+  /** `<0x00>`..`<0xFF>` vocab entries at ids 3..258, JSON fragment. */
+  private def byteVocabJson: String =
+    (0 until 256).map(b => f""""<0x$b%02X>": ${b + 3}""").mkString(", ")
+
+  /** A Llama-family-layout file: BPE + byte_fallback + fuse_unk,
+    * Prepend/Replace normalizer pair, Replace/ByteFallback/Fuse/Strip
+    * decoder Sequence, `<s>`-only TemplateProcessing. Word pieces:
+    * merges build `llo` from l+l, ll+o. */
+  private def llamaStyleJson: String = s"""{
+    "version": "1.0",
+    "added_tokens": [
+      {"id": 0, "content": "<unk>", "single_word": false, "lstrip": false,
+       "rstrip": false, "normalized": false, "special": true},
+      {"id": 1, "content": "<s>", "single_word": false, "lstrip": false,
+       "rstrip": false, "normalized": false, "special": true},
+      {"id": 2, "content": "</s>", "single_word": false, "lstrip": false,
+       "rstrip": false, "normalized": false, "special": true}
+    ],
+    "normalizer": {"type": "Sequence", "normalizers": [
+      {"type": "Prepend", "prepend": "▁"},
+      {"type": "Replace", "pattern": {"String": " "}, "content": "▁"}]},
+    "pre_tokenizer": null,
+    "post_processor": {"type": "TemplateProcessing",
+      "single": [
+        {"SpecialToken": {"id": "<s>", "type_id": 0}},
+        {"Sequence": {"id": "A", "type_id": 0}}],
+      "pair": [],
+      "special_tokens": {
+        "<s>": {"id": "<s>", "ids": [1], "tokens": ["<s>"]}}},
+    "decoder": {"type": "Sequence", "decoders": [
+      {"type": "Replace", "pattern": {"String": "▁"}, "content": " "},
+      {"type": "ByteFallback"},
+      {"type": "Fuse"},
+      {"type": "Strip", "content": " ", "start": 1, "stop": 0}]},
+    "model": {"type": "BPE", "dropout": null, "unk_token": "<unk>",
+      "continuing_subword_prefix": null, "end_of_word_suffix": null,
+      "fuse_unk": true, "byte_fallback": true,
+      "vocab": {"<unk>": 0, "<s>": 1, "</s>": 2, $byteVocabJson,
+        "▁": 259, "h": 260, "e": 261, "l": 262, "o": 263,
+        "ll": 264, "llo": 265, "n": 266, "i": 267},
+      "merges": ["l l", "ll o"]}
+  }"""
+
+  test("byte_fallback BPE (Llama-family layout): merges over marked " +
+    "text, unknown chars -> <0xNN> tokens, <s>-only template") {
+    val t = HfTokenizerJson.load(write("llama", llamaStyleJson))
+    // "hello né": ▁ h e llo ▁ n, then é (U+00E9) = bytes C3 A9 ->
+    // ids 3+0xC3=198+... <0xC3>=198, <0xA9>=172
+    assert(t.encode("hello né", addSpecialTokens = true).toSeq ==
+      Seq(1L, 259L, 260L, 261L, 265L, 259L, 266L, 198L, 172L))
+    // no eos: the template carries <s> only
+    assert(t.encode("h", addSpecialTokens = true).toSeq ==
+      Seq(1L, 259L, 260L))
+    // bosIds/eosIds mirror the template: <s> only, no trailing </s>
+    assert(t.unkId == 0L && t.bosIds == Seq(1L) && t.eosIds.isEmpty &&
+      t.sepIds == Seq(2L))
+  }
+
+  test("byte_fallback BPE: round-trip decode of a string with unseen " +
+    "bytes (multi-byte UTF-8 via <0xNN> runs)") {
+    val t = HfTokenizerJson.load(write("llama", llamaStyleJson))
+    // U+1F600 has NO vocab piece: 4-byte UTF-8 run F0 9F 98 80
+    val ids = t.encode("hi 😀 ollé", addSpecialTokens = true)
+    assert(ids.count(id => id >= 3L && id <= 258L) == 6) // 4 + 2 bytes
+    assert(t.decode(ids.toSeq, skipSpecialTokens = true) ==
+      "hi 😀 ollé")
+    // lone continuation byte decodes to U+FFFD (invalid sequence)
+    assert(t.decode(Seq(198L), skipSpecialTokens = true) == "�")
+  }
+
+  test("byte_fallback BPE: unsupported decoder type rejects") {
+    val bad = llamaStyleJson.replace("""{"type": "Fuse"}""",
+      """{"type": "CTC"}""")
+    val e = intercept[IllegalArgumentException] {
+      HfTokenizerJson.load(write("llamabad", bad))
+    }
+    assert(e.getMessage.contains("CTC"))
+  }
+
+  test("Unigram with ByteFallback decoder: uncovered span -> byte " +
+    "tokens, decode re-fuses") {
+    val vocabArr = (Seq("<unk>" -> 0.0) ++
+      (0 until 256).map(b => f"<0x$b%02X>" -> -20.0) ++
+      Seq("▁ab" -> -1.0, "▁" -> -2.0)).map {
+        case (p, s) => s"""["$p", $s]"""
+      }.mkString(", ")
+    val t = HfTokenizerJson.load(write("unibf", s"""{
+      "normalizer": null,
+      "pre_tokenizer": {"type": "Metaspace", "replacement": "▁",
+        "prepend_scheme": "always"},
+      "decoder": {"type": "Sequence", "decoders": [
+        {"type": "Replace", "pattern": {"String": "▁"}, "content": " "},
+        {"type": "ByteFallback"},
+        {"type": "Fuse"}]},
+      "model": {"type": "Unigram", "unk_id": 0,
+        "byte_fallback": true, "vocab": [$vocabArr]}
+    }"""))
+    // "ab é": ▁ab matches; ▁ matches; é uncovered -> C3 A9 byte ids.
+    // Byte pieces score -20 > unkScore -100, and the single-char unk
+    // fallback then byte-expands; either path yields the byte ids.
+    val ids = t.encode("ab é", addSpecialTokens = false)
+    val c3 = 1L + 0xC3
+    val a9 = 1L + 0xA9
+    assert(ids.takeRight(2).toSeq == Seq(c3, a9))
+    assert(t.decode(ids.toSeq, skipSpecialTokens = true) == "ab é")
+  }
 }

@@ -203,4 +203,18 @@ class PromptsourceYamlSpec extends AnyFunSuite {
       Set(("ag_news", "", "classify_question_first"),
         ("ag_news", "", "article_title"), ("glue", "mrpc", "t")))
   }
+
+  test("collision without answer_choices evicts the stale choices") {
+    val withChoices =
+      "dataset: d\ntemplates:\n  u1: !Template\n" +
+        "    jinja: 'old ||| x'\n    name: t\n" +
+        "    answer_choices: 'yes ||| no'\n"
+    val without =
+      "dataset: d\ntemplates:\n  u1: !Template\n" +
+        "    jinja: 'new ||| y'\n    name: t\n"
+    val merged = TemplateRegistry.merged(
+      Seq(withChoices, without).map(PromptsourceYaml.registryFromString))
+    assert(merged.templates(("d", "", "t")).startsWith("new"))
+    assert(merged.answerChoices.get(("d", "", "t")).isEmpty)
+  }
 }
