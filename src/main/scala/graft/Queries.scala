@@ -2680,10 +2680,13 @@ object Queries {
           // deterministic dirt exercising the fix chain: HTML4 named
           // entities (incl. digit-bearing names), a latin ligature, a
           // Greek entity, fullwidth chars + ideographic space, curly
-          // quotes — each repaired to a known literal the oracle replays
+          // quotes, PLUS the chain-fixpoint legs — an entity-escaped
+          // entity (&amp;eacute; needs the unescape to run twice) and a
+          // DOUBLY cp1252-mojibake'd é (ÃƒÂ© needs two redecodes) —
+          // each repaired to a known literal the oracle replays
           concat(
             lit("&eacute;ﬁ &frac12;&Omega; ＡＢ　" +
-              "“q” &sum; "),
+              "“q” &sum; &amp;eacute; ÃƒÂ© "),
             col("text"))))
         .select(col("doc_id"), col("text").as("fixed"),
           col("dirty").as("fixed2"))
@@ -2691,7 +2694,7 @@ object Queries {
     // corpus is ASCII + NFC already: FixText must be the identity on it,
     // and the injected dirt must fix to the exact literal prefix
     Some("""SELECT doc_id, text AS fixed,
-      |  'éfi ½Ω AB "q" ∑ ' || text AS fixed2
+      |  'éfi ½Ω AB "q" ∑ é é ' || text AS fixed2
       |FROM documents ORDER BY doc_id""".stripMargin)
   )
 
@@ -7292,6 +7295,110 @@ object Queries {
     )
   )
 
+  /** Real public-suffix-list lookup ([[operators.PublicSuffixList]]):
+    * a `public_suffix_list.dat`-format fixture (exact rules incl.
+    * multi-label, a `*.ck` wildcard, the `!www.ck` exception, comments
+    * and trailing junk) is written to disk, loaded with `fromFile`,
+    * and applied to hosts synthesized per doc_id class so every rule
+    * kind decides at least one class: exact 2/3-label suffixes, the
+    * wildcard, the exception (directly and via a subdomain), the
+    * implicit `*` default for an unknown TLD, a host that IS a public
+    * suffix (null registrable domain), and a deep subdomain. The
+    * oracle replays the expected decision per class, so a hash match
+    * pins the parser and the spec's matching algorithm end to end. */
+  private val qPslDomain = Q(
+    "q269_psl_registered_domain",
+    (s, dir) => {
+      val fixture =
+        """// ===BEGIN ICANN DOMAINS===
+          |com
+          |uk
+          |co.uk
+          |jp
+          |ac.jp
+          |xyz-not-here
+          |*.ck
+          |!www.ck
+          |
+          |// ===END ICANN DOMAINS===
+          |""".stripMargin
+      val p = java.nio.file.Paths.get("/tmp/graft_psl_q269.dat")
+      java.nio.file.Files.write(p, fixture.getBytes("UTF-8"))
+      val psl = PublicSuffixList.fromFile(p.toString)
+      val id = col("doc_id")
+      val ids = id.cast(StringType)
+      val host = when(id % 8 === 0,
+          concat(lit("a"), ids, lit(".example.co.uk")))
+        .when(id % 8 === 1, lit("b.example.com"))
+        .when(id % 8 === 2, lit("www.ck"))
+        .when(id % 8 === 3, lit("x.www.ck"))
+        .when(id % 8 === 4, concat(lit("foo"), ids, lit(".bar.ck")))
+        .when(id % 8 === 5, lit("example.xyz"))
+        .when(id % 8 === 6, lit("co.uk"))
+        .otherwise(lit("deep.sub.example.ac.jp"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), host.as("host"))
+        .withColumn("domain",
+          PublicSuffixList.registeredDomainCol(col("host"), psl))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 8 AS BIGINT)
+        |    WHEN 0 THEN 'a' || CAST(doc_id AS VARCHAR) || '.example.co.uk'
+        |    WHEN 1 THEN 'b.example.com'
+        |    WHEN 2 THEN 'www.ck'
+        |    WHEN 3 THEN 'x.www.ck'
+        |    WHEN 4 THEN 'foo' || CAST(doc_id AS VARCHAR) || '.bar.ck'
+        |    WHEN 5 THEN 'example.xyz'
+        |    WHEN 6 THEN 'co.uk'
+        |    ELSE 'deep.sub.example.ac.jp' END AS host,
+        |  CASE CAST(doc_id % 8 AS BIGINT)
+        |    WHEN 0 THEN 'example.co.uk'
+        |    WHEN 1 THEN 'example.com'
+        |    WHEN 2 THEN 'www.ck'
+        |    WHEN 3 THEN 'www.ck'
+        |    WHEN 4 THEN 'foo' || CAST(doc_id AS VARCHAR) || '.bar.ck'
+        |    WHEN 5 THEN 'example.xyz'
+        |    WHEN 6 THEN NULL
+        |    ELSE 'example.ac.jp' END AS domain
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
+  /** Jinja `{% include %}` through the template registry
+    * ([[operators.MiniJinja.parse]] with an include map, fed by
+    * [[operators.PromptsourceMapper]]): a two-template registry — a
+    * shared header fragment and a card template that includes it — is
+    * rendered over every document, and the oracle replays the inlined
+    * concatenation byte-exact, pinning include-site inlining, the
+    * enclosing-scope variable visibility, and the `|||` source/target
+    * split around the included content. */
+  private val qJinjaInclude = Q(
+    "q270_jinja_include",
+    (s, dir) => {
+      val reg = TemplateRegistry(
+        templates = Map(
+          ("graft", "", "header") -> "[doc {{ doc_id }} | {{ lang }}]",
+          ("graft", "", "card") ->
+            ("{% include \"header\" %} len={{ text | length }} " +
+              "||| {{ lang | upper }}")),
+        answerChoices = Map.empty)
+      PromptsourceMapper(reg, datasetName = "graft",
+        templateName = "card")(
+        T(s, dir, "documents").select("doc_id", "lang", "text"))
+        .select(col("doc_id"), col("source"), col("target"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """SELECT doc_id,
+        |  '[doc ' || CAST(doc_id AS VARCHAR) || ' | ' || lang ||
+        |    '] len=' || CAST(length(text) AS VARCHAR) AS source,
+        |  upper(lang) AS target
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+
   /** Rendezvous sharding ([[operators.RendezvousShard]]): HRW argmax
     * assignment under 5 shards and under the same set minus one — the
     * oracle replays both, and the `moved` column exhibits the
@@ -9793,7 +9900,8 @@ object Queries {
     qContaminationSpan, qMerkleRoot, qPhraseSearch,
     qIbanRedact, qReadability, qShardNovelty, qTfIdf, qAnchorIndex, qGaleChurch, qTextRepair, qCohenKappa, qBlockDensity, qCoCitation, qMarkdownOutline, qRougeL, qChatValid, qFilterFunnel, qCentroidMap, qMedoid, qRankAgreement, qWebPipeline, qLabelNoise, qHistDrift, qKsDrift, qHtEstimate, qQuoteStats, qOovRate, qDimHealth, qNeyman,
     qPrefixJoinCapped, qPromptsourceYaml, qStreamingQuality, qLangSegments,
-    qWindowLexicon, qLicenseTag, qPcaWhiten, qByteFallback
+    qWindowLexicon, qLicenseTag, qPcaWhiten, qByteFallback, qPslDomain,
+    qJinjaInclude
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

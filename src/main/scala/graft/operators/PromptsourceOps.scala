@@ -230,7 +230,17 @@ final case class PromptsourceMapper(
     sourceFieldName,
     targetFieldName,
     answerChoicesJinja =
-      registry.lookupChoices(datasetName, subsetName, templateName)
+      registry.lookupChoices(datasetName, subsetName, templateName),
+    // {% include %} resolution: same-(dataset,subset) templates by bare
+    // name, everything by the fully-qualified "dataset/subset/name"
+    includeTemplates = registry.templates.map {
+      case ((ds, sub, name), src) =>
+        (if (sub.isEmpty) s"$ds/$name" else s"$ds/$sub/$name") -> src
+    } ++ registry.templates.collect {
+      case ((ds, sub, name), src)
+          if ds == datasetName && sub == subsetName && name != templateName =>
+        name -> src
+    }
   )
   override def outputFields: Seq[String] = inner.outputFields
   override protected def build(df: DataFrame): DataFrame = inner(df)

@@ -636,7 +636,22 @@ object MiniJinja {
   }
 
   /** Parse; throws IllegalArgumentException on unsupported constructs. */
-  def parse(template: String): Template = {
+  def parse(template: String): Template = parse(template, Map.empty)
+
+  /** Parse with an INCLUDE REGISTRY: `{% include "name" %}` inlines the
+    * named template's parsed nodes at the include site (resolved from
+    * `includes`, never the filesystem — the template-library use case;
+    * [[PromptsourceMapper]] feeds the [[TemplateRegistry]] through).
+    * Cycles reject at parse time. Documented divergence from Jinja2:
+    * inlining means a `{% set %}` inside the included template is
+    * visible AFTER the include site (Jinja2 scopes the include); none
+    * of the promptsource-style display fragments this exists for set
+    * variables. `{% extends %}` stays rejected. */
+  def parse(template: String, includes: Map[String, String]): Template =
+    parseInternal(template, includes, Nil)
+
+  private def parseInternal(template: String,
+      includes: Map[String, String], stack: List[String]): Template = {
     val tokenPat = "\\{\\{.*?\\}\\}|\\{%.*?%\\}".r
     var pos = 0
     // (kind, body, trimBefore, trimAfter) — Jinja2 whitespace control:
@@ -765,11 +780,29 @@ object MiniJinja {
                 require(stop.contains("endfilter"), s"Unclosed filter: $body")
                 i += 1 // consume endfilter
                 out += FilterBlock(m.group(1), args, inner)
+              case "include" =>
+                val m = "^include\\s+(?:\"([^\"]*)\"|'([^']*)')$".r
+                  .findFirstMatchIn(body)
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"Bad include (need a quoted literal name): $body"))
+                val name = Option(m.group(1)).getOrElse(m.group(2))
+                val src = includes.getOrElse(name,
+                  throw new IllegalArgumentException(
+                    s"Unknown include '$name' " +
+                      (if (includes.isEmpty)
+                        "(no include registry: pass includeTemplates / " +
+                          "use PromptsourceMapper with a TemplateRegistry)"
+                       else s"(registered: ${includes.keys.toSeq.sorted
+                         .mkString(", ")})")))
+                require(!stack.contains(name),
+                  s"Include cycle: ${(name :: stack).reverse.mkString(" -> ")}")
+                out ++= parseInternal(src, includes, name :: stack).nodes
+                i += 1
               case other =>
                 throw new IllegalArgumentException(
                   s"Unsupported Jinja construct '{% $other %}'. Supported: " +
                     "{{ var }}, {% for %}, {% if/elif/else %}, {% set %}, " +
-                    "{% macro %}, {% filter %}"
+                    "{% macro %}, {% filter %}, {% include \"name\" %}"
                 )
             }
         }
@@ -1153,11 +1186,14 @@ final case class JinjaMapper(
     targetFieldName: String = "target",
     returnMultipleTargets: Boolean = false,
     extraVariables: Map[String, Any] = Map.empty,
-    answerChoicesJinja: Option[String] = None
+    answerChoicesJinja: Option[String] = None,
+    /** `{% include "name" %}` sources (template-library fragments);
+      * resolved at parse time, never from the filesystem. */
+    includeTemplates: Map[String, String] = Map.empty
 ) extends Mapper {
   // parse eagerly on the driver so bad templates fail at pipeline build
-  MiniJinja.parse(jinja)
-  answerChoicesJinja.foreach(MiniJinja.parse)
+  MiniJinja.parse(jinja, includeTemplates)
+  answerChoicesJinja.foreach(MiniJinja.parse(_, includeTemplates))
 
   override def inputFields: Seq[String] = Nil // inferred from template
   override def outputFields: Seq[String] =
@@ -1183,9 +1219,10 @@ final case class JinjaMapper(
       )
     )
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val incs = includeTemplates
     df.mapPartitions { it =>
-      val tpl = MiniJinja.parse(template) // once per partition
-      val ctpl = choicesTpl.map(MiniJinja.parse)
+      val tpl = MiniJinja.parse(template, incs) // once per partition
+      val ctpl = choicesTpl.map(MiniJinja.parse(_, incs))
       it.map { row =>
         val base = cols.zipWithIndex.map { case (c, i) =>
           c -> MiniJinja.toTemplateValue(row.get(i))

@@ -386,8 +386,29 @@ object FixText {
       case c => c
     }
 
+  /** ftfy's outer discipline: re-apply the WHOLE fix chain until the
+    * text is stable (capped at 3 iterations like the inner mojibake
+    * loop) — layered damage like `&amp;eacute;` (an entity-escaped
+    * entity) or entities that UNESCAPE INTO mojibake only converges
+    * when the chain runs again over its own output. Clean text is a
+    * fixpoint after one pass, so the loop costs one extra string
+    * compare on the fast path. */
   def fixText(s: String): String = {
     if (s == null) return null
+    var t = s
+    var iter = 0
+    var stable = false
+    while (iter < 3 && !stable) {
+      val next = fixTextOnce(t)
+      stable = next == t
+      t = next
+      iter += 1
+    }
+    t
+  }
+
+  /** One pass of the default fix chain. */
+  private def fixTextOnce(s: String): String = {
     var t = unescapeEntities(s)
     t = terminalEscapeRe.replaceAllIn(t, "")
     // only ASCII line breaks and the BOM are normalized BEFORE repair:

@@ -25,7 +25,11 @@ object UrlOps {
 
   /** Multi-label public suffixes where the registered domain is THREE
     * labels (example.co.uk), not two. A pragmatic subset of the public
-    * suffix list — pass the full list as `suffixes` in production. */
+    * suffix list for the common column-expression path; for the real
+    * thing, load `public_suffix_list.dat` with
+    * [[PublicSuffixList.fromFile]] and use
+    * [[PublicSuffixList.registeredDomainCol]] (full rules, `*.`
+    * wildcards, `!` exceptions). */
   val DefaultMultiLabelSuffixes: Seq[String] = Seq(
     "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "or.jp", "ne.jp",
     "com.au", "net.au", "org.au", "co.in", "co.nz", "com.br", "com.mx",

@@ -763,6 +763,11 @@ class DedupContribSpec extends SparkSpec {
     assert(fixText("\uFEFF\u201Cquoted\u201D\r\nnext") == "\"quoted\"\r".replace("\r","") + "\nnext")
     // valid text with real accents is untouched (no false redecode)
     assert(fixText("caf\u00e9 cr\u00e8me br\u00fbl\u00e9e") == "caf\u00e9 cr\u00e8me br\u00fbl\u00e9e")
+    // CHAIN FIXPOINT: an entity-escaped entity needs the whole chain
+    // to run twice (&amp;eacute; -> &eacute; -> \u00e9)
+    assert(fixText("&amp;eacute;") == "\u00e9")
+    // doubly cp1252-mojibake'd \u00e9 converges over two redecodes
+    assert(fixText("\u00c3\u0192\u00c2\u00a9") == "\u00e9")
   }
 
   test("FixText: full HTML4 entity table \u2014 latin-1, greek, symbols, digit names") {

@@ -214,13 +214,18 @@ class PromptPackSpec extends AnyFunSuite {
     // enumerated here so the boundary is pinned, not discovered in prod
     val unsupportedTags =
       Seq("{% call m() %}{% endcall %}",
-        "{% include 'x' %}", "{% extends 'x' %}", "{% block b %}{% endblock %}",
+        "{% extends 'x' %}", "{% block b %}{% endblock %}",
         "{% raw %}{% endraw %}")
     unsupportedTags.foreach { t =>
       val e = intercept[IllegalArgumentException] { MiniJinja.parse(t) }
       assert(e.getMessage.contains("Unsupported Jinja construct"), t)
       assert(e.getMessage.contains("Supported:"), t)
     }
+    // include without a registry rejects pointing at the registry path
+    val eInc = intercept[IllegalArgumentException] {
+      MiniJinja.parse("{% include 'x' %}")
+    }
+    assert(eInc.getMessage.contains("no include registry"))
     // unsupported filters reject at eval with the filter name
     val e = intercept[IllegalArgumentException] {
       MiniJinja.parse("{{ x | urlencode }}").render(Map("x" -> "a b"))
@@ -276,5 +281,49 @@ class PromptPackSparkSpec extends SparkSpec {
         Seq(1L).toDF("id"))
     }
     assert(e.getMessage.contains("dataset=nope"))
+  }
+
+  test("include: registry resolution, nesting, shared scope, cycles") {
+    val incs = Map(
+      "header" -> "== {{ title }} ==",
+      "outer" -> "[{% include \"header\" %}]",
+      "a" -> "{% include 'b' %}",
+      "b" -> "{% include 'a' %}")
+    // inline at the include site, enclosing variables visible
+    assert(MiniJinja.parse("{% include \"header\" %} body", incs)
+      .render(Map("title" -> "T")) == "== T == body")
+    // nested includes resolve through the same registry
+    assert(MiniJinja.parse("{% include 'outer' %}", incs)
+      .render(Map("title" -> "X")) == "[== X ==]")
+    // unknown name lists what IS registered
+    val eU = intercept[IllegalArgumentException] {
+      MiniJinja.parse("{% include 'nope' %}", incs)
+    }
+    assert(eU.getMessage.contains("nope") && eU.getMessage.contains("header"))
+    // cycles reject at parse time with the chain
+    val eC = intercept[IllegalArgumentException] {
+      MiniJinja.parse("{% include 'a' %}", incs)
+    }
+    assert(eC.getMessage.contains("cycle"))
+  }
+
+  test("PromptsourceMapper resolves includes against its registry") {
+    val reg = TemplateRegistry(
+      templates = Map(
+        ("d", "", "frag") -> "<<{{ x }}>>",
+        ("d", "", "main") -> "pre {% include \"frag\" %} ||| {{ x }}",
+        ("other", "s", "main") ->
+          "q {% include 'd/frag' %} ||| ok"),
+      answerChoices = Map.empty)
+    val df = Seq((1L, "v")).toDF("id", "x")
+    val out = PromptsourceMapper(reg, datasetName = "d",
+      templateName = "main")(df)
+      .select("source", "target").as[(String, String)].head()
+    assert(out == (("pre <<v>>", "v")))
+    // cross-dataset include via the fully-qualified name
+    val out2 = PromptsourceMapper(reg, datasetName = "other",
+      subsetName = "s", templateName = "main")(df)
+      .select("source").as[String].head()
+    assert(out2 == "q <<v>>")
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Sampling, UrlOps}
+import graft.operators.{PublicSuffixList, Sampling, UrlOps}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization, registered-domain, per-domain cap, and
@@ -83,5 +83,53 @@ class UrlOpsSpec extends SparkSpec {
     val c = ids.select(Sampling.splitLabel(col("id"), Seq("x" -> 8.0, "y" -> 2.0),
       salt = "other").as("s")).as[String].collect()
     assert(!a.sameElements(c)) // different salt → different assignment
+  }
+
+  test("PublicSuffixList: dat format, wildcards, exceptions, defaults") {
+    // a fixture subset in the real file's layout: comments, blank
+    // lines, trailing junk after whitespace, mixed case, *.ck + !www.ck
+    val psl = PublicSuffixList.parse(
+      """// ===BEGIN ICANN DOMAINS===
+        |com
+        |uk
+        |co.uk
+        |JP
+        |ac.jp
+        |*.ck
+        |!www.ck
+        |
+        |// ===END ICANN DOMAINS===
+        |blogspot.com   // private section entry
+        |""".stripMargin.linesIterator)
+    // exact rules, most-labels prevails
+    assert(psl.registeredDomain("a.example.co.uk") == "example.co.uk")
+    assert(psl.registeredDomain("deep.sub.example.co.uk") == "example.co.uk")
+    assert(psl.registeredDomain("example.com") == "example.com")
+    assert(psl.publicSuffix("foo.blogspot.com") == "blogspot.com")
+    assert(psl.registeredDomain("x.foo.blogspot.com") == "foo.blogspot.com")
+    // wildcard: *.ck makes every 2-label .ck suffix public
+    assert(psl.publicSuffix("foo.bar.ck") == "bar.ck")
+    assert(psl.registeredDomain("foo.bar.ck") == "foo.bar.ck")
+    // exception: !www.ck carves www.ck back out of the wildcard
+    assert(psl.publicSuffix("www.ck") == "ck")
+    assert(psl.registeredDomain("www.ck") == "www.ck")
+    assert(psl.registeredDomain("sub.www.ck") == "www.ck")
+    // unknown TLD: implicit * default rule
+    assert(psl.publicSuffix("example.xyz") == "xyz")
+    assert(psl.registeredDomain("example.xyz") == "example.xyz")
+    // host IS a public suffix -> registrable domain undefined
+    assert(psl.registeredDomain("co.uk") == null)
+    assert(psl.registeredDomain("bar.ck") == null)
+    assert(psl.registeredDomain("com") == null)
+    // case-insensitive + trailing dot tolerated; JP rule was uppercase
+    assert(psl.registeredDomain("A.Example.CO.UK.") == "example.co.uk")
+    assert(psl.registeredDomain("w.example.ac.jp") == "example.ac.jp")
+    // column builder: null-safe, same answers distributed
+    val hosts = Seq("a.example.co.uk", "www.ck", "co.uk", null)
+      .toDF("host")
+    val got = hosts.select(
+      PublicSuffixList.registeredDomainCol(col("host"), psl).as("rd"))
+      .as[Option[String]].collect().toSeq
+    assert(got == Seq(Some("example.co.uk"), Some("www.ck"), None, None))
   }
 }
