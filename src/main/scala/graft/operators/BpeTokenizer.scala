@@ -40,7 +40,17 @@ final case class BytePairTokenizer(
     mergeRanks: Map[(String, String), Int],
     specialTokens: Map[String, Long] = Map.empty,
     eotToken: String = "<|endoftext|>",
-    cleanUpTokenizationSpaces: Boolean = true
+    cleanUpTokenizationSpaces: Boolean = true,
+    /** Llama-3-family knobs (tokenizer.json `Split` pre_tokenizer +
+      * model `ignore_merges`): a custom pre-token regex replacing the
+      * GPT-2 default, and whole-pre-token vocab lookup BEFORE the merge
+      * loop (HF BPE ignore_merges — common words hit the vocab directly
+      * and merges only cover the tail). */
+    preTokenRegex: Option[String] = None,
+    ignoreMerges: Boolean = false,
+    /** bos added by `encode(addSpecialTokens=true)` (Llama-3's
+      * `<|begin_of_text|>` TemplateProcessing); GPT-2 files have none. */
+    bosToken: Option[String] = None
 ) extends GraftTokenizer {
   import BytePairTokenizer._
 
@@ -49,11 +59,17 @@ final case class BytePairTokenizer(
   private val eotId: Long =
     specialTokens.getOrElse(eotToken, vocab.getOrElse(eotToken, -1L))
 
-  override def bosIds: Seq[Long] = Seq.empty // GPT-2 prepends nothing
+  override def bosIds: Seq[Long] = bosToken
+    .flatMap(t => specialTokens.get(t).orElse(vocab.get(t))).toSeq
   override def eosIds: Seq[Long] = Seq.empty
   override def sepIds: Seq[Long] = Seq.empty
   override def padId: Long = eotId // HF convention: pad = eos for GPT-2
   override def unkId: Long = eotId // byte-level: unreachable in encode
+
+  @transient private lazy val preTokPat: java.util.regex.Pattern =
+    preTokenRegex.map(r => java.util.regex.Pattern.compile(r,
+      java.util.regex.Pattern.UNICODE_CHARACTER_CLASS))
+      .getOrElse(preTokenPattern)
 
   /** Write this tokenizer in the public GPT-2 release format —
     * `vocab.json` (token → id) + `merges.txt` (`#version` header, one
@@ -151,7 +167,7 @@ final case class BytePairTokenizer(
       case (seg, true, segStart) =>
         out += ((specialTokens(seg), segStart, segStart + seg.length))
       case (seg, false, segStart) =>
-        val m = preTokenPattern.matcher(seg)
+        val m = preTokPat.matcher(seg)
         while (m.find()) {
           val pre = m.group()
           val preStart = segStart + m.start()
@@ -172,8 +188,13 @@ final case class BytePairTokenizer(
             }
             ci += w
           }
+          val mapped = bpeChars.result()
+          // ignore_merges: the whole pre-token resolves in-vocab first
+          val pieces =
+            if (ignoreMerges && vocab.contains(mapped)) Array(mapped)
+            else bpe(mapped)
           var p = 0
-          bpe(bpeChars.result()).foreach { piece =>
+          pieces.foreach { piece =>
             val id = vocab.getOrElse(piece, eotId)
             out += ((id, preStart + posStart(p), preStart + posEnd(p + piece.length - 1)))
             p += piece.length
@@ -183,8 +204,12 @@ final case class BytePairTokenizer(
     out.toArray
   }
 
-  override def encode(text: String, addSpecialTokens: Boolean): Array[Long] =
-    encodePieces(text).map(_._1) // GPT-2: addSpecialTokens adds nothing
+  override def encode(text: String, addSpecialTokens: Boolean): Array[Long] = {
+    val body = encodePieces(text).map(_._1)
+    // GPT-2 files add nothing; Llama-3-style files prepend their bos
+    if (addSpecialTokens && bosIds.nonEmpty) (bosIds ++ body).toArray
+    else body
+  }
 
   override def decode(ids: Seq[Long], skipSpecialTokens: Boolean): String = {
     val sb = new StringBuilder

@@ -33,10 +33,13 @@ import com.fasterxml.jackson.databind.JsonNode
   *    Unigram space-marking) and sentencepiece-NFKC files load
   *    faithfully.
   *  - `pre_tokenizer`: BertPreTokenizer/Whitespace (WordPiece),
-  *    ByteLevel with add_prefix_space (BPE), Metaspace with
-  *    replacement ▁ and prepend_scheme/add_prefix_space (Unigram —
-  *    mapped onto add_dummy_prefix). Unknown pre-tokenizer types
-  *    reject with a clear error.
+  *    ByteLevel with add_prefix_space (BPE), Split(Regex, Isolated)
+  *    replacing the GPT-2 regex (the Llama-3-family layout, together
+  *    with model `ignore_merges` and the template's bos token),
+  *    Metaspace with replacement ▁ and prepend_scheme/add_prefix_space
+  *    (Unigram — mapped onto add_dummy_prefix; also accepted on
+  *    byte_fallback BPE). Unknown pre-tokenizer types reject with a
+  *    clear error.
   *  - `added_tokens`: special entries extend/override the vocab and
   *    register as specials (BPE) or claim the special-id slots
   *    (Unigram: <pad>/<s>/</s>/<unk> by content).
@@ -270,6 +273,14 @@ object HfTokenizerJson {
           if (Option(n.get("add_prefix_space")).exists(_.asBoolean()))
             Seq(NormStep.PrefixSpace)
           else Seq.empty
+        // a Split(Regex, Isolated) replaces the GPT-2 regex — consumed
+        // by loadBpe via splitRegexOf, not a chain step
+        case ("BPE", "Split") =>
+          require(Option(n.get("behavior")).map(_.asText())
+              .forall(_ == "Isolated") &&
+            !Option(n.get("invert")).exists(_.asBoolean()),
+            s"$path: only Split(behavior=Isolated, invert=false) supported")
+          Seq.empty
         // Unigram's space-marking IS Metaspace; prepend_scheme maps to
         // add_dummy_prefix (consumed by loadUnigram, not a chain step)
         case ("Unigram", "Metaspace") =>
@@ -386,12 +397,52 @@ object HfTokenizerJson {
     val specials = added.collect { case (tok, id, true) => tok -> id }.toMap
     val eot = specials.keys.find(_ == "<|endoftext|>")
       .orElse(specials.keys.headOption).getOrElse("<|endoftext|>")
-    val bpe = BytePairTokenizer(vocab.toMap, merges, specials, eotToken = eot)
+    val bpe = BytePairTokenizer(vocab.toMap, merges, specials, eotToken = eot,
+      preTokenRegex = splitRegexOf(root, path),
+      ignoreMerges = Option(model.get("ignore_merges"))
+        .exists(_.asBoolean()),
+      bosToken = bosTokenOf(root))
     val chain = flatNormalizers(root)
       .flatMap(stepsOf(_, absorbLowercase = false, path)) ++
       preTokenizerSteps(root, "BPE", path)
     wrap(chain, bpe)
   }
+
+  /** The `Split` pre_tokenizer's regex (Llama-3-family layout: a
+    * Sequence of Split(Regex pattern, Isolated) + ByteLevel). */
+  private def splitRegexOf(root: JsonNode, path: String): Option[String] =
+    flatPreTokenizers(root)
+      .find(n => Option(n.get("type")).exists(_.asText() == "Split"))
+      .map { n =>
+        val pat = Option(n.get("pattern")).getOrElse(
+          throw new IllegalArgumentException(s"$path: Split without pattern"))
+        if (pat.has("Regex")) pat.get("Regex").asText()
+        else if (pat.has("String"))
+          java.util.regex.Pattern.quote(pat.get("String").asText())
+        else throw new IllegalArgumentException(
+          s"$path: Split pattern must be {Regex}/{String}")
+      }
+
+  /** First SpecialToken before the `A` Sequence in a TemplateProcessing
+    * single template — the family's bos (Llama-3 `<|begin_of_text|>`). */
+  private def bosTokenOf(root: JsonNode): Option[String] =
+    Option(root.get("post_processor")).filterNot(_.isNull).flatMap { pp =>
+      Option(pp.get("type")).map(_.asText()) match {
+        case Some("TemplateProcessing") =>
+          Option(pp.get("single")).flatMap { single =>
+            var bos: Option[String] = None
+            var seenA = false
+            (0 until single.size).foreach { i =>
+              val item = single.get(i)
+              if (item.has("Sequence")) seenA = true
+              else if (item.has("SpecialToken") && !seenA && bos.isEmpty)
+                bos = Some(item.get("SpecialToken").get("id").asText())
+            }
+            bos
+          }
+        case _ => None
+      }
+    }
 
   /** Llama/Mistral-family sentencepiece-BPE (`byte_fallback: true`):
     * [[SpmBpeTokenizer]] behind the normalizer chain. The family's

@@ -350,6 +350,49 @@ class HfTokenizerJsonSpec extends AnyFunSuite {
     assert(e.getMessage.contains("CTC"))
   }
 
+  test("Llama-3-layout BPE: Split regex pre-tokenizer, ignore_merges, " +
+    "bos from the template") {
+    // byte-level alphabet: ' ' maps to Ġ; vocab carries whole words so
+    // ignore_merges resolves them without any merge path
+    val path = write("llama3", """{
+      "version": "1.0",
+      "added_tokens": [
+        {"id": 100, "content": "<|begin_of_text|>", "single_word": false,
+         "lstrip": false, "rstrip": false, "normalized": false,
+         "special": true}
+      ],
+      "normalizer": null,
+      "pre_tokenizer": {"type": "Sequence", "pretokenizers": [
+        {"type": "Split",
+         "pattern": {"Regex": "(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\\r\\n\\p{L}\\p{N}]?\\p{L}+|\\p{N}{1,3}| ?[^\\s\\p{L}\\p{N}]+[\\r\\n]*|\\s*[\\r\\n]+|\\s+(?!\\S)|\\s+"},
+         "behavior": "Isolated", "invert": false},
+        {"type": "ByteLevel", "add_prefix_space": false,
+         "use_regex": false}]},
+      "post_processor": {"type": "TemplateProcessing",
+        "single": [
+          {"SpecialToken": {"id": "<|begin_of_text|>", "type_id": 0}},
+          {"Sequence": {"id": "A", "type_id": 0}}],
+        "pair": [],
+        "special_tokens": {"<|begin_of_text|>":
+          {"id": "<|begin_of_text|>", "ids": [100],
+           "tokens": ["<|begin_of_text|>"]}}},
+      "model": {"type": "BPE", "unk_token": null, "fuse_unk": false,
+        "byte_fallback": false, "ignore_merges": true,
+        "vocab": {"hello": 0, "Ġhi": 1, "123": 2, "4": 3,
+          "1234": 4, "<|endoftext|>": 5},
+        "merges": []}
+    }""")
+    val t = HfTokenizerJson.load(path)
+    // whole pre-tokens resolve straight from the vocab (no merges
+    // exist); ' hi' arrives byte-mapped as Ġhi; bos prepends
+    assert(t.encode("hello hi", addSpecialTokens = true).toSeq ==
+      Seq(100L, 0L, 1L))
+    // the Split regex groups digits 1-3 at a time (GPT-2's default
+    // would take '1234' whole and hit the decoy vocab entry)
+    assert(t.encode("1234", addSpecialTokens = false).toSeq ==
+      Seq(2L, 3L))
+  }
+
   test("Unigram with ByteFallback decoder: uncovered span -> byte " +
     "tokens, decode re-fuses") {
     val vocabArr = (Seq("<unk>" -> 0.0) ++
