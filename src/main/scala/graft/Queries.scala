@@ -4319,24 +4319,26 @@ object Queries {
   private val qFingerprintOverlap = Q(
     "q118_fingerprint_overlap_pairs",
     (s, dir) => {
-      val fps = docs(s, dir).select(
-        col("doc_id"),
-        array_distinct(
-          filter(
-            transform(
-              // Guard: sequence(1, len-19) on text under 20 chars would
-              // emit a DESCENDING [1,0] (DuckDB generate_series is empty).
-              when(
-                length(col("text")) >= 20,
-                sequence(lit(1), length(col("text")) - 19)
-              ).otherwise(array().cast("array<int>")),
-              i => md5(col("text").substr(i, lit(20)))
-            ),
-            h => substring(h, 1, 1) === "0"
-          )
-        ).as("fp")
-      )
-      FingerprintOverlap.candidatePairs(fps, "doc_id", "fp",
+      // r13: positions explode FIRST and the md5 runs as a top-level
+      // whole-stage-codegen projection — the previous per-element
+      // transform/filter HOF chain evaluated every one of the ~|text|
+      // md5s interpreted. `distinct()` on the exploded (doc_id, fp)
+      // rows is set-identical to the old per-doc array_distinct.
+      val inv = docs(s, dir)
+        .select(
+          col("doc_id"), col("text"),
+          explode(
+            // Guard: sequence(1, len-19) on text under 20 chars would
+            // emit a DESCENDING [1,0] (DuckDB generate_series is empty).
+            when(
+              length(col("text")) >= 20,
+              sequence(lit(1), length(col("text")) - 19)
+            ).otherwise(array().cast("array<int>"))).as("__i"))
+        .select(col("doc_id"),
+          md5(col("text").substr(col("__i"), lit(20))).as("fp"))
+        .filter(substring(col("fp"), 1, 1) === "0")
+        .distinct()
+      FingerprintOverlap.candidatePairsInverted(inv, "doc_id", "fp",
         minShared = 2, maxBucketSize = Some(8), hasher = c => md5(c))
         .orderBy("id_a", "id_b")
     },
@@ -8679,14 +8681,18 @@ object Queries {
       // gram shuffle moves 8-byte longs instead of shingle strings (the
       // operator's documented at-scale contract; production = xxhash64,
       // md5 here for oracle replay — collisions at 60 bits are ~0 and in
-      // any case identical on both engines)
-      CorpusStats.shardNovelty(
+      // any case identical on both engines). r13: the shingles explode
+      // FIRST and the md5+conv runs as a top-level whole-stage-codegen
+      // projection — the previous per-element transform HOF evaluated
+      // every gram hash interpreted.
+      CorpusStats.shardNoveltyExploded(
         docWords(s, dir)
-          .withColumn("shard", floor(col("doc_id") / 50).cast("long"))
-          .withColumn("grams",
-            transform(TextShingles.shingles(col("words"), 3),
-              g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))),
-        "shard", "grams")
+          .select(floor(col("doc_id") / 50).cast("long").as("shard"),
+            explode(TextShingles.shingles(col("words"), 3)).as("__g"))
+          .select(col("shard"),
+            conv(substring(md5(col("__g")), 1, 15), 16, 10).cast("long")
+              .as("gram")),
+        "shard", "gram")
         .orderBy("shard"),
     Some(
       s"""WITH w AS (SELECT doc_id // 50 AS shard, $W AS w FROM documents),

@@ -403,6 +403,39 @@ object functions {
   def cdc_boundaries(text: Column, window: Int, divisor: Long, mod: Long): Column =
     toCol(CdcBoundariesExpr(expression(text), window, divisor, mod))
 
+  /** All unordered pairs of a (small, cap-bounded) posting list as
+    * `array<struct<id_a, id_b>>` with `id_a = least`, `id_b = greatest`
+    * — the in-row candidate generator for capped inverted-index joins:
+    * a posting list already bounded at `cap` members emits its ≤
+    * cap·(cap−1)/2 pairs inside the aggregation row, replacing a
+    * window + self-join (two extra shuffles of every posting row) with
+    * plain projection. Emits the IDENTICAL pair set the equi-join
+    * `a.id < b.id` formulation produces (ids are distinct within a
+    * posting). Guard: a 0/1-element list yields `[]`, never the
+    * descending `sequence(0, -1)` trap. */
+  def pair_combos(ids0: Column): Column = {
+    import org.apache.spark.sql.functions._
+    // bind the ids expression as a lambda variable via the
+    // single-element-array trick (the Winnowing/simhash fix): every
+    // element_at below references the BOUND variable, not a copy of the
+    // caller's expression — otherwise a computed `ids0` (e.g. a
+    // transform over a kept-postings array) re-evaluates once per
+    // element_at, i.e. ~cap² times per row
+    element_at(
+      transform(array(ids0), ids => {
+        val n = size(ids)
+        val outer = when(n >= 2, sequence(lit(0), n - 2))
+          .otherwise(array().cast("array<int>"))
+        flatten(transform(outer, i =>
+          transform(sequence(i + 1, n - 1), j =>
+            struct(
+              least(element_at(ids, i + 1), element_at(ids, j + 1)).as("id_a"),
+              greatest(element_at(ids, i + 1), element_at(ids, j + 1))
+                .as("id_b")))))
+      }),
+      1)
+  }
+
   /** True integral division (`a div b`) over BIGINT/DECIMAL operands:
     * decimal `/` re-scales and ROUNDS half-up, and long `/` detours
     * through doubles past 2^53 — both wrong for exact cross-engine

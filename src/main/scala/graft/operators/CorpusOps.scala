@@ -425,41 +425,62 @@ object FingerprintOverlap {
       col(idField).as("__fo_id"),
       explode(col(fpField)).as("__fo_f")
     )
-    val kept = maxBucketSize match {
-      case Some(cap) =>
-        inverted
-          .withColumn(
-            "__fo_rn",
-            row_number().over(
-              Window.partitionBy(col("__fo_f"))
-                .orderBy(
-                  hasher(concat_ws("|", col("__fo_id"), col("__fo_f"))),
-                  col("__fo_id")))
-          )
-          .filter(col("__fo_rn") <= cap)
-          .drop("__fo_rn")
-          .persist()
-      case None => inverted
-    }
-    val pairs = kept.as("a")
-      .join(
-        kept.as("b"),
-        col("a.__fo_f") === col("b.__fo_f") &&
-          col("a.__fo_id") < col("b.__fo_id"))
-      .select(col("a.__fo_id").as("id_a"), col("b.__fo_id").as("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= minShared)
+    candidatePairsInverted(inverted, "__fo_id", "__fo_f", minShared,
+      maxBucketSize, hasher)
+  }
+
+  /** [[candidatePairs]] over an ALREADY-EXPLODED (id, fingerprint) table
+    * — for callers whose fingerprint computation is cheaper as a
+    * top-level codegen'd projection over exploded positions than as an
+    * interpreted per-element array HOF (r13). Rows must be distinct per
+    * (id, fingerprint), exactly as [[candidatePairs]]' distinct arrays
+    * guarantee. */
+  def candidatePairsInverted(
+      df: DataFrame,
+      idField: String,
+      fpField: String,
+      minShared: Int = 2,
+      maxBucketSize: Option[Int] = None,
+      hasher: Column => Column = c => xxhash64(c)
+  ): DataFrame = {
+    val inverted =
+      df.select(col(idField).as("__fo_id"), col(fpField).as("__fo_f"))
     maxBucketSize match {
-      case Some(_) =>
-        // The capped inverted table was persist()ed for the self-join's
-        // two legs; eagerly materialize the (much smaller, cap-bounded)
-        // pair aggregate and release the cache so library callers don't
-        // leak cached blocks (mirrors DedupOps.components' discipline).
-        val out = pairs.localCheckpoint()
-        kept.unpersist()
-        out
-      case None => pairs
+      case Some(cap) =>
+        // POSTINGS shape (r13): one groupBy on the fingerprint builds
+        // each posting list, keeps the `cap` members ranked first by
+        // (salted hash, id) — `array_sort` over struct<h, id> is the
+        // exact (hash, id) order the previous row_number window used —
+        // and emits the posting's ≤ cap·(cap−1)/2 pairs in-row via
+        // [[graft.functions.functions.pair_combos]]. The window shuffle,
+        // the self-join (two more exchanges), and the persist/checkpoint
+        // bookkeeping they required all disappear; the per-pair shared
+        // count (and so the output) is identical.
+        inverted
+          .select(col("__fo_f"),
+            struct(
+              hasher(concat_ws("|", col("__fo_id"), col("__fo_f"))).as("h"),
+              col("__fo_id").as("id")).as("__fo_r"))
+          .groupBy(col("__fo_f"))
+          .agg(slice(array_sort(collect_list(col("__fo_r"))), 1, cap)
+            .as("__fo_kept"))
+          .select(explode(graft.functions.functions.pair_combos(
+            transform(col("__fo_kept"), r => r.getField("id")))).as("__fo_p"))
+          .select(col("__fo_p").getField("id_a").as("id_a"),
+            col("__fo_p").getField("id_b").as("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= minShared)
+      case None =>
+        inverted.as("a")
+          .join(
+            inverted.as("b"),
+            col("a.__fo_f") === col("b.__fo_f") &&
+              col("a.__fo_id") < col("b.__fo_id"))
+          .select(col("a.__fo_id").as("id_a"), col("b.__fo_id").as("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= minShared)
     }
   }
 }
@@ -833,9 +854,25 @@ object CorpusStats {
       shardField: String,
       gramsField: String
   ): DataFrame =
-    docs
+    shardNoveltyExploded(
+      docs.select(col(shardField).as(shardField),
+        explode(col(gramsField)).as("gram")),
+      shardField, "gram")
+
+  /** [[shardNovelty]] over an ALREADY-EXPLODED (shard, gram) table — for
+    * callers whose gram hashing is cheaper as a top-level codegen'd
+    * projection over exploded shingles than as an interpreted
+    * per-element array HOF (r13). Duplicate (shard, gram) rows are fine
+    * (the per-gram aggregate deduplicates via min/collect_set exactly as
+    * the array form did). */
+  def shardNoveltyExploded(
+      grams: DataFrame,
+      shardField: String,
+      gramField: String
+  ): DataFrame =
+    grams
       .select(col(shardField).cast(LongType).as("__sn_s"),
-        explode(col(gramsField)).as("gram"))
+        col(gramField).as("gram"))
       .groupBy(col("gram"))
       .agg(min(col("__sn_s")).as("__sn_first"),
         collect_set(col("__sn_s")).as("__sn_shards"))

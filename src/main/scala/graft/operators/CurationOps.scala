@@ -823,9 +823,17 @@ object PerceptronTrainer {
   ): DataFrame = {
     require(dim > 0 && rounds >= 1)
     val sp = df.sparkSession
+    // r13: hash every token to its weight index ONCE and persist — the
+    // previous formulation re-evaluated `indexOf` (an md5-fold per
+    // token) TWICE PER ROUND (margin fold + delta explode), i.e.
+    // 2·rounds full hashing passes plus a parquet re-read per round,
+    // where one pass suffices. The hashed-index table is the exact
+    // value stream the per-round math consumed before.
     val docs = df.select(
-      col(wordsField).as("__pt_toks"),
+      transform(col(wordsField), t => indexOf(t).cast(LongType))
+        .as("__pt_hs"),
       col(labelField).cast(LongType).as("__pt_y"))
+      .persist()
     var w: DataFrame = sp.range(1).select(
       transform(sequence(lit(0), lit(dim - 1)), _ => lit(0L)).as("__pt_w"))
     for (_ <- 0 until rounds) {
@@ -838,13 +846,12 @@ object PerceptronTrainer {
       val mis = docs
         .crossJoin(broadcast(w))
         .withColumn("__pt_m",
-          aggregate(col("__pt_toks"), lit(0L), (acc, t) =>
-            acc + element_at(col("__pt_w"),
-              (indexOf(t) + 1).cast(IntegerType))))
+          aggregate(col("__pt_hs"), lit(0L), (acc, h) =>
+            acc + element_at(col("__pt_w"), (h + 1).cast(IntegerType))))
         .filter(col("__pt_y") * col("__pt_m") <= 0)
       val delta = mis
-        .select(col("__pt_y"), explode(col("__pt_toks")).as("__pt_t"))
-        .groupBy(indexOf(col("__pt_t")).cast(LongType).as("__pt_j"))
+        .select(col("__pt_y"), explode(col("__pt_hs")).as("__pt_j"))
+        .groupBy(col("__pt_j"))
         .agg(sum(col("__pt_y")).as("__pt_d"))
         .agg(map_from_entries(collect_list(
           struct(col("__pt_j"), col("__pt_d")))).as("__pt_dm"))
@@ -853,7 +860,11 @@ object PerceptronTrainer {
           wi + coalesce(element_at(col("__pt_dm"), i.cast(LongType)), lit(0L)))
           .as("__pt_w"))
     }
-    w
+    // materialize the final round's weights so the persisted hash table
+    // can be released before returning (callers act on a literal row)
+    val finalW = typedlit(w.head().getSeq[Long](0).toIndexedSeq)
+    docs.unpersist()
+    sp.range(1).select(finalW.as("__pt_w"))
   }
 
   /** Trained weights as (j, weight) rows, j = 0..dim-1. */

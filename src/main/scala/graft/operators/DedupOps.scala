@@ -286,26 +286,37 @@ object MinHashLSH {
       scale: Long = 1000000L
   ): DataFrame = {
     require(maxShingleDf >= 2 && minContainment > 0 && minContainment <= 1)
+    // r13: the shingle arrays feed THREE consumers (the blocking explode
+    // and both verify-join legs) — persist so the splitter + shingle
+    // HOFs run once, not once per consumer (the PrefixFilterJoin
+    // `ordered` discipline)
     val shingled = df.select(
       col(idField).as("__ct_id"),
       array_distinct(TextShingles.shingles(col(wordsField), shingleSize))
         .as("__ct_sh"))
+      .persist()
+    shingled.count()
     val exploded = shingled
       .select(col("__ct_id"), explode(col("__ct_sh")).as("__ct_s"))
       .withColumn("__ct_h", xxhash64(col("__ct_s")))
       .drop("__ct_s")
-    val rare = exploded.groupBy(col("__ct_h"))
-      .agg(count(lit(1)).as("__ct_n"))
-      .filter(col("__ct_n") >= 2 && col("__ct_n") <= maxShingleDf)
-      .select("__ct_h")
-    val blocked = exploded.join(rare, "__ct_h")
-    val cand = blocked.as("a")
-      .join(blocked.as("b"),
-        col("a.__ct_h") === col("b.__ct_h") &&
-          col("a.__ct_id") < col("b.__ct_id"))
-      .select(col("a.__ct_id").as("id_a"), col("b.__ct_id").as("id_b"))
+    // POSTINGS shape (r13): the df-count filter and the block self-join
+    // collapse into ONE groupBy — a posting (shingle-hash) with 2 ≤
+    // members ≤ maxShingleDf emits its ≤ maxShingleDf·(maxShingleDf−1)/2
+    // candidate pairs in-row. Previous formulation paid a count agg, a
+    // blocking join, and a self-join (3 further exchanges of posting
+    // rows); the candidate set is identical.
+    val cand = exploded
+      .groupBy(col("__ct_h"))
+      .agg(collect_list(col("__ct_id")).as("__ct_ids"))
+      .filter(size(col("__ct_ids")) >= 2 &&
+        size(col("__ct_ids")) <= maxShingleDf.toInt)
+      .select(explode(graft.functions.functions.pair_combos(col("__ct_ids")))
+        .as("__ct_p"))
+      .select(col("__ct_p").getField("id_a").as("id_a"),
+        col("__ct_p").getField("id_b").as("id_b"))
       .distinct()
-    cand
+    val out = cand
       .join(shingled.select(col("__ct_id").as("id_a"),
         col("__ct_sh").as("sh_a")), Seq("id_a"))
       .join(shingled.select(col("__ct_id").as("id_b"),
@@ -318,6 +329,9 @@ object MinHashLSH {
           least(size(col("sh_a")), size(col("sh_b"))).cast(LongType)))
       .filter(col("containment_scaled") >= math.floor(scale * minContainment).toLong)
       .select("id_a", "id_b", "containment_scaled")
+      .localCheckpoint()
+    shingled.unpersist()
+    out
   }
 
   /** Full near-dedup: signature → banding → connected-via-pairs removal
@@ -845,7 +859,7 @@ object SimHashNearDup {
             .bitwiseAND(lit(mask))): _*)
       ).as(Seq("__sh_band", "__sh_chunk"))
     )
-    val kept = maxBucketSize match {
+    val kept = (maxBucketSize match {
       case Some(cap) =>
         banded
           .withColumn(
@@ -860,8 +874,13 @@ object SimHashNearDup {
           .filter(col("__sh_rn") <= cap)
           .drop("__sh_rn")
       case None => banded
-    }
-    kept.as("a")
+    }).persist()
+    // r13: materialize once — the upstream simhash expression (per-word
+    // hash + bit fold) is the expensive part, and without the persist
+    // BOTH self-join legs recompute it (the MinHashLSH.candidatePairs
+    // discipline applied here)
+    kept.count()
+    val out = kept.as("a")
       .join(
         kept.as("b"),
         col("a.__sh_band") === col("b.__sh_band") &&
@@ -875,6 +894,9 @@ object SimHashNearDup {
       )
       .filter(col("hamming") <= maxHamming)
       .distinct()
+      .localCheckpoint()
+    kept.unpersist()
+    out
   }
 }
 
@@ -1448,14 +1470,53 @@ object BitextMine {
       cosScale: Long = 100000L,
       marginScale: Long = 10000L,
       minMarginScaled: Option[Long] = None,
-      topK: (DataFrame, DataFrame, String, String, Int) => DataFrame =
-        CosineKnn.bruteForce
+      topK: Option[(DataFrame, DataFrame, String, String, Int) => DataFrame] =
+        None
   ): DataFrame = {
     import graft.functions.functions.integral_divide
     def scaled(knn: DataFrame): DataFrame =
       knn.withColumn("cos_i", floor(col("cos") * cosScale).cast(LongType))
-    val fwd = scaled(topK(ys, xs, embField, idField, k)) // x → Y
-    val bwd = scaled(topK(xs, ys, embField, idField, k)) // y → X
+    // r13: the default exact path computes the X×Y cosine matrix ONCE
+    // and persists it — the forward and backward top-k are two windows
+    // over the same scored table. The previous formulation ran
+    // bruteForce per direction AND re-ran the forward leg for its
+    // second consumer: three full cross-product cosine passes where one
+    // suffices. cos(x,y) is evaluated with the same operand order as
+    // bruteForce(ys, xs) — double multiply is commutative-exact, so the
+    // backward leg's values are bit-identical to bruteForce(xs, ys).
+    // Plug `topK = Some(CosineKnn.annTopK(...))` for the 100-TB path,
+    // which keeps the per-direction form (its bucketing is directional).
+    val (fwd, bwd, shared) = topK match {
+      case Some(f) =>
+        (scaled(f(ys, xs, embField, idField, k)).persist(), // x → Y
+          scaled(f(xs, ys, embField, idField, k)), None) // y → X
+      case None =>
+        val c = ys.select(col(idField).as("y_id"),
+          col(embField).cast(ArrayType(DoubleType)).as("__ce"))
+        val q = xs.select(col(idField).as("x_id"),
+          col(embField).cast(ArrayType(DoubleType)).as("__qe"))
+        // rank on the RAW double cos (exactly what bruteForce's window
+        // did — floor-scaling first could merge distinct cosines and
+        // change tie-breaks); cos_i is derived after ranking
+        val scored = c.crossJoin(broadcast(q))
+          .select(col("x_id"), col("y_id"),
+            CosineKnn.cosine(col("__ce"), col("__qe")).as("cos"))
+          .persist()
+        scored.count()
+        val wf = Window.partitionBy("x_id")
+          .orderBy(col("cos").desc, col("y_id"))
+        val wb = Window.partitionBy("y_id")
+          .orderBy(col("cos").desc, col("x_id"))
+        val f = scaled(scored
+          .withColumn("rank", row_number().over(wf)).filter(col("rank") <= k)
+          .select(col("x_id").as("query_id"), col("y_id").as("corpus_id"),
+            col("cos"), col("rank")))
+        val b = scaled(scored
+          .withColumn("rank", row_number().over(wb)).filter(col("rank") <= k)
+          .select(col("y_id").as("query_id"), col("x_id").as("corpus_id"),
+            col("cos"), col("rank")))
+        (f, b, Some(scored))
+    }
     val fwdSum = fwd.groupBy(col("query_id").as("x_id"))
       .agg(sum("cos_i").as("__sum_f"))
     val bwdSum = bwd.groupBy(col("query_id").as("y_id"))
@@ -1471,8 +1532,17 @@ object BitextMine {
       .withColumn("margin_scaled",
         integral_divide(lit(marginScale) * 2 * k * col("cos_i"), den))
       .select("x_id", "y_id", "margin_scaled")
-    minMarginScaled.fold(margins)(t =>
+    val out = minMarginScaled.fold(margins)(t =>
       margins.filter(col("margin_scaled") >= t))
+    shared match {
+      case Some(s) =>
+        // materialize the (small) mined set, then release the cached
+        // cosine matrix so library callers don't leak cached blocks
+        val o = out.localCheckpoint()
+        s.unpersist()
+        o
+      case None => out
+    }
   }
 }
 

@@ -87,6 +87,11 @@ object LangIdNgram {
       topN: Int = 100,
       n: Int = 3
   ): DataFrame = {
+    // r13: the profile plan is consumed by TWO broadcasts below (langs
+    // and the gram join) — without a persist each broadcast re-runs the
+    // full training aggregation (n-gram explode + count + window) over
+    // the training slice. The table itself is O(#langs · topN) rows.
+    val prof = profiles.persist()
     val docGrams = df
       .select(col(idField).as("__li_id"),
         explode(charNgrams(col(textField), n)).as("gram"))
@@ -101,12 +106,12 @@ object LangIdNgram {
     // per-gram cost formulation: Σ (matched ? |dr−pr| : topN) — no
     // group-size bookkeeping, so the whole distance is ONE aggregation
     // over docTop × langs (langs is a handful of broadcast rows)
-    val langs = profiles.select(col("lang")).distinct()
+    val langs = prof.select(col("lang")).distinct()
     val cost = when(col("rank").isNull, lit(topN.toLong))
       .otherwise(abs(col("__li_dr") - col("rank")))
     val best = docTop
       .crossJoin(broadcast(langs))
-      .join(broadcast(profiles), Seq("gram", "lang"), "left")
+      .join(broadcast(prof), Seq("gram", "lang"), "left")
       .groupBy("__li_id", "lang")
       .agg(sum(cost).as("__li_dist"))
       .groupBy("__li_id")

@@ -334,27 +334,39 @@ object PrefixFilterJoin {
       .cast("int") + 1
     val prefAll = ordered.select(col("__pf_id"),
       explode(slice(col("toks"), lit(1), p)).as("ptok"))
-    val pref = maxPrefixDf match {
+    val cand = maxPrefixDf match {
       case Some(cap) =>
-        // one extra window-shuffle keyed on the prefix token, in
-        // exchange for bounding the candidate join's per-posting
-        // quadratic work at cap²; the rank hash is salted with the
-        // token so a hot document is not the one dropped everywhere
+        // POSTINGS shape (r13): one groupBy on the prefix token builds
+        // each posting list, keeps the `cap` members ranked first by
+        // (salted hash, id) — `array_sort` over struct<h, id> is the
+        // exact order the previous row_number window used — and emits
+        // the posting's ≤ cap·(cap−1)/2 pairs IN-ROW via
+        // [[graft.functions.functions.pair_combos]]. Replaces the
+        // window shuffle + self-join (which re-evaluated the rank hash
+        // and the window once PER JOIN LEG) with a single exchange;
+        // the pair set is identical. The rank hash stays salted with
+        // the token so a hot document is not the one dropped everywhere.
         prefAll
-          .withColumn("__pf_rn",
-            row_number().over(
-              Window.partitionBy(col("ptok"))
-                .orderBy(hasher(concat_ws("|", col("__pf_id"), col("ptok"))),
-                  col("__pf_id"))))
-          .filter(col("__pf_rn") <= cap)
-          .drop("__pf_rn")
-      case None => prefAll
+          .select(col("ptok"),
+            struct(
+              hasher(concat_ws("|", col("__pf_id"), col("ptok"))).as("h"),
+              col("__pf_id").as("id")).as("__pf_r"))
+          .groupBy(col("ptok"))
+          .agg(slice(array_sort(collect_list(col("__pf_r"))), 1, cap)
+            .as("__pf_kept"))
+          .select(explode(graft.functions.functions.pair_combos(
+            transform(col("__pf_kept"), r => r.getField("id")))).as("__pf_p"))
+          .select(col("__pf_p").getField("id_a").as("id_a"),
+            col("__pf_p").getField("id_b").as("id_b"))
+          .distinct()
+      case None =>
+        val pref = prefAll
+        pref.as("a")
+          .join(pref.as("b"),
+            col("a.ptok") === col("b.ptok") && col("a.__pf_id") < col("b.__pf_id"))
+          .select(col("a.__pf_id").as("id_a"), col("b.__pf_id").as("id_b"))
+          .distinct()
     }
-    val cand = pref.as("a")
-      .join(pref.as("b"),
-        col("a.ptok") === col("b.ptok") && col("a.__pf_id") < col("b.__pf_id"))
-      .select(col("a.__pf_id").as("id_a"), col("b.__pf_id").as("id_b"))
-      .distinct()
     val out = cand
       .join(ordered.select(col("__pf_id").as("id_a"), col("toks").as("__ta")), "id_a")
       .join(ordered.select(col("__pf_id").as("id_b"), col("toks").as("__tb")), "id_b")
