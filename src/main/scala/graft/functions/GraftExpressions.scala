@@ -88,6 +88,101 @@ case class CosineSimilarity(left: Expression, right: Expression)
   ): CosineSimilarity = copy(left = newLeft, right = newRight)
 }
 
+/** pq_encode(emb): product-quantization codes — per-subspace squared-L2
+  * argmin against driver-fixed codebooks (codebooks(m)(k)(i), all
+  * subvector widths equal). One tight JVM loop per row replaces the
+  * zip_with/aggregate HOF tree, which was interpreted AND allocated a
+  * fresh zipped array per (row, codeword); a static per-dimension
+  * unroll was tried first and blew the whole-stage-codegen method-size
+  * limit (m·k·w terms), which disables WSCG for the whole plan.
+  * Accumulation order and the strictly-less/keep-earlier tie rule are
+  * bit-identical to the HOF formulation (left fold over ascending i,
+  * codes scanned ascending). */
+case class PqEncodeExpr(
+    child: Expression,
+    codebooks: Array[Array[Array[Double]]]
+) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val m = codebooks.length
+    val w = codebooks(0)(0).length
+    val out = new Array[Any](m)
+    var mi = 0
+    while (mi < m) {
+      val cb = codebooks(mi)
+      val base = mi * w
+      var best = Double.NaN
+      var bestCode = 0L
+      var j = 0
+      while (j < cb.length) {
+        val c = cb(j)
+        var d = 0.0
+        var i = 0
+        while (i < w) {
+          val diff = xs.getDouble(base + i) - c(i)
+          d += diff * diff
+          i += 1
+        }
+        if (j == 0 || d < best) { best = d; bestCode = j.toLong }
+        j += 1
+      }
+      out(mi) = bestCode
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** pq_adc_dist(query_emb, pq_code): asymmetric PQ distance —
+  * Σ over subspaces of squared-L2 between the query subvector and the
+  * coded codeword. Same tight-loop rationale and bit-exact accumulation
+  * order (per-subspace left fold, subspaces summed ascending) as
+  * [[PqEncodeExpr]]. */
+case class PqAdcDistExpr(
+    left: Expression,
+    right: Expression,
+    codebooks: Array[Array[Array[Double]]]
+) extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(q: Any, code: Any): Any = {
+    val qs = q.asInstanceOf[ArrayData]
+    val cs = code.asInstanceOf[ArrayData]
+    val m = codebooks.length
+    val w = codebooks(0)(0).length
+    var total = 0.0
+    var mi = 0
+    while (mi < m) {
+      val c = codebooks(mi)(cs.getLong(mi).toInt)
+      val base = mi * w
+      var d = 0.0
+      var i = 0
+      while (i < w) {
+        val diff = qs.getDouble(base + i) - c(i)
+        d += diff * diff
+        i += 1
+      }
+      total += d
+      mi += 1
+    }
+    total
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): PqAdcDistExpr = copy(left = newLeft, right = newRight)
+}
+
 /** run_length_ranges(mask, fill): positions where mask == fill, grouped
   * into consecutive [start, end) runs — array<array<long>>. */
 case class RunLengthRanges(left: Expression, right: Expression)
@@ -393,6 +488,14 @@ object functions {
 
   def cosine_sim(a: Column, b: Column): Column =
     toCol(CosineSimilarity(expression(a), expression(b)))
+
+  def pq_encode(emb: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    toCol(PqEncodeExpr(expression(emb),
+      codebooks.map(_.map(_.toArray).toArray).toArray))
+
+  def pq_adc_dist(qe: Column, code: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    toCol(PqAdcDistExpr(expression(qe), expression(code),
+      codebooks.map(_.map(_.toArray).toArray).toArray))
 
   def run_length_ranges(mask: Column, fill: Column): Column =
     toCol(RunLengthRanges(expression(mask), expression(fill)))

@@ -1299,22 +1299,14 @@ object ProductQuantizer {
       codebooks: Seq[Seq[Seq[Double]]],
       dest: String = "pq_code"
   ): DataFrame = {
-    val m = codebooks.length
-    val w = codebooks.head.head.length
-    val kk = codebooks.head.length
     val e = col(embField).cast(ArrayType(DoubleType))
-    val codes = array((0 until m).map { mi =>
-      val sub = slice(e, mi * w + 1, w)
-      val cands = array(codebooks(mi).zipWithIndex.map { case (c, j) =>
-        struct(l2sq(sub, typedlit(c)).as("d"), lit(j.toLong).as("code"))
-      }: _*)
-      aggregate(
-        slice(cands, 2, kk - 1),
-        element_at(cands, 1),
-        (acc, x) => when(x.getField("d") < acc.getField("d"), x).otherwise(acc)
-      ).getField("code")
-    }: _*)
-    df.withColumn(dest, codes)
+    // r13: one tight-loop native expression per row
+    // ([[graft.functions.PqEncodeExpr]]) — bit-identical accumulation
+    // and tie rule to the previous zip_with/aggregate HOF tree, which
+    // was interpreted and allocated a fresh zipped array per
+    // (row, codeword). (A static per-dimension unroll was tried first
+    // and blew the whole-stage-codegen method-size limit.)
+    df.withColumn(dest, graft.functions.functions.pq_encode(e, codebooks))
   }
 
   /** ADC top-k: corpus side carries ONLY (id, pq_code); queries carry raw
@@ -1336,13 +1328,12 @@ object ProductQuantizer {
     val c = corpusEncoded.select(
       col(idField).as("corpus_id"), col(codeField).as("__pq"))
     val q = queries.select(col(idField).as("query_id"), qe.as("__qe"))
-    // subspace-order accumulation: d0 + d1 + ... (left fold, replayable)
-    val dist = (0 until m).map { mi =>
-      val cb = typedlit(codebooks(mi)) // k × w literal
-      l2sq(
-        slice(col("__qe"), mi * w + 1, w),
-        element_at(cb, (element_at(col("__pq"), mi + 1) + 1).cast("int")))
-    }.reduce(_ + _)
+    // subspace-order accumulation: d0 + d1 + ... (left fold, replayable).
+    // r13: one tight-loop native expression ([[graft.functions
+    // .PqAdcDistExpr]]) — same sum order, bit-identical, replacing
+    // interpreted zip_with/aggregate HOFs allocating per (row, subspace).
+    val dist = graft.functions.functions.pq_adc_dist(
+      col("__qe"), col("__pq"), codebooks)
     val scored = c
       .crossJoin(broadcast(q))
       .withColumn("adist", floor(lit(scale) * dist).cast(LongType))
@@ -1424,12 +1415,10 @@ object ProductQuantizer {
     val c = corpusEncoded.select(
       col(idField).as("corpus_id"), col(codeField).as("__pq"),
       col(clusterField))
-    val dist = (0 until m).map { mi =>
-      val cb = typedlit(codebooks(mi))
-      l2sq(
-        slice(col("__qe"), mi * w + 1, w),
-        element_at(cb, (element_at(col("__pq"), mi + 1) + 1).cast("int")))
-    }.reduce(_ + _)
+    // r13: tight-loop native expression like [[adcTopK]] — same sum
+    // order, bit-identical, replacing interpreted HOF allocation
+    val dist = graft.functions.functions.pq_adc_dist(
+      col("__qe"), col("__pq"), codebooks)
     val scored = c
       .join(broadcast(q), Seq(clusterField))
       .withColumn("adist", floor(lit(scale) * dist).cast(LongType))
