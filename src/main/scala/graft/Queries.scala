@@ -1643,12 +1643,19 @@ object Queries {
     "q142_dsir_score",
     (s, dir) => {
       val dim = 256
-      val d = docTextWords(s, dir)
       val idx = (t: Column) => QualityClassifier.md5Index(t, dim)
+      // r13: the md5 bucket fold per token used to run THREE times
+      // (target counts, raw counts, scoring leg) — hash once into a
+      // persisted bucket-array table and pass the identity index on
+      val d = docTextWords(s, dir)
+        .select(col("doc_id"), col("lang"),
+          transform(col("words"), t => idx(t)).as("hs"))
+        .persist()
+      val pre = (h: Column) => h
       val wts = DsirScore.weights(
-        d.filter(col("lang") === "en"), d, "words", dim, indexOf = idx)
+        d.filter(col("lang") === "en"), d, "hs", dim, indexOf = pre)
       d.select(col("doc_id"),
-          DsirScore.score(col("words"), wts.toSeq, idx).as("score"))
+          DsirScore.score(col("hs"), wts.toSeq, pre).as("score"))
         .orderBy("doc_id")
     },
     Some(

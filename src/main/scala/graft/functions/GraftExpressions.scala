@@ -183,6 +183,66 @@ case class PqAdcDistExpr(
   ): PqAdcDistExpr = copy(left = newLeft, right = newRight)
 }
 
+/** winnow_select(gramHashes): winnowing window-min fingerprint selection
+  * (Schleimer et al. 2003 §5) over an array<long> of gram hashes —
+  * per sliding window of `w` grams keep the minimum hash, RIGHTMOST on
+  * ties, then emit the distinct (pos, hash) selections in first-seen
+  * order. One tight O(n·w) JVM loop per row; the HOF formulation it
+  * replaces allocated a struct per (window, element) and ran
+  * interpreted. Exactly [[graft.operators.Winnowing.selectHof]]'s
+  * semantics, incl. the `h <= acc.hash` rightmost-tie rule, the
+  * whole-array window when n < w, and null grams never displacing the
+  * accumulator. */
+case class WinnowSelectExpr(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(w >= 1, s"window must be >= 1, got $w")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("hash", LongType, nullable = true))))
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val grams = a.asInstanceOf[ArrayData]
+    val n = grams.numElements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    val seen = new java.util.HashSet[Long]()
+    var lastPos = Int.MinValue
+    val iMax = math.max(n - w, 0)
+    var i = 0
+    while (i <= iMax) {
+      // fold j = i .. min(i+w-1, n-1): h <= best keeps the RIGHTMOST tie
+      var bestPos = -1
+      var bestHash = Long.MaxValue
+      val jMax = math.min(i + w - 1, n - 1)
+      var j = i
+      while (j <= jMax) {
+        if (!grams.isNullAt(j)) {
+          val h = grams.getLong(j)
+          if (h <= bestHash) { bestPos = j; bestHash = h }
+        }
+        j += 1
+      }
+      // array_distinct on (pos, hash) structs: a position repeats only
+      // across CONSECUTIVE windows, so first-seen dedup == keyed dedup
+      // on pos (hash is a function of pos); the set guards the general
+      // case anyway
+      if (bestPos != lastPos && !seen.contains(bestPos.toLong)) {
+        out += InternalRow(bestPos, bestHash)
+        seen.add(bestPos.toLong)
+        lastPos = bestPos
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSelectExpr =
+    copy(child = newChild)
+}
+
 /** run_length_ranges(mask, fill): positions where mask == fill, grouped
   * into consecutive [start, end) runs — array<array<long>>. */
 case class RunLengthRanges(left: Expression, right: Expression)
@@ -496,6 +556,9 @@ object functions {
   def pq_adc_dist(qe: Column, code: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
     toCol(PqAdcDistExpr(expression(qe), expression(code),
       codebooks.map(_.map(_.toArray).toArray).toArray))
+
+  def winnow_select(grams: Column, w: Int): Column =
+    toCol(WinnowSelectExpr(expression(grams), w))
 
   def run_length_ranges(mask: Column, fill: Column): Column =
     toCol(RunLengthRanges(expression(mask), expression(fill)))

@@ -378,6 +378,17 @@ object Winnowing {
     * variable is evaluated once per row, whatever feeds it. */
   def select(grams: Column, w: Int): Column = {
     require(w >= 1, s"window must be >= 1, got $w")
+    // r13: tight-loop native expression — the HOF fold below (kept as
+    // the parity twin) allocated a struct per (window, element) and ran
+    // interpreted, O(n·w) with per-element lambda dispatch
+    graft.functions.functions.winnow_select(grams, w)
+  }
+
+  /** The superseded HOF formulation, kept ONLY as the independent twin
+    * for the native-kernel parity spec — do not use in production
+    * paths. */
+  private[graft] def selectHof(grams: Column, w: Int): Column = {
+    require(w >= 1, s"window must be >= 1, got $w")
     element_at(
       transform(array(grams), g => selectBound(g, w)),
       1)

@@ -878,9 +878,10 @@ object SimHashNearDup {
     // r13: materialize once — the upstream simhash expression (per-word
     // hash + bit fold) is the expensive part, and without the persist
     // BOTH self-join legs recompute it (the MinHashLSH.candidatePairs
-    // discipline applied here)
+    // discipline applied here, including leaving the cache to the
+    // session: a checkpoint would truncate the plan callers audit)
     kept.count()
-    val out = kept.as("a")
+    kept.as("a")
       .join(
         kept.as("b"),
         col("a.__sh_band") === col("b.__sh_band") &&
@@ -894,9 +895,6 @@ object SimHashNearDup {
       )
       .filter(col("hamming") <= maxHamming)
       .distinct()
-      .localCheckpoint()
-    kept.unpersist()
-    out
   }
 }
 

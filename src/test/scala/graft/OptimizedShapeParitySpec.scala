@@ -115,4 +115,24 @@ class OptimizedShapeParitySpec extends SparkSpec {
       k = 4, cbs)
     assert(top.count() === 12)
   }
+
+  test("winnow_select matches the HOF window-min fold (ties, n < w, duplicate hashes)") {
+    import graft.operators.Winnowing
+    // hash streams with FORCED ties (small modulus) and lengths 1..14
+    // straddling the window size
+    val rows = (0L until 80L).map { r =>
+      val n = (det(r, 21) % 14 + 14) % 14 + 1
+      (r, (0 until n.toInt).map(i => (det(r * 31 + i, 22) % 7 + 7) % 7))
+    }
+    val df = rows.toDF("id", "grams")
+    Seq(1, 3, 4, 8).foreach { w =>
+      val both = df
+        .withColumn("nat", graft.functions.functions.winnow_select(col("grams"), w))
+        .withColumn("hof", Winnowing.selectHof(col("grams"), w))
+        .select(col("id"),
+          to_json(col("nat")).as("nat"), to_json(col("hof")).as("hof"))
+      assert(both.filter(col("nat") =!= col("hof")).count() === 0,
+        s"winnow_select diverged from the HOF fold at w=$w")
+    }
+  }
 }
