@@ -1746,8 +1746,10 @@ object Queries {
       val emb = embs(s, dir)
         .withColumn("e", col("embedding").cast(ArrayType(DoubleType)))
       val qv = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
+      // r13: native dot kernel (bit-identical fold, DotProductExpr);
+      // the dot/(√·√) arithmetic ordering below is untouched
       def dot(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        graft.functions.functions.dot_product(a, b)
       emb
         .crossJoin(broadcast(qv))
         .withColumn(

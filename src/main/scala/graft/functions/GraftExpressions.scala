@@ -243,6 +243,97 @@ case class WinnowSelectExpr(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** Shared one-pass gram counter for the Gopher n-gram char-fraction
+  * kernels: slides an n-word window over `words`, builds each gram
+  * exactly like `concat_ws(" ", ...)` (null words skipped, no
+  * separator for them — `UTF8String.concatWs` IS concat_ws's engine),
+  * and counts occurrences per distinct gram. O(G·n) chars of work vs
+  * the HOF formulation's O(G²·n) (per distinct gram a full
+  * `filter(grams, _ === g)` rescan, all interpreted). */
+private[functions] object NgramCharStats {
+  private val SEP = UTF8String.fromString(" ")
+
+  def gramCounts(words: ArrayData, n: Int): java.util.HashMap[UTF8String, Array[Int]] = {
+    val g = words.numElements() - n + 1
+    val counts = new java.util.HashMap[UTF8String, Array[Int]]()
+    val buf = new Array[UTF8String](n)
+    var i = 0
+    while (i < g) {
+      var k = 0
+      while (k < n) {
+        buf(k) = if (words.isNullAt(i + k)) null else words.getUTF8String(i + k)
+        k += 1
+      }
+      val gram = UTF8String.concatWs(SEP, buf: _*)
+      val c = counts.get(gram)
+      if (c == null) counts.put(gram, Array(1)) else c(0) += 1
+      i += 1
+    }
+    counts
+  }
+}
+
+/** top_ngram_chars(words, n): characters of the most frequent word
+  * n-gram — `c·l` of the `array_max` struct over
+  * `(count, length(gram))`, i.e. max count with max gram length as the
+  * tie-break (struct ordering), int multiply exactly like the
+  * `top.c * top.l` column it replaces. 0 when fewer than n words
+  * (callers guard with `when(size(words) >= n, ...)` anyway). */
+case class TopNgramCharsExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val counts = NgramCharStats.gramCounts(a.asInstanceOf[ArrayData], n)
+    var bestC = 0
+    var bestL = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue()(0)
+      if (c >= bestC) {
+        val l = e.getKey.numChars()
+        if (c > bestC || l > bestL) { bestC = c; bestL = l }
+      }
+    }
+    bestC * bestL
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopNgramCharsExpr =
+    copy(child = newChild)
+}
+
+/** dup_ngram_chars(words, n): summed characters of ALL occurrences of
+  * duplicated n-grams — Σ over distinct grams with count ≥ 2 of
+  * `(c·l).toLong`, the occurrence-sum definition of
+  * [[graft.operators.GopherQuality]], per-gram int multiply then the
+  * long cast exactly like the `aggregate` fold it replaces. */
+case class DupNgramCharsExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val counts = NgramCharStats.gramCounts(a.asInstanceOf[ArrayData], n)
+    var total = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue()(0)
+      if (c >= 2) total += (c * e.getKey.numChars()).toLong
+    }
+    total
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DupNgramCharsExpr =
+    copy(child = newChild)
+}
+
 /** run_length_ranges(mask, fill): positions where mask == fill, grouped
   * into consecutive [start, end) runs — array<array<long>>. */
 case class RunLengthRanges(left: Expression, right: Expression)
@@ -468,6 +559,185 @@ case class CdcBoundariesExpr(
     copy(child = newChild)
 }
 
+/** dot_product(a, b): sequential left-fold dot over two array<double>
+  * columns with REAL whole-stage codegen — the bit-exact native twin of
+  * the `aggregate(zip_with(a, b, _*_), 0.0, _+_)` HOF (ascending adds,
+  * same IEEE sequence), including its null contract: zip_with pads the
+  * shorter array with nulls and the fold nulls out on the first null
+  * product, so mismatched lengths or any null element yield NULL.
+  * Callers embed it in their own cosine/ppm arithmetic unchanged —
+  * this kernel deliberately does NOT refactor `(1e6·dot)/(√·√)`-style
+  * orderings the way [[CosineSimilarity]] would. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    if (xs.numElements() != ys.numElements()) return null
+    val n = xs.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      acc += xs.getDouble(i) * ys.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |${ev.value} = 0.0;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): DotProductExpr = copy(left = newLeft, right = newRight)
+}
+
+/** pca_project(emb): diag(1/√(λ+eps))·Vᵀ(x−μ) against driver-fixed
+  * (pre-scaled) weight rows and means — the whiten APPLY kernel. One
+  * d×d tight loop per row replaces a d²-element HOF tree (a zip_with +
+  * interpreted aggregate per output dimension). Bit-identical to the
+  * HOF twin ([[graft.operators.PcaWhiten.projectHof]]): centered
+  * values subtract once, each output dim is an ascending left-fold,
+  * and the HOF's null contract is replayed — a row whose embedding
+  * length ≠ d or with any null element yields an array of d nulls
+  * (zip_with padding + null-poisoned folds produced exactly that). */
+case class PcaProjectExpr(
+    child: Expression,
+    weights: Array[Array[Double]],
+    means: Array[Double]
+) extends UnaryExpression with CodegenFallback {
+  require(weights.nonEmpty && weights.forall(_.length == means.length),
+    "pca_project: weight rows must match means length")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val d = means.length
+    val k = weights.length
+    var ok = xs.numElements() == d
+    if (ok) {
+      var i = 0
+      while (ok && i < d) { if (xs.isNullAt(i)) ok = false; i += 1 }
+    }
+    if (!ok) return new GenericArrayData(Array.fill[Any](k)(null))
+    val centered = new Array[Double](d)
+    var i = 0
+    while (i < d) { centered(i) = xs.getDouble(i) - means(i); i += 1 }
+    val out = new Array[Any](k)
+    var r = 0
+    while (r < k) {
+      val w = weights(r)
+      var acc = 0.0
+      var j = 0
+      while (j < d) { acc += w(j) * centered(j); j += 1 }
+      out(r) = acc
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PcaProjectExpr =
+    copy(child = newChild)
+}
+
+/** argmax_cosine(emb): index (and raw cosine) of the nearest centroid
+  * in a driver-fixed list — the per-row assignment kernel behind
+  * SemDeDup / IVF / IVFADC cluster assignment. One tight loop fuses the
+  * K native cosines with the argmax, replacing an `array(struct(...))`
+  * materialization (K structs per row) plus an interpreted `aggregate`
+  * fold. Per-centroid cosine is bit-identical to [[CosineSimilarity]]
+  * (same accumulation order); the comparison replicates the fold it
+  * replaces exactly:
+  *
+  *   - `scale <= 0` (raw mode): `when(x.sim > acc.sim, x)` — Spark's
+  *     `>` on doubles is `SQLOrderingUtil.compareDoubles`, i.e. NaN
+  *     beats non-NaN, `-0.0 == 0.0`; strictly-greater keeps the
+  *     EARLIER centroid on ties.
+  *   - `scale > 0` (scaled mode): compare `-floor(scale·cos).toLong`
+  *     with strictly-less (the [[graft.operators.AnnIndex]]
+  *     assignClusters parity rule) — ties keep the earlier centroid.
+  *
+  * Returns struct(idx: int, sim: double) — idx is the 0-based position
+  * in the centroid list (callers map it to their cid via a literal
+  * array lookup), sim the winner's RAW cosine. */
+case class ArgMaxCosineExpr(
+    child: Expression,
+    centroids: Array[Array[Double]],
+    scale: Long = 0L
+) extends UnaryExpression with CodegenFallback {
+  require(centroids.nonEmpty, "argmax_cosine: empty centroid set")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("idx", IntegerType, nullable = false),
+    StructField("sim", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val k = centroids.length
+    var bestIdx = 0
+    var bestSim = Double.NaN
+    var bestKey = 0L
+    var j = 0
+    while (j < k) {
+      val c = centroids(j)
+      if (xs.numElements() != c.length)
+        throw new IllegalArgumentException(
+          s"cosine_sim: dimension mismatch ${xs.numElements()} vs ${c.length}")
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      while (i < c.length) {
+        val x = xs.getDouble(i)
+        val y = c(i)
+        dot += x * y
+        na += x * x
+        nb += y * y
+        i += 1
+      }
+      val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (j == 0) { bestSim = sim; if (scale > 0) bestKey = -math.floor(scale * sim).toLong }
+      else if (scale > 0) {
+        val key = -math.floor(scale * sim).toLong
+        if (key < bestKey) { bestIdx = j; bestSim = sim; bestKey = key }
+      } else if (sim > bestSim ||
+          (java.lang.Double.isNaN(sim) && !java.lang.Double.isNaN(bestSim))) {
+        bestIdx = j; bestSim = sim
+      }
+      j += 1
+    }
+    InternalRow(bestIdx, bestSim)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ArgMaxCosineExpr =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers. */
 /** interleave_bits(c1, c2[, c3], bits): Morton / Z-order interleave of
   * the low `bits` bits of 2-3 non-negative long columns into one long —
@@ -559,6 +829,22 @@ object functions {
 
   def winnow_select(grams: Column, w: Int): Column =
     toCol(WinnowSelectExpr(expression(grams), w))
+
+  def top_ngram_chars(words: Column, n: Int): Column =
+    toCol(TopNgramCharsExpr(expression(words), n))
+
+  def dup_ngram_chars(words: Column, n: Int): Column =
+    toCol(DupNgramCharsExpr(expression(words), n))
+
+  def argmax_cosine(emb: Column, centroids: Seq[Seq[Double]], scale: Long = 0L): Column =
+    toCol(ArgMaxCosineExpr(expression(emb), centroids.map(_.toArray).toArray, scale))
+
+  def dot_product(a: Column, b: Column): Column =
+    toCol(DotProductExpr(expression(a), expression(b)))
+
+  def pca_project(emb: Column, weights: Seq[Seq[Double]], means: Seq[Double]): Column =
+    toCol(PcaProjectExpr(expression(emb),
+      weights.map(_.toArray).toArray, means.toArray))
 
   def run_length_ranges(mask: Column, fill: Column): Column =
     toCol(RunLengthRanges(expression(mask), expression(fill)))

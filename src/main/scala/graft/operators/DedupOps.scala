@@ -937,30 +937,20 @@ object SemDeDup {
       .orderBy("cid")
       .collect()
     require(centRows.nonEmpty, "SemDeDup: empty centroid set")
-    // same fold as ivfTopK.assign: strictly-greater wins, so ties keep
-    // the earlier (lower-cid) candidate
-    val cands = array(centRows.toIndexedSeq.map { r =>
-      struct(
-        CosineKnn.cosine(col("__sd_e"), typedLit(r.getSeq[Double](1))).as("sim"),
-        lit(r.getLong(0)).as("cid")
-      )
-    }: _*)
+    // same argmax as ivfTopK.assign: strictly-greater wins, so ties keep
+    // the earlier (lower-cid) candidate. One fused native kernel
+    // (r13: graft.functions.ArgMaxCosineExpr — K cosines + argmax in a
+    // single loop) replaces the array-of-structs + interpreted
+    // `aggregate` fold; idx → cid via a literal array lookup.
+    val cents = centRows.toIndexedSeq.map(_.getSeq[Double](1))
+    val cids = centRows.toIndexedSeq.map(_.getLong(0))
     val assigned = corpus
       .select(col(idField).as("__sd_id"), e.as("__sd_e"))
-      .withColumn("__cand", cands)
-      .withColumn(
-        "__best",
-        aggregate(
-          slice(col("__cand"), 2, centRows.length - 1),
-          element_at(col("__cand"), 1),
-          (acc, x) =>
-            when(x.getField("sim") > acc.getField("sim"), x).otherwise(acc)
-        )
-      )
+      .withColumn("__best", graft.functions.functions.argmax_cosine(col("__sd_e"), cents))
       .select(
         col("__sd_id"),
         col("__sd_e"),
-        col("__best").getField("cid").as("cluster"),
+        element_at(typedLit(cids), col("__best").getField("idx") + 1).as("cluster"),
         floor(col("__best").getField("sim") * 1e6).cast(LongType).as("__sd_csim")
       )
       .persist()
@@ -1015,7 +1005,16 @@ object SemDeDup {
   * `corpus` — the exact baseline. O(|Q|·|C|); use for small Q (the ANN
   * path below is the scale route). Embeddings are cast to double. */
 object CosineKnn {
+  /** Sequential left-fold dot — r13: the native twin
+    * ([[graft.functions.DotProductExpr]]), bit-identical to the
+    * `aggregate(zip_with(...))` HOF it replaces incl. the null/length
+    * contract; kept as the building block callers embed in their own
+    * floor/ppm arithmetic (which must NOT be re-ordered). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.functions.dot_product(a, b)
+
+  /** The pre-r13 HOF formulation — parity-spec reference only. */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Native one-pass codegen'd kernel ([[graft.functions.CosineSimilarity]]);
@@ -1161,27 +1160,19 @@ object CosineKnn {
     // shuffled corpus×k rows keyed on ~512-byte arrays.)
     val centRows = centroids.orderBy(col("cid")).collect()
     require(centRows.nonEmpty, "ivfTopK: empty centroid set")
-    def assign(df: DataFrame, vec: String): DataFrame = {
-      val cands = array(centRows.toIndexedSeq.map { r =>
-        struct(
-          cosine(col(vec), typedLit(r.getSeq[Double](1))).as("sim"),
-          lit(r.get(0)).as("cid")
-        )
-      }: _*)
-      // fold keeps the earlier (= lower-cid, pre-sorted) candidate on
-      // ties — same tie-break as the old ORDER BY sim DESC, cid ASC.
-      df.withColumn("__cand", cands)
-        .withColumn(
-          "cluster",
-          aggregate(
-            slice(col("__cand"), 2, centRows.length - 1),
-            element_at(col("__cand"), 1),
-            (acc, x) =>
-              when(x.getField("sim") > acc.getField("sim"), x).otherwise(acc)
-          ).getField("cid")
-        )
-        .drop("__cand")
-    }
+    // fused native argmax (r13: graft.functions.ArgMaxCosineExpr) —
+    // strictly-greater wins, so ties keep the earlier (= lower-cid,
+    // pre-sorted) candidate: same tie-break as the old ORDER BY sim
+    // DESC, cid ASC. idx → cid via a literal array lookup (cid keeps
+    // whatever type the centroid table carries).
+    val cents = centRows.toIndexedSeq.map(_.getSeq[Double](1))
+    val cidArr = array(centRows.toIndexedSeq.map(r => lit(r.get(0))): _*)
+    def assign(df: DataFrame, vec: String): DataFrame =
+      df.withColumn(
+        "cluster",
+        element_at(cidArr,
+          graft.functions.functions.argmax_cosine(col(vec), cents)
+            .getField("idx") + 1))
     val c = assign(
       corpus.select(col(idField).as("corpus_id"), e.as("__ce")), "__ce")
     val q = assign(
@@ -1357,22 +1348,17 @@ object ProductQuantizer {
   ): DataFrame = {
     require(centroids.nonEmpty, "assignClusters: empty centroid set")
     val e = col(embField).cast(ArrayType(DoubleType))
-    val cands = array(centroids.map { case (cid, v) =>
-      struct(
-        (-floor(lit(scale) * CosineKnn.cosine(e, typedLit(v))))
-          .cast(LongType).as("negsim"),
-        lit(cid).as("cid"))
-    }: _*)
-    df.withColumn("__ivf_c", cands)
-      .withColumn(dest,
-        aggregate(
-          slice(col("__ivf_c"), 2, centroids.length - 1),
-          element_at(col("__ivf_c"), 1),
-          (acc, x) =>
-            when(x.getField("negsim") < acc.getField("negsim"), x)
-              .otherwise(acc))
-          .getField("cid"))
-      .drop("__ivf_c")
+    // fused native argmax in SCALED mode (r13:
+    // graft.functions.ArgMaxCosineExpr, scale > 0): the compare key is
+    // -floor(scale·cos) with strictly-less replacing — identical to the
+    // negsim struct fold it replaces, ties to the earlier (lowest-cid)
+    // entry of the caller-ordered centroid list.
+    val cidArr = array(centroids.map { case (cid, _) => lit(cid) }: _*)
+    df.withColumn(dest,
+      element_at(cidArr,
+        graft.functions.functions
+          .argmax_cosine(e, centroids.map(_._2), scale)
+          .getField("idx") + 1))
   }
 
   /** IVFADC (Jégou et al. 2011 §IV, minus residual encoding — the

@@ -497,8 +497,33 @@ object PcaWhiten {
   }
 
   /** Project + whiten: appends `dest` = diag(1/√(λ+eps)) · Vᵀ (x − μ).
-    * Row-local literal-array arithmetic, zero shuffle. */
+    * Row-local literal-array arithmetic, zero shuffle. r13: one d×d
+    * native kernel per row ([[graft.functions.PcaProjectExpr]] —
+    * pre-scaled weight rows, same `x·sc` driver arithmetic) replaces
+    * the d²-element interpreted HOF tree (a zip_with + aggregate per
+    * output dimension); bit-identical, incl. the null/length contract
+    * (parity-spec'd against [[projectHof]]). */
   def project(
+      df: DataFrame,
+      embField: String,
+      model: Model,
+      dest: String = "whitened",
+      eps: Double = 1e-9
+  ): DataFrame = {
+    val weights = model.components.zip(model.eigvals).map {
+      case (row, lam) =>
+        val sc = 1.0 / math.sqrt(math.max(lam, 0.0) + eps)
+        row.map(x => x * sc)
+    }
+    val e = col(embField).cast(ArrayType(DoubleType))
+    df.withColumn(dest,
+      graft.functions.functions.pca_project(
+        e, weights.toIndexedSeq.map(_.toIndexedSeq), model.means))
+  }
+
+  /** The pre-r13 HOF formulation of [[project]] — parity-spec
+    * reference only. */
+  private[graft] def projectHof(
       df: DataFrame,
       embField: String,
       model: Model,

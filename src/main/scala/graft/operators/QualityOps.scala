@@ -92,8 +92,32 @@ object GopherQuality {
 
   /** characters of the most frequent word n-gram (string length × its
     * occurrence count) over total text characters — Gopher's
-    * top-n-gram character fraction, word-granular. */
-  def topNgramCharFraction(text: Column, words: Column, n: Int): Column = {
+    * top-n-gram character fraction, word-granular. One-pass native
+    * kernel ([[graft.functions.TopNgramCharsExpr]]); the HOF twin it
+    * replaced ([[topNgramCharFractionHof]], kept for the parity spec)
+    * rescanned the gram list once per DISTINCT gram — O(G²)
+    * interpreted work per document, quadratic in document length.
+    * `size(grams) > 0 ⟺ size(words) >= n` (grams was
+    * `when(size(words) >= n, sequence(1, size-n+1)...)`, and a null
+    * words array nulls the condition either way — both take the
+    * otherwise branch). */
+  def topNgramCharFraction(text: Column, words: Column, n: Int): Column =
+    when(size(words) >= n,
+      safeDiv(graft.functions.functions.top_ngram_chars(words, n), length(text)))
+      .otherwise(lit(0.0))
+
+  /** characters of ALL occurrences of duplicated n-grams (occurrence-sum
+    * definition, see object doc) over total text characters. Same
+    * kernel rationale as [[topNgramCharFraction]]
+    * ([[graft.functions.DupNgramCharsExpr]]; HOF twin kept below). */
+  def dupNgramCharFraction(text: Column, words: Column, n: Int): Column =
+    when(size(words) >= n,
+      safeDiv(graft.functions.functions.dup_ngram_chars(words, n), length(text)))
+      .otherwise(lit(0.0))
+
+  /** The pre-r13 HOF formulation of [[topNgramCharFraction]] — the
+    * parity-spec reference only. */
+  private[graft] def topNgramCharFractionHof(text: Column, words: Column, n: Int): Column = {
     val grams = ngrams(words, n)
     val counts = transform(array_distinct(grams),
       g => struct(size(filter(grams, x => x === g)).as("c"), length(g).as("l")))
@@ -103,9 +127,9 @@ object GopherQuality {
       .otherwise(lit(0.0))
   }
 
-  /** characters of ALL occurrences of duplicated n-grams (occurrence-sum
-    * definition, see object doc) over total text characters. */
-  def dupNgramCharFraction(text: Column, words: Column, n: Int): Column = {
+  /** The pre-r13 HOF formulation of [[dupNgramCharFraction]] — the
+    * parity-spec reference only. */
+  private[graft] def dupNgramCharFractionHof(text: Column, words: Column, n: Int): Column = {
     val grams = ngrams(words, n)
     val dupChars = aggregate(
       transform(array_distinct(grams),

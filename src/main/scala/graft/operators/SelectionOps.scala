@@ -265,8 +265,11 @@ object CoresetSelect {
       base.filter(col("__cs_id") === id).head().getSeq[Double](1)
 
     def cosPpm(sel: Seq[Double]): Column = {
+      // r13: native dot kernel — bit-identical fold (see DotProductExpr);
+      // the (1e6·dot)/(√·√) ordering around it is untouched, so the
+      // floor-scaled ppm (and hence the greedy trajectory) replays exactly
       def dot(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        graft.functions.functions.dot_product(a, b)
       val w = typedlit(sel)
       floor(
         lit(1e6) * dot(col("__cs_v"), w) /

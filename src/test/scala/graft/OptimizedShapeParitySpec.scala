@@ -116,6 +116,131 @@ class OptimizedShapeParitySpec extends SparkSpec {
     assert(top.count() === 12)
   }
 
+  test("top/dup_ngram_chars match the HOF gram-count formulation (ties, nulls, unicode, < n words)") {
+    import graft.operators.GopherQuality
+    // word streams from a tiny vocab (forced duplicate grams + count
+    // ties), lengths 0..9 straddling every n, null words, and
+    // multi-byte unicode words (length must count chars, not bytes)
+    val vocab = Seq("a", "bb", "ccc", "日本語", "a", null)
+    val rows = (0L until 120L).map { r =>
+      val n = (det(r, 31) % 10 + 10) % 10
+      (r,
+        (0 until n.toInt).map(i => vocab(((det(r * 17 + i, 32) % 6 + 6) % 6).toInt)),
+        s"text-padding-${"x" * ((det(r, 33) % 50 + 50) % 50).toInt}")
+    }
+    val df = rows.toDF("id", "words", "text")
+    Seq(1, 2, 3, 5).foreach { n =>
+      val both = df
+        .withColumn("t_nat", GopherQuality.topNgramCharFraction(col("text"), col("words"), n))
+        .withColumn("t_hof", GopherQuality.topNgramCharFractionHof(col("text"), col("words"), n))
+        .withColumn("d_nat", GopherQuality.dupNgramCharFraction(col("text"), col("words"), n))
+        .withColumn("d_hof", GopherQuality.dupNgramCharFractionHof(col("text"), col("words"), n))
+      // bit-for-bit: both sides divide the same exact integers
+      assert(both.filter(col("t_nat") =!= col("t_hof")).count() === 0,
+        s"topNgramCharFraction diverged from the HOF twin at n=$n")
+      assert(both.filter(col("d_nat") =!= col("d_hof")).count() === 0,
+        s"dupNgramCharFraction diverged from the HOF twin at n=$n")
+    }
+  }
+
+  test("argmax_cosine matches the struct-fold twin (raw + scaled modes, ties, NaN sims)") {
+    import graft.functions.functions.argmax_cosine
+    val dim = 6
+    val cents: Seq[Seq[Double]] = Seq(
+      (0 until dim).map(i => (det(i, 41) % 100).toDouble / 25.0),
+      (0 until dim).map(i => (det(i, 42) % 100).toDouble / 25.0),
+      (0 until dim).map(i => (det(i, 41) % 100).toDouble / 25.0), // duplicate of 0 -> forced sim tie
+      Seq.fill(dim)(0.0) // zero centroid -> NaN cosine candidate
+    )
+    val rows = (0L until 150L).map { r =>
+      val zero = r % 29 == 0 // zero rows -> every sim NaN
+      (r, (0 until dim).map(i =>
+        if (zero) 0.0 else (det(r * 13 + i, 43) % 200).toDouble / 50.0 - 2.0))
+    }
+    val df = rows.toDF("id", "emb")
+    val e = col("emb").cast(ArrayType(DoubleType))
+    def foldTwin(key: Seq[Double] => org.apache.spark.sql.Column,
+        pick: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column) = {
+      val cands = array(cents.zipWithIndex.map { case (c, j) =>
+        struct(key(c).as("k"), lit(j).as("idx"))
+      }: _*)
+      aggregate(slice(cands, 2, cents.length - 1), element_at(cands, 1),
+        (acc, x) => when(pick(x.getField("k"), acc.getField("k")), x).otherwise(acc)
+      ).getField("idx")
+    }
+    // raw mode: when(x.sim > acc.sim) — Spark's NaN-beats-all `>`
+    val raw = df
+      .withColumn("i_hof", foldTwin(
+        c => graft.functions.functions.cosine_sim(e, typedlit(c)),
+        (x, acc) => x > acc))
+      .withColumn("i_nat", argmax_cosine(e, cents).getField("idx"))
+    assert(raw.filter(col("i_hof") =!= col("i_nat")).count() === 0,
+      "argmax_cosine raw mode diverged from the struct fold")
+    // winner's sim must equal the recomputed cosine of that winner
+    val sims = raw
+      .withColumn("s_nat", argmax_cosine(e, cents).getField("sim"))
+      .withColumn("s_ref",
+        graft.functions.functions.cosine_sim(e,
+          element_at(typedlit(cents), col("i_nat") + 1)))
+    assert(sims.filter(!(col("s_nat") === col("s_ref"))).count() === 0)
+    // scaled mode: when(x.negsim < acc.negsim) over -floor(scale·cos)
+    val scale = 1000000L
+    val scaled = df
+      .withColumn("i_hof", foldTwin(
+        c => -floor(lit(scale) * graft.functions.functions.cosine_sim(e, typedlit(c)))
+          .cast(LongType),
+        (x, acc) => x < acc))
+      .withColumn("i_nat", argmax_cosine(e, cents, scale).getField("idx"))
+    assert(scaled.filter(col("i_hof") =!= col("i_nat")).count() === 0,
+      "argmax_cosine scaled mode diverged from the negsim fold")
+  }
+
+  test("dot_product matches the zip_with/aggregate HOF (mismatched lengths, null elements, empty)") {
+    import graft.functions.functions.dot_product
+    val rows = (0L until 200L).map { r =>
+      def arr(salt: Long, n: Long) = (0L until n).map { i =>
+        val v = det(r * 7 + i, salt)
+        if (v % 11 == 0) null else java.lang.Double.valueOf((v % 500).toDouble / 100.0)
+      }
+      val na = (det(r, 51) % 6 + 6) % 6
+      val nb = if (r % 5 == 0) (det(r, 52) % 6 + 6) % 6 else na // 1/5 mismatched
+      (r, arr(53, na), arr(54, nb))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val both = df
+      .withColumn("d_hof", hof)
+      .withColumn("d_nat", dot_product(col("a"), col("b")))
+    assert(both.filter(!(col("d_hof") <=> col("d_nat"))).count() === 0,
+      "dot_product diverged from the HOF fold (incl. null contract)")
+  }
+
+  test("pca_project matches the HOF projection (normal, wrong-length, null-element rows)") {
+    import graft.operators.PcaWhiten
+    val d = 8
+    val model = PcaWhiten.Model(
+      means = Array.tabulate(d)(i => (det(i, 61) % 100).toDouble / 50.0),
+      eigvals = Array.tabulate(d)(i => (det(i, 62) % 100).toDouble / 10.0 + 0.1),
+      components = Array.tabulate(d)(r =>
+        Array.tabulate(d)(i => (det(r * d + i, 63) % 200).toDouble / 100.0 - 1.0)))
+    val rows = (0L until 100L).map { r =>
+      val n = if (r % 13 == 0) d - 1 else if (r % 17 == 0) d + 2 else d
+      (r, (0 until n).map { i =>
+        val v = det(r * 19 + i, 64)
+        if (r % 23 == 0 && i == 2) null
+        else java.lang.Double.valueOf((v % 400).toDouble / 100.0 - 2.0)
+      })
+    }
+    val df = rows.toDF("id", "emb")
+    val both = PcaWhiten.projectHof(
+      PcaWhiten.project(df, "emb", model, dest = "w_nat"),
+      "emb", model, dest = "w_hof")
+      .select(col("id"), to_json(col("w_nat")).as("n"), to_json(col("w_hof")).as("h"))
+    assert(both.filter(!(col("n") <=> col("h"))).count() === 0,
+      "pca_project diverged from the HOF projection")
+  }
+
   test("winnow_select matches the HOF window-min fold (ties, n < w, duplicate hashes)") {
     import graft.operators.Winnowing
     // hash streams with FORCED ties (small modulus) and lengths 1..14
