@@ -3334,7 +3334,7 @@ object Queries {
       cand
         .join(uniqWords.select(col("doc_id").as("id_a"), col("uw").as("ua")), Seq("id_a"))
         .join(uniqWords.select(col("doc_id").as("id_b"), col("uw").as("ub")), Seq("id_b"))
-        .withColumn("inter", size(array_intersect(col("ua"), col("ub"))).cast(DoubleType))
+        .withColumn("inter", graft.functions.functions.intersect_size(col("ua"), col("ub")).cast(DoubleType))
         .withColumn("jac", col("inter") / (size(col("ua")) + size(col("ub")) - col("inter")))
         .filter(col("jac") >= 0.3)
         .select("id_a", "id_b", "jac")

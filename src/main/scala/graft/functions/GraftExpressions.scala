@@ -664,6 +664,299 @@ case class PcaProjectExpr(
     copy(child = newChild)
 }
 
+/** char_ngrams(text, n): sliding character n-grams over CODE POINTS —
+  * the native twin of `flatten(transform(array(split(text, "")), ch =>
+  * transform(sequence(1, size-n+1), i => concat(element_at...))))`
+  * (LangIdNgram's formulation): one pass over the string replaces a
+  * per-row array of 1-char strings plus an interpreted concat per gram.
+  * Same contract: fewer than n code points (incl. the empty string)
+  * yields [], grams are substrings of n consecutive code points
+  * (surrogate pairs never split — Java's empty-pattern split can't
+  * match between surrogates either). Lower-casing stays OUTSIDE. */
+case class CharNgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  // containsNull=true matches the HOF's `array().cast("array<string>")`
+  // branch type, so downstream schemas are unchanged
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val s = a.asInstanceOf[UTF8String].toString
+    // char offsets of each code point boundary
+    val m = s.codePointCount(0, s.length)
+    // Java's split("") on the EMPTY string yields [""] — one empty
+    // element — so the HOF emits one empty gram at n=1; replicate it
+    if (m == 0) {
+      return new GenericArrayData(
+        if (n == 1) Array[Any](UTF8String.EMPTY_UTF8) else Array.empty[Any])
+    }
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val offs = new Array[Int](m + 1)
+    var ci = 0
+    var off = 0
+    while (off < s.length) {
+      offs(ci) = off
+      off += Character.charCount(s.codePointAt(off))
+      ci += 1
+    }
+    offs(m) = s.length
+    val out = new Array[Any](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      out(i) = UTF8String.fromString(s.substring(offs(i), offs(i + n)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramsExpr =
+    copy(child = newChild)
+}
+
+/** top_ngrams_ranked(text, n, topN): the `topN` most frequent character
+  * n-grams of a (pre-lowered) string with their ranks — rank 1 = most
+  * frequent, ties by gram — as array<struct<gram, rank>>. The per-UNIT
+  * half of Cavnar–Trenkle classification is a pure function of the
+  * unit's text, so this kernel computes it row-locally: the SQL
+  * formulation it replaces exploded every gram occurrence, shuffled a
+  * corpus-sized (unit, gram) count aggregation, and ranked with a
+  * per-unit window (a second exchange + sort). Gram enumeration is
+  * [[CharNgramsExpr]]'s (code points, empty-string edge); counting and
+  * the (count desc, gram asc) rank replicate the groupBy + row_number
+  * exactly. */
+case class TopNgramsRankedExpr(child: Expression, n: Int, topN: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1 && topN >= 1, s"need n >= 1 and topN >= 1, got n=$n topN=$topN")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("gram", StringType, nullable = false),
+      StructField("rank", LongType, nullable = false))))
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val s = a.asInstanceOf[UTF8String].toString
+    val m = s.codePointCount(0, s.length)
+    val counts = new java.util.HashMap[String, Array[Int]]()
+    if (m == 0) {
+      if (n == 1) counts.put("", Array(1))
+    } else if (m >= n) {
+      val offs = new Array[Int](m + 1)
+      var ci = 0
+      var off = 0
+      while (off < s.length) {
+        offs(ci) = off
+        off += Character.charCount(s.codePointAt(off))
+        ci += 1
+      }
+      offs(m) = s.length
+      var i = 0
+      while (i <= m - n) {
+        val g = s.substring(offs(i), offs(i + n))
+        val c = counts.get(g)
+        if (c == null) counts.put(g, Array(1)) else c(0) += 1
+        i += 1
+      }
+    }
+    if (counts.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val entries = new Array[(UTF8String, Int)](counts.size())
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      entries(k) = (UTF8String.fromString(e.getKey), e.getValue()(0))
+      k += 1
+    }
+    // (count desc, gram asc) — exactly the row_number window's ORDER BY;
+    // the gram tie-break must be UTF8String's BINARY order (Spark's
+    // string ordering), not String.compareTo's UTF-16 code-unit order —
+    // they differ around supplementary characters
+    java.util.Arrays.sort(entries, new java.util.Comparator[(UTF8String, Int)] {
+      override def compare(x: (UTF8String, Int), y: (UTF8String, Int)): Int = {
+        if (x._2 != y._2) Integer.compare(y._2, x._2)
+        else x._1.compareTo(y._1)
+      }
+    })
+    val take = math.min(topN, entries.length)
+    val out = new Array[Any](take)
+    var r = 0
+    while (r < take) {
+      out(r) = InternalRow(entries(r)._1, (r + 1).toLong)
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopNgramsRankedExpr =
+    copy(child = newChild)
+}
+
+/** ct_classify(text): full Cavnar–Trenkle classification of one
+  * (pre-lowered) string against driver-fixed profiles — struct(l, d)
+  * with l = argmin language and d = Σ over the text's top-`topN` grams
+  * of (profile match ? |docRank − profRank| : topN), ties toward the
+  * binary-smaller language; NULL when the text yields no grams (the
+  * caller's 'und' case). The profile table is O(#langs · topN) by
+  * construction (the ivfTopK literal-centroid discipline), so the
+  * whole classify — gram count, rank, per-language distance, argmin —
+  * is a pure function of the row: the SQL formulation it replaces paid
+  * a gram explode, a crossJoin with the language list, a broadcast
+  * profile join and two aggregations, plus the join back to the input.
+  * Gram enumeration/ranking is [[TopNgramsRankedExpr]]'s; the distance
+  * replays the `sum(when(rank.isNull, topN).otherwise(abs(dr − pr)))`
+  * aggregation exactly (integer arithmetic, order-independent). */
+case class CtClassifyExpr(
+    child: Expression,
+    n: Int,
+    topN: Int,
+    langs: Array[String],          // ascending binary (UTF8String) order
+    profGrams: Array[String],
+    profRanks: Array[Array[Long]]  // profRanks(gi)(li), -1 = absent
+) extends UnaryExpression with CodegenFallback {
+  require(n >= 1 && topN >= 1)
+  require(profGrams.length == profRanks.length)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("l", StringType, nullable = false),
+    StructField("d", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+
+  @transient private lazy val gramIdx: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    var i = 0
+    while (i < profGrams.length) { m.put(profGrams(i), i); i += 1 }
+    m
+  }
+  @transient private lazy val langUtf8: Array[UTF8String] =
+    langs.map(UTF8String.fromString)
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val s = a.asInstanceOf[UTF8String].toString
+    val m = s.codePointCount(0, s.length)
+    val counts = new java.util.HashMap[String, Array[Int]]()
+    if (m == 0) {
+      if (n == 1) counts.put("", Array(1))
+    } else if (m >= n) {
+      val offs = new Array[Int](m + 1)
+      var ci = 0
+      var off = 0
+      while (off < s.length) {
+        offs(ci) = off
+        off += Character.charCount(s.codePointAt(off))
+        ci += 1
+      }
+      offs(m) = s.length
+      var i = 0
+      while (i <= m - n) {
+        val g = s.substring(offs(i), offs(i + n))
+        val c = counts.get(g)
+        if (c == null) counts.put(g, Array(1)) else c(0) += 1
+        i += 1
+      }
+    }
+    if (counts.isEmpty) return null
+    val entries = new Array[(UTF8String, Int, String)](counts.size())
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      entries(k) = (UTF8String.fromString(e.getKey), e.getValue()(0), e.getKey)
+      k += 1
+    }
+    // (count desc, gram asc in BINARY order) — the docTop rank order
+    java.util.Arrays.sort(entries, new java.util.Comparator[(UTF8String, Int, String)] {
+      override def compare(x: (UTF8String, Int, String), y: (UTF8String, Int, String)): Int = {
+        if (x._2 != y._2) Integer.compare(y._2, x._2)
+        else x._1.compareTo(y._1)
+      }
+    })
+    val take = math.min(topN, entries.length)
+    val nl = langs.length
+    val dist = new Array[Long](nl)
+    var r = 0
+    while (r < take) {
+      val dr = (r + 1).toLong
+      val gi = gramIdx.get(entries(r)._3)
+      if (gi == null) {
+        var li = 0
+        while (li < nl) { dist(li) += topN.toLong; li += 1 }
+      } else {
+        val pr = profRanks(gi)
+        var li = 0
+        while (li < nl) {
+          dist(li) += (if (pr(li) >= 0) math.abs(dr - pr(li)) else topN.toLong)
+          li += 1
+        }
+      }
+      r += 1
+    }
+    // argmin with ties to the binary-smaller language: langs are
+    // pre-sorted ascending, so strict < keeps the earlier one
+    var best = 0
+    var li = 1
+    while (li < nl) {
+      if (dist(li) < dist(best)) best = li
+      li += 1
+    }
+    InternalRow(langUtf8(best), dist(best))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CtClassifyExpr =
+    copy(child = newChild)
+}
+
+/** intersect_size(a, b): `size(array_intersect(a, b))` over two
+  * array<string> columns without materializing the intersection array —
+  * one hash-set pass (build b's set, scan a counting first-seen members,
+  * null elements counted once when present in BOTH, exactly
+  * ArrayIntersect's contract). The jaccard/containment verify legs call
+  * this once per candidate pair, and the builtin allocated the distinct
+  * intersection array only for `size` to throw it away. STRING element
+  * type only (UTF8String equality == SQL string equality; doubles would
+  * need the builtin's NaN/-0.0 normalization). */
+case class IntersectSizeExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val bSet = new java.util.HashSet[UTF8String]()
+    var bHasNull = false
+    var i = 0
+    val nb = ys.numElements()
+    while (i < nb) {
+      if (ys.isNullAt(i)) bHasNull = true else bSet.add(ys.getUTF8String(i))
+      i += 1
+    }
+    val seen = new java.util.HashSet[UTF8String]()
+    var countedNull = false
+    var count = 0
+    var j = 0
+    val na = xs.numElements()
+    while (j < na) {
+      if (xs.isNullAt(j)) {
+        if (bHasNull && !countedNull) { count += 1; countedNull = true }
+      } else {
+        val v = xs.getUTF8String(j)
+        if (bSet.contains(v) && seen.add(v)) count += 1
+      }
+      j += 1
+    }
+    count
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): IntersectSizeExpr = copy(left = newLeft, right = newRight)
+}
+
 /** argmax_cosine(emb): index (and raw cosine) of the nearest centroid
   * in a driver-fixed list — the per-row assignment kernel behind
   * SemDeDup / IVF / IVFADC cluster assignment. One tight loop fuses the
@@ -841,6 +1134,26 @@ object functions {
 
   def dot_product(a: Column, b: Column): Column =
     toCol(DotProductExpr(expression(a), expression(b)))
+
+  def intersect_size(a: Column, b: Column): Column =
+    toCol(IntersectSizeExpr(expression(a), expression(b)))
+
+  def char_ngrams(text: Column, n: Int): Column =
+    toCol(CharNgramsExpr(expression(text), n))
+
+  def top_ngrams_ranked(text: Column, n: Int, topN: Int): Column =
+    toCol(TopNgramsRankedExpr(expression(text), n, topN))
+
+  def ct_classify(
+      text: Column,
+      n: Int,
+      topN: Int,
+      langs: Seq[String],
+      profGrams: Seq[String],
+      profRanks: Seq[Seq[Long]]
+  ): Column =
+    toCol(CtClassifyExpr(expression(text), n, topN,
+      langs.toArray, profGrams.toArray, profRanks.map(_.toArray).toArray))
 
   def pca_project(emb: Column, weights: Seq[Seq[Double]], means: Seq[Double]): Column =
     toCol(PcaProjectExpr(expression(emb),

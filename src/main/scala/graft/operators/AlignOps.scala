@@ -180,29 +180,42 @@ object LcsOverlap {
 object MarkdownOutline {
 
   /** array<struct<level,title,line_no,n_lines,sec_text>> per doc,
-    * empty when the text has no headings; `line_no` is 0-based. */
-  def sections(text: Column): Column = {
-    val lines = split(coalesce(text, lit("")), "\n")
-    val hIdx = filter(
-      sequence(lit(1), size(lines)),
-      i => element_at(lines, i).rlike("^#{1,6} "))
-    val ks = filter(
-      sequence(lit(1), greatest(size(hIdx), lit(1))),
-      k => k <= size(hIdx))
-    transform(ks, k => {
-      val i = element_at(hIdx, k)
-      val line = element_at(lines, i)
-      val next = when(k + 1 <= size(hIdx), element_at(hIdx, k + 1))
-        .otherwise(size(lines) + 1)
-      struct(
-        length(regexp_extract(line, "^(#{1,6}) ", 1)).cast(LongType)
-          .as("level"),
-        regexp_extract(line, "^#{1,6} +(.*)$", 1).as("title"),
-        (i - 1).cast(LongType).as("line_no"),
-        (next - i).cast(LongType).as("n_lines"),
-        array_join(slice(lines, i, next - i), "\n").as("sec_text"))
-    })
-  }
+    * empty when the text has no headings; `line_no` is 0-based.
+    *
+    * r13: `lines` and `hIdx` are BOUND as lambda variables via the
+    * single-element-array trick (the Winnowing/LangIdNgram fix) — the
+    * previous formulation referenced the computed `split` and heading
+    * `filter` columns inside HOF lambdas, re-evaluating the full line
+    * split per line probe and the full heading scan per section
+    * (quadratic in lines × sections for byte-identical output). */
+  def sections(text: Column): Column =
+    element_at(
+      transform(array(split(coalesce(text, lit("")), "\n")), lines =>
+        element_at(
+          transform(
+            array(filter(
+              sequence(lit(1), size(lines)),
+              i => element_at(lines, i).rlike("^#{1,6} "))),
+            hIdx => {
+              val ks = filter(
+                sequence(lit(1), greatest(size(hIdx), lit(1))),
+                k => k <= size(hIdx))
+              transform(ks, k => {
+                val i = element_at(hIdx, k)
+                val line = element_at(lines, i)
+                val next = when(k + 1 <= size(hIdx), element_at(hIdx, k + 1))
+                  .otherwise(size(lines) + 1)
+                struct(
+                  length(regexp_extract(line, "^(#{1,6}) ", 1)).cast(LongType)
+                    .as("level"),
+                  regexp_extract(line, "^#{1,6} +(.*)$", 1).as("title"),
+                  (i - 1).cast(LongType).as("line_no"),
+                  (next - i).cast(LongType).as("n_lines"),
+                  array_join(slice(lines, i, next - i), "\n").as("sec_text"))
+              })
+            }),
+          1)),
+      1)
 
   /** Explode to one row per section (docs without headings disappear;
     * keep them with a left anti-join on the result if needed). */

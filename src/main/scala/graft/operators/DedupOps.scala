@@ -322,7 +322,7 @@ object MinHashLSH {
       .join(shingled.select(col("__ct_id").as("id_b"),
         col("__ct_sh").as("sh_b")), Seq("id_b"))
       .withColumn("__ct_i",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+        graft.functions.functions.intersect_size(col("sh_a"), col("sh_b")).cast(LongType))
       .withColumn("containment_scaled",
         graft.functions.functions.integral_divide(
           lit(scale) * col("__ct_i"),
@@ -364,7 +364,7 @@ object MinHashLSH {
         .withColumnRenamed("__sh", "sh_b"), Seq("id_b"))
       .withColumn(
         "inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
+        graft.functions.functions.intersect_size(col("sh_a"), col("sh_b")).cast(DoubleType)
       )
       .withColumn(
         "jac",
@@ -402,7 +402,7 @@ object MinHashLSH {
       .join(shingled.withColumnRenamed("__id", "id_b")
         .withColumnRenamed("__sh", "sh_b"), Seq("id_b"))
       .withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
+        graft.functions.functions.intersect_size(col("sh_a"), col("sh_b")).cast(DoubleType))
       .withColumn("jac",
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jac") >= minJaccard)
@@ -468,7 +468,7 @@ object MinHashLSH {
       .join(inWords, Seq("__in_id"))
       .join(exWords, Seq("__ex_id"))
       .withColumn("__inter",
-        size(array_intersect(col("__in_w"), col("__ex_w"))).cast(DoubleType))
+        graft.functions.functions.intersect_size(col("__in_w"), col("__ex_w")).cast(DoubleType))
       .withColumn("__jac",
         col("__inter") /
           (size(col("__in_w")) + size(col("__ex_w")) - col("__inter")))
@@ -536,7 +536,7 @@ object MinHashLSH {
       .join(shingled.withColumnRenamed("__id", "id_b")
         .withColumnRenamed("__sh", "sh_b"), Seq("id_b"))
       .withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
+        graft.functions.functions.intersect_size(col("sh_a"), col("sh_b")).cast(DoubleType))
       .withColumn("jac",
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jac") >= minJaccard)

@@ -27,17 +27,25 @@ import org.apache.spark.sql.types.LongType
 object LangIdNgram {
 
   /** Sliding character n-grams of lowercased text (positions are
-    * codepoint-based in both Spark and DuckDB).
-    *
-    * Two performance traps shape this expression. (1) Any computed
-    * child referenced inside a `transform` lambda re-evaluates PER
-    * ELEMENT — so the char split is bound as a lambda variable via the
-    * single-element-array trick (the Winnowing fix), evaluating
-    * `split(lower(text))` exactly once per row. (2) `substr(i, n)` on a
-    * string re-scans from the start to find codepoint i (UTF-8 is
-    * variable-width), turning a 500-char doc into an O(len²) scan; the
-    * char ARRAY makes each gram three O(1) `element_at` probes. */
+    * codepoint-based in both Spark and DuckDB). r13: one native pass
+    * ([[graft.functions.CharNgramsExpr]]) replaces the HOF tree, which
+    * allocated an array of 1-char strings per row and ran an
+    * interpreted concat per gram; bit-identical incl. the <n-codepoint
+    * empty case and surrogate handling (parity-spec'd against
+    * [[charNgramsHof]]). */
   def charNgrams(text: Column, n: Int): Column =
+    graft.functions.functions.char_ngrams(lower(text), n)
+
+  /** The pre-r13 HOF formulation — parity-spec reference only.
+    * Two performance traps shaped it. (1) Any computed child referenced
+    * inside a `transform` lambda re-evaluates PER ELEMENT — so the char
+    * split is bound as a lambda variable via the single-element-array
+    * trick (the Winnowing fix), evaluating `split(lower(text))` exactly
+    * once per row. (2) `substr(i, n)` on a string re-scans from the
+    * start to find codepoint i (UTF-8 is variable-width), turning a
+    * 500-char doc into an O(len²) scan; the char ARRAY makes each gram
+    * three O(1) `element_at` probes. */
+  private[graft] def charNgramsHof(text: Column, n: Int): Column =
     flatten(transform(array(split(lower(text), "")), ch => grams(ch, n)))
 
   /** `ch` must be a bound char-array lambda variable (see above). */
@@ -87,25 +95,63 @@ object LangIdNgram {
       topN: Int = 100,
       n: Int = 3
   ): DataFrame = {
-    // r13: the profile plan is consumed by TWO broadcasts below (langs
-    // and the gram join) — without a persist each broadcast re-runs the
-    // full training aggregation (n-gram explode + count + window) over
-    // the training slice. The table itself is O(#langs · topN) rows.
+    // r13: the profile table is O(#langs · topN) rows BY CONSTRUCTION
+    // (trainProfiles truncates at topN per language), so collect it
+    // once and inline it in a row-local native kernel
+    // ([[graft.functions.CtClassifyExpr]] — the ivfTopK literal-
+    // centroid discipline): gram count, rank, per-language distance
+    // and argmin all happen inside one projection. The SQL shape it
+    // replaces ([[classifySql]], parity-spec'd) paid a corpus-sized
+    // gram explode + (unit, gram) count exchange, a per-unit rank
+    // window, a crossJoin with the language list, a broadcast profile
+    // join, two aggregations, and a join back to the input — all gone.
+    import org.apache.spark.sql.types.{LongType => LT, StringType => ST}
+    val rows = profiles
+      .select(col("lang").cast(ST), col("gram").cast(ST), col("rank").cast(LT))
+      .collect()
+    if (rows.isEmpty) {
+      // empty profile set: the old crossJoin produced no best rows —
+      // every doc is 'und' with a null dist
+      return df
+        .withColumn("pred_lang", lit("und"))
+        .withColumn("dist", lit(null).cast(LT))
+    }
+    val langs = rows.map(_.getString(0)).distinct
+      .sortWith((a, b) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0)
+    val gramList = rows.map(_.getString(1)).distinct
+    val li = langs.zipWithIndex.toMap
+    val gi = gramList.zipWithIndex.toMap
+    val ranks = Array.fill(gramList.length, langs.length)(-1L)
+    rows.foreach { r =>
+      ranks(gi(r.getString(1)))(li(r.getString(0))) = r.getLong(2)
+    }
+    val best = graft.functions.functions.ct_classify(
+      lower(col(textField)), n, topN,
+      langs.toIndexedSeq, gramList.toIndexedSeq,
+      ranks.toIndexedSeq.map(_.toIndexedSeq))
+    df.withColumn("__li_b", best)
+      .withColumn("pred_lang",
+        coalesce(col("__li_b").getField("l"), lit("und")))
+      .withColumn("dist", col("__li_b").getField("d"))
+      .drop("__li_b")
+  }
+
+  /** The pre-r13 SQL formulation of [[classify]] — parity-spec
+    * reference only: explode + (unit, gram) count + per-unit rank
+    * window, crossJoin langs, broadcast profile join, distance
+    * aggregation, argmin, join back. */
+  private[graft] def classifySql(
+      df: DataFrame,
+      idField: String,
+      textField: String,
+      profiles: DataFrame,
+      topN: Int = 100,
+      n: Int = 3
+  ): DataFrame = {
     val prof = profiles.persist()
-    val docGrams = df
-      .select(col(idField).as("__li_id"),
-        explode(charNgrams(col(textField), n)).as("gram"))
-      .groupBy("__li_id", "gram")
-      .agg(count(lit(1)).as("__li_c"))
-    val dw = Window.partitionBy("__li_id")
-      .orderBy(col("__li_c").desc, col("gram"))
-    val docTop = docGrams
-      .withColumn("__li_dr", row_number().over(dw).cast(LongType))
-      .filter(col("__li_dr") <= topN)
-      .select("__li_id", "gram", "__li_dr")
-    // per-gram cost formulation: Σ (matched ? |dr−pr| : topN) — no
-    // group-size bookkeeping, so the whole distance is ONE aggregation
-    // over docTop × langs (langs is a handful of broadcast rows)
+    val docTop = docTopSql(df, idField, textField, topN, n)
     val langs = prof.select(col("lang")).distinct()
     val cost = when(col("rank").isNull, lit(topN.toLong))
       .otherwise(abs(col("__li_dr") - col("rank")))
@@ -122,6 +168,28 @@ object LangIdNgram {
         col("__li_b.d").as("dist"))
     df.join(best, Seq(idField), "left")
       .withColumn("pred_lang", coalesce(col("pred_lang"), lit("und")))
+  }
+
+  /** The pre-r13 explode + (unit, gram) count + per-unit window
+    * docTop — parity-spec reference only. */
+  private[graft] def docTopSql(
+      df: DataFrame,
+      idField: String,
+      textField: String,
+      topN: Int,
+      n: Int
+  ): DataFrame = {
+    val docGrams = df
+      .select(col(idField).as("__li_id"),
+        explode(charNgrams(col(textField), n)).as("gram"))
+      .groupBy("__li_id", "gram")
+      .agg(count(lit(1)).as("__li_c"))
+    val dw = Window.partitionBy("__li_id")
+      .orderBy(col("__li_c").desc, col("gram"))
+    docGrams
+      .withColumn("__li_dr", row_number().over(dw).cast(LongType))
+      .filter(col("__li_dr") <= topN)
+      .select("__li_id", "gram", "__li_dr")
   }
 }
 
@@ -163,10 +231,14 @@ object LangSegment {
           java.util.regex.Pattern.quote(sep)))
           .as(Seq("__ls_p", "__ls_para")))
       .filter(length(col("__ls_para")) > 0)
+      // r13: carry the paragraph LENGTH, not the paragraph, past
+      // classification — n_chars only needs the length, and dropping
+      // the text here keeps it out of the collapse windows' shuffles
+      .withColumn("__ls_len", length(col("__ls_para")))
       .withColumn("__ls_u", struct(col("__ls_id"), col("__ls_p")))
     val classified = LangIdNgram
       .classify(paras, "__ls_u", "__ls_para", profiles, topN, n)
-      .select(col("__ls_id"), col("__ls_p"), col("__ls_para"),
+      .select(col("__ls_id"), col("__ls_p"), col("__ls_len"),
         col("pred_lang"))
     val w = Window.partitionBy("__ls_id").orderBy("__ls_p")
     classified
@@ -183,7 +255,7 @@ object LangSegment {
         min(col("pred_lang")).as("lang"), // constant within a run
         min(col("__ls_p")).cast(LongType).as("start_para"),
         count(lit(1)).as("n_paras"),
-        sum(length(col("__ls_para"))).cast(LongType).as("n_chars"))
+        sum(col("__ls_len")).cast(LongType).as("n_chars"))
       .select(col("__ls_id").as(idField), col("seg_idx"), col("lang"),
         col("start_para"), col("n_paras"), col("n_chars"))
   }

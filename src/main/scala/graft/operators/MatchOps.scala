@@ -370,7 +370,7 @@ object PrefixFilterJoin {
     val out = cand
       .join(ordered.select(col("__pf_id").as("id_a"), col("toks").as("__ta")), "id_a")
       .join(ordered.select(col("__pf_id").as("id_b"), col("toks").as("__tb")), "id_b")
-      .withColumn("__inter", size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .withColumn("__inter", graft.functions.functions.intersect_size(col("__ta"), col("__tb")).cast("long"))
       .withColumn("jaccard_ppm",
         integral_divide(lit(1000000L) * col("__inter"),
           size(col("__ta")).cast("long") + size(col("__tb")).cast("long") - col("__inter")))

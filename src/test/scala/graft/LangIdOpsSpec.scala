@@ -97,12 +97,18 @@ class LangIdOpsSpec extends SparkSpec {
         topN = 10).orderBy("id", "seg_idx")))
   }
 
-  test("plan: profile join is broadcast; no corpus-wide window") {
+  test("plan: classify is one row-local projection — no join, no shuffle, no window") {
     val profiles = LangIdNgram.trainProfiles(labeled, "lang", "text", topN = 10)
+    // r13: the profile table inlines as kernel literals (CtClassifyExpr),
+    // so the classification plan must carry NO join, NO exchange and NO
+    // window — the whole classify is a projection over the input scan
     val plan = LangIdNgram
       .classify(labeled.select("id", "text"), "id", "text", profiles, topN = 10)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") ||
-      plan.contains("BroadcastNestedLoopJoin"), plan)
+    // (over a LOCAL relation the projection constant-folds away entirely
+    // — ConvertToLocalRelation evaluates the kernel at plan time, which
+    // is the strongest possible form of "row-local")
+    assert(!plan.contains("Join") && !plan.contains("Exchange") &&
+      !plan.contains("Window"), plan)
   }
 }

@@ -216,6 +216,86 @@ class OptimizedShapeParitySpec extends SparkSpec {
       "dot_product diverged from the HOF fold (incl. null contract)")
   }
 
+  test("char_ngrams matches the split/concat HOF (unicode, surrogates, short/empty, case fold)") {
+    import graft.operators.LangIdNgram
+    val pieces = Seq("ab", "Ж", "日本", "🌍", "x", " ", "ÉÈ", "")
+    val rows = (0L until 150L).map { r =>
+      val k = (det(r, 81) % 9 + 9) % 9
+      (r, (0 until k.toInt)
+        .map(i => pieces(((det(r * 13 + i, 82) % 8 + 8) % 8).toInt))
+        .mkString)
+    }
+    val df = rows.toDF("id", "text")
+    Seq(1, 2, 3).foreach { n =>
+      val both = df
+        .withColumn("nat", to_json(LangIdNgram.charNgrams(col("text"), n)))
+        .withColumn("hof", to_json(LangIdNgram.charNgramsHof(col("text"), n)))
+      assert(both.filter(!(col("nat") <=> col("hof"))).count() === 0,
+        s"char_ngrams diverged from the HOF at n=$n")
+    }
+  }
+
+  test("top_ngrams_ranked matches the explode+count+window docTop (ties, unicode, short text)") {
+    import graft.functions.functions.top_ngrams_ranked
+    import graft.operators.LangIdNgram
+    val pieces = Seq("abab", "Жa", "日本日本", "🌍a🌍", "xy", " ", "aa", "")
+    val rows = (0L until 120L).map { r =>
+      val k = (det(r, 91) % 10 + 10) % 10
+      (r, (0 until k.toInt)
+        .map(i => pieces(((det(r * 7 + i, 92) % 8 + 8) % 8).toInt))
+        .mkString)
+    }
+    val df = rows.toDF("id", "text")
+    Seq((1, 3), (3, 5), (3, 100)).foreach { case (n, topN) =>
+      val nat = df.select(col("id").as("__li_id"),
+          explode(top_ngrams_ranked(lower(col("text")), n, topN)).as("g"))
+        .select(col("__li_id"), col("g.gram").as("gram"), col("g.rank").as("__li_dr"))
+      val sql = LangIdNgram.docTopSql(df, "id", "text", topN, n)
+      assert(nat.exceptAll(sql).count() === 0 && sql.exceptAll(nat).count() === 0,
+        s"top_ngrams_ranked diverged from the SQL docTop at n=$n topN=$topN")
+    }
+  }
+
+  test("ct_classify kernel matches the SQL classify (distances, und rows, tie languages)") {
+    import graft.operators.LangIdNgram
+    val pieces = Seq("the cat sat", "der Hund lief", "le chat noir", "xyz", "ab", "")
+    val train = (0L until 60L).map { r =>
+      val l = Seq("de", "en", "fr")(((det(r, 95) % 3 + 3) % 3).toInt)
+      (l, (0 until 4).map(i =>
+        pieces(((det(r * 5 + i, 96) % 6 + 6) % 6).toInt)).mkString(" "))
+    }.toDF("lang", "text")
+    val profiles = LangIdNgram.trainProfiles(train, "lang", "text", topN = 20, n = 3)
+    val docs = (0L until 80L).map { r =>
+      val k = (det(r, 97) % 5 + 5) % 5
+      (r, (0 until k.toInt).map(i =>
+        pieces(((det(r * 3 + i, 98) % 6 + 6) % 6).toInt)).mkString(" "))
+    }.toDF("id", "text")
+    val nat = LangIdNgram.classify(docs, "id", "text", profiles, topN = 20, n = 3)
+      .select(col("id"), col("pred_lang"), col("dist"))
+    val sql = LangIdNgram.classifySql(docs, "id", "text", profiles, topN = 20, n = 3)
+      .select(col("id"), col("pred_lang"), col("dist"))
+    assert(nat.exceptAll(sql).count() === 0 && sql.exceptAll(nat).count() === 0,
+      "ct_classify diverged from the SQL classify")
+  }
+
+  test("intersect_size matches size(array_intersect) (duplicates, nulls, empties)") {
+    import graft.functions.functions.intersect_size
+    val vocab = Seq("x", "yy", "zzz", "x", null, "w", "日本")
+    val rows = (0L until 300L).map { r =>
+      def arr(salt: Long) = {
+        val n = (det(r, salt) % 8 + 8) % 8
+        (0L until n).map(i => vocab(((det(r * 11 + i, salt + 1) % 7 + 7) % 7).toInt))
+      }
+      (r, arr(71), arr(73))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val both = df
+      .withColumn("s_ref", size(array_intersect(col("a"), col("b"))))
+      .withColumn("s_nat", intersect_size(col("a"), col("b")))
+    assert(both.filter(!(col("s_ref") <=> col("s_nat"))).count() === 0,
+      "intersect_size diverged from size(array_intersect)")
+  }
+
   test("pca_project matches the HOF projection (normal, wrong-length, null-element rows)") {
     import graft.operators.PcaWhiten
     val d = 8
