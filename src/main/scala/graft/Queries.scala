@@ -5521,9 +5521,13 @@ object Queries {
     (s, dir) => {
       val dw = docWords(s, dir)
       val st = Bm25.stats(dw, "words", Seq("spark", "vector", "join"))
+      // r13: both run legs (runA's rank window, runB's embedding join)
+      // consume bmTop — persist the 20-row result so the corpus-wide
+      // score scan + TakeOrdered runs once, not once per leg
       val bmTop = dw
         .select(col("doc_id"), Bm25.score(col("words"), st).as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+        .persist()
       val wA = Window.partitionBy(pmod(col("doc_id"), lit(1)))
         .orderBy(col("bm25").desc, col("doc_id"))
       val runA = bmTop

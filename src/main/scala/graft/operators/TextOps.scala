@@ -624,6 +624,14 @@ object ChunkDupStats {
       scale: Long = 1000000L
   ): DataFrame = {
     import graft.functions.functions.integral_divide
+    // NOTE (r13, measured-and-rejected): persisting the 16-byte
+    // (id, hash) projection so the CDC chunker lineage runs once (the
+    // PrefixFilterJoin `ordered` discipline: persist + count +
+    // localCheckpoint + release) was tried and measured WORSE at sf0.1
+    // — q183 1.44 → 2.0-2.8 s min-of-6: the three extra materialization
+    // jobs cost more than the saved chunker pass. The double evaluation
+    // stays; revisit only if chunking cost grows superlinearly with
+    // document length.
     val hashed = chunks.select(col(idField), xxhash64(col(chunkField)).as("__cd_h"))
     val freq = hashed.groupBy(col("__cd_h"))
       .agg(count(lit(1)).as("__cd_f"))
