@@ -5974,6 +5974,12 @@ object Queries {
       val store = s"/tmp/graft_sigstore_q189_$sigCacheToken"
       val fs = FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(store), true)
+      // NOTE (r13, measured-and-rejected): persisting `sigs` (it feeds
+      // ~15 consumers: 4 eager epoch writes + both legs' per-epoch
+      // filters) measured WORSE (2.14 → 2.39 s min-of-4) — the native
+      // minhash_sig scan is cheaper than the cache materialization, and
+      // the floor is the 4 sink round-trips + microbatch-replay jobs by
+      // construction.
       val sigs = minhashSigs(s, dir)
         .withColumn("epoch", (col("doc_id") % nEpochs).cast(LongType))
       // STREAM leg: replay streamingNearDup's per-epoch body against the
