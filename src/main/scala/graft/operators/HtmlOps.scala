@@ -159,10 +159,17 @@ object Html {
     * row-local cousin of the corpus-wide [[ParagraphDedup]]: repeated
     * nav/boilerplate lines collapse to one occurrence while distant
     * repeats (legitimate refrains) survive. Zero shuffle. */
-  def collapseRepeatedLines(text: Column, sep: String = "\n"): Column = {
-    val lines = split(text, java.util.regex.Pattern.quote(sep))
-    array_join(
-      filter(lines, (x, i) => i === 0 || x =!= element_at(lines, i)),
-      sep)
-  }
+  def collapseRepeatedLines(text: Column, sep: String = "\n"): Column =
+    // r13: `lines` is BOUND as a lambda variable (single-element-array
+    // trick) — the previous formulation referenced the computed split
+    // inside the filter lambda (`element_at(lines, i)`), re-splitting
+    // the text once per line: O(lines²·len) for byte-identical output
+    // (benign on the short synthetic docs, quadratic on real pages)
+    element_at(
+      transform(array(split(text, java.util.regex.Pattern.quote(sep))),
+        lines =>
+          array_join(
+            filter(lines, (x, i) => i === 0 || x =!= element_at(lines, i)),
+            sep)),
+      1)
 }
