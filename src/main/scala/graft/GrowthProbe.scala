@@ -111,6 +111,23 @@ object GrowthProbe {
           "doc_id", "sh", minJaccardPpm = 500000L,
           maxPrefixDf = Some(8)).count()
       }
+      // r14 skew probe: a corpus of IDENTICAL docs — every prefix
+      // token's posting list is the WHOLE corpus (the boilerplate /
+      // exact-dup-cluster hot-key case). The r13 shape collect_list'ed
+      // the full posting per key before slicing (an O(corpus) buffer in
+      // ONE task); the r14 bounded heap (collect_min_k) keeps ≤ cap
+      // entries per key at every stage, so this row must stay flat-ish
+      // in f (the residual growth is the linear explode+shuffle of the
+      // capped-away rows, spread across partitions).
+      val tPrefixCappedHot = time {
+        val hotDocs = docs.select(col("doc_id"),
+            lit("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")
+              .as("text"))
+          .withColumn("words", split(col("text"), "\\s+"))
+          .withColumn("sh", TextShingles.shingles(col("words"), 3))
+        PrefixFilterJoin.pairs(hotDocs, "doc_id", "sh",
+          minJaccardPpm = 500000L, maxPrefixDf = Some(8)).count()
+      }
       val tNovelty = time {
         CorpusStats.shardNovelty(
           words
@@ -160,7 +177,7 @@ object GrowthProbe {
             regexp_replace(col("text"), "\\. ", ".\n\n")),
           "doc_id", "text", langProfiles, topN = 100, n = 3).count()
       }
-      println(f"""{"factor":$f,"rows":$nRows,"minhash_sec":$tMinhash%.1f,"exactsubstr_sec":$tExact%.1f,"containment_sec":$tContain%.1f,"winnowing_sec":$tWinnow%.1f,"prefixjoin_sec":$tPrefix%.1f,"prefixjoin_capped_sec":$tPrefixCapped%.1f,"shardnovelty_sec":$tNovelty%.1f,"ivfadc_sec":$tIvfAdc%.1f,"pcawhiten256_sec":$tPcaWhiten%.1f,"langsegment_sec":$tLangSegment%.1f}""")
+      println(f"""{"factor":$f,"rows":$nRows,"cpus":$cpus,"minhash_sec":$tMinhash%.1f,"exactsubstr_sec":$tExact%.1f,"containment_sec":$tContain%.1f,"winnowing_sec":$tWinnow%.1f,"prefixjoin_sec":$tPrefix%.1f,"prefixjoin_capped_sec":$tPrefixCapped%.1f,"prefixjoin_capped_hot_sec":$tPrefixCappedHot%.1f,"shardnovelty_sec":$tNovelty%.1f,"ivfadc_sec":$tIvfAdc%.1f,"pcawhiten256_sec":$tPcaWhiten%.1f,"langsegment_sec":$tLangSegment%.1f}""")
     }
     spark.stop()
   }

@@ -4328,25 +4328,19 @@ object Queries {
   private val qFingerprintOverlap = Q(
     "q118_fingerprint_overlap_pairs",
     (s, dir) => {
-      // r13: positions explode FIRST and the md5 runs as a top-level
-      // whole-stage-codegen projection — the previous per-element
-      // transform/filter HOF chain evaluated every one of the ~|text|
-      // md5s interpreted. `distinct()` on the exploded (doc_id, fp)
-      // rows is set-identical to the old per-doc array_distinct.
+      // r14: the whole fingerprint computation is ONE linear kernel
+      // pass per doc ([[graft.functions.Md5WindowFpExpr]]) — the r13
+      // shape exploded len−19 position rows per doc and paid an
+      // O(position) substr re-scan per window (O(len²) char scans per
+      // doc) plus a corpus-wide distinct() exchange; the kernel walks
+      // byte offsets once, hex-encodes only passing digests, and
+      // dedups per doc in-row (same set — the old distinct() was
+      // per-(doc_id, fp) too), so the exchange disappears. Rows stay
+      // distinct per (id, fp), the candidatePairsInverted contract.
       val inv = docs(s, dir)
-        .select(
-          col("doc_id"), col("text"),
-          explode(
-            // Guard: sequence(1, len-19) on text under 20 chars would
-            // emit a DESCENDING [1,0] (DuckDB generate_series is empty).
-            when(
-              length(col("text")) >= 20,
-              sequence(lit(1), length(col("text")) - 19)
-            ).otherwise(array().cast("array<int>"))).as("__i"))
         .select(col("doc_id"),
-          md5(col("text").substr(col("__i"), lit(20))).as("fp"))
-        .filter(substring(col("fp"), 1, 1) === "0")
-        .distinct()
+          explode(graft.functions.functions.md5_window_fps(
+            col("text"), 20, 1)).as("fp"))
       FingerprintOverlap.candidatePairsInverted(inv, "doc_id", "fp",
         minShared = 2, maxBucketSize = Some(8), hasher = c => md5(c))
         .orderBy("id_a", "id_b")

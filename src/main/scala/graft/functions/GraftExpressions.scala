@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, CodegenFallback}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -101,13 +101,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
 case class PqEncodeExpr(
     child: Expression,
     codebooks: Array[Array[Array[Double]]]
-) extends UnaryExpression with CodegenFallback {
+) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType)
   override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(a: Any): Any = {
-    val xs = a.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  // r14: delegate codegen — the per-row m·k·w distance loop stays one
+  // JVM method, but the scan stage keeps whole-stage codegen (the
+  // CodegenFallback mixin un-fused it)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  def compute(a: ArrayData): ArrayData = {
+    val xs = a
     val m = codebooks.length
     val w = codebooks(0)(0).length
     val out = new Array[Any](m)
@@ -149,14 +160,23 @@ case class PqAdcDistExpr(
     left: Expression,
     right: Expression,
     codebooks: Array[Array[Array[Double]]]
-) extends BinaryExpression with CodegenFallback {
+) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(q: Any, code: Any): Any = {
-    val qs = q.asInstanceOf[ArrayData]
-    val cs = code.asInstanceOf[ArrayData]
+  override def nullSafeEval(q: Any, code: Any): Any =
+    compute(q.asInstanceOf[ArrayData], code.asInstanceOf[ArrayData])
+
+  // r14: delegate codegen (see PqEncodeExpr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdcDist", this, classOf[PqAdcDistExpr].getName)
+    nullSafeCodeGen(ctx, ev, (q, c) => s"${ev.value} = $ref.compute($q, $c);")
+  }
+
+  def compute(q: ArrayData, code: ArrayData): Double = {
+    val qs = q
+    val cs = code
     val m = codebooks.length
     val w = codebooks(0)(0).length
     var total = 0.0
@@ -194,7 +214,7 @@ case class PqAdcDistExpr(
   * whole-array window when n < w, and null grams never displacing the
   * accumulator. */
 case class WinnowSelectExpr(child: Expression, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(w >= 1, s"window must be >= 1, got $w")
 
@@ -204,8 +224,18 @@ case class WinnowSelectExpr(child: Expression, w: Int)
       StructField("hash", LongType, nullable = true))))
   override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(a: Any): Any = {
-    val grams = a.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  // r14: delegate codegen — keeps the gram-hash scan stage whole-stage
+  // codegen'd (CodegenFallback un-fused it)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowSelect", this, classOf[WinnowSelectExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  def compute(a: ArrayData): ArrayData = {
+    val grams = a
     val n = grams.numElements()
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     val seen = new java.util.HashSet[Long]()
@@ -280,14 +310,24 @@ private[functions] object NgramCharStats {
   * `top.c * top.l` column it replaces. 0 when fewer than n words
   * (callers guard with `when(size(words) >= n, ...)` anyway). */
 case class TopNgramCharsExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1, s"n must be >= 1, got $n")
 
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(a: Any): Any = {
-    val counts = NgramCharStats.gramCounts(a.asInstanceOf[ArrayData], n)
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  // r14: delegate codegen — keeps the Gopher gate's scan projection
+  // whole-stage codegen'd
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("topNgramChars", this, classOf[TopNgramCharsExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  def compute(a: ArrayData): Int = {
+    val counts = NgramCharStats.gramCounts(a, n)
     var bestC = 0
     var bestL = 0
     val it = counts.entrySet().iterator()
@@ -312,14 +352,23 @@ case class TopNgramCharsExpr(child: Expression, n: Int)
   * [[graft.operators.GopherQuality]], per-gram int multiply then the
   * long cast exactly like the `aggregate` fold it replaces. */
 case class DupNgramCharsExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1, s"n must be >= 1, got $n")
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(a: Any): Any = {
-    val counts = NgramCharStats.gramCounts(a.asInstanceOf[ArrayData], n)
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  // r14: delegate codegen (see TopNgramCharsExpr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dupNgramChars", this, classOf[DupNgramCharsExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  def compute(a: ArrayData): Long = {
+    val counts = NgramCharStats.gramCounts(a, n)
     var total = 0L
     val it = counts.entrySet().iterator()
     while (it.hasNext) {
@@ -337,15 +386,23 @@ case class DupNgramCharsExpr(child: Expression, n: Int)
 /** run_length_ranges(mask, fill): positions where mask == fill, grouped
   * into consecutive [start, end) runs — array<array<long>>. */
 case class RunLengthRanges(left: Expression, right: Expression)
-    extends BinaryExpression
-    with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = ArrayType(ArrayType(LongType))
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(maskAny: Any, fillAny: Any): Any = {
-    val mask = maskAny.asInstanceOf[ArrayData]
-    val fill = fillAny.asInstanceOf[Long]
+  override def nullSafeEval(maskAny: Any, fillAny: Any): Any =
+    compute(maskAny.asInstanceOf[ArrayData], fillAny.asInstanceOf[Long])
+
+  // r14: delegate codegen — keeps the masking scan whole-stage codegen'd
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("runLengthRanges", this, classOf[RunLengthRanges].getName)
+    nullSafeCodeGen(ctx, ev, (m, f) => s"${ev.value} = $ref.compute($m, $f);")
+  }
+
+  def compute(maskAny: ArrayData, fillAny: Long): ArrayData = {
+    val mask = maskAny
+    val fill = fillAny
     val runs = scala.collection.mutable.ArrayBuffer.empty[ArrayData]
     var runStart = -1L
     var i = 0
@@ -377,16 +434,25 @@ case class GreedyPackBreaks(
     first: Expression,
     second: Expression,
     third: Expression
-) extends TernaryExpression
-    with CodegenFallback {
+) extends TernaryExpression {
 
   override def dataType: DataType = ArrayType(LongType)
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(lensAny: Any, maxCountAny: Any, maxLenAny: Any): Any = {
-    val lens = lensAny.asInstanceOf[ArrayData]
-    val maxCount = maxCountAny.asInstanceOf[Long]
-    val maxLen = maxLenAny.asInstanceOf[Long]
+  override def nullSafeEval(lensAny: Any, maxCountAny: Any, maxLenAny: Any): Any =
+    compute(lensAny.asInstanceOf[ArrayData], maxCountAny.asInstanceOf[Long],
+      maxLenAny.asInstanceOf[Long])
+
+  // r14: delegate codegen — keeps the packing scan whole-stage codegen'd
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("greedyPackBreaks", this, classOf[GreedyPackBreaks].getName)
+    nullSafeCodeGen(ctx, ev, (l, c, m) => s"${ev.value} = $ref.compute($l, $c, $m);")
+  }
+
+  def compute(lensAny: ArrayData, maxCountAny: Long, maxLenAny: Long): ArrayData = {
+    val lens = lensAny
+    val maxCount = maxCountAny
+    val maxLen = maxLenAny
     val n = lens.numElements()
     val starts = scala.collection.mutable.ArrayBuffer(0L)
     var cnt = 0L
@@ -421,14 +487,22 @@ case class GreedyPackBreaks(
   * and 64 sign-counter updates. The HOF version allocated a 64-long
   * array per word per row. */
 case class SimHash64Expr(child: Expression)
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(wordsAny: Any): Any = {
-    val words = wordsAny.asInstanceOf[ArrayData]
+  override def nullSafeEval(wordsAny: Any): Any =
+    compute(wordsAny.asInstanceOf[ArrayData])
+
+  // r14: delegate codegen — keeps the scan stage whole-stage codegen'd
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash64", this, classOf[SimHash64Expr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  def compute(wordsAny: ArrayData): Long = {
+    val words = wordsAny
     val counts = new Array[Int](64)
     var i = 0
     val n = words.numElements()
@@ -468,15 +542,24 @@ case class SimHash64Expr(child: Expression)
   * skipped, not null-propagated); an empty shingle array yields an
   * array of k nulls (array_min of empty). */
 case class MinHashSigExpr(child: Expression, numHashes: Int)
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
   require(numHashes > 0, "numHashes must be positive")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(shinglesAny: Any): Any = {
-    val shingles = shinglesAny.asInstanceOf[ArrayData]
+  override def nullSafeEval(shinglesAny: Any): Any =
+    compute(shinglesAny.asInstanceOf[ArrayData])
+
+  // r14: delegate codegen — keeps the signature scan whole-stage
+  // codegen'd (the per-shingle hash chain dwarfs one virtual call)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSigExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  def compute(shinglesAny: ArrayData): ArrayData = {
+    val shingles = shinglesAny
     val n = shingles.numElements()
     if (n == 0) {
       return new GenericArrayData(Array.fill[Any](numHashes)(null))
@@ -504,6 +587,285 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** word_shingles(words, n): word n-gram shingles with whole-text
+  * fallback below n words — the native twin of the
+  * [[graft.operators.TextShingles]] HOF (`when(size >= n,
+  * transform(sequence(1, size-n+1), i => concat_ws(" ", slice(words, i,
+  * n)))).otherwise(array(concat_ws(" ", words)))`): ONE pass per row,
+  * no per-window slice/sequence allocation, no interpreted lambda
+  * dispatch. This HOF feeds the map stage of every shingling family
+  * (MinHash signatures, containment, prefix join, shard novelty,
+  * winnowing grams). Gram assembly is `UTF8String.concatWs` —
+  * concat_ws's engine — so null words are skipped without a separator
+  * exactly like the HOF. The null/short contract is replayed precisely:
+  * a NULL words array takes the HOF's otherwise branch (`size(null) >=
+  * n` is null → false) and yields `[""]`; any array shorter than n
+  * (including empty) yields the single whole-text join. */
+case class WordShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  // both HOF branches produce non-null elements (concat_ws never
+  // returns null for a literal separator), and the WHEN never falls
+  // through to null — the expression itself is non-nullable
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  @transient private lazy val SEP = UTF8String.fromString(" ")
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    compute(if (v == null) null else v.asInstanceOf[ArrayData])
+  }
+
+  // null INPUT still produces a value ([""]), so the null check is
+  // folded into compute rather than nullSafeCodeGen
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("wordShingles", this, classOf[WordShinglesExpr].getName)
+    val childGen = child.genCode(ctx)
+    val in = ctx.freshName("in")
+    ev.copy(code = code"""
+      ${childGen.code}
+      org.apache.spark.sql.catalyst.util.ArrayData $in =
+        ${childGen.isNull} ? null : ${childGen.value};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = $ref.compute($in);
+      """)
+  }
+
+  def compute(words: ArrayData): ArrayData = {
+    if (words == null)
+      return new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))
+    val m = words.numElements()
+    if (m < n) {
+      val buf = new Array[UTF8String](m)
+      var i = 0
+      while (i < m) {
+        buf(i) = if (words.isNullAt(i)) null else words.getUTF8String(i)
+        i += 1
+      }
+      return new GenericArrayData(
+        Array[Any](UTF8String.concatWs(SEP, buf.toIndexedSeq: _*)))
+    }
+    val out = new Array[Any](m - n + 1)
+    val buf = new Array[UTF8String](n)
+    var i = 0
+    while (i <= m - n) {
+      var k = 0
+      while (k < n) {
+        buf(k) = if (words.isNullAt(i + k)) null else words.getUTF8String(i + k)
+        k += 1
+      }
+      out(i) = UTF8String.concatWs(SEP, buf.toIndexedSeq: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
+}
+
+/** md5_window_fps(text, width, zeroNibbles): DISTINCT (first-seen
+  * order) md5 hex digests of every `width`-CHARACTER sliding window of
+  * `text` whose hex starts with `zeroNibbles` '0' nibbles — the
+  * fingerprint candidates of q118 as ONE linear pass. The expression
+  * chain it replaces (`explode(sequence(1, len-w+1))` →
+  * `md5(substr(text, i, w))` → `filter(hex[0]='0')` → `distinct`) pays
+  * O(position) per `substr` — UTF-8 is variable-width, so every probe
+  * re-scans the string from the start, O(len²) character scans per
+  * document — plus a corpus-wide exchange for the distinct. Here the
+  * char boundaries are computed once (byte offsets), each window is an
+  * in-place byte slice handed to MD5, hex is materialized only for the
+  * ~16^-zeroNibbles of windows that pass, and the per-doc dedup is a
+  * hash set — no explode, no shuffle, same output set. */
+case class Md5WindowFpExpr(child: Expression, width: Int, zeroNibbles: Int)
+    extends UnaryExpression {
+  require(width >= 1, s"width must be >= 1, got $width")
+  require(zeroNibbles >= 1 && zeroNibbles <= 32,
+    s"zeroNibbles must be in [1, 32], got $zeroNibbles")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("md5WindowFps", this, classOf[Md5WindowFpExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  private val HEX = "0123456789abcdef".getBytes("US-ASCII")
+
+  def compute(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val nb = bytes.length
+    // char boundaries: a UTF-8 continuation byte is 10xxxxxx — the same
+    // first-byte rule UTF8String.substringSQL walks, so windows match
+    // substr's code-point slices exactly
+    var m = 0
+    var i = 0
+    while (i < nb) { if ((bytes(i) & 0xC0) != 0x80) m += 1; i += 1 }
+    if (m < width) return new GenericArrayData(Array.empty[Any])
+    val offs = new Array[Int](m + 1)
+    var ci = 0
+    i = 0
+    while (i < nb) {
+      if ((bytes(i) & 0xC0) != 0x80) { offs(ci) = i; ci += 1 }
+      i += 1
+    }
+    offs(m) = nb
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.HashSet[UTF8String]()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var w = 0
+    while (w <= m - width) {
+      md.update(bytes, offs(w), offs(w + width) - offs(w))
+      val dig = md.digest() // digest() also resets for the next window
+      var pass = true
+      var nz = 0
+      while (pass && nz < zeroNibbles) {
+        val nib =
+          if (nz % 2 == 0) (dig(nz / 2) >> 4) & 0xF else dig(nz / 2) & 0xF
+        if (nib != 0) pass = false
+        nz += 1
+      }
+      if (pass) {
+        val hex = new Array[Byte](32)
+        var k = 0
+        while (k < 16) {
+          hex(2 * k) = HEX((dig(k) >> 4) & 0xF)
+          hex(2 * k + 1) = HEX(dig(k) & 0xF)
+          k += 1
+        }
+        val u = UTF8String.fromBytes(hex)
+        if (seen.add(u)) out += u
+      }
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5WindowFpExpr =
+    copy(child = newChild)
+}
+
+/** line_stats(text): the line/paragraph-level corpus-quality signals in
+  * ONE pass over the raw bytes —
+  * struct<n_lines, n_bullet, n_ellipsis, n_dup_lines, n_paras,
+  * n_dup_paras> (all int). Replaces three separate `split(text, "\n")`
+  * + interpreted filter/array_distinct HOF chains (bullet fraction,
+  * ellipsis fraction, duplicate lines) plus a fourth `split(text,
+  * "\n\n")` chain (duplicate paragraphs) in the Gopher gate.
+  *
+  * Replayed contracts: lines/paragraphs are Java-regex split segments
+  * (limit −1; the "\n\n" scan consumes non-overlapping matches left to
+  * right, so "a\n\n\nb" is ["a", "\nb"]), only non-empty segments
+  * count, bullet = startsWith "- " | "* " | "•", ellipsis = endsWith
+  * "..." | "…" (byte-prefix/suffix compares — exactly StartsWith /
+  * EndsWith on UTF8String), and n_dup_* = size(xs) −
+  * size(array_distinct(xs)). A NULL text returns
+  * struct(−1, −1, −1, 0, −1, 0): under the legacy `size(null) = −1`
+  * the engine runs with, every derived fraction is then bit-identical
+  * to the HOF chain (−1.0 bullet/ellipsis fractions, 0.0 dup
+  * fractions). */
+case class LineStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_bullet", IntegerType, nullable = false),
+    StructField("n_ellipsis", IntegerType, nullable = false),
+    StructField("n_dup_lines", IntegerType, nullable = false),
+    StructField("n_paras", IntegerType, nullable = false),
+    StructField("n_dup_paras", IntegerType, nullable = false)))
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    compute(if (v == null) null else v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("lineStats", this, classOf[LineStatsExpr].getName)
+    val childGen = child.genCode(ctx)
+    val in = ctx.freshName("in")
+    ev.copy(code = code"""
+      ${childGen.code}
+      org.apache.spark.unsafe.types.UTF8String $in =
+        ${childGen.isNull} ? null : ${childGen.value};
+      InternalRow ${ev.value} = $ref.compute($in);
+      """)
+  }
+
+  private val NULL_ROW = InternalRow(-1, -1, -1, 0, -1, 0)
+
+  def compute(text: UTF8String): InternalRow = {
+    if (text == null) return NULL_ROW
+    val bytes = text.getBytes
+    val nb = bytes.length
+    // --- lines: segments between single '\n' bytes (0x0A is never part
+    // of a multi-byte UTF-8 char)
+    var nLines = 0
+    var nBullet = 0
+    var nEllipsis = 0
+    var nDupLines = 0
+    val seenLines = new java.util.HashSet[UTF8String]()
+    var st = 0
+    var i = 0
+    while (i <= nb) {
+      if (i == nb || bytes(i) == '\n') {
+        if (i > st) { // non-empty segment
+          nLines += 1
+          val len = i - st
+          // startsWith "- " | "* " | "•" (E2 80 A2)
+          if ((len >= 2 && bytes(st) == '-' && bytes(st + 1) == ' ') ||
+              (len >= 2 && bytes(st) == '*' && bytes(st + 1) == ' ') ||
+              (len >= 3 && bytes(st) == 0xE2.toByte &&
+                bytes(st + 1) == 0x80.toByte && bytes(st + 2) == 0xA2.toByte))
+            nBullet += 1
+          // endsWith "..." | "…" (E2 80 A6)
+          if ((len >= 3 && bytes(i - 1) == '.' && bytes(i - 2) == '.' &&
+                bytes(i - 3) == '.') ||
+              (len >= 3 && bytes(i - 3) == 0xE2.toByte &&
+                bytes(i - 2) == 0x80.toByte && bytes(i - 1) == 0xA6.toByte))
+            nEllipsis += 1
+          if (!seenLines.add(UTF8String.fromBytes(bytes, st, len)))
+            nDupLines += 1
+        }
+        st = i + 1
+      }
+      i += 1
+    }
+    // --- paragraphs: segments between non-overlapping "\n\n" matches,
+    // scanned left to right (regex split semantics)
+    var nParas = 0
+    var nDupParas = 0
+    val seenParas = new java.util.HashSet[UTF8String]()
+    st = 0
+    i = 0
+    while (i <= nb) {
+      val boundary = i >= nb ||
+        (i + 1 < nb && bytes(i) == '\n' && bytes(i + 1) == '\n')
+      if (boundary) {
+        val end = math.min(i, nb)
+        if (end > st) {
+          nParas += 1
+          if (!seenParas.add(UTF8String.fromBytes(bytes, st, end - st)))
+            nDupParas += 1
+        }
+        if (i >= nb) { i = nb + 1; st = nb + 1 }
+        else { st = i + 2; i += 2 }
+      } else i += 1
+    }
+    InternalRow(nLines, nBullet, nEllipsis, nDupLines, nParas, nDupParas)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LineStatsExpr =
+    copy(child = newChild)
+}
+
 /** cdc_boundaries(text): 0-based code-point positions `i >= window-1`
   * where the rolling polynomial hash of the window ending at `i`
   * (fold `(h·31 + cp) mod m` over the window's code points) is ≡ 0
@@ -516,8 +878,7 @@ case class CdcBoundariesExpr(
     window: Int,
     divisor: Long,
     mod: Long
-) extends UnaryExpression
-    with CodegenFallback {
+) extends UnaryExpression {
   require(window >= 2 && divisor >= 2 && mod >= 2)
 
   override def dataType: DataType = ArrayType(LongType)
@@ -530,8 +891,17 @@ case class CdcBoundariesExpr(
     p
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  // r14: delegate codegen — keeps the chunker scan whole-stage codegen'd
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cdcBoundaries", this, classOf[CdcBoundariesExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  def compute(input: UTF8String): ArrayData = {
+    val s = input.toString
     val n = s.codePointCount(0, s.length)
     val cps = new Array[Int](n)
     var ci = 0
@@ -627,15 +997,26 @@ case class PcaProjectExpr(
     child: Expression,
     weights: Array[Array[Double]],
     means: Array[Double]
-) extends UnaryExpression with CodegenFallback {
+) extends UnaryExpression {
   require(weights.nonEmpty && weights.forall(_.length == means.length),
     "pca_project: weight rows must match means length")
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
   override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(a: Any): Any = {
-    val xs = a.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  // r14: delegate codegen — keeps the embedding scan's whole-stage
+  // codegen span intact (CodegenFallback un-fused it); the d×k flops
+  // dwarf the one virtual call per row
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pcaProject", this, classOf[PcaProjectExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  def compute(a: ArrayData): ArrayData = {
+    val xs = a
     val d = means.length
     val k = weights.length
     var ok = xs.numElements() == d
@@ -674,7 +1055,7 @@ case class PcaProjectExpr(
   * (surrogate pairs never split — Java's empty-pattern split can't
   * match between surrogates either). Lower-casing stays OUTSIDE. */
 case class CharNgramsExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1, s"n must be >= 1, got $n")
 
   // containsNull=true matches the HOF's `array().cast("array<string>")`
@@ -682,12 +1063,26 @@ case class CharNgramsExpr(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(a: Any): Any = {
-    val s = a.asInstanceOf[UTF8String].toString
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[UTF8String])
+
+  // r14: delegate codegen — keeps the gram scan whole-stage codegen'd
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charNgrams", this, classOf[CharNgramsExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  def compute(a: UTF8String): ArrayData = {
+    val s = a.toString
     // char offsets of each code point boundary
     val m = s.codePointCount(0, s.length)
-    // Java's split("") on the EMPTY string yields [""] — one empty
-    // element — so the HOF emits one empty gram at n=1; replicate it
+    // Spark's StringSplit special-cases the empty regex: splitting the
+    // EMPTY string yields [""] — one empty element — so the HOF emits
+    // one empty gram at n=1; replicate it. (Raw Java String.split
+    // behaves differently — ""."split("", -1) is [] on this JVM and
+    // non-empty strings get a trailing "" — the behavior matched here
+    // is Spark's UTF8String.split/StringSplit path, the engine the HOF
+    // formulation actually ran on.)
     if (m == 0) {
       return new GenericArrayData(
         if (n == 1) Array[Any](UTF8String.EMPTY_UTF8) else Array.empty[Any])
@@ -727,7 +1122,7 @@ case class CharNgramsExpr(child: Expression, n: Int)
   * the (count desc, gram asc) rank replicate the groupBy + row_number
   * exactly. */
 case class TopNgramsRankedExpr(child: Expression, n: Int, topN: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1 && topN >= 1, s"need n >= 1 and topN >= 1, got n=$n topN=$topN")
 
   override def dataType: DataType = ArrayType(
@@ -736,8 +1131,18 @@ case class TopNgramsRankedExpr(child: Expression, n: Int, topN: Int)
       StructField("rank", LongType, nullable = false))))
   override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(a: Any): Any = {
-    val s = a.asInstanceOf[UTF8String].toString
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[UTF8String])
+
+  // r14: delegate codegen — keeps the profile-training scan stage
+  // whole-stage codegen'd
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("topNgramsRanked", this, classOf[TopNgramsRankedExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  def compute(a: UTF8String): ArrayData = {
+    val s = a.toString
     val m = s.codePointCount(0, s.length)
     val counts = new java.util.HashMap[String, Array[Int]]()
     if (m == 0) {
@@ -814,7 +1219,7 @@ case class CtClassifyExpr(
     langs: Array[String],          // ascending binary (UTF8String) order
     profGrams: Array[String],
     profRanks: Array[Array[Long]]  // profRanks(gi)(li), -1 = absent
-) extends UnaryExpression with CodegenFallback {
+) extends UnaryExpression {
   require(n >= 1 && topN >= 1)
   require(profGrams.length == profRanks.length)
 
@@ -833,8 +1238,23 @@ case class CtClassifyExpr(
   @transient private lazy val langUtf8: Array[UTF8String] =
     langs.map(UTF8String.fromString)
 
-  override protected def nullSafeEval(a: Any): Any = {
-    val s = a.asInstanceOf[UTF8String].toString
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[UTF8String])
+
+  // r14: delegate codegen — classify stays ONE whole-stage-codegen'd
+  // projection over the corpus scan (CodegenFallback un-fused it).
+  // compute may return null (no grams — the caller's 'und' case), so
+  // the generated code re-checks for null.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ctClassify", this, classOf[CtClassifyExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = $ref.compute($a);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  def compute(a: UTF8String): InternalRow = {
+    val s = a.toString
     val m = s.codePointCount(0, s.length)
     val counts = new java.util.HashMap[String, Array[Int]]()
     if (m == 0) {
@@ -916,12 +1336,31 @@ case class CtClassifyExpr(
   * this once per candidate pair, and the builtin allocated the distinct
   * intersection array only for `size` to throw it away. STRING element
   * type only (UTF8String equality == SQL string equality; doubles would
-  * need the builtin's NaN/-0.0 normalization). */
+  * need the builtin's NaN/-0.0 normalization) — enforced by
+  * [[checkInputDataTypes]]: `getUTF8String` over any other element
+  * layout would silently return garbage where `size(array_intersect)`
+  * fails analysis. r14: real `doGenCode` (was CodegenFallback, which
+  * disables whole-stage codegen for the entire verify stage it sits
+  * in — one fallback expression un-fuses the surrounding join's
+  * probe/filter pipeline). */
 case class IntersectSizeExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"intersect_size requires two array<string> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
@@ -951,6 +1390,38 @@ case class IntersectSizeExpr(left: Expression, right: Expression)
     count
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val bSet = ctx.freshName("bSet")
+      val bHasNull = ctx.freshName("bHasNull")
+      val seen = ctx.freshName("seen")
+      val countedNull = ctx.freshName("countedNull")
+      val cnt = ctx.freshName("cnt")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val v = ctx.freshName("v")
+      s"""
+         |java.util.HashSet $bSet = new java.util.HashSet();
+         |boolean $bHasNull = false;
+         |for (int $i = 0; $i < $b.numElements(); $i++) {
+         |  if ($b.isNullAt($i)) { $bHasNull = true; }
+         |  else { $bSet.add($b.getUTF8String($i)); }
+         |}
+         |java.util.HashSet $seen = new java.util.HashSet();
+         |boolean $countedNull = false;
+         |int $cnt = 0;
+         |for (int $j = 0; $j < $a.numElements(); $j++) {
+         |  if ($a.isNullAt($j)) {
+         |    if ($bHasNull && !$countedNull) { $cnt++; $countedNull = true; }
+         |  } else {
+         |    org.apache.spark.unsafe.types.UTF8String $v = $a.getUTF8String($j);
+         |    if ($bSet.contains($v) && $seen.add($v)) { $cnt++; }
+         |  }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(
       newLeft: Expression,
       newRight: Expression
@@ -976,12 +1447,30 @@ case class IntersectSizeExpr(left: Expression, right: Expression)
   *
   * Returns struct(idx: int, sim: double) — idx is the 0-based position
   * in the centroid list (callers map it to their cid via a literal
-  * array lookup), sim the winner's RAW cosine. */
+  * array lookup), sim the winner's RAW cosine.
+  *
+  * NULL contract (differs from the struct-fold for null inputs, by
+  * design): the kernel is `nullIntolerant`, so a NULL embedding yields
+  * a NULL result — the fold it replaced returned the FIRST centroid's
+  * entry for a null embedding (a null `sim` made every
+  * `when(x.sim > acc.sim)` keep the initial accumulator), silently
+  * assigning null rows to centroid 0. Null-in/null-out is the intended
+  * semantics (pinned by the parity spec's null-embedding row); callers
+  * in the catalog never feed null embeddings, so query results are
+  * unaffected. A null ELEMENT inside a non-null embedding poisons the
+  * running sums through `getDouble` returning 0 in the same way the
+  * HOF's zip_with/aggregate arithmetic did for its own accumulators —
+  * the catalog's embeddings are containsNull=false either way.
+  *
+  * r14: `doGenCode` delegates the loop to [[compute]] via a codegen
+  * reference — one virtual call per row (negligible next to K·d flops)
+  * in exchange for NOT breaking the whole-stage-codegen span of the
+  * embedding scan the way CodegenFallback did. */
 case class ArgMaxCosineExpr(
     child: Expression,
     centroids: Array[Array[Double]],
     scale: Long = 0L
-) extends UnaryExpression with CodegenFallback {
+) extends UnaryExpression {
   require(centroids.nonEmpty, "argmax_cosine: empty centroid set")
 
   override def dataType: DataType = StructType(Seq(
@@ -989,8 +1478,16 @@ case class ArgMaxCosineExpr(
     StructField("sim", DoubleType, nullable = false)))
   override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(a: Any): Any = {
-    val xs = a.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("argmaxCosine", this, classOf[ArgMaxCosineExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  def compute(a: ArrayData): InternalRow = {
+    val xs = a
     val k = centroids.length
     var bestIdx = 0
     var bestSim = Double.NaN
@@ -1103,6 +1600,29 @@ object functions {
   def simhash64(words: Column): Column =
     toCol(SimHash64Expr(expression(words)))
 
+  /** collect_min_k(e, k): the k SMALLEST values of `e` per group,
+    * ascending — `slice(array_sort(collect_list(e)), 1, k)` as a
+    * BOUNDED-HEAP aggregate (Spark's own `CollectTopK`, the
+    * [[graft.operators.GroupTopK]] primitive; a
+    * `TypedImperativeAggregate` over a `BoundedPriorityQueue`).
+    * Identical output — the struct/element ordering is the same
+    * interpreted ordering `array_sort` uses, duplicates retained,
+    * nulls skipped exactly like `collect_list` — but the per-key
+    * aggregation buffer never exceeds k elements and partial (map-side)
+    * aggregation folds every partition's contribution down to ≤ k
+    * survivors per key BEFORE the exchange. The r13 postings rewrites
+    * collected the FULL posting list per key and sliced after: fine at
+    * sf0.1, but one hyper-hot prefix token / boilerplate shingle shared
+    * by millions of docs would build a multi-million-element buffer in
+    * a single task at 100 TB (guide §2.5 skew, §5 per-task state).
+    * This caps that buffer at k everywhere — map side, shuffle bytes,
+    * and final merge. */
+  def collect_min_k(e: Column, k: Int): Column = {
+    require(k >= 1, s"collect_min_k needs k >= 1, got $k")
+    toCol(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .CollectTopK(expression(e), k, true, 0, 0).toAggregateExpression())
+  }
+
   def interleave_bits(cols: Seq[Column], bits: Int = 21): Column =
     toCol(InterleaveBitsExpr(cols.map(c => expression(c.cast("long"))), bits))
 
@@ -1122,6 +1642,15 @@ object functions {
 
   def winnow_select(grams: Column, w: Int): Column =
     toCol(WinnowSelectExpr(expression(grams), w))
+
+  def word_shingles(words: Column, n: Int): Column =
+    toCol(WordShinglesExpr(expression(words), n))
+
+  def md5_window_fps(text: Column, width: Int, zeroNibbles: Int): Column =
+    toCol(Md5WindowFpExpr(expression(text), width, zeroNibbles))
+
+  def line_stats(text: Column): Column =
+    toCol(LineStatsExpr(expression(text)))
 
   def top_ngram_chars(words: Column, n: Int): Column =
     toCol(TopNgramCharsExpr(expression(words), n))

@@ -460,20 +460,25 @@ object FingerprintOverlap {
       case Some(cap) =>
         // POSTINGS shape (r13): one groupBy on the fingerprint builds
         // each posting list, keeps the `cap` members ranked first by
-        // (salted hash, id) — `array_sort` over struct<h, id> is the
-        // exact (hash, id) order the previous row_number window used —
-        // and emits the posting's ≤ cap·(cap−1)/2 pairs in-row via
+        // (salted hash, id) — the exact (hash, id) order the previous
+        // row_number window used — and emits the posting's ≤
+        // cap·(cap−1)/2 pairs in-row via
         // [[graft.functions.functions.pair_combos]]. The window shuffle,
         // the self-join (two more exchanges), and the persist/checkpoint
         // bookkeeping they required all disappear; the per-pair shared
-        // count (and so the output) is identical.
+        // count (and so the output) is identical. r14: the cap is a
+        // BOUNDED-HEAP aggregate ([[graft.functions.functions
+        // .collect_min_k]]) — same ascending order as the r13
+        // `array_sort(collect_list)` slice, but a hot fingerprint's
+        // buffer never exceeds cap and partial aggregation caps what
+        // each map partition ships.
         inverted
           .select(col("__fo_f"),
             struct(
               hasher(concat_ws("|", col("__fo_id"), col("__fo_f"))).as("h"),
               col("__fo_id").as("id")).as("__fo_r"))
           .groupBy(col("__fo_f"))
-          .agg(slice(array_sort(collect_list(col("__fo_r"))), 1, cap)
+          .agg(graft.functions.functions.collect_min_k(col("__fo_r"), cap)
             .as("__fo_kept"))
           .select(explode(graft.functions.functions.pair_combos(
             transform(col("__fo_kept"), r => r.getField("id")))).as("__fo_p"))

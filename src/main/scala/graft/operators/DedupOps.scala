@@ -86,8 +86,17 @@ final case class SoftDedup(
 
 object TextShingles {
   /** Word n-gram shingles of a pre-split `words` column; whole-text
-    * fallback below `n` words. */
+    * fallback below `n` words. r14: ONE native pass
+    * ([[graft.functions.WordShinglesExpr]], parity-spec'd against
+    * [[shinglesHof]]) — the HOF tree ran interpreted and allocated a
+    * sequence array plus a slice per window, and it feeds the map
+    * stage of every shingling family (minhash, containment, prefix,
+    * novelty, winnowing). */
   def shingles(words: Column, n: Int): Column =
+    graft.functions.functions.word_shingles(words, n)
+
+  /** The pre-r14 HOF formulation — parity-spec reference only. */
+  private[graft] def shinglesHof(words: Column, n: Int): Column =
     when(
       size(words) >= n,
       transform(
@@ -305,10 +314,20 @@ object MinHashLSH {
     // members ≤ maxShingleDf emits its ≤ maxShingleDf·(maxShingleDf−1)/2
     // candidate pairs in-row. Previous formulation paid a count agg, a
     // blocking join, and a self-join (3 further exchanges of posting
-    // rows); the candidate set is identical.
+    // rows); the candidate set is identical. r14: the unbounded
+    // collect_list (a hot boilerplate shingle shared by millions of
+    // docs would buffer ALL its ids in one task before the size filter
+    // discarded them) becomes a BOUNDED collect of at most
+    // maxShingleDf+1 ids ([[graft.functions.functions.collect_min_k]]):
+    // a posting with ≤ maxShingleDf members keeps its FULL id set
+    // (sorted — pair_combos' least/greatest orientation + distinct make
+    // the pair set order-independent), and reaching maxShingleDf+1
+    // elements IS the overflow flag the size filter rejects, exactly as
+    // it rejected the full list.
     val cand = exploded
       .groupBy(col("__ct_h"))
-      .agg(collect_list(col("__ct_id")).as("__ct_ids"))
+      .agg(graft.functions.functions
+        .collect_min_k(col("__ct_id"), maxShingleDf.toInt + 1).as("__ct_ids"))
       .filter(size(col("__ct_ids")) >= 2 &&
         size(col("__ct_ids")) <= maxShingleDf.toInt)
       .select(explode(graft.functions.functions.pair_combos(col("__ct_ids")))
@@ -329,9 +348,10 @@ object MinHashLSH {
           least(size(col("sh_a")), size(col("sh_b"))).cast(LongType)))
       .filter(col("containment_scaled") >= math.floor(scale * minContainment).toLong)
       .select("id_a", "id_b", "containment_scaled")
-      .localCheckpoint()
+    PlanTrace.dump("containment", out)
+    val ckpt = out.localCheckpoint()
     shingled.unpersist()
-    out
+    ckpt
   }
 
   /** Full near-dedup: signature → banding → connected-via-pairs removal
@@ -605,6 +625,7 @@ object ConnectedComponents {
   ): DataFrame = {
     // materialize the (possibly expensive) pair subtree ONCE before the
     // symmetric union references it twice
+    PlanTrace.dump("cc_edges", pairs)
     val p = pairs.select(col(idA).as("a"), col(idB).as("b")).localCheckpoint()
     val idType = p.schema("a").dataType
     val pairCount = p.count()
@@ -1592,8 +1613,17 @@ object RepetitionStats {
   private def nonEmptyLines(text: Column): Column =
     filter(split(text, "\n"), l => length(l) > 0)
 
-  /** fraction of non-empty lines that duplicate another line. */
+  /** fraction of non-empty lines that duplicate another line. r14:
+    * reads the combined [[graft.functions.LineStatsExpr]] pass (one
+    * byte scan shared with the bullet/ellipsis signals via codegen
+    * subexpression elimination); HOF twin kept for the parity spec. */
   def duplicateLineFraction(text: Column): Column = {
+    val st = graft.functions.functions.line_stats(text)
+    st.getField("n_dup_lines").cast(DoubleType) /
+      greatest(st.getField("n_lines"), lit(1)).cast(DoubleType)
+  }
+
+  private[graft] def duplicateLineFractionHof(text: Column): Column = {
     val lines = nonEmptyLines(text)
     (size(lines) - size(array_distinct(lines))).cast(DoubleType) /
       greatest(size(lines), lit(1)).cast(DoubleType)

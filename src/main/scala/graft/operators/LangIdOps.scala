@@ -86,7 +86,17 @@ object LangIdNgram {
     * argmin break toward the lexicographically smaller language.
     * Documents whose text yields NO char n-grams (null/empty text, or
     * shorter than `n`) are kept with `pred_lang = 'und'` and a null
-    * `dist` — they never silently disappear from the output. */
+    * `dist` — they never silently disappear from the output.
+    *
+    * Semantics notes (r13 kernel path, clarified r14): classification
+    * is strictly PER ROW — duplicate `idField` values no longer pool
+    * their gram counts the way the old `groupBy(__li_id)` formulation
+    * did, and `idField` is retained only for signature compatibility
+    * (each input row keeps all its columns). Profile rows with a null
+    * `lang` or `gram` are dropped before the collect — the old SQL
+    * join path silently never matched them (join keys drop nulls), so
+    * the classification is unchanged and the driver-side sort can't
+    * NPE on a null label. */
   def classify(
       df: DataFrame,
       idField: String,
@@ -108,6 +118,10 @@ object LangIdNgram {
     import org.apache.spark.sql.types.{LongType => LT, StringType => ST}
     val rows = profiles
       .select(col("lang").cast(ST), col("gram").cast(ST), col("rank").cast(LT))
+      // null lang/gram rows can't match in the old join formulation
+      // (equi-join keys drop nulls) — filter them here so the UTF8String
+      // sort below never sees a null label
+      .filter(col("lang").isNotNull && col("gram").isNotNull)
       .collect()
     if (rows.isEmpty) {
       // empty profile set: the old crossJoin produced no best rows —

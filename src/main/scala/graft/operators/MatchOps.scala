@@ -338,21 +338,25 @@ object PrefixFilterJoin {
       case Some(cap) =>
         // POSTINGS shape (r13): one groupBy on the prefix token builds
         // each posting list, keeps the `cap` members ranked first by
-        // (salted hash, id) — `array_sort` over struct<h, id> is the
-        // exact order the previous row_number window used — and emits
-        // the posting's ≤ cap·(cap−1)/2 pairs IN-ROW via
-        // [[graft.functions.functions.pair_combos]]. Replaces the
-        // window shuffle + self-join (which re-evaluated the rank hash
-        // and the window once PER JOIN LEG) with a single exchange;
-        // the pair set is identical. The rank hash stays salted with
-        // the token so a hot document is not the one dropped everywhere.
+        // (salted hash, id), and emits the posting's ≤ cap·(cap−1)/2
+        // pairs IN-ROW via [[graft.functions.functions.pair_combos]].
+        // Replaces the window shuffle + self-join (which re-evaluated
+        // the rank hash and the window once PER JOIN LEG) with a single
+        // exchange; the pair set is identical. The rank hash stays
+        // salted with the token so a hot document is not the one
+        // dropped everywhere. r14: the cap selection is a BOUNDED-HEAP
+        // aggregate ([[graft.functions.functions.collect_min_k]], same
+        // ascending (h, id) order the r13 `array_sort(collect_list)`
+        // slice produced) — a hyper-hot prefix token no longer builds
+        // an unbounded per-key buffer before being capped, and map-side
+        // partial aggregation ships ≤ cap rows per (partition, token).
         prefAll
           .select(col("ptok"),
             struct(
               hasher(concat_ws("|", col("__pf_id"), col("ptok"))).as("h"),
               col("__pf_id").as("id")).as("__pf_r"))
           .groupBy(col("ptok"))
-          .agg(slice(array_sort(collect_list(col("__pf_r"))), 1, cap)
+          .agg(graft.functions.functions.collect_min_k(col("__pf_r"), cap)
             .as("__pf_kept"))
           .select(explode(graft.functions.functions.pair_combos(
             transform(col("__pf_kept"), r => r.getField("id")))).as("__pf_p"))
@@ -367,7 +371,7 @@ object PrefixFilterJoin {
           .select(col("a.__pf_id").as("id_a"), col("b.__pf_id").as("id_b"))
           .distinct()
     }
-    val out = cand
+    val full = cand
       .join(ordered.select(col("__pf_id").as("id_a"), col("toks").as("__ta")), "id_a")
       .join(ordered.select(col("__pf_id").as("id_b"), col("toks").as("__tb")), "id_b")
       .withColumn("__inter", graft.functions.functions.intersect_size(col("__ta"), col("__tb")).cast("long"))
@@ -376,7 +380,10 @@ object PrefixFilterJoin {
           size(col("__ta")).cast("long") + size(col("__tb")).cast("long") - col("__inter")))
       .filter(col("jaccard_ppm") >= minJaccardPpm)
       .select("id_a", "id_b", "jaccard_ppm")
-      .localCheckpoint()
+    // the checkpoint below makes the final plan opaque (Scan
+    // ExistingRDD); dump the candidate+verify path when measuring
+    PlanTrace.dump("pairs", full)
+    val out = full.localCheckpoint()
     ordered.unpersist()
     out
   }

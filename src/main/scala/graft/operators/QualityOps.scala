@@ -45,24 +45,50 @@ object GopherQuality {
   private def safeDiv(num: Column, den: Column): Column =
     num.cast(DoubleType) / greatest(den, lit(1)).cast(DoubleType)
 
+  // r14: the four line/paragraph signals below read ONE combined
+  // native pass ([[graft.functions.LineStatsExpr]], parity-spec'd
+  // against the *Hof twins) — the HOF formulations each re-split the
+  // text and ran interpreted filter/array_distinct chains (3 line
+  // splits + 1 paragraph split per doc in the full Gopher gate).
+  // Identical subtrees collapse via whole-stage codegen's
+  // subexpression elimination, so the gate pays a single byte scan.
+  private def lineStats(text: Column): Column =
+    graft.functions.functions.line_stats(text)
+
   /** fraction of non-empty lines starting with a bullet marker. */
   def bulletLineFraction(text: Column): Column = {
+    val st = lineStats(text)
+    safeDiv(st.getField("n_bullet"), st.getField("n_lines"))
+  }
+
+  /** fraction of non-empty lines ending in an ellipsis. */
+  def ellipsisLineFraction(text: Column): Column = {
+    val st = lineStats(text)
+    safeDiv(st.getField("n_ellipsis"), st.getField("n_lines"))
+  }
+
+  /** fraction of non-empty paragraphs (blank-line separated) duplicating
+    * another paragraph. */
+  def duplicateParagraphFraction(text: Column): Column = {
+    val st = lineStats(text)
+    safeDiv(st.getField("n_dup_paras"), st.getField("n_paras"))
+  }
+
+  /** Pre-r14 HOF formulations — parity-spec references only. */
+  private[graft] def bulletLineFractionHof(text: Column): Column = {
     val lines = nonEmptyLines(text)
     val bullets = filter(lines, l =>
       l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•"))
     safeDiv(size(bullets), size(lines))
   }
 
-  /** fraction of non-empty lines ending in an ellipsis. */
-  def ellipsisLineFraction(text: Column): Column = {
+  private[graft] def ellipsisLineFractionHof(text: Column): Column = {
     val lines = nonEmptyLines(text)
     val ell = filter(lines, l => l.endsWith("...") || l.endsWith("…"))
     safeDiv(size(ell), size(lines))
   }
 
-  /** fraction of non-empty paragraphs (blank-line separated) duplicating
-    * another paragraph. */
-  def duplicateParagraphFraction(text: Column): Column = {
+  private[graft] def duplicateParagraphFractionHof(text: Column): Column = {
     val paras = filter(split(text, "\n\n"), p => length(p) > 0)
     safeDiv(size(paras) - size(array_distinct(paras)), size(paras))
   }

@@ -64,6 +64,141 @@ class OptimizedShapeParitySpec extends SparkSpec {
     assert(viaAgg.exceptAll(viaWindow).count() === 0)
   }
 
+  test("collect_min_k == slice(array_sort(collect_list), 1, k) incl. hot keys, ties, duplicates") {
+    import graft.functions.functions.collect_min_k
+    val cap = 3
+    // one deliberately HOT key (80 members, far over cap — the 100 TB
+    // skew case the bounded heap exists for), several keys under cap,
+    // one exactly at cap, hash ties via % 4, plus duplicate (h, id)
+    // entries on the hot key
+    val rows = (0L until 200L).map { i =>
+      val key = if (i < 80) "hot" else s"k${i % 23}"
+      (key, i % 60, s"h${(det(i, 3) % 4 + 4) % 4}")
+    }
+    val df = rows.toDF("key", "id", "h")
+      .select(col("key"), struct(col("h"), col("id")).as("r"))
+    val viaSort = df.groupBy("key")
+      .agg(slice(array_sort(collect_list(col("r"))), 1, cap).as("kept"))
+    val viaHeap = df.groupBy("key")
+      .agg(collect_min_k(col("r"), cap).as("kept"))
+    // exact ARRAY equality (order included), not just set equality
+    assert(viaSort.exceptAll(viaHeap).count() === 0)
+    assert(viaHeap.exceptAll(viaSort).count() === 0)
+    // and on scalar (long) elements, the containment-posting case
+    val ids = rows.toDF("key", "id", "h").select("key", "id")
+    val viaSortIds = ids.groupBy("key")
+      .agg(slice(array_sort(collect_list(col("id"))), 1, cap + 1).as("kept"))
+    val viaHeapIds = ids.groupBy("key")
+      .agg(collect_min_k(col("id"), cap + 1).as("kept"))
+    assert(viaSortIds.exceptAll(viaHeapIds).count() === 0)
+    assert(viaHeapIds.exceptAll(viaSortIds).count() === 0)
+  }
+
+  test("bounded containment posting (collect_min_k cap+1 + size filter) == unbounded collect_list shape") {
+    import graft.functions.functions.collect_min_k
+    val maxDf = 4
+    // posting sizes 0..9 across keys: below 2, inside [2, maxDf], at
+    // maxDf+1 (the overflow edge), and far above (hot shingle)
+    val rows = (0L until 300L).flatMap { i =>
+      val key = s"s${i % 37}"
+      Seq((key, (det(i, 5) % 500 + 500) % 500))
+    } ++ (0L until 60L).map(i => ("hotshingle", i)) // hot: 60 members
+    val df = rows.toDF("h", "id")
+    def pairsOf(cand: org.apache.spark.sql.DataFrame) = cand
+      .select(explode(pair_combos(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+    val oldShape = pairsOf(
+      df.groupBy("h").agg(collect_list(col("id")).as("ids"))
+        .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDf))
+    val newShape = pairsOf(
+      df.groupBy("h").agg(collect_min_k(col("id"), maxDf + 1).as("ids"))
+        .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDf))
+    assert(oldShape.exceptAll(newShape).count() === 0)
+    assert(newShape.exceptAll(oldShape).count() === 0)
+  }
+
+  test("word_shingles matches the TextShingles HOF (null array, null words, short, unicode)") {
+    import graft.operators.TextShingles
+    val vocab = Seq("a", "bb", "日本語", "", null, "x y", "zz")
+    val rows: Seq[(Long, Option[Seq[String]])] = (0L until 150L).map { r =>
+      val n = (det(r, 51) % 8 + 8) % 8
+      if (r % 17 == 0) (r, None) // null words array
+      else (r, Some((0 until n.toInt).map(i =>
+        vocab(((det(r * 19 + i, 52) % 7 + 7) % 7).toInt))))
+    }
+    val df = rows.toDF("id", "words")
+    Seq(1, 2, 3, 5).foreach { n =>
+      val both = df
+        .withColumn("s_nat", TextShingles.shingles(col("words"), n))
+        .withColumn("s_hof", TextShingles.shinglesHof(col("words"), n))
+      assert(both.filter(not(col("s_nat") <=> col("s_hof"))).count() === 0,
+        s"word_shingles diverged from the HOF twin at n=$n")
+    }
+  }
+
+  test("md5_window_fps matches the explode+substr+md5+filter+distinct chain (unicode, short, null)") {
+    import graft.functions.functions.md5_window_fps
+    val texts: Seq[(Long, Option[String])] = Seq(
+      (0L, Some("")), (1L, Some("short")), (2L, Some("x" * 19)),
+      (3L, Some("y" * 20)), (4L, None),
+      (5L, Some("日本語のテキスト" * 10)), // multi-byte windows
+      (6L, Some(("abcdefghij" * 8) + ("abcdefghij" * 8))), // repeated windows -> dedup
+      (7L, Some("Ünïcødé mixed ascii and combininǵ marks " * 6))
+    ) ++ (8L until 40L).map(i =>
+      (i, Some((0 until ((det(i, 61) % 300 + 300) % 300).toInt)
+        .map(k => (('a' + (det(i * 97 + k, 62) % 26 + 26) % 26).toChar))
+        .mkString)))
+    val df = texts.toDF("doc_id", "text")
+    val viaKernel = df
+      .select(col("doc_id"),
+        explode(md5_window_fps(col("text"), 20, 1)).as("fp"))
+    val viaChain = df
+      .select(col("doc_id"), col("text"),
+        explode(
+          when(length(col("text")) >= 20,
+            sequence(lit(1), length(col("text")) - 19))
+            .otherwise(array().cast("array<int>"))).as("__i"))
+      .select(col("doc_id"), md5(col("text").substr(col("__i"), lit(20))).as("fp"))
+      .filter(substring(col("fp"), 1, 1) === "0")
+      .distinct()
+    assert(viaKernel.exceptAll(viaChain).count() === 0)
+    assert(viaChain.exceptAll(viaKernel).count() === 0)
+  }
+
+  test("line_stats fractions match the split/filter HOF twins (bullets, ellipsis, dups, paras, null)") {
+    import graft.operators.{GopherQuality, RepetitionStats}
+    val texts: Seq[(Long, Option[String])] = Seq(
+      (0L, Some("")), (1L, None), (2L, Some("\n\n")), (3L, Some("plain line")),
+      (4L, Some("- bullet\n* bullet2\n•unicode bullet\n-nodash\nend...")),
+      (5L, Some("trail…\nsame\nsame\n\nsame\n\n\npara\n")),
+      (6L, Some("a\n\n\nb")), (7L, Some("...\n…\n- \n* \n•")),
+      (8L, Some("x\n"))
+    ) ++ (9L until 60L).map { i =>
+      val lines = (0 until ((det(i, 71) % 12 + 12) % 12).toInt).map { k =>
+        val opts = Seq("- item", "* item", "• item", "text...", "text…",
+          "dup line", "dup line", "", "plain", "日本語…")
+        opts(((det(i * 31 + k, 72) % 10 + 10) % 10).toInt)
+      }
+      (i, Some(lines.mkString("\n")))
+    }
+    val df = texts.toDF("id", "text")
+    val t = col("text")
+    val both = df
+      .withColumn("b_nat", GopherQuality.bulletLineFraction(t))
+      .withColumn("b_hof", GopherQuality.bulletLineFractionHof(t))
+      .withColumn("e_nat", GopherQuality.ellipsisLineFraction(t))
+      .withColumn("e_hof", GopherQuality.ellipsisLineFractionHof(t))
+      .withColumn("p_nat", GopherQuality.duplicateParagraphFraction(t))
+      .withColumn("p_hof", GopherQuality.duplicateParagraphFractionHof(t))
+      .withColumn("l_nat", RepetitionStats.duplicateLineFraction(t))
+      .withColumn("l_hof", RepetitionStats.duplicateLineFractionHof(t))
+    Seq("b", "e", "p", "l").foreach { p =>
+      assert(both.filter(not(col(s"${p}_nat") <=> col(s"${p}_hof"))).count() === 0,
+        s"line_stats fraction '$p' diverged from the HOF twin")
+    }
+  }
+
   test("pq_encode / pq_adc_dist match the zip_with/aggregate HOF formulation bit-for-bit") {
     val m = 4
     val w = 4
