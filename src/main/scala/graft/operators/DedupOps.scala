@@ -237,35 +237,47 @@ object MinHashLSH {
           )
         ).as(Seq("band", "bh"))
       )
-    val banded = maxBucketSize match {
+    maxBucketSize match {
       case Some(cap) =>
-        // one extra window-shuffle on the (8-byte) bucket key, in
-        // exchange for bounding the join's per-bucket quadratic work;
-        // the rank hash is salted with the band so each band keeps a
-        // different cap-subset of a hot cluster
+        // POSTINGS shape (r14, the PrefixFilterJoin/FingerprintOverlap
+        // discipline applied to the banding cap): ONE groupBy on the
+        // bucket key keeps the `cap` members ranked first by (salted
+        // hash, id) through a BOUNDED heap
+        // ([[graft.functions.functions.collect_min_k]] — ascending
+        // (h, id), exactly the order the row_number window used) and
+        // emits each bucket's ≤ cap·(cap−1)/2 pairs in-row via
+        // pair_combos. Replaces the window shuffle + sort, the persist/
+        // count materialization job, and the self-join's two exchanges
+        // with a single exchange — pair set identical (parity-spec'd) —
+        // and a degenerate hot bucket folds to ≤ cap rows per map
+        // partition instead of sorting its full membership.
         bandedAll
-          .withColumn(
-            "__graft_brn",
-            row_number().over(
-              Window.partitionBy(col("band"), col("bh"))
-                .orderBy(hasher(concat_ws("|", col("__graft_id"), col("band"))),
-                  col("__graft_id")))
+          .select(col("band"), col("bh"),
+            struct(
+              hasher(concat_ws("|", col("__graft_id"), col("band"))).as("h"),
+              col("__graft_id").as("id")).as("__graft_r"))
+          .groupBy(col("band"), col("bh"))
+          .agg(graft.functions.functions.collect_min_k(col("__graft_r"), cap)
+            .as("__graft_kept"))
+          .select(explode(graft.functions.functions.pair_combos(
+            transform(col("__graft_kept"), r => r.getField("id"))))
+            .as("__graft_p"))
+          .select(col("__graft_p").getField("id_a").as("id_a"),
+            col("__graft_p").getField("id_b").as("id_b"))
+          .distinct()
+      case None =>
+        val banded = bandedAll.persist()
+        banded.count() // materialize once; both self-join legs read the cache
+        val a = banded.as("a")
+        val b = banded.as("b")
+        a.join(
+            b,
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.__graft_id") < col("b.__graft_id")
           )
-          .filter(col("__graft_brn") <= cap)
-          .drop("__graft_brn")
-          .persist()
-      case None => bandedAll.persist()
+          .select(col("a.__graft_id").as("id_a"), col("b.__graft_id").as("id_b"))
+          .distinct()
     }
-    banded.count() // materialize once; both self-join legs read the cache
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(
-        b,
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.__graft_id") < col("b.__graft_id")
-      )
-      .select(col("a.__graft_id").as("id_a"), col("b.__graft_id").as("id_b"))
-      .distinct()
   }
 
   /** Containment pairing — Broder 1997 distinguishes RESEMBLANCE

@@ -118,6 +118,43 @@ class OptimizedShapeParitySpec extends SparkSpec {
     assert(newShape.exceptAll(oldShape).count() === 0)
   }
 
+  test("capped LSH banding postings shape == row_number window + self-join (hot buckets, md5 hasher)") {
+    import graft.operators.{MinHashLSH, MinHashSignature}
+    // force HOT buckets: blocks of identical texts share every band
+    // hash, so bucket sizes (up to 30) far exceed the cap
+    val rows = (0L until 240L).map { i =>
+      (i, s"text block ${i % 8} " * 3 + s"tail ${det(i, 81) % 4}")
+    }
+    val df = rows.toDF("doc_id", "text")
+      .withColumn("words", split(col("text"), " "))
+    val sigs = MinHashSignature("words", 3, 8)(df)
+    val cap = 3
+    val hasher: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => md5(c) // string-typed rank hash, the q100 oracle-parity case
+    val viaPostings = MinHashLSH.candidatePairs(
+      sigs, "doc_id", "minhash_sig", bands = 4, sigLen = 8,
+      maxBucketSize = Some(cap), hasher = hasher)
+    // the pre-r14 formulation: rank window + filter + self-join
+    val bandedAll = sigs.select(
+      col("doc_id").as("id"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => hasher(concat_ws("|", slice(col("minhash_sig"), b * 2 + 1, lit(2))))))
+        .as(Seq("band", "bh")))
+    val kept = bandedAll
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("band"), col("bh"))
+          .orderBy(hasher(concat_ws("|", col("id"), col("band"))), col("id"))))
+      .filter(col("rn") <= cap)
+    val viaWindow = kept.as("a")
+      .join(kept.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    assert(viaPostings.exceptAll(viaWindow).count() === 0)
+    assert(viaWindow.exceptAll(viaPostings).count() === 0)
+  }
+
   test("word_shingles matches the TextShingles HOF (null array, null words, short, unicode)") {
     import graft.operators.TextShingles
     val vocab = Seq("a", "bb", "日本語", "", null, "x y", "zz")
@@ -328,6 +365,19 @@ class OptimizedShapeParitySpec extends SparkSpec {
       .withColumn("i_nat", argmax_cosine(e, cents, scale).getField("idx"))
     assert(scaled.filter(col("i_hof") =!= col("i_nat")).count() === 0,
       "argmax_cosine scaled mode diverged from the negsim fold")
+
+    // NULL contract (intended semantics, documented on the kernel): a
+    // null embedding yields a NULL result — the old struct fold silently
+    // assigned null rows to the FIRST centroid (null sim kept the
+    // initial accumulator). Catalog callers never feed null embeddings;
+    // this row pins the deliberate null-in/null-out divergence.
+    val nullRows = Seq((0L, Some(Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0))), (1L, None))
+      .toDF("id", "emb")
+    val nulled = nullRows
+      .withColumn("b", argmax_cosine(col("emb").cast(ArrayType(DoubleType)), cents))
+    assert(nulled.filter(col("id") === 1L && col("b").isNotNull).count() === 0,
+      "argmax_cosine must be null for a null embedding")
+    assert(nulled.filter(col("id") === 0L && col("b").isNull).count() === 0)
   }
 
   test("dot_product matches the zip_with/aggregate HOF (mismatched lengths, null elements, empty)") {

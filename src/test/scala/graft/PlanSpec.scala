@@ -54,6 +54,66 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("r14: every native kernel fuses into a whole-stage-codegen span (no CodegenFallback, no silent fallback)") {
+    import graft.functions.functions._
+    // fallback=false turns a codegen COMPILE error into a test failure —
+    // without it Spark silently reverts to interpreted eval and a broken
+    // doGenCode would pass every value-level test
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // every input column depends on `id` — all-literal inputs would be
+      // CONSTANT-FOLDED at plan time (kernels evaluated on the driver)
+      // and the projection would leave the codegen span trivially
+      val df = spark.range(50).select(
+        col("id"),
+        split(concat(lit("w1 w2 w3 w2 w1 w"), pmod(col("id"), lit(9))), " ")
+          .as("words"),
+        array(when(col("id") >= 0, 1.0).otherwise(9.9), lit(2.0)).as("vec"),
+        concat(lit("- line one...\nline two…\nline two…\n\npara"),
+          when(pmod(col("id"), lit(2)) === 0, "").otherwise("x")).as("text"))
+      val out = df.select(
+        col("id"),
+        intersect_size(col("words"), col("words")).as("is"),
+        simhash64(col("words")).as("sh"),
+        minhash_sig(col("words"), 4).as("ms"),
+        word_shingles(col("words"), 2).as("ws"),
+        md5_window_fps(col("text"), 5, 1).as("fp"),
+        line_stats(col("text")).as("ls"),
+        winnow_select(transform(col("words"), w => xxhash64(w)), 2).as("wn"),
+        char_ngrams(col("text"), 2).as("cn"),
+        top_ngram_chars(col("words"), 2).as("tn"),
+        dup_ngram_chars(col("words"), 2).as("dn"),
+        dot_product(col("vec"), col("vec")).as("dp"),
+        argmax_cosine(col("vec"), Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))).as("am"),
+        pca_project(col("vec"), Seq(Seq(1.0, 0.0)), Seq(0.0, 0.0)).as("pp"),
+        pq_encode(col("vec"), Seq(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))).as("pq"),
+        pq_adc_dist(col("vec"),
+          pq_encode(col("vec"), Seq(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))),
+          Seq(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))).as("ad"),
+        run_length_ranges(transform(col("words"), w => length(w).cast("long")),
+          lit(2L)).as("rl"),
+        greedy_pack_breaks(transform(col("words"), w => length(w).cast("long")),
+          lit(2L), lit(4L)).as("gp"),
+        cdc_boundaries(col("text"), 4, 3L, 1000003L).as("cb"),
+        cosine_sim(col("vec"), col("vec")).as("cs"))
+      val rows = out.collect() // forces the generated class to COMPILE and run
+      assert(rows.length === 50)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("*(1) Project"),
+        s"kernel projection fell out of whole-stage codegen:\n$plan")
+      // and a spot value-check through the CODEGEN path (eval-path
+      // parity is covered by OptimizedShapeParitySpec)
+      val r = rows.find(_.getAs[Long]("id") == 0L).get
+      assert(r.getAs[Int]("is") === 4) // distinct words: w1 w2 w3 w0
+      assert(r.getAs[Double]("dp") === 5.0)
+      val ls = r.getAs[org.apache.spark.sql.Row]("ls")
+      assert(ls.getAs[Int]("n_lines") === 4 && ls.getAs[Int]("n_bullet") === 1 &&
+        ls.getAs[Int]("n_ellipsis") === 3 && ls.getAs[Int]("n_dup_lines") === 1 &&
+        ls.getAs[Int]("n_paras") === 2 && ls.getAs[Int]("n_dup_paras") === 0)
+      assert(r.getAs[Seq[String]]("ws") === Seq("w1 w2", "w2 w3", "w3 w2", "w2 w1", "w1 w0"))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("capped LSH candidatePairs: bucket-keyed join, no cartesian product") {
     val df = (0L until 50L)
       .map(i => (i, (0 until 8).map(j => s"h${i % 5}_$j")))
