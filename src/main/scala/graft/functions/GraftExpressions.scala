@@ -619,9 +619,14 @@ case class WordShinglesExpr(child: Expression, n: Int)
   }
 
   // null INPUT still produces a value ([""]), so the null check is
-  // folded into compute rather than nullSafeCodeGen
+  // folded into compute rather than nullSafeCodeGen. isNull MUST be
+  // replaced by FalseLiteral: the default ev.isNull is an undeclared
+  // fresh variable name, and a consumer that references it (Generate,
+  // interpreted-projection codegen) fails to COMPILE and silently
+  // falls back to interpreted eval.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
     val ref = ctx.addReferenceObj("wordShingles", this, classOf[WordShinglesExpr].getName)
     val childGen = child.genCode(ctx)
     val in = ctx.freshName("in")
@@ -630,7 +635,7 @@ case class WordShinglesExpr(child: Expression, n: Int)
       org.apache.spark.sql.catalyst.util.ArrayData $in =
         ${childGen.isNull} ? null : ${childGen.value};
       org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = $ref.compute($in);
-      """)
+      """, isNull = FalseLiteral)
   }
 
   def compute(words: ArrayData): ArrayData = {
@@ -786,8 +791,11 @@ case class LineStatsExpr(child: Expression) extends UnaryExpression {
     compute(if (v == null) null else v.asInstanceOf[UTF8String])
   }
 
+  // see WordShinglesExpr.doGenCode for why isNull = FalseLiteral is
+  // load-bearing here
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
     val ref = ctx.addReferenceObj("lineStats", this, classOf[LineStatsExpr].getName)
     val childGen = child.genCode(ctx)
     val in = ctx.freshName("in")
@@ -796,7 +804,7 @@ case class LineStatsExpr(child: Expression) extends UnaryExpression {
       org.apache.spark.unsafe.types.UTF8String $in =
         ${childGen.isNull} ? null : ${childGen.value};
       InternalRow ${ev.value} = $ref.compute($in);
-      """)
+      """, isNull = FalseLiteral)
   }
 
   private val NULL_ROW = InternalRow(-1, -1, -1, 0, -1, 0)

@@ -56,10 +56,14 @@ class PlanSpec extends SparkSpec {
 
   test("r14: every native kernel fuses into a whole-stage-codegen span (no CodegenFallback, no silent fallback)") {
     import graft.functions.functions._
-    // fallback=false turns a codegen COMPILE error into a test failure —
-    // without it Spark silently reverts to interpreted eval and a broken
-    // doGenCode would pass every value-level test
+    // fallback=false turns a whole-stage-codegen COMPILE error into a
+    // test failure, and CODEGEN_ONLY does the same for non-WSCG
+    // projection/predicate codegen — without them Spark silently
+    // reverts to interpreted eval and a broken doGenCode would pass
+    // every value-level test (this caught a real bug: an undeclared
+    // ev.isNull in the non-nullable kernels broke Generate contexts)
     spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     try {
       // every input column depends on `id` — all-literal inputs would be
       // CONSTANT-FOLDED at plan time (kernels evaluated on the driver)
@@ -111,7 +115,19 @@ class PlanSpec extends SparkSpec {
         ls.getAs[Int]("n_ellipsis") === 3 && ls.getAs[Int]("n_dup_lines") === 1 &&
         ls.getAs[Int]("n_paras") === 2 && ls.getAs[Int]("n_dup_paras") === 0)
       assert(r.getAs[Seq[String]]("ws") === Seq("w1 w2", "w2 w3", "w3 w2", "w2 w1", "w1 w0"))
-    } finally spark.conf.unset("spark.sql.codegen.fallback")
+      // Generate + struct-getField contexts (these compile the kernel's
+      // generated code through different consumers than a Project —
+      // the paths the undeclared-isNull bug broke)
+      assert(df.select(explode(word_shingles(col("words"), 2)).as("sh"))
+        .collect().length === 250)
+      assert(df.select(explode(md5_window_fps(col("text"), 5, 1)).as("fp"))
+        .count() >= 0)
+      assert(df.select(line_stats(col("text")).getField("n_lines").as("n"))
+        .collect().forall(_.getAs[Int]("n") === 4))
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
   }
 
   test("capped LSH candidatePairs: bucket-keyed join, no cartesian product") {
