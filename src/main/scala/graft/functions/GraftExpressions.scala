@@ -587,6 +587,81 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** pair_combos kernel: all unordered pairs of a (cap-bounded) posting
+  * list as array<struct<id_a, id_b>> with id_a = least, id_b =
+  * greatest — ONE tight loop per row. The Column-HOF formulation it
+  * replaces (transform over a sequence, flatten, least/greatest per
+  * element_at — kept as `pair_combos_hof` for the parity spec) is a
+  * lambda tree, and HOF lambdas never enter whole-stage codegen: at a
+  * growth-probe 10× run the interpreted pair emission alone cost tens
+  * of seconds for ~3.7M pairs. Ordering is the element type's
+  * interpreted ordering (= least/greatest), nulls ranked smaller like
+  * `least` skipping them (postings never contain nulls — collect_min_k
+  * drops them — but the contract is pinned anyway). */
+case class PairCombosExpr(child: Expression)
+    extends UnaryExpression {
+
+  private def elemType: DataType = child.dataType match {
+    case ArrayType(t, _) => t
+    case t => throw new IllegalArgumentException(
+      s"pair_combos needs an array child, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id_a", elemType),
+      StructField("id_b", elemType))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val ord =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(elemType)
+
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pairCombos", this, classOf[PairCombosExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  def compute(ids: ArrayData): ArrayData = {
+    val n = ids.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    // copy values ONCE up front: the input may be an UnsafeArrayData
+    // whose buffer is reused across rows, and the emitted structs
+    // outlive this evaluation
+    val vals = ids.toObjectArray(elemType).map(v =>
+      if (v == null) null else InternalRow.copyValue(v))
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n - 1) {
+      var j = i + 1
+      while (j < n) {
+        val a = vals(i)
+        val b = vals(j)
+        // least/greatest: nulls lose (the HOF's least/greatest skip
+        // nulls — with one null the non-null value is both least and
+        // greatest)
+        val (lo, hi) =
+          if (a == null) (b, b)
+          else if (b == null) (a, a)
+          else if (ord.compare(a, b) <= 0) (a, b)
+          else (b, a)
+        out(k) = InternalRow(lo, hi)
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PairCombosExpr =
+    copy(child = newChild)
+}
+
 /** word_shingles(words, n): word n-gram shingles with whole-text
   * fallback below n words — the native twin of the
   * [[graft.operators.TextShingles]] HOF (`when(size >= n,
@@ -1713,9 +1788,15 @@ object functions {
     * window + self-join (two extra shuffles of every posting row) with
     * plain projection. Emits the IDENTICAL pair set the equi-join
     * `a.id < b.id` formulation produces (ids are distinct within a
-    * posting). Guard: a 0/1-element list yields `[]`, never the
-    * descending `sequence(0, -1)` trap. */
-  def pair_combos(ids0: Column): Column = {
+    * posting). r14: ONE native loop ([[PairCombosExpr]], parity-spec'd
+    * against [[pair_combos_hof]]) — the HOF tree ran interpreted and
+    * its per-pair lambda dispatch dominated the candidate stage at
+    * growth-probe scale. */
+  def pair_combos(ids0: Column): Column =
+    toCol(PairCombosExpr(expression(ids0)))
+
+  /** The pre-r14 HOF formulation — parity-spec reference only. */
+  private[graft] def pair_combos_hof(ids0: Column): Column = {
     import org.apache.spark.sql.functions._
     // bind the ids expression as a lambda variable via the
     // single-element-array trick (the Winnowing/simhash fix): every

@@ -358,7 +358,14 @@ object MinHashLSH {
         graft.functions.functions.integral_divide(
           lit(scale) * col("__ct_i"),
           least(size(col("sh_a")), size(col("sh_b"))).cast(LongType)))
-      .filter(col("containment_scaled") >= math.floor(scale * minContainment).toLong)
+      // r14: one-intersection threshold twin (see PrefixFilterJoin):
+      // for D = min(|a|,|b|) ≥ 1, floor(scale·I / D) ≥ T ⟺
+      // scale·I ≥ T·D — the pushed-down join condition then evaluates
+      // intersect_size once per candidate instead of twice; the output
+      // column is unchanged.
+      .filter(lit(scale) * col("__ct_i") >=
+        lit(math.floor(scale * minContainment).toLong) *
+          least(size(col("sh_a")), size(col("sh_b"))).cast(LongType))
       .select("id_a", "id_b", "containment_scaled")
     PlanTrace.dump("containment", out)
     val ckpt = out.localCheckpoint()

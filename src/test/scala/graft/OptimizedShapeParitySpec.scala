@@ -64,6 +64,48 @@ class OptimizedShapeParitySpec extends SparkSpec {
     assert(viaAgg.exceptAll(viaWindow).count() === 0)
   }
 
+  test("pair_combos kernel == HOF twin, exact arrays (long + string ids, 0/1-element, order)") {
+    import graft.functions.functions.{pair_combos_hof => hofPairs}
+    val rows = (0L until 60L).map { p =>
+      val n = (det(p, 91) % 6 + 6) % 6
+      (p, (0L until n).map(i => (det(p * 10 + i, 92) % 100 + 100) % 100))
+    }
+    val dfL = rows.toDF("p", "ids")
+    val bothL = dfL
+      .withColumn("nat", explode_outer(pair_combos(col("ids"))))
+      .select(col("p"), col("nat"))
+      .exceptAll(dfL
+        .withColumn("nat", explode_outer(hofPairs(col("ids"))))
+        .select(col("p"), col("nat")))
+    assert(bothL.count() === 0)
+    val dfS = rows.map { case (p, ids) => (p, ids.map(i => s"id$i")) }
+      .toDF("p", "ids")
+    val bothS = dfS
+      .withColumn("nat", explode_outer(pair_combos(col("ids"))))
+      .select(col("p"), col("nat"))
+      .exceptAll(dfS
+        .withColumn("nat", explode_outer(hofPairs(col("ids"))))
+        .select(col("p"), col("nat")))
+    assert(bothS.count() === 0)
+  }
+
+  test("one-intersection threshold twins == floor-division filters (exhaustive small ranges)") {
+    // jaccard: floor(1e6*I/D) >= min  <=>  I*(1e6+min) >= min*(|A|+|B|),
+    // D = |A|+|B|-I >= 1; containment: floor(s*I/D) >= T <=> s*I >= T*D
+    for (min <- Seq(1L, 333333L, 500000L, 999999L, 1000000L);
+         a <- 1 to 12; b <- 1 to 12; i <- 0 to math.min(a, b)) {
+      val d = a.toLong + b - i
+      val oldP = (1000000L * i) / d >= min
+      val newP = i * (1000000L + min) >= min * (a.toLong + b)
+      assert(oldP === newP, s"jaccard twin diverged at min=$min a=$a b=$b i=$i")
+      val t = math.floor(1000000L * 0.9).toLong
+      val dc = math.min(a, b).toLong
+      val oldC = (1000000L * i) / dc >= t
+      val newC = 1000000L * i >= t * dc
+      assert(oldC === newC, s"containment twin diverged at a=$a b=$b i=$i")
+    }
+  }
+
   test("collect_min_k == slice(array_sort(collect_list), 1, k) incl. hot keys, ties, duplicates") {
     import graft.functions.functions.collect_min_k
     val cap = 3
